@@ -1,13 +1,465 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.frame.ModeledFrame
+import graft.relation.Relation
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with DuckDB-equivalent `oracleSql` where the operator
+  * is SQL-expressible. Conventions for exact cross-engine hash parity:
+  *
+  *   - every query has a TOTAL deterministic ORDER BY (unique key or full
+  *     row), since row order feeds the driver's hash;
+  *   - double aggregates go through decimal: `sum(cast(x as decimal(18,2)))`
+  *     then a final cast to a fixed decimal type — exact arithmetic, immune
+  *     to float summation-order nondeterminism, identical output schema in
+  *     Spark and DuckDB;
+  *   - integer aggregates are cast to bigint in the SQL (DuckDB's sum(int)
+  *     returns hugeint, Spark's returns long);
+  *   - `events.ts` (parquet ns) is read as long and converted with
+  *     `timestamp_micros(ts div 1000)`, matching DuckDB's ns→us cast.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def rel(s: SparkSession, dir: String, name: String): Relation =
+    Relation(Tables(s, dir, name))
+
+  // Decimal-safe money sum: exact, order-independent, schema-stable.
+  private def dsum(e: String): String =
+    s"cast(sum(cast($e as decimal(18,2))) as decimal(38,2))"
+
+  /** Flagship query on sf=0.001: validate lineitem against a model, then a
+    * revenue roll-up through the fluent relation API. Driver smoke-checks
+    * rows > 0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables(spark, dir, "lineitem")
+    val m = Schema("LineItem",
+      Seq(
+        FieldSpec.long("l_orderkey"),
+        FieldSpec.double("l_quantity", nullable = false)
+          .copy(bounds = Bounds(ge = Some(0), le = Some(100))),
+        FieldSpec.double("l_discount").copy(bounds = Bounds(ge = Some(0), le = Some(1))),
+        FieldSpec.enum("l_returnflag", Seq("A", "N", "R"))))
+    // validate only the modeled columns (frame has more → selectModel first)
+    ModeledFrame(li.select(m.columns.map(col): _*), m).validate()
+    Relation(li)
+      .filter("l_quantity < 45")
+      .aggregate(
+        Seq(s"${dsum("l_extendedprice * (1 - l_discount)")} as revenue",
+          "cast(count(*) as bigint) as n"),
+        groupBy = Seq("l_returnflag"))
+      .order("l_returnflag")
+      .toDF
+  }
+
+  /** Operator inventory (SURVEY §2). Key → (spark, sfDir) => DataFrame. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+
+    // §2.4 aggregate with group_by (Relation.aggregate)
+    "q01_aggregate" -> ((s, d) =>
+      rel(s, d, "lineitem")
+        .aggregate(
+          Seq(s"${dsum("l_quantity")} as sum_qty",
+            s"${dsum("l_extendedprice")} as sum_price",
+            "cast(count(*) as bigint) as n"),
+          groupBy = Seq("l_returnflag", "l_linestatus"))
+        .order("l_returnflag", "l_linestatus").toDF),
+
+    // §2.2 filter: positional SQL fragments AND-ed + kwargs equality
+    "q02_filter" -> ((s, d) =>
+      rel(s, d, "lineitem")
+        .filter("l_quantity < 24", "l_discount > 0.02")
+        .filterEq("l_returnflag" -> "A")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .order("l_orderkey", "l_linenumber").toDF),
+
+    // §2.2 select star-expansion-and-overwrite
+    "q03_select_star" -> ((s, d) =>
+      rel(s, d, "region")
+        .selectNamed("r_name" -> "upper(r_name)")
+        .order("r_regionkey").toDF),
+
+    // §2.2 with_columns (append computed columns)
+    "q04_with_columns" -> ((s, d) =>
+      rel(s, d, "nation")
+        .withColumns(
+          "n_key2" -> "cast(n_nationkey * 2 as int)",
+          "n_name_lower" -> "lower(n_name)")
+        .order("n_nationkey").toDF),
+
+    // §2.2 rename (projection-based, overwrite-on-collision)
+    "q05_rename" -> ((s, d) =>
+      rel(s, d, "nation")
+        .rename("n_name" -> "nation_name")
+        .order("n_nationkey").toDF),
+
+    // §2.2 add_prefix
+    "q06_prefix" -> ((s, d) =>
+      rel(s, d, "nation")
+        .addPrefix("nat_")
+        .order("nat_n_nationkey").toDF),
+
+    // §2.2 drop (errors on unknown)
+    "q07_drop" -> ((s, d) =>
+      rel(s, d, "orders")
+        .drop("o_orderpriority", "o_orderdate")
+        .order("o_orderkey").toDF),
+
+    // §2.2 case (literal-map CASE via when/otherwise)
+    "q08_case" -> ((s, d) =>
+      rel(s, d, "orders")
+        .caseColumn("o_orderstatus", "status_label",
+          Seq("O" -> "open", "F" -> "finished", "P" -> "pending"), "unknown")
+        .aggregate(Seq("cast(count(*) as bigint) as n"), groupBy = Seq("status_label"))
+        .order("status_label").toDF),
+
+    // §2.2 coalesce (per-column null replacement)
+    "q09_coalesce" -> ((s, d) =>
+      rel(s, d, "lineitem")
+        .withColumns("d0" -> "nullif(l_discount, 0.0)")
+        .coalesceColumns("d0" -> -1.0)
+        .select("l_orderkey", "l_linenumber", "d0")
+        .order("l_orderkey", "l_linenumber").toDF),
+
+    // §2.2 cast-to-model
+    "q10_cast" -> ((s, d) => {
+      val m = Schema("LineItemTyped", Seq(
+        FieldSpec.long("l_orderkey"),
+        FieldSpec.long("l_linenumber"),
+        FieldSpec("l_quantity", org.apache.spark.sql.types.DecimalType(12, 2))))
+      rel(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .cast(m, strict = true)
+        .order("l_orderkey", "l_linenumber").toDF
+    }),
+
+    // §2.3 inner join (+ aggregate over the join)
+    "q11_join_inner" -> ((s, d) =>
+      rel(s, d, "orders")
+        .innerJoin(rel(s, d, "customer"), "o_custkey = c_custkey")
+        .aggregate(
+          Seq(s"${dsum("o_totalprice")} as total", "cast(count(*) as bigint) as n"),
+          groupBy = Seq("c_mktsegment"))
+        .order("c_mktsegment").toDF),
+
+    // §2.3 left join (null-preserving) — orders per customer incl. zero
+    "q12_join_left" -> ((s, d) =>
+      rel(s, d, "customer")
+        .leftJoin(rel(s, d, "orders"), "c_custkey = o_custkey")
+        .aggregate(
+          Seq("cast(count(o_orderkey) as bigint) as n_orders"),
+          groupBy = Seq("c_custkey"))
+        .order("c_custkey").toDF),
+
+    // §2.3 semi join
+    "q13_join_semi" -> ((s, d) =>
+      rel(s, d, "part")
+        .semiJoin(rel(s, d, "lineitem"), "p_partkey = l_partkey")
+        .select("p_partkey")
+        .order("p_partkey").toDF),
+
+    // §2.3 anti join (vs high-quantity lineitems so the result is non-empty)
+    "q14_join_anti" -> ((s, d) =>
+      rel(s, d, "part")
+        .antiJoin(
+          rel(s, d, "lineitem").filter("l_quantity > 48"),
+          "p_partkey = l_partkey")
+        .select("p_partkey")
+        .order("p_partkey").toDF),
+
+    // §2.3 cross join
+    "q15_join_cross" -> ((s, d) =>
+      rel(s, d, "region")
+        .crossJoin(rel(s, d, "nation"))
+        .select("r_name", "n_name")
+        .order("r_name", "n_name").toDF),
+
+    // §2.3 as-of join (union+window plan; see Relation.asofJoin)
+    "q16_join_asof" -> ((s, d) => {
+      val ev = Relation(Tables.events(s, d))
+      val clicks = ev.filterEq("event_type" -> "click")
+        .select("user_id", "ts", "value").rename("value" -> "click_value")
+      val purchases = ev.filterEq("event_type" -> "purchase")
+        .aggregate(Seq("max(value) as pval"), groupBy = Seq("user_id", "ts"))
+      clicks.asofJoin(purchases, by = Seq("user_id"), leftOn = "ts", rightOn = "ts")
+        .order("user_id", "ts", "click_value").toDF
+    }),
+
+    // §2.6 union (column-reorder semantics) — second side reordered on purpose
+    "q17_union" -> ((s, d) => {
+      val a = rel(s, d, "customer").select("c_custkey", "c_name")
+      val b = rel(s, d, "customer").select("c_name", "c_custkey")
+      (a union b).order("c_custkey", "c_name").toDF
+    }),
+
+    // §2.6 intersect (dedups)
+    "q18_intersect" -> ((s, d) =>
+      rel(s, d, "nation").select("n_nationkey", "n_name")
+        .intersect(
+          rel(s, d, "nation").filter("n_nationkey < 10").select("n_nationkey", "n_name"))
+        .order("n_nationkey").toDF),
+
+    // §2.6 except (dedups)
+    "q19_except" -> ((s, d) =>
+      rel(s, d, "orders").select("o_orderstatus")
+        .except(Relation(s.sql("SELECT 'F' AS o_orderstatus")))
+        .order("o_orderstatus").toDF),
+
+    // §2.6 distinct
+    "q20_distinct" -> ((s, d) =>
+      rel(s, d, "lineitem").select("l_returnflag", "l_linestatus")
+        .distinct()
+        .order("l_returnflag", "l_linestatus").toDF),
+
+    // §2.5 order + limit + offset (top-k → TakeOrderedAndProject)
+    "q21_order_limit" -> ((s, d) =>
+      rel(s, d, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .order("o_totalprice desc", "o_orderkey")
+        .limit(10, offset = 5).toDF),
+
+    // §2.7 row lookup (get-style filter; exact-arity get() is unit-tested)
+    "q22_row_filter" -> ((s, d) =>
+      rel(s, d, "orders")
+        .filter("o_orderkey % 1000 = 0")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .order("o_orderkey").toDF),
+
+    // §2.2 with_missing_{defaultable,nullable}_columns
+    "q23_missing_cols" -> ((s, d) => {
+      val m = Schema("NationPlus", Seq(
+        FieldSpec.int("n_nationkey"),
+        FieldSpec.string("n_name"),
+        FieldSpec.string("status").copy(default = Some("active")),
+        FieldSpec.string("note", nullable = true)))
+      ModeledFrame(rel(s, d, "nation").apply("n_nationkey", "n_name").toDF, m)
+        .withMissingColumns().selectModel()
+        .df.orderBy(col("n_nationkey"))
+    }),
+
+    // §2.10 dummy-data generation (examples) — range-based, no shuffle
+    "q24_examples" -> ((s, _) => {
+      val m = Schema("Dummy", Seq(
+        FieldSpec.long("id").copy(unique = true),
+        FieldSpec.enum("status", Seq("a", "b")),
+        FieldSpec.double("score").copy(default = Some(0.5)),
+        FieldSpec.string("note", nullable = true)))
+      Examples.examples(s, m, n = 100L).orderBy(col("id"))
+    }),
+
+    // §2.8 validation engine — violation counts as a lazy report
+    "q25_validate" -> ((s, d) => {
+      val m = Schema("LineItemChecks", Seq(
+        FieldSpec.long("l_orderkey"),
+        FieldSpec.double("l_quantity", nullable = true)
+          .copy(bounds = Bounds(le = Some(45))),
+        FieldSpec.double("l_discount", nullable = true)
+          .copy(bounds = Bounds(ge = Some(0.05))),
+        FieldSpec.enum("l_returnflag", Seq("A", "N"), nullable = true),
+        FieldSpec.int("l_linenumber", nullable = true)
+          .copy(constraints = Seq(col("_") < 4))))
+      Validator.reportDF(Tables(s, d, "lineitem"), m)
+    }),
+
+    // window functions (phase-2 surface; Spark-native Window)
+    "q26_window" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables(s, d, "customer")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("c_nationkey"), col("rn"), col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_nationkey"), col("rn"))
+    }),
+
+    // grouping sets / rollup (phase-2 surface)
+    "q27_rollup" -> ((s, d) => {
+      Tables(s, d, "lineitem").createOrReplaceTempView("graft_lineitem")
+      s.sql(
+        s"""SELECT l_returnflag, l_linestatus,
+           |  ${dsum("l_quantity")} AS sum_qty, cast(count(*) as bigint) AS n
+           |FROM graft_lineitem
+           |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+           |ORDER BY coalesce(l_returnflag, 'zzz'), coalesce(l_linestatus, 'zzz')
+           |""".stripMargin)
+    }),
+
+    // §2.11 scalar-function passthrough (string/date/math)
+    "q28_scalar_funcs" -> ((s, d) =>
+      rel(s, d, "orders")
+        .selectNamed(
+          "pri" -> "upper(substr(o_orderpriority, 1, 3))",
+          "yr" -> "cast(year(o_orderdate) as int)",
+          "m7" -> "o_orderkey % 7")
+        .apply("o_orderkey", "pri", "yr", "m7")
+        .order("o_orderkey").toDF),
+  )
+
+  /** DuckDB oracle per query (same parquet tables, same column names). */
+  def oracleSql: Map[String, String] = ListMap(
+    "q01_aggregate" ->
+      """SELECT l_returnflag, l_linestatus,
+        | cast(sum(cast(l_quantity as decimal(18,2))) as decimal(38,2)) AS sum_qty,
+        | cast(sum(cast(l_extendedprice as decimal(18,2))) as decimal(38,2)) AS sum_price,
+        | cast(count(*) as bigint) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+        |WHERE (l_quantity < 24) AND (l_discount > 0.02) AND l_returnflag = 'A'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_select_star" ->
+      "SELECT r_regionkey, upper(r_name) AS r_name FROM region ORDER BY r_regionkey",
+
+    "q04_with_columns" ->
+      """SELECT n_nationkey, n_name, n_regionkey,
+        | cast(n_nationkey * 2 as int) AS n_key2, lower(n_name) AS n_name_lower
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q05_rename" ->
+      "SELECT n_nationkey, n_name AS nation_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "q06_prefix" ->
+      """SELECT n_nationkey AS nat_n_nationkey, n_name AS nat_n_name,
+        | n_regionkey AS nat_n_regionkey
+        |FROM nation ORDER BY nat_n_nationkey""".stripMargin,
+
+    "q07_drop" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q08_case" ->
+      """SELECT CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'finished'
+        |  WHEN 'P' THEN 'pending' ELSE 'unknown' END AS status_label,
+        | cast(count(*) as bigint) AS n
+        |FROM orders GROUP BY 1 ORDER BY status_label""".stripMargin,
+
+    "q09_coalesce" ->
+      """SELECT l_orderkey, l_linenumber,
+        | coalesce(nullif(l_discount, 0.0), -1.0) AS d0
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q10_cast" ->
+      """SELECT l_orderkey, cast(l_linenumber as bigint) AS l_linenumber,
+        | cast(l_quantity as decimal(12,2)) AS l_quantity
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q11_join_inner" ->
+      """SELECT c_mktsegment,
+        | cast(sum(cast(o_totalprice as decimal(18,2))) as decimal(38,2)) AS total,
+        | cast(count(*) as bigint) AS n
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q12_join_left" ->
+      """SELECT c_custkey, cast(count(o_orderkey) as bigint) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q13_join_semi" ->
+      """SELECT p_partkey FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q14_join_anti" ->
+      """SELECT p_partkey FROM part
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM lineitem WHERE l_quantity > 48 AND l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q15_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q16_join_asof" ->
+      """SELECT l.user_id, l.ts, l.click_value, r.pval
+        |FROM (SELECT user_id, cast(ts as timestamp) AS ts, value AS click_value
+        |      FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (
+        |      SELECT user_id, cast(ts as timestamp) AS ts, max(value) AS pval
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2) r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.user_id, l.ts, l.click_value""".stripMargin,
+
+    "q17_union" ->
+      """SELECT c_custkey, c_name FROM (
+        |  SELECT c_custkey, c_name FROM customer
+        |  UNION ALL SELECT c_custkey, c_name FROM customer)
+        |ORDER BY c_custkey, c_name""".stripMargin,
+
+    "q18_intersect" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |INTERSECT SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 10
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q19_except" ->
+      """SELECT o_orderstatus FROM (
+        |  SELECT o_orderstatus FROM orders EXCEPT SELECT 'F' AS o_orderstatus)
+        |ORDER BY o_orderstatus""".stripMargin,
+
+    "q20_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q21_order_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 5""".stripMargin,
+
+    "q22_row_filter" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 1000 = 0 ORDER BY o_orderkey""".stripMargin,
+
+    "q23_missing_cols" ->
+      """SELECT n_nationkey, n_name, 'active' AS status, cast(NULL as varchar) AS note
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "q24_examples" ->
+      """SELECT cast(range as bigint) AS id, 'a' AS status,
+        | cast(0.5 as double) AS score, cast(NULL as varchar) AS note
+        |FROM range(100) ORDER BY id""".stripMargin,
+
+    "q25_validate" ->
+      """SELECT loc, chk, n FROM (
+        | SELECT 'l_orderkey' AS loc, 'nulls' AS chk,
+        |   cast(coalesce(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END), 0) as bigint) AS n FROM lineitem
+        | UNION ALL SELECT 'l_quantity', 'bounds',
+        |   cast(coalesce(sum(CASE WHEN l_quantity IS NOT NULL AND NOT (l_quantity <= 45) THEN 1 ELSE 0 END), 0) as bigint) FROM lineitem
+        | UNION ALL SELECT 'l_discount', 'bounds',
+        |   cast(coalesce(sum(CASE WHEN l_discount IS NOT NULL AND NOT (l_discount >= 0.05) THEN 1 ELSE 0 END), 0) as bigint) FROM lineitem
+        | UNION ALL SELECT 'l_returnflag', 'enum',
+        |   cast(coalesce(sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N') THEN 1 ELSE 0 END), 0) as bigint) FROM lineitem
+        | UNION ALL SELECT 'l_linenumber', 'constraint',
+        |   cast(coalesce(sum(CASE WHEN NOT coalesce(l_linenumber < 4, true) THEN 1 ELSE 0 END), 0) as bigint) FROM lineitem
+        |) ORDER BY loc, chk""".stripMargin,
+
+    "q26_window" ->
+      """SELECT c_nationkey, rn, c_custkey, c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    cast(row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey) as int) AS rn
+        |  FROM customer)
+        |WHERE rn <= 3 ORDER BY c_nationkey, rn""".stripMargin,
+
+    "q27_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | cast(sum(cast(l_quantity as decimal(18,2))) as decimal(38,2)) AS sum_qty,
+        | cast(count(*) as bigint) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY coalesce(l_returnflag, 'zzz'), coalesce(l_linestatus, 'zzz')""".stripMargin,
+
+    "q28_scalar_funcs" ->
+      """SELECT o_orderkey, upper(substr(o_orderpriority, 1, 3)) AS pri,
+        | cast(year(o_orderdate) as int) AS yr, o_orderkey % 7 AS m7
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+  )
 }

@@ -1,0 +1,417 @@
+package graft.relation
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.sql.CaseBuilder
+
+/** Lazy fluent relational surface — the Spark-native counterpart of the
+  * reference's `patito.duckdb.Relation` (src/patito/duckdb.py:140). Every
+  * builder returns a new Relation wrapping a transformed (still-lazy)
+  * DataFrame; Catalyst owns optimization exactly as DuckDB owned it in the
+  * reference. String expressions go through `expr`/`selectExpr`, which covers
+  * the reference's whole SQL-fragment surface (SURVEY §2 "SQL-string
+  * passthrough").
+  *
+  * Model propagation follows the reference's `_wrap(schema_change=...)` rule
+  * (duckdb.py:2332-2349): schema-preserving ops (filter/order/limit/union/
+  * distinct/intersect/except) keep the bound model; schema-changing ops
+  * (select/aggregate/rename/drop/case/coalesce/cast/joins) drop it.
+  */
+final case class Relation(
+    df: DataFrame,
+    model: Option[Schema] = None,
+    alias: Option[String] = None) {
+
+  private def spark: SparkSession = df.sparkSession
+  private def keep(d: DataFrame): Relation = copy(df = d)
+  private def changed(d: DataFrame): Relation = Relation(d, None, alias)
+
+  def columns: Seq[String] = df.columns.toSeq
+  def types: Map[String, String] =
+    df.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+
+  // ---- projections (duckdb.py:1528-1611) --------------------------------
+
+  /** SQL projection with the reference's star-expansion-and-overwrite rule
+    * (duckdb.py:1578-1591): `"*"` expands to the current column list, and a
+    * named projection whose name collides with a star-expanded column
+    * REPLACES it in place rather than appearing twice.
+    */
+  def select(exprs: String*): Relation = select(exprs, Nil)
+
+  def select(exprs: Seq[String], named: Seq[(String, String)]): Relation = {
+    val expanded: Seq[(Option[String], String)] =
+      exprs.flatMap {
+        case "*" => df.columns.toSeq.map(c => (Some(c), quoteIdent(c)))
+        case e   => Seq((None, e))
+      } ++ named.map { case (n, e) => (Some(n), s"$e AS ${quoteIdent(n)}") }
+    // overwrite: later named entries replace earlier entries with same name
+    val out = expanded.foldLeft(Vector.empty[(Option[String], String)]) {
+      case (acc, item @ (Some(n), _)) =>
+        val i = acc.indexWhere(_._1.contains(n))
+        if (i >= 0) acc.updated(i, item) else acc :+ item
+      case (acc, item) => acc :+ item
+    }
+    changed(df.selectExpr(out.map(_._2): _*))
+  }
+
+  def selectNamed(named: (String, String)*): Relation = select(Seq("*"), named)
+
+  /** `rel("a")` / column-subset access (duckdb.py:2138-2189). */
+  def apply(cols: String*): Relation = changed(df.select(cols.map(col): _*))
+
+  /** Append/overwrite computed columns — `select("*", ...)` sugar
+    * (duckdb.py:1911-1943).
+    */
+  def withColumns(named: (String, String)*): Relation = select(Seq("*"), named)
+
+  /** Projection-based rename: errors on missing sources, silently overwrites
+    * an existing target (duckdb.py:1613-1654).
+    */
+  def rename(mapping: (String, String)*): Relation = {
+    val m = mapping.toMap
+    val missing = m.keys.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"Column${if (missing.size == 1) "" else "s"} ${missing.mkString(", ")} " +
+        "can not be renamed as they do not exist")
+    val targets = m.values.toSet
+    val kept = df.columns.filterNot(c => targets.contains(c) && !m.contains(c))
+    changed(df.select(kept.map(c => col(c).as(m.getOrElse(c, c))): _*))
+  }
+
+  /** Rename-all via projection, with include/exclude subsets
+    * (duckdb.py:331-461).
+    */
+  def addPrefix(p: String, include: Seq[String] = Nil, exclude: Seq[String] = Nil): Relation =
+    mapNames(n => p + n, include, exclude)
+  def addSuffix(s: String, include: Seq[String] = Nil, exclude: Seq[String] = Nil): Relation =
+    mapNames(n => n + s, include, exclude)
+
+  private def mapNames(f: String => String, include: Seq[String], exclude: Seq[String]): Relation = {
+    require(include.isEmpty || exclude.isEmpty,
+      "Only one of include and exclude can be provided")
+    val targeted: String => Boolean =
+      if (include.nonEmpty) include.contains
+      else if (exclude.nonEmpty) c => !exclude.contains(c)
+      else _ => true
+    changed(df.select(df.columns.map(c =>
+      if (targeted(c)) col(c).as(f(c)) else col(c)): _*))
+  }
+
+  /** Drop with missing-column error (duckdb.py:834-854). */
+  def drop(cols: String*): Relation = {
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"Columns ${missing.mkString(", ")} do not exist")
+    changed(df.drop(cols: _*))
+  }
+
+  /** Literal-map CASE appended as a new column (duckdb.py:499-570). */
+  def caseColumn(
+      fromColumn: String,
+      toColumn: String,
+      mapping: Seq[(Any, Any)],
+      default: Any = null): Relation =
+    changed(df.withColumn(toColumn,
+      CaseBuilder.caseWhen(col(fromColumn), mapping, default)))
+
+  /** Per-column null replacement (duckdb.py:675-726). */
+  def coalesceColumns(replacements: (String, Any)*): Relation = {
+    val m = replacements.toMap
+    changed(df.select(df.columns.map { c =>
+      m.get(c).fold(col(c))(v => coalesce(col(c), lit(v)).as(c))
+    }: _*))
+  }
+
+  /** Cast columns to a model's types; `strict = false` skips columns whose
+    * type is already in the valid set (duckdb.py:572-673). Non-model columns
+    * are untouched.
+    */
+  def cast(
+      schema: Schema,
+      strict: Boolean = false,
+      include: Seq[String] = Nil,
+      exclude: Seq[String] = Nil): Relation = {
+    require(include.isEmpty || exclude.isEmpty,
+      "Only one of include and exclude can be provided")
+    val targeted: String => Boolean =
+      if (include.nonEmpty) include.contains
+      else if (exclude.nonEmpty) c => !exclude.contains(c)
+      else _ => true
+    val out = df.columns.foldLeft(df) { (d, c) =>
+      if (!schema.contains(c) || !targeted(c)) d
+      else {
+        val f = schema(c)
+        val cur = d.schema(c).dataType
+        val skip = if (strict) cur == f.dataType else f.validTypes.contains(cur)
+        if (skip) d else d.withColumn(c, col(c).cast(f.dataType))
+      }
+    }
+    Relation(out, model, alias)
+  }
+
+  // ---- filters (duckdb.py:1076-1134) ------------------------------------
+
+  /** WHERE with positional SQL fragments AND-ed (parenthesized). */
+  def filter(filters: String*): Relation =
+    keep(filters.foldLeft(df)((d, f) => d.where(expr(s"($f)"))))
+
+  def filter(c: Column): Relation = keep(df.where(c))
+
+  /** kwargs-style equality filters (`col = value`). */
+  def filterEq(equalities: (String, Any)*): Relation =
+    keep(equalities.foldLeft(df) { case (d, (c, v)) => d.where(col(c) === lit(v)) })
+
+  /** Do ALL rows satisfy the predicates? (duckdb.py:463-497) — implemented as
+    * "no counterexample exists": one early-terminating job instead of the
+    * reference's two full counts. A null predicate result counts as a
+    * violation (not strictly true).
+    */
+  def all(filters: String*): Boolean =
+    df.where(!filters.map(f => coalesce(expr(s"($f)"), lit(false))).reduce(_ && _))
+      .isEmpty
+
+  // ---- aggregation (duckdb.py:277-329) ----------------------------------
+
+  /** GROUP BY with raw SQL aggregate fragments; empty groupBy = global
+    * aggregate. Named aggregates project as `expr AS name`. Spark performs
+    * partial (map-side) aggregation automatically — one shuffle on the keys.
+    */
+  def aggregate(
+      exprs: Seq[String],
+      groupBy: Seq[String] = Nil,
+      named: Seq[(String, String)] = Nil): Relation = {
+    val aggExprs = exprs ++ named.map { case (n, e) => s"$e AS ${quoteIdent(n)}" }
+    val d =
+      if (groupBy.isEmpty) df.selectExpr(aggExprs: _*)
+      else {
+        val aggs = aggExprs.map(expr)
+        df.groupBy(groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      }
+    changed(d)
+  }
+
+  def aggregate(expr1: String, groupBy: String): Relation =
+    aggregate(Seq(expr1), Seq(groupBy))
+
+  def count(): Long = df.count()
+
+  // ---- joins (duckdb.py:1136-1321 + pydantic.py:1044-1116) --------------
+
+  /** Theta join with a raw SQL condition, all seven schema-level kinds
+    * executed (the reference only executes inner/left; SURVEY §2.3).
+    */
+  def join(other: Relation, on: String, how: String = "inner"): Relation =
+    join(other, expr(on), JoinKind.fromString(how))
+
+  def join(other: Relation, on: Column, how: JoinKind): Relation = {
+    val l = alias.fold(df)(df.as(_))
+    val r = other.alias.fold(other.df)(other.df.as(_))
+    val joined = how match {
+      case JoinKind.Cross => l.crossJoin(r)
+      case JoinKind.AsOf =>
+        throw new IllegalArgumentException(
+          "use asofJoin(other, by, leftOn, rightOn) for as-of joins")
+      case k => l.join(r, on, k.sparkName)
+    }
+    val m = for { lm <- model; rm <- other.model } yield lm.join(rm, how)
+    Relation(joined, m, None)
+  }
+
+  def innerJoin(other: Relation, on: String): Relation = join(other, on, "inner")
+  def leftJoin(other: Relation, on: String): Relation  = join(other, on, "left")
+  def outerJoin(other: Relation, on: String): Relation = join(other, on, "outer")
+  def semiJoin(other: Relation, on: String): Relation  = join(other, on, "semi")
+  def antiJoin(other: Relation, on: String): Relation  = join(other, on, "anti")
+  def crossJoin(other: Relation): Relation = join(other, lit(true), JoinKind.Cross)
+
+  /** Backward (inclusive) as-of join: for each left row, the most recent
+    * right row with `rightOn <= leftOn` within the same `by` group.
+    *
+    * Declared-but-unexecuted in the reference (`Model.join(how="asof")`,
+    * pydantic.py:1048); here it executes via the scale-safe union+window
+    * plan: tag both sides, ONE shuffle on the `by` keys, running
+    * `last(_, ignoreNulls)` forward-fill, keep left rows. No row-multiplying
+    * range join, no single-partition window (SURVEY §7 hard-part 6).
+    */
+  def asofJoin(
+      other: Relation,
+      by: Seq[String],
+      leftOn: String,
+      rightOn: String): Relation = {
+    require(by.nonEmpty, "asofJoin requires at least one `by` key")
+    val rightVals = other.df.columns.filterNot(c => by.contains(c) || c == rightOn)
+    val leftOnly  = df.columns.filterNot(by.contains)
+    val rSchema   = other.df.schema
+
+    val lSide = df.select(
+      by.map(col) ++ Seq(col(leftOn).cast(rSchema(rightOn).dataType).as("__t"), lit(1).as("__side")) ++
+        leftOnly.map(col) ++
+        rightVals.map(c => lit(null).cast(rSchema(c).dataType).as(c)): _*)
+    val rSide = other.df.select(
+      by.map(col) ++ Seq(col(rightOn).as("__t"), lit(0).as("__side")) ++
+        leftOnly.map(c => lit(null).cast(df.schema(c).dataType).as(c)) ++
+        rightVals.map(col): _*)
+
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = lSide.unionByName(rSide)
+      .select(
+        (by ++ leftOnly).map(col) ++ Seq(col("__side")) ++
+          rightVals.map(c =>
+            last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w).as(c)): _*)
+      .where(col("__side") === 1)
+      .drop("__side")
+    val ordered = df.columns ++ rightVals
+    Relation(filled.select(ordered.map(col): _*), None, None)
+  }
+
+  // ---- sort / limit (duckdb.py:1323-1438) -------------------------------
+
+  /** ORDER BY with SQL fragments (`"age desc"`, `"price"`, …) like the
+    * reference's `Relation.order` (duckdb.py:1368-1438).
+    */
+  def order(by: String*): Relation =
+    keep(df.orderBy(by.map(parseSort): _*))
+
+  private def parseSort(s: String): Column = {
+    val t = s.trim
+    val l = t.toLowerCase
+    if (l.endsWith(" desc")) expr(t.dropRight(5)).desc
+    else if (l.endsWith(" asc")) expr(t.dropRight(4)).asc
+    else expr(t)
+  }
+
+  def limit(n: Int, offset: Int = 0): Relation =
+    keep(if (offset > 0) df.offset(offset).limit(n) else df.limit(n))
+
+  // ---- set ops (duckdb.py:856-946, 1495-1526, 1844-1909) ----------------
+
+  /** UNION ALL with the reference's set-equality check + automatic column
+    * reordering (duckdb.py:1894-1908) — `unionByName` after an explicit
+    * column-diff error.
+    */
+  def union(other: Relation): Relation = {
+    val a = df.columns.toSet
+    val b = other.df.columns.toSet
+    require(a == b,
+      s"Union not possible; missing columns in either relation: " +
+        s"left-only=${(a diff b).toSeq.sorted.mkString(", ")} " +
+        s"right-only=${(b diff a).toSeq.sorted.mkString(", ")}")
+    keep(df.unionByName(other.df))
+  }
+
+  def +(other: Relation): Relation = union(other)
+
+  /** INTERSECT — dedups, like SQL (duckdb.py:1499). */
+  def intersect(other: Relation): Relation = keep(df.intersect(other.df))
+
+  /** EXCEPT — dedups, like SQL (duckdb.py:899). */
+  def except(other: Relation): Relation = keep(df.except(other.df))
+
+  def distinct(): Relation = keep(df.distinct())
+
+  // ---- row access / terminals (duckdb.py:948-1074, 1768-1842) -----------
+
+  /** Exactly-one-row fetch with arity errors (duckdb.py:969-1055). */
+  def get(filters: String*): Row = {
+    val filtered = filters.foldLeft(df)((d, f) => d.where(expr(s"($f)")))
+    filtered.take(2) match {
+      case Array(row) => row
+      case Array() =>
+        throw new RowDoesNotExist(
+          s"Relation.get(${filters.mkString(", ")}) returned 0 rows")
+      case _ =>
+        throw new MultipleRowsReturned(
+          s"Relation.get(${filters.mkString(", ")}) returned 2 or more rows")
+    }
+  }
+
+  def getEq(equalities: (String, Any)*): Row =
+    filterEq(equalities: _*).get()
+
+  /** Stream rows driver-side without materializing the whole result
+    * (duckdb.py:2191-2236).
+    */
+  def iterator: Iterator[Row] = {
+    import scala.jdk.CollectionConverters._
+    df.toLocalIterator().asScala
+  }
+
+  /** Single-column relation → values (duckdb.py:1816-1842). */
+  def toSeries(): Seq[Any] = {
+    require(df.columns.length == 1,
+      s"Relation.toSeries() on relation with ${df.columns.length} columns")
+    df.collect().toSeq.map(_.get(0))
+  }
+
+  def toDF: DataFrame = df
+
+  /** Order-insensitive multiset equality — both directions of exceptAll
+    * empty. (The reference zips rows in order, duckdb.py:2129-2136; row order
+    * is nondeterministic on a cluster, so multiset semantics is the faithful
+    * distributed analogue.)
+    */
+  def sameAs(other: Relation): Boolean =
+    df.exceptAll(other.df).isEmpty && other.df.exceptAll(df).isEmpty
+
+  // ---- model & alias (duckdb.py:1656-1733) ------------------------------
+
+  def setAlias(name: String): Relation = copy(alias = Some(name))
+  def setModel(schema: Schema): Relation = copy(model = Some(schema))
+  def withoutModel: Relation = copy(model = None)
+
+  /** Validate against the bound model (terminal; one scan — see Validator). */
+  def validate(): Relation = {
+    val m = model.getOrElse(throw new IllegalStateException(
+      "Relation has no bound model; call setModel first"))
+    Validator.validate(df, m)
+    this
+  }
+
+  // ---- DDL (duckdb.py:767-832, 1440-1493) -------------------------------
+
+  /** CTAS: model-typed when bound (cast first), plain otherwise. */
+  def createTable(name: String): Relation = {
+    val d = model.fold(df)(m => cast(m).df)
+    d.write.mode("errorifexists").saveAsTable(name)
+    Relation(spark.table(name), model)
+  }
+
+  /** Append with column reordering to match the target; errors if the
+    * relation is missing target columns (duckdb.py:1440-1493).
+    */
+  def insertInto(table: String): Relation = {
+    val target = spark.table(table).columns
+    val missing = target.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"Relation is missing column(s) ${missing.mkString(", ")} " +
+        s"in order to be inserted into table $table")
+    df.select(target.map(col): _*).write.mode("append").insertInto(table)
+    this
+  }
+
+  def createView(name: String, replace: Boolean = true): Relation = {
+    if (replace) df.createOrReplaceTempView(name)
+    else df.createTempView(name)
+    this
+  }
+
+  private def quoteIdent(n: String): String = s"`${n.replace("`", "``")}`"
+}
+
+object Relation {
+  /** Source dispatch (duckdb.py:249-271): DataFrame, SQL query, or a
+    * parquet/CSV path.
+    */
+  def apply(spark: SparkSession, source: String): Relation = {
+    val lower = source.toLowerCase
+    if (lower.endsWith(".parquet")) Relation(spark.read.parquet(source))
+    else if (lower.endsWith(".csv"))
+      Relation(spark.read.option("header", "true").option("inferSchema", "true").csv(source))
+    else Relation(spark.sql(source))
+  }
+}
