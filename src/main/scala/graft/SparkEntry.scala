@@ -301,6 +301,91 @@ object SparkEntry {
           "m7" -> "o_orderkey % 7")
         .apply("o_orderkey", "pri", "yr", "m7")
         .order("o_orderkey").toDF),
+
+    // ---- LLM-data-pipeline operators (beyond reference parity) ----------
+
+    // exact dedup: hash-groupBy keyed on md5(text), keep min id
+    "q30_dedup_exact" -> ((s, d) =>
+      graft.ops.Dedup.exactKeepMin(Tables(s, d, "documents"), "text", "doc_id")
+        .select(col("doc_id")).orderBy(col("doc_id"))),
+
+    // token counting: whitespace + BPE-ish regex
+    "q31_token_counts" -> ((s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        graft.ops.TextOps.tokenCount(col("text")).cast("bigint").as("n_ws"),
+        graft.ops.TextOps.bpeTokenCount(col("text")).cast("bigint").as("n_bpe"))
+        .orderBy(col("doc_id"))),
+
+    // quality scoring: counts + ratios
+    "q32_quality" -> ((s, d) => {
+      val base = Tables(s, d, "documents")
+      val cols = col("doc_id") +:
+        graft.ops.TextOps.qualityColumns(col("text")).map { case (n, c) => c.as(n) }
+      base.select(cols: _*).orderBy(col("doc_id"))
+    }),
+
+    // language ID: deterministic stopword/CJK scoring
+    "q33_langid" -> ((s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        graft.ops.TextOps.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    // document fingerprint: md5 of normalized text
+    "q34_fingerprint" -> ((s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        graft.ops.TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // MinHash+LSH near-dup pairs, exact-jaccard verified (not SQL-expressible
+    // → rows-only check; determinism comes from fixed hash seeds)
+    "q35_minhash_pairs" -> ((s, d) =>
+      graft.ops.Dedup.minhashPairs(
+        Tables(s, d, "documents"), "text", "doc_id",
+        k = 3, numHashes = 64, bands = 32, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // 64-bit SimHash signatures (rows-only)
+    "q36_simhash" -> ((s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        graft.ops.Dedup.simhash64(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))),
+
+    // exact cosine top-k ANN baseline (rows-only)
+    "q37_ann_topk" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      graft.ops.Similarity.bruteForceTopK(
+        emb, emb.where(col("vec_id") < 10), "embedding", "vec_id", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // LSH-bucketed ANN — the scale path (rows-only)
+    "q38_ann_lsh" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      graft.ops.Similarity.lshTopK(
+        emb, emb.where(col("vec_id") < 10), "embedding", "vec_id",
+        k = 5, planes = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // embedding near-dup pairs via hyperplane LSH buckets (rows-only)
+    "q39_embedding_neardup" -> ((s, d) =>
+      graft.ops.Dedup.embeddingNearDup(
+        Tables(s, d, "embeddings"), "embedding", "vec_id",
+        planes = 4, threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // multimodal: binary payload column + partition-batched (stub) decode
+    "q40_multimodal" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      graft.ops.Multimodal.decodeMeta(
+        s, graft.ops.Multimodal.withBinaryPayload(docs, "text", "payload"),
+        "doc_id", "payload")
+        .toDF().orderBy(col("doc_id"))
+    }),
   )
 
   /** DuckDB oracle per query (same parquet tables, same column names). */
@@ -461,5 +546,61 @@ object SparkEntry {
       """SELECT o_orderkey, upper(substr(o_orderpriority, 1, 3)) AS pri,
         | cast(year(o_orderdate) as int) AS yr, o_orderkey % 7 AS m7
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q30_dedup_exact" ->
+      """SELECT cast(min(doc_id) as bigint) AS doc_id FROM documents
+        |GROUP BY md5(text) ORDER BY doc_id""".stripMargin,
+
+    "q31_token_counts" ->
+      """SELECT doc_id,
+        | cast(len(string_split_regex(trim(text), '\s+')) as bigint) AS n_ws,
+        | cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) as bigint) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q32_quality" ->
+      """SELECT doc_id,
+        | cast(length(text) as bigint) AS n_chars,
+        | cast(len(string_split_regex(trim(text), '\s+')) as bigint) AS n_tokens,
+        | cast(len(regexp_extract_all(text, '[.,;:!?]')) as bigint) AS n_punct,
+        | cast(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |   w -> w IN ('the','a','an','and','of','to','in','is','it','that'))) as double)
+        |   / cast(len(string_split_regex(trim(text), '\s+')) as double) AS stopword_ratio,
+        | cast(length(replace(trim(text), ' ', '')) as double)
+        |   / cast(len(string_split_regex(trim(text), '\s+')) as double) AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q33_langid" ->
+      """WITH s AS (SELECT doc_id,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    w -> w IN ('the','a','and','of','to','is'))) AS s_en,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    w -> w IN ('der','die','das','und','ist','nicht'))) AS s_de,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    w -> w IN ('el','la','los','de','que','es'))) AS s_es,
+        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |    w -> w IN ('le','la','les','et','est','dans'))) AS s_fr,
+        |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_en > 0 THEN 'en'
+        |      WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_de > 0 THEN 'de'
+        |      WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_es > 0 THEN 'es'
+        |      WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
+        |      WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
+        |      ELSE 'und' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q34_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q40_multimodal" ->
+      """SELECT doc_id,
+        | cast(octet_length(encode(text)) as bigint) AS n_bytes,
+        | cast(octet_length(encode(text)) % 640 as int) AS width,
+        | cast((octet_length(encode(text)) * 7) % 480 as int) AS height,
+        | CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, document fingerprinting.
+  *
+  * All pure `Column` expressions (whole-stage-codegen'd, no UDFs) so they
+  * fuse into the scan and survive a 100× scale-up: one pass over the text
+  * column, no shuffle, no driver involvement. Each has an exact SQL
+  * equivalent for the DuckDB oracle (see SparkEntry).
+  */
+object TextOps {
+
+  /** Whitespace tokens of trimmed text. */
+  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(wsTokens(text))
+
+  /** BPE-ish token count: alpha runs, digit runs, and single non-alnum
+    * punctuation each count as one token (a cheap proxy for byte-pair
+    * tokenizer length used to budget context windows).
+    */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
+  /** Occurrences of any of `words` among the whitespace tokens. */
+  def wordHits(text: Column, words: Seq[String]): Column =
+    size(filter(wsTokens(text), w => w.isInCollection(words)))
+
+  /** Punctuation character count. */
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
+
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  /** Quality metrics: char/token counts, punctuation count, stopword ratio,
+    * mean token length. Ratios are double divisions of exact ints — bit-equal
+    * across engines.
+    */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val nTok = tokenCount(text)
+    Seq(
+      "n_chars" -> length(text).cast("bigint"),
+      "n_tokens" -> nTok.cast("bigint"),
+      "n_punct" -> punctCount(text).cast("bigint"),
+      "stopword_ratio" ->
+        wordHits(text, EnglishStopwords).cast("double") / nTok.cast("double"),
+      "mean_token_len" ->
+        length(translate(trim(text), " ", "")).cast("double") / nTok.cast("double"))
+  }
+
+  /** Per-language marker words for the rule-based language ID. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "los", "de", "que", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans"),
+    "zh" -> Seq.empty) // scored by CJK characters instead
+
+  /** Deterministic rule-based language ID: stopword hit counts per language
+    * (CJK char count for zh), argmax with a fixed precedence order on ties.
+    * A heuristic n-gram scorer, not a trained model — designed to be exactly
+    * reproducible in SQL for the oracle.
+    */
+  def langId(text: Column): Column = {
+    val scores: Seq[(String, Column)] = LangMarkers.map {
+      case ("zh", _) =>
+        "zh" -> size(regexp_extract_all(text, lit("[\\x{4e00}-\\x{9fff}]"), lit(0)))
+      case (lang, words) => lang -> wordHits(text, words)
+    }
+    // argmax with first-wins ties in LangMarkers order
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lang).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text.
+    * Content-defined, order-independent, joinable at any scale.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+}
