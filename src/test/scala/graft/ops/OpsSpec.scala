@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** LLM-pipeline operators: dedup / similarity / text / multimodal. */
+class OpsSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) =
+    frame(struct("doc_id" -> LongType, "text" -> StringType),
+      rows.map { case (i, t) => Row(i, t) }: _*)
+
+  test("shingles: k-word windows, empty under k tokens") {
+    val df = docs(1L -> "a b c d", 2L -> "a b")
+    val out = df.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(out(1).getSeq[String](1) == Seq.empty)
+  }
+
+  test("exactKeepMin keeps the minimum id per identical text") {
+    val df = docs(5L -> "same text here", 2L -> "same text here", 9L -> "different")
+    val kept = Dedup.exactKeepMin(df, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 9L))
+  }
+
+  test("minhashPairs finds planted near-duplicates and skips dissimilar docs") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = base.replace("token7", "tokenX") // ~1 shingle in 38 changed
+    val other = (1 to 40).map(i => s"other$i").mkString(" ")
+    val df = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = Dedup.minhashPairs(df, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash64: identical texts agree, near texts within small hamming") {
+    val df = docs(
+      1L -> "spark engine for scale out data processing",
+      2L -> "spark engine for scale out data processing",
+      3L -> "spark engine for scale out data processing now",
+      4L -> "entirely unrelated words about cooking pasta dishes")
+    val sig = df.select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(sig(0) == sig(1))
+    val near = java.lang.Long.bitCount(sig(0) ^ sig(2))
+    val far = java.lang.Long.bitCount(sig(0) ^ sig(3))
+    assert(near < far, s"near=$near far=$far")
+    // distance helper agrees with driver-side bitCount
+    val d = df.limit(1).select(
+      Dedup.hamming64(lit(sig(0)), lit(sig(3)))).head().getInt(0)
+    assert(d == far)
+  }
+
+  test("cosine: orthogonal=0, identical=1 (double precision)") {
+    val df = frame(
+      struct("a" -> ArrayType(FloatType), "b" -> ArrayType(FloatType)),
+      Row(Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)),
+      Row(Seq(1.0f, 1.0f), Seq(2.0f, 2.0f)))
+    val out = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .orderBy("c").collect().map(_.getDouble(0))
+    assert(math.abs(out(0)) < 1e-12)
+    assert(math.abs(out(1) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self, respects k") {
+    val vecs = frame(
+      struct("vec_id" -> LongType, "embedding" -> ArrayType(FloatType)),
+      Row(0L, Seq(1.0f, 0.0f)),
+      Row(1L, Seq(0.9f, 0.1f)),
+      Row(2L, Seq(0.0f, 1.0f)),
+      Row(3L, Seq(-1.0f, 0.0f)))
+    val out = Similarity.bruteForceTopK(
+      vecs, vecs.where(col("vec_id") === 0), "embedding", "vec_id", k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 2L)) // nearest first
+    assert(out.map(_.getInt(1)).toSeq == Seq(1, 2))
+  }
+
+  test("lshTopK buckets deterministically and ranks within bucket") {
+    val vecs = frame(
+      struct("vec_id" -> LongType, "embedding" -> ArrayType(FloatType)),
+      (0L until 20L).map(i =>
+        Row(i, Seq(math.cos(i / 3.0).toFloat, math.sin(i / 3.0).toFloat))): _*)
+    val out = Similarity.lshTopK(
+      vecs, vecs.where(col("vec_id") < 2), "embedding", "vec_id", k = 3, planes = 2)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // ranks are 1..k per query and neighbors share the query's bucket
+    assert(rows.groupBy(_.getLong(0)).values.forall(rs =>
+      rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length)))
+  }
+
+  test("embeddingNearDup finds planted duplicate vector") {
+    val vecs = frame(
+      struct("vec_id" -> LongType, "embedding" -> ArrayType(FloatType)),
+      Row(0L, Seq(1.0f, 2.0f, 3.0f)),
+      Row(1L, Seq(1.0f, 2.0f, 3.001f)), // near-identical
+      Row(2L, Seq(-3.0f, 1.0f, -2.0f)))
+    val pairs = Dedup.embeddingNearDup(vecs, "embedding", "vec_id",
+      planes = 2, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((0L, 1L)))
+  }
+
+  test("text ops: token counts, quality, langid, fingerprint") {
+    val df = docs(
+      1L -> "the cat and the dog, it is fine!",
+      2L -> "der hund und die katze ist nicht da")
+    val t = df.select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("ws"),
+      TextOps.bpeTokenCount(col("text")).as("bpe"),
+      TextOps.langId(col("text")).as("lang"),
+      TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id").collect()
+    assert(t(0).getInt(1) == 8)
+    assert(t(0).getInt(2) == 10) // 8 words + comma + bang
+    assert(t(0).getString(3) == "en")
+    assert(t(1).getString(3) == "de")
+    assert(t(0).getString(4).matches("[0-9a-f]{32}"))
+    // fingerprint is whitespace/case insensitive
+    val fp2 = docs(3L -> "  THE cat and   the dog, it is fine!  ")
+      .select(TextOps.fingerprint(col("text"))).head().getString(0)
+    assert(fp2 == t(0).getString(4))
+  }
+
+  test("multimodal: binary payload plumbing with partition-batched stub decode") {
+    val df = docs(1L -> "abcd", 2L -> "abcde")
+    val meta = Multimodal.decodeMeta(
+      spark, Multimodal.withBinaryPayload(df, "text", "payload"),
+      "doc_id", "payload")
+    val rows = meta.orderBy("doc_id").collect()
+    assert(rows(0) == MediaMeta(1L, 4L, 4, 28, "png"))
+    assert(rows(1) == MediaMeta(2L, 5L, 5, 35, "jpeg"))
+  }
+}

@@ -1,0 +1,227 @@
+package graft.relation
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.core._
+
+/** Fluent relation surface — mirrors reference
+  * tests/test_duckdb/test_relation.py (F6 fixtures: select variants :18-60,
+  * joins duckdb.py:1160-1208, union reorder :428, case :377, aggregate :325,
+  * insert_into :734, cast :920).
+  */
+class RelationSpec extends SparkSpec {
+
+  private def t1: Relation = Relation(frame(
+    struct("column_1" -> LongType, "column_2" -> StringType),
+    Row(1L, "a"), Row(2L, "b"), Row(3L, "c")))
+
+  test("select star-expansion lets named projections overwrite in place") {
+    val out = t1.selectNamed("column_1" -> "column_1 * 10").toDF
+    assert(out.columns.toSeq == Seq("column_1", "column_2"))
+    assert(collectSorted(out, "column_1") ==
+      Seq(Row(10L, "a"), Row(20L, "b"), Row(30L, "c")))
+  }
+
+  test("select with kwarg-style computed column (F6 column_3)") {
+    val out = t1.select(
+      Seq("*"), Seq("column_3" -> "cast(column_1 as string) || column_2")).toDF
+    assert(collectSorted(out.select("column_3"), "column_3").map(_.getString(0)) ==
+      Seq("1a", "2b", "3c"))
+  }
+
+  test("filter fragments AND + filterEq + all()") {
+    assert(t1.filter("column_1 > 1", "column_2 != 'c'").count() == 1)
+    assert(t1.filterEq("column_2" -> "b").toDF.head().getLong(0) == 2L)
+    assert(t1.all("column_1 >= 1"))
+    assert(!t1.all("column_1 >= 2"))
+  }
+
+  test("rename overwrites colliding target and errors on missing source") {
+    val out = t1.rename("column_1" -> "column_2").toDF
+    assert(out.columns.toSeq == Seq("column_2"))
+    val e = intercept[IllegalArgumentException](t1.rename("zz" -> "x"))
+    assert(e.getMessage.contains("zz"))
+  }
+
+  test("prefix/suffix with include/exclude") {
+    assert(t1.addPrefix("p_").columns == Seq("p_column_1", "p_column_2"))
+    assert(t1.addSuffix("_s", include = Seq("column_1")).columns ==
+      Seq("column_1_s", "column_2"))
+    assert(t1.addPrefix("p_", exclude = Seq("column_1")).columns ==
+      Seq("column_1", "p_column_2"))
+    intercept[IllegalArgumentException](
+      t1.addPrefix("p_", include = Seq("a"), exclude = Seq("b")))
+  }
+
+  test("caseColumn maps literals with default (sql.Case port)") {
+    val out = t1.caseColumn("column_2", "mapped",
+      Seq("a" -> 1L, "b" -> 2L), default = -1L).toDF
+    assert(collectSorted(out.select("mapped"), "mapped").map(_.getLong(0)) ==
+      Seq(-1L, 1L, 2L))
+  }
+
+  test("coalesceColumns replaces nulls per column") {
+    val r = Relation(frame(struct("a" -> LongType, "b" -> StringType),
+      Row(null, "x"), Row(2L, null)))
+    val out = r.coalesceColumns("a" -> 0L, "b" -> "?").toDF
+    assert(collectSorted(out, "a") == Seq(Row(0L, "x"), Row(2L, "?")))
+  }
+
+  test("aggregate with groupBy and named expressions") {
+    val out = t1.aggregate(
+      Seq("cast(sum(column_1) as bigint) as s"),
+      groupBy = Seq("column_2"),
+      named = Seq("n" -> "count(*)")).toDF
+    assert(out.columns.toSeq == Seq("column_2", "s", "n"))
+    assert(out.count() == 3)
+    // global aggregate when groupBy empty
+    assert(t1.aggregate(Seq("cast(sum(column_1) as bigint) as s")).toDF
+      .head().getLong(0) == 6L)
+  }
+
+  test("joins: products/suppliers inner and left (F6)") {
+    val products = Relation(frame(
+      struct("product_name" -> StringType, "supplier_id" -> LongType),
+      Row("apple", 1L), Row("banana", 1L), Row("oatmeal", 2L), Row("pear", 3L)))
+    val suppliers = Relation(frame(
+      struct("id" -> LongType, "supplier_name" -> StringType),
+      Row(1L, "Aplico"), Row(2L, "Amazon")))
+    val inner = products.innerJoin(suppliers, "supplier_id = id").toDF
+    assert(inner.count() == 3)
+    val left = products.leftJoin(suppliers, "supplier_id = id").toDF
+    assert(left.count() == 4)
+    assert(left.where("supplier_name is null").count() == 1)
+    // semi / anti / cross
+    assert(products.semiJoin(suppliers, "supplier_id = id").count() == 3)
+    assert(products.antiJoin(suppliers, "supplier_id = id").count() == 1)
+    assert(products.crossJoin(suppliers).count() == 8)
+  }
+
+  test("join propagates model nullability when both sides are bound") {
+    val pm = Schema("P", Seq(FieldSpec.string("product_name"), FieldSpec.long("supplier_id")))
+    val sm = Schema("S", Seq(FieldSpec.long("id"), FieldSpec.string("supplier_name")))
+    val products = Relation(frame(
+      struct("product_name" -> StringType, "supplier_id" -> LongType),
+      Row("apple", 1L))).setModel(pm)
+    val suppliers = Relation(frame(
+      struct("id" -> LongType, "supplier_name" -> StringType),
+      Row(1L, "Aplico"))).setModel(sm)
+    val joined = products.join(suppliers, "supplier_id = id", "left")
+    assert(joined.model.get("supplier_name").nullable)
+    assert(!joined.model.get("product_name").nullable)
+  }
+
+  test("asofJoin: most recent right row at or before each left time") {
+    val quotes = Relation(frame(
+      struct("sym" -> StringType, "t" -> LongType, "px" -> DoubleType),
+      Row("A", 1L, 10.0), Row("A", 5L, 11.0), Row("B", 3L, 20.0)))
+    val trades = Relation(frame(
+      struct("sym" -> StringType, "t" -> LongType, "qty" -> LongType),
+      Row("A", 0L, 1L), Row("A", 5L, 2L), Row("A", 7L, 3L), Row("B", 2L, 4L)))
+    val out = trades.asofJoin(quotes, by = Seq("sym"), leftOn = "t", rightOn = "t")
+      .toDF
+    val rows = collectSorted(out.select("sym", "t", "qty", "px"), "sym", "t")
+    assert(rows == Seq(
+      Row("A", 0L, 1L, null), // no quote yet
+      Row("A", 5L, 2L, 11.0), // inclusive at equal time
+      Row("A", 7L, 3L, 11.0), // carries forward
+      Row("B", 2L, 4L, null)))
+  }
+
+  test("union reorders columns by name and errors on set mismatch") {
+    val a = t1.select("column_1", "column_2")
+    val b = t1.select("column_2", "column_1") // reversed order
+    assert((a union b).count() == 6)
+    assert((a union b).toDF.columns.toSeq == Seq("column_1", "column_2"))
+    val c = t1.select("column_1")
+    val e = intercept[IllegalArgumentException](a union c)
+    assert(e.getMessage.contains("column_2"))
+  }
+
+  test("intersect/except dedup; distinct") {
+    val dup = t1 union t1
+    assert(dup.distinct().count() == 3)
+    assert(dup.intersect(t1).count() == 3)
+    assert((dup except t1.filter("column_1 = 1")).count() == 2)
+  }
+
+  test("order fragments, limit and offset") {
+    val out = t1.order("column_1 desc").limit(2, offset = 1).toDF
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(2L, 1L))
+  }
+
+  test("get arity errors and getEq") {
+    assert(t1.get("column_1 = 2") == Row(2L, "b"))
+    intercept[RowDoesNotExist](t1.get("column_1 = 99"))
+    intercept[MultipleRowsReturned](t1.get())
+    assert(t1.getEq("column_2" -> "c") == Row(3L, "c"))
+  }
+
+  test("toSeries demands single column; iterator streams rows") {
+    assert(t1.apply("column_1").toSeries().toSet == Set(1L, 2L, 3L))
+    intercept[IllegalArgumentException](t1.toSeries())
+    assert(t1.iterator.size == 3)
+  }
+
+  test("sameAs is order-insensitive multiset equality") {
+    assert(t1.order("column_1 desc").sameAs(t1))
+    assert(!(t1 union t1).sameAs(t1))
+  }
+
+  test("model drops on schema change, survives filter/order/limit") {
+    val m = Schema("T", Seq(FieldSpec.long("column_1"), FieldSpec.string("column_2")))
+    val r = t1.setModel(m)
+    assert(r.filter("column_1 > 0").model.isDefined)
+    assert(r.order("column_1").limit(2).model.isDefined)
+    assert(r.select("column_1").model.isEmpty)
+    assert(r.rename("column_1" -> "c").model.isEmpty)
+  }
+
+  test("createTable + insertInto with column reordering (F6 insert_into)") {
+    val db = new Database(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_ins")
+    db.createTable("graft_ins",
+      Schema("I", Seq(FieldSpec.long("a", nullable = true),
+        FieldSpec.string("b", nullable = true))))
+    assert(db.contains("graft_ins"))
+    // reversed column order must be reordered to match the target
+    Relation(frame(struct("b" -> StringType, "a" -> LongType), Row("x", 1L)))
+      .insertInto("graft_ins")
+    assert(collectSorted(db.table("graft_ins").toDF, "a") == Seq(Row(1L, "x")))
+    val e = intercept[IllegalArgumentException](
+      Relation(frame(struct("b" -> StringType), Row("y"))).insertInto("graft_ins"))
+    assert(e.getMessage.contains("missing column"))
+    spark.sql("DROP TABLE IF EXISTS graft_ins")
+  }
+
+  test("createView + Database.query + execute + emptyRelation + enum names") {
+    val db = new Database(spark)
+    t1.createView("graft_v")
+    assert(db.view("graft_v").count() == 3)
+    assert(db.query("SELECT count(*) AS n FROM graft_v").toDF.head().getLong(0) == 3L)
+    db.execute("SELECT 1")
+    val m = Schema("E", Seq(
+      FieldSpec.long("x"), FieldSpec.enum("e", Seq("a", "b"), nullable = true)))
+    assert(db.emptyRelation(m).count() == 0)
+    db.createEnumTypes(m)
+    assert(db.enumTypeNames.exists(_.startsWith("enum__")))
+  }
+
+  test("cast to model via relation (F6 cast)") {
+    val m = Schema("C", Seq(FieldSpec.long("column_1"), FieldSpec.string("column_2")))
+    val narrow = Relation(frame(struct("column_1" -> IntegerType, "column_2" -> StringType),
+      Row(1, "a")))
+    assert(narrow.cast(m).toDF.schema("column_1").dataType == IntegerType) // valid family
+    assert(narrow.cast(m, strict = true).toDF.schema("column_1").dataType == LongType)
+  }
+
+  test("validate() on bound model raises on violation") {
+    val m = Schema("V", Seq(FieldSpec.long("column_1"),
+      FieldSpec.enum("column_2", Seq("a", "b"))))
+    val e = intercept[ValidationError](t1.setModel(m).validate())
+    assert(e.errors.exists(_.msg.contains("'c'")))
+    intercept[IllegalStateException](t1.validate())
+  }
+}
