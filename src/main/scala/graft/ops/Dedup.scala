@@ -16,6 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Let-binding for Column expressions: evaluate `x` ONCE and reference it
+    * as a cheap lambda variable inside `body`.
+    *
+    * Why this exists: any sub-expression appearing in a higher-order-function
+    * lambda BODY is re-evaluated for every array element, and Catalyst's
+    * CollapseProject happily inlines an upstream projection's expression into
+    * downstream lambdas — nesting minhash (64 hashes) inside banding (32
+    * slices) inside shingling (per-token split) this way multiplies into
+    * ~1e5 regex splits per row (observed: 455 s for 5000 docs). Wrapping the
+    * expensive expression as the ARGUMENT of a singleton `transform` pins it
+    * to exactly one evaluation per row, immune to projection collapsing.
+    */
+  private[ops] def bind(x: Column)(body: Column => Column): Column =
+    element_at(transform(array(x), body), 1)
+
   /** Exact dedup: one surviving (minimum) id per identical text. A single
     * hash-aggregate shuffle on a 32-byte key — never shuffles full text.
     */
@@ -23,29 +38,41 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(min(col(idCol)).as(idCol))
 
-  /** k-word shingles of a text column (empty when fewer than k tokens). */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = TextOps.wsTokens(text)
-    when(size(toks) < k, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-  }
+  /** k-word shingles of a text column (empty when fewer than k tokens).
+    * The token array is let-bound so the split regex runs once per row, not
+    * once per shingle.
+    */
+  def shingles(text: Column, k: Int): Column =
+    bind(TextOps.wsTokens(text)) { toks =>
+      when(size(toks) < k, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(0), size(toks) - k),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+    }
 
   /** MinHash signature: for each of `numHashes` seeded xxhash64 functions,
-    * the minimum hash over the shingle set. Pure expression per row.
+    * the minimum hash over the shingle set. Pure expression per row: one
+    * `transform(sequence(...))` (O(1) tree size — `numHashes` sibling
+    * expressions would re-inline at every downstream reference and produce
+    * 30 MB task binaries) with the shingle array let-bound (evaluated once,
+    * traversed `numHashes` times).
     */
   def minhashSignature(sh: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(i =>
-      array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
+    bind(sh) { shv =>
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        i => array_min(transform(shv, s => xxhash64(i, s))))
+    }
 
   /** LSH banding: split the signature into `bands` equal bands and hash each
-    * — docs agreeing on any whole band become candidates.
+    * — docs agreeing on any whole band become candidates. Signature is
+    * let-bound (computed once, sliced `bands` times); the band index is not
+    * part of the hash because candidate keys are (band, bandHash) pairs.
     */
   def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map(b =>
-      xxhash64(lit(b) +: (0 until rowsPerBand).map(r =>
-        element_at(sig, b * rowsPerBand + r + 1)): _*)): _*)
+    bind(sig) { s =>
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(s, b * rowsPerBand + 1, lit(rowsPerBand))))
+    }
 
   /** Candidate near-duplicate pairs via MinHash LSH, verified with exact
     * shingle-set Jaccard. Returns (idA, idB, jaccard) with idA < idB.
@@ -65,15 +92,16 @@ object Dedup {
     val withSh = df
       .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
       .where(size(col("sh")) > 0)
-    // Materialize the signature as its own projection before banding: the
-    // band hashes reference the `sig` ATTRIBUTE 2×rowsPerBand times each —
-    // inlining the 64-element array expression into every element_at would
-    // square the expression tree (observed: 35 MB codegen task binaries).
-    val withSig = withSh.select(
-      col("id"), col("sh"), minhashSignature(col("sh"), numHashes).as("sig"))
-    val sigs = withSig.select(
-      col("id"), col("sh"),
-      bandHashes(col("sig"), bands, rowsPerBand).as("bh"))
+    // Fused native kernel (graft.functions.MinHashBandHashes): one codegen
+    // call per row computes shingles → 64 minima → band hashes. The HOF
+    // composition (minhashSignature ∘ bandHashes) is semantically identical
+    // but pays interpreted lambda evaluation per array element.
+    val sigs = df.select(
+      col(idCol).as("id"),
+      graft.functions.native
+        .minhashBandHashes(TextOps.wsTokens(col(textCol)), k, numHashes, bands)
+        .as("bh"))
+      .where(size(col("bh")) > 0)
 
     // Bucket shuffle carries ONLY (band, bandHash, id) — never the shingle
     // arrays. At 100 TB the explode is `bands`× the id column, not `bands`×
@@ -104,17 +132,25 @@ object Dedup {
     * hashes have bit j set than cleared. Pure per-row expression (64 small
     * array-aggregates over the token hashes — all codegen).
     */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(TextOps.wsTokens(text), t => xxhash64(t))
-    (0 until 64).map { j =>
-      val votes = aggregate(
-        hashes,
-        lit(0L),
-        (acc, h) =>
-          acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(votes > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
+  def simhash64(text: Column): Column =
+    // One pass over the token hashes with a 64-counter array accumulator
+    // (the 64-sibling-expression form re-tokenizes the text 64× per row
+    // once Catalyst collapses projections — same pathology as
+    // [[minhashSignature]]). `bits` and `votes` are let-bound.
+    bind(sequence(lit(0), lit(63))) { bits =>
+      bind(aggregate(
+        transform(TextOps.wsTokens(text), t => xxhash64(t)),
+        array_repeat(lit(0L), lit(64)),
+        (acc, h) => zip_with(acc, bits, (a, j) =>
+          a + when(call_function("shiftright", h, j).bitwiseAND(1) === 1, 1L)
+            .otherwise(-1L)))) { votes =>
+        aggregate(
+          zip_with(votes, bits, (v, j) =>
+            when(v > 0, call_function("shiftleft", lit(1L), j))
+              .otherwise(lit(0L))),
+          lit(0L), (acc, x) => acc + x)
+      }
+    }
 
   /** Hamming distance between two simhashes (for near-dup banding on the
     * 16-bit chunks of the simhash — same LSH pattern as minhashPairs).

@@ -22,8 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity of two float-array columns, computed in double —
+    * the native codegen kernel ([[graft.functions.CosineSimilarity]]); the
+    * pure-HOF equivalent is kept as [[cosineExpr]] for reference.
+    */
+  def cosine(a: Column, b: Column): Column = graft.functions.native.cosine(a, b)
+
+  /** Pure `functions._` cosine (interpreted per element — prefer [[cosine]]
+    * in hot paths; bit-identical accumulation order).
+    */
+  def cosineExpr(a: Column, b: Column): Column = {
     val ad = transform(a, x => x.cast("double"))
     val bd = transform(b, x => x.cast("double"))
     val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (s, v) => s + v)

@@ -129,6 +129,34 @@ class OpsSpec extends SparkSpec {
     assert(fp2 == t(0).getString(4))
   }
 
+  test("native cosine kernel agrees with the HOF expression bit-for-bit") {
+    val df = frame(
+      struct("a" -> ArrayType(FloatType), "b" -> ArrayType(FloatType)),
+      Row(Seq(1.0f, 2.5f, -0.5f), Seq(0.25f, -1.0f, 3.0f)),
+      Row(Seq(0.1f, 0.2f, 0.3f), Seq(0.1f, 0.2f, 0.3f)))
+    val out = df.select(
+      Similarity.cosine(col("a"), col("b")).as("native"),
+      Similarity.cosineExpr(col("a"), col("b")).as("hof")).collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("native minhash band kernel: identical docs collide everywhere, disjoint nowhere") {
+    val df = docs(
+      1L -> "one two three four five six",
+      2L -> "one two three four five six",
+      3L -> "seven eight nine ten eleven twelve",
+      4L -> "a b") // under k tokens → empty band array
+    val out = df.select(col("doc_id"),
+      graft.functions.native
+        .minhashBandHashes(TextOps.wsTokens(col("text")), k = 3, numHashes = 64, bands = 32)
+        .as("bh"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    assert(out(0) == out(1))
+    assert(out(0).length == 32)
+    assert(out(0).zip(out(2)).forall { case (x, y) => x != y })
+    assert(out(3).isEmpty)
+  }
+
   test("multimodal: binary payload plumbing with partition-batched stub decode") {
     val df = docs(1L -> "abcd", 2L -> "abcde")
     val meta = Multimodal.decodeMeta(
