@@ -176,6 +176,32 @@ object Validator {
     * needs a shuffle and is reported by [[findErrors]] instead).
     */
   def reportDF(df: DataFrame, schema: Schema): DataFrame = {
+    val all = checkAggs(df, schema, streamSafe = false)
+    require(all.nonEmpty, "reportDF: schema declares no aggregate-checkable constraints")
+    val named = all.zipWithIndex.map { case ((_, _, a), i) =>
+      coalesce(a, lit(0L)).as(s"_v$i")
+    }
+    val agg = df.agg(named.head, named.tail: _*)
+    val triples = all.zipWithIndex
+      .map { case ((loc, chk, _), i) => s"'$loc', '$chk', _v$i" }
+      .mkString(", ")
+    agg.selectExpr(s"stack(${all.size}, $triples) as (loc, chk, n)")
+      .orderBy(col("loc"), col("chk"))
+  }
+
+  /** Per-(column, check) violation-count aggregates for the row-level checks
+    * (nulls / enum-domain / bounds / constraints) — shared by [[reportDF]]
+    * and streaming validation ([[graft.streaming.StreamingOps]]).
+    *
+    * `streamSafe = true` drops constraints containing aggregate
+    * sub-expressions: inlining them requires running a separate batch job at
+    * plan time ([[inlineAggregates]]), which is impossible against an
+    * unbounded stream.
+    */
+  private[graft] def checkAggs(
+      df: DataFrame,
+      schema: Schema,
+      streamSafe: Boolean): Seq[(String, String, Column)] = {
     val dfTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val checks = Seq.newBuilder[(String, String, Column)]
     schema.fields.filter(f => dfTypes.contains(f.name)).foreach { f =>
@@ -191,22 +217,21 @@ object Validator {
       }
       f.constraints.foreach { raw =>
         val bound = bindPlaceholder(raw, f.name)
-        checks += ((f.name, "constraint",
-          sum(when(!coalesce(inlineAggregates(df, bound), lit(true)), 1L)
-            .otherwise(0L))))
+        val hasAgg = {
+          var found = false
+          def visit(x: Expression): Unit =
+            if (isAggregate(x)) found = true else x.children.foreach(visit)
+          visit(GraftBridge.expression(bound))
+          found
+        }
+        if (!(streamSafe && hasAgg)) {
+          val evaluable = if (hasAgg) inlineAggregates(df, bound) else bound
+          checks += ((f.name, "constraint",
+            sum(when(!coalesce(evaluable, lit(true)), 1L).otherwise(0L))))
+        }
       }
     }
-    val all = checks.result()
-    require(all.nonEmpty, "reportDF: schema declares no aggregate-checkable constraints")
-    val named = all.zipWithIndex.map { case ((_, _, a), i) =>
-      coalesce(a, lit(0L)).as(s"_v$i")
-    }
-    val agg = df.agg(named.head, named.tail: _*)
-    val triples = all.zipWithIndex
-      .map { case ((loc, chk, _), i) => s"'$loc', '$chk', _v$i" }
-      .mkString(", ")
-    agg.selectExpr(s"stack(${all.size}, $triples) as (loc, chk, n)")
-      .orderBy(col("loc"), col("chk"))
+    checks.result()
   }
 
   /** Spark has no unsigned ints (SURVEY §7 hard-part 1): acceptance is by

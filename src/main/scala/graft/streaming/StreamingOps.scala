@@ -1,0 +1,187 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.{Schema, Validator}
+
+/** One event of the sessionization input (a projection of the `events`
+  * table: TESTDATA.md schema event_id/ts/user_id/event_type/value/props).
+  */
+case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+
+/** One closed (or timed-out) session. */
+case class UserSession(
+    user_id: Long,
+    session_start: Timestamp,
+    session_end: Timestamp,
+    n_events: Long,
+    total_value: Double)
+
+/** Running state for one user's open session. */
+case class SessionState(start: Long, end: Long, n: Long, total: Double)
+
+/** Structured-Streaming operators. The reference is batch-only (SURVEY §1.1:
+  * "no stream abstractions"), so this module is pure phase-2 extension
+  * surface: the same Schema/validation core applied to unbounded data the
+  * idiomatic Spark way — `readStream` → transforms → `writeStream`,
+  * watermarks + windowed aggregates, `flatMapGroupsWithState` for custom
+  * session state.
+  *
+  * Scale notes: every operator here is incremental — state is keyed and
+  * bounded by the watermark, aggregation is partial map-side, and validation
+  * piggybacks on `CollectMetrics` (zero extra scans of the stream).
+  */
+object StreamingOps {
+
+  /** Attach per-micro-batch validation-violation counts to a streaming (or
+    * batch) frame via `Dataset.observe`. The returned frame is
+    * passthrough — rows are NOT filtered — and each progress event carries
+    * one metric per (column, check) named `<column>__<check>`, counting
+    * violating rows in that batch. Uniqueness and aggregate-valued
+    * constraints are skipped on streams (they need cross-batch state /
+    * a separate job; use the batch [[graft.core.Validator]] for those).
+    */
+  def observeValidation(
+      df: DataFrame,
+      schema: Schema,
+      name: String = "graft_validation"): DataFrame = {
+    val checks = Validator.checkAggs(df, schema, streamSafe = df.isStreaming)
+    require(checks.nonEmpty,
+      "observeValidation: schema declares no stream-checkable constraints")
+    val metrics = checks.map { case (c, chk, agg) =>
+      coalesce(agg, lit(0L)).as(s"${c}__$chk")
+    }
+    df.observe(name, metrics.head, metrics.tail: _*)
+  }
+
+  /** Rows from a validated stream that PASS all row-level checks; rows
+    * failing any check go to the (optional) dead-letter path instead of
+    * poisoning downstream aggregates. A pure filter — no state, no shuffle.
+    */
+  def validRows(df: DataFrame, schema: Schema): DataFrame =
+    df.where(rowPredicate(df, schema))
+
+  def invalidRows(df: DataFrame, schema: Schema): DataFrame =
+    df.where(!rowPredicate(df, schema))
+
+  private def rowPredicate(df: DataFrame, schema: Schema): Column = {
+    val dfCols = df.columns.toSet
+    val conds = schema.fields.filter(f => dfCols.contains(f.name)).flatMap { f =>
+      val c = col(f.name)
+      val nullOk =
+        if (f.nullable) Seq.empty else Seq(c.isNotNull)
+      val enumOk = f.enumValues.toSeq.map(vs => c.isNull || c.isin(vs: _*))
+      val constraintsOk = f.constraints.map(raw =>
+        coalesce(Validator.bindPlaceholder(raw, f.name), lit(true)))
+      nullOk ++ enumOk ++ constraintsOk
+    }
+    if (conds.isEmpty) lit(true) else conds.reduce(_ && _)
+  }
+
+  /** Watermarked tumbling-window aggregation: the canonical
+    * `readStream.groupBy(window(...)).agg(...)` plan. `aggs` are
+    * `name -> SQL aggregate` pairs (same convention as
+    * [[graft.relation.Relation.aggregate]]).
+    */
+  def windowedAgg(
+      df: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      windowDuration: String,
+      keys: Seq[String],
+      aggs: Seq[(String, String)]): DataFrame = {
+    val aggCols = aggs.map { case (n, e) => expr(e).as(n) }
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration) +: keys.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select(
+        col("window.start").as("window_start") +:
+          col("window.end").as("window_end") +:
+          (keys.map(col) ++ aggs.map(a => col(a._1))): _*)
+  }
+
+  /** Drop duplicate events whose duplicates arrive within the watermark
+    * delay — the streaming analogue of [[graft.ops.Dedup.exactKeepMin]],
+    * with state bounded by the watermark instead of the corpus.
+    */
+  def dedupStream(
+      df: DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      idCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
+
+  /** Event-time sessionization with a gap timeout: consecutive events of a
+    * user belong to one session while the gap between them is below
+    * `gapMs`; a session closes (and is emitted) when the watermark passes
+    * its end + gap. Custom keyed state via `flatMapGroupsWithState` —
+    * state per user is O(1), emitted rows are append-only.
+    *
+    * Input must have `user_id` (long), `ts` (timestamp), `value` (double)
+    * and a watermark already applied to `ts` (see [[sessionizeEvents]]).
+    */
+  def sessionize(
+      events: Dataset[SessionEvent],
+      gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              UserSession(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = Seq.newBuilder[UserSession]
+            sorted.foreach { ev =>
+              val t = ev.ts.getTime
+              open match {
+                case Some(s) if t - s.end <= gapMs =>
+                  open = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + ev.value))
+                case Some(s) =>
+                  closed += UserSession(
+                    userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
+                  open = Some(SessionState(t, t, 1, ev.value))
+                case None =>
+                  open = Some(SessionState(t, t, 1, ev.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** [[sessionize]] adapted to the raw `events` table schema, watermark
+    * included.
+    */
+  def sessionizeEvents(
+      events: DataFrame,
+      watermarkDelay: String,
+      gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .select(
+        col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"),
+        col("value").cast("double").as("value"))
+      // watermark AFTER the cast projection — a cast re-creates the
+      // attribute and would silently drop the watermark tag
+      .withWatermark("ts", watermarkDelay)
+      .as[SessionEvent]
+    sessionize(typed, gapMs)
+  }
+}

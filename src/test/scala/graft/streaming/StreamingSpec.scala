@@ -1,0 +1,149 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.core.{FieldSpec, Schema}
+
+/** Structured-Streaming operators, driven end-to-end with the public file
+  * source (one parquet file per micro-batch via maxFilesPerTrigger) and the
+  * memory sink under Trigger.AvailableNow — watermarks advance between
+  * batches and the trailing no-data batch flushes closed state.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private val eventSt = struct(
+    "event_id" -> LongType, "ts" -> TimestampType,
+    "user_id" -> LongType, "event_type" -> StringType, "value" -> DoubleType)
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** Write each row-chunk as its own parquet file so AvailableNow sees one
+    * file per micro-batch.
+    */
+  private def eventFiles(chunks: Seq[Seq[Row]]): String = {
+    val dir = Files.createTempDirectory("graft-stream-in").toString
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      frame(eventSt, rows: _*).coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(5) // distinct mod-times → deterministic batch order
+    }
+    dir
+  }
+
+  private def readEventStream(dir: String): DataFrame =
+    spark.readStream.schema(eventSt).option("maxFilesPerTrigger", "1").parquet(dir)
+
+  private def runToCompletion(df: DataFrame, table: String): StreamingQuery = {
+    val cp = Files.createTempDirectory("graft-stream-cp").toString
+    val q = df.writeStream.format("memory").queryName(table)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", cp).start()
+    q.awaitTermination()
+    q
+  }
+
+  test("windowedAgg: tumbling windows close as the watermark advances") {
+    val dir = eventFiles(Seq(
+      Seq(
+        Row(1L, ts("2026-01-01 10:00:05"), 7L, "click", 1.0),
+        Row(2L, ts("2026-01-01 10:00:20"), 7L, "click", 2.0),
+        Row(3L, ts("2026-01-01 10:02:30"), 7L, "click", 5.0)),
+      // flush: pushes the watermark far past the earlier windows
+      Seq(Row(99L, ts("2026-01-01 11:00:00"), 8L, "click", 0.0))))
+    val out = StreamingOps.windowedAgg(
+      readEventStream(dir), "ts", "10 seconds", "1 minute",
+      keys = Seq("user_id"),
+      aggs = Seq("n" -> "count(*)", "total" -> "sum(value)"))
+    runToCompletion(out, "wagg")
+    val rows = spark.table("wagg")
+      .where(col("user_id") === 7L)
+      .orderBy("window_start")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getLong(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      (ts("2026-01-01 10:00:00"), 2L, 3.0),
+      (ts("2026-01-01 10:02:00"), 1L, 5.0)))
+    // the 11:00 window stays open (watermark never passes it) → not emitted
+    assert(spark.table("wagg").where(col("user_id") === 8L).isEmpty)
+  }
+
+  test("dedupStream drops duplicate event ids across micro-batches") {
+    val dir = eventFiles(Seq(
+      Seq(
+        Row(1L, ts("2026-01-01 10:00:00"), 7L, "click", 1.0),
+        Row(1L, ts("2026-01-01 10:00:01"), 7L, "click", 1.0), // dup in-batch
+        Row(2L, ts("2026-01-01 10:00:02"), 7L, "click", 2.0)),
+      Seq(
+        Row(1L, ts("2026-01-01 10:00:03"), 7L, "click", 1.0), // dup cross-batch
+        Row(3L, ts("2026-01-01 10:00:04"), 7L, "click", 3.0))))
+    val out = StreamingOps.dedupStream(
+      readEventStream(dir), "ts", "10 minutes", Seq("event_id"))
+    runToCompletion(out, "dedup")
+    val ids = spark.table("dedup").select("event_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
+  test("observeValidation reports per-batch violation counts without filtering") {
+    val schema = Schema("Event", Seq(
+      FieldSpec.double("value"), // non-nullable
+      FieldSpec.enum("event_type", Seq("click", "purchase"), nullable = true)))
+    val dir = eventFiles(Seq(
+      Seq(
+        Row(1L, ts("2026-01-01 10:00:00"), 7L, "click", 1.0),
+        Row(2L, ts("2026-01-01 10:00:01"), 7L, "oops", null)),
+      Seq(
+        Row(3L, ts("2026-01-01 10:00:02"), 7L, "bogus", 2.0))))
+    val out = StreamingOps.observeValidation(readEventStream(dir), schema)
+    val q = runToCompletion(out, "obs")
+    // passthrough: all rows land in the sink
+    assert(spark.table("obs").count() == 3)
+    val metrics = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("graft_validation")))
+    val totals = metrics.map(m =>
+      (m.getAs[Long]("value__nulls"), m.getAs[Long]("event_type__enum")))
+    assert(totals.map(_._1).sum == 1, s"nulls: $totals")
+    assert(totals.map(_._2).sum == 2, s"enum: $totals")
+  }
+
+  test("validRows / invalidRows split a frame on row-level checks") {
+    val schema = Schema("Event", Seq(
+      FieldSpec.double("value"),
+      FieldSpec.enum("event_type", Seq("click", "purchase"), nullable = true)))
+    val df = frame(eventSt,
+      Row(1L, ts("2026-01-01 10:00:00"), 7L, "click", 1.0),
+      Row(2L, ts("2026-01-01 10:00:01"), 7L, "oops", 2.0),
+      Row(3L, ts("2026-01-01 10:00:02"), 7L, "purchase", null))
+    assert(StreamingOps.validRows(df, schema).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(StreamingOps.invalidRows(df, schema).count() == 2)
+  }
+
+  test("sessionizeEvents: gap closes a session in-batch, timeout closes the tail") {
+    val dir = eventFiles(Seq(
+      Seq(
+        Row(1L, ts("2026-01-01 10:00:00"), 1L, "click", 1.0),
+        Row(2L, ts("2026-01-01 10:00:30"), 1L, "click", 2.0),
+        // > 60 s gap → previous session closes on arrival
+        Row(3L, ts("2026-01-01 10:10:00"), 1L, "click", 4.0)),
+      // flush event for another user pushes the watermark to 12:00 →
+      // user 1's open session times out (end + gap < watermark)
+      Seq(Row(99L, ts("2026-01-01 12:00:00"), 9L, "click", 0.0))))
+    val out = StreamingOps.sessionizeEvents(
+      readEventStream(dir), watermarkDelay = "0 seconds", gapMs = 60000L)
+    runToCompletion(out.toDF(), "sessions")
+    val rows = spark.table("sessions")
+      .where(col("user_id") === 1L).orderBy("session_start").collect()
+      .map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      (ts("2026-01-01 10:00:00"), ts("2026-01-01 10:00:30"), 2L, 3.0),
+      (ts("2026-01-01 10:10:00"), ts("2026-01-01 10:10:00"), 1L, 4.0)))
+  }
+}
