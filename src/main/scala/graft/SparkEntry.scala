@@ -29,6 +29,16 @@ object SparkEntry {
   private def rel(s: SparkSession, dir: String, name: String): Relation =
     Relation(Tables(s, dir, name))
 
+  /** documents with the cluster's parallelism. The test parquet is ONE small
+    * file → one input split, which serializes the signature kernels of the
+    * pair-dedup queries onto a single core; a 100 TB corpus arrives in
+    * thousands of splits, so the explicit spread reflects the real plan
+    * (and the hash keying mirrors how a corpus would be bucketed by id).
+    */
+  private def docsParallel(s: SparkSession, dir: String) =
+    Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+
   // Decimal-safe money sum: exact, order-independent, schema-stable.
   private def dsum(e: String): String =
     s"cast(sum(cast($e as decimal(18,2))) as decimal(38,2))"
@@ -343,7 +353,7 @@ object SparkEntry {
     // → rows-only check; determinism comes from fixed hash seeds)
     "q35_minhash_pairs" -> ((s, d) =>
       graft.ops.Dedup.minhashPairs(
-        Tables(s, d, "documents"), "text", "doc_id",
+        docsParallel(s, d), "text", "doc_id",
         k = 3, numHashes = 64, bands = 32, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
@@ -386,6 +396,62 @@ object SparkEntry {
         "doc_id", "payload")
         .toDF().orderBy(col("doc_id"))
     }),
+
+    // SimHash near-dup pairs via 16-bit chunk banding (rows-only)
+    "q41_simhash_pairs" -> ((s, d) =>
+      graft.ops.Dedup.simhashPairs(
+        docsParallel(s, d), "text", "doc_id", maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // char n-gram Jaccard near-dup pairs (rows-only). n = 10 and 16×4
+    // banding: short grams on templated corpora give ~0.45 background
+    // similarity and 2-row bands then admit nearly every pair as a
+    // candidate (observed: 7.4M candidates from 5k docs).
+    "q42_ngram_jaccard" -> ((s, d) =>
+      graft.ops.Dedup.ngramJaccardPairs(
+        docsParallel(s, d), "text", "doc_id", n = 10, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // IVF ANN top-k — centroid-trained scale path (rows-only)
+    "q43_ann_ivf" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      graft.ops.Similarity.ivfTopK(
+        emb, emb.where(col("vec_id") < 10), "embedding", "vec_id",
+        k = 5, nlist = 16, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // grouping sets via CUBE (phase-2 surface, like q27 ROLLUP)
+    "q44_cube" -> ((s, d) => {
+      Tables(s, d, "lineitem").createOrReplaceTempView("graft_lineitem_cube")
+      s.sql(
+        s"""SELECT l_returnflag, l_linestatus,
+           |  ${dsum("l_quantity")} AS sum_qty, cast(count(*) as bigint) AS n
+           |FROM graft_lineitem_cube
+           |GROUP BY CUBE(l_returnflag, l_linestatus)
+           |ORDER BY coalesce(l_returnflag, 'zzz'), coalesce(l_linestatus, 'zzz')
+           |""".stripMargin)
+    }),
+
+    // lag/lead window over event time (phase-2 surface)
+    "q45_window_lag" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // batch tumbling-window aggregate — the batch twin of
+    // streaming.StreamingOps.windowedAgg (same window() semantics)
+    "q46_time_bucket" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 minute"), col("user_id"))
+        .agg(expr("cast(count(*) as bigint)").as("n"),
+          expr(dsum("value")).as("total"))
+        .select(col("window.start").as("w"), col("user_id"), col("n"), col("total"))
+        .orderBy(col("user_id"), col("w"))),
   )
 
   /** DuckDB oracle per query (same parquet tables, same column names). */
@@ -602,5 +668,23 @@ object SparkEntry {
         | cast((octet_length(encode(text)) * 7) % 480 as int) AS height,
         | CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q44_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | cast(sum(cast(l_quantity as decimal(18,2))) as decimal(38,2)) AS sum_qty,
+        | cast(count(*) as bigint) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY coalesce(l_returnflag, 'zzz'), coalesce(l_linestatus, 'zzz')""".stripMargin,
+
+    "q45_window_lag" ->
+      """SELECT event_id, user_id, value,
+        | lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q46_time_bucket" ->
+      """SELECT date_trunc('minute', cast(ts as timestamp)) AS w, user_id,
+        | cast(count(*) as bigint) AS n,
+        | cast(sum(cast(value as decimal(18,2))) as decimal(38,2)) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, w""".stripMargin,
   )
 }

@@ -74,8 +74,9 @@ object Dedup {
         b => xxhash64(slice(s, b * rowsPerBand + 1, lit(rowsPerBand))))
     }
 
-  /** Candidate near-duplicate pairs via MinHash LSH, verified with exact
-    * shingle-set Jaccard. Returns (idA, idB, jaccard) with idA < idB.
+  /** Candidate near-duplicate pairs via MinHash LSH over k-word shingles,
+    * verified with exact shingle-set Jaccard. Returns (idA, idB, jaccard)
+    * with idA < idB.
     *
     * @param threshold exact Jaccard cutoff applied after LSH candidate
     *   generation (the usual two-phase filter).
@@ -88,44 +89,136 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 32,
       threshold: Double = 0.5): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val withSh = df
-      .select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-      .where(size(col("sh")) > 0)
     // Fused native kernel (graft.functions.MinHashBandHashes): one codegen
-    // call per row computes shingles → 64 minima → band hashes. The HOF
-    // composition (minhashSignature ∘ bandHashes) is semantically identical
-    // but pays interpreted lambda evaluation per array element.
+    // call per row computes shingles → numHashes minima → band hashes. The
+    // HOF composition (minhashSignature ∘ bandHashes) is semantically
+    // identical but pays interpreted lambda evaluation per array element.
     val sigs = df.select(
       col(idCol).as("id"),
       graft.functions.native
         .minhashBandHashes(TextOps.wsTokens(col(textCol)), k, numHashes, bands)
         .as("bh"))
-      .where(size(col("bh")) > 0)
+    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+    lshVerifiedPairs(sigs, withSh, threshold)
+  }
 
-    // Bucket shuffle carries ONLY (band, bandHash, id) — never the shingle
-    // arrays. At 100 TB the explode is `bands`× the id column, not `bands`×
-    // the corpus text.
+  /** Character n-gram near-duplicate pairs: MinHash LSH over the `n`-char
+    * grams of whitespace-normalized lowercase text, verified with exact
+    * n-gram-set Jaccard. More robust than word shingles to punctuation /
+    * token-boundary edits; same one-shuffle LSH plan ([[lshVerifiedPairs]]).
+    * The native kernel is reused with k = 1 (each n-gram IS a shingle).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 10,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val sigs = df.select(
+      col(idCol).as("id"),
+      graft.functions.native
+        .minhashBandHashes(charNgrams(col(textCol), n), 1, numHashes, bands)
+        .as("bh"))
+    val withSh = df.select(col(idCol).as("id"), charNgrams(col(textCol), n).as("sh"))
+    lshVerifiedPairs(sigs, withSh, threshold)
+  }
+
+  /** Character n-grams of whitespace-normalized lowercase text (empty when
+    * shorter than n). Normalization is one regex pass; the gram windows are
+    * the native [[graft.functions.CharNgrams]] kernel (the HOF equivalent
+    * pays ~one interpreted lambda eval per gram).
+    */
+  def charNgrams(text: Column, n: Int): Column =
+    graft.functions.native.charNgrams(
+      regexp_replace(lower(trim(text)), "\\s+", " "), n)
+
+  /** Shared LSH candidate-generation + exact-Jaccard verification.
+    *
+    * @param sigs  (id, bh: array<bigint>) — per-doc band hashes; empty array
+    *   ⇒ doc is skipped.
+    * @param withSh (id, sh: array<string>) — the exact shingle/gram sets used
+    *   for verification (set semantics: duplicates are collapsed by
+    *   array_intersect/array_union).
+    *
+    * The bucket shuffle carries ONLY (band, bandHash, id) — never shingle
+    * arrays. At 100 TB the explode is `bands`× the id column, not `bands`×
+    * the corpus text; verification re-joins shingles onto the (small)
+    * deduplicated candidate set.
+    */
+  /** Candidate pairs from LSH buckets WITHOUT a self-join: one shuffle
+    * groups ids per (band, bucket-hash), oversized buckets are dropped
+    * (`maxBucketSize` — the standard production-LSH guard: a degenerate
+    * bucket of B docs would emit B²/2 pairs; on templated corpora B can be
+    * the whole template cluster), and the ≤cap²/2 pairs per kept bucket are
+    * generated in-executor from the grouped id array.
+    *
+    * @param buckets (band, bhash, id) rows — one per document per band.
+    */
+  private[ops] def candidatePairs(buckets: DataFrame, maxBucketSize: Int): DataFrame = {
+    val grouped = buckets
+      .groupBy(col("band"), col("bhash"))
+      .agg(collect_list(col("id")).as("ids"))
+      .where(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+    grouped
+      .select(explode(bind(array_sort(col("ids"))) { ids =>
+        flatten(transform(ids, (x, i) =>
+          transform(
+            slice(ids, i + 2, greatest(size(ids) - i - 1, lit(0))),
+            y => struct(x.as("id_a"), y.as("id_b")))))
+      }).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  private def lshVerifiedPairs(
+      sigs: DataFrame,
+      withSh: DataFrame,
+      threshold: Double,
+      maxBucketSize: Int = 4096): DataFrame = {
+    // No size(bh)>0 pre-filter: posexplode of an empty array emits no rows
+    // anyway, and an explicit filter gets pushed below this projection where
+    // it forces a SECOND evaluation of the (expensive) signature kernel per
+    // row per join side.
     val buckets = sigs.select(
       posexplode(col("bh")).as(Seq("band", "bhash")), col("id"))
-    val l = buckets.select(col("band"), col("bhash"), col("id").as("id_a"))
-    val r = buckets.select(col("band"), col("bhash"), col("id").as("id_b"))
-    val cand = l.join(r, Seq("band", "bhash"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-
-    // Exact-Jaccard verification: re-join the (recomputed, pure-map) shingle
-    // sets onto the deduplicated candidate pairs — two id-keyed joins whose
-    // probe side is only the candidate set.
-    cand
+    candidatePairs(buckets, maxBucketSize)
       .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        graft.functions.native.jaccard(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Near-duplicate pairs by SimHash: 64-bit signatures banded into four
+    * 16-bit chunks — by pigeonhole, any pair within hamming distance 3
+    * shares at least one identical chunk, so candidate generation is ONE
+    * shuffle on (chunk, value) and the exact hamming filter only touches
+    * colliding pairs.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 4096): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    // sig is let-bound: the four chunk expressions reference the (expensive)
+    // simhash exactly once even after projection collapse.
+    val buckets = sigs.select(
+      col("id"),
+      posexplode(bind(col("sig")) { s =>
+        array((0 until 4).map(c =>
+          shiftright(s, c * 16).bitwiseAND(lit(0xFFFFL))): _*)
+      }).as(Seq("band", "bhash")))
+    candidatePairs(buckets, maxBucketSize)
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** 64-bit SimHash over whitespace tokens: bit j is set when more token

@@ -78,6 +78,84 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** IVF (inverted-file) top-k: the classic two-stage ANN index expressed
+    * as dataframes.
+    *
+    *  1. *Train*: a deterministic coarse quantizer — corpus vectors are
+    *     hashed into `nlist` cells by [[hyperplaneBucket]] and each cell's
+    *     centroid is its element-wise mean (one `posexplode` + groupBy
+    *     job, the only action in the build).
+    *  2. *Assign*: every corpus vector re-assigns to its nearest centroid
+    *     (one Lloyd half-step — tightens cells vs. the raw hash) via a
+    *     per-row argmax over the broadcast centroid literals; native cosine
+    *     kernel, no shuffle.
+    *  3. *Probe*: each query scores all centroids, keeps the `nprobe`
+    *     nearest cells, and only same-cell corpus vectors get an exact
+    *     cosine + window top-k.
+    *
+    * At 100 TB: centroids are tiny (nlist × dim) and live in the plan as
+    * literals — no join to distribute them; the one corpus shuffle is on the
+    * int cell key; recall trades against `nprobe` exactly like FAISS IVF.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    require(nlist > 1 && Integer.bitCount(nlist) == 1, "nlist must be a power of 2")
+    val planes = Integer.numberOfTrailingZeros(nlist)
+    val seeded = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      hyperplaneBucket(col(vecCol), planes).as("cell"))
+
+    // centroids: element-wise mean per seed cell, collected driver-side
+    // (nlist × dim doubles — tiny by construction)
+    val centroids: Seq[(Int, Seq[Float])] = seeded
+      .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+      }
+      .toSeq.sortBy(_._1)
+
+    def cellSims(vec: Column): Column = array(centroids.map { case (cid, cv) =>
+      struct(lit(cid).as("cid"), cosine(vec, typedlit(cv)).as("sim"))
+    }: _*)
+    def nearestCell(vec: Column): Column =
+      aggregate(cellSims(vec), struct(lit(-1).as("cid"), lit(-2.0).as("sim")),
+        (best, x) => when(x.getField("sim") > best.getField("sim"), x).otherwise(best))
+        .getField("cid")
+
+    val assigned = seeded.select(
+      col("neighbor_id"), col("cv"), nearestCell(col("cv")).as("cell"))
+
+    // each query probes its nprobe nearest cells
+    val probed = queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(slice(
+        transform(
+          array_sort(cellSims(col(vecCol)),
+            (x, y) => when(x.getField("sim") > y.getField("sim"), -1)
+              .when(x.getField("sim") < y.getField("sim"), 1).otherwise(0)),
+          s => s.getField("cid")),
+        1, nprobe)).as("cell"))
+
+    val scored = broadcast(probed).join(assigned, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** LSH-bucketed top-k: exact cosine only within the query's hyperplane
     * bucket. Recall trades against `planes`; rank semantics identical to
     * brute force within the candidate set.

@@ -129,6 +129,46 @@ class OpsSpec extends SparkSpec {
     assert(fp2 == t(0).getString(4))
   }
 
+  test("simhashPairs finds the planted near-duplicate within the hamming budget") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = base.replace("token7", "tokenX")
+    val other = (1 to 40).map(i => s"other$i").mkString(" ")
+    val df = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = Dedup.simhashPairs(df, "text", "doc_id", maxHamming = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("ngramJaccardPairs: char-gram similarity is robust to one-char edits") {
+    val base = "the quick brown fox jumps over the lazy dog in the sunny park"
+    val nearDup = base.replace("sunny", "funny")
+    val other = "completely different content about databases and query engines"
+    val df = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = Dedup.ngramJaccardPairs(df, "text", "doc_id", n = 5, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("ivfTopK with nprobe = nlist equals exhaustive brute force") {
+    val vecs = frame(
+      struct("vec_id" -> LongType, "embedding" -> ArrayType(FloatType)),
+      (0L until 40L).map(i =>
+        Row(i, Seq(math.cos(i / 5.0).toFloat, math.sin(i / 5.0).toFloat, (i % 7).toFloat / 7.0f))): _*)
+    val queries = vecs.where(col("vec_id") < 3)
+    val ivf = Similarity.ivfTopK(vecs, queries, "embedding", "vec_id",
+      k = 4, nlist = 4, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    val bf = Similarity.bruteForceTopK(vecs, queries, "embedding", "vec_id", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(ivf.toSeq == bf.toSeq)
+    // partial probing still returns ranked, same-cell neighbors
+    val partial = Similarity.ivfTopK(vecs, queries, "embedding", "vec_id",
+      k = 4, nlist = 4, nprobe = 1).collect()
+    assert(partial.nonEmpty)
+    assert(partial.groupBy(_.getLong(0)).values.forall(rs =>
+      rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length)))
+  }
+
   test("native cosine kernel agrees with the HOF expression bit-for-bit") {
     val df = frame(
       struct("a" -> ArrayType(FloatType), "b" -> ArrayType(FloatType)),
