@@ -1,0 +1,106 @@
+package graft.core
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.SparkSpec
+import graft.relation.Relation
+
+/** ScalaCheck properties the reference's test suite lacks (SURVEY §5 port
+  * plan): generated schemas exercise combinations of type / nullability /
+  * enum / bounds / uniqueness that hand-written fixtures would miss.
+  *
+  * Runs as a plain ScalaCheck `Properties` (sbt's scalacheck framework) with
+  * a reduced trial count — every trial runs real Spark jobs.
+  */
+object PropertySpec extends Properties("graft") {
+
+  private lazy val spark = SparkSpec.session
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withMaxDiscardRatio(10)
+
+  private val genType: Gen[DataType] =
+    Gen.oneOf(LongType, IntegerType, DoubleType, StringType, BooleanType)
+
+  /** Fields constrained to combinations the dummy-data generator can always
+    * satisfy: enum on strings, bounds on non-unique numerics, uniqueness on
+    * non-nullable longs/strings (counter stays distinct and in-domain).
+    */
+  private def genField(name: String): Gen[FieldSpec] = for {
+    tpe <- genType
+    nullable <- Gen.oneOf(true, false)
+    flavor <- Gen.choose(0, 3)
+  } yield {
+    val base = FieldSpec(name, tpe, nullable)
+    flavor match {
+      case 1 if tpe == StringType =>
+        base.copy(enumValues = Some(Seq("a", "b", "c")))
+      case 2 if Seq(LongType, IntegerType, DoubleType).contains(tpe) =>
+        base.copy(bounds = Bounds(ge = Some(0), le = Some(1000)))
+      case 3 if !nullable && Seq(LongType, StringType).contains(tpe) =>
+        base.copy(unique = true)
+      case _ => base
+    }
+  }
+
+  private val genSchema: Gen[Schema] = for {
+    k <- Gen.choose(1, 6)
+    fields <- Gen.sequence[List[FieldSpec], FieldSpec](
+      (0 until k).map(i => genField(s"f$i")).toList)
+  } yield Schema("P", fields)
+
+  // validate ∘ examples ≡ ok — the generator only emits satisfiable specs,
+  // so fabricated frames must pass their own schema's validation.
+  property("examples validate against their own schema") =
+    forAll(genSchema, Gen.choose(1, 40)) { (schema, n) =>
+      Validator.findErrors(
+        Examples.examples(spark, schema, n = n.toLong), schema).isEmpty
+    }
+
+  property("cast to the model is idempotent on schema and data") =
+    forAll(genSchema) { schema =>
+      val r = Relation(Examples.examples(spark, schema, n = 5L))
+      val once = r.cast(schema, strict = true)
+      val twice = once.cast(schema, strict = true)
+      once.df.schema == twice.df.schema && once.sameAs(twice)
+    }
+
+  property("union reorders the right side by column name") =
+    forAll(genSchema) { schema =>
+      val df = Examples.examples(spark, schema, n = 4L)
+      val reversed = df.select(df.columns.reverse.map(col): _*)
+      val u = Relation(df).union(Relation(reversed))
+      u.df.columns.sameElements(df.columns) && u.count() == 8L
+    }
+
+  property("select and drop partition the schema") =
+    forAll(genSchema) { schema =>
+      val keep = schema.columns.zipWithIndex.collect {
+        case (c, i) if i % 2 == 0 => c
+      }
+      val rest = schema.columns.filterNot(keep.contains)
+      (schema.select(keep).columns == keep) &&
+      (schema.drop(keep).columns == rest) &&
+      (schema.select(keep).fields ++ schema.drop(keep).fields)
+        .map(_.name).toSet == schema.columns.toSet
+    }
+
+  property("prefix/rename round-trip preserves specs") =
+    forAll(genSchema) { schema =>
+      val back = schema.prefix("x_").rename(
+        schema.columns.map(c => s"x_$c" -> c).toMap)
+      back.fields == schema.fields
+    }
+
+  property("examples of a unique column are distinct at any n") =
+    forAll(Gen.choose(2, 60)) { n =>
+      val schema = Schema("U", Seq(
+        FieldSpec.long("id").copy(unique = true),
+        FieldSpec.string("tag", nullable = true)))
+      val df = Examples.examples(spark, schema, n = n.toLong)
+      df.select("id").distinct().count() == n.toLong
+    }
+}
