@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SparkSessionExtensions entry point: registers the native kernels as SQL
+  * functions, so the whole surface is reachable from `spark.sql(...)` and
+  * `expr(...)` strings — not just the Scala Column API:
+  *
+  * {{{
+  *   spark.sql("SELECT simhash64(split(text, '\\s+')) FROM docs")
+  *   spark.sql("SELECT cosine_similarity(a.embedding, b.embedding) ...")
+  * }}}
+  *
+  * Activate with `spark.sql.extensions=graft.GraftExtensions` (set by
+  * [[Sessions.config]] for every session this library builds).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    register(ext, "cosine_similarity", "cosine similarity of two float arrays",
+      args => { arity(args, 2, "cosine_similarity"); CosineSimilarity(args(0), args(1)) })
+    register(ext, "jaccard_similarity", "set-Jaccard of two string arrays",
+      args => { arity(args, 2, "jaccard_similarity"); JaccardSimilarity(args(0), args(1)) })
+    register(ext, "simhash64", "64-bit SimHash of a token array",
+      args => { arity(args, 1, "simhash64"); SimHash64(args(0)) })
+    register(ext, "char_ngrams", "character n-grams of a string",
+      args => { arity(args, 2, "char_ngrams"); CharNgrams(args(0), intArg(args(1), "char_ngrams.n")) })
+    register(ext, "minhash_band_hashes",
+      "LSH band hashes of the minhash signature of k-token shingles",
+      args => {
+        arity(args, 4, "minhash_band_hashes")
+        MinHashBandHashes(args(0), intArg(args(1), "k"),
+          intArg(args(2), "numHashes"), intArg(args(3), "bands"))
+      })
+  }
+
+  private def register(
+      ext: SparkSessionExtensions,
+      name: String,
+      usage: String,
+      builder: Seq[Expression] => Expression): Unit =
+    ext.injectFunction((
+      FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", name, usage),
+      builder))
+
+  private def arity(args: Seq[Expression], n: Int, name: String): Unit =
+    require(args.length == n, s"$name expects $n arguments, got ${args.length}")
+
+  private def intArg(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal integer")
+    e.eval() match {
+      case i: Int  => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"$what must be a literal integer, got $other")
+    }
+  }
+}

@@ -29,5 +29,7 @@ object Sessions {
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
     // µs parquet timestamps (not INT96) so outputs compare equal to DuckDB's
-    "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS")
+    "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
+    // native kernels as SQL functions (simhash64, cosine_similarity, …)
+    "spark.sql.extensions" -> "graft.GraftExtensions")
 }

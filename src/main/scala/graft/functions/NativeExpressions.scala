@@ -48,6 +48,10 @@ object native {
   /** Character n-grams of a string column (empty array when shorter than n). */
   def charNgrams(text: Column, n: Int): Column =
     GraftBridge.column(CharNgrams(GraftBridge.expression(text), n))
+
+  /** 64-bit SimHash of a token-array column. */
+  def simhash64(tokens: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
 }
 
 /** Fused shingle→minhash→band kernel. One pass over the shingles; for each
@@ -135,6 +139,31 @@ case class JaccardSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaccardSimilarity =
     copy(left = newLeft, right = newRight)
+}
+
+/** 64-bit SimHash of a token array: per token, an xxhash64 (seed 42 —
+  * matching `functions.xxhash64`) votes ±1 on each of the 64 bit positions;
+  * bit j of the result is set when the vote total is positive. Bit-identical
+  * to the HOF-expression form in [[graft.ops.Dedup.simhash64Expr]].
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashUtil.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashUtil.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
 }
 
 /** Character n-gram windows of a string: string → array<string>. The HOF
@@ -238,6 +267,28 @@ object MinHashUtil {
       b += 1
     }
     new GenericArrayData(out)
+  }
+
+  def simhash64(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = XxHash64Function.hash(tokens.getUTF8String(i), StringType, 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
   }
 }
 

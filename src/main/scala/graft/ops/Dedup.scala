@@ -226,10 +226,16 @@ object Dedup {
     * array-aggregates over the token hashes — all codegen).
     */
   def simhash64(text: Column): Column =
-    // One pass over the token hashes with a 64-counter array accumulator
-    // (the 64-sibling-expression form re-tokenizes the text 64× per row
-    // once Catalyst collapses projections — same pathology as
-    // [[minhashSignature]]). `bits` and `votes` are let-bound.
+    graft.functions.native.simhash64(TextOps.wsTokens(text))
+
+  /** Pure `functions._` SimHash (bit-identical to [[simhash64]]'s native
+    * kernel; kept as the portable reference implementation). One pass over
+    * the token hashes with a 64-counter array accumulator (the 64-sibling-
+    * expression form re-tokenizes the text 64× per row once Catalyst
+    * collapses projections — same pathology as [[minhashSignature]]).
+    * `bits` and `votes` are let-bound.
+    */
+  def simhash64Expr(text: Column): Column =
     bind(sequence(lit(0), lit(63))) { bits =>
       bind(aggregate(
         transform(TextOps.wsTokens(text), t => xxhash64(t)),

@@ -169,6 +169,35 @@ class OpsSpec extends SparkSpec {
       rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length)))
   }
 
+  test("native simhash kernel is bit-identical to the HOF expression") {
+    val df = docs(
+      1L -> "spark engine for scale out data processing",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "x")
+    val out = df.select(
+      Dedup.simhash64(col("text")).as("native"),
+      Dedup.simhash64Expr(col("text")).as("hof")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("native kernels are registered as SQL functions via GraftExtensions") {
+    assert(spark.sql("SELECT char_ngrams('abcd', 2) AS g")
+      .head().getSeq[String](0) == Seq("ab", "bc", "cd"))
+    assert(spark.sql(
+      "SELECT jaccard_similarity(array('a','b'), array('b','c')) AS j")
+      .head().getDouble(0) === 1.0 / 3.0)
+    assert(spark.sql(
+      """SELECT cosine_similarity(
+        |  array(cast(1.0 as float), cast(0.0 as float)),
+        |  array(cast(1.0 as float), cast(0.0 as float))) AS c""".stripMargin)
+      .head().getDouble(0) === 1.0)
+    assert(spark.sql("SELECT simhash64(array('a','b','c')) AS s")
+      .head().getLong(0) != 0L)
+    assert(spark.sql(
+      "SELECT size(minhash_band_hashes(array('a','b','c','d'), 2, 64, 32)) AS n")
+      .head().getInt(0) == 32)
+  }
+
   test("native cosine kernel agrees with the HOF expression bit-for-bit") {
     val df = frame(
       struct("a" -> ArrayType(FloatType), "b" -> ArrayType(FloatType)),
