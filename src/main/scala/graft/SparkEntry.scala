@@ -312,6 +312,19 @@ object SparkEntry {
         .apply("o_orderkey", "pri", "yr", "m7")
         .order("o_orderkey").toDF),
 
+    // §2.1 Database.query: catalog views + arbitrary SELECT → relation
+    "q29_database_query" -> ((s, d) => {
+      val db = new graft.relation.Database(s)
+      db.createView("graft_nation_v", rel(s, d, "nation"))
+      db.createView("graft_region_v", rel(s, d, "region"))
+      db.query(
+        """SELECT r.r_name, cast(count(*) as bigint) AS n_nations
+          |FROM graft_nation_v n JOIN graft_region_v r
+          |  ON n.n_regionkey = r.r_regionkey
+          |GROUP BY r.r_name""".stripMargin)
+        .order("r_name").toDF
+    }),
+
     // ---- LLM-data-pipeline operators (beyond reference parity) ----------
 
     // exact dedup: hash-groupBy keyed on md5(text), keep min id
@@ -612,6 +625,11 @@ object SparkEntry {
       """SELECT o_orderkey, upper(substr(o_orderpriority, 1, 3)) AS pri,
         | cast(year(o_orderdate) as int) AS yr, o_orderkey % 7 AS m7
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q29_database_query" ->
+      """SELECT r_name, cast(count(*) as bigint) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
 
     "q30_dedup_exact" ->
       """SELECT cast(min(doc_id) as bigint) AS doc_id FROM documents
