@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -227,6 +227,14 @@ object SetMath {
 object MinHashUtil {
   private val Space = UTF8String.fromString(" ")
 
+  // Direct XXH64 primitives instead of XxHash64Function.hash: the generic
+  // entry point boxes the value and pattern-matches on the DataType on
+  // EVERY call, and these kernels make ~10^8 calls per small partition.
+  // Bit-identical: XxHash64Function dispatches UTF8String to
+  // hashUnsafeBytes(base, offset, numBytes, seed) and Long to hashLong.
+  private def hashString(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+
   def bandHashes(tokens: ArrayData, k: Int, numHashes: Int, bands: Int): ArrayData = {
     val n = tokens.numElements()
     val numShingles = n - k + 1
@@ -247,7 +255,7 @@ object MinHashUtil {
       val shingle = UTF8String.concat(parts: _*)
       var h = 0
       while (h < numHashes) {
-        val v = XxHash64Function.hash(shingle, StringType, h.toLong)
+        val v = hashString(shingle, h.toLong)
         if (v < mins(h)) mins(h) = v
         h += 1
       }
@@ -260,7 +268,7 @@ object MinHashUtil {
       var acc = 42L
       var r = 0
       while (r < rowsPerBand) {
-        acc = XxHash64Function.hash(mins(b * rowsPerBand + r), LongType, acc)
+        acc = XXH64.hashLong(mins(b * rowsPerBand + r), acc)
         r += 1
       }
       out(b) = acc
@@ -274,7 +282,7 @@ object MinHashUtil {
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val h = XxHash64Function.hash(tokens.getUTF8String(i), StringType, 42L)
+      val h = hashString(tokens.getUTF8String(i), 42L)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1

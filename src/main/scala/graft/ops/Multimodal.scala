@@ -63,4 +63,79 @@ object Multimodal {
         it.map { case (id, bytes) => fakeDecode(id, bytes) }
       }
   }
+
+  /** Fixed-dimension feature vector from a payload (STUB: hash-derived
+    * pseudo-embedding, deterministic). The real implementation would run a
+    * vision/audio encoder per batch; the output shape — `array<float>` of
+    * length `dim` keyed by id — is exactly what the [[Similarity]] ANN
+    * operators consume, so multimodal → embedding → near-dup/top-k composes
+    * end-to-end.
+    */
+  def featureExtract(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      dim: Int = 16): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition encoder-model load would go here
+        it.map { case (id, bytes) =>
+          val vec = Array.tabulate(dim) { i =>
+            val h = scala.util.hashing.MurmurHash3.bytesHash(bytes, i)
+            (h % 1000) / 1000.0f
+          }
+          (id, vec)
+        }
+      }
+      .toDF(idCol, "embedding")
+  }
+
+  /** Resize stub: emits a new payload of deterministic size w×h (real
+    * implementation: image decode → scale → re-encode per batch). The
+    * contract under test is the binary→binary partition-batched shape.
+    */
+  def resize(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      w: Int,
+      h: Int): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val out = new Array[Byte](w * h)
+        var i = 0
+        while (i < out.length) { out(i) = bytes(i % math.max(bytes.length, 1)); i += 1 }
+        (id, out)
+      })
+      .toDF(idCol, binCol)
+  }
+
+  /** Frame sampling stub: one output row per sampled "frame" (every
+    * `everyN`-th chunk of `frameBytes` bytes) — the 1→N generator shape of
+    * real video frame extraction, with frame index carried alongside the id.
+    */
+  def frameSample(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      frameBytes: Int,
+      everyN: Int): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val nFrames = bytes.length / math.max(frameBytes, 1)
+        (0 until nFrames by everyN).iterator.map { f =>
+          (id, f, bytes.slice(f * frameBytes, (f + 1) * frameBytes))
+        }
+      })
+      .toDF(idCol, "frame_idx", "frame")
+  }
 }

@@ -235,4 +235,33 @@ class OpsSpec extends SparkSpec {
     assert(rows(0) == MediaMeta(1L, 4L, 4, 28, "png"))
     assert(rows(1) == MediaMeta(2L, 5L, 5, 35, "jpeg"))
   }
+
+  test("multimodal: feature-extract feeds the ANN operators end-to-end") {
+    val df = Multimodal.withBinaryPayload(
+      docs(1L -> "aaaa", 2L -> "aaaa", 3L -> "something else entirely"),
+      "text", "payload")
+    val emb = Multimodal.featureExtract(spark, df, "doc_id", "payload", dim = 8)
+    assert(emb.schema("embedding").dataType ==
+      ArrayType(FloatType, containsNull = false))
+    // identical payloads → identical embeddings → cosine 1.0 top neighbor
+    val top = Similarity.bruteForceTopK(
+      emb, emb.where(col("doc_id") === 1L), "embedding", "doc_id", k = 1)
+      .head()
+    assert(top.getLong(2) == 2L)
+    assert(math.abs(top.getDouble(3) - 1.0) < 1e-9)
+  }
+
+  test("multimodal: resize and frame-sample keep the batched shapes") {
+    val df = Multimodal.withBinaryPayload(
+      docs(1L -> ("x" * 100)), "text", "payload")
+    val resized = Multimodal.resize(spark, df, "doc_id", "payload", w = 4, h = 3)
+      .head()
+    assert(resized.getAs[Array[Byte]](1).length == 12)
+
+    val frames = Multimodal.frameSample(
+      spark, df, "doc_id", "payload", frameBytes = 10, everyN = 2)
+      .orderBy("frame_idx").collect()
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 2, 4, 6, 8))
+    assert(frames.forall(_.getAs[Array[Byte]](2).length == 10))
+  }
 }
