@@ -66,6 +66,24 @@ final class Database(val spark: SparkSession) {
 
   def enumTypeNames: Set[String] = enumTypes.toSet
 
+  /** Write a relation as a bucketed + sorted table: two tables bucketed the
+    * same way join on their bucket keys WITHOUT a shuffle (the scan is
+    * already hash-partitioned by bucket). This is the storage-level
+    * co-location lever for repeated big-big joins — pay one write-side
+    * shuffle once instead of an exchange per query.
+    */
+  def createBucketedTable(
+      name: String,
+      rel: Relation,
+      keys: Seq[String],
+      buckets: Int,
+      mode: String = "errorifexists"): Unit =
+    rel.df.write
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode(mode)
+      .saveAsTable(name)
+
   /** Table-existence test (duckdb.py:2810-2830). */
   def contains(name: String): Boolean =
     spark.catalog.tableExists(name)

@@ -227,25 +227,40 @@ final case class Relation(
   def antiJoin(other: Relation, on: String): Relation  = join(other, on, "anti")
   def crossJoin(other: Relation): Relation = join(other, lit(true), JoinKind.Cross)
 
-  /** Backward (inclusive) as-of join: for each left row, the most recent
-    * right row with `rightOn <= leftOn` within the same `by` group.
+  /** As-of join: for each left row, match the nearest right row in time
+    * within the same `by` group. Directions (polars/pandas semantics, all
+    * inclusive):
+    *   - `"backward"` (default): most recent right with `rightOn <= leftOn`;
+    *   - `"forward"`: earliest right with `rightOn >= leftOn`;
+    *   - `"nearest"`: whichever of the two is closer (ties → backward).
+    * `toleranceSeconds` drops matches farther than the given distance
+    * (measured on the ON column cast to double — epoch seconds for
+    * timestamps, the raw value for numerics).
     *
     * Declared-but-unexecuted in the reference (`Model.join(how="asof")`,
     * pydantic.py:1048); here it executes via the scale-safe union+window
     * plan: tag both sides, ONE shuffle on the `by` keys, running
-    * `last(_, ignoreNulls)` forward-fill, keep left rows. No row-multiplying
-    * range join, no single-partition window (SURVEY §7 hard-part 6).
+    * `last`/`first(_, ignoreNulls)` fills, keep left rows. No
+    * row-multiplying range join, no single-partition window (SURVEY §7
+    * hard-part 6).
     */
   def asofJoin(
       other: Relation,
       by: Seq[String],
       leftOn: String,
-      rightOn: String): Relation = {
+      rightOn: String,
+      direction: String = "backward",
+      toleranceSeconds: Option[Double] = None): Relation = {
     require(by.nonEmpty, "asofJoin requires at least one `by` key")
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"unknown asof direction: $direction")
     val rightVals = other.df.columns.filterNot(c => by.contains(c) || c == rightOn)
     val leftOnly  = df.columns.filterNot(by.contains)
     val rSchema   = other.df.schema
 
+    // Side tags order right rows BEFORE left at equal __t, so a same-time
+    // right row is inside the backward window AND (with side desc) the
+    // forward window of the left row — both directions stay inclusive.
     val lSide = df.select(
       by.map(col) ++ Seq(col(leftOn).cast(rSchema(rightOn).dataType).as("__t"), lit(1).as("__side")) ++
         leftOnly.map(col) ++
@@ -254,19 +269,63 @@ final case class Relation(
       by.map(col) ++ Seq(col(rightOn).as("__t"), lit(0).as("__side")) ++
         leftOnly.map(c => lit(null).cast(df.schema(c).dataType).as(c)) ++
         rightVals.map(col): _*)
+    val union = lSide.unionByName(rSide)
 
-    val w = Window.partitionBy(by.map(col): _*)
+    val wB = Window.partitionBy(by.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = lSide.unionByName(rSide)
-      .select(
-        (by ++ leftOnly).map(col) ++ Seq(col("__side")) ++
-          rightVals.map(c =>
-            last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w).as(c)): _*)
+    val wF = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    def bwd(c: Column): Column = last(when(col("__side") === 0, c), ignoreNulls = true).over(wB)
+    def fwd(c: Column): Column = first(when(col("__side") === 0, c), ignoreNulls = true).over(wF)
+
+    // matched right timestamp per direction (for nearest choice + tolerance)
+    val bT = bwd(col("__t")).as("__bT")
+    val fT = fwd(col("__t")).as("__fT")
+    val fillCols = rightVals.flatMap(c => Seq(bwd(col(c)).as(s"__b_$c"), fwd(col(c)).as(s"__f_$c")))
+    val filled = union
+      .select((by ++ leftOnly).map(col) ++ Seq(col("__t"), col("__side"), bT, fT) ++ fillCols: _*)
       .where(col("__side") === 1)
-      .drop("__side")
+
+    val t = col("__t").cast("double")
+    val distB = t - col("__bT").cast("double")
+    val distF = col("__fT").cast("double") - t
+    val useBackward: Column = direction match {
+      case "backward" => lit(true)
+      case "forward"  => lit(false)
+      case "nearest"  =>
+        col("__fT").isNull || (col("__bT").isNotNull && distB <= distF)
+    }
+    val withinTol: Column = toleranceSeconds match {
+      case None      => lit(true)
+      case Some(tol) => when(useBackward, distB <= tol).otherwise(distF <= tol)
+    }
+    val matched = when(useBackward, col("__bT").isNotNull)
+      .otherwise(col("__fT").isNotNull) && withinTol
+
+    val out = filled.select(
+      (by ++ leftOnly).map(col) ++
+        rightVals.map(c => when(matched,
+          when(useBackward, col(s"__b_$c")).otherwise(col(s"__f_$c"))).as(c)): _*)
     val ordered = df.columns ++ rightVals
-    Relation(filled.select(ordered.map(col): _*), None, None)
+    Relation(out.select(ordered.map(col): _*), None, None)
+  }
+
+  /** Skew-safe equi-join on one key: left rows scatter deterministically
+    * across `salt` sub-keys (hash of the whole row) and the right side
+    * replicates `salt` times, so one hot key spreads over `salt` reducers.
+    * Result is identical to `join(other, key)`; use when a key is too hot
+    * even for AQE's skew-join splitting (which only splits the probe side).
+    */
+  def saltedJoin(other: Relation, key: String, salt: Int, how: String = "inner"): Relation = {
+    require(salt > 1, "salt must be > 1")
+    val l = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col): _*), lit(salt.toLong)).cast("int"))
+    val r = other.df.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    changed(l.join(r, Seq(key, "__salt"), how).drop("__salt"))
   }
 
   // ---- sort / limit (duckdb.py:1323-1438) -------------------------------

@@ -130,6 +130,74 @@ class RelationSpec extends SparkSpec {
       Row("B", 2L, 4L, null)))
   }
 
+  test("asofJoin: forward, nearest, and tolerance variants") {
+    val quotes = Relation(frame(
+      struct("sym" -> StringType, "t" -> LongType, "px" -> DoubleType),
+      Row("A", 1L, 10.0), Row("A", 5L, 11.0)))
+    val trades = Relation(frame(
+      struct("sym" -> StringType, "t" -> LongType, "qty" -> LongType),
+      Row("A", 0L, 1L), Row("A", 2L, 2L), Row("A", 4L, 3L), Row("A", 7L, 4L)))
+
+    val fwd = collectSorted(
+      trades.asofJoin(quotes, Seq("sym"), "t", "t", direction = "forward")
+        .toDF.select("t", "px"), "t")
+    assert(fwd == Seq(
+      Row(0L, 10.0), // next quote at 1
+      Row(2L, 11.0), // next quote at 5
+      Row(4L, 11.0),
+      Row(7L, null))) // nothing after
+
+    val near = collectSorted(
+      trades.asofJoin(quotes, Seq("sym"), "t", "t", direction = "nearest")
+        .toDF.select("t", "px"), "t")
+    assert(near == Seq(
+      Row(0L, 10.0), // 1 is closest
+      Row(2L, 10.0), // dist 1 back vs 3 fwd
+      Row(4L, 11.0), // dist 3 back vs 1 fwd
+      Row(7L, 11.0)))
+
+    val tol = collectSorted(
+      trades.asofJoin(quotes, Seq("sym"), "t", "t",
+        direction = "backward", toleranceSeconds = Some(1.0))
+        .toDF.select("t", "px"), "t")
+    assert(tol == Seq(
+      Row(0L, null),  // no quote before
+      Row(2L, 10.0),  // quote at 1, dist 1 ≤ tol
+      Row(4L, null),  // quote at 1, dist 3 > tol
+      Row(7L, null))) // quote at 5, dist 2 > tol
+  }
+
+  test("saltedJoin equals the plain equi-join") {
+    val nations = Relation(frame(
+      struct("rkey" -> LongType, "n_name" -> StringType),
+      Row(0L, "ALG"), Row(0L, "MOR"), Row(1L, "FRA"), Row(2L, "USA")))
+    val regions = Relation(frame(
+      struct("rkey" -> LongType, "r_name" -> StringType),
+      Row(0L, "AFRICA"), Row(1L, "EUROPE")))
+    val salted = nations.saltedJoin(regions, "rkey", salt = 4)
+    val plain = nations.join(regions.rename("rkey" -> "rk2"), "rkey = rk2")
+      .apply("rkey", "n_name", "r_name")
+    assert(salted.apply("rkey", "n_name", "r_name").sameAs(plain))
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val db = new Database(spark)
+    val suffix = java.lang.Long.toHexString(System.nanoTime())
+    val (ta, tb) = (s"bkt_a_$suffix", s"bkt_b_$suffix")
+    val data = Relation(frame(
+      struct("k" -> LongType, "v" -> StringType),
+      (0L until 50L).map(i => Row(i % 10, s"v$i")): _*))
+    db.createBucketedTable(ta, data, Seq("k"), buckets = 4)
+    db.createBucketedTable(tb, data, Seq("k"), buckets = 4)
+    val joined = spark.table(ta).join(spark.table(tb), "k")
+    val shuffles = joined.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }
+    assert(shuffles.isEmpty, s"expected no exchange, got: $shuffles")
+    assert(joined.count() == 250L) // 10 keys × 5 × 5
+  }
+
   test("union reorders columns by name and errors on set mismatch") {
     val a = t1.select("column_1", "column_2")
     val b = t1.select("column_2", "column_1") // reversed order
