@@ -465,6 +465,18 @@ object SparkEntry {
           expr(dsum("value")).as("total"))
         .select(col("window.start").as("w"), col("user_id"), col("n"), col("total"))
         .orderBy(col("user_id"), col("w"))),
+
+    // gap-based sessionization, batch form (lag → flag → running sum) —
+    // semantics shared with streaming.StreamingOps.sessionize (equivalence
+    // is unit-tested); totals excluded so every column is oracle-exact
+    "q47_sessionize" -> ((s, d) =>
+      graft.streaming.StreamingOps
+        .sessionizeBatch(Tables.events(s, d), gapMs = 30L * 60L * 1000L)
+        .select(col("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end").cast("timestamp_ntz").as("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))),
   )
 
   /** DuckDB oracle per query (same parquet tables, same column names). */
@@ -704,5 +716,24 @@ object SparkEntry {
         | cast(count(*) as bigint) AS n,
         | cast(sum(cast(value as decimal(18,2))) as decimal(38,2)) AS total
         |FROM events GROUP BY 1, 2 ORDER BY user_id, w""".stripMargin,
+
+    "q47_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, cast(ts as timestamp) AS ts,
+        |    lag(cast(ts as timestamp)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM g
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f
+        |)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  cast(count(*) as bigint) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
   )
 }

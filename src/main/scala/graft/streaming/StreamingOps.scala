@@ -165,6 +165,33 @@ object StreamingOps {
       }
   }
 
+  /** Batch sessionization with IDENTICAL semantics to [[sessionize]]: the
+    * classic lag → new-session flag → running-sum trick, so results can be
+    * cross-checked between the batch and streaming paths (and against a SQL
+    * oracle). One shuffle on user_id; the windows reuse its partitioning.
+    */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"), col("value").cast("double").as("value"))
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col("ts").cast("double") - col("__prev").cast("double") > gapMs / 1000.0, 1L)
+          .otherwise(0L))
+      .withColumn("__sid", sum(col("__new")).over(wRun))
+      .groupBy(col("user_id"), col("__sid"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .drop("__sid")
+  }
+
   /** [[sessionize]] adapted to the raw `events` table schema, watermark
     * included.
     */

@@ -126,6 +126,28 @@ class StreamingSpec extends SparkSpec {
     assert(StreamingOps.invalidRows(df, schema).count() == 2)
   }
 
+  test("sessionizeBatch matches the streaming sessionization on closed sessions") {
+    val rows = Seq(
+      Row(1L, ts("2026-01-01 10:00:00"), 1L, "click", 1.0),
+      Row(2L, ts("2026-01-01 10:00:30"), 1L, "click", 2.0),
+      Row(3L, ts("2026-01-01 10:10:00"), 1L, "click", 4.0),
+      Row(4L, ts("2026-01-01 10:00:10"), 2L, "click", 8.0))
+    val batch = StreamingOps.sessionizeBatch(frame(eventSt, rows: _*), gapMs = 60000L)
+      .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    // streaming run over the same rows (flush event closes every session)
+    val dir = eventFiles(Seq(rows,
+      Seq(Row(99L, ts("2026-01-01 12:00:00"), 9L, "click", 0.0))))
+    val out = StreamingOps.sessionizeEvents(
+      readEventStream(dir), watermarkDelay = "0 seconds", gapMs = 60000L)
+    runToCompletion(out.toDF(), "sess_eq")
+    val streamed = spark.table("sess_eq").where(col("user_id") =!= 9L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(batch.filterNot(_._1 == 9L) == streamed)
+  }
+
   test("sessionizeEvents: gap closes a session in-batch, timeout closes the tail") {
     val dir = eventFiles(Seq(
       Seq(
