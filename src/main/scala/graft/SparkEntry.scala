@@ -466,6 +466,17 @@ object SparkEntry {
         .select(col("window.start").as("w"), col("user_id"), col("n"), col("total"))
         .orderBy(col("user_id"), col("w"))),
 
+    // exact percentiles (linear interpolation — identical definition in
+    // Spark's percentile() and DuckDB's quantile_cont)
+    "q48_percentile" -> ((s, d) =>
+      rel(s, d, "lineitem")
+        .aggregate(
+          Seq("percentile(l_quantity, 0.5) as p50",
+            "percentile(l_quantity, 0.95) as p95",
+            "percentile(l_extendedprice, 0.99) as price_p99"),
+          groupBy = Seq("l_returnflag"))
+        .order("l_returnflag").toDF),
+
     // gap-based sessionization, batch form (lag → flag → running sum) —
     // semantics shared with streaming.StreamingOps.sessionize (equivalence
     // is unit-tested); totals excluded so every column is oracle-exact
@@ -716,6 +727,13 @@ object SparkEntry {
         | cast(count(*) as bigint) AS n,
         | cast(sum(cast(value as decimal(18,2))) as decimal(38,2)) AS total
         |FROM events GROUP BY 1, 2 ORDER BY user_id, w""".stripMargin,
+
+    "q48_percentile" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS p50,
+        | quantile_cont(l_quantity, 0.95) AS p95,
+        | quantile_cont(l_extendedprice, 0.99) AS price_p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q47_sessionize" ->
       """WITH g AS (
