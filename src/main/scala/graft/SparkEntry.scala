@@ -466,6 +466,13 @@ object SparkEntry {
         .select(col("window.start").as("w"), col("user_id"), col("n"), col("total"))
         .orderBy(col("user_id"), col("w"))),
 
+    // content-keyed train/val/test split — md5-based so the assignment is
+    // reproducible in ANY engine (oracle checks per-split counts AND ids)
+    "q49_data_split" -> ((s, d) =>
+      graft.ops.Sampling.md5Split(Tables(s, d, "documents"), "text")
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))),
+
     // exact percentiles (linear interpolation — identical definition in
     // Spark's percentile() and DuckDB's quantile_cont)
     "q48_percentile" -> ((s, d) =>
@@ -727,6 +734,14 @@ object SparkEntry {
         | cast(count(*) as bigint) AS n,
         | cast(sum(cast(value as decimal(18,2))) as decimal(38,2)) AS total
         |FROM events GROUP BY 1, 2 ORDER BY user_id, w""".stripMargin,
+
+    "q49_data_split" ->
+      """SELECT doc_id,
+        | CASE WHEN substr(md5(text), 1, 1) BETWEEN '0' AND '9'
+        |        OR substr(md5(text), 1, 1) IN ('a', 'b') THEN 'train'
+        |      WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q48_percentile" ->
       """SELECT l_returnflag,

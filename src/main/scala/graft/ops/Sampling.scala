@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Dataset splitting / sampling / mixing for training-data pipelines.
+  *
+  * Everything here is DETERMINISTIC and content-keyed: split membership is a
+  * pure function of the row's content hash (not of partitioning, row order,
+  * or a session seed), so a 100 TB corpus re-splits identically across
+  * clusters, re-runs, and engines — the property that keeps train/test
+  * contamination impossible when the corpus is re-processed.
+  */
+object Sampling {
+
+  /** Content-keyed split assignment: the first hex nibble of md5(key) (16
+    * uniform buckets) is mapped to named splits by sixteenths. Default
+    * 12/2/2 → 75% train, 12.5% val, 12.5% test. Pure projection — no
+    * shuffle, no seed, reproducible in any engine with md5.
+    */
+  def md5Split(
+      df: DataFrame,
+      keyCol: String,
+      splits: Seq[(String, Int)] = Seq("train" -> 12, "val" -> 2, "test" -> 2),
+      splitCol: String = "split"): DataFrame = {
+    require(splits.map(_._2).sum == 16,
+      s"split sixteenths must total 16, got ${splits.map(_._2).sum}")
+    val nibble = substring(md5(col(keyCol).cast("binary")), 1, 1)
+    val hex = "0123456789abcdef"
+    val bounds = splits.scanLeft(0) { case (acc, (_, n)) => acc + n }
+    val assignment = splits.zip(bounds).foldLeft(lit(null).cast("string")) {
+      case (acc, ((name, n), lo)) =>
+        when(nibble.isin(hex.slice(lo, lo + n).map(_.toString): _*), name)
+          .otherwise(acc)
+    }
+    df.withColumn(splitCol, assignment)
+  }
+
+  /** Per-stratum Bernoulli sampling (e.g. downsample one language or source
+    * to rebalance a corpus): content-keyed via xxhash64(key, stratum) so the
+    * decision is per-row deterministic. Rows in strata missing from
+    * `fractions` are kept.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      fractions: Map[String, Double]): DataFrame = {
+    val u = (pmod(xxhash64(col(keyCol), col(stratumCol)), lit(1000000L))
+      .cast("double") / 1000000.0)
+    val keepFraction = fractions.foldLeft(lit(1.0)) { case (acc, (stratum, f)) =>
+      when(col(stratumCol) === stratum, f).otherwise(acc)
+    }
+    df.where(u < keepFraction)
+  }
+
+  /** Weighted corpus mix: union of sources, each downsampled to its weight
+    * (1.0 = keep all). The mixing decision is content-keyed per source, so
+    * the mix is stable under re-runs and independent of source ordering.
+    */
+  def weightedMix(sources: Seq[(DataFrame, String, Double)], keyCol: String): DataFrame = {
+    require(sources.nonEmpty, "weightedMix needs at least one source")
+    sources.map { case (df, name, weight) =>
+      val u = (pmod(xxhash64(col(keyCol), lit(name)), lit(1000000L))
+        .cast("double") / 1000000.0)
+      df.where(u < weight).withColumn("mix_source", lit(name))
+    }.reduce(_ unionByName _)
+  }
+}

@@ -226,6 +226,40 @@ class OpsSpec extends SparkSpec {
     assert(out(3).isEmpty)
   }
 
+  test("md5Split: deterministic, complete, and proportional content-keyed splits") {
+    val df = docs((1L to 400L).map(i => i -> s"document number $i content"): _*)
+    val split = Sampling.md5Split(df, "text")
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 400L)            // complete: every row assigned
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    // deterministic: identical assignment on re-computation
+    val again = Sampling.md5Split(df, "text")
+    assert(split.exceptAll(again).isEmpty)
+  }
+
+  test("stratifiedSample and weightedMix are content-keyed and stable") {
+    val df = docs((1L to 300L).map(i =>
+      i -> (if (i % 3 == 0) s"en doc $i" else s"de doc $i")): _*)
+      .withColumn("lang", when(col("doc_id") % 3 === 0, "en").otherwise("de"))
+    val sampled = Sampling.stratifiedSample(df, "lang", "text", Map("de" -> 0.25))
+    val byLang = sampled.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") == 100L)                  // stratum not in map → kept
+    assert(byLang("de") > 20L && byLang("de") < 80L) // ~50 of 200
+    assert(sampled.exceptAll(
+      Sampling.stratifiedSample(df, "lang", "text", Map("de" -> 0.25))).isEmpty)
+
+    val mixed = Sampling.weightedMix(
+      Seq((df.where(col("lang") === "en"), "web", 1.0),
+        (df.where(col("lang") === "de"), "books", 0.3)), "text")
+    val bySrc = mixed.groupBy("mix_source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("web") == 100L)
+    assert(bySrc("books") > 30L && bySrc("books") < 90L)
+  }
+
   test("multimodal: binary payload plumbing with partition-batched stub decode") {
     val df = docs(1L -> "abcd", 2L -> "abcde")
     val meta = Multimodal.decodeMeta(
