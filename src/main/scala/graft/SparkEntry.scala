@@ -16,9 +16,13 @@ import graft.relation.Relation
   *   - every query has a TOTAL deterministic ORDER BY (unique key or full
   *     row), since row order feeds the driver's hash;
   *   - double aggregates go through decimal: `sum(cast(x as decimal(18,2)))`
-  *     then a final cast to a fixed decimal type — exact arithmetic, immune
-  *     to float summation-order nondeterminism, identical output schema in
-  *     Spark and DuckDB;
+  *     — exact arithmetic, immune to float summation-order nondeterminism —
+  *     then a final cast to DOUBLE. Output columns are never decimal:
+  *     DuckDB's pandas conversion renders DECIMAL as float64 while Spark
+  *     parquet read back through Arrow keeps Decimal objects, so a decimal
+  *     output hash-mismatches whenever the repr differs (`44.00` vs `44.0`)
+  *     even though the values are equal. Casting the same exact decimal to
+  *     double is deterministic in both engines → identical float64 bits;
   *   - integer aggregates are cast to bigint in the SQL (DuckDB's sum(int)
   *     returns hugeint, Spark's returns long);
   *   - `events.ts` (parquet ns) is read as long and converted with
@@ -40,8 +44,10 @@ object SparkEntry {
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
 
   // Decimal-safe money sum: exact, order-independent, schema-stable.
+  // Final cast to double (see class doc: decimal outputs are a driver-side
+  // repr hazard; the decimal→double cast itself is deterministic).
   private def dsum(e: String): String =
-    s"cast(sum(cast($e as decimal(18,2))) as decimal(38,2))"
+    s"cast(sum(cast($e as decimal(18,2))) as double)"
 
   /** Flagship query on sf=0.001: validate lineitem against a model, then a
     * revenue roll-up through the fluent relation API. Driver smoke-checks
@@ -138,7 +144,8 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "d0")
         .order("l_orderkey", "l_linenumber").toDF),
 
-    // §2.2 cast-to-model
+    // §2.2 cast-to-model (decimal model dtype; output re-cast to double —
+    // decimal output columns are a driver-side repr hazard, see class doc)
     "q10_cast" -> ((s, d) => {
       val m = Schema("LineItemTyped", Seq(
         FieldSpec.long("l_orderkey"),
@@ -147,6 +154,7 @@ object SparkEntry {
       rel(s, d, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .cast(m, strict = true)
+        .selectNamed("l_quantity" -> "cast(l_quantity as double)")
         .order("l_orderkey", "l_linenumber").toDF
     }),
 
@@ -501,8 +509,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = ListMap(
     "q01_aggregate" ->
       """SELECT l_returnflag, l_linestatus,
-        | cast(sum(cast(l_quantity as decimal(18,2))) as decimal(38,2)) AS sum_qty,
-        | cast(sum(cast(l_extendedprice as decimal(18,2))) as decimal(38,2)) AS sum_price,
+        | cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+        | cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_price,
         | cast(count(*) as bigint) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -545,12 +553,12 @@ object SparkEntry {
 
     "q10_cast" ->
       """SELECT l_orderkey, cast(l_linenumber as bigint) AS l_linenumber,
-        | cast(l_quantity as decimal(12,2)) AS l_quantity
+        | cast(cast(l_quantity as decimal(12,2)) as double) AS l_quantity
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q11_join_inner" ->
       """SELECT c_mktsegment,
-        | cast(sum(cast(o_totalprice as decimal(18,2))) as decimal(38,2)) AS total,
+        | cast(sum(cast(o_totalprice as decimal(18,2))) as double) AS total,
         | cast(count(*) as bigint) AS n
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
@@ -646,7 +654,7 @@ object SparkEntry {
 
     "q27_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        | cast(sum(cast(l_quantity as decimal(18,2))) as decimal(38,2)) AS sum_qty,
+        | cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
         | cast(count(*) as bigint) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY coalesce(l_returnflag, 'zzz'), coalesce(l_linestatus, 'zzz')""".stripMargin,
@@ -719,7 +727,7 @@ object SparkEntry {
 
     "q44_cube" ->
       """SELECT l_returnflag, l_linestatus,
-        | cast(sum(cast(l_quantity as decimal(18,2))) as decimal(38,2)) AS sum_qty,
+        | cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
         | cast(count(*) as bigint) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY coalesce(l_returnflag, 'zzz'), coalesce(l_linestatus, 'zzz')""".stripMargin,
@@ -732,7 +740,7 @@ object SparkEntry {
     "q46_time_bucket" ->
       """SELECT date_trunc('minute', cast(ts as timestamp)) AS w, user_id,
         | cast(count(*) as bigint) AS n,
-        | cast(sum(cast(value as decimal(18,2))) as decimal(38,2)) AS total
+        | cast(sum(cast(value as decimal(18,2))) as double) AS total
         |FROM events GROUP BY 1, 2 ORDER BY user_id, w""".stripMargin,
 
     "q49_data_split" ->

@@ -53,6 +53,22 @@ def main():
                 diffs = [(i, a, b) for i, (a, b) in enumerate(zip(sp, dp))
                          if a != b][:3]
                 status.append(f"VALUES first diffs: {diffs}")
+        if not status:
+            # Emulate the driver's pandas-path hash: spark via arrow
+            # to_pandas (decimals stay Decimal objects), oracle via duckdb
+            # .df() (decimals become float64). Repr differences like
+            # Decimal('44.00') vs 44.0 hash-mismatch there even when the
+            # arrow values above compare equal (round-1 lesson: q01/q10/
+            # q27/q44/q46).
+            spd = s.to_pandas().astype(str)
+            ddd = con.sql(oracle[q]).df()
+            ddd = ddd[sorted(ddd.columns)].astype(str)
+            if not spd.equals(ddd):
+                neq = (spd != ddd)
+                cols = [c for c in spd.columns if neq[c].any()]
+                ex = [(c, spd[c][neq[c]].iloc[0], ddd[c][neq[c]].iloc[0])
+                      for c in cols[:3]]
+                status.append(f"PANDAS-REPR diffs: {ex}")
         if status:
             n_fail += 1
             print(f"{q:24s} FAIL  {' | '.join(status)}")
