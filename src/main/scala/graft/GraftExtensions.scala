@@ -36,6 +36,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MinHashBandHashes(args(0), intArg(args(1), "k"),
           intArg(args(2), "numHashes"), intArg(args(3), "bands"))
       })
+    register(ext, "hashed_shingle_set",
+      "sorted distinct xxhash64 values of the k-token shingles of a token array",
+      args => {
+        arity(args, 2, "hashed_shingle_set")
+        HashedShingleSet(args(0), intArg(args(1), "k"))
+      })
+    register(ext, "jaccard_sorted",
+      "exact Jaccard of two sorted-distinct bigint arrays",
+      args => { arity(args, 2, "jaccard_sorted"); JaccardSorted(args(0), args(1)) })
+    register(ext, "hyperplane_bucket",
+      "random-hyperplane sign-bit bucket of a float vector",
+      args => {
+        arity(args, 2, "hyperplane_bucket")
+        HyperplaneBucket(args(0), intArg(args(1), "planes"))
+      })
   }
 
   private def register(

@@ -717,6 +717,62 @@ object SparkEntry {
         | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Exact O(n²) shingle-set Jaccard — the LSH plan's recall on this corpus
+    // is total (b=32, r=2 → P(detect j≥0.5) > 0.9999), so the banded +
+    // verified output equals the exhaustive answer, and DuckDB's
+    // list_intersect division is bit-identical to the merge-scan kernel.
+    "q35_minhash_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                   for i in range(1, len(toks)-1)]) AS sh
+        |  FROM t WHERE len(toks) >= 3
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // Exact cosine top-k: DuckDB's list_cosine_similarity over DOUBLE[]
+    // accumulates left-to-right in double — bit-identical to the
+    // CosineSimilarity kernel (verified empirically on all 50 rows).
+    "q37_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cosine
+        |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    cast(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) as int) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // Exact O(n²) char-10-gram Jaccard (same recall argument as q35; the
+    // size-ratio join predicate is a lossless prune: j ≥ 0.5 ⇒ sizes within
+    // 2× of each other, and 3·inter ≥ na+nb ⇔ jaccard ≥ 0.5 exactly).
+    "q42_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, list_distinct([nt[i:i+9] for i in range(1, len(nt) - 8)]) AS sh
+        |  FROM t WHERE len(nt) >= 10
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    len(list_intersect(a.sh, b.sh)) AS inter, len(a.sh) AS na, len(b.sh) AS nb
+        |  FROM s a JOIN s b
+        |    ON a.doc_id < b.doc_id AND 2*len(a.sh) >= len(b.sh) AND 2*len(b.sh) >= len(a.sh)
+        |)
+        |SELECT id_a, id_b, inter::DOUBLE / (na + nb - inter) AS jaccard
+        |FROM p WHERE 3*inter >= na + nb ORDER BY id_a, id_b""".stripMargin,
+
     "q40_multimodal" ->
       """SELECT doc_id,
         | cast(octet_length(encode(text)) as bigint) AS n_bytes,

@@ -52,6 +52,24 @@ object native {
   /** 64-bit SimHash of a token-array column. */
   def simhash64(tokens: Column): Column =
     GraftBridge.column(SimHash64(GraftBridge.expression(tokens)))
+
+  /** Sorted distinct xxhash64 values of the k-token shingles of a token
+    * array: the exact-verification form of a shingle set. k = 1 hashes the
+    * tokens themselves.
+    */
+  def hashedShingleSet(tokens: Column, k: Int): Column =
+    GraftBridge.column(HashedShingleSet(GraftBridge.expression(tokens), k))
+
+  /** Exact Jaccard of two sorted-distinct long-array columns (one merge
+    * scan; the [[hashedShingleSet]] counterpart of [[jaccard]]).
+    */
+  def jaccardSorted(a: Column, b: Column): Column =
+    GraftBridge.column(
+      JaccardSorted(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Random-hyperplane sign-bit bucket of a float-vector column. */
+  def hyperplaneBucket(vec: Column, planes: Int): Column =
+    GraftBridge.column(HyperplaneBucket(GraftBridge.expression(vec), planes))
 }
 
 /** Fused shingle→minhash→band kernel. One pass over the shingles; for each
@@ -191,6 +209,95 @@ case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Sorted distinct xxhash64(seed 42) values of the k-token shingles of a
+  * token array — the exact-verification twin of [[MinHashBandHashes]]: the
+  * LSH operators verify candidate pairs with Jaccard over these hashed sets
+  * instead of string sets, so the verification join shuffles 8-byte longs
+  * (not gram strings) and the per-pair cost is one merge scan
+  * ([[JaccardSorted]]) instead of building two string hash-sets. Hash
+  * collisions merge two shingles (P ≈ |set|²/2⁶⁵ ≈ 1e-13 per document —
+  * negligible against the float noise floor of any similarity threshold).
+  */
+case class HashedShingleSet(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, s"k must be positive, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_shingle_set"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashUtil.hashedShingleSet(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashUtil.hashedShingleSet($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedShingleSet =
+    copy(child = newChild)
+}
+
+/** Exact Jaccard over two sorted-distinct long arrays: one merge scan, no
+  * allocation. Pairs with [[HashedShingleSet]].
+  */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> inputs, got ${l.sql}, ${r.sql}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SetMath.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.SetMath.jaccardSorted($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSorted =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Random-hyperplane sign-bit bucket: bit p of the result is set when the
+  * dot product of the vector with pseudo-random hyperplane p (component i =
+  * ±1 by the parity of xxhash64(p, i), seed 42) is positive. Bit-identical
+  * to the HOF form [[graft.ops.Similarity.hyperplaneBucketExpr]] (same
+  * hash chain, same left-to-right double accumulation), which the ANN
+  * operators previously paid interpreted-lambda cost for — planes × dim
+  * lambda evaluations per row.
+  */
+case class HyperplaneBucket(child: Expression, planes: Int)
+    extends UnaryExpression {
+  require(planes > 0 && planes < 31, s"planes must be in [1, 30], got $planes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${t.sql}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hyperplane_bucket"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorMath.hyperplaneBucket(input.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorMath.hyperplaneBucket($c, $planes)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
 object TextUtil {
   def charNgrams(s: UTF8String, n: Int): ArrayData = {
     val len = s.numChars()
@@ -217,6 +324,23 @@ object SetMath {
     val it = setB.iterator()
     while (it.hasNext) if (setA.contains(it.next())) inter += 1
     val union = setA.size() + setB.size() - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
     if (union == 0) 0.0 else inter.toDouble / union
   }
 }
@@ -277,6 +401,45 @@ object MinHashUtil {
     new GenericArrayData(out)
   }
 
+  /** Sorted distinct shingle hashes (seed 42, the `functions.xxhash64`
+    * default). Shingle strings exist only transiently inside this kernel —
+    * they are never materialized into row storage.
+    */
+  def hashedShingleSet(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    val numShingles = n - k + 1
+    if (numShingles <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](numShingles)
+    if (k == 1) {
+      var i = 0
+      while (i < n) { hs(i) = hashString(tokens.getUTF8String(i), 42L); i += 1 }
+    } else {
+      val parts = new Array[UTF8String](2 * k - 1)
+      var i = 0
+      while (i < numShingles) {
+        var p = 0
+        var t = i
+        while (t < i + k) {
+          if (p > 0) { parts(p) = Space; p += 1 }
+          parts(p) = tokens.getUTF8String(t)
+          p += 1
+          t += 1
+        }
+        hs(i) = hashString(UTF8String.concat(parts: _*), 42L)
+        i += 1
+      }
+    }
+    java.util.Arrays.sort(hs)
+    // in-place dedup of the sorted array
+    var w = 1
+    var r = 1
+    while (r < numShingles) {
+      if (hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(if (w == numShingles) hs else java.util.Arrays.copyOf(hs, w))
+  }
+
   def simhash64(tokens: ArrayData): Long = {
     val votes = new Array[Int](64)
     val n = tokens.numElements()
@@ -316,5 +479,28 @@ object VectorMath {
       i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def hyperplaneBucket(v: ArrayData, planes: Int): Int = {
+    val n = v.numElements()
+    var bucket = 0
+    var p = 0
+    while (p < planes) {
+      // xxhash64(p, i): seed 42, ints hashed in argument order
+      val hp = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(p, 42L)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val x = v.getFloat(i).toDouble
+        val sign =
+          if ((org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, hp) & 1L) == 0L) 1.0
+          else -1.0
+        dot += x * sign
+        i += 1
+      }
+      if (dot > 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
   }
 }

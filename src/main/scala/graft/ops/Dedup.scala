@@ -98,8 +98,11 @@ object Dedup {
       graft.functions.native
         .minhashBandHashes(TextOps.wsTokens(col(textCol)), k, numHashes, bands)
         .as("bh"))
-    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-    lshVerifiedPairs(sigs, withSh, threshold)
+    val withHs = df.select(
+      col(idCol).as("id"),
+      graft.functions.native
+        .hashedShingleSet(TextOps.wsTokens(col(textCol)), k).as("hs"))
+    lshVerifiedPairs(sigs, withHs, threshold)
   }
 
   /** Character n-gram near-duplicate pairs: MinHash LSH over the `n`-char
@@ -121,8 +124,11 @@ object Dedup {
       graft.functions.native
         .minhashBandHashes(charNgrams(col(textCol), n), 1, numHashes, bands)
         .as("bh"))
-    val withSh = df.select(col(idCol).as("id"), charNgrams(col(textCol), n).as("sh"))
-    lshVerifiedPairs(sigs, withSh, threshold)
+    val withHs = df.select(
+      col(idCol).as("id"),
+      graft.functions.native
+        .hashedShingleSet(charNgrams(col(textCol), n), 1).as("hs"))
+    lshVerifiedPairs(sigs, withHs, threshold)
   }
 
   /** Character n-grams of whitespace-normalized lowercase text (empty when
@@ -138,13 +144,14 @@ object Dedup {
     *
     * @param sigs  (id, bh: array<bigint>) — per-doc band hashes; empty array
     *   ⇒ doc is skipped.
-    * @param withSh (id, sh: array<string>) — the exact shingle/gram sets used
-    *   for verification (set semantics: duplicates are collapsed by
-    *   array_intersect/array_union).
+    * @param withHs (id, hs: array<bigint>) — sorted-distinct hashed shingle
+    *   sets ([[graft.functions.HashedShingleSet]]) used for exact
+    *   verification: one merge scan per candidate pair, and the
+    *   verification join shuffles 8-byte hashes instead of gram strings.
     *
     * The bucket shuffle carries ONLY (band, bandHash, id) — never shingle
     * arrays. At 100 TB the explode is `bands`× the id column, not `bands`×
-    * the corpus text; verification re-joins shingles onto the (small)
+    * the corpus text; verification re-joins hashed sets onto the (small)
     * deduplicated candidate set.
     */
   /** Candidate pairs from LSH buckets WITHOUT a self-join: one shuffle
@@ -159,22 +166,23 @@ object Dedup {
   private[ops] def candidatePairs(buckets: DataFrame, maxBucketSize: Int): DataFrame = {
     val grouped = buckets
       .groupBy(col("band"), col("bhash"))
-      .agg(collect_list(col("id")).as("ids"))
+      .agg(array_sort(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
+    // Two generator stages (posexplode → slice → explode), all codegen —
+    // no interpreted lambdas in the pair fan-out, which is the single
+    // highest-cardinality intermediate of the whole dedup plan. `ids` is
+    // sorted ONCE per bucket, in the aggregate.
     grouped
-      .select(explode(bind(array_sort(col("ids"))) { ids =>
-        flatten(transform(ids, (x, i) =>
-          transform(
-            slice(ids, i + 2, greatest(size(ids) - i - 1, lit(0))),
-            y => struct(x.as("id_a"), y.as("id_b")))))
-      }).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + 2,
+          greatest(size(col("ids")) - col("i") - 1, lit(0)))).as("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
 
   private def lshVerifiedPairs(
       sigs: DataFrame,
-      withSh: DataFrame,
+      withHs: DataFrame,
       threshold: Double,
       maxBucketSize: Int = 4096): DataFrame = {
     // No size(bh)>0 pre-filter: posexplode of an empty array emits no rows
@@ -184,10 +192,10 @@ object Dedup {
     val buckets = sigs.select(
       posexplode(col("bh")).as(Seq("band", "bhash")), col("id"))
     candidatePairs(buckets, maxBucketSize)
-      .join(withSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(withSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(withHs.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(withHs.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .withColumn("jaccard",
-        graft.functions.native.jaccard(col("sh_a"), col("sh_b")))
+        graft.functions.native.jaccardSorted(col("hs_a"), col("hs_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -43,8 +43,17 @@ object Similarity {
   /** Sign-bit bucket from `planes` deterministic pseudo-random hyperplanes:
     * plane p's component for dimension i is ±1 by xxhash64(p, i) parity, so
     * no model state is stored and every executor computes identical planes.
+    * Native codegen kernel ([[graft.functions.HyperplaneBucket]]); the HOF
+    * equivalent is kept as [[hyperplaneBucketExpr]] (bit-identical).
     */
   def hyperplaneBucket(vec: Column, planes: Int): Column =
+    graft.functions.native.hyperplaneBucket(vec, planes)
+
+  /** Pure `functions._` hyperplane bucket (interpreted per element — prefer
+    * [[hyperplaneBucket]] in hot paths; bit-identical hash chain and
+    * accumulation order).
+    */
+  def hyperplaneBucketExpr(vec: Column, planes: Int): Column =
     (0 until planes).map { p =>
       val dot = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>

@@ -198,6 +198,48 @@ class OpsSpec extends SparkSpec {
       .head().getInt(0) == 32)
   }
 
+  test("native hyperplane bucket is bit-identical to the HOF expression") {
+    val df = frame(
+      struct("v" -> ArrayType(FloatType)),
+      Row(Seq(1.0f, 2.5f, -0.5f, 0.75f)),
+      Row(Seq(-0.1f, 0.2f, -0.3f, 0.4f)),
+      Row(Seq(0.0f, 0.0f, 0.0f, 0.0f)))
+    val out = df.select(
+      Similarity.hyperplaneBucket(col("v"), 6).as("native"),
+      Similarity.hyperplaneBucketExpr(col("v"), 6).as("hof")).collect()
+    out.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("hashed-set jaccard equals string-set jaccard on word shingles") {
+    val df = docs(
+      1L -> "one two three four five six seven",
+      2L -> "one two three four five nine seven",
+      3L -> "totally different text with other words here")
+    val a = df.select(col("doc_id").as("id_a"),
+      Dedup.shingles(col("text"), 3).as("sh_a"),
+      graft.functions.native.hashedShingleSet(
+        graft.ops.TextOps.wsTokens(col("text")), 3).as("hs_a"))
+    val b = a.select(col("id_a").as("id_b"), col("sh_a").as("sh_b"),
+      col("hs_a").as("hs_b"))
+    val out = a.crossJoin(b).where(col("id_a") < col("id_b")).select(
+      graft.functions.native.jaccard(col("sh_a"), col("sh_b")).as("strs"),
+      graft.functions.native.jaccardSorted(col("hs_a"), col("hs_b")).as("hashed"))
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("hashed shingle set is sorted, distinct, and empty under k tokens") {
+    val df = docs(1L -> "a b a b a b", 2L -> "a b")
+    val out = df.orderBy(col("doc_id")).select(
+      graft.functions.native.hashedShingleSet(
+        graft.ops.TextOps.wsTokens(col("text")), 3).as("hs"))
+      .collect().map(_.getSeq[Long](0))
+    assert(out(0).length == 2) // "a b a" and "b a b" repeat → 2 distinct
+    assert(out(0) == out(0).sorted)
+    assert(out(1).isEmpty)
+  }
+
   test("native cosine kernel agrees with the HOF expression bit-for-bit") {
     val df = frame(
       struct("a" -> ArrayType(FloatType), "b" -> ArrayType(FloatType)),
