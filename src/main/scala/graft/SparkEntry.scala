@@ -492,6 +492,39 @@ object SparkEntry {
           groupBy = Seq("l_returnflag"))
         .order("l_returnflag").toDF),
 
+    // §2.4 extension: pivot (explicit value list — no inference scan)
+    "q50_pivot" -> ((s, d) =>
+      rel(s, d, "orders")
+        .withColumns("yr" -> "cast(year(o_orderdate) as int)")
+        .pivot(Seq("yr"), "o_orderstatus", Seq("O", "F", "P"), "count(*)")
+        .selectNamed(
+          "O" -> "cast(coalesce(O, 0) as bigint)",
+          "F" -> "cast(coalesce(F, 0) as bigint)",
+          "P" -> "cast(coalesce(P, 0) as bigint)")
+        .order("yr").toDF),
+
+    // generator/explode surface: corpus token frequencies, top 100
+    "q51_token_explode" -> ((s, d) =>
+      Relation(graft.ops.TextOps.termFrequencies(Tables(s, d, "documents"), "text"))
+        .order("n desc", "token").limit(100).toDF),
+
+    // banded interval join: quantity bands (overlapping) × lineitem — an
+    // equi-key hash join on derived buckets, not a nested-loop range join
+    "q52_range_join" -> ((s, d) => {
+      val bands = Relation(s.range(16).toDF("band_id")
+        .selectExpr("band_id", "band_id * 3.0 AS lo", "band_id * 3.0 + 10.0 AS hi"))
+      rel(s, d, "lineitem")
+        .apply("l_orderkey", "l_linenumber", "l_quantity")
+        .rangeJoin(bands, "l_quantity", "lo", "hi", bucket = 5.0)
+        .apply("l_orderkey", "l_linenumber", "band_id")
+        .order("l_orderkey", "l_linenumber", "band_id").toDF
+    }),
+
+    // tf-idf-style per-document top terms (exact rational idf)
+    "q53_tfidf" -> ((s, d) =>
+      graft.ops.TextOps.topTermsPerDoc(Tables(s, d, "documents"), "doc_id", "text", k = 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
     // gap-based sessionization, batch form (lag → flag → running sum) —
     // semantics shared with streaming.StreamingOps.sessionize (equivalence
     // is unit-tested); totals excluded so every column is oracle-exact
@@ -806,6 +839,48 @@ object SparkEntry {
         |      WHEN substr(md5(text), 1, 1) IN ('c', 'd') THEN 'val'
         |      ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q50_pivot" ->
+      """SELECT cast(year(o_orderdate) as int) AS yr,
+        | cast(count(*) FILTER (o_orderstatus = 'O') as bigint) AS "O",
+        | cast(count(*) FILTER (o_orderstatus = 'F') as bigint) AS "F",
+        | cast(count(*) FILTER (o_orderstatus = 'P') as bigint) AS "P"
+        |FROM orders GROUP BY yr ORDER BY yr""".stripMargin,
+
+    "q51_token_explode" ->
+      """SELECT token, cast(count(*) as bigint) AS n FROM (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+
+    "q52_range_join" ->
+      """WITH bands AS (
+        |  SELECT range AS band_id, range * 3.0 AS lo, range * 3.0 + 10.0 AS hi
+        |  FROM range(16))
+        |SELECT l_orderkey, l_linenumber, band_id
+        |FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+        |ORDER BY l_orderkey, l_linenumber, band_id""".stripMargin,
+
+    "q53_tfidf" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, token, cast(count(*) as bigint) AS tf
+        |  FROM tokens GROUP BY doc_id, token
+        |), dfreq AS (
+        |  SELECT token, cast(count(*) as bigint) AS df
+        |  FROM (SELECT DISTINCT doc_id, token FROM tokens) GROUP BY token
+        |), scored AS (
+        |  SELECT doc_id, token, tf, df, tf::DOUBLE / df::DOUBLE AS score
+        |  FROM tf JOIN dfreq USING (token)
+        |), ranked AS (
+        |  SELECT doc_id, token, score,
+        |    cast(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, token) as int) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, token, score FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
 
     "q48_percentile" ->
       """SELECT l_returnflag,

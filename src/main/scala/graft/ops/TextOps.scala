@@ -85,4 +85,44 @@ object TextOps {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
+
+  /** Corpus-wide token frequencies, highest first (ties by token). One
+    * generator + one partial-aggregated shuffle on the token — the map-side
+    * combine collapses each split's repeats before anything moves, so the
+    * shuffle volume is per-split vocabulary, not corpus token count.
+    */
+  def termFrequencies(df: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame =
+    df.select(explode(wsTokens(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-document top-`k` tokens by tf/df weight (tf-idf with the exact
+    * rational inverse-frequency N/df — the constant corpus-size factor N
+    * does not change per-document ranking, and dropping it keeps every
+    * score a bit-exact division of two counts; a log-idf would differ
+    * between engines in final ulps). Two aggregations and one join, all
+    * keyed on the token; the per-document ranking window partitions by
+    * document — no global ordering anywhere.
+    */
+  def topTermsPerDoc(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tokens = df.select(col(idCol).as("doc_id"),
+      explode(wsTokens(col(textCol))).as("token"))
+    val tf = tokens.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tokens.distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(dfreq, Seq("token"))
+      .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("token"), col("score"))
+  }
 }

@@ -196,6 +196,22 @@ final case class Relation(
   def aggregate(expr1: String, groupBy: String): Relation =
     aggregate(Seq(expr1), Seq(groupBy))
 
+  /** Pivot: one output column per value in `values`, each holding
+    * `aggExpr` over the matching rows. `values` is REQUIRED (not inferred):
+    * inferring distinct pivot values costs an extra full-scan job before
+    * the real aggregation — at 100 TB that is a second pass over the
+    * corpus for metadata the caller usually knows. One shuffle on the
+    * group keys either way.
+    */
+  def pivot(
+      groupBy: Seq[String],
+      pivotCol: String,
+      values: Seq[Any],
+      aggExpr: String): Relation =
+    changed(df.groupBy(groupBy.map(col): _*)
+      .pivot(pivotCol, values)
+      .agg(expr(aggExpr)))
+
   def count(): Long = df.count()
 
   // ---- joins (duckdb.py:1136-1321 + pydantic.py:1044-1116) --------------
@@ -326,6 +342,41 @@ final case class Relation(
     val r = other.df.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     changed(l.join(r, Seq(key, "__salt"), how).drop("__salt"))
+  }
+
+  /** Banded interval (range) join: rows of this relation whose `pointCol`
+    * value falls in [`startCol`, `endCol`) of `other`.
+    *
+    * A raw range predicate has no equi-key, so Catalyst can only pick a
+    * nested-loop join — O(|left|·|right|) comparisons, which is the classic
+    * 100 TB trap. This plan derives an equi-key instead: each interval
+    * explodes to the width-`bucket` buckets it covers, each point maps to
+    * its one bucket, and the join is a plain HASH join on the bucket id
+    * with the exact range predicate as a post-filter. Interval replication
+    * is `ceil(span / bucket)` rows — pick `bucket` near the typical span.
+    * Overlapping intervals multiply matches, exactly like the raw
+    * predicate would.
+    */
+  def rangeJoin(
+      other: Relation,
+      pointCol: String,
+      startCol: String,
+      endCol: String,
+      bucket: Double): Relation = {
+    require(bucket > 0, "bucket width must be positive")
+    val b = lit(bucket)
+    // end is exclusive: an interval ending exactly on a bucket edge does
+    // not reach into that bucket, hence ceil(end/b)-1 (== floor for
+    // non-integral quotients).
+    val first = floor(col(startCol) / b).cast("long")
+    val last = (ceil(col(endCol) / b).cast("long") - 1)
+    val r = other.df.withColumn("__bucket",
+      explode(when(last >= first, sequence(first, last))
+        .otherwise(array().cast("array<long>"))))
+    val l = df.withColumn("__bucket", floor(col(pointCol) / b).cast("long"))
+    changed(l.join(r, Seq("__bucket"))
+      .where(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bucket"))
   }
 
   // ---- sort / limit (duckdb.py:1323-1438) -------------------------------

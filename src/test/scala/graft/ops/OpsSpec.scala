@@ -198,6 +198,27 @@ class OpsSpec extends SparkSpec {
       .head().getInt(0) == 32)
   }
 
+  test("topTermsPerDoc ranks a doc's distinctive token first") {
+    val df = docs(
+      1L -> "alpha alpha common",
+      2L -> "beta beta common",
+      3L -> "gamma gamma common")
+    val out = TextOps.topTermsPerDoc(df, "doc_id", "text", k = 2)
+      .orderBy(col("doc_id"), col("rank")).collect()
+    // the unique token (tf=2, df=1 → 2.0) outranks "common" (1/3)
+    assert(out.filter(_.getInt(1) == 1).map(_.getString(2)).toSeq ==
+      Seq("alpha", "beta", "gamma"))
+    assert(out.forall(r => r.getInt(1) <= 2))
+  }
+
+  test("termFrequencies counts corpus-wide tokens") {
+    val df = docs(1L -> "a b a", 2L -> "b c")
+    val out = TextOps.termFrequencies(df, "text")
+      .orderBy(col("token")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+  }
+
   test("native hyperplane bucket is bit-identical to the HOF expression") {
     val df = frame(
       struct("v" -> ArrayType(FloatType)),

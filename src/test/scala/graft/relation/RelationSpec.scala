@@ -180,6 +180,36 @@ class RelationSpec extends SparkSpec {
     assert(salted.apply("rkey", "n_name", "r_name").sameAs(plain))
   }
 
+  test("rangeJoin equals the raw range predicate, including edge exclusivity") {
+    val points = Relation(frame(
+      struct("pid" -> LongType, "x" -> DoubleType),
+      Row(1L, 0.0), Row(2L, 4.9), Row(3L, 5.0), Row(4L, 10.0), Row(5L, 17.5)))
+    val ivals = Relation(frame(
+      struct("iid" -> LongType, "lo" -> DoubleType, "hi" -> DoubleType),
+      Row(10L, 0.0, 5.0), Row(11L, 4.0, 10.0), Row(12L, 15.0, 15.0), // empty
+      Row(13L, 9.0, 20.0)))
+    val banded = points.rangeJoin(ivals, "x", "lo", "hi", bucket = 4.0)
+      .apply("pid", "iid")
+    val naive = points.join(ivals, "x >= lo AND x < hi").apply("pid", "iid")
+    assert(banded.sameAs(naive))
+    // interval ending exactly on a bucket edge must not match that edge
+    assert(!banded.toDF.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .contains((3L, 10L)))
+  }
+
+  test("pivot produces one column per value with the aggregate applied") {
+    val sales = Relation(frame(
+      struct("yr" -> IntegerType, "status" -> StringType, "amt" -> LongType),
+      Row(2024, "O", 10L), Row(2024, "F", 20L), Row(2024, "O", 5L),
+      Row(2025, "F", 7L)))
+    val out = sales.pivot(Seq("yr"), "status", Seq("O", "F"), "sum(amt)")
+      .order("yr").toDF
+    assert(out.columns.toSeq == Seq("yr", "O", "F"))
+    val rows = out.collect()
+    assert(rows(0).getLong(1) == 15L && rows(0).getLong(2) == 20L)
+    assert(rows(1).isNullAt(1) && rows(1).getLong(2) == 7L)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val db = new Database(spark)
