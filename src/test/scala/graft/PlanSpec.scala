@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.relation.Relation
+
+/** Physical-plan shape guards for the properties that decide whether a
+  * query survives a 100× scale-up. Correctness tests can't catch a plan
+  * regression (the slow plan returns the same rows), so the scale-critical
+  * shapes are asserted directly on the executed plan:
+  *
+  *   - filters and column pruning must reach the parquet scan;
+  *   - small-dimension joins must broadcast (no full shuffle);
+  *   - order+limit must compile to TakeOrderedAndProject (never a global
+  *     sort);
+  *   - the banded range join must be a hash join, not nested-loop;
+  *   - hot per-row kernels must sit inside WholeStageCodegen spans.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter and projection push down to the parquet scan") {
+    val df = Tables(spark, dir, "lineitem")
+      .where(col("l_quantity") < 10)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,10.0)]"),
+      s"filter not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$p")
+  }
+
+  test("small-dimension join broadcasts instead of shuffling the fact side") {
+    val p = plan(
+      Tables(spark, dir, "orders").join(
+        Tables(spark, dir, "customer").select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey")))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected sort-merge join:\n$p")
+  }
+
+  test("order+limit compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan(
+      Relation(Tables(spark, dir, "orders"))
+        .order("o_totalprice desc").limit(10).toDF)
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$p")
+  }
+
+  test("banded range join is a hash join on the bucket key, never nested-loop") {
+    val bands = Relation(spark.range(16).toDF("band_id")
+      .selectExpr("band_id", "band_id * 3.0 AS lo", "band_id * 3.0 + 10.0 AS hi"))
+    val p = plan(
+      Relation(Tables(spark, dir, "lineitem"))
+        .apply("l_orderkey", "l_quantity")
+        .rangeJoin(bands, "l_quantity", "lo", "hi", bucket = 5.0).toDF)
+    assert(p.contains("HashJoin"), s"expected hash join:\n$p")
+    assert(!p.contains("NestedLoop"), s"nested-loop join leaked in:\n$p")
+  }
+
+  test("dedup signature kernels run inside WholeStageCodegen") {
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    val df = Tables(spark, dir, "documents").select(
+      graft.functions.native.minhashBandHashes(
+        graft.ops.TextOps.wsTokens(col("text")), 3, 64, 32).as("bh"))
+    val spans = df.queryExecution.executedPlan.collect {
+      case w: WholeStageCodegenExec => w }
+    assert(spans.nonEmpty, s"kernel fell out of codegen:\n${plan(df)}")
+  }
+
+  test("validation compiles to ONE aggregate pass over the frame") {
+    val m = core.Schema("LI", Seq(
+      core.FieldSpec.long("l_orderkey"),
+      core.FieldSpec.double("l_quantity", nullable = true)
+        .copy(bounds = core.Bounds(le = Some(45))),
+      core.FieldSpec.enum("l_returnflag", Seq("A", "N", "R"), nullable = true)))
+    val report = core.Validator.reportDF(
+      Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity", "l_returnflag"), m)
+    // one scan feeding one partial+final aggregate pair — no per-column jobs
+    val scans = "FileScan parquet".r.findAllIn(plan(report)).length
+    assert(scans == 1, s"validation should scan once, saw $scans:\n${plan(report)}")
+  }
+}
