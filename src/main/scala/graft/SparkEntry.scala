@@ -525,6 +525,33 @@ object SparkEntry {
       graft.ops.TextOps.topTermsPerDoc(Tables(s, d, "documents"), "doc_id", "text", k = 3)
         .orderBy(col("doc_id"), col("rank"))),
 
+    // distinct-count: exact (hash-checked) + HLL sketch accuracy asserted
+    // in-query (approx_count_distinct is deterministic for fixed data; the
+    // oracle states the 5%-accuracy claim as a literal). At 100 TB the
+    // sketch IS the operator — mergeable, single-pass, fixed memory.
+    "q54_approx_distinct" -> ((s, d) =>
+      rel(s, d, "lineitem")
+        .aggregate(
+          Seq("cast(count(distinct l_partkey) as bigint) as n_parts",
+            """cast(abs(approx_count_distinct(l_partkey) - count(distinct l_partkey))
+              |  <= 0.05 * count(distinct l_partkey) as boolean) as hll_within_5pct"""
+              .stripMargin),
+          groupBy = Seq("l_returnflag"))
+        .order("l_returnflag").toDF),
+
+    // quantile sketch twin of q48: exact percentile hash-checked, the
+    // approx_percentile sketch asserted within 1% in-query
+    "q55_approx_percentile" -> ((s, d) =>
+      rel(s, d, "lineitem")
+        .aggregate(
+          Seq("percentile(l_extendedprice, 0.5) as p50",
+            """cast(abs(approx_percentile(l_extendedprice, 0.5, 10000)
+              |  - percentile(l_extendedprice, 0.5))
+              |  <= 0.01 * percentile(l_extendedprice, 0.5) as boolean) as sketch_within_1pct"""
+              .stripMargin),
+          groupBy = Seq("l_returnflag"))
+        .order("l_returnflag").toDF),
+
     // gap-based sessionization, batch form (lag → flag → running sum) —
     // semantics shared with streaming.StreamingOps.sessionize (equivalence
     // is unit-tested); totals excluded so every column is oracle-exact
@@ -881,6 +908,18 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, rank, token, score FROM ranked WHERE rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+
+    "q54_approx_distinct" ->
+      """SELECT l_returnflag,
+        | cast(count(distinct l_partkey) as bigint) AS n_parts,
+        | true AS hll_within_5pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q55_approx_percentile" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_extendedprice, 0.5) AS p50,
+        | true AS sketch_within_1pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q48_percentile" ->
       """SELECT l_returnflag,

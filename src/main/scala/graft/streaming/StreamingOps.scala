@@ -116,6 +116,40 @@ object StreamingOps {
     df.withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols.head, idCols.tail: _*)
 
+  /** Stream-stream inner join bounded in event time: left rows match right
+    * rows with the same `key` whose `rightTs` lies in
+    * `[leftTs - maxLagMs, leftTs]` (e.g. a click joined to the purchases it
+    * preceded within the lag window). Both sides are watermarked and the
+    * time-range condition bounds the join state — Spark drops buffered rows
+    * once the watermark passes `ts + maxLagMs`, so state is O(rate × lag),
+    * never O(stream). Works identically on batch frames (the same plan
+    * minus state).
+    *
+    * Column names apart from `key` must be disjoint between the sides (the
+    * join preserves both frames' columns).
+    */
+  def joinWithinTime(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      watermarkDelay: String,
+      maxLagMs: Long): DataFrame = {
+    val overlap = (left.columns.toSet & right.columns.toSet) - key
+    require(overlap.isEmpty,
+      s"joinWithinTime: non-key columns collide: ${overlap.mkString(", ")}")
+    val l = (if (left.isStreaming) left.withWatermark(leftTs, watermarkDelay)
+             else left).alias("l")
+    val r = (if (right.isStreaming) right.withWatermark(rightTs, watermarkDelay)
+             else right).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $maxLagMs MILLISECONDS") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs"))
+      .drop(col(s"r.$key"))
+  }
+
   /** Event-time sessionization with a gap timeout: consecutive events of a
     * user belong to one session while the gap between them is below
     * `gapMs`; a session closes (and is emitted) when the watermark passes

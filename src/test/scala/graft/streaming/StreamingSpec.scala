@@ -148,6 +148,39 @@ class StreamingSpec extends SparkSpec {
     assert(batch.filterNot(_._1 == 9L) == streamed)
   }
 
+  test("joinWithinTime: stream-stream join matches the batch plan, state bounded") {
+    val clickRows = Seq(
+      Row(1L, ts("2026-01-01 10:00:00"), 1L, "click", 1.0),
+      Row(2L, ts("2026-01-01 10:05:00"), 1L, "click", 2.0),
+      Row(3L, ts("2026-01-01 10:00:10"), 2L, "click", 3.0))
+    val buyRows = Seq(
+      Row(11L, ts("2026-01-01 10:00:30"), 1L, "purchase", 10.0), // after click 1
+      Row(12L, ts("2026-01-01 10:04:30"), 1L, "purchase", 20.0), // before click 2 (30 s)
+      Row(13L, ts("2026-01-01 11:00:00"), 2L, "purchase", 30.0)) // too far from click 3
+    def prep(df: DataFrame, pfx: String) = df
+      .select(col("event_id").as(s"${pfx}_id"), col("ts").as(s"${pfx}_ts"),
+        col("user_id").as("user_id"), col("value").as(s"${pfx}_value"))
+    // purchase within [click_ts - 60 s, click_ts] — i.e. click trails buy
+    def join(l: DataFrame, r: DataFrame) = StreamingOps.joinWithinTime(
+      l, r, "user_id", "click_ts", "buy_ts", "0 seconds", maxLagMs = 60000L)
+    val batch = join(
+      prep(frame(eventSt, clickRows: _*), "click"),
+      prep(frame(eventSt, buyRows: _*), "buy"))
+      .select("click_id", "buy_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch == Set((2L, 12L))) // only click 2 has a purchase ≤ 60 s before it
+    val clickDir = eventFiles(Seq(clickRows,
+      Seq(Row(98L, ts("2026-01-01 12:00:00"), 9L, "click", 0.0))))
+    val buyDir = eventFiles(Seq(buyRows,
+      Seq(Row(99L, ts("2026-01-01 12:00:00"), 9L, "purchase", 0.0))))
+    val out = join(prep(readEventStream(clickDir).where(col("user_id") =!= 9L), "click"),
+      prep(readEventStream(buyDir).where(col("user_id") =!= 9L), "buy"))
+      .select("click_id", "buy_id")
+    runToCompletion(out, "sjoin")
+    val streamed = spark.table("sjoin").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+  }
+
   test("sessionizeEvents: gap closes a session in-batch, timeout closes the tail") {
     val dir = eventFiles(Seq(
       Seq(
