@@ -552,6 +552,14 @@ object SparkEntry {
           groupBy = Seq("l_returnflag"))
         .order("l_returnflag").toDF),
 
+    // content-keyed stratified sampling: downsample the dominant language
+    // to rebalance the corpus (en → 4/16), reproducible in any engine
+    "q56_stratified_sample" -> ((s, d) =>
+      graft.ops.Sampling.md5StratifiedSample(
+        Tables(s, d, "documents"), "lang", "text", Map("en" -> 4))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     // gap-based sessionization, batch form (lag → flag → running sum) —
     // semantics shared with streaming.StreamingOps.sessionize (equivalence
     // is unit-tested); totals excluded so every column is oracle-exact
@@ -927,6 +935,12 @@ object SparkEntry {
         | quantile_cont(l_quantity, 0.95) AS p95,
         | quantile_cont(l_extendedprice, 0.99) AS price_p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q56_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) <
+        |  CASE lang WHEN 'en' THEN 4 ELSE 16 END
+        |ORDER BY doc_id""".stripMargin,
 
     "q47_sessionize" ->
       """WITH g AS (

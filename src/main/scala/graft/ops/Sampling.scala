@@ -54,6 +54,28 @@ object Sampling {
     df.where(u < keepFraction)
   }
 
+  /** Stratified sampling at md5-nibble granularity: per-stratum keep rate
+    * in sixteenths (4 → 25%). Coarser than [[stratifiedSample]]'s 1e-6
+    * resolution but reproducible in ANY engine with md5 (the xxhash64
+    * variant is Spark-specific), which makes it the oracle-checkable form.
+    * Strata absent from `sixteenths` keep all rows. Pure filter — no
+    * shuffle, no seed.
+    */
+  def md5StratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      sixteenths: Map[String, Int]): DataFrame = {
+    require(sixteenths.values.forall(n => n >= 0 && n <= 16),
+      "per-stratum sixteenths must be in [0, 16]")
+    val nibble = conv(
+      substring(md5(col(keyCol).cast("binary")), 1, 1), 16, 10).cast("int")
+    val rate = sixteenths.foldLeft(lit(16)) { case (acc, (stratum, n)) =>
+      when(col(stratumCol) === stratum, n).otherwise(acc)
+    }
+    df.where(nibble < rate)
+  }
+
   /** Weighted corpus mix: union of sources, each downsampled to its weight
     * (1.0 = keep all). The mixing decision is content-keyed per source, so
     * the mix is stable under re-runs and independent of source ordering.

@@ -103,4 +103,29 @@ object PropertySpec extends Properties("graft") {
       val df = Examples.examples(spark, schema, n = n.toLong)
       df.select("id").distinct().count() == n.toLong
     }
+
+  private val genDoc: Gen[String] = for {
+    n <- Gen.choose(0, 30)
+    words <- Gen.listOfN(n, Gen.oneOf(
+      "alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"))
+  } yield words.mkString(" ")
+
+  // the hashed-set verification kernel must agree exactly with string-set
+  // Jaccard on arbitrary token streams (duplicate shingles, short docs,
+  // empty docs)
+  property("hashed-set jaccard equals string-set jaccard") =
+    forAll(genDoc, genDoc, Gen.choose(1, 4)) { (ta, tb, k) =>
+      import org.apache.spark.sql.functions.{col, lit}
+      import graft.functions.native
+      import graft.ops.{Dedup, TextOps}
+      val df = spark.createDataFrame(Seq((ta, tb))).toDF("a", "b")
+      val row = df.select(
+        native.jaccard(
+          Dedup.shingles(col("a"), k), Dedup.shingles(col("b"), k)).as("strs"),
+        native.jaccardSorted(
+          native.hashedShingleSet(TextOps.wsTokens(col("a")), k),
+          native.hashedShingleSet(TextOps.wsTokens(col("b")), k)).as("hashed"))
+        .head()
+      row.getDouble(0) == row.getDouble(1)
+    }
 }

@@ -219,6 +219,22 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq(("a", 2L), ("b", 2L), ("c", 1L)))
   }
 
+  test("md5StratifiedSample: rate 0 drops the stratum, absent strata keep all") {
+    val df = frame(
+      struct("doc_id" -> LongType, "lang" -> StringType, "text" -> StringType),
+      (1L to 40L).map(i =>
+        Row(i, if (i % 2 == 0) "en" else "de", s"document number $i")): _*)
+    val none = Sampling.md5StratifiedSample(df, "lang", "text", Map("en" -> 0))
+    assert(none.where(col("lang") === "en").count() == 0)
+    assert(none.where(col("lang") === "de").count() == 20)
+    val some = Sampling.md5StratifiedSample(df, "lang", "text", Map("en" -> 8))
+    val kept = some.where(col("lang") === "en").count()
+    assert(kept > 0 && kept < 20) // ~half of the 16 nibble buckets
+    // deterministic: same content → same sample
+    assert(some.collect().toSeq ==
+      Sampling.md5StratifiedSample(df, "lang", "text", Map("en" -> 8)).collect().toSeq)
+  }
+
   test("native hyperplane bucket is bit-identical to the HOF expression") {
     val df = frame(
       struct("v" -> ArrayType(FloatType)),
