@@ -46,10 +46,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "exact Jaccard of two sorted-distinct bigint arrays",
       args => { arity(args, 2, "jaccard_sorted"); JaccardSorted(args(0), args(1)) })
     register(ext, "hyperplane_bucket",
-      "random-hyperplane sign-bit bucket of a float vector",
+      "random-hyperplane sign-bit bucket of a float vector (optional band offset)",
       args => {
-        arity(args, 2, "hyperplane_bucket")
-        HyperplaneBucket(args(0), intArg(args(1), "planes"))
+        require(args.length == 2 || args.length == 3,
+          s"hyperplane_bucket expects 2 or 3 arguments, got ${args.length}")
+        val offset = if (args.length == 3) intArg(args(2), "offset") else 0
+        HyperplaneBucket(args(0), intArg(args(1), "planes"), offset)
       })
   }
 

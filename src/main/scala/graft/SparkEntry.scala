@@ -402,11 +402,13 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // embedding near-dup pairs via hyperplane LSH buckets (rows-only)
+    // embedding near-dup pairs via multi-band hyperplane LSH (rows-only:
+    // ~94% recall at this deliberately low threshold; see q57 for the
+    // exhaustive oracle-checked twin)
     "q39_embedding_neardup" -> ((s, d) =>
       graft.ops.Dedup.embeddingNearDup(
         Tables(s, d, "embeddings"), "embedding", "vec_id",
-        planes = 4, threshold = 0.4)
+        planes = 4, bands = 8, threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
     // multimodal: binary payload column + partition-batched (stub) decode
@@ -551,6 +553,28 @@ object SparkEntry {
               .stripMargin),
           groupBy = Seq("l_returnflag"))
         .order("l_returnflag").toDF),
+
+    // exhaustive cosine near-dup pairs — the oracle-checked verification
+    // baseline for q39's banded LSH (cross-joinable corpus sizes only)
+    "q57_neardup_exact" -> ((s, d) =>
+      graft.ops.Dedup.embeddingNearDupExact(
+        Tables(s, d, "embeddings"), "embedding", "vec_id", threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // skew-safe salted join: result identical to the plain equi-join (the
+    // oracle IS the plain join), execution spreads each hot key over
+    // `salt` reducers
+    "q58_salted_join" -> ((s, d) =>
+      rel(s, d, "lineitem")
+        .apply("l_orderkey", "l_extendedprice")
+        .saltedJoin(
+          rel(s, d, "orders").apply("o_orderkey", "o_custkey")
+            .rename("o_orderkey" -> "l_orderkey"),
+          "l_orderkey", salt = 8)
+        .aggregate(
+          Seq(s"${dsum("l_extendedprice")} as total", "cast(count(*) as bigint) as n"),
+          groupBy = Seq("o_custkey"))
+        .order("o_custkey").toDF),
 
     // content-keyed stratified sampling: downsample the dominant language
     // to rebalance the corpus (en → 4/16), reproducible in any engine
@@ -935,6 +959,19 @@ object SparkEntry {
         | quantile_cont(l_quantity, 0.95) AS p95,
         | quantile_cont(l_extendedprice, 0.99) AS price_p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q57_neardup_exact" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE cosine >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "q58_salted_join" ->
+      """SELECT o_custkey,
+        | cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS total,
+        | cast(count(*) as bigint) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q56_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -67,9 +67,13 @@ object native {
     GraftBridge.column(
       JaccardSorted(GraftBridge.expression(a), GraftBridge.expression(b)))
 
-  /** Random-hyperplane sign-bit bucket of a float-vector column. */
-  def hyperplaneBucket(vec: Column, planes: Int): Column =
-    GraftBridge.column(HyperplaneBucket(GraftBridge.expression(vec), planes))
+  /** Random-hyperplane sign-bit bucket of a float-vector column.
+    * `offset` selects an independent plane family (plane indices
+    * `offset until offset + planes`) — multi-band LSH uses one family per
+    * band.
+    */
+  def hyperplaneBucket(vec: Column, planes: Int, offset: Int = 0): Column =
+    GraftBridge.column(HyperplaneBucket(GraftBridge.expression(vec), planes, offset))
 }
 
 /** Fused shingle→minhash→band kernel. One pass over the shingles; for each
@@ -275,9 +279,10 @@ case class JaccardSorted(left: Expression, right: Expression)
   * operators previously paid interpreted-lambda cost for — planes × dim
   * lambda evaluations per row.
   */
-case class HyperplaneBucket(child: Expression, planes: Int)
+case class HyperplaneBucket(child: Expression, planes: Int, offset: Int = 0)
     extends UnaryExpression {
   require(planes > 0 && planes < 31, s"planes must be in [1, 30], got $planes")
+  require(offset >= 0, s"offset must be non-negative, got $offset")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -288,11 +293,11 @@ case class HyperplaneBucket(child: Expression, planes: Int)
   override def prettyName: String = "hyperplane_bucket"
 
   override protected def nullSafeEval(input: Any): Any =
-    VectorMath.hyperplaneBucket(input.asInstanceOf[ArrayData], planes)
+    VectorMath.hyperplaneBucket(input.asInstanceOf[ArrayData], planes, offset)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.VectorMath.hyperplaneBucket($c, $planes)")
+      s"graft.functions.VectorMath.hyperplaneBucket($c, $planes, $offset)")
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
     copy(child = newChild)
@@ -481,13 +486,13 @@ object VectorMath {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  def hyperplaneBucket(v: ArrayData, planes: Int): Int = {
+  def hyperplaneBucket(v: ArrayData, planes: Int, offset: Int): Int = {
     val n = v.numElements()
     var bucket = 0
     var p = 0
     while (p < planes) {
-      // xxhash64(p, i): seed 42, ints hashed in argument order
-      val hp = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(p, 42L)
+      // xxhash64(offset + p, i): seed 42, ints hashed in argument order
+      val hp = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(offset + p, 42L)
       var dot = 0.0
       var i = 0
       while (i < n) {

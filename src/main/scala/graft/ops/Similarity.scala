@@ -46,19 +46,19 @@ object Similarity {
     * Native codegen kernel ([[graft.functions.HyperplaneBucket]]); the HOF
     * equivalent is kept as [[hyperplaneBucketExpr]] (bit-identical).
     */
-  def hyperplaneBucket(vec: Column, planes: Int): Column =
-    graft.functions.native.hyperplaneBucket(vec, planes)
+  def hyperplaneBucket(vec: Column, planes: Int, offset: Int = 0): Column =
+    graft.functions.native.hyperplaneBucket(vec, planes, offset)
 
   /** Pure `functions._` hyperplane bucket (interpreted per element — prefer
     * [[hyperplaneBucket]] in hot paths; bit-identical hash chain and
     * accumulation order).
     */
-  def hyperplaneBucketExpr(vec: Column, planes: Int): Column =
+  def hyperplaneBucketExpr(vec: Column, planes: Int, offset: Int = 0): Column =
     (0 until planes).map { p =>
       val dot = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
           x.cast("double") *
-            when(xxhash64(lit(p), i).bitwiseAND(1) === 0, 1.0).otherwise(-1.0)),
+            when(xxhash64(lit(offset + p), i).bitwiseAND(1) === 0, 1.0).otherwise(-1.0)),
         lit(0.0), (s, v) => s + v)
       when(dot > 0, shiftleft(lit(1), p)).otherwise(lit(0))
     }.reduce(_ + _)

@@ -102,9 +102,13 @@ class OpsSpec extends SparkSpec {
       Row(1L, Seq(1.0f, 2.0f, 3.001f)), // near-identical
       Row(2L, Seq(-3.0f, 1.0f, -2.0f)))
     val pairs = Dedup.embeddingNearDup(vecs, "embedding", "vec_id",
-      planes = 2, threshold = 0.999)
+      planes = 2, bands = 4, threshold = 0.999)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((0L, 1L)))
+    // multi-band candidates verified by exact cosine ⊆ exhaustive answer
+    val exact = Dedup.embeddingNearDupExact(vecs, "embedding", "vec_id", 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == exact.toSeq)
   }
 
   test("text ops: token counts, quality, langid, fingerprint") {
