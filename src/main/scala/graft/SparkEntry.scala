@@ -576,6 +576,37 @@ object SparkEntry {
           groupBy = Seq("o_custkey"))
         .order("o_custkey").toDF),
 
+    // §2.1 CSV source, model-driven read (schema from the model, never
+    // inferSchema): parquet → CSV → readCsv round-trip; the oracle reads
+    // the SAME csv file, so the format path itself is under the hash gate
+    "q59_csv_roundtrip" -> ((s, d) => {
+      val out = "/tmp/graft_csv_roundtrip"
+      Tables(s, d, "nation").coalesce(1)
+        .write.mode("overwrite").option("header", "true").csv(out)
+      val m = Schema("Nation", Seq(
+        FieldSpec.int("n_nationkey"),
+        FieldSpec.string("n_name"),
+        FieldSpec.int("n_regionkey")))
+      ModeledFrame.readCsv(s, out, m).selectModel()
+        .df.orderBy(col("n_nationkey"))
+    }),
+
+    // window FRAME surface (running sum, rows unbounded preceding) —
+    // complements q26 (row_number) and q45 (lag)
+    "q60_window_frame" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          expr("cast(o_totalprice as decimal(18,2))").as("p"))
+        .withColumn("running_total",
+          sum(col("p")).over(w).cast("double"))
+        .select(col("o_orderkey"), col("o_custkey"), col("running_total"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // content-keyed stratified sampling: downsample the dominant language
     // to rebalance the corpus (en → 4/16), reproducible in any engine
     "q56_stratified_sample" -> ((s, d) =>
@@ -972,6 +1003,19 @@ object SparkEntry {
         | cast(count(*) as bigint) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q59_csv_roundtrip" ->
+      """SELECT cast(n_nationkey as int) AS n_nationkey, n_name,
+        | cast(n_regionkey as int) AS n_regionkey
+        |FROM read_csv_auto('/tmp/graft_csv_roundtrip/*.csv', header = true)
+        |ORDER BY n_nationkey""".stripMargin,
+
+    "q60_window_frame" ->
+      """SELECT o_orderkey, o_custkey,
+        | cast(sum(cast(o_totalprice as decimal(18,2))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS UNBOUNDED PRECEDING) as double) AS running_total
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q56_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
