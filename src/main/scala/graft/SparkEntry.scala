@@ -576,6 +576,19 @@ object SparkEntry {
           groupBy = Seq("o_custkey"))
         .order("o_custkey").toDF),
 
+    // duplicate-cluster formation: connected components over the verified
+    // minhash pair graph (min-label propagation; oracle = recursive CTE
+    // transitive closure over the exact-jaccard pair set)
+    "q61_dedup_clusters" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val pairs = graft.ops.Dedup.minhashPairs(
+        docsParallel(s, d), "text", "doc_id",
+        k = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      graft.ops.Dedup.dedupClusters(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("rep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // §2.1 CSV source, model-driven read (schema from the model, never
     // inferSchema): parquet → CSV → readCsv round-trip; the oracle reads
     // the SAME csv file, so the format path itself is under the hash gate
@@ -1003,6 +1016,30 @@ object SparkEntry {
         | cast(count(*) as bigint) AS n
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q61_dedup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                   for i in range(1, len(toks)-1)]) AS sh
+        |  FROM t WHERE len(toks) >= 3
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |), e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id
+        |)
+        |SELECT id AS doc_id, cast(min(r) as bigint) AS rep
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q59_csv_roundtrip" ->
       """SELECT cast(n_nationkey as int) AS n_nationkey, n_name,

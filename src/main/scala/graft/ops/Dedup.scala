@@ -299,6 +299,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Duplicate clusters from verified near-dup pairs: connected components
+    * of the pair graph by iterative min-label propagation, so an entire
+    * duplicate cluster (a A~B, B~C chain) collapses to one representative —
+    * the step that turns pairwise LSH output into "keep one copy per
+    * cluster".
+    *
+    * Each iteration is one join + one aggregate (a single shuffle round)
+    * propagating the smallest reachable id; convergence needs
+    * O(component diameter) rounds — near-dup clusters are dense template
+    * families with tiny diameters, so 3–5 rounds in practice. Each round's
+    * labels are persisted and the previous round unpersisted, keeping
+    * lineage flat; `maxIters` bounds the worst case (a path graph).
+    * Returns (id, rep) for EVERY node; singletons are their own rep.
+    */
+  def dedupClusters(
+      nodes: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("rep")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("rep"))
+      val next = labels.union(viaNeighbors)
+        .groupBy("id").agg(min(col("rep")).as("rep"))
+        .persist()
+      val changed = next
+        .join(labels.withColumnRenamed("rep", "prev"), "id")
+        .where(col("rep") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Exhaustive O(n²) twin of [[embeddingNearDup]] — the verification
     * baseline (and DuckDB-oracle form) for corpora small enough to
     * cross-join; the banded plan above is the 100 TB path.

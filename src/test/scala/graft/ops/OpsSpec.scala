@@ -202,6 +202,18 @@ class OpsSpec extends SparkSpec {
       .head().getInt(0) == 32)
   }
 
+  test("dedupClusters collapses chains transitively, singletons keep self") {
+    val nodes = docs(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e")
+    // chain 5—3—2 (never directly 5—2) plus isolated 1 and 4
+    val pairs = frame(
+      struct("id_a" -> LongType, "id_b" -> LongType),
+      Row(3L, 5L), Row(2L, 3L))
+    val out = Dedup.dedupClusters(nodes, "doc_id", pairs)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 4L), (5L, 2L)))
+  }
+
   test("topTermsPerDoc ranks a doc's distinctive token first") {
     val df = docs(
       1L -> "alpha alpha common",
