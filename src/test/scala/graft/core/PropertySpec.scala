@@ -110,6 +110,65 @@ object PropertySpec extends Properties("graft") {
       "alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"))
   } yield words.mkString(" ")
 
+  // banded range join ≡ raw theta join for arbitrary intervals (empty,
+  // edge-aligned, overlapping) and bucket widths
+  property("rangeJoin equals the raw range predicate") =
+    forAll(
+      Gen.listOfN(12, Gen.choose(0.0, 40.0)),
+      Gen.listOfN(6, for {
+        lo <- Gen.choose(0.0, 35.0)
+        span <- Gen.choose(-2.0, 12.0) // negative → empty interval
+      } yield (lo, lo + span)),
+      Gen.oneOf(1.0, 3.0, 5.0, 8.0)) { (points, intervals, bucket) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val pdf = Relation(spark.createDataFrame(
+        spark.sparkContext.parallelize(points.zipWithIndex.map {
+          case (x, i) => Row(i.toLong, x) }),
+        StructType(Seq(StructField("pid", LongType), StructField("x", DoubleType)))))
+      val idf = Relation(spark.createDataFrame(
+        spark.sparkContext.parallelize(intervals.zipWithIndex.map {
+          case ((lo, hi), i) => Row(i.toLong, lo, hi) }),
+        StructType(Seq(StructField("iid", LongType),
+          StructField("lo", DoubleType), StructField("hi", DoubleType)))))
+      val banded = pdf.rangeJoin(idf, "x", "lo", "hi", bucket)
+        .apply("pid", "iid")
+      val naive = pdf.join(idf, "x >= lo AND x < hi").apply("pid", "iid")
+      banded.sameAs(naive)
+    }
+
+  // connected components ≡ driver-side union-find on random pair graphs
+  property("dedupClusters matches union-find closure") =
+    forAll(
+      Gen.choose(3, 12),
+      Gen.listOf(Gen.zip(Gen.choose(0, 11), Gen.choose(0, 11)))) { (n, rawEdges) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      import graft.ops.Dedup
+      val edges = rawEdges.map { case (a, b) => (a % n, b % n) }
+        .filter { case (a, b) => a < b }.distinct
+      val nodes = spark.createDataFrame(
+        spark.sparkContext.parallelize((0 until n).map(i => Row(i.toLong))),
+        StructType(Seq(StructField("id", LongType))))
+      val pairs = spark.createDataFrame(
+        spark.sparkContext.parallelize(edges.map { case (a, b) => Row(a.toLong, b.toLong) }),
+        StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
+      val got = Dedup.dedupClusters(nodes, "id", pairs, maxIters = n + 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = (0 until n).map { i =>
+        val members = (0 until n).filter(j => find(j) == find(i))
+        i.toLong -> members.min.toLong
+      }.toMap
+      got == expect
+    }
+
   // the hashed-set verification kernel must agree exactly with string-set
   // Jaccard on arbitrary token streams (duplicate shingles, short docs,
   // empty docs)
