@@ -576,6 +576,20 @@ object SparkEntry {
           groupBy = Seq("o_custkey"))
         .order("o_custkey").toDF),
 
+    // multimodal composition: binary payload → (stub) feature extraction →
+    // ANN top-k, end-to-end (rows-only: the pseudo-embedding hash is
+    // Spark-side; the plumbing is the point — binary columns, partition-
+    // batched encode, array<float> into the same ANN operators)
+    "q62_multimodal_ann" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val emb = graft.ops.Multimodal.featureExtract(
+        s, graft.ops.Multimodal.withBinaryPayload(docs, "text", "payload"),
+        "doc_id", "payload", dim = 16)
+      graft.ops.Similarity.bruteForceTopK(
+        emb, emb.where(col("doc_id") < 5), "embedding", "doc_id", k = 3)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // duplicate-cluster formation: connected components over the verified
     // minhash pair graph (min-label propagation; oracle = recursive CTE
     // transitive closure over the exact-jaccard pair set)
