@@ -91,4 +91,18 @@ final class Database(val spark: SparkSession) {
   /** Typed empty relation from a model (duckdb.py:2617-2654). */
   def emptyRelation(schema: Schema): Relation =
     Relation(Examples.emptyFrame(spark, schema), Some(schema))
+
+  /** Source → relation dispatch on this database's session, mirroring
+    * `Database.to_relation` (duckdb.py:2444-2487): SQL string, parquet or
+    * CSV path.
+    */
+  def toRelation(source: String): Relation = Relation(spark, source)
+}
+
+object Database {
+  /** Database on the active (else default) SparkSession — the counterpart
+    * of the reference's process-wide `Database.default()`
+    * (duckdb.py:2396-2420).
+    */
+  def default(): Database = new Database(SparkSession.active)
 }

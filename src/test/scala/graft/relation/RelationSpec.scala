@@ -305,6 +305,9 @@ class RelationSpec extends SparkSpec {
     assert(db.emptyRelation(m).count() == 0)
     db.createEnumTypes(m)
     assert(db.enumTypeNames.exists(_.startsWith("enum__")))
+    // Database.default() binds the active session; toRelation dispatches SQL
+    assert(Database.default().spark eq spark)
+    assert(db.toRelation("SELECT 2 AS two").toDF.head().getInt(0) == 2)
   }
 
   test("cast to model via relation (F6 cast)") {
