@@ -21,6 +21,8 @@ import graft.functions._
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // jaccard-threshold filters rewrite to the fused early-exit predicate
+    ext.injectOptimizerRule(_ => graft.plans.JaccardThresholdRule)
     register(ext, "cosine_similarity", "cosine similarity of two float arrays",
       args => { arity(args, 2, "cosine_similarity"); CosineSimilarity(args(0), args(1)) })
     register(ext, "jaccard_similarity", "set-Jaccard of two string arrays",

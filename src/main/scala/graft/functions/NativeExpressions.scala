@@ -271,6 +271,44 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Threshold form of [[JaccardSorted]]: `jaccard(a, b) >= t` as ONE
+  * predicate with (1) an O(1) size-ratio reject — j ≥ t forces
+  * min(|A|,|B|)/max(|A|,|B|) ≥ t — and (2) an early-exit merge scan that
+  * abandons a pair as soon as even a perfect match of the remaining
+  * elements cannot reach t. Bit-identical decision to
+  * `JaccardSorted(a,b) >= lit(t)`; produced by the optimizer rule
+  * [[graft.JaccardThresholdRule]], never written by hand. In the LSH dedup
+  * plans the filter runs BEFORE the projection that needs the exact value,
+  * so millions of below-threshold candidates are rejected by the cheap
+  * scan and only survivors pay the full merge.
+  */
+case class JaccardSortedGE(left: Expression, right: Expression, threshold: Double)
+    extends BinaryExpression {
+  require(threshold > 0, s"threshold must be positive, got $threshold")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> inputs, got ${l.sql}, ${r.sql}")
+    }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "jaccard_sorted_ge"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SetMath.jaccardSortedGE(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SetMath.jaccardSortedGE($a, $b, $threshold)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSortedGE =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Random-hyperplane sign-bit bucket: bit p of the result is set when the
   * dot product of the vector with pseudo-random hyperplane p (component i =
   * ±1 by the parity of xxhash64(p, i), seed 42) is positive. Bit-identical
@@ -347,6 +385,44 @@ object SetMath {
     }
     val union = na + nb - inter
     if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** `jaccardSorted(a, b) >= t` with an O(1) size reject and early-exit
+    * scan. Decision-identical to computing the exact value and comparing:
+    * the exit fires only when the OPTIMISTIC bound (all remaining elements
+    * match) is already below t.
+    */
+  def jaccardSortedGE(a: ArrayData, b: ArrayData, t: Double): Boolean = {
+    // Bounds are compared with an epsilon guard so a 1-ulp division
+    // difference can never reject a pair the exact comparison would accept;
+    // the final decision reuses the exact division `jaccardSorted` performs.
+    val Eps = 1e-12
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 || nb == 0) return false // jaccard 0, t > 0 by construction
+    // j <= min/max: reject without touching the arrays
+    if (math.min(na, nb).toDouble / math.max(na, nb) < t - Eps) return false
+    var i = 0
+    var j = 0
+    var inter = 0
+    var step = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+      step += 1
+      if ((step & 63) == 0) {
+        // optimistic: every remaining element of the smaller tail matches
+        val rem = math.min(na - i, nb - j)
+        val bestInter = inter + rem
+        val minUnion = na + nb - bestInter
+        if (minUnion > 0 && bestInter.toDouble / minUnion < t - Eps) return false
+      }
+    }
+    val union = na + nb - inter
+    if (union == 0) false else inter.toDouble / union >= t
   }
 }
 

@@ -71,6 +71,25 @@ class PlanSpec extends SparkSpec {
     assert(spans.nonEmpty, s"kernel fell out of codegen:\n${plan(df)}")
   }
 
+  test("jaccard threshold filters rewrite to the fused early-exit predicate") {
+    val df = Tables(spark, dir, "documents").select(
+      col("doc_id"),
+      graft.functions.native.hashedShingleSet(
+        graft.ops.TextOps.wsTokens(col("text")), 3).as("hs"))
+    val a = df.select(col("doc_id").as("id_a"), col("hs").as("hs_a"))
+    val b = df.select(col("doc_id").as("id_b"), col("hs").as("hs_b"))
+    val q = a.crossJoin(b)
+      .where(graft.functions.native.jaccardSorted(col("hs_a"), col("hs_b")) >= lit(0.5))
+    val opt = q.queryExecution.optimizedPlan.toString
+    assert(opt.contains("jaccard_sorted_ge"), s"rule did not fire:\n$opt")
+    // SQL-string form rewrites too (the rule fires below expr/spark.sql)
+    df.createOrReplaceTempView("graft_plan_hs")
+    val sqlQ = spark.sql(
+      """SELECT a.doc_id FROM graft_plan_hs a JOIN graft_plan_hs b
+        |ON jaccard_sorted(a.hs, b.hs) >= 0.8""".stripMargin)
+    assert(sqlQ.queryExecution.optimizedPlan.toString.contains("jaccard_sorted_ge"))
+  }
+
   test("validation compiles to ONE aggregate pass over the frame") {
     val m = core.Schema("LI", Seq(
       core.FieldSpec.long("l_orderkey"),

@@ -169,6 +169,21 @@ object PropertySpec extends Properties("graft") {
       got == expect
     }
 
+  // the fused threshold predicate must make the SAME decision as computing
+  // the exact jaccard and comparing — for any arrays and any threshold,
+  // including boundary-exact pairs
+  property("jaccardSortedGE decision-identical to jaccardSorted >= t") =
+    forAll(
+      Gen.listOf(Gen.choose(0L, 40L)),
+      Gen.listOf(Gen.choose(0L, 40L)),
+      Gen.oneOf(0.1, 0.25, 0.5, 2.0 / 3.0, 0.9, 1.0)) { (rawA, rawB, t) =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      import graft.functions.SetMath
+      val a = new GenericArrayData(rawA.distinct.sorted.toArray)
+      val b = new GenericArrayData(rawB.distinct.sorted.toArray)
+      SetMath.jaccardSortedGE(a, b, t) == (SetMath.jaccardSorted(a, b) >= t)
+    }
+
   // the hashed-set verification kernel must agree exactly with string-set
   // Jaccard on arbitrary token streams (duplicate shingles, short docs,
   // empty docs)
