@@ -106,14 +106,31 @@ object Similarity {
     * literals — no join to distribute them; the one corpus shuffle is on the
     * int cell key; recall trades against `nprobe` exactly like FAISS IVF.
     */
-  def ivfTopK(
+  /** A built IVF index: the trained centroids (tiny — nlist × dim, they
+    * live in query plans as literals) plus the cell-assigned corpus. The
+    * build is the expensive part; callers amortize it across query batches
+    * — and at real scale persist `assigned` once (ideally as a table
+    * bucketed by `cell`, making every probe join exchange-free).
+    */
+  final case class IvfIndex(
+      centroids: Seq[(Int, Seq[Float])],
+      assigned: DataFrame) {
+
+    private[Similarity] def cellSims(vec: Column): Column =
+      array(centroids.map { case (cid, cv) =>
+        struct(lit(cid).as("cid"), cosine(vec, typedlit(cv)).as("sim"))
+      }: _*)
+  }
+
+  /** Train the IVF index: deterministic hash seeding → per-cell centroids
+    * (one posexplode + groupBy job, the only action) → one Lloyd half-step
+    * re-assignment (map-only argmax over broadcast centroid literals).
+    */
+  def ivfBuild(
       corpus: DataFrame,
-      queries: DataFrame,
       vecCol: String,
       idCol: String,
-      k: Int,
-      nlist: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16): IvfIndex = {
     require(nlist > 1 && Integer.bitCount(nlist) == 1, "nlist must be a power of 2")
     val planes = Integer.numberOfTrailingZeros(nlist)
     val seeded = corpus.select(
@@ -132,29 +149,38 @@ object Similarity {
       }
       .toSeq.sortBy(_._1)
 
-    def cellSims(vec: Column): Column = array(centroids.map { case (cid, cv) =>
-      struct(lit(cid).as("cid"), cosine(vec, typedlit(cv)).as("sim"))
-    }: _*)
+    val idx = IvfIndex(centroids, null)
     def nearestCell(vec: Column): Column =
-      aggregate(cellSims(vec), struct(lit(-1).as("cid"), lit(-2.0).as("sim")),
+      aggregate(idx.cellSims(vec), struct(lit(-1).as("cid"), lit(-2.0).as("sim")),
         (best, x) => when(x.getField("sim") > best.getField("sim"), x).otherwise(best))
         .getField("cid")
 
-    val assigned = seeded.select(
-      col("neighbor_id"), col("cv"), nearestCell(col("cv")).as("cell"))
+    idx.copy(assigned = seeded.select(
+      col("neighbor_id"), col("cv"), nearestCell(col("cv")).as("cell")))
+  }
 
-    // each query probes its nprobe nearest cells
+  /** Probe a built index: each query scores all centroids (plan literals —
+    * no join), keeps its `nprobe` nearest cells, and only same-cell corpus
+    * vectors get an exact cosine + window top-k.
+    */
+  def ivfProbe(
+      index: IvfIndex,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
     val probed = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qv"),
       explode(slice(
         transform(
-          array_sort(cellSims(col(vecCol)),
+          array_sort(index.cellSims(col(vecCol)),
             (x, y) => when(x.getField("sim") > y.getField("sim"), -1)
               .when(x.getField("sim") < y.getField("sim"), 1).otherwise(0)),
           s => s.getField("cid")),
         1, nprobe)).as("cell"))
 
-    val scored = broadcast(probed).join(assigned, Seq("cell"))
+    val scored = broadcast(probed).join(index.assigned, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
@@ -164,6 +190,17 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
+
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame =
+    ivfProbe(ivfBuild(corpus, vecCol, idCol, nlist),
+      queries, vecCol, idCol, k, nprobe)
 
   /** LSH-bucketed top-k: exact cosine only within the query's hyperplane
     * bucket. Recall trades against `planes`; rank semantics identical to

@@ -202,6 +202,23 @@ class OpsSpec extends SparkSpec {
       .head().getInt(0) == 32)
   }
 
+  test("ivfBuild once + ivfProbe twice equals the one-shot ivfTopK") {
+    val vecs = frame(
+      struct("vec_id" -> LongType, "embedding" -> ArrayType(FloatType)),
+      (0L until 40L).map(i => Row(i,
+        Seq(math.sin(i * 1.7).toFloat, math.cos(i * 0.9).toFloat,
+          math.sin(i * 0.3 + 1).toFloat))): _*)
+    val queries = vecs.where(col("vec_id") < 4)
+    val idx = Similarity.ivfBuild(vecs, "embedding", "vec_id", nlist = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(x => (x._1, x._2)).toSeq
+    val once = rows(Similarity.ivfTopK(vecs, queries, "embedding", "vec_id",
+      k = 3, nlist = 4, nprobe = 2))
+    val p1 = rows(Similarity.ivfProbe(idx, queries, "embedding", "vec_id", k = 3, nprobe = 2))
+    val p2 = rows(Similarity.ivfProbe(idx, queries, "embedding", "vec_id", k = 3, nprobe = 2))
+    assert(p1 == once && p2 == once)
+  }
+
   test("dedupClusters collapses chains transitively, singletons keep self") {
     val nodes = docs(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e")
     // chain 5—3—2 (never directly 5—2) plus isolated 1 and 4
