@@ -25,11 +25,10 @@ object Bench {
     // run-to-run variance and a single sample can triple a heavy query's
     // number; a second sample for anything over 1 s bounds the noise at
     // ~40 s extra wall time while leaving the sub-second majority alone.
-    val firstPass = SparkEntry.queries.map { case (name, fn) =>
-      name -> timeOne(name, fn)
-    }
+    val queryMap = SparkEntry.queries
+    val firstPass = queryMap.map { case (name, fn) => name -> timeOne(name, fn) }
     val results = firstPass.map { case (name, t1) =>
-      name -> (if (t1 > 1.0) math.min(t1, timeOne(name, SparkEntry.queries(name))) else t1)
+      name -> (if (t1 > 1.0) math.min(t1, timeOne(name, queryMap(name))) else t1)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -296,13 +296,30 @@ case class JaccardSortedGE(left: Expression, right: Expression, threshold: Doubl
   override def dataType: DataType = BooleanType
   override def prettyName: String = "jaccard_sorted_ge"
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    SetMath.jaccardSortedGE(
-      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], threshold)
+  /** The O(1) size-ratio reject is sound only when element counts equal
+    * effective set sizes — i.e. no null elements. Arrays typed
+    * containsNull (possible via SQL literals) take the exact-compute path;
+    * kernel outputs like hashed_shingle_set are containsNull=false and
+    * keep the fast path.
+    */
+  private def elemsMayBeNull: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (elemsMayBeNull) SetMath.jaccardSorted(x, y) >= threshold
+    else SetMath.jaccardSortedGE(x, y, threshold)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.SetMath.jaccardSortedGE($a, $b, $threshold)")
+    if (elemsMayBeNull)
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"(graft.functions.SetMath.jaccardSorted($a, $b) >= $threshold)")
+    else
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.SetMath.jaccardSortedGE($a, $b, $threshold)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaccardSortedGE =
@@ -356,13 +373,18 @@ object TextUtil {
 }
 
 object SetMath {
+  // Null array ELEMENTS are treated as absent in every kernel here — these
+  // are registered SQL functions, so arrays with containsNull=true reach
+  // them; skipping beats an NPE (strings) or garbage zeros (longs).
   def jaccard(a: ArrayData, b: ArrayData): Double = {
     val setA = new java.util.HashSet[UTF8String](a.numElements() * 2)
     var i = 0
-    while (i < a.numElements()) { setA.add(a.getUTF8String(i)); i += 1 }
+    while (i < a.numElements()) {
+      if (!a.isNullAt(i)) setA.add(a.getUTF8String(i)); i += 1 }
     val setB = new java.util.HashSet[UTF8String](b.numElements() * 2)
     i = 0
-    while (i < b.numElements()) { setB.add(b.getUTF8String(i)); i += 1 }
+    while (i < b.numElements()) {
+      if (!b.isNullAt(i)) setB.add(b.getUTF8String(i)); i += 1 }
     var inter = 0
     val it = setB.iterator()
     while (it.hasNext) if (setA.contains(it.next())) inter += 1
@@ -371,19 +393,26 @@ object SetMath {
   }
 
   def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
-    val na = a.numElements()
-    val nb = b.numElements()
+    val la = a.numElements()
+    val lb = b.numElements()
     var i = 0
     var j = 0
     var inter = 0
-    while (i < na && j < nb) {
-      val x = a.getLong(i)
-      val y = b.getLong(j)
-      if (x == y) { inter += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+    var nulls = 0
+    while (i < la && j < lb) {
+      if (a.isNullAt(i)) { nulls += 1; i += 1 }
+      else if (b.isNullAt(j)) { nulls += 1; j += 1 }
+      else {
+        val x = a.getLong(i)
+        val y = b.getLong(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
     }
-    val union = na + nb - inter
+    while (i < la) { if (a.isNullAt(i)) nulls += 1; i += 1 }
+    while (j < lb) { if (b.isNullAt(j)) nulls += 1; j += 1 }
+    val union = la + lb - nulls - inter
     if (union == 0) 0.0 else inter.toDouble / union
   }
 
@@ -432,6 +461,25 @@ object SetMath {
 object MinHashUtil {
   private val Space = UTF8String.fromString(" ")
 
+  /** Non-null tokens of an array column, compacted — null elements are
+    * treated as absent (these kernels are registered SQL functions, so
+    * containsNull arrays reach them).
+    */
+  private def compact(tokens: ArrayData): Array[UTF8String] = {
+    val n = tokens.numElements()
+    var nonNull = 0
+    var i = 0
+    while (i < n) { if (!tokens.isNullAt(i)) nonNull += 1; i += 1 }
+    val out = new Array[UTF8String](nonNull)
+    i = 0
+    var w = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) { out(w) = tokens.getUTF8String(i); w += 1 }
+      i += 1
+    }
+    out
+  }
+
   // Direct XXH64 primitives instead of XxHash64Function.hash: the generic
   // entry point boxes the value and pattern-matches on the DataType on
   // EVERY call, and these kernels make ~10^8 calls per small partition.
@@ -441,7 +489,8 @@ object MinHashUtil {
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
 
   def bandHashes(tokens: ArrayData, k: Int, numHashes: Int, bands: Int): ArrayData = {
-    val n = tokens.numElements()
+    val toks = compact(tokens)
+    val n = toks.length
     val numShingles = n - k + 1
     if (numShingles <= 0) return new GenericArrayData(Array.emptyLongArray)
     val mins = new Array[Long](numHashes)
@@ -453,7 +502,7 @@ object MinHashUtil {
       var t = i
       while (t < i + k) {
         if (p > 0) { parts(p) = Space; p += 1 }
-        parts(p) = tokens.getUTF8String(t)
+        parts(p) = toks(t)
         p += 1
         t += 1
       }
@@ -487,13 +536,14 @@ object MinHashUtil {
     * they are never materialized into row storage.
     */
   def hashedShingleSet(tokens: ArrayData, k: Int): ArrayData = {
-    val n = tokens.numElements()
+    val toks = compact(tokens)
+    val n = toks.length
     val numShingles = n - k + 1
     if (numShingles <= 0) return new GenericArrayData(Array.emptyLongArray)
     val hs = new Array[Long](numShingles)
     if (k == 1) {
       var i = 0
-      while (i < n) { hs(i) = hashString(tokens.getUTF8String(i), 42L); i += 1 }
+      while (i < n) { hs(i) = hashString(toks(i), 42L); i += 1 }
     } else {
       val parts = new Array[UTF8String](2 * k - 1)
       var i = 0
@@ -502,7 +552,7 @@ object MinHashUtil {
         var t = i
         while (t < i + k) {
           if (p > 0) { parts(p) = Space; p += 1 }
-          parts(p) = tokens.getUTF8String(t)
+          parts(p) = toks(t)
           p += 1
           t += 1
         }
@@ -526,11 +576,13 @@ object MinHashUtil {
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
-      val h = hashString(tokens.getUTF8String(i), 42L)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
+      if (!tokens.isNullAt(i)) {
+        val h = hashString(tokens.getUTF8String(i), 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
       }
       i += 1
     }
@@ -552,11 +604,15 @@ object VectorMath {
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
-      dot += x * y
-      na += x * x
-      nb += y * y
+      // null elements contribute nothing (guards the SQL-function path;
+      // kernel callers pass non-null embeddings)
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val x = a.getFloat(i).toDouble
+        val y = b.getFloat(i).toDouble
+        dot += x * y
+        na += x * x
+        nb += y * y
+      }
       i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
@@ -572,11 +628,13 @@ object VectorMath {
       var dot = 0.0
       var i = 0
       while (i < n) {
-        val x = v.getFloat(i).toDouble
-        val sign =
-          if ((org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, hp) & 1L) == 0L) 1.0
-          else -1.0
-        dot += x * sign
+        if (!v.isNullAt(i)) {
+          val x = v.getFloat(i).toDouble
+          val sign =
+            if ((org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, hp) & 1L) == 0L) 1.0
+            else -1.0
+          dot += x * sign
+        }
         i += 1
       }
       if (dot > 0) bucket |= (1 << p)

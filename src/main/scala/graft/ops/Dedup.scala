@@ -273,16 +273,26 @@ object Dedup {
     * population, not n².
     *
     * Recall: P(same bucket in one band) = (1 − θ/π)^planes with
-    * θ = arccos(cosine); a c = 0.95 pair with the defaults survives with
-    * P ≈ 1 − (1 − 0.66)⁸ ≈ 1 − 2e-4. Single-band (bands = 1) matches the
-    * classic one-table LSH.
+    * θ = arccos(cosine); a c = 0.95 pair with the defaults (12 planes ×
+    * 16 bands) survives with P ≈ 1 − (1 − 0.28)¹⁶ ≈ 0.995. Single-band
+    * (bands = 1) matches the classic one-table LSH.
+    *
+    * SIZE `planes` TO THE CORPUS: each band has 2^planes buckets and
+    * buckets larger than `maxBucketSize` are DROPPED (the degenerate-
+    * bucket guard — a bucket of B vectors would emit B²/2 pairs), so once
+    * the corpus outgrows ~2^planes × maxBucketSize the average bucket
+    * overflows and recall collapses toward zero. The defaults carry ~16 M
+    * vectors; at larger n raise `planes` (and `bands` with it to hold
+    * recall). collect_list still materializes a pathological bucket before
+    * the size filter — for adversarial key distributions do a count-first
+    * two-phase bucket prune.
     */
   def embeddingNearDup(
       df: DataFrame,
       vecCol: String,
       idCol: String,
-      planes: Int = 4,
-      bands: Int = 8,
+      planes: Int = 12,
+      bands: Int = 16,
       threshold: Double = 0.99,
       maxBucketSize: Int = 4096): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -310,8 +320,13 @@ object Dedup {
     * O(component diameter) rounds — near-dup clusters are dense template
     * families with tiny diameters, so 3–5 rounds in practice. Each round's
     * labels are persisted and the previous round unpersisted, keeping
-    * lineage flat; `maxIters` bounds the worst case (a path graph).
-    * Returns (id, rep) for EVERY node; singletons are their own rep.
+    * lineage flat; `maxIters` bounds the worst case (a path graph), and
+    * hitting it without convergence THROWS rather than returning labels
+    * where one component carries two representatives — silently-partial
+    * dedup is the worst failure mode a 100 TB pipeline can have.
+    * Returns (id, rep) for EVERY node; singletons are their own rep. The
+    * returned frame is persisted (it is the loop's last fixpoint);
+    * unpersist it when done.
     */
   def dedupClusters(
       nodes: DataFrame,
@@ -340,6 +355,12 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    if (!converged) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"dedupClusters did not converge within $maxIters iterations — " +
+          "a component's diameter exceeds the bound; raise maxIters")
+    }
     labels
   }
 

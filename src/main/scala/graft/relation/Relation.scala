@@ -364,6 +364,11 @@ final case class Relation(
       endCol: String,
       bucket: Double): Relation = {
     require(bucket > 0, "bucket width must be positive")
+    val overlap = df.columns.toSet & other.df.columns.toSet
+    require(overlap.isEmpty,
+      s"rangeJoin: column names collide between the sides: ${overlap.mkString(", ")}")
+    require(!df.columns.contains("__bucket") && !other.df.columns.contains("__bucket"),
+      "rangeJoin: a __bucket column already exists on one side")
     val b = lit(bucket)
     // end is exclusive: an interval ending exactly on a bucket edge does
     // not reach into that bucket, hence ceil(end/b)-1 (== floor for

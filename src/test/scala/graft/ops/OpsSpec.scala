@@ -200,6 +200,22 @@ class OpsSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT size(minhash_band_hashes(array('a','b','c','d'), 2, 64, 32)) AS n")
       .head().getInt(0) == 32)
+    // null ELEMENTS are treated as absent, never NPE/garbage
+    assert(spark.sql(
+      """SELECT jaccard_sorted(array(1L, CAST(NULL AS BIGINT), 2L), array(1L, 2L)) AS j""")
+      .head().getDouble(0) === 1.0)
+    assert(spark.sql(
+      "SELECT hashed_shingle_set(array('a', CAST(NULL AS STRING), 'a'), 1) AS h")
+      .head().getSeq[Long](0).length == 1)
+    assert(spark.sql(
+      "SELECT simhash64(array('a', CAST(NULL AS STRING))) AS s")
+      .head().getLong(0) == spark.sql("SELECT simhash64(array('a')) AS s")
+      .head().getLong(0))
+    // threshold predicate stays decision-correct on containsNull arrays
+    // (it falls back to the exact compute path there)
+    assert(spark.sql(
+      """SELECT jaccard_sorted(array(1L, CAST(NULL AS BIGINT), 2L), array(1L, 2L)) >= 0.9 AS ok""")
+      .head().getBoolean(0))
   }
 
   test("ivfBuild once + ivfProbe twice equals the one-shot ivfTopK") {

@@ -46,12 +46,15 @@ def main():
             p.terminate()
             p.join()
             duck = None
+        elif q.empty():  # child died on an error before q.put()
+            duck = None
         else:
             duck = q.get()
         spark = bench.get(name)
         rows.append((name, spark, duck))
-        d = f"{duck:8.2f}" if duck is not None else f"  >{timeout:.0f}  "
-        print(f"{name:24s} spark {spark:8.2f}  duckdb {d}")
+        d = f"{duck:8.2f}" if duck is not None else f"  >{timeout:.0f}/err"
+        s = f"{spark:8.2f}" if spark is not None else "   (absent)"
+        print(f"{name:24s} spark {s}  duckdb {d}")
     sp = sum(r[1] for r in rows if r[1] is not None and r[2] is not None)
     du = sum(r[2] for r in rows if r[1] is not None and r[2] is not None)
     to = [r[0] for r in rows if r[2] is None]
