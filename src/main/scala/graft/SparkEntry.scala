@@ -456,6 +456,21 @@ object SparkEntry {
            |""".stripMargin)
     }),
 
+    // arbitrary GROUPING SETS (beyond rollup/cube: the two 1-D marginals
+    // in one pass) + grouping_id disambiguation
+    "q63_grouping_sets" -> ((s, d) => {
+      Tables(s, d, "lineitem").createOrReplaceTempView("graft_lineitem_gs")
+      s.sql(
+        s"""SELECT l_returnflag, l_linestatus,
+           |  cast(grouping(l_returnflag) as int) AS g_rf,
+           |  cast(grouping(l_linestatus) as int) AS g_ls,
+           |  ${dsum("l_quantity")} AS sum_qty, cast(count(*) as bigint) AS n
+           |FROM graft_lineitem_gs
+           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+           |ORDER BY coalesce(l_returnflag, 'zzz'), coalesce(l_linestatus, 'zzz')
+           |""".stripMargin)
+    }),
+
     // lag/lead window over event time (phase-2 surface)
     "q45_window_lag" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -936,6 +951,15 @@ object SparkEntry {
         | cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
         | cast(count(*) as bigint) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY coalesce(l_returnflag, 'zzz'), coalesce(l_linestatus, 'zzz')""".stripMargin,
+
+    "q63_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | cast(grouping(l_returnflag) as int) AS g_rf,
+        | cast(grouping(l_linestatus) as int) AS g_ls,
+        | cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+        | cast(count(*) as bigint) AS n
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY coalesce(l_returnflag, 'zzz'), coalesce(l_linestatus, 'zzz')""".stripMargin,
 
     "q45_window_lag" ->
