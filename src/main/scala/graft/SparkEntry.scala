@@ -649,6 +649,13 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // corpus cleaning: drop documents below the 25th length percentile
+    // (exact-percentile threshold, driver-injected literal)
+    "q64_quality_filter" -> ((s, d) =>
+      graft.ops.TextOps.filterByPercentile(Tables(s, d, "documents"), "n_chars", 0.25)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     // content-keyed stratified sampling: downsample the dominant language
     // to rebalance the corpus (en → 4/16), reproducible in any engine
     "q56_stratified_sample" -> ((s, d) =>
@@ -1091,6 +1098,11 @@ object SparkEntry {
         |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |   ROWS UNBOUNDED PRECEDING) as double) AS running_total
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q64_quality_filter" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.25) FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "q56_stratified_sample" ->
       """SELECT doc_id, lang FROM documents

@@ -86,6 +86,22 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
 
+  /** Keep rows at or above the `p`-quantile of `metricCol` — the classic
+    * "drop the bottom quartile by quality score" corpus-cleaning step.
+    * The threshold is ONE exact-percentile aggregate collected driver-side
+    * and injected as a literal (same pattern as the IVF centroids): two
+    * jobs total, no single-partition window, and the filter containing a
+    * plain literal pushes down to the scan on re-read.
+    */
+  def filterByPercentile(
+      df: org.apache.spark.sql.DataFrame,
+      metricCol: String,
+      p: Double): org.apache.spark.sql.DataFrame = {
+    require(p > 0 && p < 1, s"p must be in (0, 1), got $p")
+    val thr = df.agg(expr(s"percentile($metricCol, $p)")).head().getDouble(0)
+    df.where(col(metricCol) >= thr)
+  }
+
   /** Corpus-wide token frequencies, highest first (ties by token). One
     * generator + one partial-aggregated shuffle on the token — the map-side
     * combine collapses each split's repeats before anything moves, so the
