@@ -412,8 +412,10 @@ final case class Relation(
   def union(other: Relation): Relation = {
     val a = df.columns.toSet
     val b = other.df.columns.toSet
+    // reference message text (tests/test_duckdb/test_relation.py:446-455),
+    // plus the actual column diff
     require(a == b,
-      s"Union not possible; missing columns in either relation: " +
+      s"Union between relations with different column names is not allowed. " +
         s"left-only=${(a diff b).toSeq.sorted.mkString(", ")} " +
         s"right-only=${(b diff a).toSeq.sorted.mkString(", ")}")
     keep(df.unionByName(other.df))
