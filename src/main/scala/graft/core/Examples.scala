@@ -109,9 +109,20 @@ object Examples {
     val out = schema.fields.foldLeft(base) { (df, f) =>
       if (data.contains(f.name)) df
       else if (f.unique) df.withColumn(f.name, counterColumn(f, col("__rid")))
-      else df.withColumn(f.name, lit(exampleValue(f)).cast(f.dataType))
+      else df.withColumn(f.name, exampleLit(exampleValue(f), f.dataType))
     }
     out.select(schema.columns.map(col): _*)
+  }
+
+  /** Literal column for an example value. Scala Seq needs Literal.create
+    * (Spark's `lit` only accepts Array/ArraySeq for array literals — a
+    * plain `lit(Seq(...))` throws UNSUPPORTED_LITERAL_TYPE).
+    */
+  private def exampleLit(v: Any, t: DataType): Column = v match {
+    case null      => lit(null).cast(t)
+    case s: Seq[_] => org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(s, t))
+    case other     => lit(other).cast(t)
   }
 
   /** Typed empty frame (`Database.empty_relation`, duckdb.py:2617-2654). */

@@ -30,6 +30,12 @@ import org.apache.spark.sql.types._
   */
 object Validator {
 
+  /** Max distinct out-of-domain enum values reported per column — the
+    * violation SET is driver-collected for the error message, and an
+    * entirely-miscast column would otherwise ship every distinct value.
+    */
+  val EnumReportCap = 100
+
   /** Validate and throw a single aggregated [[ValidationError]] on failure. */
   def validate(df: DataFrame, schema: Schema): Unit = {
     val errs = findErrors(df, schema)
@@ -94,19 +100,26 @@ object Validator {
         case _ => ()
       }
       f.enumValues.foreach { vals =>
+        // capped + sorted: an entirely-miscast column would otherwise ship
+        // every distinct value to the driver through one agg buffer
         aggs += ((f, "enum",
-          collect_set(when(c.isNotNull && !c.isin(vals: _*), c.cast(StringType)))))
+          slice(array_sort(
+            collect_set(when(c.isNotNull && !c.isin(vals: _*), c.cast(StringType)))),
+            1, EnumReportCap + 1)))
       }
       boundsViolation(f).foreach { pred =>
         aggs += ((f, "bounds", sum(when(pred, 1L).otherwise(0L))))
       }
-      f.constraints.foreach { raw =>
-        val bound = bindPlaceholder(raw, f.name)
-        aggs += ((f, "constraint",
-          sum(when(!coalesce(inlineAggregates(df, bound), lit(true)), 1L)
-            .otherwise(0L))))
-      }
     }
+    // Aggregate-valued constraint sub-expressions across ALL fields are
+    // inlined in ONE extra scalar job (not one per constraint).
+    val boundConstraints = checkable.flatMap(f =>
+      f.constraints.map(raw => f -> bindPlaceholder(raw, f.name)))
+    inlineAggregatesBatch(df, boundConstraints.map(_._2))
+      .zip(boundConstraints).foreach { case (evaluable, (f, _)) =>
+        aggs += ((f, "constraint",
+          sum(when(!coalesce(evaluable, lit(true)), 1L).otherwise(0L))))
+      }
 
     val plan = aggs.result()
     if (plan.nonEmpty) {
@@ -182,8 +195,9 @@ object Validator {
       coalesce(a, lit(0L)).as(s"_v$i")
     }
     val agg = df.agg(named.head, named.tail: _*)
+    def q(s: String): String = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     val triples = all.zipWithIndex
-      .map { case ((loc, chk, _), i) => s"'$loc', '$chk', _v$i" }
+      .map { case ((loc, chk, _), i) => s"${q(loc)}, ${q(chk)}, _v$i" }
       .mkString(", ")
     agg.selectExpr(s"stack(${all.size}, $triples) as (loc, chk, n)")
       .orderBy(col("loc"), col("chk"))
@@ -204,7 +218,8 @@ object Validator {
       streamSafe: Boolean): Seq[(String, String, Column)] = {
     val dfTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
     val checks = Seq.newBuilder[(String, String, Column)]
-    schema.fields.filter(f => dfTypes.contains(f.name)).foreach { f =>
+    val fields = schema.fields.filter(f => dfTypes.contains(f.name))
+    fields.foreach { f =>
       val c = col(f.name)
       if (!f.nullable)
         checks += ((f.name, "nulls", sum(when(c.isNull, 1L).otherwise(0L))))
@@ -215,23 +230,25 @@ object Validator {
       boundsViolation(f).foreach { pred =>
         checks += ((f.name, "bounds", sum(when(pred, 1L).otherwise(0L))))
       }
-      f.constraints.foreach { raw =>
-        val bound = bindPlaceholder(raw, f.name)
-        val hasAgg = {
-          var found = false
-          def visit(x: Expression): Unit =
-            if (isAggregate(x)) found = true else x.children.foreach(visit)
-          visit(GraftBridge.expression(bound))
-          found
-        }
-        if (!(streamSafe && hasAgg)) {
-          val evaluable = if (hasAgg) inlineAggregates(df, bound) else bound
-          checks += ((f.name, "constraint",
-            sum(when(!coalesce(evaluable, lit(true)), 1L).otherwise(0L))))
-        }
-      }
     }
+    // constraints last: aggregate-valued ones inline in ONE extra job
+    val constraints = fields.flatMap(f =>
+      f.constraints.map(raw => f.name -> bindPlaceholder(raw, f.name)))
+      .filterNot { case (_, bound) => streamSafe && hasAggregate(bound) }
+    inlineAggregatesBatch(df, constraints.map(_._2))
+      .zip(constraints).foreach { case (evaluable, (name, _)) =>
+        checks += ((name, "constraint",
+          sum(when(!coalesce(evaluable, lit(true)), 1L).otherwise(0L))))
+      }
     checks.result()
+  }
+
+  private[graft] def hasAggregate(c: Column): Boolean = {
+    var found = false
+    def visit(x: Expression): Unit =
+      if (isAggregate(x)) found = true else x.children.foreach(visit)
+    visit(GraftBridge.expression(c))
+    found
   }
 
   /** Spark has no unsigned ints (SURVEY §7 hard-part 1): acceptance is by
@@ -251,7 +268,7 @@ object Validator {
     * when it is non-null and fails ANY bound (validators.py:234-267, incl. the
     * `col == 0` escape for multiple_of at :241).
     */
-  private def boundsViolation(f: FieldSpec): Option[Column] = {
+  private[graft] def boundsViolation(f: FieldSpec): Option[Column] = {
     val c = col(f.name)
     val conds = Seq.newBuilder[Column]
     f.bounds.gt.foreach(v => conds += (c > lit(v)))
@@ -302,15 +319,26 @@ object Validator {
     * single-partition global window — the scale-safe alternative flagged in
     * SURVEY §7 hard-part 3.
     */
-  private[graft] def inlineAggregates(df: DataFrame, constraint: Column): Column = {
-    val e = GraftBridge.expression(constraint)
+  private[graft] def inlineAggregates(df: DataFrame, constraint: Column): Column =
+    inlineAggregatesBatch(df, Seq(constraint)).head
+
+  /** Batch form: the aggregate sub-expressions of ALL constraints are
+    * deduplicated and computed in ONE scalar-aggregate job, then
+    * substituted back per constraint — N fraction-style constraints cost
+    * one extra scan, not N (the per-constraint form scanned once each).
+    */
+  private[graft] def inlineAggregatesBatch(
+      df: DataFrame,
+      constraints: Seq[Column]): Seq[Column] = {
+    if (constraints.isEmpty) return Seq.empty
+    val exprs = constraints.map(GraftBridge.expression)
     // Topmost aggregate sub-expressions only (an agg cannot nest another agg).
     val aggSubs = scala.collection.mutable.ArrayBuffer.empty[Expression]
     def visit(x: Expression): Unit =
       if (isAggregate(x)) { if (!aggSubs.exists(_.fastEquals(x))) aggSubs += x }
       else x.children.foreach(visit)
-    visit(e)
-    if (aggSubs.isEmpty) return constraint
+    exprs.foreach(visit)
+    if (aggSubs.isEmpty) return constraints
 
     val aggCols = aggSubs.toSeq.zipWithIndex.map { case (a, i) =>
       GraftBridge.column(a).as(s"_agg$i")
@@ -326,10 +354,11 @@ object Validator {
           }
         a -> lit
       }
-    val rewritten = e.transform {
-      case x if replacements.exists(_._1.fastEquals(x)) =>
-        replacements.find(_._1.fastEquals(x)).get._2
+    exprs.map { e =>
+      GraftBridge.column(e.transform {
+        case x if replacements.exists(_._1.fastEquals(x)) =>
+          replacements.find(_._1.fastEquals(x)).get._2
+      })
     }
-    GraftBridge.column(rewritten)
   }
 }

@@ -273,6 +273,19 @@ final case class Relation(
     val rightVals = other.df.columns.filterNot(c => by.contains(c) || c == rightOn)
     val leftOnly  = df.columns.filterNot(by.contains)
     val rSchema   = other.df.schema
+    val collide = leftOnly.toSet & rightVals.toSet
+    require(collide.isEmpty,
+      s"asofJoin: column names collide between the sides: ${collide.mkString(", ")}")
+
+    // All right-side value columns travel as ONE struct: a matched right
+    // row's struct is non-null even when its individual fields are null,
+    // so the ignoreNulls window fill skips only genuinely-unmatched rows
+    // and every output column comes from the SAME matched row (per-column
+    // fills would pull a field from an older row whenever the nearest
+    // match holds a null in that field).
+    val rvStruct = struct(rightVals.map(col): _*)
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => rSchema(c).copy(nullable = true)))
 
     // Side tags order right rows BEFORE left at equal __t, so a same-time
     // right row is inside the backward window AND (with side desc) the
@@ -280,11 +293,11 @@ final case class Relation(
     val lSide = df.select(
       by.map(col) ++ Seq(col(leftOn).cast(rSchema(rightOn).dataType).as("__t"), lit(1).as("__side")) ++
         leftOnly.map(col) ++
-        rightVals.map(c => lit(null).cast(rSchema(c).dataType).as(c)): _*)
+        Seq(lit(null).cast(rvType).as("__rv")): _*)
     val rSide = other.df.select(
       by.map(col) ++ Seq(col(rightOn).as("__t"), lit(0).as("__side")) ++
         leftOnly.map(c => lit(null).cast(df.schema(c).dataType).as(c)) ++
-        rightVals.map(col): _*)
+        Seq(rvStruct.as("__rv")): _*)
     val union = lSide.unionByName(rSide)
 
     val wB = Window.partitionBy(by.map(col): _*)
@@ -300,7 +313,7 @@ final case class Relation(
     // matched right timestamp per direction (for nearest choice + tolerance)
     val bT = bwd(col("__t")).as("__bT")
     val fT = fwd(col("__t")).as("__fT")
-    val fillCols = rightVals.flatMap(c => Seq(bwd(col(c)).as(s"__b_$c"), fwd(col(c)).as(s"__f_$c")))
+    val fillCols = Seq(bwd(col("__rv")).as("__b_rv"), fwd(col("__rv")).as("__f_rv"))
     val filled = union
       .select((by ++ leftOnly).map(col) ++ Seq(col("__t"), col("__side"), bT, fT) ++ fillCols: _*)
       .where(col("__side") === 1)
@@ -324,7 +337,7 @@ final case class Relation(
     val out = filled.select(
       (by ++ leftOnly).map(col) ++
         rightVals.map(c => when(matched,
-          when(useBackward, col(s"__b_$c")).otherwise(col(s"__f_$c"))).as(c)): _*)
+          when(useBackward, col("__b_rv")).otherwise(col("__f_rv")).getField(c)).as(c)): _*)
     val ordered = df.columns ++ rightVals
     Relation(out.select(ordered.map(col): _*), None, None)
   }
@@ -332,11 +345,17 @@ final case class Relation(
   /** Skew-safe equi-join on one key: left rows scatter deterministically
     * across `salt` sub-keys (hash of the whole row) and the right side
     * replicates `salt` times, so one hot key spreads over `salt` reducers.
-    * Result is identical to `join(other, key)`; use when a key is too hot
-    * even for AQE's skew-join splitting (which only splits the probe side).
+    * Result is identical to `join(other, key)` for the supported kinds
+    * (inner/left/semi/anti — kinds that preserve unmatched RIGHT rows
+    * would emit each of them once per salt replica, so they are rejected);
+    * use when a key is too hot even for AQE's skew-join splitting (which
+    * only splits the probe side).
     */
   def saltedJoin(other: Relation, key: String, salt: Int, how: String = "inner"): Relation = {
     require(salt > 1, "salt must be > 1")
+    require(Seq("inner", "left", "semi", "anti").contains(how),
+      s"saltedJoin supports inner/left/semi/anti, not '$how' — an outer/right " +
+        "join would duplicate unmatched right rows once per salt replica")
     val l = df.withColumn("__salt",
       pmod(xxhash64(df.columns.map(col): _*), lit(salt.toLong)).cast("int"))
     val r = other.df.withColumn("__salt",

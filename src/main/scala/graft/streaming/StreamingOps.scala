@@ -21,8 +21,10 @@ case class UserSession(
     n_events: Long,
     total_value: Double)
 
-/** Running state for one user's open session. */
-case class SessionState(start: Long, end: Long, n: Long, total: Double)
+/** Running state for one user: events buffered until the watermark makes
+  * their session assignment immutable.
+  */
+case class SessionState(events: List[(Long, Double)])
 
 /** Structured-Streaming operators. The reference is batch-only (SURVEY §1.1:
   * "no stream abstractions"), so this module is pure phase-2 extension
@@ -58,9 +60,14 @@ object StreamingOps {
     df.observe(name, metrics.head, metrics.tail: _*)
   }
 
-  /** Rows from a validated stream that PASS all row-level checks; rows
-    * failing any check go to the (optional) dead-letter path instead of
-    * poisoning downstream aggregates. A pure filter — no state, no shuffle.
+  /** Rows from a validated stream that PASS all row-level checks (nulls,
+    * enum domain, bounds/pattern/length, non-aggregate custom constraints
+    * — the same check set [[Validator.checkAggs]] counts with
+    * `streamSafe = true`, so this filter and [[observeValidation]] agree
+    * on every row); failing rows go to the (optional) dead-letter path
+    * instead of poisoning downstream aggregates. A pure filter — no
+    * state, no shuffle. Aggregate-valued constraints are skipped (they
+    * need a cross-batch scalar; use the batch Validator).
     */
   def validRows(df: DataFrame, schema: Schema): DataFrame =
     df.where(rowPredicate(df, schema))
@@ -75,9 +82,12 @@ object StreamingOps {
       val nullOk =
         if (f.nullable) Seq.empty else Seq(c.isNotNull)
       val enumOk = f.enumValues.toSeq.map(vs => c.isNull || c.isin(vs: _*))
-      val constraintsOk = f.constraints.map(raw =>
-        coalesce(Validator.bindPlaceholder(raw, f.name), lit(true)))
-      nullOk ++ enumOk ++ constraintsOk
+      val boundsOk = Validator.boundsViolation(f).toSeq.map(viol => !viol)
+      val constraintsOk = f.constraints
+        .map(raw => Validator.bindPlaceholder(raw, f.name))
+        .filterNot(Validator.hasAggregate)
+        .map(b => coalesce(b, lit(true)))
+      nullOk ++ enumOk ++ boundsOk ++ constraintsOk
     }
     if (conds.isEmpty) lit(true) else conds.reduce(_ && _)
   }
@@ -168,33 +178,50 @@ object StreamingOps {
       .flatMapGroupsWithState[SessionState, UserSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(
-              UserSession(userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total))
-          } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            var open = state.getOption
-            val closed = Seq.newBuilder[UserSession]
-            sorted.foreach { ev =>
-              val t = ev.ts.getTime
-              open match {
-                case Some(s) if t - s.end <= gapMs =>
-                  open = Some(SessionState(s.start, math.max(s.end, t), s.n + 1, s.total + ev.value))
-                case Some(s) =>
-                  closed += UserSession(
-                    userId, new Timestamp(s.start), new Timestamp(s.end), s.n, s.total)
-                  open = Some(SessionState(t, t, 1, ev.value))
-                case None =>
-                  open = Some(SessionState(t, t, 1, ev.value))
-              }
+          // Buffer-and-replay design: events are held in state and the
+          // gap-split runs over the full sorted buffer on every
+          // invocation, so an out-of-order event that arrives within the
+          // watermark lands in its correct session (a greedy running
+          // state would merge an event EARLIER than the open session's
+          // start, since t - end <= gap holds trivially for t < end —
+          // diverging from sessionizeBatch). A session is emitted — and
+          // its events dropped from the buffer — only once the watermark
+          // passes its end + gap, after which no admissible event (all
+          // have ts >= watermark) can extend or split it. State per user
+          // is O(events inside the watermark horizon).
+          val buffered = state.getOption.map(_.events).getOrElse(Nil)
+          val incoming = rows.map(e => (e.ts.getTime, e.value)).toList
+          val all = (buffered ++ incoming).sortBy(_._1)
+          val wm = state.getCurrentWatermarkMs()
+
+          // gap-split the sorted buffer (identical to sessionizeBatch)
+          val sessions = List.newBuilder[List[(Long, Double)]]
+          var current = List.newBuilder[(Long, Double)]
+          var prev = Long.MinValue
+          all.foreach { case ev @ (t, _) =>
+            if (prev != Long.MinValue && t - prev > gapMs) {
+              sessions += current.result()
+              current = List.newBuilder[(Long, Double)]
             }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
-            }
-            closed.result().iterator
+            current += ev
+            prev = t
+          }
+          val currentLast = current.result()
+          if (currentLast.nonEmpty) sessions += currentLast
+
+          val (closed, open) = sessions.result().partition(s => s.last._1 + gapMs < wm)
+          val keep = open.flatten
+          if (keep.isEmpty) state.remove()
+          else {
+            state.update(SessionState(keep))
+            // strictly above the watermark (an end+gap == wm session stays
+            // open under the strict < close test)
+            state.setTimeoutTimestamp(math.max(keep.map(_._1).max + gapMs, wm + 1))
+          }
+          closed.iterator.map { s =>
+            UserSession(userId,
+              new Timestamp(s.head._1), new Timestamp(s.last._1),
+              s.length.toLong, s.map(_._2).sum)
           }
       }
   }

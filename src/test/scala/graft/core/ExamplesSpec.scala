@@ -10,6 +10,17 @@ import graft.SparkSpec
   */
 class ExamplesSpec extends SparkSpec {
 
+  test("examples synthesizes ArrayType fields (Seq literals need Literal.create)") {
+    val m = Schema("A", Seq(
+      FieldSpec.long("id").copy(unique = true),
+      FieldSpec("tags", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false))))
+    val df = Examples.examples(spark, m, n = 3L)
+    assert(df.count() == 3)
+    assert(df.select("tags").head().getSeq[Long](0) == Seq(0L))
+    assert(Validator.findErrors(df, m).isEmpty)
+  }
+
   test("exampleValue honors const > default > nullable > enum > bounds") {
     assert(Examples.exampleValue(
       FieldSpec.double("c").copy(bounds = Bounds(const = Some(3.14)))) == 3.14)

@@ -180,6 +180,29 @@ class RelationSpec extends SparkSpec {
     assert(salted.apply("rkey", "n_name", "r_name").sameAs(plain))
   }
 
+  test("asofJoin: a matched right row with a NULL value yields that null, not an older value") {
+    val clicks = Relation(frame(
+      struct("sym" -> StringType, "t" -> DoubleType),
+      Row("A", 7.0)))
+    val quotes = Relation(frame(
+      struct("sym" -> StringType, "qt" -> DoubleType, "px" -> DoubleType,
+        "venue" -> StringType),
+      Row("A", 1.0, 10.0, "X"),
+      Row("A", 5.0, null, "Y"))) // nearest match holds a null px
+    val out = clicks.asofJoin(quotes, by = Seq("sym"), leftOn = "t", rightOn = "qt")
+      .toDF.head()
+    // px must be the t=5 row's null — NOT 10.0 from t=1 — and venue must
+    // come from the SAME matched row
+    assert(out.isNullAt(out.fieldIndex("px")), s"pulled stale px: $out")
+    assert(out.getString(out.fieldIndex("venue")) == "Y")
+  }
+
+  test("saltedJoin rejects join kinds that would duplicate unmatched right rows") {
+    val e = intercept[IllegalArgumentException](
+      t1.saltedJoin(t1.rename("column_1" -> "k"), "column_2", salt = 4, how = "outer"))
+    assert(e.getMessage.contains("outer"))
+  }
+
   test("rangeJoin equals the raw range predicate, including edge exclusivity") {
     val points = Relation(frame(
       struct("pid" -> LongType, "x" -> DoubleType),

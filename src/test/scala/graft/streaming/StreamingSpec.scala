@@ -11,7 +11,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 import graft.SparkSpec
-import graft.core.{FieldSpec, Schema}
+import graft.core.{Bounds, FieldSpec, Schema}
 
 /** Structured-Streaming operators, driven end-to-end with the public file
   * source (one parquet file per micro-batch via maxFilesPerTrigger) and the
@@ -179,6 +179,42 @@ class StreamingSpec extends SparkSpec {
     val streamed = spark.table("sjoin").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(streamed == batch)
+  }
+
+  test("sessionize handles in-watermark out-of-order events exactly like batch") {
+    // a LATE event (within the 10 min watermark) arrives in the SECOND
+    // micro-batch, 70 s before the first event; with a 60 s gap they are
+    // two separate sessions — a greedy running state would merge them
+    // (t - end <= gap holds trivially for an event before the open
+    // session's start).
+    val rows1 = Seq(Row(1L, ts("2026-01-01 10:02:00"), 1L, "click", 1.0))
+    val rows2 = Seq(Row(2L, ts("2026-01-01 10:00:50"), 1L, "click", 2.0))
+    val flush = Seq(Row(99L, ts("2026-01-01 12:00:00"), 9L, "click", 0.0))
+    val dir = eventFiles(Seq(rows1, rows2, flush))
+    val out = StreamingOps.sessionizeEvents(
+      readEventStream(dir), watermarkDelay = "10 minutes", gapMs = 60000L)
+    runToCompletion(out.toDF(), "sess_ooo")
+    val streamed = spark.table("sess_ooo").where(col("user_id") === 1L)
+      .orderBy("session_start").collect()
+      .map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSeq
+    val batch = StreamingOps.sessionizeBatch(
+      frame(eventSt, (rows1 ++ rows2): _*), gapMs = 60000L)
+      .orderBy("session_start").collect()
+      .map(r => (r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSeq
+    assert(streamed == batch)
+    assert(streamed == Seq(
+      (ts("2026-01-01 10:00:50"), ts("2026-01-01 10:00:50"), 1L),
+      (ts("2026-01-01 10:02:00"), ts("2026-01-01 10:02:00"), 1L)))
+  }
+
+  test("validRows enforces bounds, not just nulls and enums") {
+    val schema = Schema("Event", Seq(
+      FieldSpec.double("value").copy(bounds = Bounds(ge = Some(0)))))
+    val df = frame(eventSt,
+      Row(1L, ts("2026-01-01 10:00:00"), 7L, "click", 1.0),
+      Row(2L, ts("2026-01-01 10:00:01"), 7L, "click", -5.0))
+    assert(StreamingOps.validRows(df, schema).collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(StreamingOps.invalidRows(df, schema).collect().map(_.getLong(0)).toSeq == Seq(2L))
   }
 
   test("sessionizeEvents: gap closes a session in-batch, timeout closes the tail") {
