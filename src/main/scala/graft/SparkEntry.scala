@@ -847,31 +847,31 @@ object SparkEntry {
 
     "q31_token_counts" ->
       """SELECT doc_id,
-        | cast(len(string_split_regex(trim(text), '\s+')) as bigint) AS n_ws,
+        | cast(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) as bigint) AS n_ws,
         | cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) as bigint) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q32_quality" ->
       """SELECT doc_id,
         | cast(length(text) as bigint) AS n_chars,
-        | cast(len(string_split_regex(trim(text), '\s+')) as bigint) AS n_tokens,
+        | cast(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) as bigint) AS n_tokens,
         | cast(len(regexp_extract_all(text, '[.,;:!?]')) as bigint) AS n_punct,
-        | cast(len(list_filter(string_split_regex(trim(text), '\s+'),
+        | cast(len(list_filter(list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
         |   w -> w IN ('the','a','an','and','of','to','in','is','it','that'))) as double)
-        |   / cast(len(string_split_regex(trim(text), '\s+')) as double) AS stopword_ratio,
-        | cast(length(replace(trim(text), ' ', '')) as double)
-        |   / cast(len(string_split_regex(trim(text), '\s+')) as double) AS mean_token_len
+        |   / cast(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) as double) AS stopword_ratio,
+        | cast(length(regexp_replace(text, '\s', '', 'g')) as double)
+        |   / cast(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) as double) AS mean_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q33_langid" ->
       """WITH s AS (SELECT doc_id,
-        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |  len(list_filter(list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
         |    w -> w IN ('the','a','and','of','to','is'))) AS s_en,
-        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |  len(list_filter(list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
         |    w -> w IN ('der','die','das','und','ist','nicht'))) AS s_de,
-        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |  len(list_filter(list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
         |    w -> w IN ('el','la','los','de','que','es'))) AS s_es,
-        |  len(list_filter(string_split_regex(trim(text), '\s+'),
+        |  len(list_filter(list_filter(string_split_regex(text, '\s+'), t -> t <> ''),
         |    w -> w IN ('le','la','les','et','est','dans'))) AS s_fr,
         |  len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh
         | FROM documents)
@@ -895,7 +895,7 @@ object SparkEntry {
     // list_intersect division is bit-identical to the merge-scan kernel.
     "q35_minhash_pairs" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks FROM documents
         |), s AS (
         |  SELECT doc_id,
         |    list_distinct([array_to_string(toks[i:i+2], ' ')
@@ -997,7 +997,7 @@ object SparkEntry {
 
     "q51_token_explode" ->
       """SELECT token, cast(count(*) as bigint) AS n FROM (
-        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
 
@@ -1011,7 +1011,7 @@ object SparkEntry {
 
     "q53_tfidf" ->
       """WITH tokens AS (
-        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS token
         |  FROM documents
         |), tf AS (
         |  SELECT doc_id, token, cast(count(*) as bigint) AS tf
@@ -1064,7 +1064,7 @@ object SparkEntry {
 
     "q61_dedup_clusters" ->
       """WITH RECURSIVE t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks FROM documents
         |), s AS (
         |  SELECT doc_id,
         |    list_distinct([array_to_string(toks[i:i+2], ' ')

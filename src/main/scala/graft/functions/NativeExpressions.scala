@@ -598,6 +598,9 @@ object MinHashUtil {
 
 object VectorMath {
   def cosine(a: ArrayData, b: ArrayData): Double = {
+    // dimension mismatch is data corruption — surface it as NaN (excluded
+    // by any >= threshold) instead of a plausible truncated similarity
+    if (a.numElements() != b.numElements()) return Double.NaN
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0
     var na = 0.0

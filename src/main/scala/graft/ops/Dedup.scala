@@ -200,11 +200,14 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Near-duplicate pairs by SimHash: 64-bit signatures banded into four
-    * 16-bit chunks — by pigeonhole, any pair within hamming distance 3
+  /** Near-duplicate pairs by SimHash: 64-bit signatures banded into equal
+    * chunks — by pigeonhole, any pair within hamming distance `chunks - 1`
     * shares at least one identical chunk, so candidate generation is ONE
     * shuffle on (chunk, value) and the exact hamming filter only touches
-    * colliding pairs.
+    * colliding pairs. The chunk count adapts to `maxHamming` (the smallest
+    * power-of-two chunking with `chunks > maxHamming`, up to 32×2-bit) —
+    * a fixed 4×16 banding would silently miss qualifying pairs whose
+    * differing bits straddle all four chunks whenever maxHamming > 3.
     */
   def simhashPairs(
       df: DataFrame,
@@ -212,14 +215,19 @@ object Dedup {
       idCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 4096): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31] (32 chunks of 2 bits), got $maxHamming")
+    val chunks = Seq(4, 8, 16, 32).find(_ > maxHamming).get
+    val bits = 64 / chunks
+    val mask = (1L << bits) - 1
     val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
-    // sig is let-bound: the four chunk expressions reference the (expensive)
+    // sig is let-bound: the chunk expressions reference the (expensive)
     // simhash exactly once even after projection collapse.
     val buckets = sigs.select(
       col("id"),
       posexplode(bind(col("sig")) { s =>
-        array((0 until 4).map(c =>
-          shiftright(s, c * 16).bitwiseAND(lit(0xFFFFL))): _*)
+        array((0 until chunks).map(c =>
+          shiftright(s, c * bits).bitwiseAND(lit(mask))): _*)
       }).as(Seq("band", "bhash")))
     candidatePairs(buckets, maxBucketSize)
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))

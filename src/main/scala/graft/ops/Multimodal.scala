@@ -36,7 +36,7 @@ object Multimodal {
     * batching stay the same.
     */
   def fakeDecode(id: Long, payload: Array[Byte]): MediaMeta = {
-    val n = payload.length.toLong
+    val n = if (payload == null) 0L else payload.length.toLong
     MediaMeta(
       doc_id = id,
       n_bytes = n,
@@ -83,8 +83,9 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition encoder-model load would go here
         it.map { case (id, bytes) =>
+          val safe = if (bytes == null) Array.emptyByteArray else bytes
           val vec = Array.tabulate(dim) { i =>
-            val h = scala.util.hashing.MurmurHash3.bytesHash(bytes, i)
+            val h = scala.util.hashing.MurmurHash3.bytesHash(safe, i)
             (h % 1000) / 1000.0f
           }
           (id, vec)
@@ -109,8 +110,12 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val out = new Array[Byte](w * h)
-        var i = 0
-        while (i < out.length) { out(i) = bytes(i % math.max(bytes.length, 1)); i += 1 }
+        // empty/null payload → zero-filled frame (a real codec would error
+        // a decode failure into a dead-letter column instead)
+        if (bytes != null && bytes.length > 0) {
+          var i = 0
+          while (i < out.length) { out(i) = bytes(i % bytes.length); i += 1 }
+        }
         (id, out)
       })
       .toDF(idCol, binCol)
@@ -127,11 +132,13 @@ object Multimodal {
       binCol: String,
       frameBytes: Int,
       everyN: Int): DataFrame = {
+    require(everyN > 0, s"everyN must be positive, got $everyN")
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        val nFrames = bytes.length / math.max(frameBytes, 1)
+        val nFrames =
+          if (bytes == null) 0 else bytes.length / math.max(frameBytes, 1)
         (0 until nFrames by everyN).iterator.map { f =>
           (id, f, bytes.slice(f * frameBytes, (f + 1) * frameBytes))
         }

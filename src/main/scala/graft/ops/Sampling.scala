@@ -73,7 +73,9 @@ object Sampling {
     val rate = sixteenths.foldLeft(lit(16)) { case (acc, (stratum, n)) =>
       when(col(stratumCol) === stratum, n).otherwise(acc)
     }
-    df.where(nibble < rate)
+    // null keys can't hash → keep the row (silently dropping it would
+    // contradict the keep-all default for unlisted strata)
+    df.where(col(keyCol).isNull || nibble < rate)
   }
 
   /** Weighted corpus mix: union of sources, each downsampled to its weight

@@ -118,7 +118,12 @@ object Similarity {
 
     private[Similarity] def cellSims(vec: Column): Column =
       array(centroids.map { case (cid, cv) =>
-        struct(lit(cid).as("cid"), cosine(vec, typedlit(cv)).as("sim"))
+        // nanvl: a zero-norm vector has NaN cosine with every centroid and
+        // would otherwise lose the argmax to the -2.0 sentinel, landing in
+        // an unreachable cell -1 — map NaN below every real similarity but
+        // above the sentinel so such vectors stay probe-able
+        struct(lit(cid).as("cid"),
+          nanvl(cosine(vec, typedlit(cv)), lit(-1.5)).as("sim"))
       }: _*)
   }
 

@@ -13,8 +13,14 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens of trimmed text. */
-  def wsTokens(text: Column): Column = split(trim(text), "\\s+")
+  /** Whitespace tokens. Empty tokens are filtered rather than trimmed
+    * away: Spark's `trim` strips only ASCII spaces, so a tab/newline-
+    * bounded document would otherwise yield phantom "" tokens at the
+    * edges — miscounting tokens and polluting shingle sets on any real
+    * (newline-terminated) corpus.
+    */
+  def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(wsTokens(text))
@@ -51,7 +57,8 @@ object TextOps {
       "stopword_ratio" ->
         wordHits(text, EnglishStopwords).cast("double") / nTok.cast("double"),
       "mean_token_len" ->
-        length(translate(trim(text), " ", "")).cast("double") / nTok.cast("double"))
+        // strip ALL whitespace (tabs/newlines too), matching the tokenizer
+        length(regexp_replace(text, "\\s", "")).cast("double") / nTok.cast("double"))
   }
 
   /** Per-language marker words for the rule-based language ID. */
@@ -98,8 +105,10 @@ object TextOps {
       metricCol: String,
       p: Double): org.apache.spark.sql.DataFrame = {
     require(p > 0 && p < 1, s"p must be in (0, 1), got $p")
-    val thr = df.agg(expr(s"percentile($metricCol, $p)")).head().getDouble(0)
-    df.where(col(metricCol) >= thr)
+    val row = df.agg(expr(s"percentile(`$metricCol`, $p)")).head()
+    // empty / all-null metric → no threshold exists → nothing passes
+    if (row.isNullAt(0)) df.where(lit(false))
+    else df.where(col(metricCol) >= row.getDouble(0))
   }
 
   /** Corpus-wide token frequencies, highest first (ties by token). One
