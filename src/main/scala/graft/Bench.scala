@@ -16,16 +16,30 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
+    // A query that throws must fail the bench visibly — swallowing it would
+    // record a broken query as a fast one.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failed += name
+          System.err.println(s"BENCH FAILURE $name: $e")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // Best-of-two for the slow queries: the shared box shows ±50%
     // run-to-run variance and a single sample can triple a heavy query's
     // number; a second sample for anything over 1 s bounds the noise at
     // ~40 s extra wall time while leaving the sub-second majority alone.
-    val queryMap = SparkEntry.queries
+    // SPARK_GRAFT_ONLY=q43_ann_ivf,q42_ngram_jaccard → time just those
+    // (local iteration aid; the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queryMap = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
     val firstPass = queryMap.map { case (name, fn) => name -> timeOne(name, fn) }
     val results = firstPass.map { case (name, t1) =>
       name -> (if (t1 > 1.0) math.min(t1, timeOne(name, queryMap(name))) else t1)
@@ -33,7 +47,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson =
+      if (failed.isEmpty) ""
+      else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -108,28 +108,63 @@ object Similarity {
     */
   /** A built IVF index: the trained centroids (tiny — nlist × dim, they
     * live in query plans as literals) plus the cell-assigned corpus. The
-    * build is the expensive part; callers amortize it across query batches
-    * — and at real scale persist `assigned` once (ideally as a table
-    * bucketed by `cell`, making every probe join exchange-free).
+    * seeded corpus is persisted by [[ivfBuild]] so the centroid action and
+    * the assignment read one scan; call [[IvfIndex.unpersist]] when done
+    * (or use [[ivfTopK]], which does). At real scale, persist `assigned`
+    * once as a table bucketed by `cell`, making every probe join
+    * exchange-free.
     */
   final case class IvfIndex(
       centroids: Seq[(Int, Seq[Float])],
-      assigned: DataFrame) {
+      assigned: DataFrame,
+      private[Similarity] val cached: DataFrame) {
 
-    private[Similarity] def cellSims(vec: Column): Column =
-      array(centroids.map { case (cid, cv) =>
-        // nanvl: a zero-norm vector has NaN cosine with every centroid and
-        // would otherwise lose the argmax to the -2.0 sentinel, landing in
-        // an unreachable cell -1 — map NaN below every real similarity but
-        // above the sentinel so such vectors stay probe-able
-        struct(lit(cid).as("cid"),
-          nanvl(cosine(vec, typedlit(cv)), lit(-1.5)).as("sim"))
-      }: _*)
+    /** Release the cached seeded corpus backing `assigned`. */
+    def unpersist(): Unit = if (cached != null) { cached.unpersist(); () }
+
+    /** One `(sim, negcid, cid)` struct per centroid. Lexicographic struct
+      * ordering then gives argmax/top-n directly — max sim, ties broken
+      * toward the lowest cid (negcid inverts the tie direction) — through
+      * codegen'd `greatest` / `sort_array`, no lambda comparators.
+      *
+      * nanvl: a zero-norm vector has NaN cosine with every centroid and
+      * would otherwise lose the argmax to the -2.0 sentinel, landing in an
+      * unreachable cell -1 — map NaN below every real similarity but above
+      * the sentinel so such vectors stay probe-able.
+      */
+    private[Similarity] def cellSimStructs(vec: Column): Seq[Column] =
+      centroids.map { case (cid, cv) =>
+        struct(
+          nanvl(cosine(vec, typedlit(cv)), lit(-1.5)).as("sim"),
+          lit(-cid).as("negcid"),
+          lit(cid).as("cid"))
+      }
+
+    /** Nearest-centroid argmax via `greatest` over the sim structs. The
+      * sentinel beats only null sims (null vector → cell -1, unreachable),
+      * preserving the pre-struct semantics.
+      */
+    private[Similarity] def nearestCell(vec: Column): Column = {
+      val sentinel = struct(
+        lit(-2.0).as("sim"), lit(Int.MinValue).as("negcid"), lit(-1).as("cid"))
+      greatest((sentinel +: cellSimStructs(vec)): _*).getField("cid")
+    }
+
+    /** The `nprobe` nearest cell ids, best first — `sort_array` descending
+      * on the struct ordering (no comparator lambda; the old array_sort
+      * comparator was interpreted per comparison per query row).
+      */
+    private[Similarity] def probeCells(vec: Column, nprobe: Int): Column =
+      transform(
+        slice(sort_array(array(cellSimStructs(vec): _*), asc = false), 1, nprobe),
+        s => s.getField("cid"))
   }
 
   /** Train the IVF index: deterministic hash seeding → per-cell centroids
-    * (one posexplode + groupBy job, the only action) → one Lloyd half-step
-    * re-assignment (map-only argmax over broadcast centroid literals).
+    * (one posexplode + groupBy job, the only action — which also warms the
+    * persisted seeded corpus) → one Lloyd half-step re-assignment reading
+    * the cache (argmax over broadcast centroid literals, no second corpus
+    * scan).
     */
   def ivfBuild(
       corpus: DataFrame,
@@ -141,6 +176,7 @@ object Similarity {
     val seeded = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       hyperplaneBucket(col(vecCol), planes).as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // centroids: element-wise mean per seed cell, collected driver-side
     // (nlist × dim doubles — tiny by construction)
@@ -154,14 +190,9 @@ object Similarity {
       }
       .toSeq.sortBy(_._1)
 
-    val idx = IvfIndex(centroids, null)
-    def nearestCell(vec: Column): Column =
-      aggregate(idx.cellSims(vec), struct(lit(-1).as("cid"), lit(-2.0).as("sim")),
-        (best, x) => when(x.getField("sim") > best.getField("sim"), x).otherwise(best))
-        .getField("cid")
-
+    val idx = IvfIndex(centroids, null, seeded)
     idx.copy(assigned = seeded.select(
-      col("neighbor_id"), col("cv"), nearestCell(col("cv")).as("cell")))
+      col("neighbor_id"), col("cv"), idx.nearestCell(col("cv")).as("cell")))
   }
 
   /** Probe a built index: each query scores all centroids (plan literals —
@@ -177,13 +208,7 @@ object Similarity {
       nprobe: Int = 4): DataFrame = {
     val probed = queries.select(
       col(idCol).as("query_id"), col(vecCol).as("qv"),
-      explode(slice(
-        transform(
-          array_sort(index.cellSims(col(vecCol)),
-            (x, y) => when(x.getField("sim") > y.getField("sim"), -1)
-              .when(x.getField("sim") < y.getField("sim"), 1).otherwise(0)),
-          s => s.getField("cid")),
-        1, nprobe)).as("cell"))
+      explode(index.probeCells(col(vecCol), nprobe)).as("cell"))
 
     val scored = broadcast(probed).join(index.assigned, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
@@ -196,6 +221,11 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** One-shot build + probe. The probe result (queries × k rows — tiny) is
+    * eagerly local-checkpointed so the corpus cache can be released before
+    * returning; multi-batch callers should [[ivfBuild]] once and
+    * [[ivfProbe]] per batch instead.
+    */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -203,9 +233,13 @@ object Similarity {
       idCol: String,
       k: Int,
       nlist: Int = 16,
-      nprobe: Int = 4): DataFrame =
-    ivfProbe(ivfBuild(corpus, vecCol, idCol, nlist),
-      queries, vecCol, idCol, k, nprobe)
+      nprobe: Int = 4): DataFrame = {
+    val idx = ivfBuild(corpus, vecCol, idCol, nlist)
+    val out = ivfProbe(idx, queries, vecCol, idCol, k, nprobe)
+      .localCheckpoint(true)
+    idx.unpersist()
+    out
+  }
 
   /** LSH-bucketed top-k: exact cosine only within the query's hyperplane
     * bucket. Recall trades against `planes`; rank semantics identical to

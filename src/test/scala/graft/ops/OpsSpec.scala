@@ -226,13 +226,21 @@ class OpsSpec extends SparkSpec {
           math.sin(i * 0.3 + 1).toFloat))): _*)
     val queries = vecs.where(col("vec_id") < 4)
     val idx = Similarity.ivfBuild(vecs, "embedding", "vec_id", nlist = 4)
+    // the assignment reads the persisted seeded corpus — its plan bottoms
+    // out in exactly one InMemoryRelation leaf (single corpus scan). Checked
+    // before ivfTopK below: its internal unpersist evicts the shared
+    // canonical-plan cache entry.
+    val leaves = idx.assigned.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size == 1 &&
+      leaves.head.getClass.getSimpleName == "InMemoryRelation")
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(x => (x._1, x._2)).toSeq
+    val p1 = rows(Similarity.ivfProbe(idx, queries, "embedding", "vec_id", k = 3, nprobe = 2))
     val once = rows(Similarity.ivfTopK(vecs, queries, "embedding", "vec_id",
       k = 3, nlist = 4, nprobe = 2))
-    val p1 = rows(Similarity.ivfProbe(idx, queries, "embedding", "vec_id", k = 3, nprobe = 2))
     val p2 = rows(Similarity.ivfProbe(idx, queries, "embedding", "vec_id", k = 3, nprobe = 2))
     assert(p1 == once && p2 == once)
+    idx.unpersist()
   }
 
   test("dedupClusters collapses chains transitively, singletons keep self") {
