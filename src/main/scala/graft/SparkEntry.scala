@@ -393,12 +393,13 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
-    // LSH-bucketed ANN — the scale path (rows-only)
+    // LSH-bucketed ANN — the scale path (rows-only; RecallSpec asserts
+    // recall@5 vs the q37 brute-force baseline at this banding)
     "q38_ann_lsh" -> ((s, d) => {
       val emb = Tables(s, d, "embeddings")
       graft.ops.Similarity.lshTopK(
         emb, emb.where(col("vec_id") < 10), "embedding", "vec_id",
-        k = 5, planes = 4)
+        k = 5, planes = 4, bands = 8)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -440,12 +441,13 @@ object SparkEntry {
         docsParallel(s, d), "text", "doc_id", n = 10, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // IVF ANN top-k — centroid-trained scale path (rows-only)
+    // IVF ANN top-k — centroid-trained scale path (rows-only; RecallSpec
+    // asserts recall@5 vs q37 at nprobe = nlist/2)
     "q43_ann_ivf" -> ((s, d) => {
       val emb = Tables(s, d, "embeddings")
       graft.ops.Similarity.ivfTopK(
         emb, emb.where(col("vec_id") < 10), "embedding", "vec_id",
-        k = 5, nlist = 16, nprobe = 4)
+        k = 5, nlist = 16, nprobe = 8)
         .orderBy(col("query_id"), col("rank"))
     }),
 

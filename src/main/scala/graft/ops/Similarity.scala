@@ -242,8 +242,17 @@ object Similarity {
   }
 
   /** LSH-bucketed top-k: exact cosine only within the query's hyperplane
-    * bucket. Recall trades against `planes`; rank semantics identical to
-    * brute force within the candidate set.
+    * bucket(s). `bands` independent plane families OR-amplify recall
+    * exactly like [[graft.ops.Dedup.embeddingNearDup]]'s banding — a true
+    * neighbor is a candidate if it collides in ANY band, so recall is
+    * 1 − (1 − p^planes)^bands instead of p^planes. Rank semantics are
+    * identical to brute force within the candidate set.
+    *
+    * Plan shape: the (small) banded query side is broadcast, so the corpus
+    * is scanned once per plan with a map-side `posexplode` into its `bands`
+    * buckets and NEVER shuffled; only candidate `(query_id, neighbor_id,
+    * cosine)` triples (24 bytes) reach the dedup + ranking shuffles.
+    * `bands = 1` is the classic single-table LSH.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -251,16 +260,23 @@ object Similarity {
       vecCol: String,
       idCol: String,
       k: Int,
-      planes: Int = 8): DataFrame = {
-    val q = queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("qv"),
-      hyperplaneBucket(col(vecCol), planes).as("bucket"))
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      hyperplaneBucket(col(vecCol), planes).as("bucket"))
-    val scored = q.join(c, Seq("bucket"))
+      planes: Int = 8,
+      bands: Int = 1): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    def banded(df: DataFrame, idAs: String, vecAs: String) =
+      df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+        posexplode(array((0 until bands).map(b =>
+          hyperplaneBucket(col(vecCol), planes, offset = b * planes)): _*))
+          .as(Seq("band", "bucket")))
+    val q = broadcast(banded(queries, "query_id", "qv"))
+    val c = banded(corpus, "neighbor_id", "cv")
+    val scored = q.join(c, Seq("band", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      // cosine before dedup: a pair colliding in several bands computes the
+      // (cheap, codegen) kernel per collision but shuffles only the triple
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored

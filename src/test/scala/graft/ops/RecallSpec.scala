@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Correctness backstops for the driver queries that have no DuckDB oracle
+  * (rows-only in CORRECTNESS): exhaustive-twin equality where the algorithm
+  * guarantees complete recall, measured recall@k floors where it is
+  * genuinely approximate. All on the driver's own sf0.01 tables, so a
+  * semantics or recall regression in q36/q38/q41/q43/q62 fails the suite
+  * even though the driver can only count their rows.
+  */
+class RecallSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.01"
+  private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def neighborSets(df: DataFrame): Map[Long, Set[Long]] =
+    df.collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+
+  private def recallAgainst(base: Map[Long, Set[Long]], got: Map[Long, Set[Long]]): Double =
+    base.map { case (q, t) =>
+      got.getOrElse(q, Set.empty[Long]).intersect(t).size.toDouble / t.size
+    }.sum / base.size
+
+  private lazy val bruteForce = neighborSets(
+    Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 10),
+      "embedding", "vec_id", k = 5))
+
+  test("simhashPairs equals the exhaustive hamming pair set (q36/q41 twin)") {
+    // pigeonhole banding has COMPLETE recall within the hamming budget, so
+    // the banded plan must equal brute force exactly, not approximately
+    val sigs = docs
+      .select(col("doc_id"), Dedup.simhash64(col("text")).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    for (h <- Seq(3, 8)) {
+      val exhaustive = (for {
+        (ia, sa) <- sigs
+        (ib, sb) <- sigs
+        if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= h
+      } yield (ia, ib)).toSet
+      assert(exhaustive.nonEmpty, s"corpus must contain pairs at maxHamming=$h")
+      val banded = Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == exhaustive,
+        s"maxHamming=$h: banded=${banded.size} exhaustive=${exhaustive.size}")
+    }
+  }
+
+  test("lshTopK recall@5 vs brute force stays above its floor (q38 twin)") {
+    // q38's banding (4 planes x 8 bands): measured 0.76 on this corpus;
+    // the floor has margin for the +-1-pair wobble of fp-order variance
+    val lsh = neighborSets(
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 10),
+        "embedding", "vec_id", k = 5, planes = 4, bands = 8))
+    val r = recallAgainst(bruteForce, lsh)
+    assert(r >= 0.6, s"lshTopK recall@5 = $r, floor 0.6")
+  }
+
+  test("ivfTopK recall@5 vs brute force stays above its floor (q43 twin)") {
+    // q43's config (nlist=16, nprobe=8): measured 0.80 on this corpus
+    val ivf = neighborSets(
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10),
+        "embedding", "vec_id", k = 5, nlist = 16, nprobe = 8))
+    val r = recallAgainst(bruteForce, ivf)
+    assert(r >= 0.65, s"ivfTopK recall@5 = $r, floor 0.65")
+  }
+
+  test("multimodal ANN equals a driver-side exact top-k (q62 twin)") {
+    // q62 is exact brute force over extracted features — rows-only in the
+    // driver because feature extraction isn't SQL-expressible, so verify
+    // the whole pipeline against an independent in-memory computation
+    val features = Multimodal.featureExtract(
+      spark, Multimodal.withBinaryPayload(docs, "text", "payload"),
+      "doc_id", "payload", dim = 16)
+    val got = Similarity.bruteForceTopK(
+      features, features.where(col("doc_id") < 5), "embedding", "doc_id", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+    val vecs = features.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = vecs.keys.filter(_ < 5).toSeq.sorted.flatMap { q =>
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (n, v) => (n, cos(vecs(q), v)) }
+        .sortBy { case (n, c) => (-c, n) }
+        .take(3).zipWithIndex
+        .map { case ((n, _), i) => (q, i + 1, n) }
+    }
+    assert(got == expected)
+  }
+}
