@@ -682,6 +682,64 @@ object SparkEntry {
           col("session_end").cast("timestamp_ntz").as("session_end"),
           col("n_events"))
         .orderBy(col("user_id"), col("session_start"))),
+
+    // §2.2 derive(): model-declared derived columns materialize in field
+    // order and may reference earlier derived ones (polars.py:389-441;
+    // tests/test_polars.py:201)
+    "q65_derive" -> ((s, d) => {
+      val m = Schema("PartDerived", Seq(
+        FieldSpec.long("p_partkey"),
+        FieldSpec.double("p_retailprice"),
+        FieldSpec.double("discounted")
+          .copy(derivedFrom = Some(Right(col("p_retailprice") * lit(0.9)))),
+        FieldSpec.double("price_copy")
+          .copy(derivedFrom = Some(Left("p_retailprice"))),
+        FieldSpec.double("double_discounted")
+          .copy(derivedFrom = Some(Right(col("discounted") * lit(2.0))))))
+      ModeledFrame(
+        Tables(s, d, "part").select("p_partkey", "p_retailprice"), m)
+        .derive().selectModel()
+        .df.orderBy(col("p_partkey"))
+    }),
+
+    // §2.2 fill_null(strategy="defaults"): defaultable columns fill from
+    // the model, columns without a default keep their nulls
+    // (polars.py:443-510)
+    "q66_fill_null" -> ((s, d) => {
+      val m = Schema("LineItemFill", Seq(
+        FieldSpec.long("l_orderkey"),
+        FieldSpec.int("l_linenumber"),
+        FieldSpec.double("d0", nullable = true).copy(default = Some(-1.0)),
+        FieldSpec.double("d1", nullable = true)))
+      val base = rel(s, d, "lineitem")
+        .withColumns(
+          "d0" -> "nullif(l_discount, 0.0)",
+          "d1" -> "nullif(l_tax, 0.0)")
+        .select("l_orderkey", "l_linenumber", "d0", "d1").toDF
+      ModeledFrame(base, m).fillNullDefaults()
+        .df.orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // §2.1 insert_into round-trip: CTAS then append with reordered source
+    // columns; read-back equals table UNION ALL table (duckdb.py:1440-1493;
+    // tests/test_duckdb/test_relation.py:734)
+    "q67_insert_into" -> ((s, d) => {
+      s.sql("DROP TABLE IF EXISTS graft_q67_target")
+      rel(s, d, "region").createTable("graft_q67_target")
+      rel(s, d, "region").apply("r_name", "r_regionkey")
+        .insertInto("graft_q67_target")
+      s.table("graft_q67_target").orderBy(col("r_regionkey"), col("r_name"))
+    }),
+
+    // §2.8 V7 uniqueness as a lazy report: one shuffle over all unique
+    // columns, is_duplicated().sum() semantics (validators.py:223-232);
+    // o_orderkey is genuinely unique (n=0), o_custkey is not
+    "q68_unique_report" -> ((s, d) => {
+      val m = Schema("OrdersUnique", Seq(
+        FieldSpec.long("o_orderkey").copy(unique = true),
+        FieldSpec.long("o_custkey").copy(unique = true)))
+      Validator.uniqueReportDF(Tables(s, d, "orders"), m)
+    }),
   )
 
   /** DuckDB oracle per query (same parquet tables, same column names). */
@@ -1113,7 +1171,8 @@ object SparkEntry {
 
     "q56_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) <
+        |WHERE text IS NULL OR
+        |  (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) <
         |  CASE lang WHEN 'en' THEN 4 ELSE 16 END
         |ORDER BY doc_id""".stripMargin,
 
@@ -1135,5 +1194,38 @@ object SparkEntry {
         |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
         |  cast(count(*) as bigint) AS n_events
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "q65_derive" ->
+      """SELECT p_partkey, p_retailprice,
+        | p_retailprice * cast(0.9 as double) AS discounted,
+        | p_retailprice AS price_copy,
+        | (p_retailprice * cast(0.9 as double)) * cast(2.0 as double)
+        |   AS double_discounted
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q66_fill_null" ->
+      """SELECT l_orderkey, l_linenumber,
+        | coalesce(nullif(l_discount, 0.0), cast(-1.0 as double)) AS d0,
+        | nullif(l_tax, 0.0) AS d1
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q67_insert_into" ->
+      """SELECT r_regionkey, r_name FROM (
+        |  SELECT r_regionkey, r_name FROM region
+        |  UNION ALL SELECT r_regionkey, r_name FROM region) t
+        |ORDER BY r_regionkey, r_name""".stripMargin,
+
+    "q68_unique_report" ->
+      """SELECT loc, chk, n FROM (
+        |  SELECT 'o_custkey' AS loc, 'unique' AS chk,
+        |    cast(coalesce((SELECT sum(c) FROM (
+        |      SELECT count(*) AS c FROM orders GROUP BY o_custkey) t
+        |      WHERE c > 1), 0) as bigint) AS n
+        |  UNION ALL
+        |  SELECT 'o_orderkey', 'unique',
+        |    cast(coalesce((SELECT sum(c) FROM (
+        |      SELECT count(*) AS c FROM orders GROUP BY o_orderkey) t
+        |      WHERE c > 1), 0) as bigint)
+        |) u ORDER BY loc""".stripMargin,
   )
 }

@@ -203,6 +203,37 @@ object Validator {
       .orderBy(col("loc"), col("chk"))
   }
 
+  /** V7 uniqueness as a lazy report — the composable counterpart of
+    * [[findErrors]]' V7 pass, same `(loc, chk, n)` shape as [[reportDF]].
+    * One shuffle over ALL unique columns at once (rows re-keyed to
+    * (column, value) pairs, partial map-side aggregation), counting every
+    * member of a >1 group — the reference's `is_duplicated().sum()`
+    * semantics (validators.py:223-232). Columns with no duplicates report
+    * n = 0 via a broadcast join with the literal column list, so the
+    * output has exactly one row per unique column regardless of data.
+    */
+  def uniqueReportDF(df: DataFrame, schema: Schema): DataFrame = {
+    val uniqueCols = schema.fields.filter(_.unique).map(_.name)
+      .filter(df.columns.contains)
+    require(uniqueCols.nonEmpty,
+      "uniqueReportDF: schema declares no unique columns present in the frame")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = df.select(
+      explode(array(uniqueCols.map(c =>
+        struct(lit(c).as("c"), col(c).cast(StringType).as("v"))): _*)).as("p"))
+    val dups = pairs
+      .groupBy(col("p.c").as("loc"), col("p.v"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+      .groupBy(col("loc")).agg(sum(col("cnt")).as("dups"))
+    uniqueCols.toDF("loc")
+      .join(broadcast(dups), Seq("loc"), "left")
+      .select(col("loc"), lit("unique").as("chk"),
+        coalesce(col("dups"), lit(0L)).as("n"))
+      .orderBy(col("loc"))
+  }
+
   /** Per-(column, check) violation-count aggregates for the row-level checks
     * (nulls / enum-domain / bounds / constraints) — shared by [[reportDF]]
     * and streaming validation ([[graft.streaming.StreamingOps]]).

@@ -143,4 +143,24 @@ class ValidatorSpec extends SparkSpec {
       (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(rows == Seq(("x", "nulls", 1L), ("y", "bounds", 1L)))
   }
+
+  test("uniqueReportDF counts every member of a duplicated group, 0 rows kept") {
+    val m = Schema("U", Seq(
+      FieldSpec.long("a").copy(unique = true),
+      FieldSpec.string("b").copy(unique = true),
+      FieldSpec.long("c"), // not unique — must not appear
+      FieldSpec.long("d").copy(unique = true))) // no dups — reports 0
+    val df = frame(
+      struct("a" -> LongType, "b" -> StringType, "c" -> LongType, "d" -> LongType),
+      Row(1L, "x", 9L, 1L), Row(1L, "y", 9L, 2L),
+      Row(1L, "z", 9L, 3L), Row(2L, "z", 9L, 4L))
+    val rows = Validator.uniqueReportDF(df, m).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // a: three 1s -> 3 duplicated rows; b: two z's -> 2; is_duplicated().sum()
+    assert(rows == Seq(("a", "unique", 3L), ("b", "unique", 2L), ("d", "unique", 0L)))
+    // findErrors' V7 agrees with the lazy report
+    val es = errs(df.select(org.apache.spark.sql.functions.col("a")),
+      Schema("U2", Seq(FieldSpec.long("a").copy(unique = true))))
+    assert(es == Seq(ErrorDetail("a", "3 rows with duplicated values.", ErrorTypes.RowValue)))
+  }
 }
