@@ -724,7 +724,15 @@ object SparkEntry {
     // columns; read-back equals table UNION ALL table (duckdb.py:1440-1493;
     // tests/test_duckdb/test_relation.py:734)
     "q67_insert_into" -> ((s, d) => {
+      // DROP alone is not enough: a fresh metastore has no catalog entry
+      // for a table whose warehouse directory survived a previous session,
+      // so the location must be removed explicitly or CTAS throws
+      // LOCATION_ALREADY_EXISTS
       s.sql("DROP TABLE IF EXISTS graft_q67_target")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), "graft_q67_target")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
       rel(s, d, "region").createTable("graft_q67_target")
       rel(s, d, "region").apply("r_name", "r_regionkey")
         .insertInto("graft_q67_target")

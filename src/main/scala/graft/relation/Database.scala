@@ -27,12 +27,15 @@ final class Database(val spark: SparkSession) {
   def query(sql: String, alias: String = "query_relation"): Relation =
     Relation(spark.sql(sql), None, Some(alias))
 
-  /** Any statement; positional `?` params via Spark's parameterized SQL
-    * (duckdb.py:2489-2574).
+  /** Any statement; each vararg is one SET of positional `?` params and the
+    * prepared statement executes once per set, in order — the reference's
+    * `execute(query, *parameters)` / `executemany` semantics
+    * (duckdb.py:2489-2574; doctest at :2540-2553). No sets → execute once
+    * with no parameters. Spark's parameterized SQL does the binding.
     */
-  def execute(sql: String, params: Any*): Unit = {
-    if (params.isEmpty) spark.sql(sql)
-    else spark.sql(sql, params.toArray)
+  def execute(sql: String, paramSets: Seq[Any]*): Unit = {
+    if (paramSets.isEmpty) spark.sql(sql)
+    else paramSets.foreach(ps => spark.sql(sql, ps.toArray))
     ()
   }
 

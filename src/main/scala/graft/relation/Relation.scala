@@ -452,11 +452,34 @@ final case class Relation(
 
   // ---- row access / terminals (duckdb.py:948-1074, 1768-1842) -----------
 
-  /** Exactly-one-row fetch with arity errors (duckdb.py:969-1055). */
+  /** Shape a raw row through the bound model, mirroring `_to_model`'s
+    * `model(**kwargs)` construction (duckdb.py:1055-1073): fields come out
+    * in MODEL order, model columns missing from the relation surface their
+    * declared default (null when none), and non-model columns drop. No-op
+    * without a model.
+    */
+  private def toModelRow(row: Row): Row = model match {
+    case None => row
+    case Some(m) =>
+      val idx = row.schema.fieldNames.zipWithIndex.toMap
+      val values = m.fields.map { f =>
+        idx.get(f.name) match {
+          case Some(i) => row.get(i)
+          case None    => f.default.orNull
+        }
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        values.toArray,
+        org.apache.spark.sql.types.StructType(m.fields.map(_.structField)))
+  }
+
+  /** Exactly-one-row fetch with arity errors (duckdb.py:969-1055); the row
+    * is model-shaped when a model is bound (see [[toModelRow]]).
+    */
   def get(filters: String*): Row = {
     val filtered = filters.foldLeft(df)((d, f) => d.where(expr(s"($f)")))
     filtered.take(2) match {
-      case Array(row) => row
+      case Array(row) => toModelRow(row)
       case Array() =>
         throw new RowDoesNotExist(
           s"Relation.get(${filters.mkString(", ")}) returned 0 rows")
@@ -470,11 +493,11 @@ final case class Relation(
     filterEq(equalities: _*).get()
 
   /** Stream rows driver-side without materializing the whole result
-    * (duckdb.py:2191-2236).
+    * (duckdb.py:2191-2236); rows are model-shaped when a model is bound.
     */
   def iterator: Iterator[Row] = {
     import scala.jdk.CollectionConverters._
-    df.toLocalIterator().asScala
+    df.toLocalIterator().asScala.map(toModelRow)
   }
 
   /** Single-column relation → values (duckdb.py:1816-1842). */

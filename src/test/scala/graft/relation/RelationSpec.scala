@@ -333,6 +333,51 @@ class RelationSpec extends SparkSpec {
     assert(db.toRelation("SELECT 2 AS two").toDF.head().getInt(0) == 2)
   }
 
+  test("model-bound get/iterator return model-shaped rows") {
+    // mirrors Relation.get returning a Model instance when set_model was
+    // called (duckdb.py:1003-1010): model field order, declared defaults
+    // for missing columns, nulls for missing nullable ones, extras dropped
+    val m = Schema("P", Seq(
+      FieldSpec.long("product_id"),
+      FieldSpec.double("price", nullable = true),
+      FieldSpec.string("status").copy(default = Some("active")),
+      FieldSpec.string("note", nullable = true)))
+    val r = Relation(frame(
+      struct("price" -> DoubleType, "junk" -> StringType, "product_id" -> LongType),
+      Row(10.0, "x", 1L), Row(20.0, "y", 2L))).setModel(m)
+    val row = r.get("product_id = 1")
+    assert(row.schema.fieldNames.toSeq == Seq("product_id", "price", "status", "note"))
+    assert(row.toSeq == Seq(1L, 10.0, "active", null))
+    val it = r.iterator.toSeq.sortBy(_.getLong(0))
+    assert(it.map(_.toSeq) == Seq(
+      Seq(1L, 10.0, "active", null), Seq(2L, 20.0, "active", null)))
+    // model survives the filter inside getEq
+    assert(r.getEq("product_id" -> 2L).toSeq == Seq(2L, 20.0, "active", null))
+    // without a model the raw row comes back untouched
+    val raw = Relation(frame(struct("a" -> LongType), Row(7L))).get("a = 7")
+    assert(raw.schema.fieldNames.toSeq == Seq("a") && raw.getLong(0) == 7L)
+  }
+
+  test("Database.execute runs a prepared statement once per parameter set") {
+    // mirrors the reference doctest (duckdb.py:2540-2553) and
+    // tests/test_duckdb/test_database.py:263 via INSERT ... VALUES
+    val db = new Database(spark)
+    spark.sql("DROP TABLE IF EXISTS graft_exec")
+    db.execute("CREATE TABLE graft_exec (a bigint, b bigint, c bigint) USING parquet")
+    db.execute("INSERT INTO graft_exec VALUES (?, ?, ?)", Seq(2L, 3L, 4L))
+    assert(collectSorted(db.table("graft_exec").toDF, "a") == Seq(Row(2L, 3L, 4L)))
+    // multiple parameter sets: one execution per set, in order
+    db.execute("INSERT INTO graft_exec VALUES (?, ?, ?)",
+      Seq(5L, 6L, 7L), Seq(8L, 9L, 10L))
+    assert(collectSorted(db.table("graft_exec").toDF, "a") ==
+      Seq(Row(2L, 3L, 4L), Row(5L, 6L, 7L), Row(8L, 9L, 10L)))
+    // a SELECT with one param set binds positionally too (parquet tables
+    // don't take DELETE in Spark, so the read path stands in for it)
+    assert(spark.sql("SELECT count(*) FROM graft_exec WHERE a = ?",
+      Array(8L)).head().getLong(0) == 1L)
+    spark.sql("DROP TABLE IF EXISTS graft_exec")
+  }
+
   test("cast to model via relation (F6 cast)") {
     val m = Schema("C", Seq(FieldSpec.long("column_1"), FieldSpec.string("column_2")))
     val narrow = Relation(frame(struct("column_1" -> IntegerType, "column_2" -> StringType),
