@@ -100,12 +100,14 @@ object Validator {
         case _ => ()
       }
       f.enumValues.foreach { vals =>
-        // capped + sorted: an entirely-miscast column would otherwise ship
-        // every distinct value to the driver through one agg buffer
+        // count-only in the single pass: a collect_set here would
+        // accumulate EVERY out-of-domain distinct value in one (non-
+        // spillable) aggregation buffer — an entirely-miscast high-
+        // cardinality column at scale bloats it unboundedly. Example
+        // values are fetched by a second, capped query only when the
+        // count is non-zero (the error path).
         aggs += ((f, "enum",
-          slice(array_sort(
-            collect_set(when(c.isNotNull && !c.isin(vals: _*), c.cast(StringType)))),
-            1, EnumReportCap + 1)))
+          sum(when(c.isNotNull && !c.isin(vals: _*), 1L).otherwise(0L))))
       }
       boundsViolation(f).foreach { pred =>
         aggs += ((f, "bounds", sum(when(pred, 1L).otherwise(0L))))
@@ -128,12 +130,23 @@ object Validator {
       plan.zipWithIndex.foreach { case ((f, kind, _), i) =>
         kind match {
           case "enum" =>
-            val bad = if (row.isNullAt(i)) Seq.empty else row.getSeq[String](i)
-            if (bad.nonEmpty)
+            val n = if (row.isNullAt(i)) 0L else row.getLong(i)
+            if (n > 0) {
+              // error path only: fetch the ≤EnumReportCap smallest distinct
+              // offenders in a second, bounded query — the single-pass agg
+              // carries just the count
+              val c = col(f.name)
+              val vals = f.enumValues.get
+              val bad = df
+                .where(c.isNotNull && !c.isin(vals: _*))
+                .select(c.cast(StringType).as("v")).distinct()
+                .orderBy(col("v")).limit(EnumReportCap)
+                .collect().map(_.getString(0)).toSeq
               errors += ErrorDetail(
                 f.name,
-                s"Rows with invalid values: {${bad.sorted.map(v => s"'$v'").mkString(", ")}}.",
+                s"Rows with invalid values: {${bad.map(v => s"'$v'").mkString(", ")}}.",
                 ErrorTypes.RowValue)
+            }
           case other =>
             val n = if (row.isNullAt(i)) 0L else row.getLong(i)
             if (n > 0) {

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -164,10 +165,19 @@ object Dedup {
     * @param buckets (band, bhash, id) rows — one per document per band.
     */
   private[ops] def candidatePairs(buckets: DataFrame, maxBucketSize: Int): DataFrame = {
+    // Count-first prune: bucket sizes come from a window count over the
+    // same partition keys, so singleton and oversized buckets drop BEFORE
+    // any id array materializes — a degenerate bucket only ever streams
+    // through the window's spillable row buffer, never into a collect_list
+    // aggregation buffer (the non-spillable OOM risk this replaces). The
+    // groupBy after the filter reuses the window's hash partitioning:
+    // still ONE exchange total (PlanSpec asserts).
+    val perBucket = Window.partitionBy(col("band"), col("bhash"))
     val grouped = buckets
+      .withColumn("n", count(lit(1)).over(perBucket))
+      .where(col("n") >= 2 && col("n") <= maxBucketSize)
       .groupBy(col("band"), col("bhash"))
       .agg(array_sort(collect_list(col("id"))).as("ids"))
-      .where(size(col("ids")) >= 2 && size(col("ids")) <= maxBucketSize)
     // Two generator stages (posexplode → slice → explode), all codegen —
     // no interpreted lambdas in the pair fan-out, which is the single
     // highest-cardinality intermediate of the whole dedup plan. `ids` is

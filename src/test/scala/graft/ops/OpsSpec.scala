@@ -243,6 +243,33 @@ class OpsSpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("candidatePairs drops a degenerate bucket without materializing it") {
+    // 50 ids share one (band, bhash) key with maxBucketSize = 10: the
+    // count-first window prune discards them BEFORE collect_list, so the
+    // oversized bucket never enters an aggregation buffer; the small
+    // bucket still pairs normally
+    val rows = (1L to 50L).map(i => Row(0, 7L, i)) ++
+      Seq(Row(1, 8L, 100L), Row(1, 8L, 101L), Row(1, 8L, 102L))
+    val buckets = frame(
+      struct("band" -> IntegerType, "bhash" -> LongType, "id" -> LongType),
+      rows: _*)
+    val pairs = Dedup.candidatePairs(buckets, maxBucketSize = 10)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq((100L, 101L), (100L, 102L), (101L, 102L)))
+    // the count+group phases share ONE bucket-key exchange (the groupBy
+    // reuses the window's hash partitioning); the only other exchange is
+    // the final pair dropDuplicates
+    val finalPlan = pairs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head // AQE echoes the pre-adaptive plan
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(exchanges == 2,
+      s"expected bucket + pair-dedup exchanges only, saw $exchanges:\n$finalPlan")
+    // and the prune really sits below the id-list aggregation
+    assert(finalPlan.contains("collect_list"))
+    assert(finalPlan.indexOf("collect_list") < finalPlan.indexOf("Window "),
+      "count-first filter must run before collect_list in the plan")
+  }
+
   test("dedupClusters collapses chains transitively, singletons keep self") {
     val nodes = docs(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e")
     // chain 5—3—2 (never directly 5—2) plus isolated 1 and 4
