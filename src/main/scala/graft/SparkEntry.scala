@@ -432,13 +432,17 @@ object SparkEntry {
         docsParallel(s, d), "text", "doc_id", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // char n-gram Jaccard near-dup pairs (rows-only). n = 10 and 16×4
-    // banding: short grams on templated corpora give ~0.45 background
-    // similarity and 2-row bands then admit nearly every pair as a
-    // candidate (observed: 7.4M candidates from 5k docs).
+    // char n-gram Jaccard near-dup pairs. n = 10 with 12 bands × 5 rows:
+    // the templated corpus has ~0.45 background similarity, and 4-row
+    // bands admitted ~half of all background pairs as candidates (7.4M
+    // from 5k docs — verification dominated the bench). 5-row bands cut
+    // background admission to 0.45^5×12 ≈ 0.20 while the qualifying
+    // pairs (all j ≥ 0.92 on this corpus) keep per-pair recall
+    // 1-(1-0.92^5)^12 ≈ 1-1e-6 — the exact oracle stays hash-green.
     "q42_ngram_jaccard" -> ((s, d) =>
       graft.ops.Dedup.ngramJaccardPairs(
-        docsParallel(s, d), "text", "doc_id", n = 10, threshold = 0.5)
+        docsParallel(s, d), "text", "doc_id", n = 10,
+        numHashes = 60, bands = 12, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
     // IVF ANN top-k — centroid-trained scale path (rows-only; RecallSpec

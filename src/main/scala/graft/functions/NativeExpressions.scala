@@ -302,7 +302,9 @@ case class JaccardSortedGE(left: Expression, right: Expression, threshold: Doubl
     * kernel outputs like hashed_shingle_set are containsNull=false and
     * keep the fast path.
     */
-  private def elemsMayBeNull: Boolean = Seq(left, right).exists(_.dataType match {
+  // lazy val, not def: interpreted-mode eval runs per filtered row and the
+  // child types are fixed once the expression is bound
+  private lazy val elemsMayBeNull: Boolean = Seq(left, right).exists(_.dataType match {
     case ArrayType(_, cn) => cn
     case _ => true
   })
@@ -461,20 +463,29 @@ object SetMath {
 object MinHashUtil {
   private val Space = UTF8String.fromString(" ")
 
-  /** Non-null tokens of an array column, compacted — null elements are
-    * treated as absent (these kernels are registered SQL functions, so
-    * containsNull arrays reach them).
+  /** Non-null, non-empty tokens of an array column, compacted — null and
+    * "" elements are treated as absent (these kernels are registered SQL
+    * functions, so containsNull arrays reach them; and `split(text, "\\s+")`
+    * yields phantom "" edge tokens on whitespace-bounded text, so dropping
+    * them HERE lets kernel call sites pass the raw split without an
+    * interpreted per-token filter lambda — [[graft.ops.TextOps.rawTokens]]).
     */
   private def compact(tokens: ArrayData): Array[UTF8String] = {
     val n = tokens.numElements()
-    var nonNull = 0
+    var keep = 0
     var i = 0
-    while (i < n) { if (!tokens.isNullAt(i)) nonNull += 1; i += 1 }
-    val out = new Array[UTF8String](nonNull)
+    while (i < n) {
+      if (!tokens.isNullAt(i) && tokens.getUTF8String(i).numBytes() > 0) keep += 1
+      i += 1
+    }
+    val out = new Array[UTF8String](keep)
     i = 0
     var w = 0
     while (i < n) {
-      if (!tokens.isNullAt(i)) { out(w) = tokens.getUTF8String(i); w += 1 }
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        if (t.numBytes() > 0) { out(w) = t; w += 1 }
+      }
       i += 1
     }
     out
@@ -498,18 +509,31 @@ object MinHashUtil {
     val parts = new Array[UTF8String](2 * k - 1)
     var i = 0
     while (i < numShingles) {
-      var p = 0
-      var t = i
-      while (t < i + k) {
-        if (p > 0) { parts(p) = Space; p += 1 }
-        parts(p) = toks(t)
-        p += 1
-        t += 1
-      }
-      val shingle = UTF8String.concat(parts: _*)
+      // k = 1 (the char-n-gram path): the token IS the shingle — skip the
+      // copying concat entirely.
+      val shingle =
+        if (k == 1) toks(i)
+        else {
+          var p = 0
+          var t = i
+          while (t < i + k) {
+            if (p > 0) { parts(p) = Space; p += 1 }
+            parts(p) = toks(t)
+            p += 1
+            t += 1
+          }
+          UTF8String.concat(parts: _*)
+        }
+      // One strong string hash per shingle, then the numHashes-member hash
+      // family derives by long-mixing the digest: O(len + numHashes) per
+      // shingle instead of O(len × numHashes) string hashing. Mixed
+      // digests of a universal hash stay pairwise-independent enough for
+      // the standard MinHash recall math (the family only needs uniform,
+      // independent-looking permutation seeds).
+      val base = hashString(shingle, 42L)
       var h = 0
       while (h < numHashes) {
-        val v = hashString(shingle, h.toLong)
+        val v = XXH64.hashLong(base, h.toLong)
         if (v < mins(h)) mins(h) = v
         h += 1
       }
@@ -576,12 +600,17 @@ object MinHashUtil {
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
+      // null and "" tokens are absent, matching compact() — so raw
+      // split() output hashes identically to the filtered form
       if (!tokens.isNullAt(i)) {
-        val h = hashString(tokens.getUTF8String(i), 42L)
-        var j = 0
-        while (j < 64) {
-          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-          j += 1
+        val t = tokens.getUTF8String(i)
+        if (t.numBytes() > 0) {
+          val h = hashString(t, 42L)
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+            j += 1
+          }
         }
       }
       i += 1

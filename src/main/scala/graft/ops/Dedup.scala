@@ -91,18 +91,20 @@ object Dedup {
       bands: Int = 32,
       threshold: Double = 0.5): DataFrame = {
     // Fused native kernel (graft.functions.MinHashBandHashes): one codegen
-    // call per row computes shingles → numHashes minima → band hashes. The
-    // HOF composition (minhashSignature ∘ bandHashes) is semantically
-    // identical but pays interpreted lambda evaluation per array element.
+    // call per row computes shingles → numHashes minima → band hashes,
+    // hashing each shingle ONCE and deriving the hash family by
+    // long-mixing. The HOF composition (minhashSignature ∘ bandHashes)
+    // has the same banding semantics over a different (per-seed string
+    // hash) family, and pays interpreted lambda evaluation per element.
     val sigs = df.select(
       col(idCol).as("id"),
       graft.functions.native
-        .minhashBandHashes(TextOps.wsTokens(col(textCol)), k, numHashes, bands)
+        .minhashBandHashes(TextOps.rawTokens(col(textCol)), k, numHashes, bands)
         .as("bh"))
     val withHs = df.select(
       col(idCol).as("id"),
       graft.functions.native
-        .hashedShingleSet(TextOps.wsTokens(col(textCol)), k).as("hs"))
+        .hashedShingleSet(TextOps.rawTokens(col(textCol)), k).as("hs"))
     lshVerifiedPairs(sigs, withHs, threshold)
   }
 
@@ -252,7 +254,7 @@ object Dedup {
     * array-aggregates over the token hashes — all codegen).
     */
   def simhash64(text: Column): Column =
-    graft.functions.native.simhash64(TextOps.wsTokens(text))
+    graft.functions.native.simhash64(TextOps.rawTokens(text))
 
   /** Pure `functions._` SimHash (bit-identical to [[simhash64]]'s native
     * kernel; kept as the portable reference implementation). One pass over
@@ -343,8 +345,8 @@ object Dedup {
     * where one component carries two representatives — silently-partial
     * dedup is the worst failure mode a 100 TB pipeline can have.
     * Returns (id, rep) for EVERY node; singletons are their own rep. The
-    * returned frame is persisted (it is the loop's last fixpoint);
-    * unpersist it when done.
+    * returned frame is an eagerly materialized local checkpoint (the
+    * loop's cache is released before returning; no unpersist needed).
     */
   def dedupClusters(
       nodes: DataFrame,
@@ -379,7 +381,13 @@ object Dedup {
         s"dedupClusters did not converge within $maxIters iterations — " +
           "a component's diameter exceeds the bound; raise maxIters")
     }
-    labels
+    // Hand back an eager flat copy and release the loop's cache: callers
+    // (and the bench's best-of-two rerun) were accumulating persisted label
+    // blocks across the session because nothing ever unpersisted the
+    // returned fixpoint. The local checkpoint is GC-cleaned with the frame.
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   /** Exhaustive O(n²) twin of [[embeddingNearDup]] — the verification

@@ -55,9 +55,13 @@ object Similarity {
     */
   def hyperplaneBucketExpr(vec: Column, planes: Int, offset: Int = 0): Column =
     (0 until planes).map { p =>
+      // coalesce: the native kernel SKIPS null elements (they contribute
+      // nothing to the dot); without it a single null element would null
+      // the whole product chain and clear the bit, diverging from the
+      // kernel on containsNull inputs
       val dot = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
-          x.cast("double") *
+          coalesce(x.cast("double"), lit(0.0)) *
             when(xxhash64(lit(offset + p), i).bitwiseAND(1) === 0, 1.0).otherwise(-1.0)),
         lit(0.0), (s, v) => s + v)
       when(dot > 0, shiftleft(lit(1), p)).otherwise(lit(0))

@@ -22,6 +22,13 @@ object TextOps {
   def wsTokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
 
+  /** Raw whitespace split, NO empty-token filter — for the native kernel
+    * call sites only: the kernels' `compact` drops null and "" elements
+    * themselves, so results are identical to [[wsTokens]] input while the
+    * hot path stays free of the interpreted per-token filter lambda.
+    */
+  def rawTokens(text: Column): Column = split(text, "\\s+")
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(wsTokens(text))
 
