@@ -517,6 +517,46 @@ final case class Relation(
   def sameAs(other: Relation): Boolean =
     df.exceptAll(other.df).isEmpty && other.df.exceptAll(df).isEmpty
 
+  private def strHeader(t: String): String =
+    "---------------------\n" + t + "\n---------------------"
+
+  /** Relation tree + result columns, mirroring the reference `__str__`'s
+    * first two sections (duckdb.py:2246-2330) with the analyzed Catalyst
+    * plan as the tree. The reference also EXECUTES a row preview inside
+    * `__str__`; Spark's `toString` is called implicitly (logging,
+    * debuggers) and must never trigger a job, so the preview lives in
+    * [[str]] instead.
+    */
+  override def toString: String = {
+    val tree = df.queryExecution.analyzed.treeString.stripLineEnd
+    val cols = df.schema.fields
+      .map(f => s"- ${f.name} (${f.dataType.sql})").mkString("\n")
+    alias.map(a => s"alias: $a\n").getOrElse("") +
+      s"${strHeader("--- Relation Tree ---")}\n$tree\n" +
+      s"${strHeader("-- Result Columns  --")}\n$cols"
+  }
+
+  /** Full reference-shaped rendering: tree, columns, and an EXECUTED
+    * `previewRows`-row preview (`[ Rows: n]` header like the reference's
+    * preview block). This is the `str(relation)` analogue — it runs a
+    * take() job.
+    */
+  def str(previewRows: Int = 10): String = {
+    val taken = df.take(previewRows + 1)
+    val shown = taken.take(previewRows)
+    val names = df.schema.fieldNames.mkString("\t")
+    val types = df.schema.fields.map(_.dataType.sql).mkString("\t")
+    val body = shown.map(_.toSeq.map {
+      case null => "null"
+      case v    => v.toString
+    }.mkString("\t")).mkString("\n")
+    val rowsLine =
+      if (taken.length > previewRows) s"[ Rows: > $previewRows (truncated)]"
+      else s"[ Rows: ${shown.length}]"
+    s"$toString\n${strHeader("-- Result Preview  --")}\n" +
+      s"$names\n$types\n$rowsLine\n$body"
+  }
+
   // ---- model & alias (duckdb.py:1656-1733) ------------------------------
 
   def setAlias(name: String): Relation = copy(alias = Some(name))

@@ -333,6 +333,26 @@ class RelationSpec extends SparkSpec {
     assert(db.toRelation("SELECT 2 AS two").toDF.head().getInt(0) == 2)
   }
 
+  test("toString renders tree + columns; str() adds the executed preview") {
+    val r = Relation(frame(
+      struct("product_name" -> StringType, "supplier_id" -> LongType),
+      Row("apple", 2L), Row("banana", 1L))).setAlias("products")
+    val s = r.toString
+    assert(s.contains("--- Relation Tree ---"))
+    assert(s.contains("-- Result Columns  --"))
+    assert(s.contains("- product_name (STRING)"))
+    assert(s.contains("- supplier_id (BIGINT)"))
+    assert(s.contains("alias: products"))
+    val full = r.str()
+    assert(full.contains("-- Result Preview  --"))
+    assert(full.contains("[ Rows: 2]"))
+    assert(full.contains("apple\t2"))
+    // a transform shows up as a node in the tree
+    assert(Relation(r.toDF.where(
+      org.apache.spark.sql.functions.col("supplier_id") > 1L)).toString
+      .toLowerCase.contains("filter"))
+  }
+
   test("model-bound get/iterator return model-shaped rows") {
     // mirrors Relation.get returning a Model instance when set_model was
     // called (duckdb.py:1003-1010): model field order, declared defaults
