@@ -357,6 +357,25 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("rep")).persist()
+    // Min-label propagation is MONOTONE: a node's rep only ever decreases,
+    // so for integral ids the exact (decimal, overflow-free) sum of reps
+    // strictly decreases every round until the fixpoint — equal consecutive
+    // sums IS convergence, detected by a single-row aggregate on the cached
+    // frame instead of a per-round join. Non-integral ids (no sum) keep the
+    // join-based change count.
+    val repIsIntegral = {
+      import org.apache.spark.sql.types._
+      nodes.schema(idCol).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+    }
+    def repSum(df: DataFrame): java.math.BigDecimal = df
+      .agg(sum(col("rep")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+      .head().getDecimal(0)
+    // seeded from the initial labels so round 1 already compares
+    var prevSum: java.math.BigDecimal = if (repIsIntegral) repSum(labels) else null
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -366,12 +385,19 @@ object Dedup {
       val next = labels.union(viaNeighbors)
         .groupBy("id").agg(min(col("rep")).as("rep"))
         .persist()
-      val changed = next
-        .join(labels.withColumnRenamed("rep", "prev"), "id")
-        .where(col("rep") =!= col("prev")).count()
+      converged =
+        if (repIsIntegral) {
+          val s = repSum(next)
+          val same = (s == null && prevSum == null) ||
+            (s != null && prevSum != null && s.compareTo(prevSum) == 0)
+          prevSum = s
+          same
+        } else {
+          next.join(labels.withColumnRenamed("rep", "prev"), "id")
+            .where(col("rep") =!= col("prev")).count() == 0
+        }
       labels.unpersist()
       labels = next
-      converged = changed == 0
       i += 1
     }
     edges.unpersist()
