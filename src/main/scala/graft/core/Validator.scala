@@ -232,9 +232,22 @@ object Validator {
       "uniqueReportDF: schema declares no unique columns present in the frame")
     val spark = df.sparkSession
     import spark.implicits._
+    // Group on NATIVE values, not string renderings (a lossy/ambiguous
+    // string form — binary, high-precision decimals — must not conflate
+    // distinct values; the reference's is_duplicated() compares natives,
+    // validators.py:223-232). Each exploded element carries the value in a
+    // sparse struct with one field per unique column: only the field for
+    // its own column is populated, so grouping on (c, v) compares values
+    // of the same column under their own type, and the all-but-one nulls
+    // cost nothing in the shuffle.
     val pairs = df.select(
       explode(array(uniqueCols.map(c =>
-        struct(lit(c).as("c"), col(c).cast(StringType).as("v"))): _*)).as("p"))
+        struct(
+          lit(c).as("c"),
+          struct(uniqueCols.map { u =>
+            (if (u == c) col(u)
+             else lit(null).cast(df.schema(u).dataType)).as(u)
+          }: _*).as("v"))): _*)).as("p"))
     val dups = pairs
       .groupBy(col("p.c").as("loc"), col("p.v"))
       .agg(count(lit(1)).as("cnt"))

@@ -345,8 +345,12 @@ object Dedup {
     * where one component carries two representatives — silently-partial
     * dedup is the worst failure mode a 100 TB pipeline can have.
     * Returns (id, rep) for EVERY node; singletons are their own rep. The
-    * returned frame is an eagerly materialized local checkpoint (the
-    * loop's cache is released before returning; no unpersist needed).
+    * returned frame is eagerly materialized with lineage truncated (the
+    * loop's cache is released before returning; no unpersist needed):
+    * a RELIABLE checkpoint when `spark.sparkContext.setCheckpointDir` has
+    * been called — set one in cluster deployments, since a local checkpoint
+    * cannot be recomputed after an executor is lost — and an executor-local
+    * checkpoint otherwise.
     */
   def dedupClusters(
       nodes: DataFrame,
@@ -410,8 +414,10 @@ object Dedup {
     // Hand back an eager flat copy and release the loop's cache: callers
     // (and the bench's best-of-two rerun) were accumulating persisted label
     // blocks across the session because nothing ever unpersisted the
-    // returned fixpoint. The local checkpoint is GC-cleaned with the frame.
-    val out = labels.localCheckpoint(true)
+    // returned fixpoint. Reliable checkpoint when a checkpoint dir is set
+    // (executor loss must not lose the dedup labels mid-pipeline); local
+    // checkpoint otherwise, GC-cleaned with the frame.
+    val out = Materialize.eager(labels)
     labels.unpersist()
     out
   }

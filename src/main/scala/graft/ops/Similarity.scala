@@ -226,9 +226,10 @@ object Similarity {
   }
 
   /** One-shot build + probe. The probe result (queries × k rows — tiny) is
-    * eagerly local-checkpointed so the corpus cache can be released before
-    * returning; multi-batch callers should [[ivfBuild]] once and
-    * [[ivfProbe]] per batch instead.
+    * eagerly materialized (reliable checkpoint when a checkpoint dir is
+    * set, local otherwise — see [[Materialize.eager]]) so the corpus cache
+    * can be released before returning; multi-batch callers should
+    * [[ivfBuild]] once and [[ivfProbe]] per batch instead.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -239,8 +240,8 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4): DataFrame = {
     val idx = ivfBuild(corpus, vecCol, idCol, nlist)
-    val out = ivfProbe(idx, queries, vecCol, idCol, k, nprobe)
-      .localCheckpoint(true)
+    val out = Materialize.eager(
+      ivfProbe(idx, queries, vecCol, idCol, k, nprobe))
     idx.unpersist()
     out
   }

@@ -452,34 +452,62 @@ final case class Relation(
 
   // ---- row access / terminals (duckdb.py:948-1074, 1768-1842) -----------
 
-  /** Shape a raw row through the bound model, mirroring `_to_model`'s
+  /** Row-shaping closure for the bound model, mirroring `_to_model`'s
     * `model(**kwargs)` construction (duckdb.py:1055-1073): fields come out
     * in MODEL order, model columns missing from the relation surface their
-    * declared default (null when none), and non-model columns drop. No-op
-    * without a model.
+    * declared default (null when none), non-model columns drop, and values
+    * whose physical type differs from the field's declared type are COERCED
+    * through a Catalyst `Cast` — the reference gets this coercion for free
+    * from pydantic's `model(**kwargs)` validation, so a model-bound `get()`
+    * over an uncast relation must not leak e.g. Int where the model says
+    * long. The fieldName→index map and per-field cast converters are built
+    * once per schema, not per row. Identity without a model.
     */
-  private def toModelRow(row: Row): Row = model match {
-    case None => row
-    case Some(m) =>
-      val idx = row.schema.fieldNames.zipWithIndex.toMap
-      val values = m.fields.map { f =>
-        idx.get(f.name) match {
-          case Some(i) => row.get(i)
-          case None    => f.default.orNull
-        }
-      }
-      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
-        values.toArray,
-        org.apache.spark.sql.types.StructType(m.fields.map(_.structField)))
-  }
+  private def modelShaper(rowSchema: org.apache.spark.sql.types.StructType): Row => Row =
+    model match {
+      case None => identity
+      case Some(m) =>
+        import org.apache.spark.sql.catalyst.CatalystTypeConverters
+        import org.apache.spark.sql.catalyst.expressions.Cast
+        val idx = rowSchema.fieldNames.zipWithIndex.toMap
+        val outSchema =
+          org.apache.spark.sql.types.StructType(m.fields.map(_.structField))
+        val zone = java.time.ZoneId.systemDefault().getId
+        val getters: Array[Row => Any] = m.fields.map { f =>
+          idx.get(f.name) match {
+            case None => (_: Row) => f.default.orNull
+            case Some(i) =>
+              val from = rowSchema(i).dataType
+              val to = f.structField.dataType
+              if (from == to) (r: Row) => r.get(i)
+              else {
+                val toInternal = CatalystTypeConverters.createToCatalystConverter(from)
+                val toExternal = CatalystTypeConverters.createToScalaConverter(to)
+                val cast = Cast(
+                  org.apache.spark.sql.catalyst.expressions.BoundReference(
+                    0, from, nullable = true),
+                  to, Some(zone))
+                (r: Row) => {
+                  val v = r.get(i)
+                  if (v == null) null
+                  else toExternal(cast.eval(
+                    org.apache.spark.sql.catalyst.InternalRow(toInternal(v))))
+                }
+              }
+          }
+        }.toArray
+        (row: Row) =>
+          new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            getters.map(_(row)), outSchema)
+    }
 
   /** Exactly-one-row fetch with arity errors (duckdb.py:969-1055); the row
-    * is model-shaped when a model is bound (see [[toModelRow]]).
+    * is model-shaped when a model is bound (see [[modelShaper]]).
     */
   def get(filters: String*): Row = {
     val filtered = filters.foldLeft(df)((d, f) => d.where(expr(s"($f)")))
     filtered.take(2) match {
-      case Array(row) => toModelRow(row)
+      case Array(row) => modelShaper(filtered.schema)(row)
       case Array() =>
         throw new RowDoesNotExist(
           s"Relation.get(${filters.mkString(", ")}) returned 0 rows")
@@ -497,7 +525,8 @@ final case class Relation(
     */
   def iterator: Iterator[Row] = {
     import scala.jdk.CollectionConverters._
-    df.toLocalIterator().asScala.map(toModelRow)
+    val shape = modelShaper(df.schema)
+    df.toLocalIterator().asScala.map(shape)
   }
 
   /** Single-column relation → values (duckdb.py:1816-1842). */

@@ -15,4 +15,11 @@ object GraftBridge {
   def expression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Unset the checkpoint dir (`private[spark]` var; no public unset API) —
+    * lets a shared test session restore the localCheckpoint fallback after
+    * exercising the reliable-checkpoint path.
+    */
+  def clearCheckpointDir(sc: org.apache.spark.SparkContext): Unit =
+    sc.checkpointDir = None
 }

@@ -18,7 +18,7 @@ import graft.relation.Relation
   */
 class PlanSpec extends SparkSpec {
 
-  private val dir = "/root/testdata/sf0.001"
+  private lazy val dir = { val d = s"$testdataRoot/sf0.001"; requireTestdata(d); d }
 
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString

@@ -24,6 +24,20 @@ object SparkSpec {
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
 
+  /** Driver-generated testdata root — overridable so the suites that pin
+    * correctness against the sf tables stay runnable on other checkouts
+    * (-Dgraft.testdata=… or GRAFT_TESTDATA=…).
+    */
+  lazy val testdataRoot: String =
+    sys.props.get("graft.testdata")
+      .orElse(sys.env.get("GRAFT_TESTDATA"))
+      .getOrElse("/root/testdata")
+
+  /** Cancel (not fail) a data-pinned test when the testdata is absent. */
+  def requireTestdata(sfDir: String): Unit =
+    assume(new java.io.File(sfDir).isDirectory,
+      s"testdata absent at $sfDir — set -Dgraft.testdata or GRAFT_TESTDATA")
+
   def frame(st: StructType, rows: Row*): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows.toSeq, 2), st)

@@ -163,4 +163,17 @@ class ValidatorSpec extends SparkSpec {
       Schema("U2", Seq(FieldSpec.long("a").copy(unique = true))))
     assert(es == Seq(ErrorDetail("a", "3 rows with duplicated values.", ErrorTypes.RowValue)))
   }
+
+  test("uniqueReportDF compares native values, not string renderings") {
+    // ["a, b"] and ["a", "b"] both render as "[a, b]" under a string cast —
+    // a lossy rendering must not conflate distinct values (the reference's
+    // is_duplicated() compares natives, validators.py:223-232)
+    val m = Schema("U3", Seq(
+      FieldSpec("v", ArrayType(StringType), nullable = true, unique = true)))
+    val df = frame(struct("v" -> ArrayType(StringType)),
+      Row(Seq("a, b")), Row(Seq("a", "b")), Row(Seq("a", "b")))
+    val rows = Validator.uniqueReportDF(df, m).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("v", "unique", 2L)))
+  }
 }

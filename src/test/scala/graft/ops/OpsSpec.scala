@@ -282,6 +282,30 @@ class OpsSpec extends SparkSpec {
     assert(out == Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 4L), (5L, 2L)))
   }
 
+  test("dedupClusters takes the reliable-checkpoint path when a dir is set") {
+    // with a checkpoint dir configured the returned fixpoint must survive
+    // executor loss (local checkpoints don't), so Materialize.eager routes
+    // through reliable checkpoint — assert the result is identical and the
+    // checkpoint data actually landed in the configured dir
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val nodes = docs(1L -> "a", 2L -> "b", 3L -> "c")
+      val pairs = frame(
+        struct("id_a" -> LongType, "id_b" -> LongType), Row(1L, 3L))
+      val out = Dedup.dedupClusters(nodes, "doc_id", pairs)
+        .orderBy(col("id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(out == Seq((1L, 1L), (2L, 2L), (3L, 1L)))
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, s"no reliable checkpoint blocks written under $dir")
+    } finally {
+      // shared session: hand subsequent suites the local-checkpoint path back
+      org.apache.spark.sql.GraftBridge.clearCheckpointDir(spark.sparkContext)
+    }
+  }
+
   test("topTermsPerDoc ranks a doc's distinctive token first") {
     val df = docs(
       1L -> "alpha alpha common",

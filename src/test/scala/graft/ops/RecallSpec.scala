@@ -14,7 +14,7 @@ import graft.SparkSpec
   */
 class RecallSpec extends SparkSpec {
 
-  private val sfDir = "/root/testdata/sf0.01"
+  private lazy val sfDir = s"$testdataRoot/sf0.01"
   private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
   private lazy val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
@@ -32,6 +32,7 @@ class RecallSpec extends SparkSpec {
       "embedding", "vec_id", k = 5))
 
   test("simhashPairs equals the exhaustive hamming pair set (q36/q41 twin)") {
+    requireTestdata(sfDir)
     // pigeonhole banding has COMPLETE recall within the hamming budget, so
     // the banded plan must equal brute force exactly, not approximately
     val sigs = docs
@@ -52,6 +53,7 @@ class RecallSpec extends SparkSpec {
   }
 
   test("lshTopK recall@5 vs brute force stays above its floor (q38 twin)") {
+    requireTestdata(sfDir)
     // q38's banding (4 planes x 8 bands): measured 0.76 on this corpus;
     // the floor has margin for the +-1-pair wobble of fp-order variance
     val lsh = neighborSets(
@@ -62,6 +64,7 @@ class RecallSpec extends SparkSpec {
   }
 
   test("ivfTopK recall@5 vs brute force stays above its floor (q43 twin)") {
+    requireTestdata(sfDir)
     // q43's config (nlist=16, nprobe=8): measured 0.80 on this corpus
     val ivf = neighborSets(
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10),
@@ -71,6 +74,7 @@ class RecallSpec extends SparkSpec {
   }
 
   test("multimodal ANN equals a driver-side exact top-k (q62 twin)") {
+    requireTestdata(sfDir)
     // q62 is exact brute force over extracted features — rows-only in the
     // driver because feature extraction isn't SQL-expressible, so verify
     // the whole pipeline against an independent in-memory computation

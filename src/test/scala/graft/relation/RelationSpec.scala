@@ -378,6 +378,25 @@ class RelationSpec extends SparkSpec {
     assert(raw.schema.fieldNames.toSeq == Seq("a") && raw.getLong(0) == 7L)
   }
 
+  test("model-bound get/iterator coerce values to the declared field types") {
+    // mirrors pydantic's model(**kwargs) coercion inside _to_model
+    // (duckdb.py:1055-1073): an UNCAST relation (int where the model says
+    // long, int where it says double) must still hand back model-typed
+    // values, not leak the physical types
+    val m = Schema("C", Seq(
+      FieldSpec.long("id"),
+      FieldSpec.double("price"),
+      FieldSpec.string("label", nullable = true)))
+    val r = Relation(frame(
+      struct("id" -> IntegerType, "price" -> IntegerType, "label" -> LongType),
+      Row(1, 10, 7L), Row(2, 20, null))).setModel(m)
+    val row = r.get("id = 1")
+    assert(row.toSeq == Seq(1L, 10.0, "7"))
+    assert(row.get(0).isInstanceOf[Long] && row.get(1).isInstanceOf[Double])
+    val it = r.iterator.toSeq.sortBy(_.getLong(0))
+    assert(it.map(_.toSeq) == Seq(Seq(1L, 10.0, "7"), Seq(2L, 20.0, null)))
+  }
+
   test("Database.execute runs a prepared statement once per parameter set") {
     // mirrors the reference doctest (duckdb.py:2540-2553) and
     // tests/test_duckdb/test_database.py:263 via INSERT ... VALUES
