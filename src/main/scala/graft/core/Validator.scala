@@ -167,19 +167,13 @@ object Validator {
       }
     }
 
-    // V7 — uniqueness: one shuffle over ALL unique columns at once. Rows are
-    // re-keyed to (column-name, value-as-string) pairs, partially aggregated
-    // map-side, and every member of a >1 group is counted — matching the
-    // reference's `is_duplicated().sum()` exactly (validators.py:223-232).
+    // V7 — uniqueness: one shuffle over ALL unique columns at once via the
+    // same native-value pair builder as [[uniqueReportDF]] (a lossy string
+    // rendering must not conflate distinct binary/decimal values in one
+    // path and not the other).
     val uniqueCols = checkable.filter(_.unique).map(_.name)
     if (uniqueCols.nonEmpty && df.columns.nonEmpty) {
-      val pairs = df.select(
-        explode(array(uniqueCols.map(c =>
-          struct(lit(c).as("c"), col(c).cast(StringType).as("v"))): _*)).as("p"))
-      val dupCounts = pairs
-        .groupBy(col("p.c"), col("p.v")).agg(count(lit(1)).as("n"))
-        .where(col("n") > 1)
-        .groupBy(col("c")).agg(sum(col("n")).as("dups"))
+      val dupCounts = uniqueDupCounts(df, uniqueCols)
         .collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       uniqueCols.foreach { c =>
@@ -232,32 +226,57 @@ object Validator {
       "uniqueReportDF: schema declares no unique columns present in the frame")
     val spark = df.sparkSession
     import spark.implicits._
-    // Group on NATIVE values, not string renderings (a lossy/ambiguous
-    // string form — binary, high-precision decimals — must not conflate
-    // distinct values; the reference's is_duplicated() compares natives,
-    // validators.py:223-232). Each exploded element carries the value in a
-    // sparse struct with one field per unique column: only the field for
-    // its own column is populated, so grouping on (c, v) compares values
-    // of the same column under their own type, and the all-but-one nulls
-    // cost nothing in the shuffle.
-    val pairs = df.select(
-      explode(array(uniqueCols.map(c =>
-        struct(
-          lit(c).as("c"),
-          struct(uniqueCols.map { u =>
-            (if (u == c) col(u)
-             else lit(null).cast(df.schema(u).dataType)).as(u)
-          }: _*).as("v"))): _*)).as("p"))
-    val dups = pairs
-      .groupBy(col("p.c").as("loc"), col("p.v"))
-      .agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") > 1)
-      .groupBy(col("loc")).agg(sum(col("cnt")).as("dups"))
+    val dups = uniqueDupCounts(df, uniqueCols)
     uniqueCols.toDF("loc")
       .join(broadcast(dups), Seq("loc"), "left")
       .select(col("loc"), lit("unique").as("chk"),
         coalesce(col("dups"), lit(0L)).as("n"))
       .orderBy(col("loc"))
+  }
+
+  /** Shared V7 kernel: per-column duplicated-row counts `(loc, dups)` for
+    * all unique columns in ONE shuffle, used by both [[findErrors]] and
+    * [[uniqueReportDF]].
+    *
+    * Groups on NATIVE values, not string renderings (a lossy/ambiguous
+    * string form — binary, high-precision decimals — must not conflate
+    * distinct values; the reference's is_duplicated() compares natives,
+    * validators.py:223-232). Each exploded element carries the value in a
+    * sparse struct with one field per unique column: only the field for
+    * its own column is populated, so grouping on (c, v) compares values
+    * of the same column under their own type, and the all-but-one nulls
+    * cost nothing in the shuffle. Map-bearing types are the exception —
+    * maps are not groupable in Spark, so those columns fall back to the
+    * string rendering (documented lossiness beats an analysis error).
+    * Counts every member of a >1 group, matching `is_duplicated().sum()`.
+    */
+  private def uniqueDupCounts(df: DataFrame, uniqueCols: Seq[String]): DataFrame = {
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType    => true
+      case s: StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: ArrayType  => hasMap(a.elementType)
+      case _             => false
+    }
+    def slot(u: String): Column = {
+      val dt = df.schema(u).dataType
+      if (hasMap(dt)) col(u).cast(StringType) else col(u)
+    }
+    def nullSlot(u: String): Column = {
+      val dt = df.schema(u).dataType
+      lit(null).cast(if (hasMap(dt)) StringType else dt)
+    }
+    val pairs = df.select(
+      explode(array(uniqueCols.map(c =>
+        struct(
+          lit(c).as("c"),
+          struct(uniqueCols.map { u =>
+            (if (u == c) slot(u) else nullSlot(u)).as(u)
+          }: _*).as("v"))): _*)).as("p"))
+    pairs
+      .groupBy(col("p.c").as("loc"), col("p.v"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+      .groupBy(col("loc")).agg(sum(col("cnt")).as("dups"))
   }
 
   /** Per-(column, check) violation-count aggregates for the row-level checks

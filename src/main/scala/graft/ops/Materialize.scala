@@ -14,6 +14,18 @@ private[graft] object Materialize {
     * further jobs (losing a `localCheckpoint` block mid-pipeline is fatal:
     * the lineage was truncated, so Spark cannot recompute it).
     *
+    * The reliable path caches the frame first: `checkpoint` re-runs the
+    * full lineage to write the checkpoint files unless the data is already
+    * persisted, so an uncached iterative result (e.g. an ANN probe) would
+    * otherwise execute twice. The cache is dropped once the checkpoint is
+    * written — the checkpoint files are the durable copy.
+    *
+    * Checkpoint files are NOT GC-cleaned by default; long-lived sessions
+    * with a checkpoint dir should set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (or prune the
+    * checkpoint dir externally) so abandoned checkpoints don't accumulate
+    * on shared storage.
+    *
     * Without a checkpoint dir (local bench / tests) falls back to an eager
     * `localCheckpoint`: executor-local blocks, GC-cleaned with the frame.
     * Cluster deployments should call
@@ -21,8 +33,15 @@ private[graft] object Materialize {
     * reliable path.
     */
   def eager(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val alreadyCached =
+        df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+      if (alreadyCached) df.checkpoint(eager = true)
+      else {
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try df.checkpoint(eager = true)
+        finally df.unpersist(blocking = false)
+      }
+    } else
       df.localCheckpoint(eager = true)
 }

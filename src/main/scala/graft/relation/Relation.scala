@@ -405,18 +405,53 @@ final case class Relation(
 
   // ---- sort / limit (duckdb.py:1323-1438) -------------------------------
 
-  /** ORDER BY with SQL fragments (`"age desc"`, `"price"`, …) like the
-    * reference's `Relation.order` (duckdb.py:1368-1438).
+  /** ORDER BY with SQL fragments like the reference's `Relation.order`
+    * (duckdb.py:1368-1438), which forwards arbitrary fragments to the
+    * engine: each argument may itself be a comma-joined multi-key fragment
+    * (`"age DESC NULLS LAST, name"`), with optional `ASC`/`DESC` and
+    * `NULLS FIRST`/`NULLS LAST` per key.
     */
   def order(by: String*): Relation =
-    keep(df.orderBy(by.map(parseSort): _*))
+    keep(df.orderBy(by.flatMap(splitSortKeys).map(parseSort): _*))
+
+  /** Split a multi-key ORDER BY fragment on top-level commas only — commas
+    * inside parens (function calls) or quotes don't separate keys.
+    */
+  private def splitSortKeys(fragment: String): Seq[String] = {
+    val keys = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var quote: Char = 0
+    fragment.foreach { ch =>
+      if (quote != 0) { cur += ch; if (ch == quote) quote = 0 }
+      else ch match {
+        case '\'' | '"' => quote = ch; cur += ch
+        case '(' => depth += 1; cur += ch
+        case ')' => depth -= 1; cur += ch
+        case ',' if depth == 0 => keys += cur.result(); cur.clear()
+        case _ => cur += ch
+      }
+    }
+    keys += cur.result()
+    keys.result().map(_.trim).filter(_.nonEmpty)
+  }
 
   private def parseSort(s: String): Column = {
-    val t = s.trim
+    var t = s.trim
+    // peel trailing NULLS FIRST/LAST, then ASC/DESC (SQL fragment order)
+    val nulls = "(?i)\\s+nulls\\s+(first|last)\\s*$".r
+    val nullsPos = nulls.findFirstMatchIn(t).map(_.group(1).toLowerCase)
+    t = nulls.replaceFirstIn(t, "")
     val l = t.toLowerCase
-    if (l.endsWith(" desc")) expr(t.dropRight(5)).desc
-    else if (l.endsWith(" asc")) expr(t.dropRight(4)).asc
-    else expr(t)
+    val (e, desc) =
+      if (l.endsWith(" desc")) (expr(t.dropRight(5)), true)
+      else if (l.endsWith(" asc")) (expr(t.dropRight(4)), false)
+      else (expr(t), false)
+    nullsPos match {
+      case None          => if (desc) e.desc else e.asc
+      case Some("first") => if (desc) e.desc_nulls_first else e.asc_nulls_first
+      case _             => if (desc) e.desc_nulls_last else e.asc_nulls_last
+    }
   }
 
   def limit(n: Int, offset: Int = 0): Relation =
@@ -475,7 +510,23 @@ final case class Relation(
         val zone = java.time.ZoneId.systemDefault().getId
         val getters: Array[Row => Any] = m.fields.map { f =>
           idx.get(f.name) match {
-            case None => (_: Row) => f.default.orNull
+            case None =>
+              // Defaults go through the same Cast coercion as present
+              // columns: a default whose Scala type differs from the
+              // declared field type (Int default on a long field) must not
+              // leak off-type. Coerced ONCE at shaper build, not per row.
+              val coerced = f.default.orNull match {
+                case null => null
+                case dv =>
+                  val to = f.structField.dataType
+                  scala.util.Try {
+                    val litE = org.apache.spark.sql.catalyst.expressions.Literal(dv)
+                    if (litE.dataType == to) dv
+                    else CatalystTypeConverters.createToScalaConverter(to)(
+                      Cast(litE, to, Some(zone)).eval(null))
+                  }.getOrElse(dv)
+              }
+              (_: Row) => coerced
             case Some(i) =>
               val from = rowSchema(i).dataType
               val to = f.structField.dataType

@@ -176,4 +176,34 @@ class ValidatorSpec extends SparkSpec {
       (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     assert(rows == Seq(("v", "unique", 2L)))
   }
+
+  test("findErrors V7 shares the native-value grouping (binary columns)") {
+    // 0xFF and 0xFE are both invalid UTF-8: a string cast renders each as
+    // the replacement char, so the old string-keyed V7 would report a fake
+    // duplicate pair. Native grouping must see two distinct values.
+    val m = Schema("U4", Seq(
+      FieldSpec("b", BinaryType, nullable = true, unique = true)))
+    val distinct = frame(struct("b" -> BinaryType),
+      Row(Array(0xFF.toByte)), Row(Array(0xFE.toByte)))
+    assert(errs(distinct, m).isEmpty)
+    // and real duplicates are still caught byte-for-byte
+    val duped = frame(struct("b" -> BinaryType),
+      Row(Array(0xFF.toByte)), Row(Array(0xFF.toByte)))
+    assert(errs(duped, m) ==
+      Seq(ErrorDetail("b", "2 rows with duplicated values.", ErrorTypes.RowValue)))
+  }
+
+  test("V7 falls back to string rendering for non-groupable map columns") {
+    // maps are not groupable in Spark; the string-cast fallback keeps the
+    // check running instead of failing analysis
+    val m = Schema("U5", Seq(
+      FieldSpec("kv", MapType(StringType, LongType), nullable = true, unique = true)))
+    val df = frame(struct("kv" -> MapType(StringType, LongType)),
+      Row(Map("a" -> 1L)), Row(Map("a" -> 1L)), Row(Map("b" -> 2L)))
+    assert(errs(df, m) ==
+      Seq(ErrorDetail("kv", "2 rows with duplicated values.", ErrorTypes.RowValue)))
+    val rows = Validator.uniqueReportDF(df, m).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("kv", "unique", 2L)))
+  }
 }

@@ -297,12 +297,21 @@ class OpsSpec extends SparkSpec {
         .orderBy(col("id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(out == Seq((1L, 1L), (2L, 2L), (3L, 1L)))
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      val wrote =
+        try walk.filter(p => java.nio.file.Files.isRegularFile(p)).count()
+        finally walk.close()
       assert(wrote > 0, s"no reliable checkpoint blocks written under $dir")
     } finally {
       // shared session: hand subsequent suites the local-checkpoint path back
       org.apache.spark.sql.GraftBridge.clearCheckpointDir(spark.sparkContext)
+      // and reclaim the temp checkpoint dir (reliable checkpoints are not
+      // GC-cleaned; see Materialize scaladoc)
+      val rmWalk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try {
+        rmWalk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally rmWalk.close()
     }
   }
 

@@ -273,6 +273,25 @@ class RelationSpec extends SparkSpec {
     assert(out.collect().map(_.getLong(0)).toSeq == Seq(2L, 1L))
   }
 
+  test("order handles NULLS FIRST/LAST and comma-joined multi-key fragments") {
+    // the reference forwards arbitrary ORDER BY fragments to the engine
+    // (duckdb.py:1368-1438) — "x DESC NULLS LAST, y" must parse per key
+    val r = Relation(frame(
+      struct("x" -> LongType, "y" -> StringType),
+      Row(null, "a"), Row(2L, "b"), Row(2L, "a"), Row(1L, "c")))
+    def xs(rel: Relation): Seq[Any] =
+      rel.toDF.collect().map(row => if (row.isNullAt(0)) null else row.getLong(0)).toSeq
+    // default desc puts nulls last in Spark; NULLS FIRST must override
+    assert(xs(r.order("x DESC NULLS FIRST")) == Seq(null, 2L, 2L, 1L))
+    assert(xs(r.order("x ASC NULLS LAST")) == Seq(1L, 2L, 2L, null))
+    // multi-key in ONE fragment, mixed directions + nulls placement
+    val multi = r.order("x desc nulls last, y asc").toDF
+      .collect().map(row => (if (row.isNullAt(0)) null else row.getLong(0), row.getString(1))).toSeq
+    assert(multi == Seq((2L, "a"), (2L, "b"), (1L, "c"), (null, "a")))
+    // top-level comma split must not break function-call commas
+    assert(xs(r.order("coalesce(x, 99), y")) == Seq(1L, 2L, 2L, null))
+  }
+
   test("get arity errors and getEq") {
     assert(t1.get("column_1 = 2") == Row(2L, "b"))
     intercept[RowDoesNotExist](t1.get("column_1 = 99"))
