@@ -33,6 +33,13 @@ object SparkEntry {
   private def rel(s: SparkSession, dir: String, name: String): Relation =
     Relation(Tables(s, dir, name))
 
+  /** q62 materializes its Spark-extracted feature vectors here so the
+    * DuckDB oracle can rank the SAME vectors (feature extraction itself
+    * is not SQL-expressible). Absolute path: the oracle runs in a separate
+    * process with its own cwd.
+    */
+  private val Q62FeatureDir = "/tmp/graft_q62_features"
+
   /** documents with the cluster's parallelism. The test parquet is ONE small
     * file → one input split, which serializes the signature kernels of the
     * pair-dedup queries onto a single core; a 100 TB corpus arrives in
@@ -412,13 +419,19 @@ object SparkEntry {
         planes = 4, bands = 8, threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
-    // multimodal: binary payload column + partition-batched (stub) decode
+    // multimodal: synthetic-but-REAL PNG payloads (deterministic pixels
+    // seeded from text) decoded with partition-batched ImageIO — the
+    // oracle predicts the DECODED dimensions from the synthesis formula,
+    // so a broken decoder can't fake its way past the hash gate
     "q40_multimodal" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
       graft.ops.Multimodal.decodeMeta(
-        s, graft.ops.Multimodal.withBinaryPayload(docs, "text", "payload"),
+        s, graft.ops.Multimodal.synthesizePng(s, docs, "doc_id", "text", "payload"),
         "doc_id", "payload")
-        .toDF().orderBy(col("doc_id"))
+        .toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("format"),
+          col("error").isNull.as("ok"))
+        .orderBy(col("doc_id"))
     }),
 
     // SimHash near-dup pairs via 16-bit chunk banding (rows-only).
@@ -602,17 +615,22 @@ object SparkEntry {
           groupBy = Seq("o_custkey"))
         .order("o_custkey").toDF),
 
-    // multimodal composition: binary payload → (stub) feature extraction →
-    // ANN top-k, end-to-end (rows-only: the pseudo-embedding hash is
-    // Spark-side; the plumbing is the point — binary columns, partition-
-    // batched encode, array<float> into the same ANN operators)
+    // multimodal composition: real PNG payloads → ImageIO decode →
+    // luma-grid feature extraction → exact ANN top-k, end-to-end. The
+    // extracted features are materialized to parquet mid-query so the
+    // DuckDB oracle can rank the SAME vectors — flipping this composition
+    // from rows-only to the full 3-check gate (same cosine-kernel
+    // bit-identity argument as q37)
     "q62_multimodal_ann" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
       val emb = graft.ops.Multimodal.featureExtract(
-        s, graft.ops.Multimodal.withBinaryPayload(docs, "text", "payload"),
+        s, graft.ops.Multimodal.synthesizePng(s, docs, "doc_id", "text", "payload"),
         "doc_id", "payload", dim = 16)
+        .where(col("error").isNull).select("doc_id", "embedding")
+      emb.write.mode("overwrite").parquet(Q62FeatureDir)
+      val feat = s.read.parquet(Q62FeatureDir)
       graft.ops.Similarity.bruteForceTopK(
-        emb, emb.where(col("doc_id") < 5), "embedding", "doc_id", k = 3)
+        feat, feat.where(col("doc_id") < 5), "embedding", "doc_id", k = 3)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -1022,13 +1040,34 @@ object SparkEntry {
         |SELECT id_a, id_b, inter::DOUBLE / (na + nb - inter) AS jaccard
         |FROM p WHERE 3*inter >= na + nb ORDER BY id_a, id_b""".stripMargin,
 
+    // The synthesized PNG's dimensions are a pure function of the text's
+    // byte length (Multimodal.synthPngBytes) — the oracle predicts what a
+    // REAL ImageIO decode of a REAL PNG must report.
     "q40_multimodal" ->
       """SELECT doc_id,
-        | cast(octet_length(encode(text)) as bigint) AS n_bytes,
-        | cast(octet_length(encode(text)) % 640 as int) AS width,
-        | cast((octet_length(encode(text)) * 7) % 480 as int) AS height,
-        | CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+        | cast(1 + octet_length(encode(text)) % 16 as int) AS width,
+        | cast(1 + (octet_length(encode(text)) * 7) % 16 as int) AS height,
+        | 'png' AS format, true AS ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Exact cosine top-k over the features q62 materialized mid-query —
+    // same bit-identity argument as q37 (DuckDB list_cosine_similarity
+    // over DOUBLE[] accumulates left-to-right in double).
+    "q62_multimodal_ann" ->
+      """WITH f AS (SELECT doc_id, embedding::DOUBLE[] AS v
+        |           FROM read_parquet('/tmp/graft_q62_features/*.parquet')),
+        |q AS (SELECT doc_id AS query_id, v AS qv FROM f WHERE doc_id < 5),
+        |scored AS (
+        |  SELECT query_id, f.doc_id AS neighbor_id,
+        |    list_cosine_similarity(qv, v) AS cosine
+        |  FROM q CROSS JOIN f WHERE query_id <> f.doc_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    cast(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) as int) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q44_cube" ->
       """SELECT l_returnflag, l_linestatus,

@@ -456,24 +456,60 @@ class OpsSpec extends SparkSpec {
     assert(bySrc("books") > 30L && bySrc("books") < 90L)
   }
 
-  test("multimodal: binary payload plumbing with partition-batched stub decode") {
-    val df = docs(1L -> "abcd", 2L -> "abcde")
-    val meta = Multimodal.decodeMeta(
-      spark, Multimodal.withBinaryPayload(df, "text", "payload"),
-      "doc_id", "payload")
-    val rows = meta.orderBy("doc_id").collect()
-    assert(rows(0) == MediaMeta(1L, 4L, 4, 28, "png"))
-    assert(rows(1) == MediaMeta(2L, 5L, 5, 35, "jpeg"))
+  /** A known 3x2 PNG built pixel-by-pixel — the byte-for-byte ground truth
+    * for the real ImageIO decode path.
+    */
+  private def knownPng(): (Array[Byte], java.awt.image.BufferedImage) = {
+    val img = new java.awt.image.BufferedImage(
+      3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3)
+      img.setRGB(x, y, (x * 40 << 16) | (y * 100 << 8) | (x + y))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    (baos.toByteArray, img)
   }
 
-  test("multimodal: feature-extract feeds the ANN operators end-to-end") {
-    val df = Multimodal.withBinaryPayload(
-      docs(1L -> "aaaa", 2L -> "aaaa", 3L -> "something else entirely"),
-      "text", "payload")
-    val emb = Multimodal.featureExtract(spark, df, "doc_id", "payload", dim = 8)
+  test("multimodal: real ImageIO decode of a known PNG; dead-letter on junk") {
+    val (png, _) = knownPng()
+    val df = frame(struct("doc_id" -> LongType, "payload" -> BinaryType),
+      Row(1L, png), Row(2L, "not an image".getBytes("UTF-8")))
+    val rows = Multimodal.decodeMeta(spark, df, "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    assert(rows(0) == MediaMeta(1L, png.length.toLong, Some(3), Some(2), "png", None))
+    // junk payload: no dims, sniffed unknown, reason in the error column
+    assert(rows(1).doc_id == 2L && rows(1).width.isEmpty &&
+      rows(1).height.isEmpty && rows(1).format == "unknown" &&
+      rows(1).error.isDefined)
+  }
+
+  test("multimodal: luma-grid features derive from the decoded pixels") {
+    val (png, img) = knownPng()
+    // dim=1 → one global mean-luma cell, recomputed here independently
+    val expected = {
+      var s = 0.0
+      for (y <- 0 until 2; x <- 0 until 3) {
+        val rgb = img.getRGB(x, y)
+        s += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+      }
+      (s / (255.0 * 6)).toFloat
+    }
+    val df = frame(struct("doc_id" -> LongType, "payload" -> BinaryType), Row(1L, png))
+    val emb = Multimodal.featureExtract(spark, df, "doc_id", "payload", dim = 1)
     assert(emb.schema("embedding").dataType ==
       ArrayType(FloatType, containsNull = false))
-    // identical payloads → identical embeddings → cosine 1.0 top neighbor
+    assert(emb.head().getSeq[Float](1) == Seq(expected))
+  }
+
+  test("multimodal: synthesized PNGs feed the ANN operators end-to-end") {
+    val emb = Multimodal.featureExtract(
+      spark,
+      Multimodal.synthesizePng(
+        spark, docs(1L -> "aaaa", 2L -> "aaaa", 3L -> "something else entirely"),
+        "doc_id", "text", "payload"),
+      "doc_id", "payload", dim = 16)
+      .where(col("error").isNull).select("doc_id", "embedding")
+    // identical texts → identical PNGs → identical embeddings → cosine 1.0
     val top = Similarity.bruteForceTopK(
       emb, emb.where(col("doc_id") === 1L), "embedding", "doc_id", k = 1)
       .head()
@@ -481,13 +517,25 @@ class OpsSpec extends SparkSpec {
     assert(math.abs(top.getDouble(3) - 1.0) < 1e-9)
   }
 
-  test("multimodal: resize and frame-sample keep the batched shapes") {
+  test("multimodal: real resize re-encodes at the target dimensions") {
+    val df = Multimodal.synthesizePng(
+      spark, docs(1L -> ("x" * 100)), "doc_id", "text", "payload")
+    val resized = Multimodal.resize(spark, df, "doc_id", "payload", w = 4, h = 3)
+    val row = resized.head()
+    assert(row.isNullAt(2), "decodable payload must not dead-letter")
+    val out = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](1)))
+    assert(out.getWidth == 4 && out.getHeight == 3)
+    // junk payload dead-letters instead of failing the task
+    val bad = Multimodal.resize(
+      spark, Multimodal.withBinaryPayload(docs(9L -> "junk"), "text", "payload"),
+      "doc_id", "payload", w = 4, h = 3).head()
+    assert(bad.isNullAt(1) && !bad.isNullAt(2))
+  }
+
+  test("multimodal: frame-sample keeps the 1-to-N batched generator shape") {
     val df = Multimodal.withBinaryPayload(
       docs(1L -> ("x" * 100)), "text", "payload")
-    val resized = Multimodal.resize(spark, df, "doc_id", "payload", w = 4, h = 3)
-      .head()
-    assert(resized.getAs[Array[Byte]](1).length == 12)
-
     val frames = Multimodal.frameSample(
       spark, df, "doc_id", "payload", frameBytes = 10, everyN = 2)
       .orderBy("frame_idx").collect()

@@ -79,8 +79,9 @@ class RecallSpec extends SparkSpec {
     // driver because feature extraction isn't SQL-expressible, so verify
     // the whole pipeline against an independent in-memory computation
     val features = Multimodal.featureExtract(
-      spark, Multimodal.withBinaryPayload(docs, "text", "payload"),
+      spark, Multimodal.synthesizePng(spark, docs, "doc_id", "text", "payload"),
       "doc_id", "payload", dim = 16)
+      .where(col("error").isNull).select("doc_id", "embedding")
     val got = Similarity.bruteForceTopK(
       features, features.where(col("doc_id") < 5), "embedding", "doc_id", k = 3)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
