@@ -770,6 +770,19 @@ object SparkEntry {
         FieldSpec.long("o_custkey").copy(unique = true)))
       Validator.uniqueReportDF(Tables(s, d, "orders"), m)
     }),
+
+    // §2.3 GLOBAL as-of join (no by keys): range-bucketed fills + broadcast
+    // boundary carry (Relation.globalAsofFill) — never a single-partition
+    // window. Purchases pre-aggregated per ts so the match is unique.
+    "q69_asof_global" -> ((s, d) => {
+      val ev = Relation(Tables.events(s, d))
+      val clicks = ev.filterEq("event_type" -> "click")
+        .select("user_id", "ts", "value").rename("value" -> "click_value")
+      val purchases = ev.filterEq("event_type" -> "purchase")
+        .aggregate(Seq("max(value) as pval"), groupBy = Seq("ts"))
+      clicks.asofJoin(purchases, by = Nil, leftOn = "ts", rightOn = "ts")
+        .order("user_id", "ts", "click_value").toDF
+    }),
   )
 
   /** DuckDB oracle per query (same parquet tables, same column names). */
@@ -1278,5 +1291,15 @@ object SparkEntry {
         |      SELECT count(*) AS c FROM orders GROUP BY o_orderkey) t
         |      WHERE c > 1), 0) as bigint)
         |) u ORDER BY loc""".stripMargin,
+
+    "q69_asof_global" ->
+      """SELECT l.user_id, l.ts, l.click_value, r.pval
+        |FROM (SELECT user_id, cast(ts as timestamp) AS ts, value AS click_value
+        |      FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (
+        |      SELECT cast(ts as timestamp) AS ts, max(value) AS pval
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1) r
+        |  ON l.ts >= r.ts
+        |ORDER BY l.user_id, l.ts, l.click_value""".stripMargin,
   )
 }

@@ -234,6 +234,25 @@ object Validator {
       .orderBy(col("loc"))
   }
 
+  /** Combined pipeline health-check: [[reportDF]] ∪ [[uniqueReportDF]] in
+    * one `(loc, chk, n)` frame — the single call a scheduled data-quality
+    * job makes against a table. Each side is included only when the schema
+    * declares constraints of that kind (aggregate-checkable vs unique);
+    * at least one must exist. Cost stays the documented floor: one
+    * aggregate scan, plus one shuffle iff unique columns exist.
+    */
+  def fullReportDF(df: DataFrame, schema: Schema): DataFrame = {
+    val hasAgg = checkAggs(df, schema, streamSafe = false).nonEmpty
+    val hasUnique = schema.fields.exists(f =>
+      f.unique && df.columns.contains(f.name))
+    require(hasAgg || hasUnique,
+      "fullReportDF: schema declares no checkable constraints")
+    val parts =
+      (if (hasAgg) Seq(reportDF(df, schema)) else Nil) ++
+      (if (hasUnique) Seq(uniqueReportDF(df, schema)) else Nil)
+    parts.reduce(_ unionByName _).orderBy(col("loc"), col("chk"))
+  }
+
   /** Shared V7 kernel: per-column duplicated-row counts `(loc, dups)` for
     * all unique columns in ONE shuffle, used by both [[findErrors]] and
     * [[uniqueReportDF]].

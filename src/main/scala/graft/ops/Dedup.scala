@@ -303,9 +303,10 @@ object Dedup {
     * the corpus outgrows ~2^planes × maxBucketSize the average bucket
     * overflows and recall collapses toward zero. The defaults carry ~16 M
     * vectors; at larger n raise `planes` (and `bands` with it to hold
-    * recall). collect_list still materializes a pathological bucket before
-    * the size filter — for adversarial key distributions do a count-first
-    * two-phase bucket prune.
+    * recall). Degenerate buckets are dropped by [[candidatePairs]]'
+    * count-first window prune BEFORE any id array materializes, so an
+    * adversarial key distribution costs a counted-and-skipped bucket, not
+    * memory.
     */
   def embeddingNearDup(
       df: DataFrame,

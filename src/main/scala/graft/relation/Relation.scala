@@ -259,15 +259,22 @@ final case class Relation(
     * `last`/`first(_, ignoreNulls)` fills, keep left rows. No
     * row-multiplying range join, no single-partition window (SURVEY §7
     * hard-part 6).
+    *
+    * `by = Nil` (the ungrouped asof a time-series user reaches for first —
+    * polars/pandas `join_asof` without `by`) keeps the same plan shape by
+    * manufacturing the partition key: rows are range-bucketed on `__t`
+    * (approx-quantile boundaries injected as plan literals), the fills run
+    * per bucket, and each bucket's edge is resolved by a broadcast
+    * carry-in of the neighbouring buckets' first/last right rows — one
+    * full-data shuffle, never a single-partition window.
     */
   def asofJoin(
       other: Relation,
-      by: Seq[String],
+      by: Seq[String] = Nil,
       leftOn: String,
       rightOn: String,
       direction: String = "backward",
       toleranceSeconds: Option[Double] = None): Relation = {
-    require(by.nonEmpty, "asofJoin requires at least one `by` key")
     require(Seq("backward", "forward", "nearest").contains(direction),
       s"unknown asof direction: $direction")
     val rightVals = other.df.columns.filterNot(c => by.contains(c) || c == rightOn)
@@ -300,27 +307,32 @@ final case class Relation(
         Seq(rvStruct.as("__rv")): _*)
     val union = lSide.unionByName(rSide)
 
-    val wB = Window.partitionBy(by.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wF = Window.partitionBy(by.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").desc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled =
+      if (by.isEmpty) globalAsofFill(union, leftOnly, rvType)
+      else {
+        val wB = Window.partitionBy(by.map(col): _*)
+          .orderBy(col("__t").asc, col("__side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wF = Window.partitionBy(by.map(col): _*)
+          .orderBy(col("__t").asc, col("__side").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
-    def bwd(c: Column): Column = last(when(col("__side") === 0, c), ignoreNulls = true).over(wB)
-    def fwd(c: Column): Column = first(when(col("__side") === 0, c), ignoreNulls = true).over(wF)
+        def bwd(c: Column): Column = last(when(col("__side") === 0, c), ignoreNulls = true).over(wB)
+        def fwd(c: Column): Column = first(when(col("__side") === 0, c), ignoreNulls = true).over(wF)
 
-    // matched right timestamp per direction (for nearest choice + tolerance)
-    val bT = bwd(col("__t")).as("__bT")
-    val fT = fwd(col("__t")).as("__fT")
-    val fillCols = Seq(bwd(col("__rv")).as("__b_rv"), fwd(col("__rv")).as("__f_rv"))
-    val filled = union
-      .select((by ++ leftOnly).map(col) ++ Seq(col("__t"), col("__side"), bT, fT) ++ fillCols: _*)
-      .where(col("__side") === 1)
+        // matched right timestamp per direction (for nearest choice + tolerance)
+        val bT = bwd(col("__t")).as("__bT")
+        val fT = fwd(col("__t")).as("__fT")
+        val fillCols = Seq(bwd(col("__rv")).as("__b_rv"), fwd(col("__rv")).as("__f_rv"))
+        union
+          .select((by ++ leftOnly).map(col) ++ Seq(col("__t"), col("__side"), bT, fT) ++ fillCols: _*)
+          .where(col("__side") === 1)
+      }
 
-    val t = col("__t").cast("double")
-    val distB = t - col("__bT").cast("double")
-    val distF = col("__fT").cast("double") - t
+    val tType = rSchema(rightOn).dataType
+    val t = timeAsDouble(col("__t"), tType)
+    val distB = t - timeAsDouble(col("__bT"), tType)
+    val distF = timeAsDouble(col("__fT"), tType) - t
     val useBackward: Column = direction match {
       case "backward" => lit(true)
       case "forward"  => lit(false)
@@ -340,6 +352,108 @@ final case class Relation(
           when(useBackward, col("__b_rv")).otherwise(col("__f_rv")).getField(c)).as(c)): _*)
     val ordered = df.columns ++ rightVals
     Relation(out.select(ordered.map(col): _*), None, None)
+  }
+
+  /** Time column as a double distance measure: epoch seconds for
+    * timestamps (ntz routed through a session-tz timestamp cast, which
+    * Spark forbids casting to double directly), the raw value for
+    * numerics. Monotone, so it is also safe as the range-bucket key.
+    */
+  private def timeAsDouble(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        c.cast(org.apache.spark.sql.types.TimestampType).cast("double")
+      case _ => c.cast("double")
+    }
+
+  /** Fill stage of the ungrouped as-of join — same output shape as the
+    * grouped window fill (`__bT`/`__fT`/`__b_rv`/`__f_rv` on side=1 rows)
+    * without a grouping key and without a single-partition window.
+    *
+    * Plan: approx-quantile boundaries over `__t` (one column-pruned sample
+    * job; the boundaries become plan literals) split the timeline into
+    * ~`spark.sql.shuffle.partitions` range buckets, and the running fills
+    * run per bucket — ONE full-data shuffle, same shape as the grouped
+    * path. A bucket's edge rows may need the previous bucket's last right
+    * row (backward) or the next bucket's first right row (forward), so a
+    * tiny per-bucket aggregate (≤ one row per bucket, collected to the
+    * driver — bounded by the bucket count, not the data) computes carry-in
+    * structs that are broadcast-joined back and coalesced under the fill.
+    * The matched row travels as ONE `(t, rv)` struct through fill, carry,
+    * and coalesce, so `__bT` and `__b_rv` always come from the same row.
+    * Tie ordering matches the grouped path (right before left at equal
+    * `__t` via `__side`).
+    */
+  private def globalAsofFill(
+      union: DataFrame,
+      leftOnly: Seq[String],
+      rvType: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+
+    val tType = union.schema("__t").dataType
+    val buckets = math.max(1, spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val bounds =
+      if (buckets == 1) Array.empty[Double]
+      else union.select(timeAsDouble(col("__t"), tType).as("__td"))
+        .stat.approxQuantile(
+          "__td", (1 until buckets).map(_.toDouble / buckets).toArray, 0.01)
+        .distinct.sorted
+    val td = timeAsDouble(col("__t"), tType)
+    val pid = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(td >= lit(b), 1).otherwise(0)
+    }
+    val bucketed = union.withColumn("__pid", pid)
+
+    val m = struct(col("__t").as("t"), col("__rv").as("rv"))
+    val mType = StructType(Seq(
+      StructField("t", tType, nullable = true),
+      StructField("rv", rvType, nullable = true)))
+
+    // Per-bucket first/last right rows → carry-in for the neighbours.
+    // Buckets with no right rows pass the carry through unchanged.
+    val perBucket = bucketed.where(col("__side") === 0)
+      .groupBy(col("__pid"))
+      .agg(min_by(m, col("__t")).as("__first"), max_by(m, col("__t")).as("__last"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getStruct(1), r.getStruct(2)))
+      .toMap
+    val nBuckets = bounds.length + 1
+    val nextFirst = new Array[Row](nBuckets)
+    var follow: Row = null
+    for (k <- (nBuckets - 1) to 0 by -1) {
+      nextFirst(k) = follow
+      perBucket.get(k).foreach { case (firstR, _) => if (firstR != null) follow = firstR }
+    }
+    var prevLast: Row = null
+    val carryRows: Seq[Row] = (0 until nBuckets).map { k =>
+      val row = Row(k, prevLast, nextFirst(k))
+      perBucket.get(k).foreach { case (_, lastR) => if (lastR != null) prevLast = lastR }
+      row
+    }
+    val carrySchema = StructType(Seq(
+      StructField("__pid", IntegerType, nullable = false),
+      StructField("__carry_b", mType, nullable = true),
+      StructField("__carry_f", mType, nullable = true)))
+    val carryDf = spark.createDataFrame(carryRows.asJava, carrySchema)
+
+    val wB = Window.partitionBy(col("__pid"))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("__pid"))
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val bS = coalesce(
+      last(when(col("__side") === 0, m), ignoreNulls = true).over(wB), col("__carry_b"))
+    val fS = coalesce(
+      first(when(col("__side") === 0, m), ignoreNulls = true).over(wF), col("__carry_f"))
+
+    bucketed.join(broadcast(carryDf), Seq("__pid"), "left")
+      .select(leftOnly.map(col) ++ Seq(
+        col("__t"), col("__side"),
+        bS.getField("t").as("__bT"), fS.getField("t").as("__fT"),
+        bS.getField("rv").as("__b_rv"), fS.getField("rv").as("__f_rv")): _*)
+      .where(col("__side") === 1)
   }
 
   /** Skew-safe equi-join on one key: left rows scatter deterministically

@@ -90,6 +90,19 @@ class PlanSpec extends SparkSpec {
     assert(sqlQ.queryExecution.optimizedPlan.toString.contains("jaccard_sorted_ge"))
   }
 
+  test("global as-of join never plans a single-partition exchange") {
+    val ev = Relation(Tables.events(spark, dir))
+    val clicks = ev.filterEq("event_type" -> "click")
+      .select("user_id", "ts", "value")
+    val purchases = ev.filterEq("event_type" -> "purchase")
+      .aggregate(Seq("max(value) as pval"), groupBy = Seq("ts"))
+    val p = plan(clicks.asofJoin(purchases, by = Nil, leftOn = "ts", rightOn = "ts").toDF)
+    assert(!p.contains("SinglePartition"),
+      s"global asof collapsed to one partition:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"boundary carry should broadcast:\n$p")
+  }
+
   test("validation compiles to ONE aggregate pass over the frame") {
     val m = core.Schema("LI", Seq(
       core.FieldSpec.long("l_orderkey"),

@@ -164,6 +164,24 @@ class ValidatorSpec extends SparkSpec {
     assert(es == Seq(ErrorDetail("a", "3 rows with duplicated values.", ErrorTypes.RowValue)))
   }
 
+  test("fullReportDF unions the aggregate and uniqueness reports in one shape") {
+    val m = Schema("F", Seq(
+      FieldSpec.long("x").copy(unique = true),
+      FieldSpec.double("y", nullable = true).copy(bounds = Bounds(ge = Some(0)))))
+    val df = frame(struct("x" -> LongType, "y" -> DoubleType),
+      Row(1L, -1.0), Row(1L, 2.0), Row(2L, 3.0))
+    val rows = Validator.fullReportDF(df, m).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("x", "nulls", 0L), ("x", "unique", 2L), ("y", "bounds", 1L)))
+    // uniqueness-only schema still reports (no aggregate side)
+    val um = Schema("F2", Seq(FieldSpec.long("x", nullable = true).copy(unique = true)))
+    val uRows = Validator.fullReportDF(df.select("x"), um).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(uRows == Seq(("x", "unique", 2L)))
+    intercept[IllegalArgumentException](
+      Validator.fullReportDF(df, Schema("F3", Seq(FieldSpec.long("z", nullable = true)))))
+  }
+
   test("uniqueReportDF compares native values, not string renderings") {
     // ["a, b"] and ["a", "b"] both render as "[a, b]" under a string cast —
     // a lossy rendering must not conflate distinct values (the reference's

@@ -167,6 +167,72 @@ class RelationSpec extends SparkSpec {
       Row(7L, null))) // quote at 5, dist 2 > tol
   }
 
+  test("asofJoin without by keys: backward / forward / nearest over the whole timeline") {
+    val quotes = Relation(frame(
+      struct("t" -> LongType, "px" -> DoubleType),
+      Row(1L, 10.0), Row(5L, 11.0)))
+    val trades = Relation(frame(
+      struct("t" -> LongType, "qty" -> LongType),
+      Row(0L, 1L), Row(2L, 2L), Row(4L, 3L), Row(7L, 4L)))
+
+    val bwd = collectSorted(
+      trades.asofJoin(quotes, leftOn = "t", rightOn = "t").toDF.select("t", "px"), "t")
+    assert(bwd == Seq(Row(0L, null), Row(2L, 10.0), Row(4L, 10.0), Row(7L, 11.0)))
+
+    val fwd = collectSorted(
+      trades.asofJoin(quotes, leftOn = "t", rightOn = "t", direction = "forward")
+        .toDF.select("t", "px"), "t")
+    assert(fwd == Seq(Row(0L, 10.0), Row(2L, 11.0), Row(4L, 11.0), Row(7L, null)))
+
+    val near = collectSorted(
+      trades.asofJoin(quotes, leftOn = "t", rightOn = "t", direction = "nearest")
+        .toDF.select("t", "px"), "t")
+    assert(near == Seq(Row(0L, 10.0), Row(2L, 10.0), Row(4L, 11.0), Row(7L, 11.0)))
+
+    val tol = collectSorted(
+      trades.asofJoin(quotes, leftOn = "t", rightOn = "t",
+        toleranceSeconds = Some(1.0)).toDF.select("t", "px"), "t")
+    assert(tol == Seq(Row(0L, null), Row(2L, 10.0), Row(4L, null), Row(7L, null)))
+  }
+
+  test("asofJoin without by keys: carry crosses range-bucket boundaries") {
+    // One early quote, left rows far later: with 32 shuffle partitions the
+    // quantile boundaries put most left rows in buckets holding NO right
+    // row, so every match must arrive via the broadcast carry-in.
+    val quotes = Relation(frame(
+      struct("t" -> LongType, "px" -> DoubleType), Row(1L, 10.0)))
+    val trades = Relation(frame(
+      struct("t" -> LongType, "qty" -> LongType),
+      (1L to 60L).map(i => Row(i * 100L, i)): _*))
+    val out = trades.asofJoin(quotes, leftOn = "t", rightOn = "t").toDF
+    assert(out.where("px = 10.0").count() == 60)
+    // and forward across buckets: a late quote matches all earlier trades
+    val lateQ = Relation(frame(
+      struct("t" -> LongType, "px" -> DoubleType), Row(99999L, 42.0)))
+    val f = trades.asofJoin(lateQ, leftOn = "t", rightOn = "t",
+      direction = "forward").toDF
+    assert(f.where("px = 42.0").count() == 60)
+  }
+
+  test("asofJoin without by keys equals the grouped path on a constant key") {
+    // The grouped path (single group = one window partition) is the
+    // semantic oracle; the global path must produce identical rows via
+    // its bucketed plan. Deterministic pseudo-random times via hashing.
+    val n = 200
+    val lts = (1 to n).map(i => Row((i * 2654435761L) % 10000L, i.toLong))
+    val rts = (1 to 37).map(i => Row((i * 40503L * 7919L) % 10000L, i * 1.0))
+    val left  = Relation(frame(struct("t" -> LongType, "qty" -> LongType), lts: _*))
+    val right = Relation(frame(struct("t" -> LongType, "px" -> DoubleType), rts: _*))
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val global = left.asofJoin(right, leftOn = "t", rightOn = "t", direction = dir)
+      val grouped = left.withColumns("g" -> "1")
+        .asofJoin(right.withColumns("g" -> "1"), by = Seq("g"), leftOn = "t", rightOn = "t",
+          direction = dir)
+        .drop("g")
+      assert(global.sameAs(grouped), s"direction $dir diverged from grouped oracle")
+    }
+  }
+
   test("saltedJoin equals the plain equi-join") {
     val nations = Relation(frame(
       struct("rkey" -> LongType, "n_name" -> StringType),
