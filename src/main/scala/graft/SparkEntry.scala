@@ -783,6 +783,13 @@ object SparkEntry {
       clicks.asofJoin(purchases, by = Nil, leftOn = "ts", rightOn = "ts")
         .order("user_id", "ts", "click_value").toDF
     }),
+
+    // Gopher-style repetition signals: duplicate-line fractions as
+    // zero-shuffle HOFs, top-bigram char fraction via explode → two keyed
+    // aggregates (no join, no window; see TextOps.repetitionReport)
+    "q70_repetition" -> ((s, d) =>
+      graft.ops.TextOps.repetitionReport(docsParallel(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
   )
 
   /** DuckDB oracle per query (same parquet tables, same column names). */
@@ -1301,5 +1308,44 @@ object SparkEntry {
         |      FROM events WHERE event_type = 'purchase' GROUP BY 1) r
         |  ON l.ts >= r.ts
         |ORDER BY l.user_id, l.ts, l.click_value""".stripMargin,
+
+    "q70_repetition" ->
+      """WITH lin AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ls
+        |  FROM documents),
+        |linesig AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ls) = 0 THEN 0.0
+        |      ELSE (cast(len(ls) as double) - cast(len(list_distinct(ls)) as double))
+        |           / cast(len(ls) as double) END AS dup_line_frac,
+        |    CASE WHEN coalesce(list_sum(list_transform(ls, x -> length(x))), 0) = 0 THEN 0.0
+        |      ELSE (cast(list_sum(list_transform(ls, x -> length(x))) as double)
+        |            - cast(coalesce(list_sum(list_transform(list_distinct(ls), x -> length(x))), 0) as double))
+        |           / cast(list_sum(list_transform(ls, x -> length(x))) as double) END AS dup_line_char_frac
+        |  FROM lin),
+        |toks AS (
+        |  SELECT doc_id,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS nc,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, nc,
+        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM toks WHERE len(t) >= 2),
+        |counts AS (
+        |  SELECT doc_id, max(nc) AS nc, bigram, count(*) AS c
+        |  FROM bg GROUP BY doc_id, bigram),
+        |ranked AS (
+        |  SELECT doc_id, nc, bigram, c,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, bigram DESC) AS rn
+        |  FROM counts),
+        |top AS (SELECT doc_id, nc, bigram, c FROM ranked WHERE rn = 1)
+        |SELECT l.doc_id, l.dup_line_frac, l.dup_line_char_frac,
+        |  CASE WHEN t.c IS NULL OR t.nc = 0 THEN 0.0
+        |    ELSE cast(t.c as double) * cast(length(t.bigram) - 1 as double)
+        |         / cast(t.nc as double) END AS top_bigram_char_frac
+        |FROM linesig l LEFT JOIN top t USING (doc_id)
+        |ORDER BY l.doc_id""".stripMargin,
   )
 }

@@ -100,6 +100,83 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
 
+  /** Gopher-style repetition signals (Rae et al. 2021, appendix A1.1 —
+    * the "repetitious documents are low quality" filter family), as pure
+    * array-HOF columns over the split lines: no explode, no shuffle, one
+    * pass in whole-stage codegen.
+    *
+    *   - `dup_line_frac`: fraction of non-blank lines that are repeats of
+    *     an earlier line (`1 - distinct/total`);
+    *   - `dup_line_char_frac`: fraction of line characters inside those
+    *     repeats (`1 - distinctChars/totalChars`).
+    *
+    * All ratios are double divisions of exact integer counts — bit-equal
+    * across engines for the oracle.
+    */
+  def repetitionColumns(text: Column): Seq[(String, Column)] = {
+    val lines = filter(split(text, "\n"), l => trim(l) =!= "")
+    val dLines = array_distinct(lines)
+    def chars(arr: Column): Column =
+      aggregate(arr, lit(0L), (acc, l) => acc + length(l).cast("long"))
+    val nL = size(lines).cast("double")
+    val nD = size(dLines).cast("double")
+    val cL = chars(lines).cast("double")
+    val cD = chars(dLines).cast("double")
+    Seq(
+      "dup_line_frac" -> when(nL === 0, lit(0.0)).otherwise((nL - nD) / nL),
+      "dup_line_char_frac" -> when(cL === 0, lit(0.0)).otherwise((cL - cD) / cL))
+  }
+
+  /** Full per-document repetition report: [[repetitionColumns]] plus the
+    * top-bigram character fraction (chars claimed by the single most
+    * frequent word bigram / non-whitespace chars — Gopher's top-n-gram
+    * signal at n = 2).
+    *
+    * Plan shape for 100 TB: one generator (explode of the per-doc bigram
+    * array) into two keyed aggregates — partial map-side combine on
+    * (doc, bigram), then a (doc) aggregate whose `max(struct(c, bigram))`
+    * picks the winner with a deterministic tie-break (highest count, then
+    * lexicographically last bigram). No join and no window: the per-doc
+    * constants (char count, line signals) ride through both aggregates
+    * under `max`, and `explode_outer` keeps bigram-less docs (< 2 tokens)
+    * in the result with fraction 0. Shuffle rows are per-split distinct
+    * (doc, bigram) pairs after the combine, not corpus token count.
+    */
+  def repetitionReport(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val text = col(textCol)
+    val toks = wsTokens(text)
+    val bigrams = when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      .otherwise(array().cast("array<string>"))
+    val lineCols = repetitionColumns(text)
+    val exploded = df.select(
+      Seq(col(idCol).as("doc_id"),
+        length(regexp_replace(text, "\\s", "")).cast("long").as("__nc")) ++
+        lineCols.map { case (n, c) => c.as(n) } ++
+        Seq(explode_outer(bigrams).as("bigram")): _*)
+    val carry = Seq("__nc") ++ lineCols.map(_._1)
+    val counts = exploded.groupBy(col("doc_id"), col("bigram"))
+      .agg(count(col("bigram")).as("c"),
+        carry.map(c => max(col(c)).as(c)): _*)
+    val top = counts.groupBy(col("doc_id"))
+      .agg(max(struct(col("c"), col("bigram"))).as("__top"),
+        carry.map(c => max(col(c)).as(c)): _*)
+    top.select(
+      Seq(col("doc_id")) ++
+        lineCols.map { case (n, _) => col(n) } ++
+        Seq(when(col("__top.c") === 0 || col("__nc") === 0, lit(0.0))
+          .otherwise(col("__top.c").cast("double") *
+            (length(col("__top.bigram")) - 1).cast("double") /
+            col("__nc").cast("double"))
+          .as("top_bigram_char_frac")): _*)
+  }
+
   /** Keep rows at or above the `p`-quantile of `metricCol` — the classic
     * "drop the bottom quartile by quality score" corpus-cleaning step.
     * The threshold is ONE exact-percentile aggregate collected driver-side

@@ -328,6 +328,27 @@ class OpsSpec extends SparkSpec {
     assert(out.forall(r => r.getInt(1) <= 2))
   }
 
+  test("repetitionReport: Gopher duplicate-line and top-bigram fractions") {
+    val df = docs(
+      // lines ["a b","a b","c"]: dup_line_frac 1/3, chars 7 vs distinct 4
+      // → dup_line_char_frac 3/7; bigrams [a b, b a, a b, b c] → top
+      // "a b" ×2, len-1 = 2 chars of 5 non-ws → 0.8
+      1L -> "a b\na b\nc",
+      2L -> "hello",   // single token: no bigram → 0.0
+      3L -> "")        // empty doc: all fractions 0.0
+    val out = TextOps.repetitionReport(df, "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out(0) == ((1L, 1.0 / 3.0, 3.0 / 7.0, 0.8)))
+    assert(out(1) == ((2L, 0.0, 0.0, 0.0)))
+    assert(out(2) == ((3L, 0.0, 0.0, 0.0)))
+    // tie-break is deterministic: equal counts pick the last bigram
+    val tie = TextOps.repetitionReport(docs(9L -> "x y z"), "doc_id", "text")
+      .head()
+    // "x y" and "y z" both ×1 → winner "y z"; 2 bigram chars of 3 non-ws
+    assert(tie.getDouble(3) == 1.0 * 2.0 / 3.0)
+  }
+
   test("termFrequencies counts corpus-wide tokens") {
     val df = docs(1L -> "a b a", 2L -> "b c")
     val out = TextOps.termFrequencies(df, "text")
