@@ -790,6 +790,61 @@ object SparkEntry {
     "q70_repetition" -> ((s, d) =>
       graft.ops.TextOps.repetitionReport(docsParallel(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))),
+
+    // benchmark decontamination: md5-split the corpus, then flag train docs
+    // sharing any word 5-gram with the held-out test split (broadcast the
+    // eval gram keys; corpus text/grams never shuffle — Decontam scaladoc)
+    "q71_decontaminate" -> ((s, d) => {
+      val split = graft.ops.Sampling.md5Split(docsParallel(s, d), "text")
+      graft.ops.Decontam.contaminationReport(
+        split.where(col("split") === "train"),
+        split.where(col("split") === "test"),
+        "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII surface screen: counts + typed-placeholder redaction, over text
+    // augmented with deterministic synthetic PII (the raw corpus has none,
+    // which would make the check vacuous)
+    "q72_pii_redact" -> ((s, d) => {
+      val aug = Tables(s, d, "documents").select(
+        col("doc_id"),
+        concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10."), (col("doc_id") % 256).cast("string"), lit("."),
+          (col("doc_id") % 256).cast("string"), lit("."),
+          (col("doc_id") % 100).cast("string")).as("t"))
+      aug.select(
+        Seq(col("doc_id")) ++
+          graft.ops.TextOps.piiColumns(col("t")).map { case (n, c) => c.as(n) } ++
+          Seq(graft.ops.TextOps.redactPii(col("t")).as("redacted")): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // context-window chunking: fixed-stride token windows (32 tokens,
+    // stride 24 → 8-token overlap), pure per-row generator
+    "q73_chunk_tokens" -> ((s, d) =>
+      graft.ops.Packing.chunkByTokens(
+        Tables(s, d, "documents"), "doc_id", "text", chunkSize = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // GPT-style concat-and-chunk packing plan: one window over md5 groups,
+    // exact integer arithmetic on the running token total
+    "q74_pack_plan" -> ((s, d) =>
+      graft.ops.Packing.concatChunkPlan(
+        Tables(s, d, "documents"), "doc_id", "text", capacity = 256, nGroups = 8)
+        .orderBy(col("doc_id"))),
+
+    // true FFD bin packing (no oracle: first-fit is a sequential decision
+    // SQL can't express — OpsSpec pins exact placements on a hand-computed
+    // fixture and RecallSpec pins packing invariants on this table)
+    "q75_pack_ffd" -> ((s, d) =>
+      graft.ops.Packing.packFirstFitDecreasing(
+        Tables(s, d, "documents"), "doc_id", "text", capacity = 256, nGroups = 8)
+        .orderBy(col("doc_id"))),
   )
 
   /** DuckDB oracle per query (same parquet tables, same column names). */
@@ -1347,5 +1402,75 @@ object SparkEntry {
         |         / cast(t.nc as double) END AS top_bigram_char_frac
         |FROM linesig l LEFT JOIN top t USING (doc_id)
         |ORDER BY l.doc_id""".stripMargin,
+
+    "q71_decontaminate" ->
+      """WITH sp AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN strpos('0123456789abcdef', substr(md5(text),1,1))-1 < 12 THEN 'train'
+        |         WHEN strpos('0123456789abcdef', substr(md5(text),1,1))-1 < 14 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents WHERE text IS NOT NULL
+        |), toks AS (
+        |  SELECT doc_id, split,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        |  FROM sp
+        |), grams AS (
+        |  SELECT doc_id, split, substr(md5(array_to_string(l[i:i+4], ' ')), 1, 16) AS g
+        |  FROM toks, unnest(range(1, len(l)-5+2)) AS t(i)
+        |  WHERE len(l) >= 5
+        |), ev AS (SELECT DISTINCT g FROM grams WHERE split = 'test')
+        |SELECT doc_id, cast(count(DISTINCT g) as bigint) AS n_shared_grams
+        |FROM grams JOIN ev USING (g)
+        |WHERE split = 'train'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q72_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    concat(text, ' contact user', doc_id, '@example.com or 555-',
+        |           lpad(cast(doc_id % 1000 as varchar), 3, '0'), '-',
+        |           lpad(cast(doc_id % 10000 as varchar), 4, '0'),
+        |           ' from 10.', doc_id % 256, '.', doc_id % 256, '.', doc_id % 100) AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  cast(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as bigint) AS n_emails,
+        |  cast(len(regexp_extract_all(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) as bigint) AS n_phones,
+        |  cast(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) as bigint) AS n_ipv4,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '[PHONE]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
+        |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "q73_chunk_tokens" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        |  FROM documents
+        |)
+        |SELECT doc_id, cast((s - 1) // 24 as bigint) AS chunk_idx,
+        |  array_to_string(l[s:s+31], ' ') AS chunk_text,
+        |  cast(least(32, len(l) - s + 1) as bigint) AS n_chunk_tokens
+        |FROM toks, unnest(range(1, len(l) + 1, 24)) AS t(s)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q74_pack_plan" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)),1,1))-1) % 8 AS grp,
+        |    cast(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) as bigint) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, grp, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d
+        |)
+        |SELECT doc_id, cast(grp as int) AS grp, n_tokens,
+        |  cast((cum - n_tokens) // 256 as bigint) AS bin_first,
+        |  cast(CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // 256
+        |            ELSE (cum - 1) // 256 END as bigint) AS bin_last,
+        |  cast((cum - n_tokens) % 256 as bigint) AS offset_in_bin
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,149 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Context-window chunking and sequence packing — the last mile of a
+  * training-data pipeline, where cleaned documents become fixed-capacity
+  * training sequences.
+  *
+  * Three operators, in increasing packing quality:
+  *
+  *   - [[chunkByTokens]]: split each document independently into
+  *     fixed-stride token windows (long-doc handling; pure per-row
+  *     generator, zero shuffle);
+  *   - [[concatChunkPlan]]: the GPT-style "concatenate then chop" plan —
+  *     documents are laid end-to-end in a deterministic order and cut at
+  *     capacity boundaries; fully window-expressible (one shuffle on the
+  *     group key), exact-oracle-able, but documents may straddle bins;
+  *   - [[packFirstFitDecreasing]]: true bin packing (no straddling, FFD's
+  *     11/9·OPT+1 bin-count guarantee) — inherently a sequential decision
+  *     per group, so it runs inside `flatMapGroups` over md5-bucketed
+  *     groups.
+  *
+  * Determinism everywhere: group assignment is an md5 nibble of the id
+  * (content-keyed like [[Sampling]] — stable across runs, partitionings,
+  * and engines), in-group order is the id itself, so a 100 TB corpus packs
+  * identically on every rerun.
+  */
+object Packing {
+
+  /** Fixed-stride sliding token windows per document: starts 1, 1+stride,
+    * 1+2·stride, … while ≤ token count; each chunk is the next `chunkSize`
+    * tokens (shorter at the tail). Overlap = chunkSize − stride tokens.
+    * A pure generator expression — explode fused into the scan, no shuffle,
+    * no state; documents chunk independently so the op scales linearly.
+    */
+  def chunkByTokens(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int,
+      stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val toks = TextOps.wsTokens(col(textCol))
+    val starts = when(size(toks) >= 1, sequence(lit(1), size(toks), lit(stride)))
+      .otherwise(array().cast("array<int>"))
+    df.select(col(idCol), toks.as("__toks"), explode(starts).as("__s"))
+      .select(
+        col(idCol),
+        // (__s - 1) is an exact multiple of stride, so the double division
+        // is exact and the cast loses nothing
+        ((col("__s") - 1) / lit(stride)).cast("bigint").as("chunk_idx"),
+        concat_ws(" ", slice(col("__toks"), col("__s"), lit(chunkSize))).as("chunk_text"),
+        least(lit(chunkSize), size(col("__toks")) - col("__s") + 1)
+          .cast("bigint").as("n_chunk_tokens"))
+  }
+
+  /** Deterministic group id in [0, nGroups): first md5 nibble of the id
+    * rendered as a string — reproducible in any engine with md5 (the same
+    * trick as [[Sampling.md5StratifiedSample]]).
+    */
+  private def md5Group(idCol: String, nGroups: Int) =
+    pmod(
+      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 1), 16, 10)
+        .cast("int"),
+      lit(nGroups))
+
+  /** Concat-and-chunk packing plan: within each md5 group, documents are
+    * laid end-to-end in id order and cut every `capacity` tokens. Returns
+    * one row per document — its group, token count, the bins its tokens
+    * land in (`bin_first`..`bin_last`; a document straddles a boundary
+    * when they differ), and its token offset inside the first bin.
+    *
+    * One shuffle (the window's partition-by on the group key), then pure
+    * exact integer arithmetic on the running total — which is why this
+    * variant is oracle-able while true bin packing is not. `nGroups`
+    * bounds each window partition at corpus/nGroups rows; at real scale
+    * pick nGroups ≫ executor count (the nibble cap is 16 here only
+    * because the group key derives from one hex digit — salt with more
+    * digits if a corpus needs finer slicing).
+    */
+  def concatChunkPlan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      capacity: Long,
+      nGroups: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    require(nGroups >= 1 && nGroups <= 16, s"nGroups must be in [1, 16], got $nGroups")
+    val w = Window.partitionBy(col("grp")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(
+      col(idCol),
+      md5Group(idCol, nGroups).as("grp"),
+      TextOps.tokenCount(col(textCol)).cast("bigint").as("n_tokens"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .select(
+        col(idCol), col("grp"), col("n_tokens"),
+        expr(s"cast((__cum - n_tokens) div $capacity as bigint)").as("bin_first"),
+        expr(s"""cast(case when n_tokens = 0 then (__cum - n_tokens) div $capacity
+                 else (__cum - 1) div $capacity end as bigint)""").as("bin_last"),
+        expr(s"cast((__cum - n_tokens) % $capacity as bigint)").as("offset_in_bin"))
+  }
+
+  /** First-fit-decreasing bin packing per md5 group: documents sorted by
+    * (tokens desc, id), each placed in the first bin with room, a new bin
+    * otherwise. No document straddles bins; a document larger than
+    * `capacity` gets a bin of its own (it must be [[chunkByTokens]]'d
+    * first if that is not acceptable). Returns (id, grp, bin, n_tokens);
+    * bins are numbered from 0 per group in creation order.
+    *
+    * The group is the unit of sequential work: `flatMapGroups` holds one
+    * group's (id, tokens) pairs in memory and runs the O(docs × bins)
+    * first-fit scan — size `nGroups` so corpus/nGroups rows fit an
+    * executor. Deterministic: content-keyed groups, total sort order, no
+    * ties possible.
+    */
+  def packFirstFitDecreasing(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      capacity: Long,
+      nGroups: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    require(nGroups >= 1 && nGroups <= 16, s"nGroups must be in [1, 16], got $nGroups")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val prepared = df.select(
+      md5Group(idCol, nGroups).as("_1"),
+      col(idCol).cast("long").as("_2"),
+      TextOps.tokenCount(col(textCol)).cast("long").as("_3"))
+      .as[(Int, Long, Long)]
+    prepared.groupByKey(_._1)
+      .flatMapGroups { (grp, it) =>
+        val docs = it.map { case (_, id, tok) => (id, tok) }.toArray
+          .sortBy { case (id, tok) => (-tok, id) }
+        val binTotals = scala.collection.mutable.ArrayBuffer.empty[Long]
+        docs.iterator.map { case (id, tok) =>
+          var bin = binTotals.indexWhere(_ + tok <= capacity)
+          if (bin < 0) { binTotals += 0L; bin = binTotals.length - 1 }
+          binTotals(bin) += tok
+          (id, grp, bin, tok)
+        }
+      }
+      .toDF(idCol, "grp", "bin", "n_tokens")
+  }
+}

@@ -100,6 +100,37 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " ").cast("binary"))
 
+  /** PII surface patterns. Deliberately restricted to syntax shared by
+    * Java regex and RE2 (no backreferences, no lookaround) so the same
+    * pattern string runs identically in Spark and in the DuckDB oracle.
+    * Pattern-based detection is a SURFACE screen (it can't catch names or
+    * free-text addresses) — it's the deterministic, scan-fused first pass a
+    * pipeline runs on every document before any model-based PII stage.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Per-document PII hit counts — pure codegen'd regexp columns, zero
+    * shuffle, one pass fused into the scan.
+    */
+  def piiColumns(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("bigint"),
+    "n_phones" -> size(regexp_extract_all(text, lit(PhonePattern), lit(0))).cast("bigint"),
+    "n_ipv4" -> size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))).cast("bigint"))
+
+  /** Replace every PII match with a typed placeholder. Order is load-
+    * bearing: emails first (their local part may contain digit runs a later
+    * pattern would bite into), then phones (3-3-4 digit groups), then IPv4
+    * (which a phone-shaped string can no longer shadow).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "[EMAIL]"),
+        PhonePattern, "[PHONE]"),
+      Ipv4Pattern, "[IP]")
+
   /** Gopher-style repetition signals (Rae et al. 2021, appendix A1.1 —
     * the "repetitious documents are low quality" filter family), as pure
     * array-HOF columns over the split lines: no explode, no shuffle, one

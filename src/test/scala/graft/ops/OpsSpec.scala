@@ -563,4 +563,73 @@ class OpsSpec extends SparkSpec {
     assert(frames.map(_.getInt(1)).toSeq == Seq(0, 2, 4, 6, 8))
     assert(frames.forall(_.getAs[Array[Byte]](2).length == 10))
   }
+
+  test("decontam: report counts distinct shared n-grams; short docs gram-free") {
+    val train = docs(
+      1L -> "the quick brown fox jumps over dog",
+      2L -> "completely different words here now surely",
+      3L -> "too short text")
+    val eval_ = docs(10L -> "quick brown fox jumps over")
+    val report = Decontam.contaminationReport(train, eval_, "doc_id", "text", n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(report.toSeq == Seq((1L, 1L)))
+    val clean = Decontam.decontaminate(train, eval_, "doc_id", "text", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(clean == Set(2L, 3L))
+    // a doc with fewer than n tokens yields no grams at all
+    val short = docs(3L -> "too short text")
+      .select(Decontam.wordNgrams(col("text"), 5).as("g")).head()
+    assert(short.getSeq[String](0).isEmpty)
+  }
+
+  test("pii: counts and ordered typed-placeholder redaction") {
+    val df = docs(1L -> "mail a.b@x.io and b@c.org, call 555-123-4567 or ping 10.0.0.1 end")
+    val row = df.select(
+      TextOps.piiColumns(col("text")).map { case (n, c) => c.as(n) } :+
+        TextOps.redactPii(col("text")).as("red"): _*).head()
+    assert(row.getLong(0) == 2L) // emails
+    assert(row.getLong(1) == 1L) // phones
+    assert(row.getLong(2) == 1L) // ipv4
+    assert(row.getString(3) ==
+      "mail [EMAIL] and [EMAIL], call [PHONE] or ping [IP] end")
+  }
+
+  test("chunkByTokens: fixed-stride windows with a short tail chunk") {
+    val df = docs(1L -> (1 to 10).map(i => s"t$i").mkString(" "), 2L -> "a b")
+    val out = Packing.chunkByTokens(df, "doc_id", "text", chunkSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, "t1 t2 t3 t4", 4L),
+      (1L, 1L, "t4 t5 t6 t7", 4L),
+      (1L, 2L, "t7 t8 t9 t10", 4L),
+      (1L, 3L, "t10", 1L),
+      (2L, 0L, "a b", 2L)))
+  }
+
+  test("concatChunkPlan: running-total bins, straddles flagged by bin span") {
+    val df = docs(1L -> "a b c", 2L -> "d e", 3L -> "f g h i")
+    val out = Packing.concatChunkPlan(df, "doc_id", "text", capacity = 4, nGroups = 1)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // cum after docs 1,2,3 = 3,5,9: doc2 straddles bins 0→1 at offset 3
+    assert(out.toSeq == Seq((1L, 0L, 0L, 0L), (2L, 0L, 1L, 3L), (3L, 1L, 2L, 1L)))
+  }
+
+  test("packFirstFitDecreasing: exact FFD placements, oversize gets own bin") {
+    def ofTokens(rows: (Long, Int)*) =
+      docs(rows.map { case (id, n) => id -> Seq.fill(n)("t").mkString(" ") }: _*)
+    val df = ofTokens(1L -> 9, 2L -> 6, 3L -> 6, 4L -> 4, 5L -> 2, 6L -> 1)
+    val out = Packing.packFirstFitDecreasing(df, "doc_id", "text",
+      capacity = 10, nGroups = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    // sorted (tok desc, id): 9,6,6,4,2,1 → bins [9+1][6+4][6+2]
+    assert(out == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 2, 6L -> 0))
+    val oversize = Packing.packFirstFitDecreasing(
+      ofTokens(1L -> 12, 2L -> 3), "doc_id", "text", capacity = 10, nGroups = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(oversize == Map(1L -> 0, 2L -> 1),
+      "an over-capacity doc must sit alone; later docs must not join its bin")
+  }
 }

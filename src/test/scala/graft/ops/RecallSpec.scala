@@ -108,4 +108,31 @@ class RecallSpec extends SparkSpec {
     }
     assert(got == expected)
   }
+
+  test("FFD packing invariants on the driver corpus (q75 pin)") {
+    requireTestdata(sfDir)
+    // q75 is rows-only (first-fit is a sequential decision SQL can't
+    // express), so pin the packing CONTRACT here: every doc placed exactly
+    // once, no bin over capacity unless it holds a single oversize doc,
+    // bins numbered contiguously from 0 within each group
+    val capacity = 256L
+    val packed = Packing.packFirstFitDecreasing(
+      docs, "doc_id", "text", capacity, nGroups = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+
+    val sourceIds = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(packed.map(_._1).sorted.toSeq == sourceIds.toSeq,
+      "every document must be packed exactly once")
+
+    packed.groupBy(t => (t._2, t._3)).foreach { case ((grp, bin), members) =>
+      val total = members.map(_._4).sum
+      assert(total <= capacity || members.length == 1,
+        s"grp=$grp bin=$bin holds $total tokens across ${members.length} docs")
+    }
+    packed.groupBy(_._2).foreach { case (grp, members) =>
+      val bins = members.map(_._3).distinct.sorted
+      assert(bins.toSeq == (0 until bins.length).toSeq,
+        s"grp=$grp bins must be contiguous from 0, got ${bins.toSeq}")
+    }
+  }
 }
