@@ -845,6 +845,33 @@ object SparkEntry {
       graft.ops.Packing.packFirstFitDecreasing(
         Tables(s, d, "documents"), "doc_id", "text", capacity = 256, nGroups = 8)
         .orderBy(col("doc_id"))),
+
+    // C4-style boilerplate removal: header/footer lines injected into every
+    // doc are corpus-frequent → removed; unique bodies survive (cleaned
+    // must equal the original text — the oracle checks content, not just
+    // counts)
+    "q76_boilerplate" -> ((s, d) => {
+      val aug = docsParallel(s, d).select(
+        col("doc_id"),
+        concat(lit("HEADER: subscribe now\n"), col("text"), lit("\nFOOTER "),
+          (col("doc_id") % 3).cast("string")).as("t"))
+      graft.ops.TextOps.removeFrequentLines(aug, "doc_id", "t", minDocs = 100)
+        .select(col("doc_id"), col("cleaned"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-domain corpus statistics over synthetic URLs (the raw corpus has
+    // none): one URL explode into one domain aggregate
+    "q77_domain_stats" -> ((s, d) => {
+      val aug = Tables(s, d, "documents").select(
+        col("doc_id"),
+        concat(col("text"), lit(" see https://site"),
+          (col("doc_id") % 7).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string"),
+          lit(" and http://cdn.example.org/lib.js")).as("t"))
+      graft.ops.TextOps.domainStats(aug, "doc_id", "t")
+        .orderBy(col("domain"))
+    }),
   )
 
   /** DuckDB oracle per query (same parquet tables, same column names). */
@@ -1472,5 +1499,38 @@ object SparkEntry {
         |            ELSE (cum - 1) // 256 END as bigint) AS bin_last,
         |  cast((cum - n_tokens) % 256 as bigint) AS offset_in_bin
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q76_boilerplate" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    concat('HEADER: subscribe now', chr(10), text, chr(10), 'FOOTER ', doc_id % 3) AS t
+        |  FROM documents
+        |), freq AS (
+        |  SELECT md5(x) AS h
+        |  FROM (SELECT DISTINCT doc_id, x
+        |        FROM aug, unnest(string_split(t, chr(10))) AS u(x)
+        |        WHERE trim(x) <> '')
+        |  GROUP BY md5(x) HAVING count(*) >= 100
+        |), fl AS (SELECT coalesce(list(h), []) AS hs FROM freq)
+        |SELECT doc_id,
+        |  array_to_string(
+        |    list_filter(string_split(t, chr(10)),
+        |      x -> trim(x) = '' OR NOT list_contains(hs, md5(x))),
+        |    chr(10)) AS cleaned
+        |FROM aug, fl ORDER BY doc_id""".stripMargin,
+
+    "q77_domain_stats" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    concat(text, ' see https://site', doc_id % 7, '.example.com/p/', doc_id,
+        |           ' and http://cdn.example.org/lib.js') AS t
+        |  FROM documents
+        |), urls AS (
+        |  SELECT doc_id, regexp_extract(u, 'https?://([^/\s]+)', 1) AS domain
+        |  FROM aug, unnest(regexp_extract_all(t, 'https?://[^\s]+')) AS x(u)
+        |)
+        |SELECT domain, cast(count(DISTINCT doc_id) as bigint) AS n_docs,
+        |  cast(count(*) as bigint) AS n_urls
+        |FROM urls GROUP BY domain ORDER BY domain""".stripMargin,
   )
 }

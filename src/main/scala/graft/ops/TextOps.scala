@@ -131,6 +131,76 @@ object TextOps {
         PhonePattern, "[PHONE]"),
       Ipv4Pattern, "[IP]")
 
+  /** C4/Dolma-style boilerplate removal: drop every non-blank line that
+    * occurs in at least `minDocs` distinct documents corpus-wide (cookie
+    * banners, nav menus, subscribe footers — the lines whose very
+    * frequency marks them as template, not content).
+    *
+    * Two phases, neither shuffling the corpus text:
+    *   1. frequent-line discovery — explode per-doc DISTINCT lines, md5
+    *      them map-side, ONE count shuffle carrying 32-char hashes (a
+    *      line's per-doc distinctness makes `count(*)` = document
+    *      frequency, no count-distinct expand needed), collect the ≥
+    *      `minDocs` hashes driver-side;
+    *   2. removal — the hash set becomes an `isInCollection` literal
+    *      (InSet, O(1) probe) inside a pure array-HOF filter over each
+    *      document's lines: zero shuffle, scan-fused, blank lines kept.
+    *
+    * The collected set is boilerplate, not vocabulary — it is small by
+    * construction; `maxFrequent` guards the driver against a degenerate
+    * corpus (thousands of docs sharing millions of lines), where the
+    * caller should raise `minDocs` instead.
+    */
+  def removeFrequentLines(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Int,
+      maxFrequent: Int = 100000): org.apache.spark.sql.DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val lines = filter(split(col(textCol), "\n"), l => trim(l) =!= "")
+    val frequent = df
+      .select(col(idCol), explode(array_distinct(lines)).as("__line"))
+      .select(md5(col("__line").cast("binary")).as("__h"))
+      .groupBy(col("__h")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minDocs)
+      .select("__h").collect().map(_.getString(0))
+    require(frequent.length <= maxFrequent,
+      s"${frequent.length} frequent lines exceeds maxFrequent=$maxFrequent — " +
+        "raise minDocs (the set must stay a driver-side literal)")
+    if (frequent.isEmpty) df.withColumn("cleaned", col(textCol))
+    else df.withColumn("cleaned",
+      concat_ws("\n",
+        filter(split(col(textCol), "\n"), l =>
+          trim(l) === "" || !md5(l.cast("binary")).isInCollection(frequent))))
+  }
+
+  /** URL pattern (Java regex ∩ RE2, like the PII patterns). */
+  val UrlPattern = "https?://[^\\s]+"
+
+  /** Per-document URL count — codegen'd, zero shuffle. */
+  def urlCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(UrlPattern), lit(0))).cast("bigint")
+
+  /** Corpus-wide domain statistics: for every domain, how many documents
+    * mention it and how many URL occurrences point at it — the standard
+    * input to per-domain corpus mixing and blocklist filtering. One
+    * generator (URL explode) into one aggregate on the domain; shuffle
+    * rows are (domain, doc) pairs, never text.
+    */
+  def domainStats(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol),
+      explode(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0))).as("__url"))
+      .select(col(idCol),
+        regexp_extract(col("__url"), "https?://([^/\\s]+)", 1).as("domain"))
+      .groupBy(col("domain"))
+      .agg(
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_urls"))
+
   /** Gopher-style repetition signals (Rae et al. 2021, appendix A1.1 —
     * the "repetitious documents are low quality" filter family), as pure
     * array-HOF columns over the split lines: no explode, no shuffle, one

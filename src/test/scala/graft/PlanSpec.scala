@@ -103,6 +103,30 @@ class PlanSpec extends SparkSpec {
       s"boundary carry should broadcast:\n$p")
   }
 
+  test("decontamination probes a broadcast gram table — corpus never sort-merges") {
+    val docs = Tables(spark, dir, "documents")
+    val p = plan(ops.Decontam.contaminationReport(
+      docs, docs.limit(20), "doc_id", "text", n = 5))
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval gram keys must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus grams must never reach a shuffle join:\n$p")
+  }
+
+  test("chunking is a fused generator — zero exchanges") {
+    val p = plan(ops.Packing.chunkByTokens(
+      Tables(spark, dir, "documents"), "doc_id", "text", chunkSize = 32, stride = 24))
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    assert(p.contains("Generate explode"), s"expected a generator:\n$p")
+  }
+
+  test("concat-chunk packing plan shuffles exactly once (the group window)") {
+    val p = plan(ops.Packing.concatChunkPlan(
+      Tables(spark, dir, "documents"), "doc_id", "text", capacity = 256, nGroups = 8))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected one exchange, saw $exchanges:\n$p")
+  }
+
   test("validation compiles to ONE aggregate pass over the frame") {
     val m = core.Schema("LI", Seq(
       core.FieldSpec.long("l_orderkey"),

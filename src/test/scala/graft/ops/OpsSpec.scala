@@ -617,6 +617,33 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 0L, 0L, 0L), (2L, 0L, 1L, 3L), (3L, 1L, 2L, 1L)))
   }
 
+  test("removeFrequentLines drops corpus-frequent lines, keeps blanks and bodies") {
+    val df = docs(
+      1L -> "SUBSCRIBE NOW\nunique body one\n\nmore one",
+      2L -> "SUBSCRIBE NOW\nunique body two",
+      3L -> "SUBSCRIBE NOW\nunique body three")
+    val cleaned = TextOps.removeFrequentLines(df, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id").collect().map(_.getAs[String]("cleaned"))
+    assert(cleaned.toSeq == Seq(
+      "unique body one\n\nmore one", "unique body two", "unique body three"))
+    // below threshold → nothing removed, text round-trips
+    val untouched = TextOps.removeFrequentLines(df, "doc_id", "text", minDocs = 4)
+      .orderBy("doc_id").collect()
+    assert(untouched.forall(r => r.getAs[String]("cleaned") == r.getAs[String]("text")))
+  }
+
+  test("domainStats: per-domain doc and url counts from exploded URLs") {
+    val df = docs(
+      1L -> "see https://a.com/x and https://a.com/y plus http://b.org/z",
+      2L -> "only https://a.com/q here")
+    assert(df.select(TextOps.urlCount(col("text"))).collect().map(_.getLong(0)).toSeq
+      == Seq(3L, 1L))
+    val stats = TextOps.domainStats(df, "doc_id", "text")
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(stats.toSeq == Seq(("a.com", 2L, 3L), ("b.org", 1L, 1L)))
+  }
+
   test("packFirstFitDecreasing: exact FFD placements, oversize gets own bin") {
     def ofTokens(rows: (Long, Int)*) =
       docs(rows.map { case (id, n) => id -> Seq.fill(n)("t").mkString(" ") }: _*)
