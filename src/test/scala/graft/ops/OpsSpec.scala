@@ -644,6 +644,62 @@ class OpsSpec extends SparkSpec {
     assert(stats.toSeq == Seq(("a.com", 2L, 3L), ("b.org", 1L, 1L)))
   }
 
+  test("chunking and pack-plan invariants hold across a varied corpus") {
+    // 200 docs with token counts 0..96 and varied vocab — the hand-picked
+    // fixtures above pin exact outputs; this pins the CONTRACTS at width
+    val corpus = docs((1L to 200L).map { i =>
+      val n = ((i * 37 + 11) % 97).toInt
+      i -> (1 to n).map(j => s"w${(i * 13 + j * 7) % 31}").mkString(" ")
+    }: _*)
+    val toks = corpus.select(col("doc_id"), TextOps.wsTokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+
+    // at stride == chunkSize the chunks PARTITION each token stream
+    val chunks = Packing.chunkByTokens(corpus, "doc_id", "text", 16, 16)
+      .collect().groupBy(_.getLong(0))
+    assert(chunks.keySet == toks.filter(_._2.nonEmpty).keySet,
+      "exactly the non-empty docs must chunk")
+    chunks.foreach { case (id, rows) =>
+      val rebuilt = rows.sortBy(_.getLong(1))
+        .flatMap(_.getString(2).split(" ").filter(_.nonEmpty)).toSeq
+      assert(rebuilt == toks(id), s"doc $id must rebuild from its chunks")
+    }
+
+    // pack-plan layout is gapless per group: each doc starts where the
+    // previous ended, offsets stay under capacity, bin spans are exact
+    val cap = 64L
+    val plan = Packing.concatChunkPlan(corpus, "doc_id", "text", cap, nGroups = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    plan.groupBy(_._2).foreach { case (grp, members) =>
+      var cum = 0L
+      members.sortBy(_._1).foreach { case (id, _, tok, binFirst, binLast, off) =>
+        assert(off == cum % cap && binFirst == cum / cap,
+          s"grp=$grp doc=$id must start where the previous doc ended")
+        val end = cum + tok
+        assert(binLast == (if (tok == 0) cum / cap else (end - 1) / cap))
+        assert(binFirst <= binLast)
+        cum = end
+      }
+    }
+  }
+
+  test("decontaminate and the report partition the corpus exactly") {
+    val common = "alpha beta gamma delta epsilon"
+    val corpus = docs((1L to 40L).map { i =>
+      if (i % 4 == 0) i -> s"$common unique$i tail words here"
+      else i -> (1 to 8).map(j => s"only${i}x$j").mkString(" ")
+    }: _*)
+    val eval_ = docs(100L -> s"prefix words $common suffix")
+    val contaminated = Decontam.contaminationReport(corpus, eval_, "doc_id", "text", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val clean = Decontam.decontaminate(corpus, eval_, "doc_id", "text", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(contaminated == (1L to 40L).filter(_ % 4 == 0).toSet)
+    assert(clean == (1L to 40L).toSet -- contaminated)
+  }
+
   test("packFirstFitDecreasing: exact FFD placements, oversize gets own bin") {
     def ofTokens(rows: (Long, Int)*) =
       docs(rows.map { case (id, n) => id -> Seq.fill(n)("t").mkString(" ") }: _*)

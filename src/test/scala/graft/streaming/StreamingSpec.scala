@@ -237,4 +237,32 @@ class StreamingSpec extends SparkSpec {
       (ts("2026-01-01 10:00:00"), ts("2026-01-01 10:00:30"), 2L, 3.0),
       (ts("2026-01-01 10:10:00"), ts("2026-01-01 10:10:00"), 1L, 4.0)))
   }
+
+  test("text quality/PII/repetition columns are stateless — stream ≡ batch") {
+    // the per-document TextOps are pure projections, so they must run
+    // unchanged on a stream (no state, no watermark) and agree with batch
+    import graft.ops.TextOps
+    val docSt = struct("doc_id" -> LongType, "text" -> StringType)
+    val dir = Files.createTempDirectory("graft-docs-in").toString
+    val chunks = Seq(
+      Seq(Row(1L, "the cat sat on the mat\nthe cat sat on the mat"),
+        Row(2L, "mail a.b@x.io or call 555-123-4567 now")),
+      Seq(Row(3L, "unique line one\nunique line two and the end")))
+    chunks.foreach { rows =>
+      frame(docSt, rows: _*).coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(5)
+    }
+    def project(df: DataFrame): DataFrame = df.select(
+      Seq(col("doc_id")) ++
+        TextOps.qualityColumns(col("text")).map { case (n, c) => c.as(n) } ++
+        TextOps.piiColumns(col("text")).map { case (n, c) => c.as(n) } ++
+        TextOps.repetitionColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+    val stream = project(
+      spark.readStream.schema(docSt).option("maxFilesPerTrigger", "1").parquet(dir))
+    runToCompletion(stream, "doc_signals")
+    val streamed = spark.table("doc_signals").orderBy("doc_id").collect().map(_.toSeq)
+    val batch = project(spark.read.parquet(dir)).orderBy("doc_id").collect().map(_.toSeq)
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.length == 3)
+  }
 }
