@@ -860,6 +860,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // text normalization: control-char strip + whitespace collapse + trim
+    // over text augmented with controls/padding (the raw corpus is clean)
+    "q78_normalize" -> ((s, d) =>
+      Tables(s, d, "documents").select(
+        col("doc_id"),
+        graft.ops.TextOps.normalizeText(
+          concat(lit("  "), col("text"), lit("\t\u000btail\r  "))).as("normalized"))
+        .orderBy(col("doc_id"))),
+
     // per-domain corpus statistics over synthetic URLs (the raw corpus has
     // none): one URL explode into one domain aggregate
     "q77_domain_stats" -> ((s, d) => {
@@ -1532,5 +1541,16 @@ object SparkEntry {
         |SELECT domain, cast(count(DISTINCT doc_id) as bigint) AS n_docs,
         |  cast(count(*) as bigint) AS n_urls
         |FROM urls GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "q78_normalize" ->
+      """WITH aug AS (
+        |  SELECT doc_id, concat('  ', text, chr(9), chr(11), 'tail', chr(13), '  ') AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(t, '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+        |    '\s+', ' ', 'g')) AS normalized
+        |FROM aug ORDER BY doc_id""".stripMargin,
   )
 }

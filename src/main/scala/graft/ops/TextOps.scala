@@ -175,6 +175,21 @@ object TextOps {
           trim(l) === "" || !md5(l.cast("binary")).isInCollection(frequent))))
   }
 
+  /** Whitespace-preserving control characters (tab/newline/CR are WHITESPACE
+    * and belong to the collapse step, not the strip step — stripping them
+    * would merge adjacent words).
+    */
+  val ControlCharPattern = "[\\x00-\\x08\\x0B-\\x1F\\x7F]"
+
+  /** Standard corpus text normalization: strip non-whitespace control
+    * characters, collapse whitespace runs to single spaces, trim. Pure
+    * codegen'd regexp chain — zero shuffle, fused into the scan. (Unicode
+    * NFC is deliberately out of scope: Spark has no codegen'd normalizer
+    * and the oracle engines disagree on normalization corners.)
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, ControlCharPattern, ""), "\\s+", " "))
+
   /** URL pattern (Java regex ∩ RE2, like the PII patterns). */
   val UrlPattern = "https?://[^\\s]+"
 

@@ -632,6 +632,14 @@ class OpsSpec extends SparkSpec {
     assert(untouched.forall(r => r.getAs[String]("cleaned") == r.getAs[String]("text")))
   }
 
+  test("normalizeText strips controls, collapses whitespace, trims") {
+    val df = docs(1L -> "  a\u0000b\tc\u000b d\r\ne  ")
+    val out = df.select(TextOps.normalizeText(col("text"))).head().getString(0)
+    // NUL and VT strip (word-merging is fine for NON-whitespace controls);
+    // tab/CR/NL are whitespace and collapse to single spaces
+    assert(out == "ab c d e")
+  }
+
   test("domainStats: per-domain doc and url counts from exploded URLs") {
     val df = docs(
       1L -> "see https://a.com/x and https://a.com/y plus http://b.org/z",
