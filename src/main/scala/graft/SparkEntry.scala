@@ -860,6 +860,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // large-star/small-star connected components over the same LSH pairs as
+    // q61 — identical labeling contract (component minimum), O(log²) rounds
+    // instead of O(diameter); same recursive-CTE closure oracle
+    "q79_clusters_star" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val pairs = graft.ops.Dedup.minhashPairs(
+        docsParallel(s, d), "text", "doc_id",
+        k = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      graft.ops.Dedup.dedupClustersStar(docs, "doc_id", pairs)
+        .select(col("id").as("doc_id"), col("rep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // text normalization: control-char strip + whitespace collapse + trim
     // over text augmented with controls/padding (the raw corpus is clean)
     "q78_normalize" -> ((s, d) =>
@@ -1541,6 +1554,30 @@ object SparkEntry {
         |SELECT domain, cast(count(DISTINCT doc_id) as bigint) AS n_docs,
         |  cast(count(*) as bigint) AS n_urls
         |FROM urls GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "q79_clusters_star" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                   for i in range(1, len(toks)-1)]) AS sh
+        |  FROM t WHERE len(toks) >= 3
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |), e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id
+        |)
+        |SELECT id AS doc_id, cast(min(r) as bigint) AS rep
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q78_normalize" ->
       """WITH aug AS (

@@ -423,6 +423,91 @@ object Dedup {
     out
   }
 
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the O(log² n)-round alternative to [[dedupClusters]]'s
+    * O(diameter) min-label propagation. Same contract: (id, rep) for every
+    * node, rep = component minimum, singletons map to themselves, THROWS
+    * on non-convergence.
+    *
+    * When to prefer which: near-dup clusters are dense template families
+    * with diameter 3–5, where label propagation's one-shuffle rounds win;
+    * this variant wins when components can be long paths (e.g. chained
+    * near-dups across document versions), where diameter-bound rounds
+    * would dominate. Each round here is two window shuffles + two
+    * distincts over the EDGE set only — nodes are joined once, at the end.
+    *
+    *   - large-star: every node points its larger neighbors at the
+    *     minimum of its neighborhood (incl. itself);
+    *   - small-star: every node rewires its smaller-or-equal neighbors
+    *     (and itself) to that minimum;
+    *   - fixpoint: the edge set is exactly {(member, component-min)} —
+    *     detected by an exact (count, decimal hash-sum) checksum pair
+    *     staying unchanged across a round.
+    */
+  def dedupClustersStar(
+      nodes: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      maxIters: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("u")
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      sym.withColumn("m", least(min(col("v")).over(w), col("u")))
+        .where(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(
+        greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      val withM = oriented.withColumn("m", least(min(col("v")).over(w), col("u")))
+      withM.where(col("v") =!= col("m"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(withM.select(col("u").as("a"), col("m").as("b"))
+          .where(col("a") =!= col("b")))
+        .distinct()
+    }
+    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(
+        count(lit(1)).as("n"),
+        sum(xxhash64(col("a"), col("b"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("h")).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var edges = pairs
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+      .where(col("a") =!= col("b"))
+      .persist()
+    var prev = checksum(edges)
+    var converged = prev._1 == 0L
+    var i = 0
+    while (!converged && i < maxIters) {
+      val next = smallStar(largeStar(edges)).persist()
+      val cs = checksum(next)
+      converged = cs._1 == prev._1 &&
+        ((cs._2 == null && prev._2 == null) ||
+          (cs._2 != null && prev._2 != null && cs._2.compareTo(prev._2) == 0))
+      prev = cs
+      edges.unpersist()
+      edges = next
+      i += 1
+    }
+    if (!converged) {
+      edges.unpersist()
+      throw new IllegalStateException(
+        s"dedupClustersStar did not converge within $maxIters rounds")
+    }
+    val labels = nodes.select(col(idCol).as("id"))
+      .join(edges.withColumnRenamed("a", "id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("b"), col("id")).as("rep"))
+    val out = Materialize.eager(labels)
+    edges.unpersist()
+    out
+  }
+
   /** Exhaustive O(n²) twin of [[embeddingNearDup]] — the verification
     * baseline (and DuckDB-oracle form) for corpora small enough to
     * cross-join; the banded plan above is the 100 TB path.

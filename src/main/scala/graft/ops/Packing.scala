@@ -125,6 +125,12 @@ object Packing {
       nGroups: Int): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
     require(nGroups >= 1 && nGroups <= 16, s"nGroups must be in [1, 16], got $nGroups")
+    // the typed flatMapGroups path carries the id as a long — a string id
+    // would cast to null SILENTLY and corrupt the packing, so reject it
+    val idType = df.schema(idCol).dataType
+    require(Seq("byte", "short", "int", "integer", "long", "bigint")
+      .contains(idType.typeName),
+      s"packFirstFitDecreasing needs an integral id column, $idCol is $idType")
     val spark = df.sparkSession
     import spark.implicits._
     val prepared = df.select(

@@ -652,6 +652,28 @@ class OpsSpec extends SparkSpec {
     assert(stats.toSeq == Seq(("a.com", 2L, 3L), ("b.org", 1L, 1L)))
   }
 
+  test("dedupClustersStar: path graphs converge to the component minimum") {
+    val nodes = docs((1L to 12L).map(i => i -> s"d$i"): _*)
+    // path 1-2-…-8 (diameter 7 — label propagation's worst shape),
+    // pair (10,11), singletons 9 and 12
+    val pairsDf = frame(struct("id_a" -> LongType, "id_b" -> LongType),
+      (1L to 7L).map(i => Row(i, i + 1)) :+ Row(10L, 11L): _*)
+    val star = Dedup.dedupClustersStar(nodes, "doc_id", pairsDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = ((1L to 8L).map(_ -> 1L) ++
+      Seq(9L -> 9L, 10L -> 10L, 11L -> 10L, 12L -> 12L)).toMap
+    assert(star == expected)
+    // identical labeling from the min-label propagation path
+    val prop = Dedup.dedupClusters(nodes, "doc_id", pairsDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star == prop)
+    // empty edge set → everyone their own rep
+    val empty = frame(struct("id_a" -> LongType, "id_b" -> LongType))
+    val singletons = Dedup.dedupClustersStar(nodes, "doc_id", empty)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(singletons.forall { case (id, rep) => id == rep })
+  }
+
   test("chunking and pack-plan invariants hold across a varied corpus") {
     // 200 docs with token counts 0..96 and varied vocab — the hand-picked
     // fixtures above pin exact outputs; this pins the CONTRACTS at width

@@ -109,6 +109,21 @@ class RecallSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("dedupClustersStar ≡ dedupClusters on the driver corpus's LSH pairs") {
+    requireTestdata(sfDir)
+    // same pair set as q61; the two component algorithms must produce the
+    // identical (id, rep) labeling — both pick the component minimum
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+      k = 3, numHashes = 64, bands = 32, threshold = 0.5)
+    val prop = Dedup.dedupClusters(docs, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val star = Dedup.dedupClustersStar(docs, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star == prop)
+    assert(prop.exists { case (id, rep) => id != rep },
+      "corpus must contain at least one non-trivial cluster")
+  }
+
   test("FFD packing invariants on the driver corpus (q75 pin)") {
     requireTestdata(sfDir)
     // q75 is rows-only (first-fit is a sequential decision SQL can't
