@@ -68,8 +68,11 @@ object Decontam {
       textCol: String,
       n: Int = 8,
       broadcastEval: Boolean = true): DataFrame = {
+    // no broadcast hint here: the contaminated-id set is usually tiny (AQE
+    // will broadcast it), but it is bounded by the CORPUS, not the eval
+    // set — forcing a broadcast would break on a heavily-contaminated run
     val contaminated = contaminationReport(
       corpus, evalSet, idCol, textCol, n, broadcastEval).select(col(idCol))
-    corpus.join(broadcast(contaminated), Seq(idCol), "left_anti")
+    corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 }
