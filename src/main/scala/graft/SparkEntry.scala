@@ -36,9 +36,15 @@ object SparkEntry {
   /** q62 materializes its Spark-extracted feature vectors here so the
     * DuckDB oracle can rank the SAME vectors (feature extraction itself
     * is not SQL-expressible). Absolute path: the oracle runs in a separate
-    * process with its own cwd.
+    * process with its own cwd. SUFFIXED with the sf-dir basename so a
+    * bench run at sf0.1 cannot overwrite the features a correctness
+    * compare at sf0.01 is about to read — the static oracle SQL names the
+    * sf0.01 dir, the scale the driver runs correctness at (a Verify at
+    * any other sf fails the q62 compare VISIBLY instead of silently
+    * ranking another run's vectors).
     */
-  private val Q62FeatureDir = "/tmp/graft_q62_features"
+  private def q62FeatureDir(sfDir: String) =
+    s"/tmp/graft_q62_features_${new java.io.File(sfDir).getName}"
 
   /** documents with the cluster's parallelism. The test parquet is ONE small
     * file → one input split, which serializes the signature kernels of the
@@ -627,8 +633,8 @@ object SparkEntry {
         s, graft.ops.Multimodal.synthesizePng(s, docs, "doc_id", "text", "payload"),
         "doc_id", "payload", dim = 16)
         .where(col("error").isNull).select("doc_id", "embedding")
-      emb.write.mode("overwrite").parquet(Q62FeatureDir)
-      val feat = s.read.parquet(Q62FeatureDir)
+      emb.write.mode("overwrite").parquet(q62FeatureDir(d))
+      val feat = s.read.parquet(q62FeatureDir(d))
       graft.ops.Similarity.bruteForceTopK(
         feat, feat.where(col("doc_id") < 5), "embedding", "doc_id", k = 3)
         .orderBy(col("query_id"), col("rank"))
@@ -1169,8 +1175,8 @@ object SparkEntry {
     // REAL ImageIO decode of a REAL PNG must report.
     "q40_multimodal" ->
       """SELECT doc_id,
-        | cast(1 + octet_length(encode(text)) % 16 as int) AS width,
-        | cast(1 + (octet_length(encode(text)) * 7) % 16 as int) AS height,
+        | cast(1 + octet_length(encode(coalesce(text, ''))) % 16 as int) AS width,
+        | cast(1 + (octet_length(encode(coalesce(text, ''))) * 7) % 16 as int) AS height,
         | 'png' AS format, true AS ok
         |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -1179,7 +1185,7 @@ object SparkEntry {
     // over DOUBLE[] accumulates left-to-right in double).
     "q62_multimodal_ann" ->
       """WITH f AS (SELECT doc_id, embedding::DOUBLE[] AS v
-        |           FROM read_parquet('/tmp/graft_q62_features/*.parquet')),
+        |           FROM read_parquet('/tmp/graft_q62_features_sf0.01/*.parquet')),
         |q AS (SELECT doc_id AS query_id, v AS qv FROM f WHERE doc_id < 5),
         |scored AS (
         |  SELECT query_id, f.doc_id AS neighbor_id,

@@ -40,26 +40,35 @@ object Decontam {
     * grams as `n_shared_grams`. Set `broadcastEval = false` only if the
     * eval side is too large to broadcast (then AQE picks the join).
     */
+  private def grams(df: DataFrame, textCol: String, n: Int, keep: Seq[Column]) =
+    df.select(keep :+ explode(wordNgrams(col(textCol), n)).as("__gram"): _*)
+      .select(keep :+ gramKey(col("__gram")).as("__g"): _*)
+
+  private def evalSide(
+      evalSet: DataFrame, textCol: String, n: Int, bcast: Boolean): DataFrame = {
+    val evalGrams = grams(evalSet, textCol, n, Seq.empty).distinct()
+    if (bcast) broadcast(evalGrams) else evalGrams
+  }
+
   def contaminationReport(
       corpus: DataFrame,
       evalSet: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 8,
-      broadcastEval: Boolean = true): DataFrame = {
-    def grams(df: DataFrame, keep: Seq[Column]) =
-      df.select(keep :+ explode(wordNgrams(col(textCol), n)).as("__gram"): _*)
-        .select(keep :+ gramKey(col("__gram")).as("__g"): _*)
-    val evalGrams = grams(evalSet, Seq.empty).distinct()
-    val evalSide = if (broadcastEval) broadcast(evalGrams) else evalGrams
-    grams(corpus, Seq(col(idCol)))
-      .join(evalSide, Seq("__g"))
+      broadcastEval: Boolean = true): DataFrame =
+    grams(corpus, textCol, n, Seq(col(idCol)))
+      .join(evalSide(evalSet, textCol, n, broadcastEval), Seq("__g"))
       .groupBy(col(idCol))
       .agg(countDistinct(col("__g")).as("n_shared_grams"))
-  }
 
-  /** Corpus minus the contaminated documents: left-anti against the report
-    * ids. Same broadcast-probe plan — the corpus is scanned, never shuffled.
+  /** Corpus minus the contaminated documents. Lighter than anti-joining
+    * the report: dropping needs only the distinct contaminated IDS, so the
+    * corpus grams left-semi probe the broadcast eval table and bare ids —
+    * not per-doc gram sets for a countDistinct — reach the one shuffle.
+    * No broadcast hint on the final anti-join: the contaminated set is
+    * bounded by the CORPUS, not the eval set, so AQE must size it (it
+    * will broadcast the usual tiny case at runtime).
     */
   def decontaminate(
       corpus: DataFrame,
@@ -68,11 +77,9 @@ object Decontam {
       textCol: String,
       n: Int = 8,
       broadcastEval: Boolean = true): DataFrame = {
-    // no broadcast hint here: the contaminated-id set is usually tiny (AQE
-    // will broadcast it), but it is bounded by the CORPUS, not the eval
-    // set — forcing a broadcast would break on a heavily-contaminated run
-    val contaminated = contaminationReport(
-      corpus, evalSet, idCol, textCol, n, broadcastEval).select(col(idCol))
+    val contaminated = grams(corpus, textCol, n, Seq(col(idCol)))
+      .join(evalSide(evalSet, textCol, n, broadcastEval), Seq("__g"), "left_semi")
+      .select(col(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 }

@@ -42,7 +42,9 @@ object Packing {
       chunkSize: Int,
       stride: Int): DataFrame = {
     require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
-    require(stride >= 1, s"stride must be >= 1, got $stride")
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize] — stride=$stride chunkSize=$chunkSize " +
+        "would silently drop the tokens between windows")
     val toks = TextOps.wsTokens(col(textCol))
     val starts = when(size(toks) >= 1, sequence(lit(1), size(toks), lit(stride)))
       .otherwise(array().cast("array<int>"))
@@ -128,8 +130,13 @@ object Packing {
     // the typed flatMapGroups path carries the id as a long — a string id
     // would cast to null SILENTLY and corrupt the packing, so reject it
     val idType = df.schema(idCol).dataType
-    require(Seq("byte", "short", "int", "integer", "long", "bigint")
-      .contains(idType.typeName),
+    val integral = idType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case d: org.apache.spark.sql.types.DecimalType => d.scale == 0 && d.precision <= 18
+      case _ => false
+    }
+    require(integral,
       s"packFirstFitDecreasing needs an integral id column, $idCol is $idType")
     val spark = df.sparkSession
     import spark.implicits._

@@ -159,15 +159,17 @@ object TextOps {
       maxFrequent: Int = 100000): org.apache.spark.sql.DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val lines = filter(split(col(textCol), "\n"), l => trim(l) =!= "")
+    // limit BEFORE collect: the guard must bound what reaches the driver,
+    // not complain after an unbounded fetch already materialized it
     val frequent = df
       .select(col(idCol), explode(array_distinct(lines)).as("__line"))
       .select(md5(col("__line").cast("binary")).as("__h"))
       .groupBy(col("__h")).agg(count(lit(1)).as("__n"))
       .where(col("__n") >= minDocs)
-      .select("__h").collect().map(_.getString(0))
+      .select("__h").limit(maxFrequent + 1).collect().map(_.getString(0))
     require(frequent.length <= maxFrequent,
-      s"${frequent.length} frequent lines exceeds maxFrequent=$maxFrequent — " +
-        "raise minDocs (the set must stay a driver-side literal)")
+      s"over $maxFrequent frequent lines — raise minDocs (the set must " +
+        "stay a driver-side literal)")
     if (frequent.isEmpty) df.withColumn("cleaned", col(textCol))
     else df.withColumn("cleaned",
       concat_ws("\n",

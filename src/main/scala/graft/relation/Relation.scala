@@ -301,7 +301,12 @@ final case class Relation(
       by.map(col) ++ Seq(col(leftOn).cast(rSchema(rightOn).dataType).as("__t"), lit(1).as("__side")) ++
         leftOnly.map(col) ++
         Seq(lit(null).cast(rvType).as("__rv")): _*)
-    val rSide = other.df.select(
+    // A null right timestamp can never satisfy an as-of predicate (DuckDB
+    // ASOF and polars join_asof both ignore such rows); filtering here
+    // keeps the grouped and global paths consistent — unfiltered, the
+    // grouped window's nulls-first sort would fill from a null-ts row
+    // while the global path's min_by/max_by carry would skip it.
+    val rSide = other.df.where(col(rightOn).isNotNull).select(
       by.map(col) ++ Seq(col(rightOn).as("__t"), lit(0).as("__side")) ++
         leftOnly.map(c => lit(null).cast(df.schema(c).dataType).as(c)) ++
         Seq(rvStruct.as("__rv")): _*)

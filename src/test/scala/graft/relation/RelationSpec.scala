@@ -167,6 +167,27 @@ class RelationSpec extends SparkSpec {
       Row(7L, null))) // quote at 5, dist 2 > tol
   }
 
+  test("asofJoin ignores null right timestamps identically in both paths") {
+    // a null-ts quote can never satisfy an as-of predicate (DuckDB/polars
+    // drop it); grouped and global paths must agree on that
+    val quotes = Relation(frame(
+      struct("sym" -> StringType, "t" -> LongType, "px" -> DoubleType),
+      Row("A", null, 99.0), Row("A", 5L, 11.0)))
+    val trades = Relation(frame(
+      struct("sym" -> StringType, "t" -> LongType, "qty" -> LongType),
+      Row("A", 3L, 1L), Row("A", 6L, 2L)))
+    val grouped = collectSorted(
+      trades.asofJoin(quotes, by = Seq("sym"), leftOn = "t", rightOn = "t")
+        .toDF.select("t", "px"), "t")
+    val global = collectSorted(
+      trades.select("t", "qty")
+        .asofJoin(quotes.select("t", "px"), by = Nil, leftOn = "t", rightOn = "t")
+        .toDF.select("t", "px"), "t")
+    assert(grouped == Seq(Row(3L, null), Row(6L, 11.0)),
+      "the null-ts quote must never be a match")
+    assert(global == grouped)
+  }
+
   test("asofJoin without by keys: backward / forward / nearest over the whole timeline") {
     val quotes = Relation(frame(
       struct("t" -> LongType, "px" -> DoubleType),
