@@ -668,6 +668,22 @@ object SparkEntry {
         .df.orderBy(col("n_nationkey"))
     }),
 
+    // JSONL source round-trip (pure extension — training corpora arrive
+    // as line-delimited JSON): write nation as JSONL, read back through
+    // the Relation source dispatch. Spark writes .json part files, so the
+    // dispatch's .json branch is what a user's path hits. Sf-suffixed dir
+    // for the same run isolation as q62.
+    "q80_jsonl_roundtrip" -> ((s, d) => {
+      val out = s"/tmp/graft_jsonl_roundtrip_${new java.io.File(d).getName}"
+      Tables(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .coalesce(1).write.mode("overwrite").json(out)
+      Relation(s, s"$out/*.json")
+        .select("cast(n_nationkey as int) as n_nationkey", "n_name",
+          "cast(n_regionkey as int) as n_regionkey")
+        .order("n_nationkey").toDF
+    }),
+
     // window FRAME surface (running sum, rows unbounded preceding) —
     // complements q26 (row_number) and q45 (lag)
     "q60_window_frame" -> ((s, d) => {
@@ -1331,6 +1347,12 @@ object SparkEntry {
         |)
         |SELECT id AS doc_id, cast(min(r) as bigint) AS rep
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q80_jsonl_roundtrip" ->
+      """SELECT cast(n_nationkey as int) AS n_nationkey, n_name,
+        | cast(n_regionkey as int) AS n_regionkey
+        |FROM read_json_auto('/tmp/graft_jsonl_roundtrip_sf0.01/*.json')
+        |ORDER BY n_nationkey""".stripMargin,
 
     "q59_csv_roundtrip" ->
       """SELECT cast(n_nationkey as int) AS n_nationkey, n_name,

@@ -803,13 +803,18 @@ final case class Relation(
 
 object Relation {
   /** Source dispatch (duckdb.py:249-271): DataFrame, SQL query, or a
-    * parquet/CSV path.
+    * parquet/CSV/JSONL path. JSONL (one JSON object per line — the
+    * de-facto interchange format for training corpora) is a pure
+    * extension beyond the reference's parquet/CSV: Spark's json source is
+    * already line-delimited by default, splittable, and schema-inferring.
     */
   def apply(spark: SparkSession, source: String): Relation = {
     val lower = source.toLowerCase
     if (lower.endsWith(".parquet")) Relation(spark.read.parquet(source))
     else if (lower.endsWith(".csv"))
       Relation(spark.read.option("header", "true").option("inferSchema", "true").csv(source))
+    else if (lower.endsWith(".jsonl") || lower.endsWith(".json"))
+      Relation(spark.read.json(source))
     else Relation(spark.sql(source))
   }
 }

@@ -167,6 +167,18 @@ class RelationSpec extends SparkSpec {
       Row(7L, null))) // quote at 5, dist 2 > tol
   }
 
+  test("source dispatch reads JSONL paths") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "part.jsonl"),
+      """{"id": 1, "name": "a"}
+        |{"id": 2, "name": "b"}
+        |""".stripMargin)
+    val rel = Relation(spark, s"$dir/part.jsonl")
+    val rows = collectSorted(rel.toDF.select("id", "name"), "id")
+    assert(rows == Seq(Row(1L, "a"), Row(2L, "b")))
+  }
+
   test("asofJoin ignores null right timestamps identically in both paths") {
     // a null-ts quote can never satisfy an as-of predicate (DuckDB/polars
     // drop it); grouped and global paths must agree on that
