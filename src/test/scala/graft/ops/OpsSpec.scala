@@ -652,6 +652,23 @@ class OpsSpec extends SparkSpec {
     assert(stats.toSeq == Seq(("a.com", 2L, 3L), ("b.org", 1L, 1L)))
   }
 
+  test("pipeline ops degrade cleanly on an empty corpus") {
+    val empty = docs()
+    val evalDocs = docs(1L -> "some eval text here for grams")
+    assert(Dedup.minhashPairs(empty, "text", "doc_id", threshold = 0.5).count() == 0)
+    assert(Dedup.simhashPairs(empty, "text", "doc_id", maxHamming = 3).count() == 0)
+    assert(Packing.chunkByTokens(empty, "doc_id", "text", 16, 16).count() == 0)
+    assert(Packing.concatChunkPlan(empty, "doc_id", "text", 64, 4).count() == 0)
+    assert(Packing.packFirstFitDecreasing(empty, "doc_id", "text", 64, 4).count() == 0)
+    assert(Decontam.contaminationReport(empty, evalDocs, "doc_id", "text", 5).count() == 0)
+    assert(Decontam.contaminationReport(evalDocs, empty, "doc_id", "text", 5).count() == 0)
+    assert(Decontam.decontaminate(evalDocs, empty, "doc_id", "text", 5).count() == 1)
+    assert(TextOps.removeFrequentLines(empty, "doc_id", "text", minDocs = 2).count() == 0)
+    assert(TextOps.domainStats(empty, "doc_id", "text").count() == 0)
+    assert(TextOps.termFrequencies(empty, "text").count() == 0)
+    assert(TextOps.repetitionReport(empty, "doc_id", "text").count() == 0)
+  }
+
   test("dedupClustersStar: path graphs converge to the component minimum") {
     val nodes = docs((1L to 12L).map(i => i -> s"d$i"): _*)
     // path 1-2-…-8 (diameter 7 — label propagation's worst shape),

@@ -238,6 +238,30 @@ class StreamingSpec extends SparkSpec {
       (ts("2026-01-01 10:10:00"), ts("2026-01-01 10:10:00"), 1L, 4.0)))
   }
 
+  test("fingerprint-keyed streaming dedup drops reformatted duplicates") {
+    // content dedup on a stream: the md5 fingerprint (whitespace/case
+    // normalized) keys dropDuplicatesWithinWatermark, so a re-crawled doc
+    // that differs only in formatting is dropped across micro-batches
+    import graft.ops.TextOps
+    val docSt = struct("doc_id" -> LongType, "ts" -> TimestampType, "text" -> StringType)
+    val dir = Files.createTempDirectory("graft-fp-dedup").toString
+    val chunks = Seq(
+      Seq(Row(1L, ts("2026-01-01 10:00:00"), "The quick brown fox")),
+      Seq(Row(2L, ts("2026-01-01 10:00:10"), "  the QUICK   brown fox "), // dup
+        Row(3L, ts("2026-01-01 10:00:20"), "an entirely different doc")))
+    chunks.foreach { rows =>
+      frame(docSt, rows: _*).coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(5)
+    }
+    val deduped = StreamingOps.dedupStream(
+      spark.readStream.schema(docSt).option("maxFilesPerTrigger", "1").parquet(dir)
+        .withColumn("fp", TextOps.fingerprint(col("text"))),
+      "ts", "10 minutes", Seq("fp"))
+    runToCompletion(deduped, "fp_dedup")
+    val kept = spark.table("fp_dedup").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
   test("text quality/PII/repetition columns are stateless — stream ≡ batch") {
     // the per-document TextOps are pure projections, so they must run
     // unchanged on a stream (no state, no watermark) and agree with batch
