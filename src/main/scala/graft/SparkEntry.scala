@@ -406,6 +406,29 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // threshold range search — "radius" twin of q37's top-k: no window,
+    // no rank, the broadcast-probe + filter streams without any shuffle
+    "q81_range_search" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      graft.ops.Similarity.rangeSearch(
+        emb, emb.where(col("vec_id") < 10), "embedding", "vec_id",
+        minCosine = 0.35)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
+    // exactly-n-per-stratum deterministic sampling: md5-ranked window,
+    // "take 20 docs per language" identical on any engine or rerun. The
+    // ranking key appends the unique doc_id so the window order is TOTAL
+    // even if the corpus carries exact-duplicate texts (a non-total order
+    // would let each engine pick different rows among the duplicates)
+    "q82_take_per_stratum" -> ((s, d) =>
+      graft.ops.Sampling.takePerStratum(
+        Tables(s, d, "documents")
+          .withColumn("__k", concat(col("text"), lit("#"), col("doc_id").cast("string"))),
+        "lang", "__k", n = 20)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     // LSH-bucketed ANN — the scale path (rows-only; RecallSpec asserts
     // recall@5 vs the q37 brute-force baseline at this banding)
     "q38_ann_lsh" -> ((s, d) => {
@@ -1166,6 +1189,24 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q81_range_search" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings)
+        |SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cosine
+        |FROM q CROSS JOIN c
+        |WHERE query_id <> neighbor_id AND list_cosine_similarity(qv, cv) >= 0.35
+        |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "q82_take_per_stratum" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(concat(text, '#', doc_id)) ASC, concat(text, '#', doc_id) ASC) AS rk
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang FROM ranked WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
 
     // Exact O(n²) char-10-gram Jaccard (same recall argument as q35; the
     // size-ratio join predicate is a lossless prune: j ≥ 0.5 ⇒ sizes within

@@ -78,6 +78,28 @@ object Sampling {
     df.where(col(keyCol).isNull || nibble < rate)
   }
 
+  /** Exactly `n` rows per stratum (or all rows in smaller strata),
+    * selected deterministically: rank by (md5(key), key) within each
+    * stratum and keep the first `n`. Content-keyed like everything here —
+    * "take 100 documents per language" returns the same 100 on any
+    * cluster, engine, or rerun, unlike a seeded `sample()`. One shuffle
+    * (the per-stratum window); the md5 order makes the pick uniform over
+    * content, not over arrival order.
+    */
+  def takePerStratum(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("binary")).asc, col(keyCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   /** Weighted corpus mix: union of sources, each downsampled to its weight
     * (1.0 = keep all). The mixing decision is content-keyed per source, so
     * the mix is stable under re-runs and independent of source ordering.

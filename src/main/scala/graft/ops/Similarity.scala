@@ -91,6 +91,29 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Threshold range search: ALL corpus neighbors with cosine at or above
+    * `minCosine` for each query — the vector-store "radius search" twin of
+    * [[bruteForceTopK]]'s top-k. No window and no rank: the broadcast
+    * queries probe the corpus map-side and the threshold filter is the
+    * only gate, so the result streams without any shuffle at all (top-k
+    * needs its per-query window; a radius search does not).
+    */
+  def rangeSearch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      minCosine: Double): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    q.crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .where(col("cosine") >= minCosine)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+  }
+
   /** IVF (inverted-file) top-k: the classic two-stage ANN index expressed
     * as dataframes.
     *

@@ -652,6 +652,39 @@ class OpsSpec extends SparkSpec {
     assert(stats.toSeq == Seq(("a.com", 2L, 3L), ("b.org", 1L, 1L)))
   }
 
+  test("rangeSearch returns exactly the neighbors at or above the floor") {
+    val vecs = frame(
+      struct("vec_id" -> LongType, "embedding" -> ArrayType(FloatType)),
+      Row(0L, Seq(1.0f, 0.0f)),
+      Row(1L, Seq(0.9f, 0.1f)), // cos ≈ 0.994
+      Row(2L, Seq(0.0f, 1.0f)), // cos 0
+      Row(3L, Seq(-1.0f, 0.0f))) // cos -1
+    val out = Similarity.rangeSearch(
+      vecs, vecs.where(col("vec_id") === 0), "embedding", "vec_id", minCosine = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((0L, 1L)))
+    // floor at -1 returns everything except self
+    val all = Similarity.rangeSearch(
+      vecs, vecs.where(col("vec_id") === 0), "embedding", "vec_id", minCosine = -1.0)
+      .collect().map(_.getLong(1)).toSet
+    assert(all == Set(1L, 2L, 3L))
+  }
+
+  test("takePerStratum: exactly n per stratum, deterministic, small strata whole") {
+    val df = docs((1L to 30L).map(i => i -> s"doc number $i body"): _*)
+      .withColumn("grp", (col("doc_id") % 3 === 0).cast("string"))
+    val taken = Sampling.takePerStratum(df, "grp", "text", n = 4)
+    val byGrp = taken.collect().groupBy(_.getAs[String]("grp"))
+    assert(byGrp.values.forall(_.length == 4))
+    // rerun identical (content-keyed, no seed)
+    val again = Sampling.takePerStratum(df, "grp", "text", n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == taken.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // a stratum smaller than n comes back whole
+    val tiny = Sampling.takePerStratum(df.where(col("doc_id") <= 2), "grp", "text", n = 10)
+    assert(tiny.count() == 2)
+  }
+
   test("pipeline ops degrade cleanly on an empty corpus") {
     val empty = docs()
     val evalDocs = docs(1L -> "some eval text here for grams")
