@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
   *     per group, so it runs inside `flatMapGroups` over md5-bucketed
   *     groups.
   *
-  * Determinism everywhere: group assignment is an md5 nibble of the id
-  * (content-keyed like [[Sampling]] — stable across runs, partitionings,
+  * Determinism everywhere: group assignment is a prefix of the md5 of the
+  * id (content-keyed like [[Sampling]] — stable across runs, partitionings,
   * and engines), in-group order is the id itself, so a 100 TB corpus packs
-  * identically on every rerun.
+  * identically on every rerun. The prefix width scales with `nGroups`
+  * (⌈log₁₆ nGroups⌉ hex digits), so groups can be sliced fine enough that
+  * corpus/nGroups rows genuinely fit one executor at any corpus size.
   */
 object Packing {
 
@@ -59,14 +61,27 @@ object Packing {
           .cast("bigint").as("n_chunk_tokens"))
   }
 
-  /** Deterministic group id in [0, nGroups): first md5 nibble of the id
-    * rendered as a string — reproducible in any engine with md5 (the same
-    * trick as [[Sampling.md5StratifiedSample]]).
+  /** Deterministic group id in [0, nGroups): the first ⌈log₁₆ nGroups⌉ hex
+    * digits of the md5 of the id rendered as a string, mod nGroups —
+    * reproducible in any engine with md5 (the same trick as
+    * [[Sampling.md5StratifiedSample]]). One digit for nGroups ≤ 16 (so
+    * historical group assignments are unchanged), up to three for the 4096
+    * maximum; the digit count grows with nGroups so the modulo never folds
+    * a coarse prefix onto a fine group count.
     */
+  private[ops] def md5GroupDigits(nGroups: Int): Int = {
+    // smallest d with 16^d >= nGroups — integer arithmetic, no log rounding
+    var d = 1
+    var span = 16L
+    while (span < nGroups) { d += 1; span *= 16L }
+    d
+  }
+
   private def md5Group(idCol: String, nGroups: Int) =
     pmod(
-      conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 1), 16, 10)
-        .cast("int"),
+      conv(
+        substring(md5(col(idCol).cast("string").cast("binary")), 1, md5GroupDigits(nGroups)),
+        16, 10).cast("int"),
       lit(nGroups))
 
   /** Concat-and-chunk packing plan: within each md5 group, documents are
@@ -79,9 +94,8 @@ object Packing {
     * exact integer arithmetic on the running total — which is why this
     * variant is oracle-able while true bin packing is not. `nGroups`
     * bounds each window partition at corpus/nGroups rows; at real scale
-    * pick nGroups ≫ executor count (the nibble cap is 16 here only
-    * because the group key derives from one hex digit — salt with more
-    * digits if a corpus needs finer slicing).
+    * pick nGroups ≫ executor count (up to 4096 — the group key takes as
+    * many md5 digits as the count needs).
     */
   def concatChunkPlan(
       df: DataFrame,
@@ -90,7 +104,7 @@ object Packing {
       capacity: Long,
       nGroups: Int): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
-    require(nGroups >= 1 && nGroups <= 16, s"nGroups must be in [1, 16], got $nGroups")
+    require(nGroups >= 1 && nGroups <= 4096, s"nGroups must be in [1, 4096], got $nGroups")
     val w = Window.partitionBy(col("grp")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(
@@ -115,9 +129,12 @@ object Packing {
     *
     * The group is the unit of sequential work: `flatMapGroups` holds one
     * group's (id, tokens) pairs in memory and runs the O(docs × bins)
-    * first-fit scan — size `nGroups` so corpus/nGroups rows fit an
-    * executor. Deterministic: content-keyed groups, total sort order, no
-    * ties possible.
+    * first-fit scan — size `nGroups` (up to 4096) so corpus/nGroups rows
+    * fit an executor. Deterministic: content-keyed groups, total sort
+    * order, no ties possible. Ids may be integral (sorted numerically,
+    * matching historical placements) or strings — URLs, UUIDs — sorted
+    * lexicographically; any other id type is rejected loudly rather than
+    * silently null-cast.
     */
   def packFirstFitDecreasing(
       df: DataFrame,
@@ -126,9 +143,10 @@ object Packing {
       capacity: Long,
       nGroups: Int): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
-    require(nGroups >= 1 && nGroups <= 16, s"nGroups must be in [1, 16], got $nGroups")
-    // the typed flatMapGroups path carries the id as a long — a string id
-    // would cast to null SILENTLY and corrupt the packing, so reject it
+    require(nGroups >= 1 && nGroups <= 4096, s"nGroups must be in [1, 4096], got $nGroups")
+    // the typed flatMapGroups path carries the id as a string (round-trips
+    // exactly for integral and string ids); anything else — floats, dates,
+    // structs — would change meaning under the cast, so reject it
     val idType = df.schema(idCol).dataType
     val integral = idType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
@@ -136,19 +154,23 @@ object Packing {
       case d: org.apache.spark.sql.types.DecimalType => d.scale == 0 && d.precision <= 18
       case _ => false
     }
-    require(integral,
-      s"packFirstFitDecreasing needs an integral id column, $idCol is $idType")
+    require(integral || idType == org.apache.spark.sql.types.StringType,
+      s"packFirstFitDecreasing needs an integral or string id column, $idCol is $idType")
+    // integral ids keep their numeric in-group order (10 after 2, not
+    // before) so placements match the pre-string-support behavior
+    val ord: Ordering[(String, Long)] =
+      if (integral) Ordering.by { case (id, tok) => (-tok, id.toLong) }
+      else Ordering.by { case (id, tok) => (-tok, id) }
     val spark = df.sparkSession
     import spark.implicits._
     val prepared = df.select(
       md5Group(idCol, nGroups).as("_1"),
-      col(idCol).cast("long").as("_2"),
+      col(idCol).cast("string").as("_2"),
       TextOps.tokenCount(col(textCol)).cast("long").as("_3"))
-      .as[(Int, Long, Long)]
+      .as[(Int, String, Long)]
     prepared.groupByKey(_._1)
       .flatMapGroups { (grp, it) =>
-        val docs = it.map { case (_, id, tok) => (id, tok) }.toArray
-          .sortBy { case (id, tok) => (-tok, id) }
+        val docs = it.map { case (_, id, tok) => (id, tok) }.toArray.sorted(ord)
         val binTotals = scala.collection.mutable.ArrayBuffer.empty[Long]
         docs.iterator.map { case (id, tok) =>
           var bin = binTotals.indexWhere(_ + tok <= capacity)
@@ -158,5 +180,6 @@ object Packing {
         }
       }
       .toDF(idCol, "grp", "bin", "n_tokens")
+      .withColumn(idCol, col(idCol).cast(idType))
   }
 }

@@ -795,4 +795,47 @@ class OpsSpec extends SparkSpec {
     assert(oversize == Map(1L -> 0, 2L -> 1),
       "an over-capacity doc must sit alone; later docs must not join its bin")
   }
+
+  test("packFirstFitDecreasing accepts string ids, lexicographic tie-break") {
+    def ofTokens(rows: (String, Int)*) =
+      frame(struct("doc_id" -> StringType, "text" -> StringType),
+        rows.map { case (id, n) => Row(id, Seq.fill(n)("t").mkString(" ")) }: _*)
+    val df = ofTokens("url-b" -> 6, "url-a10" -> 6, "url-a2" -> 4)
+    val out = Packing.packFirstFitDecreasing(df, "doc_id", "text",
+      capacity = 10, nGroups = 1)
+    assert(out.schema("doc_id").dataType == StringType,
+      "string ids must round-trip as strings")
+    val placed = out.collect().map(r => (r.getString(0), r.getInt(2))).toMap
+    // sorted (tok desc, id lex): url-a10, url-b both 6 tokens; a10 < a2 < b
+    // lexicographically → bins [a10+a2][b]
+    assert(placed == Map("url-a10" -> 0, "url-b" -> 1, "url-a2" -> 0))
+    // unsupported id types still fail loudly, not null-cast
+    val bad = frame(struct("doc_id" -> DoubleType, "text" -> StringType), Row(1.0, "t"))
+    val err = intercept[IllegalArgumentException] {
+      Packing.packFirstFitDecreasing(bad, "doc_id", "text", 10, 1)
+    }
+    assert(err.getMessage.contains("integral or string"))
+  }
+
+  test("md5Group digit width scales with nGroups; engine-reproducible at 64") {
+    assert(Seq(1, 16, 17, 256, 257, 4096).map(Packing.md5GroupDigits)
+      == Seq(1, 1, 2, 2, 3, 3))
+    intercept[IllegalArgumentException] {
+      Packing.concatChunkPlan(docs(1L -> "t"), "doc_id", "text", 10, nGroups = 4097)
+    }
+    // groups at nGroups=64 must match a driver-side md5 of the rendered id
+    // (the same computation an oracle engine would run)
+    val df = docs((1L to 200L).map(i => i -> s"doc $i"): _*)
+    val got = Packing.concatChunkPlan(df, "doc_id", "text", 1000, nGroups = 64)
+      .select("doc_id", "grp").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1L to 200L).foreach { i =>
+      val hex = md.digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val expect = Integer.parseInt(hex.substring(0, 2), 16) % 64
+      assert(got(i) == expect, s"doc $i grp mismatch")
+    }
+    assert(got.values.toSet.size > 32, "200 docs over 64 groups should spread wide")
+  }
 }

@@ -131,23 +131,28 @@ class RecallSpec extends SparkSpec {
     // once, no bin over capacity unless it holds a single oversize doc,
     // bins numbered contiguously from 0 within each group
     val capacity = 256L
-    val packed = Packing.packFirstFitDecreasing(
-      docs, "doc_id", "text", capacity, nGroups = 8)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
-
     val sourceIds = docs.select("doc_id").collect().map(_.getLong(0)).sorted
-    assert(packed.map(_._1).sorted.toSeq == sourceIds.toSeq,
-      "every document must be packed exactly once")
+    // 8 is the q75 shape; 64 exercises the multi-digit md5 group key
+    for (nGroups <- Seq(8, 64)) {
+      val packed = Packing.packFirstFitDecreasing(
+        docs, "doc_id", "text", capacity, nGroups = nGroups)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
 
-    packed.groupBy(t => (t._2, t._3)).foreach { case ((grp, bin), members) =>
-      val total = members.map(_._4).sum
-      assert(total <= capacity || members.length == 1,
-        s"grp=$grp bin=$bin holds $total tokens across ${members.length} docs")
-    }
-    packed.groupBy(_._2).foreach { case (grp, members) =>
-      val bins = members.map(_._3).distinct.sorted
-      assert(bins.toSeq == (0 until bins.length).toSeq,
-        s"grp=$grp bins must be contiguous from 0, got ${bins.toSeq}")
+      assert(packed.map(_._1).sorted.toSeq == sourceIds.toSeq,
+        s"nGroups=$nGroups: every document must be packed exactly once")
+      assert(packed.forall(t => t._2 >= 0 && t._2 < nGroups),
+        s"nGroups=$nGroups: group ids must stay in range")
+
+      packed.groupBy(t => (t._2, t._3)).foreach { case ((grp, bin), members) =>
+        val total = members.map(_._4).sum
+        assert(total <= capacity || members.length == 1,
+          s"nGroups=$nGroups grp=$grp bin=$bin holds $total tokens across ${members.length} docs")
+      }
+      packed.groupBy(_._2).foreach { case (grp, members) =>
+        val bins = members.map(_._3).distinct.sorted
+        assert(bins.toSeq == (0 until bins.length).toSeq,
+          s"nGroups=$nGroups grp=$grp bins must be contiguous from 0, got ${bins.toSeq}")
+      }
     }
   }
 }
