@@ -424,7 +424,10 @@ object SparkEntry {
     "q82_take_per_stratum" -> ((s, d) =>
       graft.ops.Sampling.takePerStratum(
         Tables(s, d, "documents")
-          .withColumn("__k", concat(col("text"), lit("#"), col("doc_id").cast("string"))),
+          // coalesce: Spark concat is NULL on any NULL arg while DuckDB
+          // concat skips NULLs — '' keeps the key total on both engines
+          .withColumn("__k",
+            concat(coalesce(col("text"), lit("")), lit("#"), col("doc_id").cast("string"))),
         "lang", "__k", n = 20)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
@@ -460,6 +463,27 @@ object SparkEntry {
         .toDF()
         .select(col("doc_id"), col("width"), col("height"), col("format"),
           col("error").isNull.as("ok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // REAL video path: synthesize MJPEG AVIs, RIFF-parse + sample every
+    // frame, decode each through ImageIO, aggregate per doc. The oracle
+    // predicts frame count and dimensions from the text column alone
+    // (synthAviBytes contract) while the payloads are genuine AVI/JPEG —
+    // same fixture trick as q40.
+    "q83_video_frames" -> ((s, d) => {
+      val avi = graft.ops.Multimodal.synthesizeAvi(
+        s, docsParallel(s, d), "doc_id", "text", "payload")
+      val fs = graft.ops.Multimodal.frameSample(s, avi, "doc_id", "payload", everyN = 1)
+        .where(col("error").isNull)
+      graft.ops.Multimodal.decodeMeta(
+        s, fs.select(col("doc_id"), col("frame").as("payload")), "doc_id", "payload")
+        .toDF()
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_frames"),
+          min(col("width")).as("frame_w"),
+          min(col("height")).as("frame_h"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1197,13 +1221,15 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cosine
         |FROM q CROSS JOIN c
         |WHERE query_id <> neighbor_id AND list_cosine_similarity(qv, cv) >= 0.35
+        |  AND NOT isnan(list_cosine_similarity(qv, cv))
         |ORDER BY query_id, neighbor_id""".stripMargin,
 
     "q82_take_per_stratum" ->
       """WITH ranked AS (
         |  SELECT doc_id, lang,
         |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY md5(concat(text, '#', doc_id)) ASC, concat(text, '#', doc_id) ASC) AS rk
+        |      ORDER BY md5(concat(coalesce(text, ''), '#', doc_id)) ASC,
+        |               concat(coalesce(text, ''), '#', doc_id) ASC) AS rk
         |  FROM documents
         |)
         |SELECT doc_id, lang FROM ranked WHERE rk <= 20 ORDER BY doc_id""".stripMargin,
@@ -1235,6 +1261,13 @@ object SparkEntry {
         | cast(1 + octet_length(encode(coalesce(text, ''))) % 16 as int) AS width,
         | cast(1 + (octet_length(encode(coalesce(text, ''))) * 7) % 16 as int) AS height,
         | 'png' AS format, true AS ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q83_video_frames" ->
+      """SELECT doc_id,
+        | cast(1 + octet_length(encode(coalesce(text, ''))) % 4 as bigint) AS n_frames,
+        | cast(2 + octet_length(encode(coalesce(text, ''))) % 8 as int) AS frame_w,
+        | cast(2 + (octet_length(encode(coalesce(text, ''))) * 3) % 8 as int) AS frame_h
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Exact cosine top-k over the features q62 materialized mid-query —

@@ -28,11 +28,35 @@ final case class MediaMeta(
   * The IMAGE path is real: `javax.imageio` (stock JVM, no extra deps)
   * decodes PNG/JPEG/GIF/BMP payloads into pixels; metadata, features and
   * resize all derive from the decoded image, and undecodable payloads land
-  * in a dead-letter `error` column instead of failing the job. Video frame
-  * extraction has no stock-JVM codec, so [[frameSample]] keeps a
-  * byte-chunking stand-in for the 1→N generator shape (clearly marked).
+  * in a dead-letter `error` column instead of failing the job. The VIDEO
+  * path is real for MJPEG-in-AVI — the one video format a stock JVM can
+  * both contain-parse (RIFF is a public Microsoft spec, ~60 lines of
+  * chunk walking) and frame-decode (each MJPEG frame is a standalone
+  * JPEG): [[frameSample]] walks the `movi` list and decodes sampled
+  * frames with the same `ImageIO` codec as the image path, so sampled
+  * frames feed [[decodeMeta]]/[[featureExtract]]/[[resize]] directly.
+  * Other containers (MP4/H.264 needs a real codec) dead-letter with a
+  * sniffed reason rather than pretending.
   */
 object Multimodal {
+
+  /** The typed media paths carry ids as `long`; a string id would
+    * `cast("long")` to null SILENTLY and every output row would lose its
+    * key, so reject non-integral ids loudly instead (URLs/UUIDs need a
+    * surrogate long key — e.g. `xxhash64` — before entering a media op).
+    */
+  private def mediaIds(df: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val t = df.schema(idCol).dataType
+    val ok = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType => d.scale == 0 && d.precision <= 18
+      case _ => false
+    }
+    require(ok, s"media ops need an integral id column, $idCol is $t — " +
+      "a string id would silently null-cast; derive a surrogate long key first")
+    df
+  }
 
   /** Attach a raw binary payload column (text bytes as-is — the generic
     * "opaque bytes" plumbing used by [[frameSample]] and the dead-letter
@@ -79,7 +103,7 @@ object Multimodal {
       textCol: String,
       binCol: String): DataFrame = {
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol))
+    mediaIds(df, idCol).select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
       .mapPartitions { it =>
         ImageIO.setUseCache(false) // in-memory streams, no temp-file cache
@@ -130,7 +154,7 @@ object Multimodal {
       idCol: String,
       binCol: String): Dataset[MediaMeta] = {
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol))
+    mediaIds(df, idCol).select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
@@ -202,7 +226,7 @@ object Multimodal {
     val g = math.sqrt(dim).toInt
     require(g * g == dim, s"dim must be a perfect square, got $dim")
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol))
+    mediaIds(df, idCol).select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
@@ -230,7 +254,7 @@ object Multimodal {
       h: Int): DataFrame = {
     require(w > 0 && h > 0, s"resize dimensions must be positive, got ${w}x$h")
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol))
+    mediaIds(df, idCol).select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
@@ -258,30 +282,198 @@ object Multimodal {
       .toDF(idCol, binCol, "error")
   }
 
-  /** Frame sampling STUB: one output row per sampled "frame" (every
-    * `everyN`-th chunk of `frameBytes` bytes). Video codecs are not on a
-    * stock JVM, so the chunking stands in for real frame decode — what is
-    * real and tested is the 1→N generator shape (id, frame_idx, frame
-    * bytes) that an ffmpeg-backed implementation would keep verbatim.
+  // ---- MJPEG-in-AVI video: RIFF container writer + parser ----------------
+  //
+  // AVI is RIFF (Microsoft's public multimedia container spec): a tree of
+  // [fourcc][u32-LE size][payload, even-padded] chunks; `LIST` chunks nest
+  // and carry a 4-byte list type. Video frames live in the `movi` list as
+  // `##dc`/`##db` chunks (## = stream number); for the MJPG handler each
+  // frame payload is a complete baseline JPEG — decodable by `ImageIO`
+  // with zero extra dependencies.
+
+  private def leU32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def leU16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  private def riffChunk(fourcc: String, data: Array[Byte]): Array[Byte] = {
+    val pad = if ((data.length & 1) == 1) Array(0.toByte) else Array.emptyByteArray
+    fourcc.getBytes("US-ASCII") ++ leU32(data.length.toLong) ++ data ++ pad
+  }
+
+  private def riffList(listType: String, subs: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", listType.getBytes("US-ASCII") ++ subs)
+
+  /** Minimal valid single-stream MJPEG AVI from pre-encoded JPEG frames —
+    * the fixture/synthesizer side of the video path (the container ships
+    * no video corpus, same situation as [[synthPngBytes]]).
+    */
+  def mjpegAviBytes(jpegFrames: Seq[Array[Byte]], w: Int, h: Int, fps: Int = 10): Array[Byte] = {
+    require(jpegFrames.nonEmpty, "an AVI needs at least one frame")
+    require(fps > 0, s"fps must be positive, got $fps")
+    val n = jpegFrames.length
+    val maxFrame = jpegFrames.map(_.length).max
+    val avih = riffChunk("avih",
+      leU32(1000000L / fps) ++ leU32(0) ++ leU32(0) ++ leU32(0) ++
+        leU32(n.toLong) ++ leU32(0) ++ leU32(1) ++ leU32(maxFrame.toLong) ++
+        leU32(w.toLong) ++ leU32(h.toLong) ++ Array.fill(16)(0.toByte))
+    val strh = riffChunk("strh",
+      "vids".getBytes("US-ASCII") ++ "MJPG".getBytes("US-ASCII") ++
+        leU32(0) ++ leU16(0) ++ leU16(0) ++ leU32(0) ++
+        leU32(1) ++ leU32(fps.toLong) ++ // scale, rate → fps frames/sec
+        leU32(0) ++ leU32(n.toLong) ++ leU32(maxFrame.toLong) ++
+        leU32(0xffffffffL) ++ leU32(0) ++
+        leU16(0) ++ leU16(0) ++ leU16(w) ++ leU16(h))
+    val strf = riffChunk("strf",
+      leU32(40) ++ leU32(w.toLong) ++ leU32(h.toLong) ++ leU16(1) ++ leU16(24) ++
+        "MJPG".getBytes("US-ASCII") ++ leU32(w.toLong * h * 3) ++
+        leU32(0) ++ leU32(0) ++ leU32(0) ++ leU32(0))
+    val hdrl = riffList("hdrl", avih ++ riffList("strl", strh ++ strf))
+    val movi = riffList("movi",
+      jpegFrames.toArray.flatMap(f => riffChunk("00dc", f)))
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ leU32(body.length.toLong) ++ body
+  }
+
+  private def u32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def fourccAt(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, "US-ASCII")
+
+  /** Walk the RIFF tree and return the video-frame chunk payloads
+    * (`##dc`/`##db` inside `movi`/`rec ` lists) in file order.
+    * `Left(reason)` on anything that is not a structurally valid AVI —
+    * the dead-letter reason, never an exception.
+    */
+  def aviVideoFrames(bytes: Array[Byte]): Either[String, Vector[Array[Byte]]] = {
+    if (bytes == null || bytes.length < 12) return Left("empty or truncated payload")
+    if (fourccAt(bytes, 0) != "RIFF") return Left(s"not a RIFF container (${sniffFormat(bytes)})")
+    if (fourccAt(bytes, 8) != "AVI ") return Left(s"RIFF but not AVI (form '${fourccAt(bytes, 8)}')")
+    val end = math.min(bytes.length.toLong, 8L + u32(bytes, 4)).toInt
+    val frames = Vector.newBuilder[Array[Byte]]
+    def isFrameId(id: String): Boolean =
+      id.length == 4 && id(0).isDigit && id(1).isDigit &&
+        id(2) == 'd' && (id(3) == 'b' || id(3) == 'c')
+    // returns an error message or null; iterative per level, recursive into
+    // LISTs (RIFF nesting is shallow — hdrl/strl/movi/rec is depth 3)
+    def walk(start: Int, stop: Int, inMovi: Boolean): String = {
+      var off = start
+      while (off + 8 <= stop) {
+        val id = fourccAt(bytes, off)
+        val sz = u32(bytes, off + 4)
+        if (sz > Int.MaxValue || off + 8 + sz > stop)
+          return s"truncated chunk '$id' at offset $off"
+        if (id == "LIST" && sz >= 4) {
+          val ltype = fourccAt(bytes, off + 8)
+          val err = walk(off + 12, off + 8 + sz.toInt,
+            inMovi || ltype == "movi" || ltype == "rec ")
+          if (err != null) return err
+        } else if (inMovi && isFrameId(id)) {
+          frames += java.util.Arrays.copyOfRange(bytes, off + 8, off + 8 + sz.toInt)
+        }
+        off += 8 + sz.toInt + (sz.toInt & 1)
+      }
+      null
+    }
+    val err = walk(12, end, inMovi = false)
+    if (err != null) Left(err) else Right(frames.result())
+  }
+
+  /** Deterministic synthetic MJPEG AVI from a seed byte string, the video
+    * twin of [[synthPngBytes]]: `n = seed length` gives `1 + n%4` frames of
+    * `2 + n%8` × `2 + (n*3)%8` pixels, so an oracle can predict the frame
+    * count and decoded dimensions from the text column alone while the
+    * payload is a genuine AVI that round-trips through the RIFF parser and
+    * `ImageIO`'s JPEG codec.
+    */
+  def synthAviBytes(seed: Array[Byte]): Array[Byte] = {
+    val n = seed.length
+    val nFrames = 1 + (n % 4)
+    val w = 2 + (n % 8)
+    val h = 2 + ((n * 3) % 8)
+    val frames = (0 until nFrames).map { f =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val px = scala.util.hashing.MurmurHash3.bytesHash(seed, (f + 1) * (y * w + x + 1))
+          img.setRGB(x, y, px & 0xffffff)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    mjpegAviBytes(frames, w, h)
+  }
+
+  /** `(idCol, binCol)` frame of synthetic MJPEG AVIs seeded from `textCol`. */
+  def synthesizeAvi(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      binCol: String): DataFrame = {
+    import spark.implicits._
+    mediaIds(df, idCol).select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.map { case (id, text) =>
+          val seed = if (text == null) Array.emptyByteArray
+                     else text.getBytes("UTF-8")
+          (id, synthAviBytes(seed))
+        }
+      }
+      .toDF(idCol, binCol)
+  }
+
+  /** REAL frame sampling over MJPEG-in-AVI payloads: parse the RIFF
+    * container, take every `everyN`-th video frame, decode it through the
+    * same `ImageIO` JPEG codec as the image path. One output row per
+    * sampled frame `(id, frame_idx, frame, error)` where `frame` is the
+    * raw JPEG payload — directly consumable by [[decodeMeta]] /
+    * [[featureExtract]] / [[resize]]. Dead-letter contract: a payload that
+    * is not a valid AVI (or a frame that is not a valid JPEG) yields a row
+    * with null frame and the reason — never a dropped row or failed task.
     */
   def frameSample(
       spark: SparkSession,
       df: DataFrame,
       idCol: String,
       binCol: String,
-      frameBytes: Int,
       everyN: Int): DataFrame = {
     require(everyN > 0, s"everyN must be positive, got $everyN")
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(binCol))
+    mediaIds(df, idCol).select(col(idCol).cast("long"), col(binCol))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, bytes) =>
-        val nFrames =
-          if (bytes == null) 0 else bytes.length / math.max(frameBytes, 1)
-        (0 until nFrames by everyN).iterator.map { f =>
-          (id, f, bytes.slice(f * frameBytes, (f + 1) * frameBytes))
+      .mapPartitions { it =>
+        ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          aviVideoFrames(bytes) match {
+            case Left(reason) =>
+              Iterator.single((id, None: Option[Int], null: Array[Byte], Option(reason)))
+            case Right(fs) if fs.isEmpty =>
+              Iterator.single((id, None: Option[Int], null: Array[Byte],
+                Option("AVI contains no video frames")))
+            case Right(fs) =>
+              Iterator.range(0, fs.length, everyN).map { i =>
+                decodeImage(fs(i)) match {
+                  case Right(_)     => (id, Option(i), fs(i), None: Option[String])
+                  case Left(reason) => (id, Option(i), null: Array[Byte],
+                    Option(s"frame $i: $reason"))
+                }
+              }
+          }
         }
-      })
-      .toDF(idCol, "frame_idx", "frame")
+      }
+      .toDF(idCol, "frame_idx", "frame", "error")
   }
 }

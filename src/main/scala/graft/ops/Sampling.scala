@@ -85,19 +85,36 @@ object Sampling {
     * cluster, engine, or rerun, unlike a seeded `sample()`. One shuffle
     * (the per-stratum window); the md5 order makes the pick uniform over
     * content, not over arrival order.
+    *
+    * Determinism REQUIRES a total order: if `keyCol` can repeat within a
+    * stratum (e.g. duplicate texts), pass the table's unique id as
+    * `tieCol` — without it, the window order among equal keys is
+    * engine/partitioning-dependent and reruns may pick different rows.
     */
   def takePerStratum(
       df: DataFrame,
       stratumCol: String,
       keyCol: String,
-      n: Int): DataFrame = {
+      n: Int): DataFrame =
+    takePerStratum(df, stratumCol, keyCol, n, tieCol = None)
+
+  def takePerStratum(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      n: Int,
+      tieCol: Option[String]): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(md5(col(keyCol).cast("binary")).asc, col(keyCol).asc)
-    df.withColumn("__rk", row_number().over(w))
-      .where(col("__rk") <= n)
-      .drop("__rk")
+    val order = Seq(md5(col(keyCol).cast("binary")).asc, col(keyCol).asc) ++
+      tieCol.map(col(_).asc)
+    val w = Window.partitionBy(col(stratumCol)).orderBy(order: _*)
+    // collision-safe rank column — never overwrite a caller's column
+    val rk = Iterator.from(0).map(i => if (i == 0) "__rk" else s"__rk$i")
+      .find(!df.columns.contains(_)).get
+    df.withColumn(rk, row_number().over(w))
+      .where(col(rk) <= n)
+      .drop(rk)
   }
 
   /** Weighted corpus mix: union of sources, each downsampled to its weight

@@ -110,7 +110,10 @@ object Similarity {
     q.crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
-      .where(col("cosine") >= minCosine)
+      // NaN (a zero-magnitude vector on either side) sorts ABOVE every
+      // number in both Spark and DuckDB, so without this guard a zero
+      // vector would "match" every neighbor at any threshold
+      .where(col("cosine") >= minCosine && !isnan(col("cosine")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
   }
 

@@ -171,10 +171,13 @@ object TextOps {
       s"over $maxFrequent frequent lines — raise minDocs (the set must " +
         "stay a driver-side literal)")
     if (frequent.isEmpty) df.withColumn("cleaned", col(textCol))
+    // null text stays null (concat_ws over a null array would yield '' and
+    // silently diverge from engines whose array_to_string(NULL) is NULL)
     else df.withColumn("cleaned",
-      concat_ws("\n",
-        filter(split(col(textCol), "\n"), l =>
-          trim(l) === "" || !md5(l.cast("binary")).isInCollection(frequent))))
+      when(col(textCol).isNull, lit(null).cast("string")).otherwise(
+        concat_ws("\n",
+          filter(split(col(textCol), "\n"), l =>
+            trim(l) === "" || !md5(l.cast("binary")).isInCollection(frequent)))))
   }
 
   /** Whitespace-preserving control characters (tab/newline/CR are WHITESPACE

@@ -554,14 +554,62 @@ class OpsSpec extends SparkSpec {
     assert(bad.isNullAt(1) && !bad.isNullAt(2))
   }
 
-  test("multimodal: frame-sample keeps the 1-to-N batched generator shape") {
-    val df = Multimodal.withBinaryPayload(
-      docs(1L -> ("x" * 100)), "text", "payload")
-    val frames = Multimodal.frameSample(
-      spark, df, "doc_id", "payload", frameBytes = 10, everyN = 2)
+  test("multimodal: real MJPEG-AVI frame sampling — parse, decode, dead-letter") {
+    // seed length 7 → 4 frames of 9×7 (synthAviBytes contract)
+    val df = Multimodal.synthesizeAvi(
+      spark, docs(1L -> ("x" * 7)), "doc_id", "text", "payload")
+    val frames = Multimodal.frameSample(spark, df, "doc_id", "payload", everyN = 2)
       .orderBy("frame_idx").collect()
-    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 2, 4, 6, 8))
-    assert(frames.forall(_.getAs[Array[Byte]](2).length == 10))
+    assert(frames.map(_.getInt(1)).toSeq == Seq(0, 2), "every 2nd of 4 frames")
+    assert(frames.forall(_.isNullAt(3)), "valid frames must not dead-letter")
+    frames.foreach { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+      assert(img.getWidth == 9 && img.getHeight == 7,
+        s"frame must be a real ${9}x${7} JPEG, got ${img.getWidth}x${img.getHeight}")
+    }
+    // sampled frames feed the image ops directly (MJPEG frame = JPEG)
+    val meta = Multimodal.decodeMeta(spark,
+      Multimodal.frameSample(spark, df, "doc_id", "payload", everyN = 1)
+        .where(col("frame_idx") === 3)
+        .select(col("doc_id"), col("frame").as("payload")),
+      "doc_id", "payload").head()
+    assert(meta.width.contains(9) && meta.height.contains(7)
+      && meta.format == "jpeg" && meta.error.isEmpty)
+  }
+
+  test("multimodal: non-AVI and truncated payloads dead-letter with reasons") {
+    val junk = Multimodal.frameSample(spark,
+      Multimodal.withBinaryPayload(docs(9L -> "not a video at all"), "text", "payload"),
+      "doc_id", "payload", everyN = 1).head()
+    assert(junk.isNullAt(1) && junk.isNullAt(2))
+    assert(junk.getString(3).contains("not a RIFF"))
+    // a mid-chunk truncation is detected, not crashed on
+    val avi = Multimodal.synthAviBytes("seed text".getBytes("UTF-8"))
+    val cut = java.util.Arrays.copyOfRange(avi, 0, avi.length - 7)
+    val trunc = frame(struct("doc_id" -> LongType, "payload" -> BinaryType),
+      Row(1L, cut))
+    val row = Multimodal.frameSample(spark, trunc, "doc_id", "payload", everyN = 1).head()
+    assert(row.isNullAt(2) && row.getString(3).contains("truncated"))
+    // driver-side parser agrees with the synthesizer's frame-count contract
+    val n = "seed text".length // 9 → 1 + 9%4 = 2 frames
+    assert(Multimodal.aviVideoFrames(avi).toOption.get.length == 1 + n % 4)
+    assert(Multimodal.aviVideoFrames("RIFFxxxxWAVE".getBytes("US-ASCII")).isLeft)
+  }
+
+  test("multimodal: media ops reject string ids loudly instead of null-casting") {
+    val strIds = frame(struct("doc_id" -> StringType, "text" -> StringType),
+      Row("url-1", "some text"))
+    val err = intercept[IllegalArgumentException] {
+      Multimodal.synthesizePng(spark, strIds, "doc_id", "text", "payload")
+    }
+    assert(err.getMessage.contains("integral id"))
+    val errV = intercept[IllegalArgumentException] {
+      Multimodal.frameSample(
+        spark, Multimodal.withBinaryPayload(strIds, "text", "payload"),
+        "doc_id", "payload", everyN = 1)
+    }
+    assert(errV.getMessage.contains("integral id"))
   }
 
   test("decontam: report counts distinct shared n-grams; short docs gram-free") {
@@ -815,6 +863,33 @@ class OpsSpec extends SparkSpec {
       Packing.packFirstFitDecreasing(bad, "doc_id", "text", 10, 1)
     }
     assert(err.getMessage.contains("integral or string"))
+  }
+
+  test("null text stays null through removeFrequentLines; zero vectors never match") {
+    val df = frame(struct("doc_id" -> LongType, "text" -> StringType),
+      Row(1L, "HDR\nbody one"), Row(2L, "HDR\nbody two"), Row(3L, null))
+    val cleaned = TextOps.removeFrequentLines(df, "doc_id", "text", minDocs = 2)
+      .orderBy("doc_id").collect().map(_.getAs[String]("cleaned"))
+    assert(cleaned.toSeq == Seq("body one", "body two", null))
+    // a zero-magnitude query vector has NaN cosine to everything — it must
+    // match nothing, not everything
+    val vecs = frame(struct("vec_id" -> LongType, "embedding" -> ArrayType(FloatType)),
+      Row(0L, Seq(0.0f, 0.0f)), Row(1L, Seq(1.0f, 0.0f)), Row(2L, Seq(0.9f, 0.1f)))
+    val out = Similarity.rangeSearch(
+      vecs, vecs.where(col("vec_id") === 0), "embedding", "vec_id", minCosine = -1.0)
+    assert(out.count() == 0)
+  }
+
+  test("takePerStratum tiebreaker orders duplicate keys; rank column is collision-safe") {
+    val df = frame(
+      struct("doc_id" -> LongType, "grp" -> StringType,
+        "text" -> StringType, "__rk" -> StringType),
+      (1L to 10L).map(i => Row(i, "g", "same text", s"user$i")): _*)
+    val taken = Sampling.takePerStratum(df, "grp", "text", n = 3, tieCol = Some("doc_id"))
+    // every key identical → md5 ties everywhere → the id tiebreaker decides
+    assert(taken.collect().map(_.getAs[Long]("doc_id")).toSeq.sorted == Seq(1L, 2L, 3L))
+    assert(taken.columns.contains("__rk"), "caller's __rk column must survive")
+    assert(taken.collect().forall(_.getAs[String]("__rk").startsWith("user")))
   }
 
   test("md5Group digit width scales with nGroups; engine-reproducible at 64") {
