@@ -34,11 +34,32 @@ object TextOps {
 
   /** BPE-ish token count: alpha runs, digit runs, and single non-alnum
     * punctuation each count as one token (a cheap proxy for byte-pair
-    * tokenizer length used to budget context windows).
+    * tokenizer length used to budget context windows). This codegen'd
+    * regex proxy is the DEFAULT; [[bpeTokenCountFromMerges]] is the
+    * exact-backend upgrade when budgets must match a real tokenizer.
     */
   val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   def bpeTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(BpeTokenPattern), lit(0)))
+
+  /** REAL byte-level BPE token count from a user-supplied GPT-2-format
+    * merges file (GPT-2's own is public) — see [[graft.functions.BpeModel]].
+    * Returns a Column factory: the model parses once on the driver and
+    * ships to executors as ONE broadcast, not per-task closure copies
+    * (~0.5 MB for a 50k-merge table). This is the only deliberate UDF in
+    * the library: the merge loop is inherently iterative-per-word, the
+    * per-executor memo cache makes it cheap on repetitive corpora, and
+    * the codegen'd [[bpeTokenCount]] proxy remains the default hot path.
+    */
+  def bpeTokenCountFromMerges(
+      spark: org.apache.spark.sql.SparkSession,
+      mergesPath: String): Column => Column = {
+    val bc = spark.sparkContext.broadcast(
+      graft.functions.BpeModel.fromMergesFile(mergesPath))
+    val f = udf((s: String) =>
+      if (s == null) null else Integer.valueOf(bc.value.countTokens(s)))
+    (text: Column) => f(text)
+  }
 
   /** Occurrences of any of `words` among the whitespace tokens. */
   def wordHits(text: Column, words: Seq[String]): Column =

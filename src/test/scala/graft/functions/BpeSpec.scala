@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.ops.TextOps
+
+/** Real byte-level BPE counting against the tiny in-repo merges fixture.
+  * Hand-computed expectations: with merges (h,e) < (l,l) < (he,ll),
+  * "hello" → [hell, o] = 2 symbols; a space-prefixed word gains the Ġ
+  * byte-encoder char as its own symbol.
+  */
+class BpeSpec extends SparkSpec {
+
+  private def model = BpeModel.fromMergesFile(
+    getClass.getResource("/bpe_test_merges.txt").getPath)
+
+  test("merge order and byte encoding match the hand computation") {
+    val m = model
+    assert(m.countTokens("hello") == 2) // h e→he, l l→ll, he ll→hell | o
+    assert(m.countTokens("hello hello") == 5) // + [Ġ, hell, o]
+    assert(m.countTokens("hello world") == 8) // world: Ġ w o r l d unmerged
+    assert(m.countTokens("") == 0)
+    assert(m.countTokens(null) == 0)
+    // pre-tokenizer splits contractions like the reference regex
+    assert(m.countTokens("it's") == 4) // [it] ['s] → i t | ' s (no merges)
+    // multi-byte UTF-8 counts per encoded byte when unmerged
+    assert(m.countTokens("é") == 2) // U+00E9 is two UTF-8 bytes
+  }
+
+  test("repeated counting is deterministic and the memo cache agrees") {
+    val m = model
+    val first = m.countTokens("hello hello hello")
+    assert(first == 8) // [hell,o] + 2×[Ġ,hell,o]
+    assert((1 to 5).map(_ => m.countTokens("hello hello hello")).toSet == Set(first))
+  }
+
+  test("the Spark column backend broadcasts the model and handles nulls") {
+    val df = frame(struct("doc_id" -> LongType, "text" -> StringType),
+      Row(1L, "hello world"), Row(2L, null), Row(3L, "hello"))
+    val counter = TextOps.bpeTokenCountFromMerges(
+      spark, getClass.getResource("/bpe_test_merges.txt").getPath)
+    val out = df.select(col("doc_id"), counter(col("text")).as("n"))
+      .orderBy("doc_id").collect()
+    assert(out.map(r => if (r.isNullAt(1)) -1 else r.getInt(1)).toSeq == Seq(8, -1, 2))
+    // the regex proxy stays available and differs only where BPE merges do
+    val proxy = df.select(TextOps.bpeTokenCount(col("text"))).head().getInt(0)
+    assert(proxy == 2) // "hello world" = two alpha runs under the proxy
+  }
+
+  test("malformed and empty merges files fail loudly") {
+    intercept[IllegalArgumentException] {
+      BpeModel.fromMerges(Iterator("#only a comment"))
+    }
+    intercept[IllegalArgumentException] {
+      BpeModel.fromMerges(Iterator("a b c"))
+    }
+  }
+}
