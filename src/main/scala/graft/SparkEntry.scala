@@ -487,6 +487,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // audio path (completes the image/video/audio multimodal triple):
+    // synthesize WAVs, decode through javax.sound.sampled, integer-exact
+    // metadata oracled from the text column (synthWavBytes contract:
+    // 160 + 40·(n%32) samples @ 8 kHz mono 16-bit → 20 + 5·(n%32) ms)
+    "q84_audio_meta" -> ((s, d) =>
+      graft.ops.Audio.audioMeta(
+        s, graft.ops.Audio.synthesizeWav(
+          s, docsParallel(s, d), "doc_id", "text", "payload"),
+        "doc_id", "payload")
+        .toDF()
+        .select(col("doc_id"), col("sample_rate"), col("channels"), col("bits"),
+          col("n_samples"), col("duration_ms"), col("error").isNull.as("ok"))
+        .orderBy(col("doc_id"))),
+
     // SimHash near-dup pairs via 16-bit chunk banding (rows-only).
     // maxHamming = 3 is the sweet spot the 64-bit signature affords: 4
     // chunks of 16 bits give COMPLETE candidate recall by pigeonhole AND
@@ -1261,6 +1275,15 @@ object SparkEntry {
         | cast(1 + octet_length(encode(coalesce(text, ''))) % 16 as int) AS width,
         | cast(1 + (octet_length(encode(coalesce(text, ''))) * 7) % 16 as int) AS height,
         | 'png' AS format, true AS ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q84_audio_meta" ->
+      """SELECT doc_id,
+        | cast(8000 as int) AS sample_rate, cast(1 as int) AS channels,
+        | cast(16 as int) AS bits,
+        | cast(160 + 40 * (octet_length(encode(coalesce(text, ''))) % 32) as bigint) AS n_samples,
+        | cast(20 + 5 * (octet_length(encode(coalesce(text, ''))) % 32) as bigint) AS duration_ms,
+        | true AS ok
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q83_video_frames" ->

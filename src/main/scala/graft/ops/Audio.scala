@@ -1,0 +1,201 @@
+package graft.ops
+
+import java.io.ByteArrayInputStream
+import javax.sound.sampled.AudioSystem
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Audio metadata from the WAV decoder — dead-letter contract identical to
+  * [[MediaMeta]]: decode failures keep the row with a reason, never drop it.
+  */
+final case class AudioMeta(
+    doc_id: Long,
+    n_bytes: Long,
+    sample_rate: Option[Int],
+    channels: Option[Int],
+    bits: Option[Int],
+    n_samples: Option[Long],
+    duration_ms: Option[Long],
+    error: Option[String])
+
+/** Audio-column operators, completing the image/video/audio multimodal
+  * triple. WAV (RIFF/WAVE — same public container family as
+  * [[Multimodal]]'s AVI) is the format a stock JVM decodes natively:
+  * `javax.sound.sampled.AudioSystem` parses the container and yields raw
+  * PCM with zero extra dependencies. Metadata and features derive from the
+  * DECODED stream; compressed formats (MP3/AAC need a codec) dead-letter
+  * with a reason rather than pretending.
+  *
+  * Same execution shape as the other media ops: `mapPartitions` batches so
+  * per-task decoder init amortizes, ids guarded against silent null-casts,
+  * every op a 1→1 generator with no shuffle.
+  */
+object Audio {
+
+  private def audioIds(df: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val t = df.schema(idCol).dataType
+    val ok = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType => d.scale == 0 && d.precision <= 18
+      case _ => false
+    }
+    require(ok, s"media ops need an integral id column, $idCol is $t — " +
+      "a string id would silently null-cast; derive a surrogate long key first")
+    df
+  }
+
+  private def leU32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def leU16(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  /** Canonical 16-bit mono PCM WAV (RIFF/WAVE `fmt ` + `data`). */
+  def wavBytes(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    require(sampleRate > 0, s"sampleRate must be positive, got $sampleRate")
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = leU16(1) ++ leU16(1) ++ leU32(sampleRate.toLong) ++
+      leU32(sampleRate.toLong * 2) ++ leU16(2) ++ leU16(16)
+    val body = "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ leU32(fmt.length.toLong) ++ fmt ++
+      "data".getBytes("US-ASCII") ++ leU32(data.length.toLong) ++ data
+    "RIFF".getBytes("US-ASCII") ++ leU32(body.length.toLong) ++ body
+  }
+
+  /** Deterministic synthetic WAV from a seed byte string, the audio twin
+    * of `synthPngBytes`/`synthAviBytes`: `n = seed length` gives
+    * `160 + (n % 32) · 40` murmur-derived samples at 8 kHz mono 16-bit —
+    * so an oracle predicts sample count and duration (`20 + 5·(n % 32)`
+    * ms, exact integer) from the text column alone while the payload is a
+    * genuine WAV that round-trips through `AudioSystem`.
+    */
+  def synthWavBytes(seed: Array[Byte]): Array[Byte] = {
+    val n = seed.length
+    val nSamples = 160 + (n % 32) * 40
+    val samples = new Array[Short](nSamples)
+    var i = 0
+    while (i < nSamples) {
+      samples(i) = (scala.util.hashing.MurmurHash3.bytesHash(seed, i + 1) % 30000).toShort
+      i += 1
+    }
+    wavBytes(samples, 8000)
+  }
+
+  /** `(idCol, binCol)` frame of synthetic WAVs seeded from `textCol`. */
+  def synthesizeWav(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      binCol: String): DataFrame = {
+    import spark.implicits._
+    audioIds(df, idCol).select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val seed = if (text == null) Array.emptyByteArray
+                   else text.getBytes("UTF-8")
+        (id, synthWavBytes(seed))
+      })
+      .toDF(idCol, binCol)
+  }
+
+  /** Real audio decode: container + format from `AudioSystem`, PCM samples
+    * read through the decoded stream. `Left(reason)` for anything the JVM
+    * cannot decode (dead-letter, never a task failure).
+    */
+  private def decodeWav(bytes: Array[Byte]): Either[String, (javax.sound.sampled.AudioFormat, Array[Byte])] =
+    if (bytes == null || bytes.length == 0) Left("empty payload")
+    else
+      try {
+        val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        try Right((in.getFormat, in.readAllBytes())) finally in.close()
+      } catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          Left(s"not a decodable audio payload: ${e.getMessage}")
+        case e: Exception => Left(s"decode error: ${e.getMessage}")
+      }
+
+  /** Partition-batched audio metadata: sample rate, channels, bit depth,
+    * sample count, integer-exact duration (`n_samples * 1000 / rate`).
+    */
+  def audioMeta(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      binCol: String): Dataset[AudioMeta] = {
+    import spark.implicits._
+    audioIds(df, idCol).select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val n = if (bytes == null) 0L else bytes.length.toLong
+        decodeWav(bytes) match {
+          case Right((fmt, pcm)) =>
+            val bytesPerSample = math.max(1, fmt.getSampleSizeInBits / 8) * fmt.getChannels
+            val nSamples = pcm.length.toLong / bytesPerSample
+            AudioMeta(id, n, Some(fmt.getSampleRate.toInt), Some(fmt.getChannels),
+              Some(fmt.getSampleSizeInBits), Some(nSamples),
+              Some(nSamples * 1000L / fmt.getSampleRate.toLong), None)
+          case Left(reason) =>
+            AudioMeta(id, n, None, None, None, None, None, Some(reason))
+        }
+      })
+  }
+
+  /** Signal features from the decoded 16-bit PCM (first channel): RMS
+    * energy, peak amplitude, zero-crossing count — the deterministic
+    * scalar shape an audio encoder front-end emits (exact integer sums;
+    * the only float op is one `sqrt`, exactly rounded per IEEE-754, so
+    * results are bit-stable across JVMs). Output
+    * `(idCol, rms double, peak int, zero_crossings long, error)`.
+    */
+  def audioFeatures(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      binCol: String): DataFrame = {
+    import spark.implicits._
+    audioIds(df, idCol).select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeWav(bytes) match {
+          case Right((fmt, pcm)) if fmt.getSampleSizeInBits == 16 =>
+            val step = 2 * fmt.getChannels // first channel of each frame
+            val bigEndian = fmt.isBigEndian
+            var i = 0
+            var sumSq = 0L
+            var peak = 0
+            var zc = 0L
+            var prevNeg = false
+            var first = true
+            while (i + 1 < pcm.length) {
+              val s =
+                if (bigEndian) ((pcm(i) << 8) | (pcm(i + 1) & 0xff)).toShort.toInt
+                else ((pcm(i + 1) << 8) | (pcm(i) & 0xff)).toShort.toInt
+              sumSq += s.toLong * s
+              if (math.abs(s) > peak) peak = math.abs(s)
+              val neg = s < 0
+              if (!first && neg != prevNeg) zc += 1
+              prevNeg = neg
+              first = false
+              i += step
+            }
+            val nFrames = pcm.length / step
+            val rms = if (nFrames == 0) 0.0 else math.sqrt(sumSq.toDouble / nFrames)
+            (id, rms, peak, zc, null: String)
+          case Right(_) =>
+            (id, 0.0, 0, 0L, "unsupported bit depth (only 16-bit PCM)")
+          case Left(reason) => (id, 0.0, 0, 0L, reason)
+        }
+      })
+      .toDF(idCol, "rms", "peak", "zero_crossings", "error")
+  }
+}

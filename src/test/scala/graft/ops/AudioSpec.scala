@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Audio path: real WAV decode through javax.sound.sampled, dead-letter
+  * behavior, and hand-computed signal features.
+  */
+class AudioSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) =
+    frame(struct("doc_id" -> LongType, "text" -> StringType),
+      rows.map { case (i, t) => Row(i, t) }: _*)
+
+  test("synthesized WAV decodes to the contract dimensions") {
+    // n=7 → 160 + 7·40 = 440 samples @8 kHz → 55 ms exactly
+    val wav = Audio.synthesizeWav(spark, docs(1L -> ("x" * 7)), "doc_id", "text", "payload")
+    val m = Audio.audioMeta(spark, wav, "doc_id", "payload").head()
+    assert(m.sample_rate.contains(8000) && m.channels.contains(1)
+      && m.bits.contains(16) && m.n_samples.contains(440L)
+      && m.duration_ms.contains(55L) && m.error.isEmpty)
+  }
+
+  test("non-audio payloads dead-letter; string ids rejected loudly") {
+    val junk = Audio.audioMeta(spark,
+      Multimodal.withBinaryPayload(docs(9L -> "not audio"), "text", "payload"),
+      "doc_id", "payload").head()
+    assert(junk.error.isDefined && junk.sample_rate.isEmpty)
+    val strIds = frame(struct("doc_id" -> StringType, "text" -> StringType),
+      Row("u-1", "t"))
+    val err = intercept[IllegalArgumentException] {
+      Audio.synthesizeWav(spark, strIds, "doc_id", "text", "payload")
+    }
+    assert(err.getMessage.contains("integral id"))
+  }
+
+  test("audio features match the hand computation on a fixture WAV") {
+    val fixture = Audio.wavBytes(Array[Short](0, 1000, -1000, 1000), sampleRate = 8000)
+    val df = frame(struct("doc_id" -> LongType, "payload" -> BinaryType),
+      Row(1L, fixture))
+    val r = Audio.audioFeatures(spark, df, "doc_id", "payload").head()
+    // signs: +,+,-,+ → 2 crossings; sumSq = 3e6 over 4 frames → rms = √750000
+    assert(r.getLong(3) == 2L)
+    assert(r.getInt(2) == 1000)
+    assert(math.abs(r.getDouble(1) - math.sqrt(750000.0)) < 1e-9)
+    assert(r.isNullAt(4))
+    // features on a synthesized corpus are deterministic across reruns
+    val wav = Audio.synthesizeWav(
+      spark, docs((1L to 20L).map(i => i -> s"doc $i"): _*), "doc_id", "text", "payload")
+    def run() = Audio.audioFeatures(spark, wav, "doc_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(3))).toSet
+    assert(run() == run())
+  }
+}
