@@ -487,6 +487,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // engine-portable weighted corpus mix: per-source keep decision is a
+    // LEXICOGRAPHIC compare of a 3-hex-digit md5 prefix against the
+    // weight's threshold — no base conversion on either engine
+    "q85_weighted_mix" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select(col("doc_id"))
+      graft.ops.Sampling.md5WeightedMix(Seq(
+        (docs, "full", 0.5),
+        (docs.where(col("doc_id") % 2 === 0), "even", 0.9)),
+        "doc_id")
+        .orderBy(col("mix_source"), col("doc_id"))
+    }),
+
     // audio path (completes the image/video/audio multimodal triple):
     // synthesize WAVs, decode through javax.sound.sampled, integer-exact
     // metadata oracled from the text column (synthWavBytes contract:
@@ -1276,6 +1288,18 @@ object SparkEntry {
         | cast(1 + (octet_length(encode(coalesce(text, ''))) * 7) % 16 as int) AS height,
         | 'png' AS format, true AS ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q85_weighted_mix" ->
+      """WITH a AS (
+        |  SELECT doc_id, 'full' AS mix_source FROM documents
+        |  WHERE substr(md5(concat('full', '#', doc_id)), 1, 3) < '800'
+        |), b AS (
+        |  SELECT doc_id, 'even' AS mix_source FROM documents
+        |  WHERE doc_id % 2 = 0
+        |    AND substr(md5(concat('even', '#', doc_id)), 1, 3) < 'e66'
+        |)
+        |SELECT doc_id, mix_source FROM (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |ORDER BY mix_source, doc_id""".stripMargin,
 
     "q84_audio_meta" ->
       """SELECT doc_id,

@@ -102,7 +102,21 @@ object Packing {
       idCol: String,
       textCol: String,
       capacity: Long,
-      nGroups: Int): DataFrame = {
+      nGroups: Int): DataFrame =
+    concatChunkPlan(df, idCol, textCol, capacity, nGroups, TextOps.tokenCount)
+
+  /** Variant with a caller-supplied token counter — e.g.
+    * [[TextOps.bpeTokenCount]] or the broadcast-model column from
+    * [[TextOps.bpeTokenCountFromMerges]], so packing budgets can match a
+    * real tokenizer instead of whitespace counts.
+    */
+  def concatChunkPlan(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      capacity: Long,
+      nGroups: Int,
+      tokenCount: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
     require(nGroups >= 1 && nGroups <= 4096, s"nGroups must be in [1, 4096], got $nGroups")
     val w = Window.partitionBy(col("grp")).orderBy(col(idCol))
@@ -110,7 +124,7 @@ object Packing {
     df.select(
       col(idCol),
       md5Group(idCol, nGroups).as("grp"),
-      TextOps.tokenCount(col(textCol)).cast("bigint").as("n_tokens"))
+      tokenCount(col(textCol)).cast("bigint").as("n_tokens"))
       .withColumn("__cum", sum(col("n_tokens")).over(w))
       .select(
         col(idCol), col("grp"), col("n_tokens"),
@@ -141,7 +155,19 @@ object Packing {
       idCol: String,
       textCol: String,
       capacity: Long,
-      nGroups: Int): DataFrame = {
+      nGroups: Int): DataFrame =
+    packFirstFitDecreasing(df, idCol, textCol, capacity, nGroups, TextOps.tokenCount)
+
+  /** Variant with a caller-supplied token counter (see the
+    * [[concatChunkPlan]] twin) — real-tokenizer budgets compose here too.
+    */
+  def packFirstFitDecreasing(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      capacity: Long,
+      nGroups: Int,
+      tokenCount: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
     require(nGroups >= 1 && nGroups <= 4096, s"nGroups must be in [1, 4096], got $nGroups")
     // the typed flatMapGroups path carries the id as a string (round-trips
@@ -166,7 +192,7 @@ object Packing {
     val prepared = df.select(
       md5Group(idCol, nGroups).as("_1"),
       col(idCol).cast("string").as("_2"),
-      TextOps.tokenCount(col(textCol)).cast("long").as("_3"))
+      tokenCount(col(textCol)).cast("long").as("_3"))
       .as[(Int, String, Long)]
     prepared.groupByKey(_._1)
       .flatMapGroups { (grp, it) =>

@@ -129,4 +129,30 @@ object Sampling {
       df.where(u < weight).withColumn("mix_source", lit(name))
     }.reduce(_ unionByName _)
   }
+
+  /** Engine-portable weighted mix — the oracle-checkable twin of
+    * [[weightedMix]] (same trade as [[md5StratifiedSample]] vs the
+    * xxhash64 paths): the keep decision compares the first three md5 hex
+    * digits of `"name#key"` against the weight's 3-hex-digit threshold
+    * LEXICOGRAPHICALLY — fixed-width lowercase hex compares identically
+    * to its numeric value in any engine, so no base conversion is needed
+    * anywhere. Weight granularity 1/4096; weights that round to 0 or 1
+    * short-circuit to keep-none/keep-all. Pure filter, no shuffle, no
+    * seed; null keys keep the row only under keep-all (they cannot hash).
+    */
+  def md5WeightedMix(sources: Seq[(DataFrame, String, Double)], keyCol: String): DataFrame = {
+    require(sources.nonEmpty, "md5WeightedMix needs at least one source")
+    sources.map { case (df, name, weight) =>
+      require(weight >= 0.0 && weight <= 1.0,
+        s"weight must be in [0, 1], got $weight for source '$name'")
+      val t = math.round(weight * 4096).toInt
+      val keep =
+        if (t <= 0) lit(false)
+        else if (t >= 4096) lit(true)
+        else substring(
+          md5(concat(lit(name), lit("#"), col(keyCol).cast("string")).cast("binary")),
+          1, 3) < lit(f"$t%03x")
+      df.where(keep).withColumn("mix_source", lit(name))
+    }.reduce(_ unionByName _)
+  }
 }

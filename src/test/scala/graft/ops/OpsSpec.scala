@@ -892,6 +892,45 @@ class OpsSpec extends SparkSpec {
     assert(taken.collect().forall(_.getAs[String]("__rk").startsWith("user")))
   }
 
+  test("md5WeightedMix: hex-prefix thresholds, short-circuits, md5 agreement") {
+    val df = docs((1L to 400L).map(i => i -> s"doc $i"): _*)
+    val mixed = Sampling.md5WeightedMix(
+      Seq((df, "a", 0.5), (df, "b", 1.0), (df, "c", 0.0)), "doc_id")
+    val bySrc = mixed.groupBy("mix_source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("b") == 400L, "weight 1.0 must keep every row")
+    assert(!bySrc.contains("c"), "weight 0.0 must keep none")
+    assert(bySrc("a") > 120 && bySrc("a") < 280, s"~50% expected, got ${bySrc("a")}")
+    // the kept set is exactly what a driver-side md5 of 'name#key' predicts
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def kept(name: String, thrHex: String, id: Long) = {
+      val hex = md.digest(s"$name#$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      hex.substring(0, 3) < thrHex
+    }
+    val aIds = mixed.where(col("mix_source") === "a")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(aIds == (1L to 400L).filter(kept("a", "800", _)).toSet)
+    intercept[IllegalArgumentException] {
+      Sampling.md5WeightedMix(Seq((df, "a", 1.5)), "doc_id")
+    }
+  }
+
+  test("packing budgets compose with a caller-supplied token counter") {
+    // one doc, counter = char count: 10 chars at capacity 4 → bins 0..2
+    val df = docs(1L -> "abcdefghij")
+    val counted = Packing.concatChunkPlan(
+      df, "doc_id", "text", capacity = 4, nGroups = 1, tokenCount = length)
+      .head()
+    assert(counted.getLong(2) == 10L && counted.getLong(3) == 0L
+      && counted.getLong(4) == 2L)
+    val ffd = Packing.packFirstFitDecreasing(
+      docs(1L -> "aaaa", 2L -> "bb", 3L -> "cccc"), "doc_id", "text",
+      capacity = 6, nGroups = 1, tokenCount = length)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    // char counts 4,2,4 sorted desc by (len,id): 1(4),3(4),2(2) → [4+2][4]
+    assert(ffd == Map(1L -> 0, 2L -> 0, 3L -> 1))
+  }
+
   test("md5Group digit width scales with nGroups; engine-reproducible at 64") {
     assert(Seq(1, 16, 17, 256, 257, 4096).map(Packing.md5GroupDigits)
       == Seq(1, 1, 2, 2, 3, 3))
