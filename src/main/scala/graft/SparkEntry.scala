@@ -487,6 +487,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // materialized packed sequences: the concat-and-chunk layout emitted
+    // as actual (group, bin, bin_text) training rows — every bin exactly
+    // capacity tokens except each group's last; fragments bound task
+    // memory at capacity tokens regardless of corpus size
+    "q86_pack_materialize" -> ((s, d) =>
+      graft.ops.Packing.materializeBins(
+        Tables(s, d, "documents"), "doc_id", "text", capacity = 256, nGroups = 8)
+        .orderBy(col("grp"), col("bin"))),
+
     // engine-portable weighted corpus mix: per-source keep decision is a
     // LEXICOGRAPHIC compare of a 3-hex-digit md5 prefix against the
     // weight's threshold — no base conversion on either engine
@@ -1288,6 +1297,35 @@ object SparkEntry {
         | cast(1 + (octet_length(encode(coalesce(text, ''))) * 7) % 16 as int) AS height,
         | 'png' AS format, true AS ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q86_pack_materialize" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)),1,1))-1) % 8 AS grp,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, grp, l, cast(len(l) as bigint) AS n_tokens,
+        |    sum(cast(len(l) as bigint)) OVER (PARTITION BY grp ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d
+        |), f AS (
+        |  SELECT grp, doc_id, l, n_tokens, cum - n_tokens AS g0, b.bin AS bin
+        |  FROM c, unnest(range(cast((cum - n_tokens) // 256 as bigint),
+        |                       cast((cum - 1) // 256 + 1 as bigint))) AS b(bin)
+        |  WHERE n_tokens > 0
+        |), s AS (
+        |  SELECT grp, bin, doc_id,
+        |    list_slice(l, greatest(0, bin*256 - g0) + 1,
+        |               least(n_tokens, (bin+1)*256 - g0)) AS frag,
+        |    least(n_tokens, (bin+1)*256 - g0) - greatest(0, bin*256 - g0) AS flen
+        |  FROM f
+        |)
+        |SELECT cast(grp as int) AS grp, cast(bin as bigint) AS bin,
+        |  array_to_string(flatten(list(frag ORDER BY doc_id)), ' ') AS bin_text,
+        |  cast(sum(flen) as bigint) AS n_tokens
+        |FROM s GROUP BY grp, bin
+        |ORDER BY grp, bin""".stripMargin,
 
     "q85_weighted_mix" ->
       """WITH a AS (

@@ -134,6 +134,57 @@ object Packing {
         expr(s"cast((__cum - n_tokens) % $capacity as bigint)").as("offset_in_bin"))
   }
 
+  /** Materialize the [[concatChunkPlan]] layout into ACTUAL training
+    * sequences: one row per (group, bin) with the bin's text — documents
+    * laid end-to-end in id order, split exactly at capacity boundaries
+    * (a straddling document contributes a fragment to each bin it spans).
+    * Every bin holds exactly `capacity` tokens except each group's last.
+    *
+    * Two shuffles, both bounded: the running-total window (carrying each
+    * doc's token array once), and the final (grp, bin) aggregate whose
+    * groups are ≤ capacity tokens BY CONSTRUCTION — so executor memory
+    * per task is bounded by capacity × bins-per-task regardless of corpus
+    * size, the property that makes this the 100 TB-safe way to emit
+    * sequences (concatenating a whole group's text first would hold
+    * corpus/nGroups tokens in one value).
+    *
+    * Exact integer arithmetic end-to-end (same math as the plan), so the
+    * emitted sequences are engine-reproducible and oracle-checkable.
+    */
+  def materializeBins(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      capacity: Long,
+      nGroups: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    require(nGroups >= 1 && nGroups <= 4096, s"nGroups must be in [1, 4096], got $nGroups")
+    val w = Window.partitionBy(col("grp")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(
+      col(idCol),
+      md5Group(idCol, nGroups).as("grp"),
+      TextOps.wsTokens(col(textCol)).as("__toks"))
+      .withColumn("n_tokens", size(col("__toks")).cast("bigint"))
+      .withColumn("__cum", sum(col("n_tokens")).over(w))
+      .where(col("n_tokens") > 0)
+      .withColumn("__g0", col("__cum") - col("n_tokens"))
+      // the bins this doc touches: g0 div cap .. (cum-1) div cap
+      .withColumn("bin",
+        explode(sequence(expr(s"__g0 div $capacity"), expr(s"(__cum - 1) div $capacity"))))
+      // fragment of the doc landing in this bin, 0-based [s0, e0)
+      .withColumn("__s0", greatest(lit(0L), col("bin") * capacity - col("__g0")))
+      .withColumn("__e0", least(col("n_tokens"), (col("bin") + 1) * capacity - col("__g0")))
+      .withColumn("__frag",
+        slice(col("__toks"), (col("__s0") + 1).cast("int"), (col("__e0") - col("__s0")).cast("int")))
+      .groupBy(col("grp"), col("bin"))
+      .agg(
+        concat_ws(" ", flatten(transform(
+          array_sort(collect_list(struct(col(idCol).as("i"), col("__frag").as("f")))),
+          e => e("f")))).as("bin_text"),
+        sum(col("__e0") - col("__s0")).as("n_tokens"))
+  }
+
   /** First-fit-decreasing bin packing per md5 group: documents sorted by
     * (tokens desc, id), each placed in the first bin with room, a new bin
     * otherwise. No document straddles bins; a document larger than

@@ -844,6 +844,43 @@ class OpsSpec extends SparkSpec {
       "an over-capacity doc must sit alone; later docs must not join its bin")
   }
 
+  test("materializeBins emits exact capacity-boundary sequences") {
+    // same corpus as the concatChunkPlan test: cum 3,5,9 at capacity 4 →
+    // bins "a b c d" / "e f g h" / "i" (doc 2 and 3 straddle)
+    val df = docs(1L -> "a b c", 2L -> "d e", 3L -> "f g h i")
+    val out = Packing.materializeBins(df, "doc_id", "text", capacity = 4, nGroups = 1)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, "a b c d", 4L), (1L, "e f g h", 4L), (2L, "i", 1L)))
+    // zero-token and empty corpora degrade cleanly
+    assert(Packing.materializeBins(
+      docs(1L -> "   "), "doc_id", "text", 4, 1).count() == 0)
+    assert(Packing.materializeBins(docs(), "doc_id", "text", 4, 1).count() == 0)
+    // rebuild property on a larger corpus: bins concatenated in order
+    // reproduce the group's documents laid end-to-end
+    val corpus = docs((1L to 40L).map(i =>
+      i -> (1 to (i % 7 + 1).toInt).map(j => s"t${i}x$j").mkString(" ")): _*)
+    val bins = Packing.materializeBins(corpus, "doc_id", "text", 16, nGroups = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    bins.groupBy(_._1).foreach { case (grp, members) =>
+      val sorted = members.sortBy(_._2)
+      // all bins full except the last
+      sorted.init.foreach { case (_, b, _, n) => assert(n == 16L, s"grp=$grp bin=$b") }
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length).toSeq)
+    }
+    val rebuilt = bins.groupBy(_._1).map { case (grp, members) =>
+      grp -> members.sortBy(_._2).flatMap(_._3.split(" ")).toSeq
+    }
+    val expected = Packing.concatChunkPlan(corpus, "doc_id", "text", 16, 4)
+      .select("doc_id", "grp").collect().map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._2).map { case (grp, ms) =>
+        grp -> ms.map(_._1).sorted.flatMap(id =>
+          (1 to (id % 7 + 1).toInt).map(j => s"t${id}x$j")).toSeq
+      }
+    assert(rebuilt == expected)
+  }
+
   test("packFirstFitDecreasing accepts string ids, lexicographic tie-break") {
     def ofTokens(rows: (String, Int)*) =
       frame(struct("doc_id" -> StringType, "text" -> StringType),
