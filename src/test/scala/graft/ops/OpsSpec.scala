@@ -746,6 +746,14 @@ class OpsSpec extends SparkSpec {
     assert(Decontam.decontaminate(evalDocs, empty, "doc_id", "text", 5).count() == 1)
     assert(TextOps.removeFrequentLines(empty, "doc_id", "text", minDocs = 2).count() == 0)
     assert(TextOps.domainStats(empty, "doc_id", "text").count() == 0)
+    assert(Packing.materializeBins(empty, "doc_id", "text", 64, 4).count() == 0)
+    assert(Multimodal.frameSample(
+      spark, Multimodal.withBinaryPayload(empty, "text", "payload"),
+      "doc_id", "payload", everyN = 1).count() == 0)
+    assert(Audio.audioMeta(
+      spark, Multimodal.withBinaryPayload(empty, "text", "payload"),
+      "doc_id", "payload").count() == 0)
+    assert(Sampling.md5WeightedMix(Seq((empty, "a", 0.7)), "doc_id").count() == 0)
     assert(TextOps.termFrequencies(empty, "text").count() == 0)
     assert(TextOps.repetitionReport(empty, "doc_id", "text").count() == 0)
   }

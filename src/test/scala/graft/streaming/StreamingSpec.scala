@@ -289,4 +289,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
     assert(streamed.length == 3)
   }
+
+  test("content-keyed sampling and mixing are stateless — stream ≡ batch") {
+    // md5 split/sample/mix decide per row from content alone (no seed, no
+    // state), so the SAME rows must be kept whether the corpus arrives as
+    // one batch or dribbles in over micro-batches — the property that lets
+    // one pipeline definition serve backfill and live ingestion
+    import graft.ops.Sampling
+    val docSt = struct("doc_id" -> LongType, "text" -> StringType)
+    val dir = Files.createTempDirectory("graft-mix-in").toString
+    val rows = (1L to 60L).map(i => Row(i, s"document number $i body"))
+    rows.grouped(20).foreach { chunk =>
+      frame(docSt, chunk: _*).coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(5)
+    }
+    def keep(df: DataFrame): DataFrame =
+      Sampling.md5WeightedMix(Seq((df, "live", 0.5)), "doc_id")
+    val stream = keep(
+      spark.readStream.schema(docSt).option("maxFilesPerTrigger", "1").parquet(dir))
+    runToCompletion(stream, "mix_out")
+    val streamed = spark.table("mix_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = keep(spark.read.parquet(dir))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.size < 60,
+      "weight 0.5 must keep a strict non-empty subset")
+  }
 }
