@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.SparkSpec
+
+/** Generative properties for the packing / mixing / tokenizing ops — the
+  * hand-written fixtures pin exact placements; these sweep the parameter
+  * space (corpus shapes × capacities × group counts) for the structural
+  * invariants that must hold everywhere.
+  */
+object OpsPropertySpec extends Properties("graft.ops") {
+
+  private lazy val spark = SparkSpec.session
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withMaxDiscardRatio(10)
+
+  private val docSt = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("text", StringType, nullable = true)))
+
+  /** Corpus where doc i has tokenCounts(i-1) distinct tokens t{i}x{j}. */
+  private def corpus(tokenCounts: Seq[Int]) = {
+    val rows = tokenCounts.zipWithIndex.map { case (n, i) =>
+      Row((i + 1).toLong, (1 to n).map(j => s"t${i + 1}x$j").mkString(" "))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), docSt)
+  }
+
+  private val genCounts: Gen[List[Int]] =
+    Gen.choose(0, 20).flatMap(k => Gen.listOfN(k, Gen.choose(0, 12)))
+
+  property("materializeBins rebuilds each group exactly at capacity boundaries") =
+    forAll(genCounts, Gen.choose(1L, 20L), Gen.choose(1, 8)) { (counts, cap, ng) =>
+      val df = corpus(counts)
+      val bins = Packing.materializeBins(df, "doc_id", "text", cap, ng)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .groupBy(_._1)
+      val plan = Packing.concatChunkPlan(df, "doc_id", "text", cap, ng)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      plan.groupBy(_._2).forall { case (g, members) =>
+        val toks = members.sortBy(_._1).flatMap { case (id, _, n) =>
+          (1 to n.toInt).map(j => s"t${id}x$j")
+        }
+        if (toks.isEmpty) !bins.contains(g) // all-empty groups emit no bins
+        else {
+          val bs = bins(g).sortBy(_._2)
+          bs.map(_._2).toSeq == (0L until bs.length).toSeq &&
+            bs.init.forall(_._4 == cap) && // every bin full except the last
+            bs.last._4 == toks.length - cap * (bs.length - 1) &&
+            bs.flatMap(_._3.split(" ").filter(_.nonEmpty)).toSeq == toks.toSeq
+        }
+      }
+    }
+
+  property("FFD places every doc exactly once and never overfills") =
+    forAll(genCounts, Gen.choose(1L, 15L), Gen.choose(1, 8)) { (counts, cap, ng) =>
+      val packed = Packing.packFirstFitDecreasing(
+        corpus(counts), "doc_id", "text", cap, ng)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      packed.map(_._1).sorted.toSeq == (1L to counts.length).toSeq &&
+        packed.groupBy(t => (t._2, t._3)).forall { case (_, ms) =>
+          ms.map(_._4).sum <= cap || ms.length == 1
+        }
+    }
+
+  property("md5WeightedMix keep-set grows monotonically with weight") =
+    forAll(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) { (a, b) =>
+      val (w1, w2) = (math.min(a, b), math.max(a, b))
+      val df = corpus(Seq.fill(30)(1))
+      def kept(w: Double) = Sampling.md5WeightedMix(Seq((df, "s", w)), "doc_id")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      kept(w1).subsetOf(kept(w2))
+    }
+
+  private lazy val bpe = graft.functions.BpeModel.fromMerges(
+    Iterator("h e", "l l", "he ll"))
+
+  property("BPE count is deterministic and bounded by the byte length") =
+    forAll(Gen.listOf(Gen.oneOf("hello", "world", "it's", "héllo", "123", "x"))
+      .map(_.mkString(" "))) { s =>
+      val c = bpe.countTokens(s)
+      c == bpe.countTokens(s) &&
+        c <= s.getBytes("UTF-8").length &&
+        (s.isEmpty || c >= 1)
+    }
+}
