@@ -46,6 +46,9 @@ object SparkEntry {
   private def q62FeatureDir(sfDir: String) =
     s"/tmp/graft_q62_features_${new java.io.File(sfDir).getName}"
 
+  private def q87FeatureDir(sfDir: String) =
+    s"/tmp/graft_q87_features_${new java.io.File(sfDir).getName}"
+
   /** documents with the cluster's parallelism. The test parquet is ONE small
     * file → one input split, which serializes the signature kernels of the
     * pair-dedup queries onto a single core; a 100 TB corpus arrives in
@@ -485,6 +488,26 @@ object SparkEntry {
           min(col("width")).as("frame_w"),
           min(col("height")).as("frame_h"))
         .orderBy(col("doc_id"))
+    }),
+
+    // the full video pipeline composed end-to-end: AVI → frames → per-
+    // frame luma features → mean-pooled per-doc embedding → exact ANN.
+    // Same mid-query materialization as q62 so DuckDB ranks the identical
+    // vectors (cosine over DOUBLE[] is then bit-identical)
+    "q87_video_ann" -> ((s, d) => {
+      val avi = graft.ops.Multimodal.synthesizeAvi(
+        s, docsParallel(s, d), "doc_id", "text", "payload")
+      val frames = graft.ops.Multimodal.frameSample(s, avi, "doc_id", "payload", everyN = 1)
+        .where(col("error").isNull)
+        .select(col("doc_id"), col("frame").as("payload"))
+      val perFrame = graft.ops.Multimodal.featureExtract(s, frames, "doc_id", "payload", dim = 16)
+        .where(col("error").isNull)
+      graft.ops.Similarity.meanPoolEmbeddings(perFrame, "doc_id", "embedding")
+        .write.mode("overwrite").parquet(q87FeatureDir(d))
+      val feat = s.read.parquet(q87FeatureDir(d))
+      graft.ops.Similarity.bruteForceTopK(
+        feat, feat.where(col("doc_id") < 5), "embedding", "doc_id", k = 3)
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // materialized packed sequences: the concat-and-chunk layout emitted
@@ -1297,6 +1320,22 @@ object SparkEntry {
         | cast(1 + (octet_length(encode(coalesce(text, ''))) * 7) % 16 as int) AS height,
         | 'png' AS format, true AS ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q87_video_ann" ->
+      """WITH f AS (SELECT doc_id, embedding::DOUBLE[] AS v
+        |           FROM read_parquet('/tmp/graft_q87_features_sf0.01/*.parquet')),
+        |q AS (SELECT doc_id AS query_id, v AS qv FROM f WHERE doc_id < 5),
+        |scored AS (
+        |  SELECT query_id, f.doc_id AS neighbor_id,
+        |    list_cosine_similarity(qv, v) AS cosine
+        |  FROM q CROSS JOIN f WHERE query_id <> f.doc_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    cast(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) as int) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q86_pack_materialize" ->
       """WITH d AS (

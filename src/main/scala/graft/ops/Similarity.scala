@@ -91,6 +91,21 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Element-wise mean of per-row embedding arrays grouped by id — the
+    * pooling step that turns per-frame (or per-chunk) vectors into one
+    * vector per document, e.g. video frames → one doc embedding. Two hash
+    * aggregates over the pos-exploded values (both map-side combining),
+    * no window; the array rebuilds in position order. Output is float to
+    * match the feature extractors.
+    */
+  def meanPoolEmbeddings(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("__pos", "__v")))
+      .groupBy(col(idCol), col("__pos")).agg(avg(col("__v")).as("__m"))
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos").as("p"), col("__m").as("v")))),
+        e => e("v").cast("float")).as(vecCol))
+
   /** Threshold range search: ALL corpus neighbors with cosine at or above
     * `minCosine` for each query — the vector-store "radius search" twin of
     * [[bruteForceTopK]]'s top-k. No window and no rank: the broadcast

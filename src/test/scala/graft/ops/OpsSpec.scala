@@ -925,6 +925,15 @@ class OpsSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("meanPoolEmbeddings averages element-wise in position order") {
+    val df = frame(struct("doc_id" -> LongType, "embedding" -> ArrayType(FloatType)),
+      Row(1L, Seq(1.0f, 3.0f)), Row(1L, Seq(3.0f, 5.0f)), Row(2L, Seq(7.0f, 9.0f)))
+    val pooled = Similarity.meanPoolEmbeddings(df, "doc_id", "embedding")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toSeq))
+    assert(pooled.toSeq == Seq((1L, Seq(2.0f, 4.0f)), (2L, Seq(7.0f, 9.0f))))
+  }
+
   test("takePerStratum tiebreaker orders duplicate keys; rank column is collision-safe") {
     val df = frame(
       struct("doc_id" -> LongType, "grp" -> StringType,
