@@ -127,6 +127,34 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected one exchange, saw $exchanges:\n$p")
   }
 
+  test("materialized packing reuses the window partitioning — one exchange") {
+    // the (grp, bin) aggregate is satisfied by the window's grp hash
+    // partitioning, so the whole materialization is ONE shuffle end-to-end
+    val p = plan(ops.Packing.materializeBins(
+      Tables(spark, dir, "documents"), "doc_id", "text", capacity = 256, nGroups = 8))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected one exchange, saw $exchanges:\n$p")
+  }
+
+  test("media decode chains are shuffle-free generators") {
+    val docs = Tables(spark, dir, "documents")
+    val avi = ops.Multimodal.synthesizeAvi(spark, docs, "doc_id", "text", "payload")
+    val frames = ops.Multimodal.frameSample(spark, avi, "doc_id", "payload", everyN = 1)
+    val pv = plan(frames)
+    assert(!pv.contains("Exchange"), s"video chain must not shuffle:\n$pv")
+    val wav = ops.Audio.synthesizeWav(spark, docs, "doc_id", "text", "payload")
+    val pa = plan(ops.Audio.audioFeatures(spark, wav, "doc_id", "payload"))
+    assert(!pa.contains("Exchange"), s"audio chain must not shuffle:\n$pa")
+  }
+
+  test("md5 weighted mix is a pure pushdown-friendly filter union") {
+    val docs = Tables(spark, dir, "documents").select("doc_id")
+    val p = plan(ops.Sampling.md5WeightedMix(
+      Seq((docs, "a", 0.5), (docs, "b", 0.25)), "doc_id"))
+    assert(!p.contains("Exchange"), s"mix must not shuffle:\n$p")
+    assert(p.contains("Union"), s"expected a union of filtered scans:\n$p")
+  }
+
   test("validation compiles to ONE aggregate pass over the frame") {
     val m = core.Schema("LI", Seq(
       core.FieldSpec.long("l_orderkey"),
