@@ -490,6 +490,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // production dedup policy: form clusters, keep the LONGEST copy per
+    // cluster (ties to smallest id) instead of the arbitrary min-id —
+    // oracle = the q61 recursive-CTE closure + a QUALIFY pick
+    "q88_dedup_keep_best" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val pairs = graft.ops.Dedup.minhashPairs(
+        docsParallel(s, d), "text", "doc_id",
+        k = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      val clusters = graft.ops.Dedup.dedupClusters(docs, "doc_id", pairs)
+      graft.ops.Dedup.keepBestPerCluster(
+        docs, "doc_id", clusters, graft.ops.TextOps.tokenCount(col("text")))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the full video pipeline composed end-to-end: AVI → frames → per-
     // frame luma features → mean-pooled per-doc embedding → exact ANN.
     // Same mid-query materialization as q62 so DuckDB ranks the identical
@@ -1320,6 +1335,37 @@ object SparkEntry {
         | cast(1 + (octet_length(encode(coalesce(text, ''))) * 7) % 16 as int) AS height,
         | 'png' AS format, true AS ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q88_dedup_keep_best" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                   for i in range(1, len(toks)-1)]) AS sh
+        |  FROM t WHERE len(toks) >= 3
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        |), e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM documents
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id
+        |), labels AS (
+        |  SELECT id, cast(min(r) as bigint) AS rep FROM reach GROUP BY id
+        |)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d
+        |JOIN labels l ON l.id = d.doc_id
+        |JOIN t ON t.doc_id = d.doc_id
+        |QUALIFY row_number() OVER (PARTITION BY l.rep
+        |  ORDER BY len(t.toks) DESC, d.doc_id) = 1
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q87_video_ann" ->
       """WITH f AS (SELECT doc_id, embedding::DOUBLE[] AS v

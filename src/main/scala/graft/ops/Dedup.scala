@@ -520,6 +520,33 @@ object Dedup {
     out
   }
 
+  /** Keep the BEST member of each duplicate cluster — the production dedup
+    * policy ([[exactKeepMin]]'s min-id is the arbitrary-but-deterministic
+    * baseline; real pipelines keep the longest or highest-quality copy).
+    * `clusters` is the (id, rep) labeling from [[dedupClusters]] /
+    * [[dedupClustersStar]]; `score` is any Column over the doc's columns
+    * (token count, quality score, …). Highest score wins, ties break to
+    * the smallest id — a total order, so the survivor set is
+    * engine-reproducible. One join onto the labels (broadcast when the
+    * label frame is small, shuffle otherwise) + one window on rep.
+    */
+  def keepBestPerCluster(
+      docs: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labeled = docs.join(
+      clusters.select(col("id").as("__cid"), col("rep").as("__rep")),
+      docs(idCol) === col("__cid"))
+    val w = Window.partitionBy(col("__rep")).orderBy(score.desc, col(idCol).asc)
+    val rk = Iterator.from(0).map(i => s"__kb$i")
+      .find(!labeled.columns.contains(_)).get
+    labeled.withColumn(rk, row_number().over(w))
+      .where(col(rk) === 1)
+      .drop(rk, "__cid", "__rep")
+  }
+
   /** Exhaustive O(n²) twin of [[embeddingNearDup]] — the verification
     * baseline (and DuckDB-oracle form) for corpora small enough to
     * cross-join; the banded plan above is the 100 TB path.

@@ -77,6 +77,24 @@ object OpsPropertySpec extends Properties("graft.ops") {
       kept(w1).subsetOf(kept(w2))
     }
 
+  property("the AVI parser never throws — arbitrary bytes yield Left") =
+    forAll(Gen.listOf(Gen.choose(-128, 127).map(_.toByte)).map(_.toArray)) { bytes =>
+      // any outcome but an exception is acceptable; junk must be Left
+      Multimodal.aviVideoFrames(bytes).isLeft
+    }
+
+  property("the AVI parser survives corruption of a valid container") =
+    forAll(Gen.choose(0, 1000), Gen.choose(-128, 127).map(_.toByte),
+      Gen.alphaStr.map(_.take(12))) { (pos, b, seed) =>
+      val avi = Multimodal.synthAviBytes(seed.getBytes("UTF-8"))
+      val mutated = avi.clone()
+      mutated(pos % mutated.length) = b
+      // must return (Left or Right), never throw — decode of surviving
+      // frames is exercised separately; here the container walk is the SUT
+      Multimodal.aviVideoFrames(mutated)
+      true
+    }
+
   private lazy val bpe = graft.functions.BpeModel.fromMerges(
     Iterator("h e", "l l", "he ll"))
 

@@ -925,6 +925,25 @@ class OpsSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("keepBestPerCluster keeps the top score per cluster, ties to min id") {
+    val df = docs(
+      1L -> "short copy",                      // cluster {1,2,3}: 3 is longest
+      2L -> "short copy two",
+      3L -> "the much longer copy of all four tokens",
+      4L -> "singleton survives alone",
+      5L -> "tie a b", 6L -> "tie c d")        // cluster {5,6}: tied at 3 → min id 5
+    val clusters = frame(struct("id" -> LongType, "rep" -> LongType),
+      Row(1L, 1L), Row(2L, 1L), Row(3L, 1L), Row(4L, 4L), Row(5L, 5L), Row(6L, 5L))
+    val kept = Dedup.keepBestPerCluster(
+      df, "doc_id", clusters, TextOps.tokenCount(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 5L))
+    // survivor rows keep the full doc schema, no helper columns
+    val cols = Dedup.keepBestPerCluster(
+      df, "doc_id", clusters, TextOps.tokenCount(col("text"))).columns.toSeq
+    assert(cols == Seq("doc_id", "text"))
+  }
+
   test("meanPoolEmbeddings averages element-wise in position order") {
     val df = frame(struct("doc_id" -> LongType, "embedding" -> ArrayType(FloatType)),
       Row(1L, Seq(1.0f, 3.0f)), Row(1L, Seq(3.0f, 5.0f)), Row(2L, Seq(7.0f, 9.0f)))
