@@ -490,6 +490,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // §2.3 full outer join — nulls on both sides: left-only orders (no
+    // matching small-key customer) and right-only customers (no orders in
+    // the filtered slice)
+    "q89_join_outer" -> ((s, d) => {
+      val orders = graft.relation.Relation(
+        Tables(s, d, "orders")).filter("o_orderkey <= 1000")
+        .apply("o_orderkey", "o_custkey").toDF
+      val cust = graft.relation.Relation(
+        Tables(s, d, "customer")).filter("c_custkey <= 50")
+        .apply("c_custkey", "c_name").toDF
+      graft.relation.Relation(orders)
+        .outerJoin(graft.relation.Relation(cust), "o_custkey = c_custkey")
+        .order("o_orderkey NULLS FIRST, c_custkey NULLS FIRST").toDF
+    }),
+
     // production dedup policy: form clusters, keep the LONGEST copy per
     // cluster (ties to smallest id) instead of the arbitrary min-id —
     // oracle = the q61 recursive-CTE closure + a QUALIFY pick
@@ -1335,6 +1350,13 @@ object SparkEntry {
         | cast(1 + (octet_length(encode(coalesce(text, ''))) * 7) % 16 as int) AS height,
         | 'png' AS format, true AS ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q89_join_outer" ->
+      """SELECT o_orderkey, o_custkey, c_custkey, c_name
+        |FROM (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey <= 1000) o
+        |FULL JOIN (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 50) c
+        |ON o_custkey = c_custkey
+        |ORDER BY o_orderkey NULLS FIRST, c_custkey NULLS FIRST""".stripMargin,
 
     "q88_dedup_keep_best" ->
       """WITH RECURSIVE t AS (
