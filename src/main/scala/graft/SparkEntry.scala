@@ -490,6 +490,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // incremental dedup: the day's arrivals (doc_id % 10 = 0) checked
+    // against the standing corpus — new×new and existing×existing pairs
+    // never generated; exact O(new×existing) jaccard is the oracle (the
+    // q35 recall argument: this banding finds every >= 0.5 pair here)
+    "q90_dedup_incremental" -> ((s, d) => {
+      val docs = docsParallel(s, d)
+      graft.ops.Dedup.minhashPairsAgainst(
+        docs.where(col("doc_id") % 10 === 0),
+        docs.where(col("doc_id") % 10 =!= 0),
+        "text", "doc_id", k = 3, numHashes = 64, bands = 32, threshold = 0.5)
+        .orderBy(col("new_id"), col("existing_id"))
+    }),
+
     // §2.3 full outer join — nulls on both sides: left-only orders (no
     // matching small-key customer) and right-only customers (no orders in
     // the filtered slice)
@@ -1350,6 +1363,23 @@ object SparkEntry {
         | cast(1 + (octet_length(encode(coalesce(text, ''))) * 7) % 16 as int) AS height,
         | 'png' AS format, true AS ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q90_dedup_incremental" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                   for i in range(1, len(toks)-1)]) AS sh
+        |  FROM t WHERE len(toks) >= 3
+        |)
+        |SELECT n.doc_id AS new_id, e.doc_id AS existing_id,
+        |  len(list_intersect(n.sh, e.sh))::DOUBLE /
+        |    (len(n.sh) + len(e.sh) - len(list_intersect(n.sh, e.sh))) AS jaccard
+        |FROM s n JOIN s e ON n.doc_id % 10 = 0 AND e.doc_id % 10 <> 0
+        |WHERE len(list_intersect(n.sh, e.sh))::DOUBLE /
+        |    (len(n.sh) + len(e.sh) - len(list_intersect(n.sh, e.sh))) >= 0.5
+        |ORDER BY new_id, existing_id""".stripMargin,
 
     "q89_join_outer" ->
       """SELECT o_orderkey, o_custkey, c_custkey, c_name

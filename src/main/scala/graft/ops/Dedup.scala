@@ -212,6 +212,57 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Incremental near-dup check: NEW documents against an EXISTING corpus —
+    * the standing-corpus reality at 100 TB (you do not re-pair the world,
+    * you check the day's arrivals). Returns (new_id, existing_id, jaccard)
+    * at or above `threshold`. Candidates come from joining the new side's
+    * LSH buckets to the existing side's — the same fused kernel family, so
+    * buckets are compatible — which means new×new and existing×existing
+    * pairs are NEVER generated and the join cost is the new side's buckets
+    * probing matching existing buckets, not corpus². Oversized existing
+    * buckets drop under the same production guard as [[minhashPairs]]. At
+    * steady state the existing side's (band, bhash, id) rows and hashed
+    * shingle sets are exactly the artifacts a pipeline persists as its
+    * standing dedup index.
+    */
+  def minhashPairsAgainst(
+      newDocs: DataFrame,
+      existing: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 4096): DataFrame = {
+    def sigsOf(df: DataFrame) = df.select(
+      col(idCol).as("id"),
+      graft.functions.native
+        .minhashBandHashes(TextOps.rawTokens(col(textCol)), k, numHashes, bands)
+        .as("bh"))
+    def hsOf(df: DataFrame) = df.select(
+      col(idCol).as("id"),
+      graft.functions.native
+        .hashedShingleSet(TextOps.rawTokens(col(textCol)), k).as("hs"))
+    val bucketsNew = sigsOf(newDocs)
+      .select(posexplode(col("bh")).as(Seq("band", "bhash")), col("id").as("new_id"))
+    val w = Window.partitionBy(col("band"), col("bhash"))
+    val bucketsExisting = sigsOf(existing)
+      .select(posexplode(col("bh")).as(Seq("band", "bhash")), col("id").as("existing_id"))
+      .withColumn("n", count(lit(1)).over(w))
+      .where(col("n") <= maxBucketSize)
+      .drop("n")
+    bucketsNew.join(bucketsExisting, Seq("band", "bhash"))
+      .select("new_id", "existing_id")
+      .dropDuplicates("new_id", "existing_id")
+      .join(hsOf(newDocs).select(col("id").as("new_id"), col("hs").as("hs_a")), Seq("new_id"))
+      .join(hsOf(existing).select(col("id").as("existing_id"), col("hs").as("hs_b")), Seq("existing_id"))
+      .withColumn("jaccard",
+        graft.functions.native.jaccardSorted(col("hs_a"), col("hs_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("new_id"), col("existing_id"), col("jaccard"))
+  }
+
   /** Near-duplicate pairs by SimHash: 64-bit signatures banded into equal
     * chunks — by pigeonhole, any pair within hamming distance `chunks - 1`
     * shares at least one identical chunk, so candidate generation is ONE

@@ -925,6 +925,24 @@ class OpsSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("minhashPairsAgainst finds only cross-side pairs") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = base.replace("token7", "tokenX")
+    val other = (1 to 40).map(i => s"other$i").mkString(" ")
+    // 1 and 2 are near-dups of each other (both NEW); 10 is the existing
+    // copy; 11 is unrelated existing
+    val newDocs = docs(1L -> base, 2L -> nearDup)
+    val existing = docs(10L -> base, 11L -> other)
+    val pairs = Dedup.minhashPairsAgainst(
+      newDocs, existing, "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 10L), (2L, 10L)),
+      "both new docs match the existing copy; the new-new pair must NOT appear")
+    // empty new side → no pairs, and never an error
+    assert(Dedup.minhashPairsAgainst(
+      docs(), existing, "text", "doc_id").count() == 0)
+  }
+
   test("keepBestPerCluster keeps the top score per cluster, ties to min id") {
     val df = docs(
       1L -> "short copy",                      // cluster {1,2,3}: 3 is longest
