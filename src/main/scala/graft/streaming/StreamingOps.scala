@@ -138,6 +138,62 @@ object StreamingOps {
     * Column names apart from `key` must be disjoint between the sides (the
     * join preserves both frames' columns).
     */
+  /** Streaming incremental dedup: a LIVE document stream checked against a
+    * STATIC standing corpus (the index) — the streaming twin of
+    * `Dedup.minhashPairsAgainst`. The stream side computes band hashes and
+    * hashed shingle sets in one projection and carries the shingle set
+    * through the band explode, so candidate generation + verification is a
+    * single STATELESS stream-static inner join on (band, bucket hash) —
+    * no watermark needed for the join itself. The only state is the final
+    * `dropDuplicates` (the same pair can surface via several bands, across
+    * micro-batches); key it with a watermark upstream if the stream is
+    * unbounded, or leave it exact for bounded replays. The static side —
+    * exploded buckets + shingle sets, oversize-guarded — is exactly the
+    * persisted dedup index; `persist()` it before passing when serving
+    * many micro-batches.
+    */
+  def dedupAgainstCorpus(
+      newStream: DataFrame,
+      existing: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 4096): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.ops.TextOps
+    val streamSide = newStream.select(
+      col(idCol).as("new_id"),
+      graft.functions.native
+        .minhashBandHashes(TextOps.rawTokens(col(textCol)), k, numHashes, bands)
+        .as("bh"),
+      graft.functions.native
+        .hashedShingleSet(TextOps.rawTokens(col(textCol)), k).as("hs_a"))
+      .select(col("new_id"), col("hs_a"),
+        posexplode(col("bh")).as(Seq("band", "bhash")))
+    val w = Window.partitionBy(col("band"), col("bhash"))
+    val existingSide = existing.select(
+      col(idCol).as("existing_id"),
+      graft.functions.native
+        .minhashBandHashes(TextOps.rawTokens(col(textCol)), k, numHashes, bands)
+        .as("bh"),
+      graft.functions.native
+        .hashedShingleSet(TextOps.rawTokens(col(textCol)), k).as("hs_b"))
+      .select(col("existing_id"), col("hs_b"),
+        posexplode(col("bh")).as(Seq("band", "bhash")))
+      .withColumn("n", count(lit(1)).over(w))
+      .where(col("n") <= maxBucketSize)
+      .drop("n")
+    streamSide.join(existingSide, Seq("band", "bhash"))
+      .withColumn("jaccard",
+        graft.functions.native.jaccardSorted(col("hs_a"), col("hs_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("new_id"), col("existing_id"), col("jaccard"))
+      .dropDuplicates("new_id", "existing_id")
+  }
+
   def joinWithinTime(
       left: DataFrame,
       right: DataFrame,

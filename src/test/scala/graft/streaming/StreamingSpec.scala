@@ -290,6 +290,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.length == 3)
   }
 
+  test("streaming incremental dedup against a static corpus ≡ batch") {
+    import graft.ops.Dedup
+    val docSt = struct("doc_id" -> LongType, "text" -> StringType)
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = base.replace("token7", "tokenX")
+    val other = (1 to 40).map(i => s"other$i").mkString(" ")
+    val existing = frame(docSt, Row(10L, base), Row(11L, other))
+    val dir = Files.createTempDirectory("graft-newdocs-in").toString
+    // arrivals split across micro-batches — the near-dup of doc 10 lands
+    // in batch 1, the near-dup of doc 11 in batch 2
+    Seq(Seq(Row(1L, base)),
+      Seq(Row(2L, nearDup), Row(3L, other.replace("other7 ", "otherX "))))
+      .foreach { rows =>
+        frame(docSt, rows: _*).coalesce(1).write.mode("append").parquet(dir)
+        Thread.sleep(5)
+      }
+    val stream = StreamingOps.dedupAgainstCorpus(
+      spark.readStream.schema(docSt).option("maxFilesPerTrigger", "1").parquet(dir),
+      existing, "text", "doc_id")
+    runToCompletion(stream, "dedup_inc")
+    val streamed = spark.table("dedup_inc").select("new_id", "existing_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.minhashPairsAgainst(
+      spark.read.parquet(dir), existing, "text", "doc_id")
+      .select("new_id", "existing_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed == Set((1L, 10L), (2L, 10L), (3L, 11L)))
+  }
+
   test("content-keyed sampling and mixing are stateless — stream ≡ batch") {
     // md5 split/sample/mix decide per row from content alone (no seed, no
     // state), so the SAME rows must be kept whether the corpus arrives as
