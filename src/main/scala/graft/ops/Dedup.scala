@@ -263,6 +263,89 @@ object Dedup {
       .select(col("new_id"), col("existing_id"), col("jaccard"))
   }
 
+  /** Persist the standing dedup index: the corpus's LSH buckets (oversize-
+    * guarded) and hashed shingle sets, written once as parquet so arrivals
+    * probe them WITHOUT re-reading or re-hashing the corpus text — at
+    * 100 TB the index is a few 8-byte columns, the corpus re-scan it
+    * replaces is the whole text column. Layout: `<path>/buckets` =
+    * (band, bhash, id), `<path>/sets` = (id, hs), `<path>/meta` = the
+    * banding parameters, which [[minhashPairsAgainstIndex]] reads back so
+    * a probe can never run with mismatched banding.
+    */
+  def writeDedupIndex(
+      existing: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      k: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      maxBucketSize: Int = 4096): Unit = {
+    val spark = existing.sparkSession
+    import spark.implicits._
+    val sigs = existing.select(
+      col(idCol).as("id"),
+      graft.functions.native
+        .minhashBandHashes(TextOps.rawTokens(col(textCol)), k, numHashes, bands)
+        .as("bh"))
+    val w = Window.partitionBy(col("band"), col("bhash"))
+    sigs.select(posexplode(col("bh")).as(Seq("band", "bhash")), col("id"))
+      .withColumn("n", count(lit(1)).over(w))
+      .where(col("n") <= maxBucketSize)
+      .drop("n")
+      .write.mode("overwrite").parquet(s"$path/buckets")
+    existing.select(
+      col(idCol).as("id"),
+      graft.functions.native
+        .hashedShingleSet(TextOps.rawTokens(col(textCol)), k).as("hs"))
+      .write.mode("overwrite").parquet(s"$path/sets")
+    Seq((k, numHashes, bands, maxBucketSize))
+      .toDF("k", "num_hashes", "bands", "max_bucket_size")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Probe a persisted index ([[writeDedupIndex]]) with new documents —
+    * identical result to [[minhashPairsAgainst]] on the original corpus,
+    * but the only work on the existing side is reading two narrow parquet
+    * tables. Banding parameters come FROM the index's meta table, so the
+    * new side always hashes compatibly.
+    */
+  def minhashPairsAgainstIndex(
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = newDocs.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val k = meta.getAs[Int]("k")
+    val numHashes = meta.getAs[Int]("num_hashes")
+    val bands = meta.getAs[Int]("bands")
+    val newSide = newDocs.select(
+      col(idCol).as("new_id"),
+      graft.functions.native
+        .minhashBandHashes(TextOps.rawTokens(col(textCol)), k, numHashes, bands)
+        .as("bh"),
+      graft.functions.native
+        .hashedShingleSet(TextOps.rawTokens(col(textCol)), k).as("hs_a"))
+      .select(col("new_id"), col("hs_a"),
+        posexplode(col("bh")).as(Seq("band", "bhash")))
+    val buckets = spark.read.parquet(s"$path/buckets")
+      .withColumnRenamed("id", "existing_id")
+    val sets = spark.read.parquet(s"$path/sets")
+      .select(col("id").as("existing_id"), col("hs").as("hs_b"))
+    newSide.join(buckets, Seq("band", "bhash"))
+      // hs_a is identical on every row of a new_id, so the arbitrary-row
+      // keep of dropDuplicates is still deterministic content
+      .select(col("new_id"), col("existing_id"), col("hs_a"))
+      .dropDuplicates("new_id", "existing_id")
+      .join(sets, Seq("existing_id"))
+      .withColumn("jaccard",
+        graft.functions.native.jaccardSorted(col("hs_a"), col("hs_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("new_id"), col("existing_id"), col("jaccard"))
+  }
+
   /** Near-duplicate pairs by SimHash: 64-bit signatures banded into equal
     * chunks — by pigeonhole, any pair within hamming distance `chunks - 1`
     * shares at least one identical chunk, so candidate generation is ONE

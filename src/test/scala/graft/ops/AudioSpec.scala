@@ -37,6 +37,23 @@ class AudioSpec extends SparkSpec {
     assert(err.getMessage.contains("integral id"))
   }
 
+  test("audio decode dead-letters every junk payload without failing tasks") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 100L).map { i =>
+      Row(i, Array.fill(rnd.nextInt(200))(rnd.nextInt().toByte))
+    }
+    val df = frame(struct("doc_id" -> LongType, "payload" -> BinaryType), rows: _*)
+    val metas = Audio.audioMeta(spark, df, "doc_id", "payload").collect()
+    assert(metas.length == 100 && metas.forall(_.error.isDefined))
+    // corrupting a valid WAV's body must not fail the task either
+    val wav = Audio.synthWavBytes("seed".getBytes("UTF-8"))
+    val mutated = (0 until 20).map { i =>
+      val m = wav.clone(); m(i * wav.length / 20) = 0x55.toByte; Row(i.toLong, m)
+    }
+    val mdf = frame(struct("doc_id" -> LongType, "payload" -> BinaryType), mutated: _*)
+    assert(Audio.audioMeta(spark, mdf, "doc_id", "payload").count() == 20)
+  }
+
   test("audio features match the hand computation on a fixture WAV") {
     val fixture = Audio.wavBytes(Array[Short](0, 1000, -1000, 1000), sampleRate = 8000)
     val df = frame(struct("doc_id" -> LongType, "payload" -> BinaryType),

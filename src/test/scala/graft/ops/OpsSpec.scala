@@ -941,6 +941,14 @@ class OpsSpec extends SparkSpec {
     // empty new side → no pairs, and never an error
     assert(Dedup.minhashPairsAgainst(
       docs(), existing, "text", "doc_id").count() == 0)
+    // the persisted-index probe gives the identical pair set, with the
+    // banding parameters coming from the index's own meta table
+    val idx = java.nio.file.Files.createTempDirectory("graft-dedup-idx").toString
+    Dedup.writeDedupIndex(existing, "text", "doc_id", idx)
+    val viaIndex = Dedup.minhashPairsAgainstIndex(
+      newDocs, "text", "doc_id", idx, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == pairs)
   }
 
   test("keepBestPerCluster keeps the top score per cluster, ties to min id") {
