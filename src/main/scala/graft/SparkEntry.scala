@@ -490,6 +490,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // per-column profile: one aggregate pass + stack unpivot (describe()
+    // analogue; int/string columns only in the query so min/max string
+    // rendering is engine-identical)
+    "q91_profile" -> ((s, d) =>
+      graft.relation.Relation(Tables(s, d, "nation"))
+        .apply("n_nationkey", "n_name", "n_regionkey")
+        .profile().order("column").toDF),
+
     // incremental dedup: the day's arrivals (doc_id % 10 = 0) checked
     // against the standing corpus — new×new and existing×existing pairs
     // never generated; exact O(new×existing) jaccard is the oracle (the
@@ -1363,6 +1371,23 @@ object SparkEntry {
         | cast(1 + (octet_length(encode(coalesce(text, ''))) * 7) % 16 as int) AS height,
         | 'png' AS format, true AS ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q91_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'n_nationkey' AS "column", count(n_nationkey)::BIGINT AS n,
+        |    (count(*) - count(n_nationkey))::BIGINT AS n_null,
+        |    count(DISTINCT n_nationkey)::BIGINT AS n_distinct,
+        |    cast(min(n_nationkey) as varchar) AS min_str,
+        |    cast(max(n_nationkey) as varchar) AS max_str FROM nation
+        |  UNION ALL
+        |  SELECT 'n_name', count(n_name)::BIGINT,
+        |    (count(*) - count(n_name))::BIGINT, count(DISTINCT n_name)::BIGINT,
+        |    cast(min(n_name) as varchar), cast(max(n_name) as varchar) FROM nation
+        |  UNION ALL
+        |  SELECT 'n_regionkey', count(n_regionkey)::BIGINT,
+        |    (count(*) - count(n_regionkey))::BIGINT, count(DISTINCT n_regionkey)::BIGINT,
+        |    cast(min(n_regionkey) as varchar), cast(max(n_regionkey) as varchar) FROM nation
+        |) ORDER BY "column"""".stripMargin,
 
     "q90_dedup_incremental" ->
       """WITH t AS (

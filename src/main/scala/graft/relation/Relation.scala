@@ -214,6 +214,37 @@ final case class Relation(
 
   def count(): Long = df.count()
 
+  /** Per-column profile — the `describe()` analogue, built the same
+    * one-scan way as the Validator: ONE aggregate pass computes every
+    * column's non-null count, null count, exact distinct count, and
+    * min/max (rendered as strings so the long-format frame has one
+    * schema), then a `stack` unpivots to one row per column. Column count
+    * changes the aggregate width, never the scan count — profiling a
+    * 500-column table is still one job.
+    */
+  def profile(): Relation = {
+    val fields = df.schema.fields
+    require(fields.nonEmpty, "cannot profile a zero-column relation")
+    val aggs = fields.flatMap { f =>
+      import org.apache.spark.sql.{functions => F}
+      val c = col(f.name)
+      Seq(
+        F.count(c).cast("bigint").as(s"__n_${f.name}"),
+        (F.count(lit(1)) - F.count(c)).cast("bigint").as(s"__nn_${f.name}"),
+        F.count_distinct(c).cast("bigint").as(s"__nd_${f.name}"),
+        F.min(c).cast("string").as(s"__mn_${f.name}"),
+        F.max(c).cast("string").as(s"__mx_${f.name}"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = fields.map { f =>
+      s"'${f.name}', __n_${f.name}, __nn_${f.name}, __nd_${f.name}, " +
+        s"__mn_${f.name}, __mx_${f.name}"
+    }.mkString(", ")
+    changed(one.selectExpr(
+      s"stack(${fields.length}, $stackArgs) AS " +
+        "(column, n, n_null, n_distinct, min_str, max_str)"))
+  }
+
   // ---- joins (duckdb.py:1136-1321 + pydantic.py:1044-1116) --------------
 
   /** Theta join with a raw SQL condition, all seven schema-level kinds

@@ -550,4 +550,19 @@ class RelationSpec extends SparkSpec {
     assert(e.errors.exists(_.msg.contains("'c'")))
     intercept[IllegalStateException](t1.validate())
   }
+
+  test("profile: one row per column with exact counts, nulls, distinct, min/max") {
+    val r = Relation(frame(
+      struct("k" -> LongType, "s" -> StringType),
+      Row(1L, "b"), Row(2L, "a"), Row(2L, null), Row(3L, "a")))
+    val rows = r.profile().order("column").toDF.collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getString(4), x.getString(5)))
+    assert(rows.toSeq == Seq(
+      ("k", 4L, 0L, 3L, "1", "3"),
+      ("s", 3L, 1L, 2L, "a", "b")))
+    // column count widens the aggregate, never the scan count
+    val plan = r.profile().toDF.queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), s"profile must be one pass, not per-column:\n$plan")
+  }
 }
