@@ -490,6 +490,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // span-level decontamination: the q71 train/test setup, but covered
+    // tokens are surgically removed instead of dropping whole documents
+    "q93_redact_contaminated" -> ((s, d) => {
+      val split = graft.ops.Sampling.md5Split(docsParallel(s, d), "text")
+      graft.ops.Decontam.redactContaminated(
+        split.where(col("split") === "train"),
+        split.where(col("split") === "test"),
+        "doc_id", "text", n = 5)
+        .select(col("doc_id"), col("cleaned"), col("n_removed_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // corpus length distribution: docs bucketed by token count — the
+    // histogram every corpus report starts with; pure integer bucketing
+    // into one map-side-combining aggregate
+    "q92_token_histogram" -> ((s, d) =>
+      graft.ops.TextOps.tokenHistogram(
+        Tables(s, d, "documents"), "text", bucketWidth = 32)
+        .orderBy(col("bucket"))),
+
     // per-column profile: one aggregate pass + stack unpivot (describe()
     // analogue; int/string columns only in the query so min/max string
     // rendering is engine-identical)
@@ -1371,6 +1391,51 @@ object SparkEntry {
         | cast(1 + (octet_length(encode(coalesce(text, ''))) * 7) % 16 as int) AS height,
         | 'png' AS format, true AS ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q93_redact_contaminated" ->
+      """WITH sp AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN strpos('0123456789abcdef', substr(md5(text),1,1))-1 < 12 THEN 'train'
+        |         WHEN strpos('0123456789abcdef', substr(md5(text),1,1))-1 < 14 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents WHERE text IS NOT NULL
+        |), toks AS (
+        |  SELECT doc_id, split,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        |  FROM sp
+        |), grams AS (
+        |  SELECT doc_id, split, i,
+        |    substr(md5(array_to_string(l[i:i+4], ' ')), 1, 16) AS g
+        |  FROM toks, unnest(range(1, len(l)-5+2)) AS t(i)
+        |  WHERE len(l) >= 5
+        |), ev AS (SELECT DISTINCT g FROM grams WHERE split = 'test'),
+        |st AS (
+        |  SELECT doc_id, list(i) AS starts
+        |  FROM grams JOIN ev USING (g) WHERE split = 'train'
+        |  GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |  coalesce(array_to_string(
+        |    list_filter(l, (tok, j) ->
+        |      len(list_filter(coalesce(s.starts, []), x -> x <= j AND j < x + 5)) = 0),
+        |    ' '), '') AS cleaned,
+        |  cast(len(l) - len(list_filter(l, (tok, j) ->
+        |      len(list_filter(coalesce(s.starts, []), x -> x <= j AND j < x + 5)) = 0))
+        |    as bigint) AS n_removed_tokens
+        |FROM toks t LEFT JOIN st s USING (doc_id)
+        |WHERE t.split = 'train'
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "q92_token_histogram" ->
+      """WITH n AS (
+        |  SELECT cast(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) as bigint) AS nt
+        |  FROM documents
+        |)
+        |SELECT nt // 32 AS bucket,
+        |  (nt // 32) * 32 AS tokens_from,
+        |  (nt // 32 + 1) * 32 - 1 AS tokens_to,
+        |  count(*)::BIGINT AS n_docs
+        |FROM n GROUP BY 1, 2, 3 ORDER BY bucket""".stripMargin,
 
     "q91_profile" ->
       """SELECT * FROM (

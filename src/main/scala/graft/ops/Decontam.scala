@@ -82,4 +82,43 @@ object Decontam {
       .select(col(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
+
+  /** SPAN-level decontamination: instead of dropping whole documents,
+    * remove exactly the tokens covered by any shared n-gram — the surgical
+    * variant for when a 10 000-token document contains one leaked
+    * benchmark sentence. Returns every corpus row plus `cleaned` (covered
+    * tokens removed, survivors space-joined; null text stays null) and
+    * `n_removed_tokens`.
+    *
+    * Plan: eval gram keys broadcast exactly as in [[decontaminate]]; the
+    * corpus's matched gram START positions come back as one small per-doc
+    * array (only matching (id, position) pairs ever shuffle — never text),
+    * and coverage is pure array math fused into the scan: token j is
+    * removed iff some matched start s satisfies s ≤ j < s + n.
+    */
+  def redactContaminated(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      broadcastEval: Boolean = true): DataFrame = {
+    val matches = corpus
+      .select(col(idCol), posexplode(wordNgrams(col(textCol), n)).as(Seq("__pos", "__gram")))
+      .select(col(idCol), col("__pos"), gramKey(col("__gram")).as("__g"))
+      .join(evalSide(evalSet, textCol, n, broadcastEval), Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(collect_list(col("__pos")).as("__starts"))
+    corpus.join(matches, Seq(idCol), "left")
+      .withColumn("__starts", coalesce(col("__starts"), array().cast("array<int>")))
+      .withColumn("__toks", TextOps.wsTokens(col(textCol)))
+      .withColumn("__kept", filter(col("__toks"), (_, j) =>
+        !exists(col("__starts"), s => s <= j && j < s + n)))
+      .withColumn("cleaned",
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ", col("__kept"))))
+      .withColumn("n_removed_tokens",
+        (size(col("__toks")) - size(col("__kept"))).cast("bigint"))
+      .drop("__starts", "__toks", "__kept")
+  }
 }

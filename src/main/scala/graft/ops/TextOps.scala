@@ -337,6 +337,33 @@ object TextOps {
     else df.where(col(metricCol) >= row.getDouble(0))
   }
 
+  /** Token-count distribution of a corpus: documents bucketed by
+    * `floor(tokens / bucketWidth)`, one row per non-empty bucket with the
+    * bucket's doc count and inclusive token range — the
+    * length-distribution histogram every corpus report starts with. Pure
+    * integer arithmetic into one map-side-combining aggregate: the
+    * shuffle carries one row per bucket per split, never per document.
+    */
+  def tokenHistogram(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      bucketWidth: Long): org.apache.spark.sql.DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    // (n - n % w) / w: the numerator is an exact multiple, so the double
+    // division is exact and the cast loses nothing (same trick as
+    // Packing.chunkByTokens's chunk_idx)
+    val n = tokenCount(col(textCol)).cast("bigint")
+    df.select(((n - pmod(n, lit(bucketWidth))) / bucketWidth)
+        .cast("bigint").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(
+        col("bucket"),
+        (col("bucket") * bucketWidth).as("tokens_from"),
+        ((col("bucket") + 1) * bucketWidth - 1).as("tokens_to"),
+        col("n_docs"))
+  }
+
   /** Corpus-wide token frequencies, highest first (ties by token). One
     * generator + one partial-aggregated shuffle on the token — the map-side
     * combine collapses each split's repeats before anything moves, so the

@@ -925,6 +925,38 @@ class OpsSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("redactContaminated removes exactly the covered token spans") {
+    val train = docs(
+      1L -> "aa bb cc dd ee ff gg",
+      2L -> "clean words only here now",
+      3L -> null)
+    val eval_ = docs(10L -> "bb cc dd")
+    val out = Decontam.redactContaminated(train, eval_, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    // the one shared 3-gram covers bb cc dd and nothing else
+    assert(out(0).getAs[String]("cleaned") == "aa ee ff gg")
+    assert(out(0).getAs[Long]("n_removed_tokens") == 3L)
+    assert(out(1).getAs[String]("cleaned") == "clean words only here now")
+    assert(out(1).getAs[Long]("n_removed_tokens") == 0L)
+    assert(out(2).isNullAt(out(2).fieldIndex("cleaned")), "null text stays null")
+    // overlapping matches union their spans, not double-remove
+    val overlap = Decontam.redactContaminated(
+      docs(1L -> "x aa bb cc dd y"), docs(10L -> "aa bb cc dd"),
+      "doc_id", "text", n = 3).head()
+    assert(overlap.getAs[String]("cleaned") == "x y")
+    assert(overlap.getAs[Long]("n_removed_tokens") == 4L)
+  }
+
+  test("tokenHistogram buckets by exact integer division") {
+    val df = docs(
+      1L -> "a b c", 2L -> "a",
+      3L -> (1 to 35).map(i => s"t$i").mkString(" "), 4L -> "")
+    val out = TextOps.tokenHistogram(df, "text", bucketWidth = 32)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 0L, 31L, 3L), (1L, 32L, 63L, 1L)))
+  }
+
   test("minhashPairsAgainst finds only cross-side pairs") {
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
     val nearDup = base.replace("token7", "tokenX")
