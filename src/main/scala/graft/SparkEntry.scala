@@ -490,6 +490,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // corpus snapshot diff: "after" drops every 7th doc, rewrites every
+    // 5th, adds 10 synthetic ids — each id classified by presence +
+    // content hash; text never reaches the join
+    "q94_corpus_diff" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val after = docs.where(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" EDITED")))
+            .otherwise(col("text")))
+        .unionByName(docs.where(col("doc_id") <= 10)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      graft.ops.Dedup.corpusDiff(docs, after, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // span-level decontamination: the q71 train/test setup, but covered
     // tokens are surgically removed instead of dropping whole documents
     "q93_redact_contaminated" -> ((s, d) => {
@@ -1391,6 +1406,23 @@ object SparkEntry {
         | cast(1 + (octet_length(encode(coalesce(text, ''))) * 7) % 16 as int) AS height,
         | 'png' AS format, true AS ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q94_corpus_diff" ->
+      """WITH before_ AS (SELECT doc_id, text FROM documents),
+        |after_ AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN concat(text, ' EDITED') ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id <= 10
+        |)
+        |SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+        |  CASE WHEN b.doc_id IS NULL THEN 'added'
+        |       WHEN a.doc_id IS NULL THEN 'removed'
+        |       WHEN md5(b.text) = md5(a.text) THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM before_ b FULL JOIN after_ a ON b.doc_id = a.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q93_redact_contaminated" ->
       """WITH sp AS (

@@ -654,6 +654,32 @@ object Dedup {
     out
   }
 
+  /** Snapshot diff of two corpus versions by id and content hash: every id
+    * classified `added` / `removed` / `changed` / `unchanged` — the audit
+    * step between two crawls or pipeline runs. One full outer join on the
+    * id; text never shuffles (both sides reduce to (id, md5) before the
+    * join), so the diff of two 100 TB snapshots moves two narrow columns.
+    */
+  def corpusDiff(
+      before: DataFrame,
+      after: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    // explicit presence markers: a null TEXT hashes to null, so "which
+    // side has this id" must not be inferred from hash nullability
+    def keyed(df: DataFrame, h: String, p: String) = df.select(
+      col(idCol).as("id"), md5(col(textCol).cast("binary")).as(h),
+      lit(true).as(p))
+    keyed(before, "__hb", "__pb")
+      .join(keyed(after, "__ha", "__pa"), Seq("id"), "full_outer")
+      .select(
+        col("id").as(idCol),
+        when(col("__pb").isNull, "added")
+          .when(col("__pa").isNull, "removed")
+          .when(col("__hb") <=> col("__ha"), "unchanged") // null-safe: both-null text is unchanged
+          .otherwise("changed").as("status"))
+  }
+
   /** Keep the BEST member of each duplicate cluster — the production dedup
     * policy ([[exactKeepMin]]'s min-id is the arbitrary-but-deterministic
     * baseline; real pipelines keep the longest or highest-quality copy).

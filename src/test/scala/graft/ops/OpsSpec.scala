@@ -925,6 +925,18 @@ class OpsSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  test("corpusDiff classifies added/removed/changed/unchanged, null-safe") {
+    val before = frame(struct("doc_id" -> LongType, "text" -> StringType),
+      Row(1L, "same"), Row(2L, "old"), Row(3L, "gone"), Row(4L, null))
+    val after = frame(struct("doc_id" -> LongType, "text" -> StringType),
+      Row(1L, "same"), Row(2L, "new"), Row(4L, null), Row(5L, "fresh"))
+    val st = Dedup.corpusDiff(before, after, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(st == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "added"),
+      "null text present on both sides must read unchanged, not added")
+  }
+
   test("redactContaminated removes exactly the covered token spans") {
     val train = docs(
       1L -> "aa bb cc dd ee ff gg",
