@@ -490,6 +490,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // audio resample: 8 kHz → 4 kHz halves the sample count and preserves
+    // the integer-ms duration exactly (pure integer interpolation) — the
+    // oracle predicts the resampled metadata from the text column alone
+    "q95_audio_resample" -> ((s, d) => {
+      val wav = graft.ops.Audio.synthesizeWav(
+        s, docsParallel(s, d), "doc_id", "text", "payload")
+      val half = graft.ops.Audio.resample(s, wav, "doc_id", "payload", toRate = 4000)
+        .where(col("error").isNull)
+      graft.ops.Audio.audioMeta(s, half, "doc_id", "payload")
+        .toDF()
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("duration_ms"), col("error").isNull.as("ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus snapshot diff: "after" drops every 7th doc, rewrites every
     // 5th, adds 10 synthetic ids — each id classified by presence +
     // content hash; text never reaches the join
@@ -1405,6 +1420,14 @@ object SparkEntry {
         | cast(1 + octet_length(encode(coalesce(text, ''))) % 16 as int) AS width,
         | cast(1 + (octet_length(encode(coalesce(text, ''))) * 7) % 16 as int) AS height,
         | 'png' AS format, true AS ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q95_audio_resample" ->
+      """SELECT doc_id,
+        | cast(4000 as int) AS sample_rate,
+        | cast(80 + 20 * (octet_length(encode(coalesce(text, ''))) % 32) as bigint) AS n_samples,
+        | cast(20 + 5 * (octet_length(encode(coalesce(text, ''))) % 32) as bigint) AS duration_ms,
+        | true AS ok
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q94_corpus_diff" ->

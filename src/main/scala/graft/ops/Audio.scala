@@ -150,6 +150,61 @@ object Audio {
       })
   }
 
+  /** Sample-rate conversion by linear interpolation — the audio twin of
+    * [[Multimodal.resize]]: decode, resample 16-bit mono PCM to `toRate`,
+    * re-encode as WAV. All interpolation arithmetic is EXACT integer math
+    * on the rational source position `j·fromRate/toRate` (no floats
+    * anywhere), so output payloads are bit-identical across JVMs and
+    * engines; output length is `⌊n·toRate/fromRate⌋`, which preserves
+    * integer-ms durations exactly. Unsupported layouts (stereo, 8-bit,
+    * big-endian) and undecodable payloads dead-letter with the reason.
+    */
+  def resample(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      toRate: Int): DataFrame = {
+    require(toRate > 0, s"toRate must be positive, got $toRate")
+    import spark.implicits._
+    audioIds(df, idCol).select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeWav(bytes) match {
+          case Right((fmt, pcm))
+              if fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+                !fmt.isBigEndian =>
+            val n = pcm.length / 2
+            val fromRate = fmt.getSampleRate.toInt
+            if (n == 0) (id, wavBytes(Array.empty[Short], toRate), null: String)
+            else {
+              def sampleAt(i: Int): Int = {
+                val j = math.min(i, n - 1)
+                ((pcm(2 * j + 1) << 8) | (pcm(2 * j) & 0xff)).toShort.toInt
+              }
+              val outN = math.max(1, (n.toLong * toRate / fromRate).toInt)
+              val out = new Array[Short](outN)
+              var j = 0
+              while (j < outN) {
+                val num = j.toLong * fromRate // source position = num / toRate
+                val i0 = (num / toRate).toInt
+                val frac = num % toRate
+                val s0 = sampleAt(i0)
+                val s1 = sampleAt(i0 + 1)
+                out(j) = (s0 + (s1 - s0).toLong * frac / toRate).toShort
+                j += 1
+              }
+              (id, wavBytes(out, toRate), null: String)
+            }
+          case Right(_) =>
+            (id, null: Array[Byte],
+              "resample supports 16-bit mono little-endian PCM only")
+          case Left(reason) => (id, null: Array[Byte], reason)
+        }
+      })
+      .toDF(idCol, binCol, "error")
+  }
+
   /** Signal features from the decoded 16-bit PCM (first channel): RMS
     * energy, peak amplitude, zero-crossing count — the deterministic
     * scalar shape an audio encoder front-end emits (exact integer sums;

@@ -54,6 +54,40 @@ class AudioSpec extends SparkSpec {
     assert(Audio.audioMeta(spark, mdf, "doc_id", "payload").count() == 20)
   }
 
+  test("resample: exact integer linear interpolation, duration preserved") {
+    // upsample [0, 1000] from 4 kHz to 8 kHz: positions 0, ½, 1, 1½ →
+    // 0, 500, 1000, 1000 (tail clamps to the last sample)
+    val up = frame(struct("doc_id" -> LongType, "payload" -> BinaryType),
+      Row(1L, Audio.wavBytes(Array[Short](0, 1000), sampleRate = 4000)))
+    val out = Audio.resample(spark, up, "doc_id", "payload", toRate = 8000).head()
+    assert(out.isNullAt(2), "valid input must not dead-letter")
+    val m = Audio.audioMeta(spark,
+      frame(struct("doc_id" -> LongType, "payload" -> BinaryType),
+        Row(1L, out.getAs[Array[Byte]](1))), "doc_id", "payload").head()
+    assert(m.sample_rate.contains(8000) && m.n_samples.contains(4L))
+    val pcm = java.util.Arrays.copyOfRange(
+      out.getAs[Array[Byte]](1), out.getAs[Array[Byte]](1).length - 8,
+      out.getAs[Array[Byte]](1).length)
+    val samples = (0 until 4).map(i =>
+      (((pcm(2 * i + 1) & 0xff) << 8) | (pcm(2 * i) & 0xff)).toShort)
+    assert(samples == Seq(0.toShort, 500.toShort, 1000.toShort, 1000.toShort))
+    // downsample halves the count and keeps the ms duration (8 kHz corpus)
+    val wav = Audio.synthesizeWav(
+      spark, frame(struct("doc_id" -> LongType, "text" -> StringType),
+        Row(1L, "x" * 7)), "doc_id", "text", "payload")
+    val half = Audio.resample(spark, wav, "doc_id", "payload", toRate = 4000)
+    val hm = Audio.audioMeta(spark, half, "doc_id", "payload").head()
+    assert(hm.n_samples.contains(220L) && hm.duration_ms.contains(55L),
+      "440 samples @8 kHz → 220 @4 kHz, still exactly 55 ms")
+    // junk dead-letters with the decode reason
+    val junk = Audio.resample(spark,
+      Multimodal.withBinaryPayload(
+        frame(struct("doc_id" -> LongType, "text" -> StringType), Row(9L, "junk")),
+        "text", "payload"),
+      "doc_id", "payload", toRate = 4000).head()
+    assert(!junk.isNullAt(2) && junk.isNullAt(1))
+  }
+
   test("audio features match the hand computation on a fixture WAV") {
     val fixture = Audio.wavBytes(Array[Short](0, 1000, -1000, 1000), sampleRate = 8000)
     val df = frame(struct("doc_id" -> LongType, "payload" -> BinaryType),
