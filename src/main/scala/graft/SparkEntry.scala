@@ -490,6 +490,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // unicode-script mix per document: Java regex and RE2 agree on script
+    // classes, so the per-script char counts hash-match across engines
+    "q96_script_mix" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      docs.select(
+        Seq(col("doc_id")) ++
+          graft.ops.TextOps.scriptColumns(col("text")).map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+
     // audio resample: 8 kHz → 4 kHz halves the sample count and preserves
     // the integer-ms duration exactly (pure integer interpolation) — the
     // oracle predicts the resampled metadata from the text column alone
@@ -1420,6 +1430,15 @@ object SparkEntry {
         | cast(1 + octet_length(encode(coalesce(text, ''))) % 16 as int) AS width,
         | cast(1 + (octet_length(encode(coalesce(text, ''))) * 7) % 16 as int) AS height,
         | 'png' AS format, true AS ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q96_script_mix" ->
+      """SELECT doc_id,
+        | cast(length(text) - length(regexp_replace(text, '\p{Latin}', '', 'g')) as bigint) AS n_latin,
+        | cast(length(text) - length(regexp_replace(text, '\p{Cyrillic}', '', 'g')) as bigint) AS n_cyrillic,
+        | cast(length(text) - length(regexp_replace(text, '\p{Han}', '', 'g')) as bigint) AS n_han,
+        | cast(length(text) - length(regexp_replace(text, '\p{Arabic}', '', 'g')) as bigint) AS n_arabic,
+        | cast(length(regexp_replace(text, '\s', '', 'g')) as bigint) AS n_nonspace
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q95_audio_resample" ->

@@ -337,6 +337,25 @@ object TextOps {
     else df.where(col(metricCol) >= row.getDouble(0))
   }
 
+  /** Unicode-script signal columns: per-script character counts (Latin,
+    * Cyrillic, Han, Arabic) plus the non-whitespace total — the script-mix
+    * fingerprint that routes documents to language-specific pipelines
+    * before any model-based language ID runs. Pure regexp counts fused
+    * into the scan (zero shuffle); Java regex and RE2 both implement
+    * Unicode script classes, so the counts are engine-parallel for the
+    * oracle.
+    */
+  def scriptColumns(text: Column): Seq[(String, Column)] = {
+    def scriptCount(pat: String) =
+      (length(text) - length(regexp_replace(text, pat, ""))).cast("bigint")
+    Seq(
+      "n_latin" -> scriptCount("\\p{IsLatin}"),
+      "n_cyrillic" -> scriptCount("\\p{IsCyrillic}"),
+      "n_han" -> scriptCount("\\p{IsHan}"),
+      "n_arabic" -> scriptCount("\\p{IsArabic}"),
+      "n_nonspace" -> length(regexp_replace(text, "\\s", "")).cast("bigint"))
+  }
+
   /** Token-count distribution of a corpus: documents bucketed by
     * `floor(tokens / bucketWidth)`, one row per non-empty bucket with the
     * bucket's doc count and inclusive token range — the

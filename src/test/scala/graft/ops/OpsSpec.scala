@@ -959,6 +959,14 @@ class OpsSpec extends SparkSpec {
     assert(overlap.getAs[Long]("n_removed_tokens") == 4L)
   }
 
+  test("scriptColumns counts per-script chars on a mixed fixture") {
+    val df = docs(1L -> "abc где 中文 ملف 12!")
+    val out = df.select(
+      TextOps.scriptColumns(col("text")).map { case (n, c) => c.as(n) }: _*).head()
+    // 3 latin, 3 cyrillic, 2 han, 3 arabic; 14 non-space chars total
+    assert((0 to 4).map(out.getLong).toSeq == Seq(3L, 3L, 2L, 3L, 14L))
+  }
+
   test("tokenHistogram buckets by exact integer division") {
     val df = docs(
       1L -> "a b c", 2L -> "a",
