@@ -49,6 +49,9 @@ object SparkEntry {
   private def q87FeatureDir(sfDir: String) =
     s"/tmp/graft_q87_features_${new java.io.File(sfDir).getName}"
 
+  private def q97IndexDir(sfDir: String) =
+    s"/tmp/graft_q97_index_${new java.io.File(sfDir).getName}"
+
   /** documents with the cluster's parallelism. The test parquet is ONE small
     * file → one input split, which serializes the signature kernels of the
     * pair-dedup queries onto a single core; a 100 TB corpus arrives in
@@ -488,6 +491,26 @@ object SparkEntry {
           min(col("width")).as("frame_w"),
           min(col("height")).as("frame_h"))
         .orderBy(col("doc_id"))
+    }),
+
+    // the standing-index lifecycle end-to-end: build on most of the
+    // corpus, fold the %10==5 slice in via appendDedupIndex (no corpus
+    // re-hash), probe with the %10==0 arrivals. The probe result is
+    // definitionally minhashPairsAgainst(new, existing ∪ appended), i.e.
+    // q90's semantics — its exact cross-side jaccard oracle applies
+    // verbatim (same complete-recall argument at this fixture scale)
+    "q97_dedup_index_append" -> ((s, d) => {
+      val docs = docsParallel(s, d)
+      val idx = q97IndexDir(d)
+      graft.ops.Dedup.writeDedupIndex(
+        docs.where(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5),
+        "text", "doc_id", idx)
+      graft.ops.Dedup.appendDedupIndex(
+        docs.where(col("doc_id") % 10 === 5), "text", "doc_id", idx)
+      graft.ops.Dedup.minhashPairsAgainstIndex(
+        docs.where(col("doc_id") % 10 === 0), "text", "doc_id", idx,
+        threshold = 0.5)
+        .orderBy(col("new_id"), col("existing_id"))
     }),
 
     // unicode-script mix per document: Java regex and RE2 agree on script
@@ -1431,6 +1454,25 @@ object SparkEntry {
         | cast(1 + (octet_length(encode(coalesce(text, ''))) * 7) % 16 as int) AS height,
         | 'png' AS format, true AS ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // identical to q90's oracle: build→append→probe over the same slices
+    // must equal the one-shot incremental check on the union corpus
+    "q97_dedup_index_append" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ')
+        |                   for i in range(1, len(toks)-1)]) AS sh
+        |  FROM t WHERE len(toks) >= 3
+        |)
+        |SELECT n.doc_id AS new_id, e.doc_id AS existing_id,
+        |  len(list_intersect(n.sh, e.sh))::DOUBLE /
+        |    (len(n.sh) + len(e.sh) - len(list_intersect(n.sh, e.sh))) AS jaccard
+        |FROM s n JOIN s e ON n.doc_id % 10 = 0 AND e.doc_id % 10 <> 0
+        |WHERE len(list_intersect(n.sh, e.sh))::DOUBLE /
+        |    (len(n.sh) + len(e.sh) - len(list_intersect(n.sh, e.sh))) >= 0.5
+        |ORDER BY new_id, existing_id""".stripMargin,
 
     "q96_script_mix" ->
       """SELECT doc_id,

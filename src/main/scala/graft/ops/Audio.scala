@@ -3,14 +3,16 @@ package graft.ops
 import java.io.ByteArrayInputStream
 import javax.sound.sampled.AudioSystem
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Audio metadata from the WAV decoder — dead-letter contract identical to
   * [[MediaMeta]]: decode failures keep the row with a reason, never drop it.
+  * `doc_id` is the internal string carry; [[Audio.audioMeta]] casts it back
+  * to the caller's id kind on the way out.
   */
 final case class AudioMeta(
-    doc_id: Long,
+    doc_id: String,
     n_bytes: Long,
     sample_rate: Option[Int],
     channels: Option[Int],
@@ -33,18 +35,12 @@ final case class AudioMeta(
   */
 object Audio {
 
-  private def audioIds(df: DataFrame, idCol: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val t = df.schema(idCol).dataType
-    val ok = t match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case d: DecimalType => d.scale == 0 && d.precision <= 18
-      case _ => false
-    }
-    require(ok, s"media ops need an integral id column, $idCol is $t — " +
-      "a string id would silently null-cast; derive a surrogate long key first")
-    df
-  }
+  /** Same id contract as the image/video ops: integral or string, carried
+    * internally as string, cast back on the way out
+    * ([[Multimodal.mediaIdOutType]]).
+    */
+  private def audioIdOutType(df: DataFrame, idCol: String) =
+    Multimodal.mediaIdOutType(df, idCol)
 
   private def leU32(v: Long): Array[Byte] =
     Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
@@ -53,9 +49,26 @@ object Audio {
   private def leU16(v: Int): Array[Byte] =
     Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
 
+  /** PCM WAV (RIFF/WAVE `fmt ` + `data`) from raw little-endian frame data
+    * of any channel count at 8 or 16 bits — the general writer behind
+    * [[wavBytes]] and the multi-channel [[resample]] output.
+    */
+  def wavBytesRaw(
+      data: Array[Byte], sampleRate: Int, channels: Int, bits: Int): Array[Byte] = {
+    require(sampleRate > 0, s"sampleRate must be positive, got $sampleRate")
+    require(channels >= 1, s"channels must be >= 1, got $channels")
+    require(bits == 8 || bits == 16, s"bits must be 8 or 16, got $bits")
+    val blockAlign = channels * (bits / 8)
+    val fmt = leU16(1) ++ leU16(channels) ++ leU32(sampleRate.toLong) ++
+      leU32(sampleRate.toLong * blockAlign) ++ leU16(blockAlign) ++ leU16(bits)
+    val body = "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ leU32(fmt.length.toLong) ++ fmt ++
+      "data".getBytes("US-ASCII") ++ leU32(data.length.toLong) ++ data
+    "RIFF".getBytes("US-ASCII") ++ leU32(body.length.toLong) ++ body
+  }
+
   /** Canonical 16-bit mono PCM WAV (RIFF/WAVE `fmt ` + `data`). */
   def wavBytes(samples: Array[Short], sampleRate: Int): Array[Byte] = {
-    require(sampleRate > 0, s"sampleRate must be positive, got $sampleRate")
     val data = new Array[Byte](samples.length * 2)
     var i = 0
     while (i < samples.length) {
@@ -63,12 +76,7 @@ object Audio {
       data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
       i += 1
     }
-    val fmt = leU16(1) ++ leU16(1) ++ leU32(sampleRate.toLong) ++
-      leU32(sampleRate.toLong * 2) ++ leU16(2) ++ leU16(16)
-    val body = "WAVE".getBytes("US-ASCII") ++
-      "fmt ".getBytes("US-ASCII") ++ leU32(fmt.length.toLong) ++ fmt ++
-      "data".getBytes("US-ASCII") ++ leU32(data.length.toLong) ++ data
-    "RIFF".getBytes("US-ASCII") ++ leU32(body.length.toLong) ++ body
+    wavBytesRaw(data, sampleRate, channels = 1, bits = 16)
   }
 
   /** Deterministic synthetic WAV from a seed byte string, the audio twin
@@ -97,15 +105,17 @@ object Audio {
       idCol: String,
       textCol: String,
       binCol: String): DataFrame = {
+    val outT = audioIdOutType(df, idCol)
     import spark.implicits._
-    audioIds(df, idCol).select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
+    df.select(col(idCol).cast("string"), col(textCol))
+      .as[(String, String)]
       .mapPartitions(_.map { case (id, text) =>
         val seed = if (text == null) Array.emptyByteArray
                    else text.getBytes("UTF-8")
         (id, synthWavBytes(seed))
       })
       .toDF(idCol, binCol)
+      .withColumn(idCol, col(idCol).cast(outT))
   }
 
   /** Real audio decode: container + format from `AudioSystem`, PCM samples
@@ -131,10 +141,11 @@ object Audio {
       spark: SparkSession,
       df: DataFrame,
       idCol: String,
-      binCol: String): Dataset[AudioMeta] = {
+      binCol: String): DataFrame = {
+    val outT = audioIdOutType(df, idCol)
     import spark.implicits._
-    audioIds(df, idCol).select(col(idCol).cast("long"), col(binCol))
-      .as[(Long, Array[Byte])]
+    df.select(col(idCol).cast("string"), col(binCol))
+      .as[(String, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val n = if (bytes == null) 0L else bytes.length.toLong
         decodeWav(bytes) match {
@@ -148,16 +159,22 @@ object Audio {
             AudioMeta(id, n, None, None, None, None, None, Some(reason))
         }
       })
+      .toDF()
+      .withColumn("doc_id", col("doc_id").cast(outT))
   }
 
   /** Sample-rate conversion by linear interpolation — the audio twin of
-    * [[Multimodal.resize]]: decode, resample 16-bit mono PCM to `toRate`,
-    * re-encode as WAV. All interpolation arithmetic is EXACT integer math
+    * [[Multimodal.resize]]: decode, resample PCM to `toRate` PER CHANNEL,
+    * re-encode as WAV preserving channel count and bit depth. Supports 8-
+    * and 16-bit little-endian PCM at any channel count (8-bit WAV PCM is
+    * unsigned per the spec; each channel interpolates independently over
+    * its own samples). All interpolation arithmetic is EXACT integer math
     * on the rational source position `j·fromRate/toRate` (no floats
     * anywhere), so output payloads are bit-identical across JVMs and
-    * engines; output length is `⌊n·toRate/fromRate⌋`, which preserves
-    * integer-ms durations exactly. Unsupported layouts (stereo, 8-bit,
-    * big-endian) and undecodable payloads dead-letter with the reason.
+    * engines; output length is `⌊n·toRate/fromRate⌋` frames, which
+    * preserves integer-ms durations exactly. Unsupported layouts
+    * (big-endian, 24/32-bit) and undecodable payloads dead-letter with the
+    * reason.
     */
   def resample(
       spark: SparkSession,
@@ -166,43 +183,58 @@ object Audio {
       binCol: String,
       toRate: Int): DataFrame = {
     require(toRate > 0, s"toRate must be positive, got $toRate")
+    val outT = audioIdOutType(df, idCol)
     import spark.implicits._
-    audioIds(df, idCol).select(col(idCol).cast("long"), col(binCol))
-      .as[(Long, Array[Byte])]
+    df.select(col(idCol).cast("string"), col(binCol))
+      .as[(String, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         decodeWav(bytes) match {
           case Right((fmt, pcm))
-              if fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+              if (fmt.getSampleSizeInBits == 16 || fmt.getSampleSizeInBits == 8) &&
                 !fmt.isBigEndian =>
-            val n = pcm.length / 2
+            val bits = fmt.getSampleSizeInBits
+            val ch = fmt.getChannels
+            val bytesPerSample = bits / 8
+            val blockAlign = ch * bytesPerSample
+            val n = pcm.length / blockAlign // frames
             val fromRate = fmt.getSampleRate.toInt
-            if (n == 0) (id, wavBytes(Array.empty[Short], toRate), null: String)
+            if (n == 0)
+              (id, wavBytesRaw(Array.emptyByteArray, toRate, ch, bits), null: String)
             else {
-              def sampleAt(i: Int): Int = {
-                val j = math.min(i, n - 1)
-                ((pcm(2 * j + 1) << 8) | (pcm(2 * j) & 0xff)).toShort.toInt
-              }
               val outN = math.max(1, (n.toLong * toRate / fromRate).toInt)
-              val out = new Array[Short](outN)
-              var j = 0
-              while (j < outN) {
-                val num = j.toLong * fromRate // source position = num / toRate
-                val i0 = (num / toRate).toInt
-                val frac = num % toRate
-                val s0 = sampleAt(i0)
-                val s1 = sampleAt(i0 + 1)
-                out(j) = (s0 + (s1 - s0).toLong * frac / toRate).toShort
-                j += 1
+              val out = new Array[Byte](outN * blockAlign)
+              var c = 0
+              while (c < ch) {
+                def sampleAt(i: Int): Int = {
+                  val off = math.min(i, n - 1) * blockAlign + c * bytesPerSample
+                  if (bits == 16)
+                    ((pcm(off + 1) << 8) | (pcm(off) & 0xff)).toShort.toInt
+                  else pcm(off) & 0xff // 8-bit WAV PCM is unsigned
+                }
+                var j = 0
+                while (j < outN) {
+                  val num = j.toLong * fromRate // source position = num / toRate
+                  val i0 = (num / toRate).toInt
+                  val frac = num % toRate
+                  val s0 = sampleAt(i0)
+                  val v = (s0 + (sampleAt(i0 + 1) - s0).toLong * frac / toRate).toInt
+                  val off = j * blockAlign + c * bytesPerSample
+                  out(off) = (v & 0xff).toByte
+                  if (bits == 16) out(off + 1) = ((v >> 8) & 0xff).toByte
+                  j += 1
+                }
+                c += 1
               }
-              (id, wavBytes(out, toRate), null: String)
+              (id, wavBytesRaw(out, toRate, ch, bits), null: String)
             }
           case Right(_) =>
             (id, null: Array[Byte],
-              "resample supports 16-bit mono little-endian PCM only")
+              "resample supports 8/16-bit little-endian PCM only")
           case Left(reason) => (id, null: Array[Byte], reason)
         }
       })
       .toDF(idCol, binCol, "error")
+      .withColumn(idCol, col(idCol).cast(outT))
   }
 
   /** Signal features from the decoded 16-bit PCM (first channel): RMS
@@ -217,9 +249,10 @@ object Audio {
       df: DataFrame,
       idCol: String,
       binCol: String): DataFrame = {
+    val outT = audioIdOutType(df, idCol)
     import spark.implicits._
-    audioIds(df, idCol).select(col(idCol).cast("long"), col(binCol))
-      .as[(Long, Array[Byte])]
+    df.select(col(idCol).cast("string"), col(binCol))
+      .as[(String, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         decodeWav(bytes) match {
           case Right((fmt, pcm)) if fmt.getSampleSizeInBits == 16 =>
@@ -252,5 +285,6 @@ object Audio {
         }
       })
       .toDF(idCol, "rms", "peak", "zero_crossings", "error")
+      .withColumn(idCol, col(idCol).cast(outT))
   }
 }

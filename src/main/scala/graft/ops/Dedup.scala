@@ -263,14 +263,49 @@ object Dedup {
       .select(col("new_id"), col("existing_id"), col("jaccard"))
   }
 
+  /** On-disk format version of the persisted dedup index. Bumped whenever
+    * the layout or the semantics of any index table change; every reader
+    * checks it ([[readCheckedIndexMeta]]) so a standing index written by an
+    * older build fails LOUDLY instead of silently probing with drifted
+    * banding or missing tombstones. v1 (round 6) had no `dropped` table and
+    * no version column; v2 adds both.
+    */
+  val DedupIndexFormatVersion: Int = 2
+
+  /** Read `<path>/meta` and fail with a clear message unless the on-disk
+    * format version matches this build. A missing `format_version` column
+    * is the v1 (pre-versioning) layout.
+    */
+  private[ops] def readCheckedIndexMeta(
+      spark: org.apache.spark.sql.SparkSession, path: String): org.apache.spark.sql.Row = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val v =
+      if (meta.schema.fieldNames.contains("format_version")) meta.getAs[Int]("format_version")
+      else 1
+    require(v == DedupIndexFormatVersion,
+      s"dedup index at $path has on-disk format version $v but this build " +
+      s"reads version $DedupIndexFormatVersion — rebuild it with " +
+      "writeDedupIndex (a standing index outlives code versions; silent " +
+      "banding/layout drift is exactly what this check prevents)")
+    meta
+  }
+
   /** Persist the standing dedup index: the corpus's LSH buckets (oversize-
     * guarded) and hashed shingle sets, written once as parquet so arrivals
     * probe them WITHOUT re-reading or re-hashing the corpus text — at
     * 100 TB the index is a few 8-byte columns, the corpus re-scan it
     * replaces is the whole text column. Layout: `<path>/buckets` =
-    * (band, bhash, id), `<path>/sets` = (id, hs), `<path>/meta` = the
-    * banding parameters, which [[minhashPairsAgainstIndex]] reads back so
-    * a probe can never run with mismatched banding.
+    * (band, bhash, id), `<path>/sets` = (id, hs), `<path>/dropped` =
+    * (band, bhash, n) tombstones for oversize-dropped buckets (their TRUE
+    * total count — [[appendDedupIndex]] needs it so rows arriving into an
+    * already-dropped bucket stay dropped, keeping append ≡ rebuild), and
+    * `<path>/meta` = the banding parameters + format version, which
+    * [[minhashPairsAgainstIndex]] reads back so a probe can never run with
+    * mismatched banding.
+    *
+    * The bucket rows are staged once WITH their window counts and the
+    * kept/dropped split derives from the staged parquet — one signature-
+    * kernel pass over the corpus text, not one per output table.
     */
   def writeDedupIndex(
       existing: DataFrame,
@@ -289,19 +324,125 @@ object Dedup {
         .minhashBandHashes(TextOps.rawTokens(col(textCol)), k, numHashes, bands)
         .as("bh"))
     val w = Window.partitionBy(col("band"), col("bhash"))
+    val stage = s"$path/buckets_stage"
     sigs.select(posexplode(col("bh")).as(Seq("band", "bhash")), col("id"))
       .withColumn("n", count(lit(1)).over(w))
-      .where(col("n") <= maxBucketSize)
-      .drop("n")
+      .write.mode("overwrite").parquet(stage)
+    val staged = spark.read.parquet(stage)
+    staged.where(col("n") <= maxBucketSize)
+      .select("band", "bhash", "id")
       .write.mode("overwrite").parquet(s"$path/buckets")
+    staged.where(col("n") > maxBucketSize)
+      .select("band", "bhash", "n").distinct()
+      .write.mode("overwrite").parquet(s"$path/dropped")
+    deleteDir(spark, stage)
     existing.select(
       col(idCol).as("id"),
       graft.functions.native
         .hashedShingleSet(TextOps.rawTokens(col(textCol)), k).as("hs"))
       .write.mode("overwrite").parquet(s"$path/sets")
-    Seq((k, numHashes, bands, maxBucketSize))
-      .toDF("k", "num_hashes", "bands", "max_bucket_size")
+    Seq((k, numHashes, bands, maxBucketSize, DedupIndexFormatVersion))
+      .toDF("k", "num_hashes", "bands", "max_bucket_size", "format_version")
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Fold a batch of new documents into a standing index ([[writeDedupIndex]])
+    * WITHOUT re-hashing the corpus: only `newDocs` runs the signature
+    * kernels; the existing side is two narrow parquet reads. Equivalent to
+    * a full `writeDedupIndex` on the union corpus (OpsSpec proves table-level
+    * equality), which needs three properties:
+    *
+    *   - the oversize guard re-evaluates on the UNION counts, so a bucket
+    *     that crosses `maxBucketSize` only after the append drops now;
+    *   - tombstoned buckets count their true total (`dropped.n` + new live
+    *     rows), so arrivals into an already-dropped bucket never resurrect
+    *     it with an undercounted size — oversize is monotone under append;
+    *   - outputs are written to `*_tmp` siblings first and atomically
+    *     renamed into place, so a failed append leaves the index readable.
+    *
+    * Ids in `newDocs` must be disjoint from the indexed ids (same contract
+    * as unioning the corpora). Banding parameters come FROM the index meta;
+    * the format version is checked first.
+    */
+  def appendDedupIndex(
+      newDocs: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val meta = readCheckedIndexMeta(spark, path)
+    val k = meta.getAs[Int]("k")
+    val numHashes = meta.getAs[Int]("num_hashes")
+    val bands = meta.getAs[Int]("bands")
+    val maxBucketSize = meta.getAs[Int]("max_bucket_size")
+    val newBuckets = newDocs.select(
+      col(idCol).as("id"),
+      graft.functions.native
+        .minhashBandHashes(TextOps.rawTokens(col(textCol)), k, numHashes, bands)
+        .as("bh"))
+      .select(posexplode(col("bh")).as(Seq("band", "bhash")), col("id"))
+    val tomb = spark.read.parquet(s"$path/dropped")
+    val w = Window.partitionBy(col("band"), col("bhash"))
+    // Stage union rows once with their TOTAL counts (live + tombstoned);
+    // the kept/dropped split then derives from cheap narrow-parquet reads,
+    // so the new side's signature kernel runs exactly once.
+    val stage = s"$path/append_stage"
+    spark.read.parquet(s"$path/buckets")
+      .unionByName(newBuckets)
+      .withColumn("n_live", count(lit(1)).over(w))
+      .join(tomb.withColumnRenamed("n", "n_tomb"), Seq("band", "bhash"), "left")
+      .withColumn("n", col("n_live") + coalesce(col("n_tomb"), lit(0L)))
+      .select("band", "bhash", "id", "n")
+      .write.mode("overwrite").parquet(stage)
+    val staged = spark.read.parquet(stage)
+    staged.where(col("n") <= maxBucketSize)
+      .select("band", "bhash", "id")
+      .write.mode("overwrite").parquet(s"$path/buckets_tmp")
+    // updated tombstones for buckets now over the cap, plus prior
+    // tombstones that saw no new rows (carried forward unchanged)
+    staged.where(col("n") > maxBucketSize)
+      .select("band", "bhash", "n").distinct()
+      .unionByName(
+        tomb.join(staged.select("band", "bhash").distinct(),
+          Seq("band", "bhash"), "left_anti"))
+      .write.mode("overwrite").parquet(s"$path/dropped_tmp")
+    val newSets = newDocs.select(
+      col(idCol).as("id"),
+      graft.functions.native
+        .hashedShingleSet(TextOps.rawTokens(col(textCol)), k).as("hs"))
+    spark.read.parquet(s"$path/sets")
+      .unionByName(newSets)
+      .write.mode("overwrite").parquet(s"$path/sets_tmp")
+    // all tmp outputs are fully written (originals untouched) — now swap
+    swapDir(spark, path, "buckets")
+    swapDir(spark, path, "dropped")
+    swapDir(spark, path, "sets")
+    deleteDir(spark, stage)
+  }
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def deleteDir(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    hadoopFs(spark, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
+
+  /** Replace `<path>/<name>` with `<path>/<name>_tmp` via two renames —
+    * metadata-only on HDFS-like stores, so the index is never in a
+    * half-written state (worst case on failure: the `_old` copy remains
+    * alongside, never a truncated table).
+    */
+  private def swapDir(
+      spark: org.apache.spark.sql.SparkSession, path: String, name: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = hadoopFs(spark, path)
+    val cur = new HPath(path, name)
+    val tmp = new HPath(path, name + "_tmp")
+    val old = new HPath(path, name + "_old")
+    fs.delete(old, true)
+    require(!fs.exists(cur) || fs.rename(cur, old), s"could not retire $cur")
+    require(fs.rename(tmp, cur), s"could not promote $tmp to $cur")
+    fs.delete(old, true)
   }
 
   /** Probe a persisted index ([[writeDedupIndex]]) with new documents —
@@ -317,7 +458,7 @@ object Dedup {
       path: String,
       threshold: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val meta = readCheckedIndexMeta(spark, path)
     val k = meta.getAs[Int]("k")
     val numHashes = meta.getAs[Int]("num_hashes")
     val bands = meta.getAs[Int]("bands")

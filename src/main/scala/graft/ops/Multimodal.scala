@@ -4,15 +4,17 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Media metadata extracted by the image decoder. `width`/`height` are
   * absent and `error` is set when the payload does not decode — the
   * dead-letter contract: no row is dropped, failures stay addressable.
+  * `doc_id` is the internal string carry (see [[Multimodal.mediaIdOutType]]);
+  * the public ops cast it back to the caller's id type on the way out.
   */
 final case class MediaMeta(
-    doc_id: Long,
+    doc_id: String,
     n_bytes: Long,
     width: Option[Int],
     height: Option[Int],
@@ -40,22 +42,26 @@ final case class MediaMeta(
   */
 object Multimodal {
 
-  /** The typed media paths carry ids as `long`; a string id would
-    * `cast("long")` to null SILENTLY and every output row would lose its
-    * key, so reject non-integral ids loudly instead (URLs/UUIDs need a
-    * surrogate long key — e.g. `xxhash64` — before entering a media op).
+  /** The typed media paths carry ids as STRINGS — the cast round-trips
+    * exactly for integral ids (normalized back to `long` on the way out,
+    * as before) and for string ids (URLs, UUIDs — the common corpus keys),
+    * following `Packing.packFirstFitDecreasing`'s pattern. Any other id
+    * type (floats, dates, structs) would change meaning under the carry,
+    * so it is rejected loudly rather than silently null-cast. Returns the
+    * OUTPUT id type for the op to cast back to.
     */
-  private def mediaIds(df: DataFrame, idCol: String): DataFrame = {
+  private[ops] def mediaIdOutType(
+      df: DataFrame, idCol: String): org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
     val t = df.schema(idCol).dataType
     val ok = t match {
-      case ByteType | ShortType | IntegerType | LongType => true
+      case ByteType | ShortType | IntegerType | LongType | StringType => true
       case d: DecimalType => d.scale == 0 && d.precision <= 18
       case _ => false
     }
-    require(ok, s"media ops need an integral id column, $idCol is $t — " +
-      "a string id would silently null-cast; derive a surrogate long key first")
-    df
+    require(ok, s"media ops need an integral or string id column, $idCol is $t — " +
+      "any other type would change meaning under the internal string carry")
+    if (t == StringType) StringType else LongType
   }
 
   /** Attach a raw binary payload column (text bytes as-is — the generic
@@ -102,9 +108,10 @@ object Multimodal {
       idCol: String,
       textCol: String,
       binCol: String): DataFrame = {
+    val outT = mediaIdOutType(df, idCol)
     import spark.implicits._
-    mediaIds(df, idCol).select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
+    df.select(col(idCol).cast("string"), col(textCol))
+      .as[(String, String)]
       .mapPartitions { it =>
         ImageIO.setUseCache(false) // in-memory streams, no temp-file cache
         it.map { case (id, text) =>
@@ -114,6 +121,7 @@ object Multimodal {
         }
       }
       .toDF(idCol, binCol)
+      .withColumn(idCol, col(idCol).cast(outT))
   }
 
   /** Container format sniffed from magic bytes — cheap, runs even when the
@@ -143,8 +151,9 @@ object Multimodal {
       }
 
   /** Partition-batched metadata decode: each executor task streams its
-    * partition through one `ImageIO` decoder. Returns a typed Dataset with
-    * a proper Encoder — schema carried by the case class, not inferred.
+    * partition through one `ImageIO` decoder. Schema is carried by the
+    * [[MediaMeta]] case class (not inferred); the output `doc_id` column
+    * keeps the caller's id kind (integral → long, string → string).
     * Undecodable payloads keep their sniffed format and byte count with
     * the failure reason in `error` (dead-letter, no dropped rows).
     */
@@ -152,10 +161,11 @@ object Multimodal {
       spark: SparkSession,
       df: DataFrame,
       idCol: String,
-      binCol: String): Dataset[MediaMeta] = {
+      binCol: String): DataFrame = {
+    val outT = mediaIdOutType(df, idCol)
     import spark.implicits._
-    mediaIds(df, idCol).select(col(idCol).cast("long"), col(binCol))
-      .as[(Long, Array[Byte])]
+    df.select(col(idCol).cast("string"), col(binCol))
+      .as[(String, Array[Byte])]
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
@@ -169,6 +179,8 @@ object Multimodal {
           }
         }
       }
+      .toDF()
+      .withColumn("doc_id", col("doc_id").cast(outT))
   }
 
   /** Mean-luma over a `g`×`g` grid of the decoded image, row-major, scaled
@@ -225,9 +237,10 @@ object Multimodal {
       dim: Int = 16): DataFrame = {
     val g = math.sqrt(dim).toInt
     require(g * g == dim, s"dim must be a perfect square, got $dim")
+    val outT = mediaIdOutType(df, idCol)
     import spark.implicits._
-    mediaIds(df, idCol).select(col(idCol).cast("long"), col(binCol))
-      .as[(Long, Array[Byte])]
+    df.select(col(idCol).cast("string"), col(binCol))
+      .as[(String, Array[Byte])]
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
@@ -238,6 +251,7 @@ object Multimodal {
         }
       }
       .toDF(idCol, "embedding", "error")
+      .withColumn(idCol, col(idCol).cast(outT))
   }
 
   /** Real image resize: decode, nearest-neighbor resample to `w`×`h`,
@@ -253,9 +267,10 @@ object Multimodal {
       w: Int,
       h: Int): DataFrame = {
     require(w > 0 && h > 0, s"resize dimensions must be positive, got ${w}x$h")
+    val outT = mediaIdOutType(df, idCol)
     import spark.implicits._
-    mediaIds(df, idCol).select(col(idCol).cast("long"), col(binCol))
-      .as[(Long, Array[Byte])]
+    df.select(col(idCol).cast("string"), col(binCol))
+      .as[(String, Array[Byte])]
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
@@ -280,6 +295,7 @@ object Multimodal {
         }
       }
       .toDF(idCol, binCol, "error")
+      .withColumn(idCol, col(idCol).cast(outT))
   }
 
   // ---- MJPEG-in-AVI video: RIFF container writer + parser ----------------
@@ -421,9 +437,10 @@ object Multimodal {
       idCol: String,
       textCol: String,
       binCol: String): DataFrame = {
+    val outT = mediaIdOutType(df, idCol)
     import spark.implicits._
-    mediaIds(df, idCol).select(col(idCol).cast("long"), col(textCol))
-      .as[(Long, String)]
+    df.select(col(idCol).cast("string"), col(textCol))
+      .as[(String, String)]
       .mapPartitions { it =>
         ImageIO.setUseCache(false)
         it.map { case (id, text) =>
@@ -433,16 +450,31 @@ object Multimodal {
         }
       }
       .toDF(idCol, binCol)
+      .withColumn(idCol, col(idCol).cast(outT))
   }
 
+  /** Cheap structural JPEG check: SOI marker at the start, EOI at the end.
+    * [[frameSample]] uses this instead of a full decode — fully decoding a
+    * frame just to validate it doubled per-frame decode cost on the hot
+    * video path, since downstream [[decodeMeta]]/[[featureExtract]] decode
+    * the emitted bytes again anyway (and dead-letter anything the sniff
+    * let through).
+    */
+  private[ops] def jpegMarkersOk(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 &&
+      (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(b.length - 2) & 0xff) == 0xff && (b(b.length - 1) & 0xff) == 0xd9
+
   /** REAL frame sampling over MJPEG-in-AVI payloads: parse the RIFF
-    * container, take every `everyN`-th video frame, decode it through the
-    * same `ImageIO` JPEG codec as the image path. One output row per
-    * sampled frame `(id, frame_idx, frame, error)` where `frame` is the
-    * raw JPEG payload — directly consumable by [[decodeMeta]] /
-    * [[featureExtract]] / [[resize]]. Dead-letter contract: a payload that
-    * is not a valid AVI (or a frame that is not a valid JPEG) yields a row
-    * with null frame and the reason — never a dropped row or failed task.
+    * container, take every `everyN`-th video frame, validate it with a
+    * structural JPEG marker sniff ([[jpegMarkersOk]] — the full decode
+    * happens exactly once, in whichever downstream op consumes the frame).
+    * One output row per sampled frame `(id, frame_idx, frame, error)`
+    * where `frame` is the raw JPEG payload — directly consumable by
+    * [[decodeMeta]] / [[featureExtract]] / [[resize]]. Dead-letter
+    * contract: a payload that is not a valid AVI (or a frame without JPEG
+    * markers) yields a row with null frame and the reason — never a
+    * dropped row or failed task.
     */
   def frameSample(
       spark: SparkSession,
@@ -451,11 +483,11 @@ object Multimodal {
       binCol: String,
       everyN: Int): DataFrame = {
     require(everyN > 0, s"everyN must be positive, got $everyN")
+    val outT = mediaIdOutType(df, idCol)
     import spark.implicits._
-    mediaIds(df, idCol).select(col(idCol).cast("long"), col(binCol))
-      .as[(Long, Array[Byte])]
+    df.select(col(idCol).cast("string"), col(binCol))
+      .as[(String, Array[Byte])]
       .mapPartitions { it =>
-        ImageIO.setUseCache(false)
         it.flatMap { case (id, bytes) =>
           aviVideoFrames(bytes) match {
             case Left(reason) =>
@@ -465,15 +497,14 @@ object Multimodal {
                 Option("AVI contains no video frames")))
             case Right(fs) =>
               Iterator.range(0, fs.length, everyN).map { i =>
-                decodeImage(fs(i)) match {
-                  case Right(_)     => (id, Option(i), fs(i), None: Option[String])
-                  case Left(reason) => (id, Option(i), null: Array[Byte],
-                    Option(s"frame $i: $reason"))
-                }
+                if (jpegMarkersOk(fs(i))) (id, Option(i), fs(i), None: Option[String])
+                else (id, Option(i), null: Array[Byte],
+                  Option(s"frame $i: missing JPEG SOI/EOI markers"))
               }
           }
         }
       }
       .toDF(idCol, "frame_idx", "frame", "error")
+      .withColumn(idCol, col(idCol).cast(outT))
   }
 }

@@ -52,10 +52,26 @@ class BpeSpec extends SparkSpec {
 
   test("malformed and empty merges files fail loudly") {
     intercept[IllegalArgumentException] {
-      BpeModel.fromMerges(Iterator("#only a comment"))
+      BpeModel.fromMerges(Iterator("#version: 0.2")) // header only, no rules
     }
     intercept[IllegalArgumentException] {
       BpeModel.fromMerges(Iterator("a b c"))
+    }
+  }
+
+  test("'#'-initial lines are merge rules, only a first-line #version header is skipped") {
+    // '#' maps to itself in bytes_to_unicode, so `# #` is a real GPT-2 rule
+    // forming the '##' token — it must load as a rule, not drop as a comment.
+    val m = BpeModel.fromMerges(Iterator("#version: 0.2", "# #", "## #"))
+    assert(m.countTokens("###") == 1)  // # #→##, ## #→###
+    assert(m.countTokens("##") == 1)
+    assert(m.countTokens("#") == 1)
+    // the header is skipped only on line 0: ranks start at the `# #` rule
+    val noHeader = BpeModel.fromMerges(Iterator("# #"))
+    assert(noHeader.countTokens("## ##") == 3) // [##] + [Ġ, ##]
+    // a '#version'-looking line NOT on line 0 is treated as malformed (3 tokens)
+    intercept[IllegalArgumentException] {
+      BpeModel.fromMerges(Iterator("a b", "#version: 0.2 extra"))
     }
   }
 }

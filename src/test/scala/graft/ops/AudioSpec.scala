@@ -15,26 +15,40 @@ class AudioSpec extends SparkSpec {
     frame(struct("doc_id" -> LongType, "text" -> StringType),
       rows.map { case (i, t) => Row(i, t) }: _*)
 
+  // AudioMeta columns: doc_id 0, n_bytes 1, sample_rate 2, channels 3,
+  // bits 4, n_samples 5, duration_ms 6, error 7
+
   test("synthesized WAV decodes to the contract dimensions") {
     // n=7 → 160 + 7·40 = 440 samples @8 kHz → 55 ms exactly
     val wav = Audio.synthesizeWav(spark, docs(1L -> ("x" * 7)), "doc_id", "text", "payload")
     val m = Audio.audioMeta(spark, wav, "doc_id", "payload").head()
-    assert(m.sample_rate.contains(8000) && m.channels.contains(1)
-      && m.bits.contains(16) && m.n_samples.contains(440L)
-      && m.duration_ms.contains(55L) && m.error.isEmpty)
+    assert(m.getInt(2) == 8000 && m.getInt(3) == 1 && m.getInt(4) == 16
+      && m.getLong(5) == 440L && m.getLong(6) == 55L && m.isNullAt(7))
   }
 
-  test("non-audio payloads dead-letter; string ids rejected loudly") {
+  test("non-audio payloads dead-letter; string ids carry through; bad id types rejected") {
     val junk = Audio.audioMeta(spark,
       Multimodal.withBinaryPayload(docs(9L -> "not audio"), "text", "payload"),
       "doc_id", "payload").head()
-    assert(junk.error.isDefined && junk.sample_rate.isEmpty)
+    assert(!junk.isNullAt(7) && junk.isNullAt(2))
+    // URL/UUID ids ride the whole audio chain and come back as strings
     val strIds = frame(struct("doc_id" -> StringType, "text" -> StringType),
-      Row("u-1", "t"))
+      Row("https://a.com/x", "x" * 7), Row("u-2", "y" * 3))
+    val wav = Audio.synthesizeWav(spark, strIds, "doc_id", "text", "payload")
+    val metas = Audio.audioMeta(spark, wav, "doc_id", "payload")
+    assert(metas.schema("doc_id").dataType == StringType)
+    val byId = metas.collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(byId == Map("https://a.com/x" -> 440L, "u-2" -> 280L))
+    val res = Audio.resample(spark, wav, "doc_id", "payload", toRate = 4000)
+    assert(res.schema("doc_id").dataType == StringType &&
+      res.collect().map(_.getString(0)).toSet == Set("https://a.com/x", "u-2"))
+    // non-integral non-string ids still fail loudly
+    val badIds = frame(struct("doc_id" -> DoubleType, "text" -> StringType),
+      Row(1.5, "t"))
     val err = intercept[IllegalArgumentException] {
-      Audio.synthesizeWav(spark, strIds, "doc_id", "text", "payload")
+      Audio.synthesizeWav(spark, badIds, "doc_id", "text", "payload")
     }
-    assert(err.getMessage.contains("integral id"))
+    assert(err.getMessage.contains("integral or string id"))
   }
 
   test("audio decode dead-letters every junk payload without failing tasks") {
@@ -44,7 +58,7 @@ class AudioSpec extends SparkSpec {
     }
     val df = frame(struct("doc_id" -> LongType, "payload" -> BinaryType), rows: _*)
     val metas = Audio.audioMeta(spark, df, "doc_id", "payload").collect()
-    assert(metas.length == 100 && metas.forall(_.error.isDefined))
+    assert(metas.length == 100 && metas.forall(r => !r.isNullAt(7)))
     // corrupting a valid WAV's body must not fail the task either
     val wav = Audio.synthWavBytes("seed".getBytes("UTF-8"))
     val mutated = (0 until 20).map { i =>
@@ -64,7 +78,7 @@ class AudioSpec extends SparkSpec {
     val m = Audio.audioMeta(spark,
       frame(struct("doc_id" -> LongType, "payload" -> BinaryType),
         Row(1L, out.getAs[Array[Byte]](1))), "doc_id", "payload").head()
-    assert(m.sample_rate.contains(8000) && m.n_samples.contains(4L))
+    assert(m.getInt(2) == 8000 && m.getLong(5) == 4L)
     val pcm = java.util.Arrays.copyOfRange(
       out.getAs[Array[Byte]](1), out.getAs[Array[Byte]](1).length - 8,
       out.getAs[Array[Byte]](1).length)
@@ -77,7 +91,7 @@ class AudioSpec extends SparkSpec {
         Row(1L, "x" * 7)), "doc_id", "text", "payload")
     val half = Audio.resample(spark, wav, "doc_id", "payload", toRate = 4000)
     val hm = Audio.audioMeta(spark, half, "doc_id", "payload").head()
-    assert(hm.n_samples.contains(220L) && hm.duration_ms.contains(55L),
+    assert(hm.getLong(5) == 220L && hm.getLong(6) == 55L,
       "440 samples @8 kHz → 220 @4 kHz, still exactly 55 ms")
     // junk dead-letters with the decode reason
     val junk = Audio.resample(spark,
@@ -86,6 +100,47 @@ class AudioSpec extends SparkSpec {
         "text", "payload"),
       "doc_id", "payload", toRate = 4000).head()
     assert(!junk.isNullAt(2) && junk.isNullAt(1))
+  }
+
+  test("resample: stereo interpolates per channel, preserving the layout") {
+    // L = [0, 1000], R = [1000, 0] @4 kHz → 8 kHz:
+    // L → [0, 500, 1000, 1000], R → [1000, 500, 0, 0] (tails clamp)
+    def le16(vs: Short*): Array[Byte] =
+      vs.flatMap(v => Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)).toArray
+    val stereo = Audio.wavBytesRaw(
+      le16(0, 1000, 1000, 0), sampleRate = 4000, channels = 2, bits = 16)
+    val df = frame(struct("doc_id" -> LongType, "payload" -> BinaryType),
+      Row(1L, stereo))
+    val out = Audio.resample(spark, df, "doc_id", "payload", toRate = 8000).head()
+    assert(out.isNullAt(2), "stereo must no longer dead-letter")
+    val bytes = out.getAs[Array[Byte]](1)
+    val m = Audio.audioMeta(spark,
+      frame(struct("doc_id" -> LongType, "payload" -> BinaryType),
+        Row(1L, bytes)), "doc_id", "payload").head()
+    assert(m.getInt(2) == 8000 && m.getInt(3) == 2 && m.getInt(4) == 16
+      && m.getLong(5) == 4L, "4 frames of 2 channels at 8 kHz")
+    val pcm = java.util.Arrays.copyOfRange(bytes, bytes.length - 16, bytes.length)
+    val samples = (0 until 8).map(i =>
+      (((pcm(2 * i + 1) & 0xff) << 8) | (pcm(2 * i) & 0xff)).toShort)
+    assert(samples == Seq[Short](0, 1000, 500, 500, 1000, 0, 1000, 0),
+      "interleaved L/R frames, each channel interpolated independently")
+  }
+
+  test("resample: 8-bit unsigned PCM interpolates and keeps its bit depth") {
+    val eight = Audio.wavBytesRaw(
+      Array[Byte](0, 200.toByte), sampleRate = 4000, channels = 1, bits = 8)
+    val df = frame(struct("doc_id" -> LongType, "payload" -> BinaryType),
+      Row(1L, eight))
+    val out = Audio.resample(spark, df, "doc_id", "payload", toRate = 8000).head()
+    assert(out.isNullAt(2), "8-bit must no longer dead-letter")
+    val bytes = out.getAs[Array[Byte]](1)
+    val m = Audio.audioMeta(spark,
+      frame(struct("doc_id" -> LongType, "payload" -> BinaryType),
+        Row(1L, bytes)), "doc_id", "payload").head()
+    assert(m.getInt(2) == 8000 && m.getInt(4) == 8 && m.getLong(5) == 4L)
+    val pcm = java.util.Arrays.copyOfRange(bytes, bytes.length - 4, bytes.length)
+    assert(pcm.map(_ & 0xff).toSeq == Seq(0, 100, 200, 200),
+      "unsigned byte samples interpolate as 0..255 values")
   }
 
   test("audio features match the hand computation on a fixture WAV") {

@@ -496,11 +496,12 @@ class OpsSpec extends SparkSpec {
       Row(1L, png), Row(2L, "not an image".getBytes("UTF-8")))
     val rows = Multimodal.decodeMeta(spark, df, "doc_id", "payload")
       .orderBy("doc_id").collect()
-    assert(rows(0) == MediaMeta(1L, png.length.toLong, Some(3), Some(2), "png", None))
+    // MediaMeta columns: doc_id 0, n_bytes 1, width 2, height 3, format 4, error 5
+    assert(rows(0) == Row(1L, png.length.toLong, 3, 2, "png", null))
     // junk payload: no dims, sniffed unknown, reason in the error column
-    assert(rows(1).doc_id == 2L && rows(1).width.isEmpty &&
-      rows(1).height.isEmpty && rows(1).format == "unknown" &&
-      rows(1).error.isDefined)
+    assert(rows(1).getLong(0) == 2L && rows(1).isNullAt(2) &&
+      rows(1).isNullAt(3) && rows(1).getString(4) == "unknown" &&
+      !rows(1).isNullAt(5))
   }
 
   test("multimodal: luma-grid features derive from the decoded pixels") {
@@ -574,8 +575,8 @@ class OpsSpec extends SparkSpec {
         .where(col("frame_idx") === 3)
         .select(col("doc_id"), col("frame").as("payload")),
       "doc_id", "payload").head()
-    assert(meta.width.contains(9) && meta.height.contains(7)
-      && meta.format == "jpeg" && meta.error.isEmpty)
+    assert(meta.getInt(2) == 9 && meta.getInt(3) == 7
+      && meta.getString(4) == "jpeg" && meta.isNullAt(5))
   }
 
   test("multimodal: non-AVI and truncated payloads dead-letter with reasons") {
@@ -597,19 +598,36 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.aviVideoFrames("RIFFxxxxWAVE".getBytes("US-ASCII")).isLeft)
   }
 
-  test("multimodal: media ops reject string ids loudly instead of null-casting") {
+  test("multimodal: string ids (URLs/UUIDs) carry through; bad id types rejected") {
     val strIds = frame(struct("doc_id" -> StringType, "text" -> StringType),
-      Row("url-1", "some text"))
+      Row("https://a.com/page", "some text"), Row("uuid-22", "other words"))
+    // image chain: synthesize → decode keeps the string key end-to-end
+    val png = Multimodal.synthesizePng(spark, strIds, "doc_id", "text", "payload")
+    assert(png.schema("doc_id").dataType == StringType)
+    val meta = Multimodal.decodeMeta(spark, png, "doc_id", "payload")
+    assert(meta.schema("doc_id").dataType == StringType)
+    val byId = meta.collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    // width contract: 1 + textLen%16 ("some text" = 9 → 10, "other words" = 11 → 12)
+    assert(byId == Map("https://a.com/page" -> 10, "uuid-22" -> 12))
+    // video chain: frameSample keeps string ids too
+    val avi = Multimodal.synthesizeAvi(spark, strIds, "doc_id", "text", "payload")
+    val frames = Multimodal.frameSample(spark, avi, "doc_id", "payload", everyN = 1)
+    assert(frames.schema("doc_id").dataType == StringType)
+    assert(frames.where(col("error").isNotNull).count() == 0)
+    // integral ids still normalize to long (pre-string-support behavior)
+    val longMeta = Multimodal.decodeMeta(spark,
+      Multimodal.synthesizePng(spark,
+        frame(struct("doc_id" -> IntegerType, "text" -> StringType), Row(7, "t")),
+        "doc_id", "text", "payload"),
+      "doc_id", "payload")
+    assert(longMeta.schema("doc_id").dataType == LongType)
+    // floats/dates/structs still fail loudly
+    val badIds = frame(struct("doc_id" -> DoubleType, "text" -> StringType),
+      Row(1.5, "some text"))
     val err = intercept[IllegalArgumentException] {
-      Multimodal.synthesizePng(spark, strIds, "doc_id", "text", "payload")
+      Multimodal.synthesizePng(spark, badIds, "doc_id", "text", "payload")
     }
-    assert(err.getMessage.contains("integral id"))
-    val errV = intercept[IllegalArgumentException] {
-      Multimodal.frameSample(
-        spark, Multimodal.withBinaryPayload(strIds, "text", "payload"),
-        "doc_id", "payload", everyN = 1)
-    }
-    assert(errV.getMessage.contains("integral id"))
+    assert(err.getMessage.contains("integral or string id"))
   }
 
   test("decontam: report counts distinct shared n-grams; short docs gram-free") {
@@ -1001,6 +1019,78 @@ class OpsSpec extends SparkSpec {
       newDocs, "text", "doc_id", idx, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaIndex == pairs)
+  }
+
+  private def readIndexTables(path: String) = {
+    def triples(p: String) = spark.read.parquet(p)
+      .collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet
+    (triples(s"$path/buckets"),
+      spark.read.parquet(s"$path/sets")
+        .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet,
+      triples(s"$path/dropped"))
+  }
+
+  test("appendDedupIndex equals a full rebuild on the union corpus") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val dupText = (1 to 40).map(i => s"common$i").mkString(" ")
+    // three identical docs at maxBucketSize=2 ⇒ every one of their buckets
+    // is oversize ⇒ tombstoned at build time
+    val corpusA = docs(1L -> dupText, 2L -> dupText, 3L -> dupText,
+      4L -> base, 5L -> (1 to 40).map(i => s"other$i").mkString(" "))
+    // 6 arrives INTO the tombstoned buckets (must stay dropped — the
+    // resurrection bug this test exists to catch); 7 is a keepable near-dup
+    val batchB = docs(6L -> dupText, 7L -> base.replace("token7", "tokenX"))
+    val appended = java.nio.file.Files.createTempDirectory("graft-idx-app").toString
+    Dedup.writeDedupIndex(corpusA, "text", "doc_id", appended, maxBucketSize = 2)
+    Dedup.appendDedupIndex(batchB, "text", "doc_id", appended)
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-idx-reb").toString
+    Dedup.writeDedupIndex(corpusA.unionByName(batchB), "text", "doc_id",
+      rebuilt, maxBucketSize = 2)
+    val (ab, as2, ad) = readIndexTables(appended)
+    val (rb, rs, rd) = readIndexTables(rebuilt)
+    assert(ab == rb, "kept buckets differ from full rebuild")
+    assert(as2 == rs, "hashed shingle sets differ from full rebuild")
+    assert(ad == rd, "tombstones differ from full rebuild")
+    assert(ad.nonEmpty, "fixture must exercise the tombstone path")
+    // no stray staging/tmp dirs left behind
+    val leftovers = new java.io.File(appended).list().toSet
+    assert(leftovers == Set("buckets", "sets", "dropped", "meta"), leftovers)
+
+    // probe after append ≡ minhashPairsAgainst on the union corpus at the
+    // index's own bucket cap (the tombstoned cluster is invisible to both)
+    // token9 is a prefix of no other token in 1..40, so exactly one token
+    // differs from base (token3 would also hit token30..token39)
+    val probes = docs(20L -> base.replace("token9", "tokenY"),
+      21L -> dupText, 22L -> (1 to 40).map(i => s"zzz$i").mkString(" "))
+    val viaIndex = Dedup.minhashPairsAgainstIndex(
+      probes, "text", "doc_id", appended, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Dedup.minhashPairsAgainst(
+      probes, corpusA.unionByName(batchB), "text", "doc_id",
+      threshold = 0.5, maxBucketSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == direct)
+    assert(viaIndex == Set((20L, 4L), (20L, 7L)),
+      "probe finds the kept near-dups and not the tombstoned cluster")
+  }
+
+  test("index format-version mismatch fails loudly on probe and append") {
+    val corpus = docs(1L -> (1 to 40).map(i => s"token$i").mkString(" "))
+    val idx = java.nio.file.Files.createTempDirectory("graft-idx-ver").toString
+    Dedup.writeDedupIndex(corpus, "text", "doc_id", idx)
+    frame(struct("k" -> IntegerType, "num_hashes" -> IntegerType,
+      "bands" -> IntegerType, "max_bucket_size" -> IntegerType,
+      "format_version" -> IntegerType),
+      Row(3, 64, 32, 4096, 99))
+      .write.mode("overwrite").parquet(s"$idx/meta")
+    val probeErr = intercept[IllegalArgumentException] {
+      Dedup.minhashPairsAgainstIndex(corpus, "text", "doc_id", idx)
+    }
+    assert(probeErr.getMessage.contains("format version 99"))
+    val appendErr = intercept[IllegalArgumentException] {
+      Dedup.appendDedupIndex(corpus, "text", "doc_id", idx)
+    }
+    assert(appendErr.getMessage.contains("format version 99"))
   }
 
   test("keepBestPerCluster keeps the top score per cluster, ties to min id") {
