@@ -493,6 +493,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL-BPE packing budgets end-to-end: the broadcast merge table from
+    // an in-repo fixture (rules a a / aa aa / aaaa aaaa) drives
+    // concatChunkPlan. On 'a'-runs the cascade collapses k<=15 chars to
+    // exactly bit_count(k) symbols (binary decomposition: merge-all at
+    // each rank halves the run), and the space-prefixed 'b'-run stays
+    // 1 + j unmerged byte symbols — so DuckDB predicts the genuine BPE
+    // count in closed form while Spark runs the real merge loop
+    "q98_pack_bpe" -> ((s, d) => {
+      // the classpath fixture may live inside a jar — stage it to a real
+      // file for the path-based loader
+      val in = getClass.getResourceAsStream("/graft/bpe_pack_merges.txt")
+      require(in != null, "bpe_pack_merges.txt fixture missing from classpath")
+      val tmp = java.nio.file.Files.createTempFile("graft_bpe_merges", ".txt")
+      try java.nio.file.Files.copy(in, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      val counter = graft.ops.TextOps.bpeTokenCountFromMerges(s, tmp.toString)
+      val docs = Tables(s, d, "documents").select(
+        col("doc_id"),
+        expr("concat(repeat('a', cast(1 + doc_id % 15 as int)), ' ', " +
+          "repeat('b', cast(1 + doc_id % 5 as int)))").as("text"))
+      graft.ops.Packing.concatChunkPlan(
+        docs, "doc_id", "text", capacity = 8, nGroups = 8, counter)
+        .orderBy(col("doc_id"))
+    }),
+
     // the standing-index lifecycle end-to-end: build on most of the
     // corpus, fold the %10==5 slice in via appendDedupIndex (no corpus
     // re-hash), probe with the %10==0 arrivals. The probe result is
@@ -542,7 +568,14 @@ object SparkEntry {
     // 5th, adds 10 synthetic ids — each id classified by presence +
     // content hash; text never reaches the join
     "q94_corpus_diff" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
+      // two planted null-text docs exercise the null contract: both-null
+      // compares 'unchanged' (null-safe <=>), and the %5 "edit" of a null
+      // text is null-propagating concat — still null, still 'unchanged'
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+        .unionByName(s.range(1).select(
+          lit(999995L).as("doc_id"), lit(null).cast("string").as("text")))
+        .unionByName(s.range(1).select(
+          lit(999998L).as("doc_id"), lit(null).cast("string").as("text")))
       val after = docs.where(col("doc_id") % 7 =!= 0)
         .withColumn("text",
           when(col("doc_id") % 5 === 0, concat(col("text"), lit(" EDITED")))
@@ -579,7 +612,7 @@ object SparkEntry {
     "q91_profile" -> ((s, d) =>
       graft.relation.Relation(Tables(s, d, "nation"))
         .apply("n_nationkey", "n_name", "n_regionkey")
-        .profile().order("column").toDF),
+        .profile(approx = false).order("column").toDF),
 
     // incremental dedup: the day's arrivals (doc_id % 10 = 0) checked
     // against the standing corpus — new×new and existing×existing pairs
@@ -1455,6 +1488,28 @@ object SparkEntry {
         | 'png' AS format, true AS ok
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // the closed-form BPE count: bit_count('a'-run) + 1 (the Ġ space
+    // byte) + the 'b'-run length; then q74's window arithmetic at
+    // capacity 8
+    "q98_pack_bpe" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)),1,1))-1) % 8 AS grp,
+        |    cast(bit_count(1 + doc_id % 15) + 2 + doc_id % 5 as bigint) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, grp, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY grp ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d
+        |)
+        |SELECT doc_id, cast(grp as int) AS grp, n_tokens,
+        |  cast((cum - n_tokens) // 8 as bigint) AS bin_first,
+        |  cast(CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // 8
+        |            ELSE (cum - 1) // 8 END as bigint) AS bin_last,
+        |  cast((cum - n_tokens) % 8 as bigint) AS offset_in_bin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     // identical to q90's oracle: build→append→probe over the same slices
     // must equal the one-shot incremental check on the union corpus
     "q97_dedup_index_append" ->
@@ -1491,19 +1546,26 @@ object SparkEntry {
         | true AS ok
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // null contract mirrored from Spark: `||` propagates NULL (DuckDB's
+    // concat() would skip it) and IS NOT DISTINCT FROM is the <=> twin,
+    // so both-null text diffs as 'unchanged'
     "q94_corpus_diff" ->
-      """WITH before_ AS (SELECT doc_id, text FROM documents),
+      """WITH before_ AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT 999995, NULL
+        |  UNION ALL SELECT 999998, NULL
+        |),
         |after_ AS (
         |  SELECT doc_id,
-        |    CASE WHEN doc_id % 5 = 0 THEN concat(text, ' EDITED') ELSE text END AS text
-        |  FROM documents WHERE doc_id % 7 <> 0
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' EDITED' ELSE text END AS text
+        |  FROM before_ WHERE doc_id % 7 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id <= 10
+        |  SELECT doc_id + 1000000, text FROM before_ WHERE doc_id <= 10
         |)
         |SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
         |  CASE WHEN b.doc_id IS NULL THEN 'added'
         |       WHEN a.doc_id IS NULL THEN 'removed'
-        |       WHEN md5(b.text) = md5(a.text) THEN 'unchanged'
+        |       WHEN md5(b.text) IS NOT DISTINCT FROM md5(a.text) THEN 'unchanged'
         |       ELSE 'changed' END AS status
         |FROM before_ b FULL JOIN after_ a ON b.doc_id = a.doc_id
         |ORDER BY doc_id""".stripMargin,

@@ -216,33 +216,53 @@ final case class Relation(
 
   /** Per-column profile — the `describe()` analogue, built the same
     * one-scan way as the Validator: ONE aggregate pass computes every
-    * column's non-null count, null count, exact distinct count, and
-    * min/max (rendered as strings so the long-format frame has one
-    * schema), then a `stack` unpivots to one row per column. Column count
+    * column's non-null count, null count, distinct count, and min/max
+    * (rendered as strings so the long-format frame has one schema), then
+    * a struct-array explode unpivots to one row per column. Column count
     * changes the aggregate width, never the scan count — profiling a
     * 500-column table is still one job.
+    *
+    * `approx = true` (the default) counts distincts with
+    * `approx_count_distinct` (HyperLogLog++): exact per-column distinct
+    * state is the heaviest possible aggregate on a wide high-cardinality
+    * table — at 100 TB it is an executor-memory hazard, while HLL state
+    * is a few KB per column at ~2% error. Pass `approx = false` when the
+    * exact count matters (small tables, oracle comparisons — q91 pins
+    * this mode).
+    *
+    * Column names never reach a SQL parser: the frame is positionally
+    * renamed first and labels are literal expressions, so names with
+    * spaces, quotes, commas or dots profile safely. Map-typed columns
+    * (not comparable) count distincts over their JSON rendering and leave
+    * min/max null.
     */
-  def profile(): Relation = {
+  def profile(approx: Boolean = true): Relation = {
+    import org.apache.spark.sql.{functions => F}
     val fields = df.schema.fields
     require(fields.nonEmpty, "cannot profile a zero-column relation")
-    val aggs = fields.flatMap { f =>
-      import org.apache.spark.sql.{functions => F}
-      val c = col(f.name)
+    val tmp = df.toDF(fields.indices.map(i => s"__c$i"): _*)
+    val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
+      val isMap = f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]
+      val c = if (isMap) F.to_json(col(s"__c$i")) else col(s"__c$i")
+      val nd = if (approx) F.approx_count_distinct(c) else F.count_distinct(c)
       Seq(
-        F.count(c).cast("bigint").as(s"__n_${f.name}"),
-        (F.count(lit(1)) - F.count(c)).cast("bigint").as(s"__nn_${f.name}"),
-        F.count_distinct(c).cast("bigint").as(s"__nd_${f.name}"),
-        F.min(c).cast("string").as(s"__mn_${f.name}"),
-        F.max(c).cast("string").as(s"__mx_${f.name}"))
+        F.count(c).cast("bigint").as(s"__n_$i"),
+        (F.count(lit(1)) - F.count(c)).cast("bigint").as(s"__nn_$i"),
+        nd.cast("bigint").as(s"__nd_$i"),
+        (if (isMap) lit(null).cast("string") else F.min(c).cast("string")).as(s"__mn_$i"),
+        (if (isMap) lit(null).cast("string") else F.max(c).cast("string")).as(s"__mx_$i"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = fields.map { f =>
-      s"'${f.name}', __n_${f.name}, __nn_${f.name}, __nd_${f.name}, " +
-        s"__mn_${f.name}, __mx_${f.name}"
-    }.mkString(", ")
-    changed(one.selectExpr(
-      s"stack(${fields.length}, $stackArgs) AS " +
-        "(column, n, n_null, n_distinct, min_str, max_str)"))
+    val one = tmp.agg(aggs.head, aggs.tail: _*)
+    val entries = fields.zipWithIndex.map { case (f, i) =>
+      F.struct(
+        lit(f.name).as("column"),
+        col(s"__n_$i").as("n"),
+        col(s"__nn_$i").as("n_null"),
+        col(s"__nd_$i").as("n_distinct"),
+        col(s"__mn_$i").as("min_str"),
+        col(s"__mx_$i").as("max_str"))
+    }
+    changed(one.select(F.explode(F.array(entries: _*)).as("p")).select("p.*"))
   }
 
   // ---- joins (duckdb.py:1136-1321 + pydantic.py:1044-1116) --------------

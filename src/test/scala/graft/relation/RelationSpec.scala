@@ -555,14 +555,42 @@ class RelationSpec extends SparkSpec {
     val r = Relation(frame(
       struct("k" -> LongType, "s" -> StringType),
       Row(1L, "b"), Row(2L, "a"), Row(2L, null), Row(3L, "a")))
-    val rows = r.profile().order("column").toDF.collect()
+    val rows = r.profile(approx = false).order("column").toDF.collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
         x.getString(4), x.getString(5)))
     assert(rows.toSeq == Seq(
       ("k", 4L, 0L, 3L, "1", "3"),
       ("s", 3L, 1L, 2L, "a", "b")))
     // column count widens the aggregate, never the scan count
-    val plan = r.profile().toDF.queryExecution.executedPlan.toString
+    val plan = r.profile(approx = false).toDF.queryExecution.executedPlan.toString
     assert(!plan.contains("Union"), s"profile must be one pass, not per-column:\n$plan")
+    // the scale default is approximate: HLL sketches instead of exact
+    // per-column distinct state (plan shows the approx aggregate)
+    val approxPlan = r.profile().toDF.queryExecution.executedPlan.toString
+    assert(approxPlan.contains("approx_count_distinct"), approxPlan)
+    assert(!approxPlan.contains("Union"))
+    // at this cardinality the sketch answer happens to be exact too
+    val approxRows = r.profile().order("column").toDF.collect()
+      .map(x => (x.getString(0), x.getLong(3)))
+    assert(approxRows.toSeq == Seq(("k", 3L), ("s", 2L)))
+  }
+
+  test("profile: hostile column names and map columns are safe") {
+    // names with spaces, quotes, commas, dots, backticks — none may reach
+    // a SQL parser
+    val odd = frame(
+      struct("a b" -> LongType, "it's, tricky" -> StringType, "a.b" -> LongType),
+      Row(1L, "x", 5L), Row(2L, "x", 5L))
+    val rows = Relation(odd).profile(approx = false).toDF.collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(3))).toSet
+    assert(rows == Set(("a b", 2L, 2L), ("it's, tricky", 2L, 1L), ("a.b", 2L, 1L)))
+    // map columns: distinct over the JSON rendering, min/max null
+    val m = frame(
+      struct("id" -> LongType, "tags" -> MapType(StringType, LongType)),
+      Row(1L, Map("x" -> 1L)), Row(2L, Map("x" -> 1L)), Row(3L, null))
+    val prof = Relation(m).profile(approx = false).order("column").toDF.collect()
+    val tags = prof.find(_.getString(0) == "tags").get
+    assert(tags.getLong(1) == 2L && tags.getLong(2) == 1L && tags.getLong(3) == 1L
+      && tags.isNullAt(4) && tags.isNullAt(5))
   }
 }
