@@ -276,7 +276,7 @@ object Dedup {
     * format version matches this build. A missing `format_version` column
     * is the v1 (pre-versioning) layout.
     */
-  private[ops] def readCheckedIndexMeta(
+  private[graft] def readCheckedIndexMeta(
       spark: org.apache.spark.sql.SparkSession, path: String): org.apache.spark.sql.Row = {
     val meta = spark.read.parquet(s"$path/meta").head()
     val v =

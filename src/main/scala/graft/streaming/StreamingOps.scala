@@ -194,6 +194,51 @@ object StreamingOps {
       .dropDuplicates("new_id", "existing_id")
   }
 
+  /** [[dedupAgainstCorpus]] probing a PERSISTED index
+    * ([[graft.ops.Dedup.writeDedupIndex]] /
+    * [[graft.ops.Dedup.appendDedupIndex]]) instead of re-hashing a corpus
+    * frame — the production shape: a live crawl stream probing the
+    * standing index, whose existing side is two narrow parquet reads
+    * (buckets + hashed sets), never the corpus text. Banding parameters
+    * come FROM the index meta (format version checked), so the stream
+    * side always hashes compatibly, including after appends. The
+    * stream-static joins are stateless; only the final `dropDuplicates`
+    * holds state (same caveat as [[dedupAgainstCorpus]]).
+    */
+  def dedupAgainstIndex(
+      newStream: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      threshold: Double = 0.5): DataFrame = {
+    import graft.ops.{Dedup, TextOps}
+    val spark = newStream.sparkSession
+    val meta = Dedup.readCheckedIndexMeta(spark, path)
+    val k = meta.getAs[Int]("k")
+    val numHashes = meta.getAs[Int]("num_hashes")
+    val bands = meta.getAs[Int]("bands")
+    val streamSide = newStream.select(
+      col(idCol).as("new_id"),
+      graft.functions.native
+        .minhashBandHashes(TextOps.rawTokens(col(textCol)), k, numHashes, bands)
+        .as("bh"),
+      graft.functions.native
+        .hashedShingleSet(TextOps.rawTokens(col(textCol)), k).as("hs_a"))
+      .select(col("new_id"), col("hs_a"),
+        posexplode(col("bh")).as(Seq("band", "bhash")))
+    val buckets = spark.read.parquet(s"$path/buckets")
+      .withColumnRenamed("id", "existing_id")
+    val sets = spark.read.parquet(s"$path/sets")
+      .select(col("id").as("existing_id"), col("hs").as("hs_b"))
+    streamSide.join(buckets, Seq("band", "bhash"))
+      .join(sets, Seq("existing_id"))
+      .withColumn("jaccard",
+        graft.functions.native.jaccardSorted(col("hs_a"), col("hs_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("new_id"), col("existing_id"), col("jaccard"))
+      .dropDuplicates("new_id", "existing_id")
+  }
+
   def joinWithinTime(
       left: DataFrame,
       right: DataFrame,

@@ -320,6 +320,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == Set((1L, 10L), (2L, 10L), (3L, 11L)))
   }
 
+  test("streaming dedup against a persisted index ≡ batch probe, incl. after append") {
+    import graft.ops.Dedup
+    val docSt = struct("doc_id" -> LongType, "text" -> StringType)
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val other = (1 to 40).map(i => s"other$i").mkString(" ")
+    val extra = (1 to 40).map(i => s"extra$i").mkString(" ")
+    // index built on {10, 11}, then doc 12 appended — the stream must see
+    // appended docs too, with banding params read from the index meta
+    val idx = Files.createTempDirectory("graft-stream-idx").toString
+    Dedup.writeDedupIndex(
+      frame(docSt, Row(10L, base), Row(11L, other)), "text", "doc_id", idx)
+    Dedup.appendDedupIndex(frame(docSt, Row(12L, extra)), "text", "doc_id", idx)
+    val dir = Files.createTempDirectory("graft-idxprobe-in").toString
+    Seq(Seq(Row(1L, base.replace("token7", "tokenX"))),
+      Seq(Row(2L, other.replace("other7 ", "otherX ")),
+        Row(3L, extra.replace("extra7 ", "extraX "))))
+      .foreach { rows =>
+        frame(docSt, rows: _*).coalesce(1).write.mode("append").parquet(dir)
+        Thread.sleep(5)
+      }
+    val stream = StreamingOps.dedupAgainstIndex(
+      spark.readStream.schema(docSt).option("maxFilesPerTrigger", "1").parquet(dir),
+      "text", "doc_id", idx)
+    runToCompletion(stream, "dedup_idx")
+    val streamed = spark.table("dedup_idx").select("new_id", "existing_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.minhashPairsAgainstIndex(
+      spark.read.parquet(dir), "text", "doc_id", idx)
+      .select("new_id", "existing_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed == Set((1L, 10L), (2L, 11L), (3L, 12L)),
+      "appended doc 12 must be probeable from the stream")
+  }
+
   test("content-keyed sampling and mixing are stateless — stream ≡ batch") {
     // md5 split/sample/mix decide per row from content alone (no seed, no
     // state), so the SAME rows must be kept whether the corpus arrives as
