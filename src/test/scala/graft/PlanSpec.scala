@@ -147,6 +147,28 @@ class PlanSpec extends SparkSpec {
     assert(!pa.contains("Exchange"), s"audio chain must not shuffle:\n$pa")
   }
 
+  test("index probe scans two narrow index tables — never the corpus text") {
+    // the whole point of the persisted dedup index: a probe's existing
+    // side is parquet reads of (band,bhash,id) and (id,hs) — the corpus
+    // text column must appear in NO scan. Only the probe docs (here a
+    // parquet-backed frame too) run the signature kernel.
+    val idx = java.nio.file.Files.createTempDirectory("graft-plan-idx").toString
+    val docs = Tables(spark, dir, "documents")
+    ops.Dedup.writeDedupIndex(docs.where(col("doc_id") % 2 === 0), "text", "doc_id", idx)
+    val probe = ops.Dedup.minhashPairsAgainstIndex(
+      docs.where(col("doc_id") % 2 === 1), "text", "doc_id", idx)
+    // pre-AQE physical plan: the executedPlan string repeats scan
+    // sections under AQE ("Initial Plan"), which would double-count
+    val p = probe.queryExecution.sparkPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 3, s"expected 3 parquet scans (probe docs + buckets + sets), got $scans:\n$p")
+    // the index tables must be read narrow — the text column appears in
+    // exactly one scan (the probe side), never the existing side
+    val textScans = p.linesIterator
+      .filter(l => l.contains("ReadSchema") && l.contains("text:string")).size
+    assert(textScans == 1, s"corpus text must be read exactly once, got $textScans:\n$p")
+  }
+
   test("md5 weighted mix is a pure pushdown-friendly filter union") {
     val docs = Tables(spark, dir, "documents").select("doc_id")
     val p = plan(ops.Sampling.md5WeightedMix(
