@@ -363,6 +363,14 @@ object Dedup {
     * Ids in `newDocs` must be disjoint from the indexed ids (same contract
     * as unioning the corpora). Banding parameters come FROM the index meta;
     * the format version is checked first.
+    *
+    * Cost shape: each append rewrites the three narrow index tables —
+    * O(|index|) 8-byte-column IO, NOT O(corpus) text hashing, which is the
+    * expensive thing this operator exists to avoid. If daily batches make
+    * even the narrow rewrite IO-bound at extreme scale, accumulate
+    * arrivals (probing them via [[minhashPairsAgainstIndex]] in the
+    * meantime) and fold them in on a coarser cadence — the equality with
+    * a full rebuild holds for any batching.
     */
   def appendDedupIndex(
       newDocs: DataFrame,

@@ -1072,6 +1072,20 @@ class OpsSpec extends SparkSpec {
     assert(viaIndex == direct)
     assert(viaIndex == Set((20L, 4L), (20L, 7L)),
       "probe finds the kept near-dups and not the tombstoned cluster")
+
+    // a SECOND append (tombstones must survive and re-total through
+    // chained appends) and an EMPTY append (a no-op) keep the equality
+    val batchC = docs(8L -> dupText, 9L -> (1 to 40).map(i => s"more$i").mkString(" "))
+    Dedup.appendDedupIndex(batchC, "text", "doc_id", appended)
+    Dedup.appendDedupIndex(docs(), "text", "doc_id", appended)
+    val rebuilt3 = java.nio.file.Files.createTempDirectory("graft-idx-reb3").toString
+    Dedup.writeDedupIndex(
+      corpusA.unionByName(batchB).unionByName(batchC), "text", "doc_id",
+      rebuilt3, maxBucketSize = 2)
+    val (ab3, as3, ad3) = readIndexTables(appended)
+    val (rb3, rs3, rd3) = readIndexTables(rebuilt3)
+    assert(ab3 == rb3 && as3 == rs3 && ad3 == rd3,
+      "append∘append∘append-empty must equal the three-corpus rebuild")
   }
 
   test("index format-version mismatch fails loudly on probe and append") {
