@@ -98,6 +98,34 @@ object OpsPropertySpec extends Properties("graft.ops") {
   private lazy val bpe = graft.functions.BpeModel.fromMerges(
     Iterator("h e", "l l", "he ll"))
 
+  // small text pool so random corpora contain many exact duplicates —
+  // identical texts share every LSH bucket, so maxBucketSize=2 exercises
+  // the tombstone (oversize-drop) path in most samples
+  private val dupPool = (0 until 5).map(p => (1 to 12).map(j => s"p${p}w$j").mkString(" "))
+
+  private def poolCorpus(idxs: List[Int], offset: Long) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        idxs.zipWithIndex.map { case (pi, i) => Row(offset + i + 1, dupPool(pi)) }, 2),
+      docSt)
+
+  property("appendDedupIndex equals a full rebuild on random duplicate-heavy corpora") =
+    forAll(
+      Gen.choose(1, 8).flatMap(k => Gen.listOfN(k, Gen.choose(0, 4))),
+      Gen.choose(0, 5).flatMap(k => Gen.listOfN(k, Gen.choose(0, 4)))) { (aIdxs, bIdxs) =>
+      val a = poolCorpus(aIdxs, 0L)
+      val b = poolCorpus(bIdxs, 100L)
+      val appended = java.nio.file.Files.createTempDirectory("graft-prop-app").toString
+      Dedup.writeDedupIndex(a, "text", "doc_id", appended, maxBucketSize = 2)
+      Dedup.appendDedupIndex(b, "text", "doc_id", appended)
+      val rebuilt = java.nio.file.Files.createTempDirectory("graft-prop-reb").toString
+      Dedup.writeDedupIndex(a.unionByName(b), "text", "doc_id", rebuilt, maxBucketSize = 2)
+      def tables(p: String) = Seq("buckets", "sets", "dropped").map { t =>
+        spark.read.parquet(s"$p/$t").collect().map(_.toSeq).toSet
+      }
+      tables(appended) == tables(rebuilt)
+    }
+
   property("BPE count is deterministic and bounded by the byte length") =
     forAll(Gen.listOf(Gen.oneOf("hello", "world", "it's", "héllo", "123", "x"))
       .map(_.mkString(" "))) { s =>
