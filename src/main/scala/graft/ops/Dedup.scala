@@ -436,9 +436,11 @@ object Dedup {
     hadoopFs(spark, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
 
   /** Replace `<path>/<name>` with `<path>/<name>_tmp` via two renames —
-    * metadata-only on HDFS-like stores, so the index is never in a
-    * half-written state (worst case on failure: the `_old` copy remains
-    * alongside, never a truncated table).
+    * metadata-only on HDFS-like stores, so no table is ever observed
+    * half-written. Worst case on a crash between the renames: `<name>` is
+    * absent while `<name>_old` and `<name>_tmp` both hold COMPLETE copies
+    * — the next reader fails loudly on the missing path (recover by
+    * renaming either copy back), never silently reads a truncated table.
     */
   private def swapDir(
       spark: org.apache.spark.sql.SparkSession, path: String, name: String): Unit = {
