@@ -265,20 +265,53 @@ object Dedup {
 
   /** On-disk format version of the persisted dedup index. Bumped whenever
     * the layout or the semantics of any index table change; every reader
-    * checks it ([[readCheckedIndexMeta]]) so a standing index written by an
-    * older build fails LOUDLY instead of silently probing with drifted
-    * banding or missing tombstones. v1 (round 6) had no `dropped` table and
-    * no version column; v2 adds both.
+    * checks it ([[resolveIndex]]) so a standing index written by an older
+    * build fails LOUDLY instead of silently probing with drifted banding
+    * or missing tombstones. v1 (round 6) had no `dropped` table and no
+    * version column; v2 added both; v3 is the epoch layout: each index
+    * state is a COMPLETE `epoch-N/{buckets,sets,dropped,meta}` directory
+    * and `<path>/current` points at the live one — so build/append commit
+    * with ONE atomic pointer rename and a crash can never leave tables
+    * from different states visible together.
     */
-  val DedupIndexFormatVersion: Int = 2
+  val DedupIndexFormatVersion: Int = 3
 
-  /** Read `<path>/meta` and fail with a clear message unless the on-disk
-    * format version matches this build. A missing `format_version` column
-    * is the v1 (pre-versioning) layout.
+  private def epochName(n: Long): String = f"epoch-$n%09d"
+  private def epochNumber(name: String): Long = name.stripPrefix("epoch-").toLong
+
+  /** Directory of the live epoch, resolved through the `<path>/current`
+    * pointer. Resolve ONCE per operation and read every table from the
+    * returned dir: a concurrent append commits a NEW epoch and retains the
+    * previous one, so a resolved dir stays complete and self-consistent
+    * for the whole operation.
     */
-  private[graft] def readCheckedIndexMeta(
-      spark: org.apache.spark.sql.SparkSession, path: String): org.apache.spark.sql.Row = {
-    val meta = spark.read.parquet(s"$path/meta").head()
+  private[graft] def epochDir(
+      spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = hadoopFs(spark, path)
+    val ptr = new HPath(path, "current")
+    require(fs.exists(ptr),
+      s"no dedup index at $path (missing 'current' pointer) — this build " +
+      s"reads the epoch-based v$DedupIndexFormatVersion layout; rebuild " +
+      "with writeDedupIndex")
+    val in = fs.open(ptr)
+    val name =
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(ptr).getLen.toInt)
+        in.readFully(bytes)
+        new String(bytes, "UTF-8").trim
+      } finally in.close()
+    s"$path/$name"
+  }
+
+  /** Resolve the live epoch and check its meta's format version — every
+    * index reader goes through this, so drifted layouts fail loudly.
+    */
+  private[graft] def resolveIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (String, org.apache.spark.sql.Row) = {
+    val dir = epochDir(spark, path)
+    val meta = spark.read.parquet(s"$dir/meta").head()
     val v =
       if (meta.schema.fieldNames.contains("format_version")) meta.getAs[Int]("format_version")
       else 1
@@ -287,25 +320,82 @@ object Dedup {
       s"reads version $DedupIndexFormatVersion — rebuild it with " +
       "writeDedupIndex (a standing index outlives code versions; silent " +
       "banding/layout drift is exactly what this check prevents)")
-    meta
+    (dir, meta)
+  }
+
+  /** Atomically point `<path>/current` at `epoch` — the single commit
+    * point of build and append. The pointer is staged to a sibling file
+    * and renamed over with `FileContext.rename(OVERWRITE)` (atomic on
+    * HDFS-like stores): a crash strictly before this line leaves the old
+    * epoch fully live, a crash after it the new one — there is no state
+    * in between.
+    */
+  private def commitEpoch(
+      spark: org.apache.spark.sql.SparkSession, path: String, epoch: String): Unit = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
+    val fs = hadoopFs(spark, path)
+    val tmp = new HPath(path, "current_tmp")
+    val out = fs.create(tmp, true)
+    try out.write(epoch.getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(
+      fs.makeQualified(new HPath(path)).toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fs.makeQualified(tmp),
+      fs.makeQualified(new HPath(path, "current")), Options.Rename.OVERWRITE)
+  }
+
+  /** Write one complete epoch directory: buckets (oversize-guarded), the
+    * dropped-bucket tombstones, hashed shingle sets, and meta. The bucket
+    * rows are staged once WITH their window counts and the kept/dropped
+    * split derives from the staged parquet — one signature-kernel pass
+    * over the corpus text, not one per output table. `bucketsWithN` must
+    * provide (band, bhash, id, n) where n is the bucket's TRUE total
+    * count (live + any prior tombstone).
+    */
+  private def writeEpochTables(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      bucketsWithN: DataFrame,
+      priorTombstones: Option[DataFrame],
+      sets: DataFrame,
+      k: Int, numHashes: Int, bands: Int, maxBucketSize: Int): Unit = {
+    import spark.implicits._
+    val stage = s"$dir/stage"
+    bucketsWithN.write.mode("overwrite").parquet(stage)
+    val staged = spark.read.parquet(stage)
+    staged.where(col("n") <= maxBucketSize)
+      .select("band", "bhash", "id")
+      .write.mode("overwrite").parquet(s"$dir/buckets")
+    // tombstones for buckets over the cap, plus prior tombstones that saw
+    // no new rows this epoch (carried forward unchanged)
+    val overCap = staged.where(col("n") > maxBucketSize)
+      .select("band", "bhash", "n").distinct()
+    priorTombstones.fold(overCap) { tomb =>
+      overCap.unionByName(
+        tomb.join(staged.select("band", "bhash").distinct(),
+          Seq("band", "bhash"), "left_anti"))
+    }.write.mode("overwrite").parquet(s"$dir/dropped")
+    deleteDir(spark, stage)
+    sets.write.mode("overwrite").parquet(s"$dir/sets")
+    Seq((k, numHashes, bands, maxBucketSize, DedupIndexFormatVersion))
+      .toDF("k", "num_hashes", "bands", "max_bucket_size", "format_version")
+      .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Persist the standing dedup index: the corpus's LSH buckets (oversize-
     * guarded) and hashed shingle sets, written once as parquet so arrivals
     * probe them WITHOUT re-reading or re-hashing the corpus text — at
     * 100 TB the index is a few 8-byte columns, the corpus re-scan it
-    * replaces is the whole text column. Layout: `<path>/buckets` =
-    * (band, bhash, id), `<path>/sets` = (id, hs), `<path>/dropped` =
-    * (band, bhash, n) tombstones for oversize-dropped buckets (their TRUE
-    * total count — [[appendDedupIndex]] needs it so rows arriving into an
-    * already-dropped bucket stay dropped, keeping append ≡ rebuild), and
-    * `<path>/meta` = the banding parameters + format version, which
-    * [[minhashPairsAgainstIndex]] reads back so a probe can never run with
-    * mismatched banding.
+    * replaces is the whole text column.
     *
-    * The bucket rows are staged once WITH their window counts and the
-    * kept/dropped split derives from the staged parquet — one signature-
-    * kernel pass over the corpus text, not one per output table.
+    * Layout (v3, epoch-based): `<path>/current` names the live epoch dir;
+    * `<path>/epoch-N/` holds `buckets` = (band, bhash, id), `sets` =
+    * (id, hs), `dropped` = (band, bhash, n) tombstones for oversize-
+    * dropped buckets (their TRUE total count — [[appendDedupIndex]] needs
+    * it so rows arriving into an already-dropped bucket stay dropped,
+    * keeping append ≡ rebuild), and `meta` = banding parameters + format
+    * version, which every reader resolves FROM the index so a probe can
+    * never run with mismatched banding. `path` must be a dedicated index
+    * directory — a build resets it.
     */
   def writeDedupIndex(
       existing: DataFrame,
@@ -317,33 +407,23 @@ object Dedup {
       bands: Int = 32,
       maxBucketSize: Int = 4096): Unit = {
     val spark = existing.sparkSession
-    import spark.implicits._
-    val sigs = existing.select(
+    deleteDir(spark, path)
+    val epoch = epochName(1L)
+    val w = Window.partitionBy(col("band"), col("bhash"))
+    val bucketsWithN = existing.select(
       col(idCol).as("id"),
       graft.functions.native
         .minhashBandHashes(TextOps.rawTokens(col(textCol)), k, numHashes, bands)
         .as("bh"))
-    val w = Window.partitionBy(col("band"), col("bhash"))
-    val stage = s"$path/buckets_stage"
-    sigs.select(posexplode(col("bh")).as(Seq("band", "bhash")), col("id"))
+      .select(posexplode(col("bh")).as(Seq("band", "bhash")), col("id"))
       .withColumn("n", count(lit(1)).over(w))
-      .write.mode("overwrite").parquet(stage)
-    val staged = spark.read.parquet(stage)
-    staged.where(col("n") <= maxBucketSize)
-      .select("band", "bhash", "id")
-      .write.mode("overwrite").parquet(s"$path/buckets")
-    staged.where(col("n") > maxBucketSize)
-      .select("band", "bhash", "n").distinct()
-      .write.mode("overwrite").parquet(s"$path/dropped")
-    deleteDir(spark, stage)
-    existing.select(
+    val sets = existing.select(
       col(idCol).as("id"),
       graft.functions.native
         .hashedShingleSet(TextOps.rawTokens(col(textCol)), k).as("hs"))
-      .write.mode("overwrite").parquet(s"$path/sets")
-    Seq((k, numHashes, bands, maxBucketSize, DedupIndexFormatVersion))
-      .toDF("k", "num_hashes", "bands", "max_bucket_size", "format_version")
-      .write.mode("overwrite").parquet(s"$path/meta")
+    writeEpochTables(spark, s"$path/$epoch", bucketsWithN, None, sets,
+      k, numHashes, bands, maxBucketSize)
+    commitEpoch(spark, path, epoch)
   }
 
   /** Fold a batch of new documents into a standing index ([[writeDedupIndex]])
@@ -357,12 +437,18 @@ object Dedup {
     *   - tombstoned buckets count their true total (`dropped.n` + new live
     *     rows), so arrivals into an already-dropped bucket never resurrect
     *     it with an undercounted size — oversize is monotone under append;
-    *   - outputs are written to `*_tmp` siblings first and atomically
-    *     renamed into place, so a failed append leaves the index readable.
+    *   - the new state is a COMPLETE new epoch directory, made live by the
+    *     single atomic pointer commit ([[commitEpoch]]) — a crash anywhere
+    *     leaves the previous epoch fully live; there is no window where
+    *     tables from different states are visible together.
     *
-    * Ids in `newDocs` must be disjoint from the indexed ids (same contract
-    * as unioning the corpora). Banding parameters come FROM the index meta;
-    * the format version is checked first.
+    * Ids already present in the index are rejected LOUDLY before any write
+    * (a retried already-committed batch would otherwise double-count
+    * bucket sizes and duplicate probe pairs — silently). Banding
+    * parameters come FROM the index meta; the format version is checked
+    * first. The previous epoch is retained for one generation (in-flight
+    * readers that resolved it keep working) and older epochs are
+    * garbage-collected.
     *
     * Cost shape: each append rewrites the three narrow index tables —
     * O(|index|) 8-byte-column IO, NOT O(corpus) text hashing, which is the
@@ -377,55 +463,56 @@ object Dedup {
       textCol: String,
       idCol: String,
       path: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
     val spark = newDocs.sparkSession
-    val meta = readCheckedIndexMeta(spark, path)
+    val (curDir, meta) = resolveIndex(spark, path)
     val k = meta.getAs[Int]("k")
     val numHashes = meta.getAs[Int]("num_hashes")
     val bands = meta.getAs[Int]("bands")
     val maxBucketSize = meta.getAs[Int]("max_bucket_size")
+    val dupIds = spark.read.parquet(s"$curDir/sets").select("id")
+      .join(newDocs.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .limit(3).collect().map(_.get(0))
+    require(dupIds.isEmpty,
+      s"appendDedupIndex: ids already present in the index at $path " +
+      s"(e.g. ${dupIds.mkString(", ")}) — append requires disjoint ids, " +
+      "the same contract as unioning the corpora; re-appending a committed " +
+      "batch would double-count bucket sizes and duplicate probe pairs")
     val newBuckets = newDocs.select(
       col(idCol).as("id"),
       graft.functions.native
         .minhashBandHashes(TextOps.rawTokens(col(textCol)), k, numHashes, bands)
         .as("bh"))
       .select(posexplode(col("bh")).as(Seq("band", "bhash")), col("id"))
-    val tomb = spark.read.parquet(s"$path/dropped")
+    val tomb = spark.read.parquet(s"$curDir/dropped")
     val w = Window.partitionBy(col("band"), col("bhash"))
-    // Stage union rows once with their TOTAL counts (live + tombstoned);
-    // the kept/dropped split then derives from cheap narrow-parquet reads,
-    // so the new side's signature kernel runs exactly once.
-    val stage = s"$path/append_stage"
-    spark.read.parquet(s"$path/buckets")
+    // union rows with their TOTAL counts (live + tombstoned); the epoch
+    // writer stages them once so the new side's kernel runs exactly once
+    val bucketsWithN = spark.read.parquet(s"$curDir/buckets")
       .unionByName(newBuckets)
       .withColumn("n_live", count(lit(1)).over(w))
       .join(tomb.withColumnRenamed("n", "n_tomb"), Seq("band", "bhash"), "left")
       .withColumn("n", col("n_live") + coalesce(col("n_tomb"), lit(0L)))
       .select("band", "bhash", "id", "n")
-      .write.mode("overwrite").parquet(stage)
-    val staged = spark.read.parquet(stage)
-    staged.where(col("n") <= maxBucketSize)
-      .select("band", "bhash", "id")
-      .write.mode("overwrite").parquet(s"$path/buckets_tmp")
-    // updated tombstones for buckets now over the cap, plus prior
-    // tombstones that saw no new rows (carried forward unchanged)
-    staged.where(col("n") > maxBucketSize)
-      .select("band", "bhash", "n").distinct()
-      .unionByName(
-        tomb.join(staged.select("band", "bhash").distinct(),
-          Seq("band", "bhash"), "left_anti"))
-      .write.mode("overwrite").parquet(s"$path/dropped_tmp")
-    val newSets = newDocs.select(
-      col(idCol).as("id"),
-      graft.functions.native
-        .hashedShingleSet(TextOps.rawTokens(col(textCol)), k).as("hs"))
-    spark.read.parquet(s"$path/sets")
-      .unionByName(newSets)
-      .write.mode("overwrite").parquet(s"$path/sets_tmp")
-    // all tmp outputs are fully written (originals untouched) — now swap
-    swapDir(spark, path, "buckets")
-    swapDir(spark, path, "dropped")
-    swapDir(spark, path, "sets")
-    deleteDir(spark, stage)
+    val sets = spark.read.parquet(s"$curDir/sets").unionByName(
+      newDocs.select(
+        col(idCol).as("id"),
+        graft.functions.native
+          .hashedShingleSet(TextOps.rawTokens(col(textCol)), k).as("hs")))
+    val curEpoch = new HPath(curDir).getName
+    val next = epochName(epochNumber(curEpoch) + 1)
+    deleteDir(spark, s"$path/$next") // garbage from a crashed prior attempt
+    writeEpochTables(spark, s"$path/$next", bucketsWithN, Some(tomb), sets,
+      k, numHashes, bands, maxBucketSize)
+    commitEpoch(spark, path, next)
+    // GC: keep the new epoch and its predecessor (one generation of grace
+    // for readers that already resolved it), delete anything older
+    val fs = hadoopFs(spark, path)
+    fs.listStatus(new HPath(path)).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith("epoch-") && epochNumber(nm) < epochNumber(curEpoch))
+        fs.delete(st.getPath, true)
+    }
   }
 
   private def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) =
@@ -434,26 +521,6 @@ object Dedup {
 
   private def deleteDir(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
     hadoopFs(spark, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
-
-  /** Replace `<path>/<name>` with `<path>/<name>_tmp` via two renames —
-    * metadata-only on HDFS-like stores, so no table is ever observed
-    * half-written. Worst case on a crash between the renames: `<name>` is
-    * absent while `<name>_old` and `<name>_tmp` both hold COMPLETE copies
-    * — the next reader fails loudly on the missing path (recover by
-    * renaming either copy back), never silently reads a truncated table.
-    */
-  private def swapDir(
-      spark: org.apache.spark.sql.SparkSession, path: String, name: String): Unit = {
-    import org.apache.hadoop.fs.{Path => HPath}
-    val fs = hadoopFs(spark, path)
-    val cur = new HPath(path, name)
-    val tmp = new HPath(path, name + "_tmp")
-    val old = new HPath(path, name + "_old")
-    fs.delete(old, true)
-    require(!fs.exists(cur) || fs.rename(cur, old), s"could not retire $cur")
-    require(fs.rename(tmp, cur), s"could not promote $tmp to $cur")
-    fs.delete(old, true)
-  }
 
   /** Probe a persisted index ([[writeDedupIndex]]) with new documents —
     * identical result to [[minhashPairsAgainst]] on the original corpus,
@@ -468,7 +535,7 @@ object Dedup {
       path: String,
       threshold: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
-    val meta = readCheckedIndexMeta(spark, path)
+    val (dir, meta) = resolveIndex(spark, path)
     val k = meta.getAs[Int]("k")
     val numHashes = meta.getAs[Int]("num_hashes")
     val bands = meta.getAs[Int]("bands")
@@ -481,9 +548,9 @@ object Dedup {
         .hashedShingleSet(TextOps.rawTokens(col(textCol)), k).as("hs_a"))
       .select(col("new_id"), col("hs_a"),
         posexplode(col("bh")).as(Seq("band", "bhash")))
-    val buckets = spark.read.parquet(s"$path/buckets")
+    val buckets = spark.read.parquet(s"$dir/buckets")
       .withColumnRenamed("id", "existing_id")
-    val sets = spark.read.parquet(s"$path/sets")
+    val sets = spark.read.parquet(s"$dir/sets")
       .select(col("id").as("existing_id"), col("hs").as("hs_b"))
     newSide.join(buckets, Seq("band", "bhash"))
       // hs_a is identical on every row of a new_id, so the arbitrary-row

@@ -204,6 +204,11 @@ object StreamingOps {
     * side always hashes compatibly, including after appends. The
     * stream-static joins are stateless; only the final `dropDuplicates`
     * holds state (same caveat as [[dedupAgainstCorpus]]).
+    *
+    * The epoch is resolved ONCE, at query construction: the running query
+    * keeps reading that epoch's files — an append retains the previous
+    * epoch for one generation, so one append under a live query is safe;
+    * restart the query to pick up appended documents.
     */
   def dedupAgainstIndex(
       newStream: DataFrame,
@@ -213,7 +218,7 @@ object StreamingOps {
       threshold: Double = 0.5): DataFrame = {
     import graft.ops.{Dedup, TextOps}
     val spark = newStream.sparkSession
-    val meta = Dedup.readCheckedIndexMeta(spark, path)
+    val (dir, meta) = Dedup.resolveIndex(spark, path)
     val k = meta.getAs[Int]("k")
     val numHashes = meta.getAs[Int]("num_hashes")
     val bands = meta.getAs[Int]("bands")
@@ -226,9 +231,9 @@ object StreamingOps {
         .hashedShingleSet(TextOps.rawTokens(col(textCol)), k).as("hs_a"))
       .select(col("new_id"), col("hs_a"),
         posexplode(col("bh")).as(Seq("band", "bhash")))
-    val buckets = spark.read.parquet(s"$path/buckets")
+    val buckets = spark.read.parquet(s"$dir/buckets")
       .withColumnRenamed("id", "existing_id")
-    val sets = spark.read.parquet(s"$path/sets")
+    val sets = spark.read.parquet(s"$dir/sets")
       .select(col("id").as("existing_id"), col("hs").as("hs_b"))
     streamSide.join(buckets, Seq("band", "bhash"))
       .join(sets, Seq("existing_id"))

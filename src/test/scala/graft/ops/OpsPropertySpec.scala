@@ -120,8 +120,11 @@ object OpsPropertySpec extends Properties("graft.ops") {
       Dedup.appendDedupIndex(b, "text", "doc_id", appended)
       val rebuilt = java.nio.file.Files.createTempDirectory("graft-prop-reb").toString
       Dedup.writeDedupIndex(a.unionByName(b), "text", "doc_id", rebuilt, maxBucketSize = 2)
-      def tables(p: String) = Seq("buckets", "sets", "dropped").map { t =>
-        spark.read.parquet(s"$p/$t").collect().map(_.toSeq).toSet
+      def tables(p: String) = {
+        val dir = Dedup.epochDir(spark, p)
+        Seq("buckets", "sets", "dropped").map { t =>
+          spark.read.parquet(s"$dir/$t").collect().map(_.toSeq).toSet
+        }
       }
       tables(appended) == tables(rebuilt)
     }

@@ -1022,12 +1022,13 @@ class OpsSpec extends SparkSpec {
   }
 
   private def readIndexTables(path: String) = {
+    val dir = Dedup.epochDir(spark, path)
     def triples(p: String) = spark.read.parquet(p)
       .collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet
-    (triples(s"$path/buckets"),
-      spark.read.parquet(s"$path/sets")
+    (triples(s"$dir/buckets"),
+      spark.read.parquet(s"$dir/sets")
         .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet,
-      triples(s"$path/dropped"))
+      triples(s"$dir/dropped"))
   }
 
   test("appendDedupIndex equals a full rebuild on the union corpus") {
@@ -1052,9 +1053,14 @@ class OpsSpec extends SparkSpec {
     assert(as2 == rs, "hashed shingle sets differ from full rebuild")
     assert(ad == rd, "tombstones differ from full rebuild")
     assert(ad.nonEmpty, "fixture must exercise the tombstone path")
-    // no stray staging/tmp dirs left behind
+    // epoch layout: the pointer, the live epoch, and ONE retained
+    // predecessor (grace for in-flight readers) — no stray staging dirs
     val leftovers = new java.io.File(appended).list().toSet
-    assert(leftovers == Set("buckets", "sets", "dropped", "meta"), leftovers)
+      .filterNot(_.startsWith(".")) // local-FS .crc checksum siblings
+    assert(leftovers == Set("current", "epoch-000000001", "epoch-000000002"),
+      leftovers)
+    assert(new java.io.File(Dedup.epochDir(spark, appended)).list().toSet ==
+      Set("buckets", "sets", "dropped", "meta"))
 
     // probe after append ≡ minhashPairsAgainst on the union corpus at the
     // index's own bucket cap (the tombstoned cluster is invisible to both)
@@ -1088,6 +1094,36 @@ class OpsSpec extends SparkSpec {
       "append∘append∘append-empty must equal the three-corpus rebuild")
   }
 
+  test("index commit is atomic: uncommitted epochs are invisible, dup ids rejected") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val idx = java.nio.file.Files.createTempDirectory("graft-idx-atomic").toString
+    Dedup.writeDedupIndex(docs(10L -> base), "text", "doc_id", idx)
+    val before = readIndexTables(idx)
+    // a crashed append = a complete-looking epoch dir that was never
+    // committed — readers must keep resolving the pointed-at epoch
+    val stale = new java.io.File(s"$idx/epoch-000000099")
+    assert(stale.mkdirs())
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$idx/epoch-000000099/garbage"), "x".getBytes)
+    assert(readIndexTables(idx) == before, "stale epoch must be invisible")
+    val probe = Dedup.minhashPairsAgainstIndex(
+      docs(1L -> base.replace("token9", "tokenY")), "text", "doc_id", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe == Set((1L, 10L)))
+    // re-appending an already-indexed id fails loudly BEFORE any write
+    val err = intercept[IllegalArgumentException] {
+      Dedup.appendDedupIndex(docs(10L -> base), "text", "doc_id", idx)
+    }
+    assert(err.getMessage.contains("already present") && err.getMessage.contains("10"))
+    assert(readIndexTables(idx) == before, "failed append must not change the index")
+    // missing pointer (pre-epoch layout / wrong path) fails with a clear message
+    val empty = java.nio.file.Files.createTempDirectory("graft-idx-none").toString
+    val noPtr = intercept[IllegalArgumentException] {
+      Dedup.minhashPairsAgainstIndex(docs(1L -> base), "text", "doc_id", empty)
+    }
+    assert(noPtr.getMessage.contains("current"))
+  }
+
   test("index format-version mismatch fails loudly on probe and append") {
     val corpus = docs(1L -> (1 to 40).map(i => s"token$i").mkString(" "))
     val idx = java.nio.file.Files.createTempDirectory("graft-idx-ver").toString
@@ -1096,7 +1132,7 @@ class OpsSpec extends SparkSpec {
       "bands" -> IntegerType, "max_bucket_size" -> IntegerType,
       "format_version" -> IntegerType),
       Row(3, 64, 32, 4096, 99))
-      .write.mode("overwrite").parquet(s"$idx/meta")
+      .write.mode("overwrite").parquet(s"${Dedup.epochDir(spark, idx)}/meta")
     val probeErr = intercept[IllegalArgumentException] {
       Dedup.minhashPairsAgainstIndex(corpus, "text", "doc_id", idx)
     }
