@@ -509,7 +509,11 @@ object SparkEntry {
       try java.nio.file.Files.copy(in, tmp,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       finally in.close()
-      val counter = graft.ops.TextOps.bpeTokenCountFromMerges(s, tmp.toString)
+      // the model is parsed eagerly on the driver and broadcast — the
+      // staged file is dead immediately after, so don't leak it
+      val counter =
+        try graft.ops.TextOps.bpeTokenCountFromMerges(s, tmp.toString)
+        finally java.nio.file.Files.delete(tmp)
       val docs = Tables(s, d, "documents").select(
         col("doc_id"),
         expr("concat(repeat('a', cast(1 + doc_id % 15 as int)), ' ', " +
@@ -568,14 +572,16 @@ object SparkEntry {
     // 5th, adds 10 synthetic ids — each id classified by presence +
     // content hash; text never reaches the join
     "q94_corpus_diff" -> ((s, d) => {
-      // two planted null-text docs exercise the null contract: both-null
+      // two planted null-text docs (ids chosen above the +1000000 'added'
+      // range so no corpus scale can collide with them) exercise the null
+      // contract: both-null
       // compares 'unchanged' (null-safe <=>), and the %5 "edit" of a null
       // text is null-propagating concat — still null, still 'unchanged'
       val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
         .unionByName(s.range(1).select(
-          lit(999995L).as("doc_id"), lit(null).cast("string").as("text")))
+          lit(2999995L).as("doc_id"), lit(null).cast("string").as("text")))
         .unionByName(s.range(1).select(
-          lit(999998L).as("doc_id"), lit(null).cast("string").as("text")))
+          lit(2999998L).as("doc_id"), lit(null).cast("string").as("text")))
       val after = docs.where(col("doc_id") % 7 =!= 0)
         .withColumn("text",
           when(col("doc_id") % 5 === 0, concat(col("text"), lit(" EDITED")))
@@ -1552,8 +1558,8 @@ object SparkEntry {
     "q94_corpus_diff" ->
       """WITH before_ AS (
         |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT 999995, NULL
-        |  UNION ALL SELECT 999998, NULL
+        |  UNION ALL SELECT 2999995, NULL
+        |  UNION ALL SELECT 2999998, NULL
         |),
         |after_ AS (
         |  SELECT doc_id,

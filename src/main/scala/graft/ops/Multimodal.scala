@@ -453,17 +453,27 @@ object Multimodal {
       .withColumn(idCol, col(idCol).cast(outT))
   }
 
-  /** Cheap structural JPEG check: SOI marker at the start, EOI at the end.
-    * [[frameSample]] uses this instead of a full decode — fully decoding a
-    * frame just to validate it doubled per-frame decode cost on the hot
-    * video path, since downstream [[decodeMeta]]/[[featureExtract]] decode
-    * the emitted bytes again anyway (and dead-letter anything the sniff
-    * let through).
+  /** Cheap structural JPEG check: SOI marker at the start, EOI anywhere
+    * after it (scanned from the tail — real MJPEG encoders commonly pad
+    * frame chunks with trailing bytes after the EOI, which `ImageIO`
+    * ignores, so requiring EOI to be the final two bytes would drop valid
+    * frames). [[frameSample]] uses this instead of a full decode — fully
+    * decoding a frame just to validate it doubled per-frame decode cost
+    * on the hot video path. `error IS NULL` therefore means "structurally
+    * JPEG-framed", NOT "decodable": downstream
+    * [[decodeMeta]]/[[featureExtract]] perform the one real decode and
+    * dead-letter frames with intact markers but corrupt entropy data.
     */
-  private[ops] def jpegMarkersOk(b: Array[Byte]): Boolean =
-    b != null && b.length >= 4 &&
-      (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
-      (b(b.length - 2) & 0xff) == 0xff && (b(b.length - 1) & 0xff) == 0xd9
+  private[ops] def jpegMarkersOk(b: Array[Byte]): Boolean = {
+    if (b == null || b.length < 4 ||
+        (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return false
+    var i = b.length - 2
+    while (i >= 2) {
+      if ((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xd9) return true
+      i -= 1
+    }
+    false
+  }
 
   /** REAL frame sampling over MJPEG-in-AVI payloads: parse the RIFF
     * container, take every `everyN`-th video frame, validate it with a

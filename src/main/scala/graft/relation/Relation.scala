@@ -244,7 +244,7 @@ final case class Relation(
     val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
       val isMap = f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]
       val c = if (isMap) F.to_json(col(s"__c$i")) else col(s"__c$i")
-      val nd = if (approx) F.approx_count_distinct(c) else F.count_distinct(c)
+      val nd = if (approx) F.approx_count_distinct(c, rsd = 0.02) else F.count_distinct(c)
       Seq(
         F.count(c).cast("bigint").as(s"__n_$i"),
         (F.count(lit(1)) - F.count(c)).cast("bigint").as(s"__nn_$i"),
