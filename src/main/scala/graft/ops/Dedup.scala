@@ -268,41 +268,20 @@ object Dedup {
     * checks it ([[resolveIndex]]) so a standing index written by an older
     * build fails LOUDLY instead of silently probing with drifted banding
     * or missing tombstones. v1 (round 6) had no `dropped` table and no
-    * version column; v2 added both; v3 is the epoch layout: each index
-    * state is a COMPLETE `epoch-N/{buckets,sets,dropped,meta}` directory
-    * and `<path>/current` points at the live one — so build/append commit
-    * with ONE atomic pointer rename and a crash can never leave tables
-    * from different states visible together.
+    * version column; v2 added both; v3 made each state a complete epoch
+    * dir committed by one atomic pointer rename; v4 is the DELTA-epoch
+    * layout ([[EpochStore]]): an epoch's `buckets`/`sets` tables are a
+    * manifest over immutable `data/` parquet dirs, so an append writes
+    * only its delta files and carries the standing data forward BY
+    * REFERENCE — never a copy of the index (v3 rewrote both tables, and
+    * `sets` is the same order of magnitude as the corpus token stream).
     */
-  val DedupIndexFormatVersion: Int = 3
+  val DedupIndexFormatVersion: Int = 4
 
-  private def epochName(n: Long): String = f"epoch-$n%09d"
-  private def epochNumber(name: String): Long = name.stripPrefix("epoch-").toLong
-
-  /** Directory of the live epoch, resolved through the `<path>/current`
-    * pointer. Resolve ONCE per operation and read every table from the
-    * returned dir: a concurrent append commits a NEW epoch and retains the
-    * previous one, so a resolved dir stays complete and self-consistent
-    * for the whole operation.
-    */
+  /** Directory of the live epoch — see [[EpochStore.epochDir]]. */
   private[graft] def epochDir(
-      spark: org.apache.spark.sql.SparkSession, path: String): String = {
-    import org.apache.hadoop.fs.{Path => HPath}
-    val fs = hadoopFs(spark, path)
-    val ptr = new HPath(path, "current")
-    require(fs.exists(ptr),
-      s"no dedup index at $path (missing 'current' pointer) — this build " +
-      s"reads the epoch-based v$DedupIndexFormatVersion layout; rebuild " +
-      "with writeDedupIndex")
-    val in = fs.open(ptr)
-    val name =
-      try {
-        val bytes = new Array[Byte](fs.getFileStatus(ptr).getLen.toInt)
-        in.readFully(bytes)
-        new String(bytes, "UTF-8").trim
-      } finally in.close()
-    s"$path/$name"
-  }
+      spark: org.apache.spark.sql.SparkSession, path: String): String =
+    EpochStore.epochDir(spark, path)
 
   /** Resolve the live epoch and check its meta's format version — every
     * index reader goes through this, so drifted layouts fail loudly.
@@ -323,62 +302,36 @@ object Dedup {
     (dir, meta)
   }
 
-  /** Atomically point `<path>/current` at `epoch` — the single commit
-    * point of build and append. The pointer is staged to a sibling file
-    * and renamed over with `FileContext.rename(OVERWRITE)` (atomic on
-    * HDFS-like stores): a crash strictly before this line leaves the old
-    * epoch fully live, a crash after it the new one — there is no state
-    * in between.
+  /** The live `buckets` table of a resolved epoch: the union of the
+    * manifest's data dirs (one multi-path scan) minus tombstoned buckets.
+    * The broadcast anti-join is what lets appends leave files in place: a
+    * bucket that crossed `maxBucketSize` only after its early rows were
+    * written is dropped HERE, at read time, instead of by rewriting the
+    * carried-forward files (`dropped` is one tiny row per oversize bucket).
     */
-  private def commitEpoch(
-      spark: org.apache.spark.sql.SparkSession, path: String, epoch: String): Unit = {
-    import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
-    val fs = hadoopFs(spark, path)
-    val tmp = new HPath(path, "current_tmp")
-    val out = fs.create(tmp, true)
-    try out.write(epoch.getBytes("UTF-8")) finally out.close()
-    val fc = FileContext.getFileContext(
-      fs.makeQualified(new HPath(path)).toUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(fs.makeQualified(tmp),
-      fs.makeQualified(new HPath(path, "current")), Options.Rename.OVERWRITE)
-  }
+  private[graft] def indexBuckets(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    EpochStore.readTable(spark, dir, "buckets").join(
+      broadcast(indexDropped(spark, dir).select("band", "bhash")),
+      Seq("band", "bhash"), "left_anti")
 
-  /** Write one complete epoch directory: buckets (oversize-guarded), the
-    * dropped-bucket tombstones, hashed shingle sets, and meta. The bucket
-    * rows are staged once WITH their window counts and the kept/dropped
-    * split derives from the staged parquet — one signature-kernel pass
-    * over the corpus text, not one per output table. `bucketsWithN` must
-    * provide (band, bhash, id, n) where n is the bucket's TRUE total
-    * count (live + any prior tombstone).
-    */
-  private def writeEpochTables(
-      spark: org.apache.spark.sql.SparkSession,
-      dir: String,
-      bucketsWithN: DataFrame,
-      priorTombstones: Option[DataFrame],
-      sets: DataFrame,
+  /** The `sets` table (id, hs) of a resolved epoch — pure delta union. */
+  private[graft] def indexSets(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    EpochStore.readTable(spark, dir, "sets")
+
+  /** Oversize-bucket tombstones (band, bhash, n) — per-epoch, tiny. */
+  private[graft] def indexDropped(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/dropped")
+
+  private def writeMeta(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
       k: Int, numHashes: Int, bands: Int, maxBucketSize: Int): Unit = {
     import spark.implicits._
-    val stage = s"$dir/stage"
-    bucketsWithN.write.mode("overwrite").parquet(stage)
-    val staged = spark.read.parquet(stage)
-    staged.where(col("n") <= maxBucketSize)
-      .select("band", "bhash", "id")
-      .write.mode("overwrite").parquet(s"$dir/buckets")
-    // tombstones for buckets over the cap, plus prior tombstones that saw
-    // no new rows this epoch (carried forward unchanged)
-    val overCap = staged.where(col("n") > maxBucketSize)
-      .select("band", "bhash", "n").distinct()
-    priorTombstones.fold(overCap) { tomb =>
-      overCap.unionByName(
-        tomb.join(staged.select("band", "bhash").distinct(),
-          Seq("band", "bhash"), "left_anti"))
-    }.write.mode("overwrite").parquet(s"$dir/dropped")
-    deleteDir(spark, stage)
-    sets.write.mode("overwrite").parquet(s"$dir/sets")
     Seq((k, numHashes, bands, maxBucketSize, DedupIndexFormatVersion))
       .toDF("k", "num_hashes", "bands", "max_bucket_size", "format_version")
-      .write.mode("overwrite").parquet(s"$dir/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   /** Persist the standing dedup index: the corpus's LSH buckets (oversize-
@@ -387,15 +340,25 @@ object Dedup {
     * 100 TB the index is a few 8-byte columns, the corpus re-scan it
     * replaces is the whole text column.
     *
-    * Layout (v3, epoch-based): `<path>/current` names the live epoch dir;
-    * `<path>/epoch-N/` holds `buckets` = (band, bhash, id), `sets` =
-    * (id, hs), `dropped` = (band, bhash, n) tombstones for oversize-
-    * dropped buckets (their TRUE total count — [[appendDedupIndex]] needs
-    * it so rows arriving into an already-dropped bucket stay dropped,
-    * keeping append ≡ rebuild), and `meta` = banding parameters + format
-    * version, which every reader resolves FROM the index so a probe can
-    * never run with mismatched banding. `path` must be a dedicated index
-    * directory — a build resets it.
+    * Layout (v4, delta-epoch — see [[EpochStore]]): `<path>/current` names
+    * the live epoch dir; `<path>/epoch-N/` holds `manifest` (which
+    * immutable `<path>/data/` dirs form the `buckets` = (band, bhash, id)
+    * and `sets` = (id, hs) tables), `dropped` = (band, bhash, n)
+    * tombstones for oversize-dropped buckets (their TRUE total count —
+    * [[appendDedupIndex]] needs it so rows arriving into an already-
+    * dropped bucket stay dropped, keeping append ≡ rebuild), and `meta` =
+    * banding parameters + format version, which every reader resolves FROM
+    * the index so a probe can never run with mismatched banding.
+    *
+    * Rebuilding over an EXISTING index is non-destructive: the new state
+    * is written as epoch N+1 referencing only its own fresh data dirs and
+    * made live by the one atomic pointer commit — concurrent readers keep
+    * their resolved epoch (retention permitting) and a crashed rebuild
+    * leaves the old index fully live. Only a path with no `current`
+    * pointer is hard-reset first (clears debris from a never-committed
+    * first build). `path` must be a dedicated index directory.
+    *
+    * Single writer at a time (see [[EpochStore.commitEpoch]]'s tripwire).
     */
   def writeDedupIndex(
       existing: DataFrame,
@@ -405,25 +368,48 @@ object Dedup {
       k: Int = 3,
       numHashes: Int = 64,
       bands: Int = 32,
-      maxBucketSize: Int = 4096): Unit = {
+      maxBucketSize: Int = 4096,
+      retainEpochs: Int = 2): Unit = {
     val spark = existing.sparkSession
-    deleteDir(spark, path)
-    val epoch = epochName(1L)
+    val cur = EpochStore.currentEpoch(spark, path)
+    if (cur.isEmpty) EpochStore.deleteDir(spark, path)
+    val n = cur.map(EpochStore.epochNumber(_) + 1L).getOrElse(1L)
+    val epoch = EpochStore.epochName(n)
+    val dir = s"$path/$epoch"
+    EpochStore.deleteDir(spark, dir) // debris from a crashed prior attempt
+    // stage the bucket rows once WITH their window counts; the kept/dropped
+    // split derives from the staged parquet — one signature-kernel pass
+    // over the corpus text, not one per output table
+    val stage = s"$dir/stage"
     val w = Window.partitionBy(col("band"), col("bhash"))
-    val bucketsWithN = existing.select(
+    existing.select(
       col(idCol).as("id"),
       graft.functions.native
         .minhashBandHashes(TextOps.rawTokens(col(textCol)), k, numHashes, bands)
         .as("bh"))
       .select(posexplode(col("bh")).as(Seq("band", "bhash")), col("id"))
       .withColumn("n", count(lit(1)).over(w))
-    val sets = existing.select(
+      .write.mode("overwrite").parquet(stage)
+    val staged = spark.read.parquet(stage)
+    val bucketsDir = EpochStore.dataDirName("buckets", n)
+    val setsDir = EpochStore.dataDirName("sets", n)
+    staged.where(col("n") <= maxBucketSize)
+      .select("band", "bhash", "id")
+      .write.mode("overwrite").parquet(s"$path/data/$bucketsDir")
+    staged.where(col("n") > maxBucketSize)
+      .select("band", "bhash", "n").distinct()
+      .write.mode("overwrite").parquet(s"$dir/dropped")
+    existing.select(
       col(idCol).as("id"),
       graft.functions.native
         .hashedShingleSet(TextOps.rawTokens(col(textCol)), k).as("hs"))
-    writeEpochTables(spark, s"$path/$epoch", bucketsWithN, None, sets,
-      k, numHashes, bands, maxBucketSize)
-    commitEpoch(spark, path, epoch)
+      .write.mode("overwrite").parquet(s"$path/data/$setsDir")
+    writeMeta(spark, dir, k, numHashes, bands, maxBucketSize)
+    EpochStore.writeManifest(spark, dir,
+      Seq("buckets" -> bucketsDir, "sets" -> setsDir))
+    EpochStore.deleteDir(spark, stage)
+    EpochStore.commitEpoch(spark, path, epoch, cur)
+    EpochStore.gc(spark, path, epoch, retainEpochs)
   }
 
   /** Fold a batch of new documents into a standing index ([[writeDedupIndex]])
@@ -450,19 +436,31 @@ object Dedup {
     * readers that resolved it keep working) and older epochs are
     * garbage-collected.
     *
-    * Cost shape: each append rewrites the three narrow index tables —
-    * O(|index|) 8-byte-column IO, NOT O(corpus) text hashing, which is the
-    * expensive thing this operator exists to avoid. If daily batches make
-    * even the narrow rewrite IO-bound at extreme scale, accumulate
-    * arrivals (probing them via [[minhashPairsAgainstIndex]] in the
-    * meantime) and fold them in on a coarser cadence — the equality with
-    * a full rebuild holds for any batching.
+    * Cost shape (v4 delta-epoch): the append writes ONLY its deltas — the
+    * new docs' bucket rows and shingle sets — and the standing data dirs
+    * are carried forward BY REFERENCE in the new epoch's manifest, never
+    * copied (at 100 TB `sets` is the same order of magnitude as the corpus
+    * token stream, so the v3 wholesale rewrite was a daily index-sized
+    * copy). Counting for the oversize guard touches only buckets the new
+    * batch actually lands in: a broadcast semi-join on the new side's
+    * (band, bhash) keys prunes the standing-buckets scan, so untouched
+    * buckets are never counted, shuffled, or rewritten. The broadcast
+    * assumes a daily batch ≪ corpus; for giant backfills, split the batch
+    * or rebuild.
+    *
+    * `retainEpochs` controls how many committed generations survive GC
+    * (default 2 = the new epoch + one predecessor). Long-running readers —
+    * e.g. a [[graft.streaming.StreamingOps.dedupAgainstIndex]] query, which
+    * resolves its epoch once at construction — need retention to cover
+    * every append made during their lifetime: size `retainEpochs` to at
+    * least 1 + the number of appends expected while such a reader runs.
     */
   def appendDedupIndex(
       newDocs: DataFrame,
       textCol: String,
       idCol: String,
-      path: String): Unit = {
+      path: String,
+      retainEpochs: Int = 2): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val spark = newDocs.sparkSession
     val (curDir, meta) = resolveIndex(spark, path)
@@ -470,7 +468,7 @@ object Dedup {
     val numHashes = meta.getAs[Int]("num_hashes")
     val bands = meta.getAs[Int]("bands")
     val maxBucketSize = meta.getAs[Int]("max_bucket_size")
-    val dupIds = spark.read.parquet(s"$curDir/sets").select("id")
+    val dupIds = indexSets(spark, curDir).select("id")
       .join(newDocs.select(col(idCol).as("id")), Seq("id"), "left_semi")
       .limit(3).collect().map(_.get(0))
     require(dupIds.isEmpty,
@@ -478,49 +476,110 @@ object Dedup {
       s"(e.g. ${dupIds.mkString(", ")}) — append requires disjoint ids, " +
       "the same contract as unioning the corpora; re-appending a committed " +
       "batch would double-count bucket sizes and duplicate probe pairs")
-    val newBuckets = newDocs.select(
+    val curEpoch = new HPath(curDir).getName
+    val n = EpochStore.epochNumber(curEpoch) + 1L
+    val epoch = EpochStore.epochName(n)
+    val dir = s"$path/$epoch"
+    EpochStore.deleteDir(spark, dir) // debris from a crashed prior attempt
+    // stage the new side's bucket rows once — the delta file and every
+    // count below derive from the staged parquet, so the signature kernel
+    // runs exactly once over the new docs
+    val stage = s"$dir/stage"
+    newDocs.select(
       col(idCol).as("id"),
       graft.functions.native
         .minhashBandHashes(TextOps.rawTokens(col(textCol)), k, numHashes, bands)
         .as("bh"))
       .select(posexplode(col("bh")).as(Seq("band", "bhash")), col("id"))
-    val tomb = spark.read.parquet(s"$curDir/dropped")
-    val w = Window.partitionBy(col("band"), col("bhash"))
-    // union rows with their TOTAL counts (live + tombstoned); the epoch
-    // writer stages them once so the new side's kernel runs exactly once
-    val bucketsWithN = spark.read.parquet(s"$curDir/buckets")
-      .unionByName(newBuckets)
-      .withColumn("n_live", count(lit(1)).over(w))
+      .write.mode("overwrite").parquet(stage)
+    val staged = spark.read.parquet(stage)
+    val touched = staged.select("band", "bhash").distinct()
+    val tomb = indexDropped(spark, curDir)
+    // prior live counts for TOUCHED buckets only — the broadcast semi-join
+    // prunes the standing scan; nothing untouched is counted or shuffled
+    val priorCounts = EpochStore.readTable(spark, curDir, "buckets")
+      .join(broadcast(touched), Seq("band", "bhash"), "left_semi")
+      .groupBy("band", "bhash").agg(count(lit(1)).as("n_scan"))
+    // a tombstoned bucket's true total lives in its tombstone: stale
+    // physical rows it may have left in carried-forward files are read-
+    // filtered ([[indexBuckets]]), never counted
+    val totals = staged.groupBy("band", "bhash").agg(count(lit(1)).as("n_new"))
+      .join(priorCounts, Seq("band", "bhash"), "left")
       .join(tomb.withColumnRenamed("n", "n_tomb"), Seq("band", "bhash"), "left")
-      .withColumn("n", col("n_live") + coalesce(col("n_tomb"), lit(0L)))
-      .select("band", "bhash", "id", "n")
-    val sets = spark.read.parquet(s"$curDir/sets").unionByName(
-      newDocs.select(
-        col(idCol).as("id"),
-        graft.functions.native
-          .hashedShingleSet(TextOps.rawTokens(col(textCol)), k).as("hs")))
-    val curEpoch = new HPath(curDir).getName
-    val next = epochName(epochNumber(curEpoch) + 1)
-    deleteDir(spark, s"$path/$next") // garbage from a crashed prior attempt
-    writeEpochTables(spark, s"$path/$next", bucketsWithN, Some(tomb), sets,
-      k, numHashes, bands, maxBucketSize)
-    commitEpoch(spark, path, next)
-    // GC: keep the new epoch and its predecessor (one generation of grace
-    // for readers that already resolved it), delete anything older
-    val fs = hadoopFs(spark, path)
-    fs.listStatus(new HPath(path)).foreach { st =>
-      val nm = st.getPath.getName
-      if (nm.startsWith("epoch-") && epochNumber(nm) < epochNumber(curEpoch))
-        fs.delete(st.getPath, true)
-    }
+      .withColumn("n",
+        when(col("n_tomb").isNotNull, col("n_tomb") + col("n_new"))
+          .otherwise(coalesce(col("n_scan"), lit(0L)) + col("n_new")))
+    // tombstones: untouched carried unchanged; touched-and-tombstoned
+    // re-totaled; newly-oversize added (guard re-evaluated on union counts
+    // ⇒ oversize stays monotone under append, append ≡ rebuild)
+    tomb.join(broadcast(touched), Seq("band", "bhash"), "left_anti")
+      .unionByName(
+        totals.where(col("n_tomb").isNotNull || col("n") > maxBucketSize)
+          .select("band", "bhash", "n"))
+      .write.mode("overwrite").parquet(s"$dir/dropped")
+    val dropped = spark.read.parquet(s"$dir/dropped")
+    val bucketsDir = EpochStore.dataDirName("buckets", n)
+    val setsDir = EpochStore.dataDirName("sets", n)
+    staged.join(broadcast(dropped.select("band", "bhash")),
+      Seq("band", "bhash"), "left_anti")
+      .select("band", "bhash", "id")
+      .write.mode("overwrite").parquet(s"$path/data/$bucketsDir")
+    newDocs.select(
+      col(idCol).as("id"),
+      graft.functions.native
+        .hashedShingleSet(TextOps.rawTokens(col(textCol)), k).as("hs"))
+      .write.mode("overwrite").parquet(s"$path/data/$setsDir")
+    writeMeta(spark, dir, k, numHashes, bands, maxBucketSize)
+    EpochStore.writeManifest(spark, dir,
+      EpochStore.readManifest(spark, curDir) ++
+        Seq("buckets" -> bucketsDir, "sets" -> setsDir))
+    EpochStore.deleteDir(spark, stage)
+    EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))
+    EpochStore.gc(spark, path, epoch, retainEpochs)
   }
 
-  private def hadoopFs(spark: org.apache.spark.sql.SparkSession, path: String) =
-    new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def deleteDir(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
-    hadoopFs(spark, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
+  /** Rewrite the live epoch's delta history into ONE fresh file set per
+    * table — the maintenance op a manifest design needs: every append adds
+    * a delta dir, and after many appends the accumulated small files tax
+    * every probe's scan (the classic manifest failure mode). Compaction
+    * reads each logical table through the normal live view and writes it
+    * back as a single new data dir per table — Spark's file-source
+    * bin-packing (`maxPartitionBytes` / `openCostInBytes`) sizes the
+    * output files, so many tiny deltas coalesce into few full-size files.
+    * Tombstoned buckets' stale physical rows are dropped for real here
+    * (the live view filters them, so the rewrite never sees them).
+    *
+    * Same commit discipline as build/append: a complete epoch N+1, one
+    * atomic pointer rename, GC (which deletes the now-unreferenced old
+    * data dirs once retention lets go of the epochs naming them). Probe
+    * results are identical before and after.
+    */
+  def compactDedupIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      retainEpochs: Int = 2): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val (curDir, meta) = resolveIndex(spark, path)
+    val curEpoch = new HPath(curDir).getName
+    val n = EpochStore.epochNumber(curEpoch) + 1L
+    val epoch = EpochStore.epochName(n)
+    val dir = s"$path/$epoch"
+    EpochStore.deleteDir(spark, dir)
+    val bucketsDir = EpochStore.dataDirName("buckets", n)
+    val setsDir = EpochStore.dataDirName("sets", n)
+    indexBuckets(spark, curDir)
+      .write.mode("overwrite").parquet(s"$path/data/$bucketsDir")
+    indexSets(spark, curDir)
+      .write.mode("overwrite").parquet(s"$path/data/$setsDir")
+    indexDropped(spark, curDir)
+      .write.mode("overwrite").parquet(s"$dir/dropped")
+    writeMeta(spark, dir, meta.getAs[Int]("k"), meta.getAs[Int]("num_hashes"),
+      meta.getAs[Int]("bands"), meta.getAs[Int]("max_bucket_size"))
+    EpochStore.writeManifest(spark, dir,
+      Seq("buckets" -> bucketsDir, "sets" -> setsDir))
+    EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))
+    EpochStore.gc(spark, path, epoch, retainEpochs)
+  }
 
   /** Probe a persisted index ([[writeDedupIndex]]) with new documents —
     * identical result to [[minhashPairsAgainst]] on the original corpus,
@@ -548,9 +607,9 @@ object Dedup {
         .hashedShingleSet(TextOps.rawTokens(col(textCol)), k).as("hs_a"))
       .select(col("new_id"), col("hs_a"),
         posexplode(col("bh")).as(Seq("band", "bhash")))
-    val buckets = spark.read.parquet(s"$dir/buckets")
+    val buckets = indexBuckets(spark, dir)
       .withColumnRenamed("id", "existing_id")
-    val sets = spark.read.parquet(s"$dir/sets")
+    val sets = indexSets(spark, dir)
       .select(col("id").as("existing_id"), col("hs").as("hs_b"))
     newSide.join(buckets, Seq("band", "bhash"))
       // hs_a is identical on every row of a new_id, so the arbitrary-row

@@ -1,0 +1,176 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared epoch/manifest machinery for the persisted on-disk indexes (the
+  * dedup LSH index and the ANN/IVF index).
+  *
+  * Layout (one index root `path`):
+  * {{{
+  *   <path>/current               # pointer file naming the live epoch dir
+  *   <path>/data/<table>-NNNNNNNNN/   # immutable parquet data dirs, never rewritten
+  *   <path>/epoch-NNNNNNNNN/
+  *     manifest/                  # parquet (table, dir): which data dirs form each table
+  *     ... per-index small tables (dropped/centroids/meta), rewritten per epoch
+  * }}}
+  *
+  * The delta-epoch contract: data dirs are IMMUTABLE once written. A new
+  * epoch's manifest references the previous epoch's data dirs plus fresh
+  * delta dirs for new arrivals — appending to a 100 TB index writes only
+  * the delta, never a copy of the standing data. Small per-epoch tables
+  * (tombstones, centroids, meta) are rewritten each epoch; they are O(keys)
+  * or O(1), not O(corpus). The epoch becomes live via ONE atomic pointer
+  * rename ([[commitEpoch]]); [[gc]] afterwards deletes epochs older than
+  * the retention window and any data dir no retained manifest references.
+  *
+  * Concurrency: readers resolve the pointer once per operation and keep
+  * reading that epoch (retention gives them a grace window — size it with
+  * `retainEpochs`). Writers must be SINGLE at a time per index: two
+  * concurrent writers would both derive epoch N+1 from N and the loser's
+  * rows would silently vanish. [[commitEpoch]] re-reads the pointer
+  * immediately before the rename and fails loudly if it moved — not an
+  * atomic lock, but it shrinks the silent-loss window to the rename itself;
+  * run appends from one scheduler slot.
+  */
+private[graft] object EpochStore {
+
+  def epochName(n: Long): String = f"epoch-$n%09d"
+  def epochNumber(name: String): Long = name.stripPrefix("epoch-").toLong
+  def dataDirName(table: String, n: Long): String = f"$table%s-$n%09d"
+
+  def hadoopFs(spark: SparkSession, path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def deleteDir(spark: SparkSession, dir: String): Unit =
+    hadoopFs(spark, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
+
+  /** Name of the committed epoch (contents of the `current` pointer), or
+    * None when the pointer does not exist (no index / fresh build).
+    */
+  def currentEpoch(spark: SparkSession, path: String): Option[String] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = hadoopFs(spark, path)
+    val ptr = new HPath(path, "current")
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(ptr).getLen.toInt)
+        in.readFully(bytes)
+        Some(new String(bytes, "UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
+  /** Directory of the live epoch, resolved through the `current` pointer.
+    * Resolve ONCE per operation and read every table through the returned
+    * dir: a concurrent append commits a NEW epoch and retains predecessors,
+    * so a resolved dir stays complete and self-consistent for the whole
+    * operation (as long as retention covers the operation's lifetime).
+    */
+  def epochDir(spark: SparkSession, path: String): String = {
+    val name = currentEpoch(spark, path).getOrElse(
+      throw new IllegalArgumentException(
+        s"no index at $path (missing 'current' pointer) — this build reads " +
+        "the epoch-based layout; (re)build the index first"))
+    s"$path/$name"
+  }
+
+  /** Atomically point `<path>/current` at `epoch` — the single commit point
+    * of build/append/compact. The pointer is staged to a sibling file and
+    * renamed over with `FileContext.rename(OVERWRITE)` (atomic on HDFS-like
+    * stores): a crash strictly before this line leaves the old epoch fully
+    * live, a crash after it the new one — there is no state in between.
+    *
+    * `expectCurrent` is the pointer value the writer resolved when it
+    * STARTED (None = fresh build, pointer must not exist): if the live
+    * pointer moved in the meantime, another writer committed concurrently
+    * and this epoch was derived from a stale base — fail loudly instead of
+    * silently dropping the other writer's rows.
+    */
+  def commitEpoch(
+      spark: SparkSession, path: String, epoch: String,
+      expectCurrent: Option[String]): Unit = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
+    val live = currentEpoch(spark, path)
+    require(live == expectCurrent,
+      s"concurrent writer detected on index at $path: the 'current' pointer " +
+      s"is ${live.getOrElse("absent")} but this writer derived $epoch from " +
+      s"${expectCurrent.getOrElse("an empty index")} — committing would " +
+      "silently drop the other writer's rows. Indexes require a single " +
+      "writer at a time; re-run this batch against the new live epoch")
+    val fs = hadoopFs(spark, path)
+    val tmp = new HPath(path, "current_tmp")
+    val out = fs.create(tmp, true)
+    try out.write(epoch.getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(
+      fs.makeQualified(new HPath(path)).toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fs.makeQualified(tmp),
+      fs.makeQualified(new HPath(path, "current")), Options.Rename.OVERWRITE)
+  }
+
+  /** Write an epoch's manifest: which `data/` dirs form each logical table,
+    * in (table, dir) rows. Tiny — one row per data dir.
+    */
+  def writeManifest(
+      spark: SparkSession, epochDir: String,
+      entries: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    entries.toDF("table", "dir").coalesce(1)
+      .write.mode("overwrite").parquet(s"$epochDir/manifest")
+  }
+
+  def readManifest(spark: SparkSession, epochDir: String): Seq[(String, String)] =
+    spark.read.parquet(s"$epochDir/manifest")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+
+  /** A logical table of the epoch at `epochDir`: the union of its manifest's
+    * data dirs, read as ONE multi-path parquet scan (a single FileScan node
+    * — delta history does not deepen the plan).
+    */
+  def readTable(spark: SparkSession, epochDir: String, table: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(epochDir).getParent.toString
+    val dirs = readManifest(spark, epochDir).collect {
+      case (t, d) if t == table => s"$root/data/$d"
+    }
+    require(dirs.nonEmpty,
+      s"epoch at $epochDir has no data dirs for table '$table' in its manifest")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Garbage-collect after a successful commit: keep the committed epoch
+    * plus `retain - 1` predecessors (grace for readers that already
+    * resolved them), delete every other epoch dir (older generations AND
+    * crashed future attempts), then delete any `data/` dir no retained
+    * manifest references. Data dirs referenced by a retained epoch are
+    * untouched — carried-forward files survive until compaction drops the
+    * last reference to them.
+    */
+  def gc(spark: SparkSession, path: String, committed: String, retain: Int): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    require(retain >= 1, s"retain must be >= 1, got $retain")
+    val fs = hadoopFs(spark, path)
+    val floor = epochNumber(committed) - retain + 1
+    val epochs = fs.listStatus(new HPath(path)).map(_.getPath.getName)
+      .filter(_.startsWith("epoch-"))
+    val (kept, doomed) = epochs.partition { nm =>
+      val n = epochNumber(nm)
+      n >= floor && n <= epochNumber(committed)
+    }
+    doomed.foreach(nm => fs.delete(new HPath(path, nm), true))
+    val referenced = kept.flatMap { nm =>
+      // a retained epoch without a manifest is a crashed-in-range attempt;
+      // treat it as referencing nothing (its data dirs die with it here)
+      if (fs.exists(new HPath(s"$path/$nm/manifest")))
+        readManifest(spark, s"$path/$nm").map(_._2)
+      else Seq.empty
+    }.toSet
+    val dataRoot = new HPath(path, "data")
+    if (fs.exists(dataRoot)) {
+      fs.listStatus(dataRoot).foreach { st =>
+        if (!referenced.contains(st.getPath.getName)) fs.delete(st.getPath, true)
+      }
+    }
+  }
+}

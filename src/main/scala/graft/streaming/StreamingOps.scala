@@ -206,9 +206,12 @@ object StreamingOps {
     * holds state (same caveat as [[dedupAgainstCorpus]]).
     *
     * The epoch is resolved ONCE, at query construction: the running query
-    * keeps reading that epoch's files — an append retains the previous
-    * epoch for one generation, so one append under a live query is safe;
-    * restart the query to pick up appended documents.
+    * keeps reading that epoch's files — appends retain predecessors for
+    * `retainEpochs` generations (default 2, so ONE append under a live
+    * query is safe). If more appends can land while this query runs, pass
+    * a larger `retainEpochs` to [[graft.ops.Dedup.appendDedupIndex]] so
+    * GC cannot reclaim the resolved epoch's files out from under the
+    * stream; restart the query to pick up appended documents.
     */
   def dedupAgainstIndex(
       newStream: DataFrame,
@@ -231,9 +234,9 @@ object StreamingOps {
         .hashedShingleSet(TextOps.rawTokens(col(textCol)), k).as("hs_a"))
       .select(col("new_id"), col("hs_a"),
         posexplode(col("bh")).as(Seq("band", "bhash")))
-    val buckets = spark.read.parquet(s"$dir/buckets")
+    val buckets = Dedup.indexBuckets(spark, dir)
       .withColumnRenamed("id", "existing_id")
-    val sets = spark.read.parquet(s"$dir/sets")
+    val sets = Dedup.indexSets(spark, dir)
       .select(col("id").as("existing_id"), col("hs").as("hs_b"))
     streamSide.join(buckets, Seq("band", "bhash"))
       .join(sets, Seq("existing_id"))

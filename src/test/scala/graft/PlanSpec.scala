@@ -161,7 +161,10 @@ class PlanSpec extends SparkSpec {
     // sections under AQE ("Initial Plan"), which would double-count
     val p = probe.queryExecution.sparkPlan.toString
     val scans = "FileScan parquet".r.findAllIn(p).size
-    assert(scans == 3, s"expected 3 parquet scans (probe docs + buckets + sets), got $scans:\n$p")
+    // v4 delta layout: buckets is ONE multi-path scan over the manifest's
+    // data dirs plus the (tiny, broadcast) tombstone scan filtering it
+    assert(scans == 4,
+      s"expected 4 parquet scans (probe docs + buckets + dropped + sets), got $scans:\n$p")
     // the index tables must be read narrow — the text column appears in
     // exactly one scan (the probe side), never the existing side
     val textScans = p.linesIterator

@@ -122,9 +122,8 @@ object OpsPropertySpec extends Properties("graft.ops") {
       Dedup.writeDedupIndex(a.unionByName(b), "text", "doc_id", rebuilt, maxBucketSize = 2)
       def tables(p: String) = {
         val dir = Dedup.epochDir(spark, p)
-        Seq("buckets", "sets", "dropped").map { t =>
-          spark.read.parquet(s"$dir/$t").collect().map(_.toSeq).toSet
-        }
+        Seq(Dedup.indexBuckets(spark, dir), Dedup.indexSets(spark, dir),
+          Dedup.indexDropped(spark, dir)).map(_.collect().map(_.toSeq).toSet)
       }
       tables(appended) == tables(rebuilt)
     }

@@ -1023,12 +1023,12 @@ class OpsSpec extends SparkSpec {
 
   private def readIndexTables(path: String) = {
     val dir = Dedup.epochDir(spark, path)
-    def triples(p: String) = spark.read.parquet(p)
+    def triples(df: org.apache.spark.sql.DataFrame) = df
       .collect().map(r => (r.get(0), r.get(1), r.get(2))).toSet
-    (triples(s"$dir/buckets"),
-      spark.read.parquet(s"$dir/sets")
+    (triples(Dedup.indexBuckets(spark, dir)),
+      Dedup.indexSets(spark, dir)
         .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet,
-      triples(s"$dir/dropped"))
+      triples(Dedup.indexDropped(spark, dir)))
   }
 
   test("appendDedupIndex equals a full rebuild on the union corpus") {
@@ -1043,6 +1043,12 @@ class OpsSpec extends SparkSpec {
     val batchB = docs(6L -> dupText, 7L -> base.replace("token7", "tokenX"))
     val appended = java.nio.file.Files.createTempDirectory("graft-idx-app").toString
     Dedup.writeDedupIndex(corpusA, "text", "doc_id", appended, maxBucketSize = 2)
+    // snapshot the build's immutable sets files — the append must carry
+    // them forward by reference, never rewrite them
+    def fileState(p: String) = new java.io.File(p).listFiles()
+      .map(f => (f.getName, f.lastModified)).toSet
+    val setsV1 = s"$appended/data/sets-000000001"
+    val setsV1Before = fileState(setsV1)
     Dedup.appendDedupIndex(batchB, "text", "doc_id", appended)
     val rebuilt = java.nio.file.Files.createTempDirectory("graft-idx-reb").toString
     Dedup.writeDedupIndex(corpusA.unionByName(batchB), "text", "doc_id",
@@ -1053,14 +1059,26 @@ class OpsSpec extends SparkSpec {
     assert(as2 == rs, "hashed shingle sets differ from full rebuild")
     assert(ad == rd, "tombstones differ from full rebuild")
     assert(ad.nonEmpty, "fixture must exercise the tombstone path")
-    // epoch layout: the pointer, the live epoch, and ONE retained
-    // predecessor (grace for in-flight readers) — no stray staging dirs
+    // epoch layout: the pointer, the shared data dirs, the live epoch, and
+    // ONE retained predecessor (grace for in-flight readers) — no stray
+    // staging dirs
     val leftovers = new java.io.File(appended).list().toSet
       .filterNot(_.startsWith(".")) // local-FS .crc checksum siblings
-    assert(leftovers == Set("current", "epoch-000000001", "epoch-000000002"),
-      leftovers)
+    assert(leftovers ==
+      Set("current", "data", "epoch-000000001", "epoch-000000002"), leftovers)
     assert(new java.io.File(Dedup.epochDir(spark, appended)).list().toSet ==
-      Set("buckets", "sets", "dropped", "meta"))
+      Set("manifest", "dropped", "meta"))
+    // the delta contract: the append wrote ONLY its delta dirs; the
+    // standing data is referenced by the new manifest, not copied
+    assert(new java.io.File(s"$appended/data").list().toSet == Set(
+      "buckets-000000001", "sets-000000001",
+      "buckets-000000002", "sets-000000002"))
+    assert(graft.ops.EpochStore.readManifest(
+      spark, Dedup.epochDir(spark, appended)).toSet == Set(
+        "buckets" -> "buckets-000000001", "sets" -> "sets-000000001",
+        "buckets" -> "buckets-000000002", "sets" -> "sets-000000002"))
+    assert(fileState(setsV1) == setsV1Before,
+      "append must not rewrite the standing sets files")
 
     // probe after append ≡ minhashPairsAgainst on the union corpus at the
     // index's own bucket cap (the tombstoned cluster is invisible to both)
@@ -1092,6 +1110,71 @@ class OpsSpec extends SparkSpec {
     val (rb3, rs3, rd3) = readIndexTables(rebuilt3)
     assert(ab3 == rb3 && as3 == rs3 && ad3 == rd3,
       "append∘append∘append-empty must equal the three-corpus rebuild")
+  }
+
+  test("compactDedupIndex merges delta history; tables and probe unchanged") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val dupText = (1 to 40).map(i => s"common$i").mkString(" ")
+    val idx = java.nio.file.Files.createTempDirectory("graft-idx-comp").toString
+    Dedup.writeDedupIndex(docs(1L -> dupText, 2L -> dupText, 3L -> dupText,
+      4L -> base), "text", "doc_id", idx, maxBucketSize = 2)
+    Dedup.appendDedupIndex(
+      docs(5L -> base.replace("token9", "tokenY")), "text", "doc_id", idx)
+    Dedup.appendDedupIndex(docs(6L -> dupText), "text", "doc_id", idx)
+    val before = readIndexTables(idx)
+    val probe = docs(20L -> base.replace("token11", "tokenZ"))
+    val pairsBefore = Dedup.minhashPairsAgainstIndex(
+      probe, "text", "doc_id", idx, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(new java.io.File(s"$idx/data").list().length == 6,
+      "three generations of delta dirs before compaction")
+    // retainEpochs = 1: GC lets go of the delta epochs immediately, so the
+    // now-unreferenced delta dirs are deleted in the same call
+    Dedup.compactDedupIndex(spark, idx, retainEpochs = 1)
+    assert(readIndexTables(idx) == before,
+      "compaction must preserve all three tables exactly")
+    val pairsAfter = Dedup.minhashPairsAgainstIndex(
+      probe, "text", "doc_id", idx, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsAfter == pairsBefore)
+    assert(new java.io.File(s"$idx/data").list().toSet ==
+      Set("buckets-000000004", "sets-000000004"),
+      "compaction leaves ONE data dir per table and GC deletes the deltas")
+    assert(new java.io.File(idx).list().filterNot(_.startsWith(".")).toSet ==
+      Set("current", "data", "epoch-000000004"))
+    // a compacted index keeps appending normally
+    Dedup.appendDedupIndex(docs(7L -> base), "text", "doc_id", idx)
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-idx-compr").toString
+    Dedup.writeDedupIndex(docs(1L -> dupText, 2L -> dupText, 3L -> dupText,
+      4L -> base, 5L -> base.replace("token9", "tokenY"), 6L -> dupText,
+      7L -> base), "text", "doc_id", rebuilt, maxBucketSize = 2)
+    assert(readIndexTables(idx) == readIndexTables(rebuilt),
+      "append after compaction must still equal the full rebuild")
+  }
+
+  test("writeDedupIndex over a live index commits a new epoch non-destructively") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val idx = java.nio.file.Files.createTempDirectory("graft-idx-rebuild").toString
+    Dedup.writeDedupIndex(docs(1L -> base), "text", "doc_id", idx)
+    val dir1 = Dedup.epochDir(spark, idx)
+    // rebuild with a different corpus: epoch 2, atomically committed — the
+    // old epoch (and its data files) stay readable for in-flight readers
+    Dedup.writeDedupIndex(
+      docs(2L -> base.replace("token9", "tokenY")), "text", "doc_id", idx)
+    assert(Dedup.epochDir(spark, idx).endsWith("epoch-000000002"))
+    val pairs = Dedup.minhashPairsAgainstIndex(
+      docs(30L -> base), "text", "doc_id", idx, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((30L, 2L)), "probe must see ONLY the rebuilt corpus")
+    assert(Dedup.indexSets(spark, dir1).collect().map(_.getLong(0)).toSet ==
+      Set(1L), "a reader that resolved the old epoch keeps working")
+    // the concurrent-writer tripwire: committing an epoch derived from a
+    // stale base fails loudly instead of silently dropping rows
+    val race = intercept[IllegalArgumentException] {
+      EpochStore.commitEpoch(spark, idx, "epoch-000000009",
+        Some("epoch-000000001"))
+    }
+    assert(race.getMessage.contains("concurrent writer"))
   }
 
   test("index commit is atomic: uncommitted epochs are invisible, dup ids rejected") {
