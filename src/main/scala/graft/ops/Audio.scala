@@ -50,16 +50,42 @@ object Audio {
     Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
 
   /** PCM WAV (RIFF/WAVE `fmt ` + `data`) from raw little-endian frame data
-    * of any channel count at 8 or 16 bits — the general writer behind
+    * of any channel count at 8, 16, or 24 bits — the general writer behind
     * [[wavBytes]] and the multi-channel [[resample]] output.
     */
   def wavBytesRaw(
       data: Array[Byte], sampleRate: Int, channels: Int, bits: Int): Array[Byte] = {
+    require(bits == 8 || bits == 16 || bits == 24,
+      s"bits must be 8, 16 or 24, got $bits")
+    wavBytesTagged(data, sampleRate, channels, bits, formatTag = 1)
+  }
+
+  /** IEEE-float WAV (format tag 3, 32-bit little-endian samples) — the
+    * other sample format real audio corpora carry. Samples are nominally
+    * in [-1, 1] per the WAV spec.
+    */
+  def wavBytesFloat(
+      samples: Array[Float], sampleRate: Int, channels: Int = 1): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 4)
+    var i = 0
+    while (i < samples.length) {
+      val b = java.lang.Float.floatToIntBits(samples(i))
+      data(4 * i) = (b & 0xff).toByte
+      data(4 * i + 1) = ((b >> 8) & 0xff).toByte
+      data(4 * i + 2) = ((b >> 16) & 0xff).toByte
+      data(4 * i + 3) = ((b >> 24) & 0xff).toByte
+      i += 1
+    }
+    wavBytesTagged(data, sampleRate, channels, bits = 32, formatTag = 3)
+  }
+
+  private def wavBytesTagged(
+      data: Array[Byte], sampleRate: Int, channels: Int, bits: Int,
+      formatTag: Int): Array[Byte] = {
     require(sampleRate > 0, s"sampleRate must be positive, got $sampleRate")
     require(channels >= 1, s"channels must be >= 1, got $channels")
-    require(bits == 8 || bits == 16, s"bits must be 8 or 16, got $bits")
     val blockAlign = channels * (bits / 8)
-    val fmt = leU16(1) ++ leU16(channels) ++ leU32(sampleRate.toLong) ++
+    val fmt = leU16(formatTag) ++ leU16(channels) ++ leU32(sampleRate.toLong) ++
       leU32(sampleRate.toLong * blockAlign) ++ leU16(blockAlign) ++ leU16(bits)
     val body = "WAVE".getBytes("US-ASCII") ++
       "fmt ".getBytes("US-ASCII") ++ leU32(fmt.length.toLong) ++ fmt ++
@@ -165,16 +191,18 @@ object Audio {
 
   /** Sample-rate conversion by linear interpolation — the audio twin of
     * [[Multimodal.resize]]: decode, resample PCM to `toRate` PER CHANNEL,
-    * re-encode as WAV preserving channel count and bit depth. Supports 8-
-    * and 16-bit little-endian PCM at any channel count (8-bit WAV PCM is
-    * unsigned per the spec; each channel interpolates independently over
-    * its own samples). All interpolation arithmetic is EXACT integer math
-    * on the rational source position `j·fromRate/toRate` (no floats
-    * anywhere), so output payloads are bit-identical across JVMs and
-    * engines; output length is `⌊n·toRate/fromRate⌋` frames, which
-    * preserves integer-ms durations exactly. Unsupported layouts
-    * (big-endian, 24/32-bit) and undecodable payloads dead-letter with the
-    * reason.
+    * re-encode as WAV preserving channel count and bit depth. Supports 8-,
+    * 16- and 24-bit little-endian integer PCM at any channel count (8-bit
+    * WAV PCM is unsigned per the spec; each channel interpolates
+    * independently over its own samples). All interpolation arithmetic is
+    * EXACT integer math on the rational source position `j·fromRate/toRate`
+    * (no floats anywhere), so output payloads are bit-identical across
+    * JVMs and engines; output length is `⌊n·toRate/fromRate⌋` frames,
+    * which preserves integer-ms durations exactly. Unsupported layouts
+    * (big-endian, IEEE-float — float interpolation has no exact integer
+    * form, so pretending would break the bit-stability contract) and
+    * undecodable payloads dead-letter with the reason;
+    * [[audioFeatures]]/[[audioMeta]] still cover float payloads.
     */
   def resample(
       spark: SparkSession,
@@ -190,8 +218,10 @@ object Audio {
       .mapPartitions(_.map { case (id, bytes) =>
         decodeWav(bytes) match {
           case Right((fmt, pcm))
-              if (fmt.getSampleSizeInBits == 16 || fmt.getSampleSizeInBits == 8) &&
-                !fmt.isBigEndian =>
+              if (fmt.getSampleSizeInBits == 16 || fmt.getSampleSizeInBits == 8 ||
+                fmt.getSampleSizeInBits == 24) && !fmt.isBigEndian &&
+                fmt.getEncoding !=
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_FLOAT =>
             val bits = fmt.getSampleSizeInBits
             val ch = fmt.getChannels
             val bytesPerSample = bits / 8
@@ -207,7 +237,11 @@ object Audio {
               while (c < ch) {
                 def sampleAt(i: Int): Int = {
                   val off = math.min(i, n - 1) * blockAlign + c * bytesPerSample
-                  if (bits == 16)
+                  if (bits == 24) {
+                    val u = ((pcm(off + 2) & 0xff) << 16) |
+                      ((pcm(off + 1) & 0xff) << 8) | (pcm(off) & 0xff)
+                    (u << 8) >> 8 // sign-extend 24 → 32
+                  } else if (bits == 16)
                     ((pcm(off + 1) << 8) | (pcm(off) & 0xff)).toShort.toInt
                   else pcm(off) & 0xff // 8-bit WAV PCM is unsigned
                 }
@@ -220,7 +254,8 @@ object Audio {
                   val v = (s0 + (sampleAt(i0 + 1) - s0).toLong * frac / toRate).toInt
                   val off = j * blockAlign + c * bytesPerSample
                   out(off) = (v & 0xff).toByte
-                  if (bits == 16) out(off + 1) = ((v >> 8) & 0xff).toByte
+                  if (bits >= 16) out(off + 1) = ((v >> 8) & 0xff).toByte
+                  if (bits == 24) out(off + 2) = ((v >> 16) & 0xff).toByte
                   j += 1
                 }
                 c += 1
@@ -229,7 +264,7 @@ object Audio {
             }
           case Right(_) =>
             (id, null: Array[Byte],
-              "resample supports 8/16-bit little-endian PCM only")
+              "resample supports 8/16/24-bit little-endian integer PCM only")
           case Left(reason) => (id, null: Array[Byte], reason)
         }
       })
@@ -237,11 +272,26 @@ object Audio {
       .withColumn(idCol, col(idCol).cast(outT))
   }
 
-  /** Signal features from the decoded 16-bit PCM (first channel): RMS
-    * energy, peak amplitude, zero-crossing count — the deterministic
-    * scalar shape an audio encoder front-end emits (exact integer sums;
-    * the only float op is one `sqrt`, exactly rounded per IEEE-754, so
-    * results are bit-stable across JVMs). Output
+  private def featurable(fmt: javax.sound.sampled.AudioFormat): Boolean = {
+    import javax.sound.sampled.AudioFormat.Encoding._
+    val enc = fmt.getEncoding
+    val bits = fmt.getSampleSizeInBits
+    ((enc == PCM_SIGNED || enc == PCM_UNSIGNED) &&
+      (bits == 8 || bits == 16 || bits == 24)) ||
+      (enc == PCM_FLOAT && bits == 32)
+  }
+
+  /** Signal features from the decoded PCM (first channel): RMS energy,
+    * peak amplitude, zero-crossing count — the deterministic scalar shape
+    * an audio encoder front-end emits. Supports 8/16/24-bit integer PCM
+    * (either endianness; 8-bit WAV PCM is unsigned per the spec, centered
+    * at 128 here) and 32-bit IEEE-float PCM. Float samples are nominally
+    * in [-1, 1], so they are scaled by 2^15 into the 16-bit integer domain
+    * to keep `rms`/`peak` comparable across sample formats (`peak`
+    * truncates to int). Determinism: 8/16-bit sums are exact integer
+    * arithmetic; 24-bit and float accumulate sequentially in double —
+    * every op exactly rounded per IEEE-754 in a fixed order, so results
+    * are bit-stable across JVMs either way. Output
     * `(idCol, rms double, peak int, zero_crossings long, error)`.
     */
   def audioFeatures(
@@ -255,32 +305,62 @@ object Audio {
       .as[(String, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         decodeWav(bytes) match {
-          case Right((fmt, pcm)) if fmt.getSampleSizeInBits == 16 =>
-            val step = 2 * fmt.getChannels // first channel of each frame
+          case Right((fmt, pcm)) if featurable(fmt) =>
+            val bits = fmt.getSampleSizeInBits
+            val isFloat =
+              fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_FLOAT
+            val bytesPer = bits / 8
+            val step = bytesPer * fmt.getChannels // first channel of each frame
             val bigEndian = fmt.isBigEndian
+            val exact = !isFloat && bits <= 16 // Long accumulator stays exact
             var i = 0
-            var sumSq = 0L
-            var peak = 0
+            var sumSqL = 0L
+            var sumSqD = 0.0
+            var peak = 0.0
             var zc = 0L
             var prevNeg = false
             var first = true
-            while (i + 1 < pcm.length) {
-              val s =
-                if (bigEndian) ((pcm(i) << 8) | (pcm(i + 1) & 0xff)).toShort.toInt
-                else ((pcm(i + 1) << 8) | (pcm(i) & 0xff)).toShort.toInt
-              sumSq += s.toLong * s
-              if (math.abs(s) > peak) peak = math.abs(s)
-              val neg = s < 0
+            while (i + bytesPer - 1 < pcm.length) {
+              val v: Double =
+                if (isFloat) {
+                  val b =
+                    if (bigEndian)
+                      ((pcm(i) & 0xff) << 24) | ((pcm(i + 1) & 0xff) << 16) |
+                        ((pcm(i + 2) & 0xff) << 8) | (pcm(i + 3) & 0xff)
+                    else
+                      ((pcm(i + 3) & 0xff) << 24) | ((pcm(i + 2) & 0xff) << 16) |
+                        ((pcm(i + 1) & 0xff) << 8) | (pcm(i) & 0xff)
+                  java.lang.Float.intBitsToFloat(b).toDouble * 32768.0
+                } else if (bits == 24) {
+                  val u =
+                    if (bigEndian)
+                      ((pcm(i) & 0xff) << 16) | ((pcm(i + 1) & 0xff) << 8) |
+                        (pcm(i + 2) & 0xff)
+                    else
+                      ((pcm(i + 2) & 0xff) << 16) | ((pcm(i + 1) & 0xff) << 8) |
+                        (pcm(i) & 0xff)
+                  ((u << 8) >> 8).toDouble // sign-extend 24 → 32
+                } else if (bits == 16) {
+                  (if (bigEndian) ((pcm(i) << 8) | (pcm(i + 1) & 0xff)).toShort.toInt
+                   else ((pcm(i + 1) << 8) | (pcm(i) & 0xff)).toShort.toInt).toDouble
+                } else ((pcm(i) & 0xff) - 128).toDouble // 8-bit WAV PCM is unsigned
+              if (exact) { val s = v.toInt; sumSqL += s.toLong * s }
+              else sumSqD += v * v
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              val neg = v < 0
               if (!first && neg != prevNeg) zc += 1
               prevNeg = neg
               first = false
               i += step
             }
             val nFrames = pcm.length / step
-            val rms = if (nFrames == 0) 0.0 else math.sqrt(sumSq.toDouble / nFrames)
-            (id, rms, peak, zc, null: String)
+            val sumSq = if (exact) sumSqL.toDouble else sumSqD
+            val rms = if (nFrames == 0) 0.0 else math.sqrt(sumSq / nFrames)
+            (id, rms, peak.toInt, zc, null: String)
           case Right(_) =>
-            (id, 0.0, 0, 0L, "unsupported bit depth (only 16-bit PCM)")
+            (id, 0.0, 0, 0L,
+              "unsupported sample format (integer PCM 8/16/24-bit or float32 only)")
           case Left(reason) => (id, 0.0, 0, 0L, reason)
         }
       })

@@ -143,6 +143,52 @@ class AudioSpec extends SparkSpec {
       "unsigned byte samples interpolate as 0..255 values")
   }
 
+  test("24-bit PCM: decode, hand-computed features, exact resample") {
+    def le24(vs: Int*): Array[Byte] =
+      vs.flatMap(v => Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte)).toArray
+    // two samples beyond the 16-bit range — only 24-bit carries them
+    val wav = Audio.wavBytesRaw(le24(100000, -100000), 4000, channels = 1, bits = 24)
+    val df = frame(struct("doc_id" -> LongType, "payload" -> BinaryType),
+      Row(1L, wav))
+    val m = Audio.audioMeta(spark, df, "doc_id", "payload").head()
+    assert(m.getInt(2) == 4000 && m.getInt(4) == 24 && m.getLong(5) == 2L
+      && m.isNullAt(7), "24-bit WAV must decode, not dead-letter")
+    val f = Audio.audioFeatures(spark, df, "doc_id", "payload").head()
+    // sumSq = 2·1e10 over 2 frames → rms = 100000 exactly; one sign change
+    assert(f.getInt(2) == 100000 && f.getLong(3) == 1L && f.isNullAt(4))
+    assert(math.abs(f.getDouble(1) - 100000.0) < 1e-9)
+    // 4 kHz → 8 kHz: [100000, midpoint 0, -100000, clamp -100000]
+    val out = Audio.resample(spark, df, "doc_id", "payload", toRate = 8000).head()
+    assert(out.isNullAt(2), "24-bit must no longer dead-letter in resample")
+    val bytes = out.getAs[Array[Byte]](1)
+    val pcm = java.util.Arrays.copyOfRange(bytes, bytes.length - 12, bytes.length)
+    def s24(o: Int) = {
+      val u = ((pcm(o + 2) & 0xff) << 16) | ((pcm(o + 1) & 0xff) << 8) |
+        (pcm(o) & 0xff)
+      (u << 8) >> 8
+    }
+    assert(Seq(s24(0), s24(3), s24(6), s24(9)) ==
+      Seq(100000, 0, -100000, -100000))
+  }
+
+  test("float32 WAV: decode + features in the scaled 16-bit domain") {
+    val wav = Audio.wavBytesFloat(Array(0.5f, -0.25f, 0.25f), 8000)
+    val df = frame(struct("doc_id" -> LongType, "payload" -> BinaryType),
+      Row(1L, wav))
+    val m = Audio.audioMeta(spark, df, "doc_id", "payload").head()
+    assert(m.getInt(2) == 8000 && m.getInt(4) == 32 && m.getLong(5) == 3L
+      && m.isNullAt(7), "IEEE-float WAV must decode, not dead-letter")
+    val f = Audio.audioFeatures(spark, df, "doc_id", "payload").head()
+    // scaled by 2^15: (16384, -8192, 8192) — all exact in double;
+    // sumSq = 402653184, /3 = 134217728 exactly; signs +,-,+ → 2 crossings
+    assert(f.getInt(2) == 16384 && f.getLong(3) == 2L && f.isNullAt(4))
+    assert(f.getDouble(1) == math.sqrt(134217728.0))
+    // float resample has no exact integer form — documented dead-letter
+    val r = Audio.resample(spark, df, "doc_id", "payload", toRate = 4000).head()
+    assert(r.getString(2).contains("integer PCM"))
+  }
+
   test("audio features match the hand computation on a fixture WAV") {
     val fixture = Audio.wavBytes(Array[Short](0, 1000, -1000, 1000), sampleRate = 8000)
     val df = frame(struct("doc_id" -> LongType, "payload" -> BinaryType),
