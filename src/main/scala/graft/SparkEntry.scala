@@ -52,6 +52,9 @@ object SparkEntry {
   private def q97IndexDir(sfDir: String) =
     s"/tmp/graft_q97_index_${new java.io.File(sfDir).getName}"
 
+  private def q99IndexDir(sfDir: String) =
+    s"/tmp/graft_q99_annindex_${new java.io.File(sfDir).getName}"
+
   /** documents with the cluster's parallelism. The test parquet is ONE small
     * file → one input split, which serializes the signature kernels of the
     * pair-dedup queries onto a single core; a 100 TB corpus arrives in
@@ -541,6 +544,25 @@ object SparkEntry {
         docs.where(col("doc_id") % 10 === 0), "text", "doc_id", idx,
         threshold = 0.5)
         .orderBy(col("new_id"), col("existing_id"))
+    }),
+
+    // persisted-IVF lifecycle end-to-end (build → append → probe): train
+    // on most of the corpus, fold the %10==5 slice in via appendAnnIndex
+    // (frozen quantizer, delta-only write), probe at nprobe = nlist —
+    // probing EVERY cell is exact, so q37's DuckDB cosine oracle applies
+    // verbatim regardless of what the quantizer learned
+    "q99_ann_index" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val idx = q99IndexDir(d)
+      graft.ops.Similarity.writeAnnIndex(
+        emb.where(col("vec_id") % 10 =!= 5), "embedding", "vec_id", idx,
+        nlist = 8)
+      graft.ops.Similarity.appendAnnIndex(
+        emb.where(col("vec_id") % 10 === 5), "embedding", "vec_id", idx)
+      graft.ops.Similarity.annTopKAgainstIndex(
+        emb.where(col("vec_id") < 10), "embedding", "vec_id", idx,
+        k = 5, nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
     }),
 
     // unicode-script mix per document: Java regex and RE2 agree on script
@@ -1431,6 +1453,24 @@ object SparkEntry {
     // accumulates left-to-right in double — bit-identical to the
     // CosineSimilarity kernel (verified empirically on all 50 rows).
     "q37_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cosine
+        |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    cast(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) as int) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // q37's oracle verbatim: the persisted-index probe at nprobe = nlist
+    // scores every (query, neighbor) pair exactly once (each vector lives
+    // in one cell; all cells probed), so build→append→probe ≡ brute force
+    "q99_ann_index" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),

@@ -330,4 +330,149 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
+
+  /** On-disk format version of the persisted ANN (IVF) index — same loud
+    * version check as the dedup index ([[Dedup.DedupIndexFormatVersion]]):
+    * a standing index outlives code versions, and probing with drifted
+    * centroids or layout must fail, not silently return wrong neighbors.
+    */
+  val AnnIndexFormatVersion: Int = 1
+
+  private[graft] def resolveAnnIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (String, org.apache.spark.sql.Row) = {
+    val dir = EpochStore.epochDir(spark, path)
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val v = meta.getAs[Int]("format_version")
+    require(v == AnnIndexFormatVersion,
+      s"ANN index at $path has on-disk format version $v but this build " +
+      s"reads version $AnnIndexFormatVersion — rebuild it with writeAnnIndex")
+    (dir, meta)
+  }
+
+  private def readAnnCentroids(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Seq[(Int, Seq[Float])] =
+    spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+
+  private def writeAnnEpochSmallTables(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      centroids: Seq[(Int, Seq[Float])], nlist: Int): Unit = {
+    import spark.implicits._
+    centroids.toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    val dim = centroids.headOption.map(_._2.length).getOrElse(0)
+    Seq((nlist, dim, AnnIndexFormatVersion))
+      .toDF("nlist", "dim", "format_version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Persist an IVF index ([[ivfBuild]]) so daily probe jobs stop
+    * re-training centroids and re-assigning the corpus per session — the
+    * ANN twin of [[Dedup.writeDedupIndex]], on the same [[EpochStore]]
+    * delta-epoch layout: `<path>/current` → live epoch; the epoch holds
+    * `centroids` (tiny: nlist × dim, rewritten per epoch), `meta`
+    * (nlist/dim/format version — probes read parameters FROM the index),
+    * and a manifest over immutable `data/assigned-N` dirs of
+    * (cell, id, vec) rows. Build commits epoch N+1 atomically over a live
+    * index (non-destructive, like the dedup rebuild); single writer at a
+    * time ([[EpochStore.commitEpoch]]).
+    *
+    * At real scale, `assigned` is the corpus' vectors re-keyed by a small
+    * int — store it once, probe many times; cell-bucketing the table makes
+    * every probe join exchange-free on the corpus side.
+    */
+  def writeAnnIndex(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      nlist: Int = 16,
+      retainEpochs: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    val idx = ivfBuild(corpus, vecCol, idCol, nlist)
+    val cur = EpochStore.currentEpoch(spark, path)
+    if (cur.isEmpty) EpochStore.deleteDir(spark, path)
+    val n = cur.map(EpochStore.epochNumber(_) + 1L).getOrElse(1L)
+    val epoch = EpochStore.epochName(n)
+    val dir = s"$path/$epoch"
+    EpochStore.deleteDir(spark, dir)
+    val assignedDir = EpochStore.dataDirName("assigned", n)
+    idx.assigned.select(col("cell"), col("neighbor_id").as("id"), col("cv").as("vec"))
+      .write.mode("overwrite").parquet(s"$path/data/$assignedDir")
+    idx.unpersist()
+    writeAnnEpochSmallTables(spark, dir, idx.centroids, nlist)
+    EpochStore.writeManifest(spark, dir, Seq("assigned" -> assignedDir))
+    EpochStore.commitEpoch(spark, path, epoch, cur)
+    EpochStore.gc(spark, path, epoch, retainEpochs)
+  }
+
+  /** Fold new vectors into a standing ANN index WITHOUT re-training or
+    * re-assigning the existing corpus: the arrivals assign to the index's
+    * OWN centroids (standard IVF append — the quantizer is frozen between
+    * rebuilds) and land as one delta `assigned` dir referenced by the new
+    * epoch's manifest; nothing standing is copied. Ids must be disjoint
+    * from the index (same loud rejection as the dedup append). Rebuild
+    * with [[writeAnnIndex]] when drift from the trained centroids warrants
+    * re-quantizing.
+    */
+  def appendAnnIndex(
+      newVecs: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      retainEpochs: Int = 2): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val spark = newVecs.sparkSession
+    val (curDir, meta) = resolveAnnIndex(spark, path)
+    val nlist = meta.getAs[Int]("nlist")
+    val centroids = readAnnCentroids(spark, curDir)
+    val dupIds = EpochStore.readTable(spark, curDir, "assigned").select("id")
+      .join(newVecs.select(col(idCol).as("id")), Seq("id"), "left_semi")
+      .limit(3).collect().map(_.get(0))
+    require(dupIds.isEmpty,
+      s"appendAnnIndex: ids already present in the index at $path " +
+      s"(e.g. ${dupIds.mkString(", ")}) — append requires disjoint ids; " +
+      "re-appending a committed batch would duplicate neighbors")
+    val curEpoch = new HPath(curDir).getName
+    val n = EpochStore.epochNumber(curEpoch) + 1L
+    val epoch = EpochStore.epochName(n)
+    val dir = s"$path/$epoch"
+    EpochStore.deleteDir(spark, dir)
+    val idx = IvfIndex(centroids, null, null)
+    val assignedDir = EpochStore.dataDirName("assigned", n)
+    newVecs.select(
+      idx.nearestCell(col(vecCol)).as("cell"),
+      col(idCol).as("id"), col(vecCol).as("vec"))
+      .write.mode("overwrite").parquet(s"$path/data/$assignedDir")
+    writeAnnEpochSmallTables(spark, dir, centroids, nlist)
+    EpochStore.writeManifest(spark, dir,
+      EpochStore.readManifest(spark, curDir) :+ ("assigned" -> assignedDir))
+    EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))
+    EpochStore.gc(spark, path, epoch, retainEpochs)
+  }
+
+  /** Probe a persisted ANN index ([[writeAnnIndex]]) — identical plan shape
+    * to [[ivfProbe]], with centroids read from the index (they become plan
+    * literals, no join) and the corpus side two narrow manifest reads.
+    * `nprobe = nlist` probes every cell and is EXACT (≡ [[bruteForceTopK]]
+    * — that is q99's oracle argument); smaller `nprobe` trades recall for
+    * scan fraction exactly like FAISS IVF.
+    */
+  def annTopKAgainstIndex(
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val (dir, _) = resolveAnnIndex(spark, path)
+    val idx = IvfIndex(
+      readAnnCentroids(spark, dir),
+      EpochStore.readTable(spark, dir, "assigned").select(
+        col("cell"), col("id").as("neighbor_id"), col("vec").as("cv")),
+      null)
+    ivfProbe(idx, queries, vecCol, idCol, k, nprobe)
+  }
 }

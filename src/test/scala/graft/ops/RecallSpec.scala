@@ -73,6 +73,48 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.65, s"ivfTopK recall@5 = $r, floor 0.65")
   }
 
+  test("persisted ANN index: build→append→probe exact at nprobe = nlist, recall floor when approximate") {
+    requireTestdata(sfDir)
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-ann-idx").toString
+    // the q99 lifecycle: train on most of the corpus, fold the %10==5
+    // slice in via append (frozen quantizer) — probing ALL cells scores
+    // every (query, neighbor) pair exactly once, so the result must EQUAL
+    // brute force whatever the quantizer learned
+    Similarity.writeAnnIndex(
+      emb.where(col("vec_id") % 10 =!= 5), "embedding", "vec_id", idxPath,
+      nlist = 8)
+    Similarity.appendAnnIndex(
+      emb.where(col("vec_id") % 10 === 5), "embedding", "vec_id", idxPath)
+    val exact = neighborSets(Similarity.annTopKAgainstIndex(
+      emb.where(col("vec_id") < 10), "embedding", "vec_id", idxPath,
+      k = 5, nprobe = 8))
+    assert(exact == bruteForce, "nprobe = nlist probes every cell — exact")
+    // the approximate probe (half the cells) keeps a q43-style floor
+    val approx = neighborSets(Similarity.annTopKAgainstIndex(
+      emb.where(col("vec_id") < 10), "embedding", "vec_id", idxPath,
+      k = 5, nprobe = 4))
+    val r = recallAgainst(bruteForce, approx)
+    assert(r >= 0.6, s"persisted-index recall@5 = $r, floor 0.6")
+    // re-appending committed ids fails loudly before any write
+    val err = intercept[IllegalArgumentException] {
+      Similarity.appendAnnIndex(
+        emb.where(col("vec_id") === 5), "embedding", "vec_id", idxPath)
+    }
+    assert(err.getMessage.contains("already present"))
+    // format-version drift fails loudly on probe
+    frame(struct("nlist" -> org.apache.spark.sql.types.IntegerType,
+      "dim" -> org.apache.spark.sql.types.IntegerType,
+      "format_version" -> org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.Row(8, 16, 99))
+      .write.mode("overwrite")
+      .parquet(s"${EpochStore.epochDir(spark, idxPath)}/meta")
+    val verr = intercept[IllegalArgumentException] {
+      Similarity.annTopKAgainstIndex(
+        emb.where(col("vec_id") < 10), "embedding", "vec_id", idxPath, k = 5)
+    }
+    assert(verr.getMessage.contains("format version 99"))
+  }
+
   test("multimodal ANN equals a driver-side exact top-k (q62 twin)") {
     requireTestdata(sfDir)
     // q62 is exact brute force over extracted features — rows-only in the
