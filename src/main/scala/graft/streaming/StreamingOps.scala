@@ -247,6 +247,45 @@ object StreamingOps {
       .dropDuplicates("new_id", "existing_id")
   }
 
+  /** Grow the standing dedup index FROM the live stream — the third corner
+    * of the streaming triangle ([[dedupAgainstIndex]] probes it, batch
+    * [[graft.ops.Dedup.appendDedupIndex]] folds daily batches; this folds
+    * each micro-batch). Every batch is deduped by id within itself and
+    * against ids already in the index before the fold, which makes the
+    * sink IDEMPOTENT under replay: a micro-batch re-delivered after a
+    * failure re-arrives with ids the index already holds and reduces to a
+    * no-op instead of tripping the duplicate-id rejection. Empty batches
+    * (and fully-filtered replays) commit no epoch.
+    *
+    * After the query drains, the index is table-for-table equal to one
+    * batch append of the distinct arrivals (StreamingSpec proves it —
+    * append ≡ rebuild holds for any batching). `foreachBatch` runs batches
+    * sequentially, so the index's single-writer contract holds as long as
+    * no OTHER job writes the same index while the query runs. Size
+    * `retainEpochs` to cover concurrent long-running probe queries: each
+    * non-empty micro-batch consumes one epoch generation.
+    *
+    * Returns the configured `DataStreamWriter` — set a checkpoint and
+    * trigger, then `.start()`.
+    */
+  def appendToIndex(
+      newStream: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      retainEpochs: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import graft.ops.Dedup
+        val spark = batch.sparkSession
+        val (dir, _) = Dedup.resolveIndex(spark, path)
+        val fresh = batch.dropDuplicates(idCol)
+          .join(Dedup.indexSets(spark, dir).select(col("id").as(idCol)),
+            Seq(idCol), "left_anti")
+        if (!fresh.isEmpty)
+          Dedup.appendDedupIndex(fresh, textCol, idCol, path, retainEpochs)
+    }
+
   def joinWithinTime(
       left: DataFrame,
       right: DataFrame,

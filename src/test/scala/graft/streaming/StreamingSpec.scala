@@ -355,6 +355,51 @@ class StreamingSpec extends SparkSpec {
       "appended doc 12 must be probeable from the stream")
   }
 
+  test("streaming index append ≡ batch append on the same arrivals") {
+    import graft.ops.Dedup
+    val docSt = struct("doc_id" -> LongType, "text" -> StringType)
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val other = (1 to 40).map(i => s"other$i").mkString(" ")
+    val extra = (1 to 40).map(i => s"extra$i").mkString(" ")
+    val nearDup = base.replace("token7", "tokenX")
+    val corpus = frame(docSt, Row(10L, base), Row(11L, other))
+    val streamed = Files.createTempDirectory("graft-sapp-idx").toString
+    val batched = Files.createTempDirectory("graft-bapp-idx").toString
+    Dedup.writeDedupIndex(corpus, "text", "doc_id", streamed)
+    Dedup.writeDedupIndex(corpus, "text", "doc_id", batched)
+    val dir = Files.createTempDirectory("graft-sapp-in").toString
+    // batch 2 re-delivers doc 1 (a replayed micro-batch) and carries a
+    // within-batch duplicate of doc 2 — both idempotence guards must fire,
+    // or the duplicate-id rejection would fail the query
+    Seq(Seq(Row(1L, nearDup)),
+      Seq(Row(1L, nearDup), Row(2L, extra), Row(2L, extra)))
+      .foreach { rows =>
+        frame(docSt, rows: _*).coalesce(1).write.mode("append").parquet(dir)
+        Thread.sleep(5)
+      }
+    val cp = Files.createTempDirectory("graft-sapp-cp").toString
+    val q = StreamingOps.appendToIndex(
+      spark.readStream.schema(docSt).option("maxFilesPerTrigger", "1").parquet(dir),
+      "text", "doc_id", streamed)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", cp).start()
+    q.awaitTermination()
+    Dedup.appendDedupIndex(
+      frame(docSt, Row(1L, nearDup), Row(2L, extra)), "text", "doc_id", batched)
+    def tables(p: String) = {
+      val d = Dedup.epochDir(spark, p)
+      Seq(Dedup.indexBuckets(spark, d), Dedup.indexSets(spark, d),
+        Dedup.indexDropped(spark, d)).map(_.collect().map(_.toSeq).toSet)
+    }
+    assert(tables(streamed) == tables(batched),
+      "stream-appended index must equal the batch-appended one")
+    val pairs = Dedup.minhashPairsAgainstIndex(
+      frame(docSt, Row(30L, base)), "text", "doc_id", streamed, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((30L, 10L), (30L, 1L)),
+      "stream-appended doc 1 must be probeable alongside the built corpus")
+  }
+
   test("content-keyed sampling and mixing are stateless — stream ≡ batch") {
     // md5 split/sample/mix decide per row from content alone (no seed, no
     // state), so the SAME rows must be kept whether the corpus arrives as
