@@ -233,34 +233,58 @@ final case class Relation(
     * Column names never reach a SQL parser: the frame is positionally
     * renamed first and labels are literal expressions, so names with
     * spaces, quotes, commas or dots profile safely. Map-typed columns
-    * (not comparable) count distincts over their JSON rendering and leave
-    * min/max null.
+    * (not comparable) count distincts over a CANONICALIZED JSON rendering
+    * — entries sorted by key first, since Spark's JSON keeps the map's
+    * internal entry order and would otherwise count semantically equal
+    * maps built in different orders as distinct — and leave min/max null.
+    *
+    * `percentiles` (e.g. `Seq(0.5, 0.95)`) adds a `quantiles` column with
+    * `percentile_approx` sketches per NUMERIC column (null elsewhere) —
+    * still the same single scan; sketch state is KBs per column, so the
+    * audit stays scale-safe. The default (empty) leaves the output schema
+    * exactly as before.
     */
-  def profile(approx: Boolean = true): Relation = {
+  def profile(
+      approx: Boolean = true,
+      percentiles: Seq[Double] = Nil): Relation = {
     import org.apache.spark.sql.{functions => F}
     val fields = df.schema.fields
     require(fields.nonEmpty, "cannot profile a zero-column relation")
+    require(percentiles.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must be in [0, 1], got ${percentiles.mkString(", ")}")
     val tmp = df.toDF(fields.indices.map(i => s"__c$i"): _*)
     val aggs = fields.zipWithIndex.flatMap { case (f, i) =>
       val isMap = f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]
-      val c = if (isMap) F.to_json(col(s"__c$i")) else col(s"__c$i")
+      val isNum = f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+      val c =
+        if (isMap)
+          F.to_json(F.map_from_entries(F.array_sort(F.map_entries(col(s"__c$i")))))
+        else col(s"__c$i")
       val nd = if (approx) F.approx_count_distinct(c, rsd = 0.02) else F.count_distinct(c)
       Seq(
         F.count(c).cast("bigint").as(s"__n_$i"),
         (F.count(lit(1)) - F.count(c)).cast("bigint").as(s"__nn_$i"),
         nd.cast("bigint").as(s"__nd_$i"),
         (if (isMap) lit(null).cast("string") else F.min(c).cast("string")).as(s"__mn_$i"),
-        (if (isMap) lit(null).cast("string") else F.max(c).cast("string")).as(s"__mx_$i"))
+        (if (isMap) lit(null).cast("string") else F.max(c).cast("string")).as(s"__mx_$i")) ++
+        (if (percentiles.isEmpty) Seq.empty
+         else Seq(
+           (if (isNum)
+              F.percentile_approx(col(s"__c$i").cast("double"),
+                F.typedlit(percentiles), lit(10000))
+            else lit(null).cast("array<double>")).as(s"__q_$i")))
     }
     val one = tmp.agg(aggs.head, aggs.tail: _*)
     val entries = fields.zipWithIndex.map { case (f, i) =>
-      F.struct(
+      F.struct(Seq(
         lit(f.name).as("column"),
         col(s"__n_$i").as("n"),
         col(s"__nn_$i").as("n_null"),
         col(s"__nd_$i").as("n_distinct"),
         col(s"__mn_$i").as("min_str"),
-        col(s"__mx_$i").as("max_str"))
+        col(s"__mx_$i").as("max_str")) ++
+        (if (percentiles.isEmpty) Seq.empty
+         else Seq(col(s"__q_$i").as("quantiles"))): _*)
     }
     changed(one.select(F.explode(F.array(entries: _*)).as("p")).select("p.*"))
   }

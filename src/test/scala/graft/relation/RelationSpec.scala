@@ -592,5 +592,32 @@ class RelationSpec extends SparkSpec {
     val tags = prof.find(_.getString(0) == "tags").get
     assert(tags.getLong(1) == 2L && tags.getLong(2) == 1L && tags.getLong(3) == 1L
       && tags.isNullAt(4) && tags.isNullAt(5))
+    // entry order must not split distincts: {x:1,y:2} == {y:2,x:1}
+    val reordered = frame(
+      struct("id" -> LongType, "tags" -> MapType(StringType, LongType)),
+      Row(1L, Map("x" -> 1L, "y" -> 2L)), Row(2L, Map("y" -> 2L, "x" -> 1L)))
+    val rprof = Relation(reordered).profile(approx = false).toDF.collect()
+    assert(rprof.find(_.getString(0) == "tags").get.getLong(3) == 1L)
+  }
+
+  test("profile: percentiles add per-numeric quantile sketches in the same scan") {
+    val r = Relation(frame(
+      struct("k" -> LongType, "s" -> StringType),
+      (1L to 100L).map(i => Row(i, s"v$i")): _*))
+    val rows = r.profile(percentiles = Seq(0.5, 0.95)).order("column").toDF.collect()
+    val k = rows.find(_.getString(0) == "k").get
+    val q = k.getSeq[Double](6)
+    // percentile_approx with accuracy 10000 is exact at n=100
+    assert(q == Seq(50.0, 95.0), q.toString)
+    // non-numeric columns carry a null quantiles entry, not a failure
+    assert(rows.find(_.getString(0) == "s").get.isNullAt(6))
+    // still ONE scan: no union of per-column jobs
+    val plan =
+      r.profile(percentiles = Seq(0.5)).toDF.queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), plan)
+    // default keeps the historical 6-column schema (q91 oracle unchanged)
+    assert(r.profile().toDF.schema.fieldNames.toSeq ==
+      Seq("column", "n", "n_null", "n_distinct", "min_str", "max_str"))
+    intercept[IllegalArgumentException](r.profile(percentiles = Seq(1.5)))
   }
 }
