@@ -107,26 +107,29 @@ object BpeModel {
   }
 
   /** Parse GPT-2 `merges.txt` lines: one "left right" pair per line in
-    * priority order. Only a FIRST-line `#version` header (the GPT-2/HF
-    * convention) and blank lines are skipped — other `#`-initial lines are
-    * legitimate merge rules ('#' maps to itself in bytes_to_unicode, so
-    * rules like `# #` forming the `##` token are real and common in
-    * markdown/code-heavy vocabularies).
+    * priority order. Only a `#version` header on the FIRST NON-BLANK line
+    * (the GPT-2/HF convention; a UTF-8 BOM is stripped first — HF tooling
+    * accepts files with either) and blank lines are skipped — other
+    * `#`-initial lines are legitimate merge rules ('#' maps to itself in
+    * bytes_to_unicode, so rules like `# #` forming the `##` token are real
+    * and common in markdown/code-heavy vocabularies).
     */
   def fromMerges(lines: Iterator[String]): BpeModel = {
     val ranks = mutable.Map.empty[(String, String), Int]
     var rank = 0
-    var lineNo = 0
+    var seenContent = false
     lines.foreach { raw =>
-      val line = raw.trim
-      val isVersionHeader = lineNo == 0 && line.startsWith("#version")
-      if (line.nonEmpty && !isVersionHeader) {
-        val sp = line.split(" ")
-        require(sp.length == 2, s"malformed merge line: '$raw'")
-        ranks((sp(0), sp(1))) = rank
-        rank += 1
+      val line = raw.stripPrefix("﻿").trim
+      if (line.nonEmpty) {
+        val isVersionHeader = !seenContent && line.startsWith("#version")
+        seenContent = true
+        if (!isVersionHeader) {
+          val sp = line.split(" ")
+          require(sp.length == 2, s"malformed merge line: '$raw'")
+          ranks((sp(0), sp(1))) = rank
+          rank += 1
+        }
       }
-      lineNo += 1
     }
     require(ranks.nonEmpty, "merges file contained no merge rules")
     new BpeModel(ranks.toMap)

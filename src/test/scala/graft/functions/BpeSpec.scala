@@ -74,4 +74,16 @@ class BpeSpec extends SparkSpec {
       BpeModel.fromMerges(Iterator("a b", "#version: 0.2 extra"))
     }
   }
+
+  test("a BOM or leading blank lines before the #version header still parse") {
+    // HF tooling accepts both; the header check keys on the first NON-BLANK
+    // line with any UTF-8 BOM stripped, not physical line 0
+    val bom = BpeModel.fromMerges(Iterator("﻿#version: 0.2", "a b"))
+    assert(bom.countTokens("ab") == 1)
+    val blank = BpeModel.fromMerges(Iterator("", "  ", "#version: 0.2", "a b"))
+    assert(blank.countTokens("ab") == 1)
+    // but after a real rule, a '#version' two-token line is a rule, not a header
+    val late = BpeModel.fromMerges(Iterator("a b", "#version: x"))
+    assert(late.countTokens("ab") == 1) // both lines loaded as rules
+  }
 }
