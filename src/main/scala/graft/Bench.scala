@@ -47,10 +47,29 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Lifecycle-query phase breakdown (build/append/probe timed on their
+    // own) — emitted OUTSIDE "queries" so the total and round-over-round
+    // comparable sets are untouched; a probe regression shows here even
+    // when the parent query's number is dominated by write scheduling.
+    val phases = SparkEntry.benchBreakdown
+      .filter { case (parent, _, _) => queryMap.contains(parent) }
+      .map { case (_, name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir) } catch {
+          case e: Throwable =>
+            failed += name
+            System.err.println(s"BENCH FAILURE $name: $e")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    val breakdownJson =
+      if (phases.isEmpty) ""
+      else phases.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString(""","breakdown":{""", ",", "}")
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$breakdownJson$failedJson,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -55,6 +55,49 @@ object SparkEntry {
   private def q99IndexDir(sfDir: String) =
     s"/tmp/graft_q99_annindex_${new java.io.File(sfDir).getName}"
 
+  /** Bench-only phase breakdown of the index-lifecycle queries (q97, q99):
+    * each lifecycle stage timed on its own, so the per-job scheduling
+    * floor of the build/append writes (11 sequential parquet writes +
+    * renames in q97) can't mask a regression in the probe — the phase a
+    * daily production job actually runs hot. Phases are ordered and
+    * mutate the same /tmp index dirs as their parent query: build is a
+    * full rebuild (commits a fresh epoch whose manifest references only
+    * its own data dirs), so the following append's ids are disjoint
+    * again no matter what earlier runs committed. Not part of the
+    * correctness surface — Bench emits these under a separate
+    * "breakdown" key, outside the "queries" totals.
+    */
+  def benchBreakdown: Seq[(String, String, (SparkSession, String) => Unit)] = Seq(
+    ("q97_dedup_index_append", "q97_build", (s: SparkSession, d: String) =>
+      graft.ops.Dedup.writeDedupIndex(
+        docsParallel(s, d)
+          .where(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5),
+        "text", "doc_id", q97IndexDir(d))),
+    ("q97_dedup_index_append", "q97_append", (s: SparkSession, d: String) =>
+      graft.ops.Dedup.appendDedupIndex(
+        docsParallel(s, d).where(col("doc_id") % 10 === 5),
+        "text", "doc_id", q97IndexDir(d))),
+    ("q97_dedup_index_append", "q97_probe", (s: SparkSession, d: String) => {
+      graft.ops.Dedup.minhashPairsAgainstIndex(
+        docsParallel(s, d).where(col("doc_id") % 10 === 0),
+        "text", "doc_id", q97IndexDir(d), threshold = 0.5).count()
+      ()
+    }),
+    ("q99_ann_index", "q99_build", (s: SparkSession, d: String) =>
+      graft.ops.Similarity.writeAnnIndex(
+        Tables(s, d, "embeddings").where(col("vec_id") % 10 =!= 5),
+        "embedding", "vec_id", q99IndexDir(d), nlist = 8)),
+    ("q99_ann_index", "q99_append", (s: SparkSession, d: String) =>
+      graft.ops.Similarity.appendAnnIndex(
+        Tables(s, d, "embeddings").where(col("vec_id") % 10 === 5),
+        "embedding", "vec_id", q99IndexDir(d))),
+    ("q99_ann_index", "q99_probe", (s: SparkSession, d: String) => {
+      graft.ops.Similarity.annTopKAgainstIndex(
+        Tables(s, d, "embeddings").where(col("vec_id") < 10),
+        "embedding", "vec_id", q99IndexDir(d), k = 5, nprobe = 8).count()
+      ()
+    }))
+
   /** documents with the cluster's parallelism. The test parquet is ONE small
     * file → one input split, which serializes the signature kernels of the
     * pair-dedup queries onto a single core; a 100 TB corpus arrives in
