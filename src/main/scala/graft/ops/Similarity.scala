@@ -452,6 +452,38 @@ object Similarity {
     EpochStore.gc(spark, path, epoch, retainEpochs)
   }
 
+  /** Merge an ANN index's delta history back into one optimally-sized file
+    * set — the ANN twin of [[Dedup.compactDedupIndex]]. Each
+    * [[appendAnnIndex]] adds one `assigned` delta dir; after many daily
+    * appends the manifest lists hundreds of small dirs and every probe
+    * pays their open/footer overhead (the classic small-file failure mode
+    * of manifest designs). Compaction rewrites the union into a single
+    * fresh data dir, commits it as a new epoch (same atomic pointer, same
+    * single-writer contract), and GC then drops the now-unreferenced
+    * deltas. Centroids are untouched — compaction changes file layout,
+    * never results.
+    */
+  def compactAnnIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      retainEpochs: Int = 2): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val (curDir, meta) = resolveAnnIndex(spark, path)
+    val nlist = meta.getAs[Int]("nlist")
+    val curEpoch = new HPath(curDir).getName
+    val n = EpochStore.epochNumber(curEpoch) + 1L
+    val epoch = EpochStore.epochName(n)
+    val dir = s"$path/$epoch"
+    EpochStore.deleteDir(spark, dir)
+    val assignedDir = EpochStore.dataDirName("assigned", n)
+    EpochStore.readTable(spark, curDir, "assigned")
+      .write.mode("overwrite").parquet(s"$path/data/$assignedDir")
+    writeAnnEpochSmallTables(spark, dir, readAnnCentroids(spark, curDir), nlist)
+    EpochStore.writeManifest(spark, dir, Seq("assigned" -> assignedDir))
+    EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))
+    EpochStore.gc(spark, path, epoch, retainEpochs)
+  }
+
   /** Probe a persisted ANN index ([[writeAnnIndex]]) — identical plan shape
     * to [[ivfProbe]], with centroids read from the index (they become plan
     * literals, no join) and the corpus side two narrow manifest reads.

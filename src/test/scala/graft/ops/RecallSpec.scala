@@ -95,6 +95,19 @@ class RecallSpec extends SparkSpec {
       k = 5, nprobe = 4))
     val r = recallAgainst(bruteForce, approx)
     assert(r >= 0.6, s"persisted-index recall@5 = $r, floor 0.6")
+    // compaction merges the two assigned dirs into one; results unchanged
+    assert(EpochStore.readManifest(
+      spark, EpochStore.epochDir(spark, idxPath)).size == 2,
+      "build + append must leave two assigned data dirs to compact")
+    Similarity.compactAnnIndex(spark, idxPath)
+    val manifest = EpochStore.readManifest(
+      spark, EpochStore.epochDir(spark, idxPath))
+    assert(manifest.size == 1 && manifest.head._1 == "assigned",
+      s"compaction must leave ONE assigned data dir, got $manifest")
+    assert(neighborSets(Similarity.annTopKAgainstIndex(
+      emb.where(col("vec_id") < 10), "embedding", "vec_id", idxPath,
+      k = 5, nprobe = 8)) == bruteForce,
+      "compaction must not change probe results")
     // re-appending committed ids fails loudly before any write
     val err = intercept[IllegalArgumentException] {
       Similarity.appendAnnIndex(
