@@ -172,6 +172,33 @@ class PlanSpec extends SparkSpec {
     assert(textScans == 1, s"corpus text must be read exactly once, got $textScans:\n$p")
   }
 
+  test("persisted-ANN probe broadcasts queries; the assigned table never shuffles") {
+    // centroids come off the index as PLAN LITERALS (no join against the
+    // centroids table), the probed query side is broadcast, and the
+    // corpus-sized assigned table streams through the one cell join —
+    // the only exchange below the top-k window is the probe side's own.
+    val idx = java.nio.file.Files.createTempDirectory("graft-plan-ann").toString
+    val emb = Tables(spark, dir, "embeddings")
+    ops.Similarity.writeAnnIndex(
+      emb.where(col("vec_id") % 2 === 0), "embedding", "vec_id", idx, nlist = 8)
+    val probe = ops.Similarity.annTopKAgainstIndex(
+      emb.where(col("vec_id") < 5), "embedding", "vec_id", idx, k = 3)
+    // sparkPlan for scan/join shape (pre-AQE, no duplicated sections) …
+    val p = probe.queryExecution.sparkPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 2,
+      s"expected 2 parquet scans (probe queries + assigned), got $scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the probed query side must be broadcast into a hash join:\n$p")
+    // … executedPlan for exchanges (EnsureRequirements inserts them there):
+    // the window's query_id shuffle only — the assigned table itself must
+    // stream into the broadcast join without repartitioning
+    val e = plan(probe)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(e).size
+    assert(shuffles == 1,
+      s"only the top-k window may shuffle (on query_id), got $shuffles:\n$e")
+  }
+
   test("md5 weighted mix is a pure pushdown-friendly filter union") {
     val docs = Tables(spark, dir, "documents").select("doc_id")
     val p = plan(ops.Sampling.md5WeightedMix(
