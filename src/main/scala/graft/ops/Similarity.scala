@@ -452,6 +452,41 @@ object Similarity {
     EpochStore.gc(spark, path, epoch, retainEpochs)
   }
 
+  /** All neighbors with cosine ≥ `floor` from a persisted ANN index — the
+    * [[rangeSearch]] twin of [[annTopKAgainstIndex]], and deliberately
+    * STATELESS: no ranking window, no broadcast hint on the query side,
+    * and each corpus vector lives in exactly ONE cell so a (query,
+    * neighbor) pair can never arrive twice. That makes the same plan run
+    * unchanged on a STREAMING query frame (Structured Streaming
+    * stream-static join; windows and stream-side broadcasts are both
+    * unsupported there) — a live embedding stream probing the standing
+    * index is exactly this call on `readStream` input. Recall follows the
+    * IVF contract: `nprobe = nlist` scans every cell and is exact.
+    */
+  def annRangeAgainstIndex(
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      floor: Double,
+      nprobe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val (dir, _) = resolveAnnIndex(spark, path)
+    val idx = IvfIndex(
+      readAnnCentroids(spark, dir),
+      EpochStore.readTable(spark, dir, "assigned").select(
+        col("cell"), col("id").as("neighbor_id"), col("vec").as("cv")),
+      null)
+    queries.select(
+        col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(idx.probeCells(col(vecCol), nprobe)).as("cell"))
+      .join(idx.assigned, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .where(col("cosine") >= floor)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Merge an ANN index's delta history back into one optimally-sized file
     * set — the ANN twin of [[Dedup.compactDedupIndex]]. Each
     * [[appendAnnIndex]] adds one `assigned` delta dir; after many daily

@@ -286,6 +286,37 @@ object StreamingOps {
           Dedup.appendDedupIndex(fresh, textCol, idCol, path, retainEpochs)
     }
 
+  /** [[appendToIndex]]'s ANN twin: grow the standing
+    * [[graft.ops.Similarity.writeAnnIndex]] index from a live vector
+    * stream, one delta dir per non-empty micro-batch (the quantizer stays
+    * frozen — rebuild when drift warrants). Identical idempotence contract:
+    * each batch is deduped by id within itself and against ids already in
+    * the index, so a replayed micro-batch reduces to a no-op instead of
+    * tripping the duplicate-id rejection. Single writer per index while
+    * the query runs; size `retainEpochs` for concurrent probe queries
+    * (each non-empty batch consumes one epoch generation). Probing the
+    * live stream the other way is just
+    * [[graft.ops.Similarity.annRangeAgainstIndex]] on a streaming frame —
+    * that operator is deliberately stateless.
+    */
+  def appendToAnnIndex(
+      newStream: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      retainEpochs: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import graft.ops.{EpochStore, Similarity}
+        val spark = batch.sparkSession
+        val (dir, _) = Similarity.resolveAnnIndex(spark, path)
+        val fresh = batch.dropDuplicates(idCol)
+          .join(EpochStore.readTable(spark, dir, "assigned")
+            .select(col("id").as(idCol)), Seq(idCol), "left_anti")
+        if (!fresh.isEmpty)
+          Similarity.appendAnnIndex(fresh, vecCol, idCol, path, retainEpochs)
+    }
+
   def joinWithinTime(
       left: DataFrame,
       right: DataFrame,

@@ -400,6 +400,62 @@ class StreamingSpec extends SparkSpec {
       "stream-appended doc 1 must be probeable alongside the built corpus")
   }
 
+  test("streaming ANN append and stateless range probe ≡ batch") {
+    import graft.ops.{EpochStore, Similarity}
+    val vecSt = struct("vec_id" -> LongType, "embedding" -> ArrayType(FloatType))
+    def v(xs: Float*): Seq[Float] = xs
+    val corpus = frame(vecSt,
+      Row(10L, v(1f, 0f, 0f, 0f)), Row(11L, v(0f, 1f, 0f, 0f)),
+      Row(12L, v(0f, 0f, 1f, 0f)), Row(13L, v(0f, 0f, 0f, 1f)))
+    val streamed = Files.createTempDirectory("graft-sann-idx").toString
+    val batched = Files.createTempDirectory("graft-bann-idx").toString
+    Similarity.writeAnnIndex(corpus, "embedding", "vec_id", streamed, nlist = 2)
+    Similarity.writeAnnIndex(corpus, "embedding", "vec_id", batched, nlist = 2)
+    // batch 2 replays vector 1 and carries a within-batch duplicate of 2 —
+    // the same idempotence guards as the dedup-index sink must fire
+    val arrivals = Seq(
+      Seq(Row(1L, v(0.9f, 0.1f, 0f, 0f))),
+      Seq(Row(1L, v(0.9f, 0.1f, 0f, 0f)),
+        Row(2L, v(0f, 0.2f, 0.9f, 0f)), Row(2L, v(0f, 0.2f, 0.9f, 0f))))
+    val dir = Files.createTempDirectory("graft-sann-in").toString
+    arrivals.foreach { rows =>
+      frame(vecSt, rows: _*).coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(5)
+    }
+    val cp = Files.createTempDirectory("graft-sann-cp").toString
+    val q = StreamingOps.appendToAnnIndex(
+      spark.readStream.schema(vecSt).option("maxFilesPerTrigger", "1").parquet(dir),
+      "embedding", "vec_id", streamed)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", cp).start()
+    q.awaitTermination()
+    Similarity.appendAnnIndex(
+      frame(vecSt, Row(1L, v(0.9f, 0.1f, 0f, 0f)), Row(2L, v(0f, 0.2f, 0.9f, 0f))),
+      "embedding", "vec_id", batched)
+    def assigned(p: String) = EpochStore.readTable(
+      spark, EpochStore.epochDir(spark, p), "assigned")
+      .collect().map(_.toSeq).toSet
+    assert(assigned(streamed) == assigned(batched),
+      "stream-appended ANN index must equal the batch-appended one")
+    // the range probe is stateless → identical rows from a streaming frame
+    val queries = frame(vecSt, Row(100L, v(1f, 0f, 0f, 0f)), Row(101L, v(0f, 0f, 1f, 0f)))
+    val qDir = Files.createTempDirectory("graft-sann-q").toString
+    queries.coalesce(1).write.mode("append").parquet(qDir)
+    runToCompletion(
+      Similarity.annRangeAgainstIndex(
+        spark.readStream.schema(vecSt).option("maxFilesPerTrigger", "1").parquet(qDir),
+        "embedding", "vec_id", streamed, floor = 0.5, nprobe = 2),
+      "ann_stream_probe")
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+      .toSet
+    val stream = rows(spark.table("ann_stream_probe"))
+    val batch = rows(Similarity.annRangeAgainstIndex(
+      queries, "embedding", "vec_id", streamed, floor = 0.5, nprobe = 2))
+    assert(stream == batch && stream.nonEmpty,
+      s"stream probe must equal batch probe: stream=$stream batch=$batch")
+  }
+
   test("content-keyed sampling and mixing are stateless — stream ≡ batch") {
     // md5 split/sample/mix decide per row from content alone (no seed, no
     // state), so the SAME rows must be kept whether the corpus arrives as
