@@ -128,6 +128,40 @@ object OpsPropertySpec extends Properties("graft.ops") {
       tables(appended) == tables(rebuilt)
     }
 
+  private val vecSt = StructType(Seq(
+    StructField("vec_id", LongType, nullable = false),
+    StructField("embedding", ArrayType(FloatType), nullable = true)))
+
+  // small integer components force duplicate vectors, exact cosine ties
+  // (broken by neighbor_id in both paths), and occasional all-zero vectors
+  // (NaN cosine — the nanvl cell-assignment path)
+  private val genVec: Gen[Seq[Float]] =
+    Gen.listOfN(4, Gen.choose(-2, 2).map(_.toFloat)).map(_.toSeq)
+
+  private def vecCorpus(vs: List[Seq[Float]], offset: Long) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        vs.zipWithIndex.map { case (v, i) => Row(offset + i + 1, v) }, 2),
+      vecSt)
+
+  property("persisted ANN probe at nprobe = nlist equals brute force on random corpora") =
+    forAll(
+      Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, genVec)),
+      Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, genVec))) { (as, bs) =>
+      val path = java.nio.file.Files.createTempDirectory("graft-prop-ann").toString
+      Similarity.writeAnnIndex(
+        vecCorpus(as, 0L), "embedding", "vec_id", path, nlist = 4)
+      Similarity.appendAnnIndex(vecCorpus(bs, 100L), "embedding", "vec_id", path)
+      val union = vecCorpus(as, 0L).unionByName(vecCorpus(bs, 100L))
+      // probing every cell scores every pair exactly once, whatever the
+      // quantizer learned from the build slice — must EQUAL brute force
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      rows(Similarity.annTopKAgainstIndex(
+        union, "embedding", "vec_id", path, k = 3, nprobe = 4)) ==
+        rows(Similarity.bruteForceTopK(union, union, "embedding", "vec_id", k = 3))
+    }
+
   property("BPE count is deterministic and bounded by the byte length") =
     forAll(Gen.listOf(Gen.oneOf("hello", "world", "it's", "héllo", "123", "x"))
       .map(_.mkString(" "))) { s =>
