@@ -106,8 +106,11 @@ object Sampling {
       tieCol: Option[String]): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     import org.apache.spark.sql.expressions.Window
-    val order = Seq(md5(col(keyCol).cast("binary")).asc, col(keyCol).asc) ++
-      tieCol.map(col(_).asc)
+    // via string: a direct numeric→binary cast is illegal under ANSI mode,
+    // and string→binary is the identity for the string keys callers
+    // already rely on (same md5, same picks)
+    val order = Seq(md5(col(keyCol).cast("string").cast("binary")).asc,
+      col(keyCol).asc) ++ tieCol.map(col(_).asc)
     val w = Window.partitionBy(col(stratumCol)).orderBy(order: _*)
     // collision-safe rank column — never overwrite a caller's column
     val rk = Iterator.from(0).map(i => if (i == 0) "__rk" else s"__rk$i")

@@ -452,6 +452,36 @@ object Similarity {
     EpochStore.gc(spark, path, epoch, retainEpochs)
   }
 
+  /** Diversity-aware downsample: cluster the corpus by embedding (the IVF
+    * quantizer's cells — deterministic hash-seeded hyperplane init + one
+    * Lloyd half-step, [[ivfBuild]]) and keep `nPerCell` rows per cell
+    * (whole cells when smaller), picked content-keyed by `idCol`
+    * ([[Sampling.takePerStratum]] — same rows on any cluster or rerun).
+    * The training-data use: a uniform sample over-represents dense
+    * semantic regions; capping per cell flattens the density profile
+    * without an expensive global dedup. Output = input columns + `cell`.
+    *
+    * Cost: two corpus scans (centroid training, which caches the seeded
+    * corpus, then the final literal-centroid assignment) + the one
+    * per-cell window shuffle — no joins, nothing corpus-sized is
+    * broadcast or collected.
+    */
+  def diversitySample(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nPerCell: Int,
+      nlist: Int = 16): DataFrame = {
+    require(!corpus.columns.contains("cell"),
+      "diversitySample adds a 'cell' column — rename the existing one first")
+    val idx = ivfBuild(corpus, vecCol, idCol, nlist)
+    idx.unpersist() // centroids are collected; the output plan below
+                    // re-scans the corpus, not the cached seeded frame
+    Sampling.takePerStratum(
+      corpus.withColumn("cell", idx.nearestCell(col(vecCol))),
+      "cell", idCol, nPerCell)
+  }
+
   /** All neighbors with cosine ≥ `floor` from a persisted ANN index — the
     * [[rangeSearch]] twin of [[annTopKAgainstIndex]], and deliberately
     * STATELESS: no ranking window, no broadcast hint on the query side,

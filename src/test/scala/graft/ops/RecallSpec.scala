@@ -128,6 +128,29 @@ class RecallSpec extends SparkSpec {
     assert(verr.getMessage.contains("format version 99"))
   }
 
+  test("diversitySample: deterministic, caps every cell, keeps small cells whole") {
+    requireTestdata(sfDir)
+    val n = 5
+    val sampled = Similarity.diversitySample(emb, "embedding", "vec_id", n, nlist = 8)
+    val rows = sampled.select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    // deterministic: content-keyed pick + hash-seeded quantizer → same rows
+    val again = Similarity.diversitySample(emb, "embedding", "vec_id", n, nlist = 8)
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.toSet == again.toSet, "rerun must pick identical rows")
+    // cap per cell; small cells kept whole — check against full cell sizes
+    val fullCells = Similarity.diversitySample(emb, "embedding", "vec_id",
+      Int.MaxValue, nlist = 8)
+      .groupBy("cell").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val kept = rows.groupBy(_._2).map { case (c, xs) => (c, xs.length.toLong) }
+    assert(kept.forall { case (c, cnt) => cnt == math.min(n.toLong, fullCells(c)) },
+      s"each cell must keep min(n, |cell|): kept=$kept full=$fullCells")
+    // sampled ids are a subset of the corpus
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet.subsetOf(ids))
+  }
+
   test("multimodal ANN equals a driver-side exact top-k (q62 twin)") {
     requireTestdata(sfDir)
     // q62 is exact brute force over extracted features — rows-only in the
