@@ -367,16 +367,67 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
-  /** Persist an IVF index ([[ivfBuild]]) so daily probe jobs stop
-    * re-training centroids and re-assigning the corpus per session — the
-    * ANN twin of [[Dedup.writeDedupIndex]], on the same [[EpochStore]]
-    * delta-epoch layout: `<path>/current` → live epoch; the epoch holds
-    * `centroids` (tiny: nlist × dim, rewritten per epoch), `meta`
-    * (nlist/dim/format version — probes read parameters FROM the index),
-    * and a manifest over immutable `data/assigned-N` dirs of
-    * (cell, id, vec) rows. Build commits epoch N+1 atomically over a live
-    * index (non-destructive, like the dedup rebuild); single writer at a
-    * time ([[EpochStore.commitEpoch]]).
+  /** Centroids trained without touching anything corpus-sized: hyperplane
+    * seeding then per-cell element means over a content-keyed sample —
+    * ONE aggregation job (map-side partial means, so the shuffle carries
+    * cells × dim partial states, not rows), nothing cached, nothing but
+    * the nlist × dim result collected. `trainFraction = 1.0` reproduces
+    * [[ivfBuild]]'s centroids exactly; at 100 TB pass a small fraction —
+    * centroid quality needs a sample, not the corpus, and probe
+    * correctness at `nprobe = nlist` is independent of what the quantizer
+    * learned (pinned by the OpsPropertySpec property and RecallSpec).
+    * The sample is keyed on `xxhash64(id)`, so it is reproducible across
+    * runs, engines, and partitionings.
+    */
+  private def trainCentroids(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nlist: Int,
+      trainFraction: Double): Seq[(Int, Seq[Float])] = {
+    require(nlist > 1 && Integer.bitCount(nlist) == 1, "nlist must be a power of 2")
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1], got $trainFraction")
+    val planes = Integer.numberOfTrailingZeros(nlist)
+    val sampled =
+      if (trainFraction >= 1.0) corpus
+      else corpus.where(
+        pmod(xxhash64(col(idCol)), lit(1000000L)).cast("double") / 1000000.0
+          < trainFraction)
+    val centroids = sampled.select(
+        hyperplaneBucket(col(vecCol), planes).as("cell"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cell, rows) =>
+        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+      }
+      .toSeq.sortBy(_._1)
+    require(centroids.nonEmpty,
+      s"centroid training sample is empty (trainFraction = $trainFraction " +
+      "over this corpus) — raise trainFraction or check the vector column")
+    centroids
+  }
+
+  /** Persist an IVF index so daily probe jobs stop re-training centroids
+    * and re-assigning the corpus per session — the ANN twin of
+    * [[Dedup.writeDedupIndex]], on the same [[EpochStore]] delta-epoch
+    * layout: `<path>/current` → live epoch; the epoch holds `centroids`
+    * (tiny: nlist × dim, rewritten per epoch), `meta` (nlist/dim/format
+    * version — probes read parameters FROM the index), and a manifest over
+    * immutable `data/assigned-N` dirs of (cell, id, vec) rows. Build
+    * commits epoch N+1 atomically over a live index (non-destructive, like
+    * the dedup rebuild); single writer at a time
+    * ([[EpochStore.commitEpoch]]).
+    *
+    * Cost shape: TWO plain corpus scans (sampled centroid training, then
+    * the literal-centroid assignment feeding the write) and nothing
+    * persisted — unlike the in-session [[ivfBuild]], which caches the
+    * seeded corpus for repeated probing, a 100 TB build must not park the
+    * corpus in executor storage to train a few centroids. Set
+    * `trainFraction` well below 1 at scale; the default reproduces
+    * [[ivfBuild]]'s centroids exactly.
     *
     * At real scale, `assigned` is the corpus' vectors re-keyed by a small
     * int — store it once, probe many times; cell-bucketing the table makes
@@ -388,9 +439,11 @@ object Similarity {
       idCol: String,
       path: String,
       nlist: Int = 16,
-      retainEpochs: Int = 2): Unit = {
+      retainEpochs: Int = 2,
+      trainFraction: Double = 1.0): Unit = {
     val spark = corpus.sparkSession
-    val idx = ivfBuild(corpus, vecCol, idCol, nlist)
+    val centroids = trainCentroids(corpus, vecCol, idCol, nlist, trainFraction)
+    val idx = IvfIndex(centroids, null, null)
     val cur = EpochStore.currentEpoch(spark, path)
     if (cur.isEmpty) EpochStore.deleteDir(spark, path)
     val n = cur.map(EpochStore.epochNumber(_) + 1L).getOrElse(1L)
@@ -398,10 +451,11 @@ object Similarity {
     val dir = s"$path/$epoch"
     EpochStore.deleteDir(spark, dir)
     val assignedDir = EpochStore.dataDirName("assigned", n)
-    idx.assigned.select(col("cell"), col("neighbor_id").as("id"), col("cv").as("vec"))
+    corpus.select(
+      idx.nearestCell(col(vecCol)).as("cell"),
+      col(idCol).as("id"), col(vecCol).as("vec"))
       .write.mode("overwrite").parquet(s"$path/data/$assignedDir")
-    idx.unpersist()
-    writeAnnEpochSmallTables(spark, dir, idx.centroids, nlist)
+    writeAnnEpochSmallTables(spark, dir, centroids, nlist)
     EpochStore.writeManifest(spark, dir, Seq("assigned" -> assignedDir))
     EpochStore.commitEpoch(spark, path, epoch, cur)
     EpochStore.gc(spark, path, epoch, retainEpochs)
@@ -461,22 +515,23 @@ object Similarity {
     * semantic regions; capping per cell flattens the density profile
     * without an expensive global dedup. Output = input columns + `cell`.
     *
-    * Cost: two corpus scans (centroid training, which caches the seeded
-    * corpus, then the final literal-centroid assignment) + the one
-    * per-cell window shuffle — no joins, nothing corpus-sized is
-    * broadcast or collected.
+    * Cost: two plain corpus scans (sampled centroid training, then the
+    * literal-centroid assignment) + the one per-cell window shuffle — no
+    * joins, no caching, nothing corpus-sized broadcast or collected. At
+    * 100 TB set `trainFraction` well below 1 ([[writeAnnIndex]]'s
+    * argument applies verbatim).
     */
   def diversitySample(
       corpus: DataFrame,
       vecCol: String,
       idCol: String,
       nPerCell: Int,
-      nlist: Int = 16): DataFrame = {
+      nlist: Int = 16,
+      trainFraction: Double = 1.0): DataFrame = {
     require(!corpus.columns.contains("cell"),
       "diversitySample adds a 'cell' column — rename the existing one first")
-    val idx = ivfBuild(corpus, vecCol, idCol, nlist)
-    idx.unpersist() // centroids are collected; the output plan below
-                    // re-scans the corpus, not the cached seeded frame
+    val idx = IvfIndex(
+      trainCentroids(corpus, vecCol, idCol, nlist, trainFraction), null, null)
     Sampling.takePerStratum(
       corpus.withColumn("cell", idx.nearestCell(col(vecCol))),
       "cell", idCol, nPerCell)

@@ -95,6 +95,16 @@ class RecallSpec extends SparkSpec {
       k = 5, nprobe = 4))
     val r = recallAgainst(bruteForce, approx)
     assert(r >= 0.6, s"persisted-index recall@5 = $r, floor 0.6")
+    // sampled centroid training (the 100 TB path: train on a slice, never
+    // cache the corpus) must still be EXACT at nprobe = nlist — probe
+    // correctness is independent of what the quantizer learned
+    val sampledIdx = java.nio.file.Files.createTempDirectory("graft-ann-smp").toString
+    Similarity.writeAnnIndex(emb, "embedding", "vec_id", sampledIdx,
+      nlist = 8, trainFraction = 0.2)
+    assert(neighborSets(Similarity.annTopKAgainstIndex(
+      emb.where(col("vec_id") < 10), "embedding", "vec_id", sampledIdx,
+      k = 5, nprobe = 8)) == bruteForce,
+      "sample-trained index must stay exact at full probe")
     // compaction merges the two assigned dirs into one; results unchanged
     assert(EpochStore.readManifest(
       spark, EpochStore.epochDir(spark, idxPath)).size == 2,
