@@ -55,6 +55,9 @@ object SparkEntry {
   private def q99IndexDir(sfDir: String) =
     s"/tmp/graft_q99_annindex_${new java.io.File(sfDir).getName}"
 
+  private def q100IndexDir(sfDir: String) =
+    s"/tmp/graft_q100_annindex_${new java.io.File(sfDir).getName}"
+
   /** Bench-only phase breakdown of the index-lifecycle queries (q97, q99):
     * each lifecycle stage timed on its own, so the per-job scheduling
     * floor of the build/append writes (11 sequential parquet writes +
@@ -606,6 +609,24 @@ object SparkEntry {
         emb.where(col("vec_id") < 10), "embedding", "vec_id", idx,
         k = 5, nprobe = 8)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // stateless index range probe (the streaming-capable shape: no window,
+    // no broadcast of the query side) — sample-trained build + append,
+    // then every-cell probe, which scores each pair exactly once, so
+    // q81's exact cosine-floor oracle applies against the union corpus
+    "q100_ann_range" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val idx = q100IndexDir(d)
+      graft.ops.Similarity.writeAnnIndex(
+        emb.where(col("vec_id") % 10 =!= 3), "embedding", "vec_id", idx,
+        nlist = 8, trainFraction = 0.5)
+      graft.ops.Similarity.appendAnnIndex(
+        emb.where(col("vec_id") % 10 === 3), "embedding", "vec_id", idx)
+      graft.ops.Similarity.annRangeAgainstIndex(
+        emb.where(col("vec_id") < 10), "embedding", "vec_id", idx,
+        floor = 0.35, nprobe = 8)
+        .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
     // unicode-script mix per document: Java regex and RE2 agree on script
@@ -1529,6 +1550,19 @@ object SparkEntry {
         |ORDER BY query_id, rank""".stripMargin,
 
     "q81_range_search" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings)
+        |SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS cosine
+        |FROM q CROSS JOIN c
+        |WHERE query_id <> neighbor_id AND list_cosine_similarity(qv, cv) >= 0.35
+        |  AND NOT isnan(list_cosine_similarity(qv, cv))
+        |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    // q81's oracle verbatim: at nprobe = nlist the index probe scores
+    // every pair exactly once, so the cosine-floor result is independent
+    // of the (sample-trained) quantizer
+    "q100_ann_range" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
         |           FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings)

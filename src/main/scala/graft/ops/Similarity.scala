@@ -568,7 +568,9 @@ object Similarity {
       .join(idx.assigned, Seq("cell"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
-      .where(col("cosine") >= floor)
+      // same NaN guard as [[rangeSearch]]: NaN sorts above every number,
+      // so a zero-magnitude vector would otherwise match at any floor
+      .where(col("cosine") >= floor && !isnan(col("cosine")))
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
   }
 
