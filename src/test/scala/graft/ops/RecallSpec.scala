@@ -138,6 +138,25 @@ class RecallSpec extends SparkSpec {
     assert(verr.getMessage.contains("format version 99"))
   }
 
+  test("annRangeAgainstIndex: zero vectors never match; floor filters exactly") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    val vecSt = struct("vec_id" -> LongType, "embedding" -> ArrayType(FloatType))
+    val corpus = frame(vecSt,
+      Row(1L, Seq(1f, 0f)), Row(2L, Seq(0.8f, 0.6f)),
+      Row(3L, Seq(0f, 1f)), Row(4L, Seq(0f, 0f))) // zero vector in corpus
+    val idx = java.nio.file.Files.createTempDirectory("graft-ann-nan").toString
+    Similarity.writeAnnIndex(corpus, "embedding", "vec_id", idx, nlist = 2)
+    val queries = frame(vecSt, Row(10L, Seq(1f, 0f)), Row(11L, Seq(0f, 0f)))
+    val got = Similarity.annRangeAgainstIndex(
+      queries, "embedding", "vec_id", idx, floor = 0.7, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // query 10: cos=1.0 with id 1, 0.8 with id 2, 0 with id 3, NaN with the
+    // zero id 4 (guarded). query 11 is itself zero — NaN everywhere, no rows.
+    assert(got == Set((10L, 1L), (10L, 2L)),
+      s"expected exactly the >=0.7 non-NaN pairs, got $got")
+  }
+
   test("diversitySample: deterministic, caps every cell, keeps small cells whole") {
     requireTestdata(sfDir)
     val n = 5
