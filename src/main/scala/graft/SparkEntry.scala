@@ -629,6 +629,52 @@ object SparkEntry {
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
 
+    // exact repeated-substring mining (Lee et al. 2022 at n-gram
+    // granularity): per doc, how many of its distinct 5-grams occur in
+    // ≥2 docs corpus-wide — only 24-byte (id, gram-key) pairs shuffle
+    "q101_repeated_grams" -> ((s, d) =>
+      graft.ops.Decontam.repeatedGramReport(
+        docsParallel(s, d), "doc_id", "text", n = 5)
+        .orderBy(col("doc_id"))),
+
+    // cross-doc span dedup, keep-one-copy: the min-id doc keeps each
+    // repeated 5-gram, every other doc has the covered tokens removed;
+    // the oracle recomputes the removed-token count as the size of the
+    // per-doc union of covered positions
+    "q102_dedup_spans" -> ((s, d) =>
+      graft.ops.Decontam.dedupRepeatedSpans(
+        docsParallel(s, d).where(col("text").isNotNull),
+        "doc_id", "text", n = 5)
+        .where(col("n_removed_tokens") > 0)
+        .select(col("doc_id"), col("n_removed_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // token-budget-capped mixing: per source, take docs in md5(key) order
+    // until 600 tokens — the budget form of data mixing (weightedMix caps
+    // fractions; training recipes cap tokens). 600 BINDS at every SF
+    // (each of the 20 sources holds ≥1 100 tokens), so the window cutoff
+    // and the crossing-row rule are actually exercised
+    "q103_token_budget" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .withColumn("n_tok", graft.ops.TextOps.tokenCount(col("text")).cast("long"))
+      graft.ops.Sampling.takeTokenBudget(
+        docs, "source", "doc_id", "n_tok", budget = 600L)
+        .select(col("doc_id"), col("source"), col("n_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // bloom-prefiltered decontamination (the non-broadcastable-eval path):
+    // map-side BloomFilterMightContain prune + exact confirm join ⇒ result
+    // is IDENTICAL to the exact q71 report, so q71's oracle applies
+    "q104_decontam_bloom" -> ((s, d) => {
+      val split = graft.ops.Sampling.md5Split(docsParallel(s, d), "text")
+      graft.ops.Decontam.contaminationReportBloom(
+        split.where(col("split") === "train"),
+        split.where(col("split") === "test"),
+        "doc_id", "text", n = 5, fpp = 0.01)
+        .orderBy(col("doc_id"))
+    }),
+
     // unicode-script mix per document: Java regex and RE2 agree on script
     // classes, so the per-script char counts hash-match across engines
     "q96_script_mix" -> ((s, d) => {
@@ -1571,6 +1617,77 @@ object SparkEntry {
         |WHERE query_id <> neighbor_id AND list_cosine_similarity(qv, cv) >= 0.35
         |  AND NOT isnan(list_cosine_similarity(qv, cv))
         |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "q101_repeated_grams" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        |  FROM documents WHERE text IS NOT NULL
+        |), grams AS (
+        |  SELECT DISTINCT doc_id, substr(md5(array_to_string(l[i:i+4], ' ')), 1, 16) AS g
+        |  FROM toks, unnest(range(1, len(l)-5+2)) AS t(i)
+        |  WHERE len(l) >= 5
+        |), gc AS (SELECT g, count(*) AS nd FROM grams GROUP BY g)
+        |SELECT doc_id, cast(count(*) AS bigint) AS n_grams,
+        |       cast(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS bigint) AS n_dup_grams
+        |FROM grams JOIN gc USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q102_dedup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        |  FROM documents WHERE text IS NOT NULL
+        |), occ AS (
+        |  SELECT doc_id, i - 1 AS pos, substr(md5(array_to_string(l[i:i+4], ' ')), 1, 16) AS g
+        |  FROM toks, unnest(range(1, len(l)-5+2)) AS t(i)
+        |  WHERE len(l) >= 5
+        |), gw AS (
+        |  SELECT g, min(doc_id) AS w FROM occ GROUP BY g
+        |  HAVING count(DISTINCT doc_id) >= 2
+        |), cov AS (
+        |  SELECT DISTINCT o.doc_id, o.pos + f.off AS j
+        |  FROM occ o JOIN gw USING (g), unnest(range(0, 5)) AS f(off)
+        |  WHERE o.doc_id <> gw.w
+        |)
+        |SELECT doc_id, cast(count(*) AS bigint) AS n_removed_tokens
+        |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q103_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    cast(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS bigint) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n_tok,
+        |    sum(coalesce(n_tok, 0)) OVER (PARTITION BY source
+        |      ORDER BY md5(cast(doc_id AS varchar)) ASC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, source, n_tok FROM c
+        |WHERE cum - coalesce(n_tok, 0) < 600 ORDER BY doc_id""".stripMargin,
+
+    // identical result to q71 by construction: the bloom stage only prunes
+    // the shuffle, the exact confirm join removes its false positives
+    "q104_decontam_bloom" ->
+      """WITH sp AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN strpos('0123456789abcdef', substr(md5(text),1,1))-1 < 12 THEN 'train'
+        |         WHEN strpos('0123456789abcdef', substr(md5(text),1,1))-1 < 14 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents WHERE text IS NOT NULL
+        |), toks AS (
+        |  SELECT doc_id, split,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        |  FROM sp
+        |), grams AS (
+        |  SELECT doc_id, split, substr(md5(array_to_string(l[i:i+4], ' ')), 1, 16) AS g
+        |  FROM toks, unnest(range(1, len(l)-5+2)) AS t(i)
+        |  WHERE len(l) >= 5
+        |), ev AS (SELECT DISTINCT g FROM grams WHERE split = 'test')
+        |SELECT doc_id, cast(count(DISTINCT g) as bigint) AS n_shared_grams
+        |FROM grams JOIN ev USING (g)
+        |WHERE split = 'train'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q82_take_per_stratum" ->
       """WITH ranked AS (

@@ -109,7 +109,23 @@ object Decontam {
       .join(evalSide(evalSet, textCol, n, broadcastEval), Seq("__g"))
       .groupBy(col(idCol))
       .agg(collect_list(col("__pos")).as("__starts"))
-    corpus.join(matches, Seq(idCol), "left")
+    redactByStarts(corpus, matches, idCol, textCol, n)
+  }
+
+  /** Shared tail of the span-removal ops: join the per-doc matched-start
+    * arrays back onto the corpus and remove exactly the covered tokens.
+    * `starts` must be `(idCol, __starts: array<int>)`, one row per doc
+    * that has at least one matched gram start (0-based token positions).
+    * Coverage is pure array math fused into the scan: token j is removed
+    * iff some matched start s satisfies s ≤ j < s + n.
+    */
+  private def redactByStarts(
+      corpus: DataFrame,
+      starts: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame =
+    corpus.join(starts, Seq(idCol), "left")
       .withColumn("__starts", coalesce(col("__starts"), array().cast("array<int>")))
       .withColumn("__toks", TextOps.wsTokens(col(textCol)))
       .withColumn("__kept", filter(col("__toks"), (_, j) =>
@@ -118,7 +134,125 @@ object Decontam {
         when(col(textCol).isNull, lit(null).cast("string"))
           .otherwise(concat_ws(" ", col("__kept"))))
       .withColumn("n_removed_tokens",
-        (size(col("__toks")) - size(col("__kept"))).cast("bigint"))
+        // null text tokenizes to null arrays whose size() is null under
+        // ANSI semantics — nothing was removed from it, so report 0
+        coalesce((size(col("__toks")) - size(col("__kept"))).cast("bigint"), lit(0L)))
       .drop("__starts", "__toks", "__kept")
+
+  /** Per-document exact repeated-substring report — the corpus analysed
+    * against ITSELF instead of an eval set: for every document, how many
+    * of its distinct word `n`-grams also occur in at least `minDocs`
+    * documents corpus-wide (the doc itself included). Exact-substring
+    * duplication at the n-gram level is the signal behind suffix-array
+    * training-data dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022 — public paper); this is its
+    * shuffle-friendly n-gram form. Output: `(idCol, n_grams,
+    * n_dup_grams)` for every document with at least one gram.
+    *
+    * Plan shape for 100 TB: text never shuffles. The per-doc DISTINCT
+    * (id, gram-key) pairs are 24-byte rows with map-side partial
+    * aggregation; gram multiplicities are counted by a second narrow
+    * aggregate keyed on the 64-bit gram key alone (never a collected doc
+    * list — stop-phrase grams occurring in millions of documents cost one
+    * counter, not one array), and the count table joins back on the same
+    * gram-key partitioning before the final per-doc rollup.
+    */
+  def repeatedGramReport(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val pg = grams(corpus, textCol, n, Seq(col(idCol))).distinct()
+    val gc = pg.groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
+    pg.join(gc, Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__nd") >= minDocs, 1L).otherwise(0L)).as("n_dup_grams"))
+  }
+
+  /** [[contaminationReport]] for eval sets TOO LARGE TO BROADCAST — e.g.
+    * decontaminating one corpus partition against the full held-out split
+    * of another. `broadcastEval = false` already handles this correctly,
+    * but it shuffles EVERY corpus gram to the join; here a Bloom filter
+    * over the eval gram keys (a few MB regardless of eval size, built by
+    * one pass over the eval side) prunes the corpus grams MAP-SIDE first,
+    * so only near-matches — true hits plus an `fpp` fraction of false
+    * positives — reach the shuffle. The exact confirm join then removes
+    * the false positives, so the result is IDENTICAL to
+    * [[contaminationReport]]; the bloom stage only cuts shuffle volume.
+    *
+    * Probe is Spark's own codegen `BloomFilterMightContain` (the
+    * expression behind runtime row-level join filtering) over
+    * `xxhash64(gram-key)` — whole-stage codegen, no UDF. The filter rides
+    * the plan as a binary literal; at fpp=1e-3 and 100 M eval grams that
+    * is ~180 MB of bits, so size `fpp` to the eval side (1e-2 ⇒ ~120 MB
+    * per billion grams). Costs one extra count job over the eval grams to
+    * size the filter.
+    */
+  def contaminationReportBloom(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      fpp: Double = 0.001): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val ev = grams(evalSet, textCol, n, Seq.empty).distinct()
+    val nKeys = math.max(ev.count(), 1L)
+    val bf = ev.stat.bloomFilter(xxhash64(col("__g")), nKeys, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val probe = GraftBridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      GraftBridge.expression(xxhash64(col("__g")))))
+    grams(corpus, textCol, n, Seq(col(idCol)))
+      .where(probe)
+      .join(ev, Seq("__g"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__g")).as("n_shared_grams"))
+  }
+
+  /** Cross-document SPAN dedup — remove repeated text, keep one copy: for
+    * every word `n`-gram occurring in two or more documents, the document
+    * with the smallest `idCol` keeps its text and every OTHER document has
+    * the tokens covered by that gram removed (the keep-one-occurrence rule
+    * of Lee et al. 2022, applied at n-gram granularity; min-id is the
+    * engine-portable canonical choice). Returns every corpus row plus
+    * `cleaned` and `n_removed_tokens`, exactly like
+    * [[redactContaminated]]; null text stays null.
+    *
+    * Plan shape for 100 TB: the occurrence table is (id, position,
+    * 64-bit gram-key) — text never shuffles. One aggregate keyed on the
+    * gram key finds the winner (`min(id)`) and the distinct-doc count;
+    * only grams that actually repeat across documents survive it, so the
+    * join back is against a filtered table partitioned on the same key,
+    * and only LOSING (id, start) pairs reach the final per-doc
+    * collect — bounded by the document's own token count.
+    */
+  def dedupRepeatedSpans(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    val occ = corpus
+      .select(col(idCol), posexplode(wordNgrams(col(textCol), n)).as(Seq("__pos", "__gram")))
+      .select(col(idCol), col("__pos"), gramKey(col("__gram")).as("__g"))
+    val winners = occ.groupBy(col("__g"))
+      .agg(min(col(idCol)).as("__w"), countDistinct(col(idCol)).as("__nd"))
+      .where(col("__nd") >= 2)
+      .select(col("__g"), col("__w"))
+    val starts = occ.join(winners, Seq("__g"))
+      .where(col(idCol) =!= col("__w"))
+      .groupBy(col(idCol))
+      .agg(collect_list(col("__pos")).as("__starts"))
+    redactByStarts(corpus, starts, idCol, textCol, n)
   }
 }

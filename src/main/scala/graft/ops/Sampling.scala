@@ -120,6 +120,40 @@ object Sampling {
       .drop(rk)
   }
 
+  /** Token-BUDGET-capped sampling per stratum — "take ~1 B tokens per
+    * source", the budget form of data mixing (fraction-based mixes like
+    * [[weightedMix]] cap row COUNTS; training recipes cap TOKENS). Rows
+    * are taken in the same engine-portable content-keyed order as
+    * [[takePerStratum]] (md5 of the key, then the key) until the stratum's
+    * running token total reaches `budget`; the first row that CROSSES the
+    * budget is kept (so every non-empty stratum with a positive budget
+    * yields at least one row, and the overshoot is bounded by one
+    * document). Null token counts count as 0 tokens.
+    *
+    * Plan shape for 100 TB: one hash-partitioned window per stratum — the
+    * same single shuffle as any per-stratum ranking; no global sort, no
+    * driver state. The cumulative sum is streamed by the window operator
+    * in sort order, so memory per partition is O(1) beyond the sort.
+    */
+  def takeTokenBudget(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      tokensCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("string").cast("binary")).asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = Iterator.from(0).map(i => if (i == 0) "__cum" else s"__cum$i")
+      .find(!df.columns.contains(_)).get
+    val toks = coalesce(col(tokensCol).cast("long"), lit(0L))
+    df.withColumn(cum, sum(toks).over(w))
+      .where(col(cum) - toks < budget)
+      .drop(cum)
+  }
+
   /** Weighted corpus mix: union of sources, each downsampled to its weight
     * (1.0 = keep all). The mixing decision is content-keyed per source, so
     * the mix is stable under re-runs and independent of source ordering.

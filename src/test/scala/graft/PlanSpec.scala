@@ -219,4 +219,44 @@ class PlanSpec extends SparkSpec {
     val scans = "FileScan parquet".r.findAllIn(plan(report)).length
     assert(scans == 1, s"validation should scan once, saw $scans:\n${plan(report)}")
   }
+
+  test("bloom decontamination prunes map-side BEFORE the confirm join shuffles") {
+    val docs = Tables(spark, dir, "documents")
+    val p = plan(ops.Decontam.contaminationReportBloom(
+      docs, docs.limit(20), "doc_id", "text", n = 5))
+    assert(p.contains("might_contain"),
+      s"expected the codegen BloomFilterMightContain probe in the plan:\n$p")
+    // the probe must sit on the corpus side below the join, not above it:
+    // everything after the first join operator line must be bloom-free on
+    // the filter side ordering — cheap proxy: filter appears before the
+    // first Join node top-down in the plan string
+    val bloomAt = p.indexOf("might_contain")
+    val joinAt = p.indexOf("Join")
+    assert(joinAt >= 0 && bloomAt > joinAt,
+      s"bloom filter should be BELOW the join (printed after it top-down):\n$p")
+  }
+
+  test("repeated-gram mining shuffles gram keys, never document text") {
+    val p = plan(ops.Decontam.repeatedGramReport(
+      Tables(spark, dir, "documents"), "doc_id", "text", n = 5))
+    // every Exchange input is (id, 16-char key) or narrower — the text
+    // column must be projected away before any shuffle
+    p.split("\n").filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("text#"), s"text reached a shuffle:\n$p")
+    }
+    assert("Exchange".r.findAllIn(p).nonEmpty)
+  }
+
+  test("token-budget sampling is one window shuffle, no global sort") {
+    val withTok = Tables(spark, dir, "documents")
+      .withColumn("n_tok", ops.TextOps.tokenCount(col("text")).cast("long"))
+    val p = plan(ops.Sampling.takeTokenBudget(
+      withTok, "source", "doc_id", "n_tok", budget = 5000L))
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected the one stratum hash exchange, saw $exchanges:\n$p")
+    assert(p.contains("hashpartitioning(source"),
+      s"window must partition on the stratum key:\n$p")
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      s"no global sort allowed:\n$p")
+  }
 }

@@ -1326,4 +1326,79 @@ class OpsSpec extends SparkSpec {
     }
     assert(got.values.toSet.size > 32, "200 docs over 64 groups should spread wide")
   }
+
+  test("repeatedGramReport: cross-doc grams counted, within-doc repeats are not dup") {
+    val df = docs(
+      1L -> "a b c d",       // grams: "a b c", "b c d"
+      2L -> "a b c x",       // grams: "a b c", "b c x"
+      3L -> "z z z z z",     // one DISTINCT gram "z z z", repeated only within
+      4L -> "u v")           // under n tokens: no grams, absent from report
+    val rep = Decontam.repeatedGramReport(df, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rep.toSeq == Seq((1L, 2L, 1L), (2L, 2L, 1L), (3L, 1L, 0L)))
+    // minDocs above the corpus-wide multiplicity zeroes the dup counts
+    val strict = Decontam.repeatedGramReport(df, "doc_id", "text", n = 3, minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(strict.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 0L)))
+  }
+
+  test("dedupRepeatedSpans: min-id doc keeps its text, every other occurrence is cut") {
+    val st = struct("doc_id" -> LongType, "text" -> StringType)
+    val df = frame(st,
+      Row(1L, "a b c d"),        // winner of "a b c"; "b c d" unique
+      Row(2L, "x a b c y"),      // loses "a b c" at pos 1 → tokens 1..3 cut
+      Row(3L, "q r s"),          // no shared grams
+      Row(4L, null),             // null text stays null
+      Row(5L, "a b c a b c"))    // loses BOTH occurrences → everything covered
+    val out = Decontam.dedupRepeatedSpans(df, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "cleaned", "n_removed_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out(0) == ((1L, "a b c d", 0L)))
+    assert(out(1) == ((2L, "x y", 3L)))
+    assert(out(2) == ((3L, "q r s", 0L)))
+    assert(out(3)._1 == 4L && out(3)._2 == null && out(3)._3 == 0L)
+    assert(out(4) == ((5L, "", 6L)))
+  }
+
+  test("contaminationReportBloom equals the exact report, even at absurd fpp") {
+    val common = "alpha beta gamma delta epsilon"
+    val corpus = docs((1L to 60L).map { i =>
+      if (i % 5 == 0) i -> s"$common unique$i tail words here"
+      else i -> (1 to 8).map(j => s"only${i}x$j").mkString(" ")
+    }: _*)
+    val eval_ = docs(100L -> s"prefix words $common suffix",
+      101L -> "nothing shared at all in here")
+    def pairs(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val exact = pairs(Decontam.contaminationReport(corpus, eval_, "doc_id", "text", n = 5))
+    assert(exact.nonEmpty)
+    // a roomy filter and a saturated one must both confirm away to the exact set
+    assert(pairs(Decontam.contaminationReportBloom(
+      corpus, eval_, "doc_id", "text", n = 5, fpp = 0.001)) == exact)
+    assert(pairs(Decontam.contaminationReportBloom(
+      corpus, eval_, "doc_id", "text", n = 5, fpp = 0.5)) == exact)
+  }
+
+  test("takeTokenBudget: md5-ordered prefix per stratum, crossing row kept") {
+    val st = struct("src" -> StringType, "doc_id" -> LongType, "n_tok" -> LongType)
+    val rows = (1L to 5L).map(i => Row("s1", i, 10L)) ++
+      Seq(Row("s2", 10L, 100L), Row("s2", 11L, 1L), Row("s2", 12L, null))
+    val out = Sampling.takeTokenBudget(frame(st, rows: _*), "src", "doc_id", "n_tok", 25L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // independent md5 ordering + cumsum in plain Scala
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(i: Long) = md.digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val s1Order = (1L to 5L).sortBy(i => (hex(i), i))
+    val s1Expect = s1Order.zip(s1Order.scanLeft(0L)((acc, _) => acc + 10L))
+      .collect { case (i, before) if before < 25L => i }.toSet
+    assert(s1Expect.size == 3)
+    assert(out.collect { case ("s1", i) => i }.toSet == s1Expect)
+    // s2: null tokens count as 0; order decides who crosses the 25 budget
+    val s2Tok = Map(10L -> 100L, 11L -> 1L, 12L -> 0L)
+    val s2Order = Seq(10L, 11L, 12L).sortBy(i => (hex(i), i))
+    val s2Expect = s2Order.zip(s2Order.scanLeft(0L)(_ + s2Tok(_)))
+      .collect { case (i, before) if before < 25L => i }.toSet
+    assert(out.collect { case ("s2", i) => i }.toSet == s2Expect)
+  }
 }
