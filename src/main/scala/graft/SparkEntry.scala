@@ -58,6 +58,9 @@ object SparkEntry {
   private def q100IndexDir(sfDir: String) =
     s"/tmp/graft_q100_annindex_${new java.io.File(sfDir).getName}"
 
+  private def q105ShardDir(sfDir: String) =
+    s"/tmp/graft_q105_shards_${new java.io.File(sfDir).getName}"
+
   /** Bench-only phase breakdown of the index-lifecycle queries (q97, q99):
     * each lifecycle stage timed on its own, so the per-job scheduling
     * floor of the build/append writes (11 sequential parquet writes +
@@ -673,6 +676,19 @@ object SparkEntry {
         split.where(col("split") === "test"),
         "doc_id", "text", n = 5, fpp = 0.01)
         .orderBy(col("doc_id"))
+    }),
+
+    // sharded corpus sink: write documents as shard=NN parquet (md5-nibble
+    // shard, bounded file count, id-sorted files), then read the manifest
+    // BACK FROM THE FILES — the oracle recomputes every shard's rows and
+    // char sum from the raw table, so the round trip proves the layout
+    // lost nothing and the shard key is engine-portable
+    "q105_shard_sink" -> ((s, d) => {
+      graft.ops.Sink.writeShards(
+        Tables(s, d, "documents"), q105ShardDir(d), "doc_id",
+        nShards = 16, filesPerShard = 2, overwrite = true)
+      graft.ops.Sink.shardManifest(s, q105ShardDir(d), sumCols = Seq("n_chars"))
+        .orderBy(col("shard"))
     }),
 
     // unicode-script mix per document: Java regex and RE2 agree on script
@@ -1665,6 +1681,14 @@ object SparkEntry {
         |)
         |SELECT doc_id, source, n_tok FROM c
         |WHERE cum - coalesce(n_tok, 0) < 600 ORDER BY doc_id""".stripMargin,
+
+    "q105_shard_sink" ->
+      """SELECT
+        |  cast(strpos('0123456789abcdef', substr(md5(cast(doc_id as varchar)),1,1))-1 as int) AS shard,
+        |  cast(count(*) as bigint) AS n_rows,
+        |  cast(sum(n_chars) as bigint) AS sum_n_chars
+        |FROM documents
+        |GROUP BY 1 ORDER BY shard""".stripMargin,
 
     // identical result to q71 by construction: the bloom stage only prunes
     // the shuffle, the exact confirm join removes its false positives

@@ -199,26 +199,43 @@ object Decontam {
       textCol: String,
       n: Int = 8,
       fpp: Double = 0.001): DataFrame = {
-    import org.apache.spark.sql.GraftBridge
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.types.BinaryType
     val ev = grams(evalSet, textCol, n, Seq.empty).distinct()
-    val nKeys = math.max(ev.count(), 1L)
-    val bf = ev.stat.bloomFilter(xxhash64(col("__g")), nKeys, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
-    val probe = GraftBridge.column(BloomFilterMightContain(
-      Literal(bytes, BinaryType),
-      GraftBridge.expression(xxhash64(col("__g")))))
+    val bytes = gramKeyBloom(ev)(fpp)
     grams(corpus, textCol, n, Seq(col(idCol)))
-      .where(probe)
+      .where(bloomMightContainKey(bytes, col("__g")))
       .join(ev, Seq("__g"))
       .groupBy(col(idCol))
       .agg(countDistinct(col("__g")).as("n_shared_grams"))
   }
+
+  /** Serialized bloom filter over a frame of distinct gram keys (column
+    * `__g`), sized by an exact count of the keys. Shared by the batch
+    * bloom report and the streaming decontamination filter.
+    */
+  private[graft] def gramKeyBloom(evalKeys: DataFrame)(fpp: Double): Array[Byte] = {
+    val nKeys = math.max(evalKeys.count(), 1L)
+    val bf = evalKeys.stat.bloomFilter(xxhash64(col("__g")), nKeys, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Codegen probe of a [[gramKeyBloom]] filter: does the bloom (maybe)
+    * contain this gram KEY (the 16-hex-char md5 prefix)? No false
+    * negatives ever; false positives at the filter's fpp.
+    */
+  private[graft] def bloomMightContainKey(bytes: Array[Byte], key: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    GraftBridge.column(BloomFilterMightContain(
+      Literal(bytes, BinaryType),
+      GraftBridge.expression(xxhash64(key))))
+  }
+
+  /** Distinct eval-side gram keys, exposed for the streaming filter. */
+  private[graft] def evalGramKeys(evalSet: DataFrame, textCol: String, n: Int): DataFrame =
+    grams(evalSet, textCol, n, Seq.empty).distinct()
 
   /** Cross-document SPAN dedup — remove repeated text, keep one copy: for
     * every word `n`-gram occurring in two or more documents, the document

@@ -317,6 +317,38 @@ object StreamingOps {
           Similarity.appendAnnIndex(fresh, vecCol, idCol, path, retainEpochs)
     }
 
+  /** STATELESS streaming decontamination filter: drop stream documents
+    * sharing any word `n`-gram with a static eval set, deciding per row
+    * from a bloom filter built ONCE over the eval gram keys at query
+    * construction (the codegen `BloomFilterMightContain` probe inside an
+    * `exists` over the doc's grams — no join, no aggregate, no state, so
+    * it runs in append mode at any rate).
+    *
+    * Contract: NEVER passes a contaminated document (bloom filters have
+    * no false negatives). The price of statelessness is bounded
+    * over-dropping: a clean document is wrongly dropped with probability
+    * ≤ its gram count × `fpp` — at the 1e-6 default, one 1 000-gram clean
+    * doc in a thousand. Pipelines that cannot tolerate any over-drop
+    * should run the exact batch [[graft.ops.Decontam.decontaminate]]
+    * instead; at streaming rates that trade is usually preferable to
+    * keeping join state. Null-text documents carry no grams and always
+    * pass.
+    */
+  def decontaminateStream(
+      newStream: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      fpp: Double = 1e-6): DataFrame = {
+    import graft.ops.Decontam
+    val bytes = Decontam.gramKeyBloom(Decontam.evalGramKeys(evalSet, textCol, n))(fpp)
+    val contaminated = exists(
+      Decontam.wordNgrams(col(textCol), n),
+      g => Decontam.bloomMightContainKey(bytes, Decontam.gramKey(g)))
+    newStream.where(coalesce(!contaminated, lit(true)))
+  }
+
   def joinWithinTime(
       left: DataFrame,
       right: DataFrame,

@@ -1401,4 +1401,44 @@ class OpsSpec extends SparkSpec {
       .collect { case (i, before) if before < 25L => i }.toSet
     assert(out.collect { case ("s2", i) => i }.toSet == s2Expect)
   }
+
+  test("writeShards: portable shard key, bounded sorted files, exact round trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/corpus"
+    val df = docs((1L to 200L).map(i => i -> s"text $i"): _*)
+    Sink.writeShards(df, dir, "doc_id", nShards = 8, filesPerShard = 2)
+    val back = spark.read.parquet(dir)
+    assert(back.columns.toSet == Set("doc_id", "text", "shard"))
+    val got = back.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.keySet == (1L to 200L).toSet, "round trip must lose nothing")
+    // shard must equal a driver-side md5 nibble (the oracle contract)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1L to 200L).foreach { i =>
+      val hex = md.digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(got(i) == Integer.parseInt(hex.substring(0, 1), 16) % 8)
+    }
+    // layout: shard dirs, each with at most filesPerShard data files, each
+    // file internally sorted by id
+    val shards = new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard="))
+    assert(shards.length > 4, "200 ids over 8 shards should populate most dirs")
+    shards.foreach { sd =>
+      val parts = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.nonEmpty && parts.length <= 2,
+        s"${sd.getName}: ${parts.length} files, expected 1..2")
+      parts.foreach { f =>
+        val ids = spark.read.parquet(f.getAbsolutePath)
+          .select("doc_id").collect().map(_.getLong(0))
+        assert(ids.sameElements(ids.sorted), s"${f.getName} not sorted by id")
+      }
+    }
+    // refuses to clobber without overwrite; manifest matches the data
+    intercept[Exception] { Sink.writeShards(df, dir, "doc_id", nShards = 8) }
+    val man = Sink.shardManifest(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val expect = got.values.groupBy(identity).map { case (s, v) => s -> v.size.toLong }
+    assert(man == expect)
+    intercept[IllegalArgumentException] {
+      Sink.writeShards(back, dir + "2", "doc_id", nShards = 8)
+    } // pre-existing 'shard' column rejected loudly
+  }
 }

@@ -482,4 +482,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed.size < 60,
       "weight 0.5 must keep a strict non-empty subset")
   }
+
+  test("stateless streaming decontamination never passes a contaminated doc") {
+    import graft.ops.Decontam
+    val docSt = struct("doc_id" -> LongType, "text" -> StringType)
+    val leak = "alpha beta gamma delta epsilon"
+    val evalSet = frame(docSt, Row(100L, s"prefix words $leak suffix"))
+    val dir = Files.createTempDirectory("graft-decontam-in").toString
+    val rows = (1L to 30L).map { i =>
+      if (i % 3 == 0) Row(i, s"$leak unique$i tail words here")
+      else Row(i, (1 to 8).map(j => s"only${i}x$j").mkString(" "))
+    } :+ Row(31L, null)
+    rows.grouped(10).foreach { chunk =>
+      frame(docSt, chunk: _*).coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(5)
+    }
+    val stream = StreamingOps.decontaminateStream(
+      spark.readStream.schema(docSt).option("maxFilesPerTrigger", "1").parquet(dir),
+      evalSet, "doc_id", "text", n = 5)
+    runToCompletion(stream, "decontam_out")
+    val streamed = spark.table("decontam_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchDF = spark.read.parquet(dir)
+    // identical to its batch twin (same bloom decision per row) …
+    val batch = StreamingOps.decontaminateStream(
+      batchDF, evalSet, "doc_id", "text", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    // … and NEVER passes a contaminated doc: kept ⊆ the exact clean set
+    val exactClean = Decontam.decontaminate(batchDF, evalSet, "doc_id", "text", n = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed.subsetOf(exactClean))
+    assert((1L to 30L).filter(_ % 3 == 0).forall(!streamed.contains(_)))
+    // null text has no grams — always kept; at fpp 1e-6 on this tiny eval
+    // set no clean doc is over-dropped, so the sets are in fact equal
+    assert(streamed.contains(31L))
+    assert(streamed == exactClean)
+  }
 }
