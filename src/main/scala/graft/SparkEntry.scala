@@ -678,6 +678,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // pairwise source-overlap matrix: distinct shared 5-grams per source
+    // pair — the mixing-table diagnostic (large off-diagonals = sources
+    // duplicating each other); text collapses to (source, gram-key)
+    // pairs before the one self-join
+    "q106_source_overlap" -> ((s, d) =>
+      graft.ops.Decontam.sourceOverlapMatrix(
+        docsParallel(s, d), "source", "text", n = 5)
+        .orderBy(col("stratum_a"), col("stratum_b"))),
+
     // sharded corpus sink: write documents as shard=NN parquet (md5-nibble
     // shard, bounded file count, id-sorted files), then read the manifest
     // BACK FROM THE FILES — the oracle recomputes every shard's rows and
@@ -1681,6 +1690,20 @@ object SparkEntry {
         |)
         |SELECT doc_id, source, n_tok FROM c
         |WHERE cum - coalesce(n_tok, 0) < 600 ORDER BY doc_id""".stripMargin,
+
+    "q106_source_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        |  FROM documents WHERE text IS NOT NULL
+        |), sg AS (
+        |  SELECT DISTINCT source, substr(md5(array_to_string(l[i:i+4], ' ')), 1, 16) AS g
+        |  FROM toks, unnest(range(1, len(l)-5+2)) AS t(i)
+        |  WHERE len(l) >= 5
+        |)
+        |SELECT a.source AS stratum_a, b.source AS stratum_b,
+        |       cast(count(*) AS bigint) AS n_shared_grams
+        |FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY stratum_a, stratum_b""".stripMargin,
 
     "q105_shard_sink" ->
       """SELECT

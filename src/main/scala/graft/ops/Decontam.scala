@@ -199,7 +199,10 @@ object Decontam {
       textCol: String,
       n: Int = 8,
       fpp: Double = 0.001): DataFrame = {
-    val ev = grams(evalSet, textCol, n, Seq.empty).distinct()
+    // three consumers (count, bloom aggregate, confirm join) — materialize
+    // the distinct eval gram keys once instead of re-tokenizing the eval
+    // corpus three times
+    val ev = Materialize.eager(grams(evalSet, textCol, n, Seq.empty).distinct())
     val bytes = gramKeyBloom(ev)(fpp)
     grams(corpus, textCol, n, Seq(col(idCol)))
       .where(bloomMightContainKey(bytes, col("__g")))
@@ -237,6 +240,37 @@ object Decontam {
   private[graft] def evalGramKeys(evalSet: DataFrame, textCol: String, n: Int): DataFrame =
     grams(evalSet, textCol, n, Seq.empty).distinct()
 
+  /** Pairwise stratum-overlap matrix — "which sources leak into which":
+    * for every pair of corpus strata (sources, dumps, snapshots …), the
+    * number of DISTINCT word `n`-grams they share. The mixing-table
+    * diagnostic run before combining corpora: a large off-diagonal entry
+    * means two "independent" sources substantially duplicate each other
+    * (mirrors, re-crawls), and their mixing weights double-count.
+    * Output: `(stratum_a, stratum_b, n_shared_grams)` with
+    * `stratum_a < stratum_b`; non-overlapping pairs are absent.
+    *
+    * Plan shape for 100 TB: text reduces map-side to DISTINCT (stratum,
+    * 64-bit gram-key) pairs — the corpus collapses to at most
+    * nStrata × distinct-grams narrow rows before the one self-join on the
+    * gram key. Per shared gram the join yields at most nStrata²/2 pairs,
+    * so this is for MIXING-GRADE strata counts (tens to hundreds of
+    * sources), not per-document grouping — [[repeatedGramReport]] is the
+    * per-document form.
+    */
+  def sourceOverlapMatrix(
+      corpus: DataFrame,
+      stratumCol: String,
+      textCol: String,
+      n: Int = 8): DataFrame = {
+    val sg = grams(corpus, textCol, n, Seq(col(stratumCol))).distinct()
+    val a = sg.select(col(stratumCol).as("stratum_a"), col("__g"))
+    val b = sg.select(col(stratumCol).as("stratum_b"), col("__g"))
+    a.join(b, Seq("__g"))
+      .where(col("stratum_a") < col("stratum_b"))
+      .groupBy(col("stratum_a"), col("stratum_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
   /** Cross-document SPAN dedup — remove repeated text, keep one copy: for
     * every word `n`-gram occurring in two or more documents, the document
     * with the smallest `idCol` keeps its text and every OTHER document has
@@ -246,13 +280,17 @@ object Decontam {
     * `cleaned` and `n_removed_tokens`, exactly like
     * [[redactContaminated]]; null text stays null.
     *
-    * Plan shape for 100 TB: the occurrence table is (id, position,
-    * 64-bit gram-key) — text never shuffles. One aggregate keyed on the
-    * gram key finds the winner (`min(id)`) and the distinct-doc count;
-    * only grams that actually repeat across documents survive it, so the
-    * join back is against a filtered table partitioned on the same key,
-    * and only LOSING (id, start) pairs reach the final per-doc
-    * collect — bounded by the document's own token count.
+    * Plan shape for 100 TB: the gram machinery moves only (id, position,
+    * 64-bit gram-key) rows. One aggregate keyed on the gram key finds the
+    * winner (`min(id)`) and the distinct-doc count; only grams that
+    * actually repeat across documents survive it, so the join back is
+    * against a filtered table partitioned on the same key, and only
+    * LOSING (id, start) pairs reach the per-doc collect — bounded by the
+    * document's own token count. The one place corpus TEXT can shuffle is
+    * the final starts→corpus attach join (shared with
+    * [[redactContaminated]]): AQE broadcasts the per-doc start arrays
+    * when they fit, otherwise the corpus rows shuffle ONCE on the id —
+    * the same unavoidable exchange any row-level enrichment pays.
     */
   def dedupRepeatedSpans(
       corpus: DataFrame,

@@ -128,7 +128,9 @@ object Sampling {
     * running token total reaches `budget`; the first row that CROSSES the
     * budget is kept (so every non-empty stratum with a positive budget
     * yields at least one row, and the overshoot is bounded by one
-    * document). Null token counts count as 0 tokens.
+    * document). Null token counts count as 0 tokens; counts must be
+    * non-negative (a negative count makes the running total non-monotone
+    * and would re-admit rows past the cutoff).
     *
     * Plan shape for 100 TB: one hash-partitioned window per stratum — the
     * same single shuffle as any per-stratum ranking; no global sort, no

@@ -170,4 +170,30 @@ object OpsPropertySpec extends Properties("graft.ops") {
         c <= s.getBytes("UTF-8").length &&
         (s.isEmpty || c >= 1)
     }
+
+  property("takeTokenBudget: monotone in budget, within-overshoot, stratum-local") =
+    forAll(genCounts.suchThat(_.nonEmpty), Gen.choose(1L, 40L), Gen.choose(1, 4)) {
+      (counts, budget, nStrata) =>
+        import org.apache.spark.sql.functions._
+        val df = corpus(counts)
+          .withColumn("src", pmod(col("doc_id"), lit(nStrata.toLong)).cast("string"))
+          .withColumn("n_tok", size(TextOps.wsTokens(col("text"))).cast("long"))
+        def takeIds(b: Long) =
+          Sampling.takeTokenBudget(df, "src", "doc_id", "n_tok", b)
+            .select("doc_id").collect().map(_.getLong(0)).toSet
+        val kept = takeIds(budget)
+        val tok = df.select("doc_id", "n_tok", "src").collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+        // per stratum: total ≤ budget + one document's overshoot, and every
+        // non-empty stratum contributes at least one row
+        val perStratum = kept.groupBy(i => tok(i)._2)
+        val strataWithRows = tok.values.map(_._2).toSet
+        perStratum.forall { case (_, ids) =>
+          val total = ids.toSeq.map(tok(_)._1).sum
+          val maxDoc = ids.toSeq.map(tok(_)._1).max
+          total - maxDoc < budget
+        } &&
+        strataWithRows.forall(s => perStratum.contains(s)) &&
+        kept.subsetOf(takeIds(budget + 7))
+    }
 }

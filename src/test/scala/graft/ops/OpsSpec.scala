@@ -1402,6 +1402,18 @@ class OpsSpec extends SparkSpec {
     assert(out.collect { case ("s2", i) => i }.toSet == s2Expect)
   }
 
+  test("sourceOverlapMatrix: distinct shared grams per ordered pair only") {
+    val st = struct("src" -> StringType, "text" -> StringType)
+    val df = frame(st,
+      Row("s1", "a b c d"),   // grams: "a b c", "b c d"
+      Row("s1", "a b c d"),   // duplicate doc — distinct must not double-count
+      Row("s2", "a b c x"),   // shares "a b c" with s1
+      Row("s3", "q r s t"))   // shares nothing
+    val out = Decontam.sourceOverlapMatrix(df, "src", "text", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("s1", "s2", 1L)))
+  }
+
   test("writeShards: portable shard key, bounded sorted files, exact round trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/corpus"
     val df = docs((1L to 200L).map(i => i -> s"text $i"): _*)
