@@ -678,6 +678,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // paragraph-level dedup with reassembly (the C4/CCNet step): docs
+    // augmented with a corpus-wide shared paragraph + a %7 class
+    // paragraph; only the FIRST occurrence of each paragraph survives
+    // (id, then position), docs rebuilt from survivors
+    "q107_dedup_paragraphs" -> ((s, d) => {
+      val aug = docsParallel(s, d).where(col("text").isNotNull).select(
+        col("doc_id"),
+        concat(
+          col("text"), lit("\n\n"),
+          lit("shared boilerplate paragraph"), lit("\n\n"),
+          concat(lit("para-"), (col("doc_id") % 7).cast("string"))).as("t"))
+      graft.ops.Dedup.dedupParagraphs(aug, "doc_id", "t")
+        .select(col("doc_id"), col("cleaned"), col("n_paras"), col("n_kept_paras"))
+        .orderBy(col("doc_id"))
+    }),
+
     // pairwise source-overlap matrix: distinct shared 5-grams per source
     // pair — the mixing-table diagnostic (large off-diagonals = sources
     // duplicating each other); text collapses to (source, gram-key)
@@ -1690,6 +1706,28 @@ object SparkEntry {
         |)
         |SELECT doc_id, source, n_tok FROM c
         |WHERE cum - coalesce(n_tok, 0) < 600 ORDER BY doc_id""".stripMargin,
+
+    "q107_dedup_paragraphs" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    concat(text, e'\n\n', 'shared boilerplate paragraph', e'\n\n',
+        |           'para-', doc_id % 7) AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), l AS (
+        |  SELECT doc_id, string_split_regex(t, '\n{2,}') AS ps FROM aug
+        |), p AS (
+        |  SELECT doc_id, i - 1 AS pos, ps[i] AS para
+        |  FROM l, unnest(range(1, len(ps)+1)) u(i)
+        |), r AS (
+        |  SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, pos) AS rn
+        |  FROM p
+        |)
+        |SELECT doc_id,
+        |  coalesce(string_agg(para, e'\n\n' ORDER BY pos) FILTER (WHERE rn = 1), '') AS cleaned,
+        |  cast(count(*) AS bigint) AS n_paras,
+        |  cast(count(*) FILTER (WHERE rn = 1) AS bigint) AS n_kept_paras
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q106_source_overlap" ->
       """WITH toks AS (

@@ -39,6 +39,53 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(min(col(idCol)).as(idCol))
 
+  /** PARAGRAPH-level exact dedup with document reassembly — the C4/CCNet
+    * pipeline step between whole-document dedup and n-gram span dedup:
+    * split every document on blank lines, keep exactly the FIRST
+    * occurrence of each distinct paragraph corpus-wide (ordered by id,
+    * then position — engine-portable and deterministic), and rebuild each
+    * document from its surviving paragraphs. Returns every corpus row
+    * plus `cleaned` (survivors re-joined with a blank line; null text
+    * stays null) and `n_paras` / `n_kept_paras`.
+    *
+    * Plan shape for 100 TB: the dedup decision moves only (16-byte
+    * paragraph hash, id, position) rows through the one hash-keyed
+    * window; the surviving positions come back as one small per-doc
+    * array, and reassembly is array math fused into the corpus scan
+    * (filter by position, `concat_ws`) — paragraph TEXT never rides a
+    * shuffle except the final per-doc attach join, where AQE broadcasts
+    * the position arrays when they fit (the [[Decontam.redactByStarts]]
+    * pattern).
+    */
+  def dedupParagraphs(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sep = "\n{2,}"
+    val paras = corpus
+      .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("__pos", "__para")))
+      .select(col(idCol), col("__pos"), md5(col("__para").cast("binary")).as("__h"))
+    val w = Window.partitionBy(col("__h")).orderBy(col(idCol).asc, col("__pos").asc)
+    val keepPos = paras
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(collect_list(col("__pos")).as("__keep"))
+    corpus.join(keepPos, Seq(idCol), "left")
+      .withColumn("__keep", coalesce(col("__keep"), array().cast("array<int>")))
+      .withColumn("__paras", split(col(textCol), sep))
+      .withColumn("__kept", filter(col("__paras"), (p, i) => array_contains(col("__keep"), i)))
+      .withColumn("cleaned",
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(concat_ws("\n\n", col("__kept"))))
+      .withColumn("n_paras",
+        coalesce(size(col("__paras")).cast("bigint"), lit(0L)))
+      .withColumn("n_kept_paras",
+        coalesce(size(col("__kept")).cast("bigint"), lit(0L)))
+      .drop("__keep", "__paras", "__kept")
+  }
+
   /** k-word shingles of a text column (empty when fewer than k tokens).
     * The token array is let-bound so the split regex runs once per row, not
     * once per shingle.

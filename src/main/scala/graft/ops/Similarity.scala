@@ -106,6 +106,39 @@ object Similarity {
         array_sort(collect_list(struct(col("__pos").as("p"), col("__m").as("v")))),
         e => e("v").cast("float")).as(vecCol))
 
+  /** Symmetric int8 quantization of an embedding column — the 4× storage
+    * cut a 100 TB vector store takes before anything else: each vector is
+    * scaled by its own max-abs so `q = round(127 · v / maxabs)` lands in
+    * [-127, 127], stored as `(scale: float, q: array<tinyint>)`. Pure
+    * per-row HOF arithmetic — zero shuffle, codegen, no UDF. Zero and
+    * null vectors get scale 0 and an all-zero / null code array (nothing
+    * to preserve). Cosine on dequantized vectors differs from the
+    * original by O(1/127) per component — RecallSpec pins the resulting
+    * top-k recall.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val maxabs = array_max(transform(v, x => abs(x)))
+    df.withColumn("scale",
+      when(v.isNull, lit(null).cast("float"))
+        .otherwise((coalesce(maxabs, lit(0.0)) / 127.0).cast("float")))
+      .withColumn(s"${vecCol}_q",
+        when(v.isNull, lit(null).cast("array<tinyint>"))
+          .otherwise(when(coalesce(maxabs, lit(0.0)) === 0.0,
+            transform(v, _ => lit(0).cast("tinyint")))
+            .otherwise(transform(v,
+              x => round(x * 127.0 / maxabs).cast("tinyint")))))
+  }
+
+  /** Inverse of [[quantizeInt8]]: `v ≈ scale · q`, reconstructed as
+    * float. Null codes stay null.
+    */
+  def dequantizeInt8(df: DataFrame, qCol: String, scaleCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol,
+      when(col(qCol).isNull, lit(null).cast("array<float>"))
+        .otherwise(transform(col(qCol),
+          q => (q.cast("double") * col(scaleCol)).cast("float"))))
+
   /** Threshold range search: ALL corpus neighbors with cosine at or above
     * `minCosine` for each query — the vector-store "radius search" twin of
     * [[bruteForceTopK]]'s top-k. No window and no rank: the broadcast

@@ -1402,6 +1402,29 @@ class OpsSpec extends SparkSpec {
     assert(out.collect { case ("s2", i) => i }.toSet == s2Expect)
   }
 
+  test("dedupParagraphs keeps the first occurrence corpus-wide and reassembles") {
+    val st = struct("doc_id" -> LongType, "text" -> StringType)
+    val df = frame(st,
+      Row(1L, "A\n\nB"),      // both first occurrences
+      Row(2L, "B\n\nC"),      // B lost to doc 1, C kept
+      Row(3L, "A\n\nA"),      // loses both copies (doc 1 pos 0 wins)
+      Row(4L, null))
+    val out = Dedup.dedupParagraphs(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "cleaned", "n_paras", "n_kept_paras").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, "A\n\nB", 2L, 2L)))
+    assert(out(1) == ((2L, "C", 2L, 1L)))
+    assert(out(2) == ((3L, "", 2L, 0L)))
+    assert(out(3)._1 == 4L && out(3)._2 == null && out(3)._3 == 0L && out(3)._4 == 0L)
+    // within-doc duplicate where the doc itself is the winner: first copy
+    // kept, second dropped
+    val self = Dedup.dedupParagraphs(
+      frame(st, Row(7L, "X\n\nX\n\nY")), "doc_id", "text")
+      .select("cleaned").head().getString(0)
+    assert(self == "X\n\nY")
+  }
+
   test("sourceOverlapMatrix: distinct shared grams per ordered pair only") {
     val st = struct("src" -> StringType, "text" -> StringType)
     val df = frame(st,

@@ -231,6 +231,47 @@ class RecallSpec extends SparkSpec {
       "corpus must contain at least one non-trivial cluster")
   }
 
+  test("int8 quantization: bounded error, near-exact top-k on dequantized vectors") {
+    requireTestdata(sfDir)
+    val q = Similarity.quantizeInt8(emb, "embedding")
+    // per-component reconstruction error ≤ scale/2 (+fp eps), codes in range
+    val rows = Similarity.dequantizeInt8(q, "embedding_q", "scale", "deq")
+      .select("embedding", "deq", "scale", "embedding_q").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](0)
+      val deq = r.getSeq[Float](1)
+      val scale = r.getFloat(2)
+      val codes = r.getSeq[Byte](3)
+      assert(codes.forall(c => c >= -127 && c <= 127))
+      orig.zip(deq).foreach { case (o, d) =>
+        assert(math.abs(o - d) <= scale / 2 + 1e-4f,
+          s"component error ${math.abs(o - d)} exceeds half-step $scale")
+      }
+    }
+    // the 4x-compressed store must preserve neighbor structure: top-5 on
+    // dequantized vectors vs the float baseline
+    val deq = Similarity.dequantizeInt8(q, "embedding_q", "scale", "deq")
+      .select(col("vec_id"), col("deq").as("embedding"))
+    val got = neighborSets(
+      Similarity.bruteForceTopK(deq, deq.where(col("vec_id") < 10),
+        "embedding", "vec_id", k = 5))
+    val r = recallAgainst(bruteForce, got)
+    assert(r >= 0.9, s"int8 top-5 recall = $r, floor 0.9")
+    // zero and null vectors degrade safely
+    val edge = Similarity.quantizeInt8(
+      frame(struct("vec_id" -> org.apache.spark.sql.types.LongType,
+        "embedding" -> org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.Row(1L, Seq(0.0f, 0.0f)),
+        org.apache.spark.sql.Row(2L, null)), "embedding")
+      .orderBy("vec_id").collect()
+    assert(edge(0).getFloat(edge(0).fieldIndex("scale")) == 0.0f)
+    assert(edge(0).getSeq[Byte](edge(0).fieldIndex("embedding_q")) == Seq(0.toByte, 0.toByte))
+    assert(edge(1).isNullAt(edge(1).fieldIndex("scale")))
+    assert(edge(1).isNullAt(edge(1).fieldIndex("embedding_q")))
+  }
+
   test("FFD packing invariants on the driver corpus (q75 pin)") {
     requireTestdata(sfDir)
     // q75 is rows-only (first-fit is a sequential decision SQL can't
