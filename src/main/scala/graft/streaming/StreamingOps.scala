@@ -317,6 +317,38 @@ object StreamingOps {
           Similarity.appendAnnIndex(fresh, vecCol, idCol, path, retainEpochs)
     }
 
+  /** Stream the corpus into a [[graft.ops.Sink.writeShards]]-layout
+    * parquet directory: same engine-portable md5 shard key, same
+    * `shard=NN` dirs, and the same bounded-file story PER MICRO-BATCH
+    * (the repartition caps each batch at nShards × filesPerShard files).
+    * Exactly-once comes from the parquet sink's file-metadata log, so a
+    * replayed micro-batch never double-writes. Differences from the batch
+    * sink, by streaming necessity: files accumulate one set per batch
+    * (run [[graft.ops.Sink.writeShards]] over the accumulated data to
+    * compact), and rows inside a file follow arrival order — sorting is
+    * not available in an append stream. Caller supplies `.option("path",
+    * …)` and `.option("checkpointLocation", …)` and starts the query;
+    * [[graft.ops.Sink.shardManifest]] reads the result like any other
+    * shard layout.
+    */
+  def writeShardsStream(
+      newStream: DataFrame,
+      idCol: String,
+      nShards: Int,
+      filesPerShard: Int = 1): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(!newStream.columns.contains("shard"),
+      "input already has a 'shard' column — rename it first (the sink " +
+        "derives its own shard key from the id)")
+    import graft.ops.Sink
+    newStream
+      .withColumn("shard", Sink.shardColumn(col(idCol), nShards))
+      .repartition(nShards * filesPerShard, col("shard"),
+        pmod(xxhash64(col(idCol)), lit(filesPerShard)))
+      .writeStream
+      .partitionBy("shard")
+      .format("parquet")
+  }
+
   /** STATELESS streaming decontamination filter: drop stream documents
     * sharing any word `n`-gram with a static eval set, deciding per row
     * from a bloom filter built ONCE over the eval gram keys at query

@@ -247,6 +247,24 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).nonEmpty)
   }
 
+  test("paragraph dedup window is hash-keyed and its shuffle rows are hash-narrow") {
+    val p = plan(ops.Dedup.dedupParagraphs(
+      Tables(spark, dir, "documents"), "doc_id", "text"))
+    // the dedup window must partition on the 16-byte paragraph hash (not
+    // on text, not single-partition) …
+    assert(p.contains("Exchange hashpartitioning(__h"),
+      s"expected the hash-keyed window exchange:\n$p")
+    assert(!p.contains("SinglePartition"), s"no single-partition exchange:\n$p")
+    // … and the exchange feeding it projects the hash, so the shuffled row
+    // is (id, pos, hash) — the paragraph string itself is consumed by the
+    // md5 BEFORE the exchange (the AS __h projection sits below it)
+    val lines = p.split("\n")
+    val exIdx = lines.indexWhere(_.contains("Exchange hashpartitioning(__h"))
+    val below = lines.drop(exIdx + 1).take(3).mkString("\n")
+    assert(below.contains("AS __h"),
+      s"hash must be computed map-side, below the exchange:\n$p")
+  }
+
   test("token-budget sampling is one window shuffle, no global sort") {
     val withTok = Tables(spark, dir, "documents")
       .withColumn("n_tok", ops.TextOps.tokenCount(col("text")).cast("long"))

@@ -1475,5 +1475,17 @@ class OpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sink.writeShards(back, dir + "2", "doc_id", nShards = 8)
     } // pre-existing 'shard' column rejected loudly
+    // string ids (URL-keyed corpora) shard on the same portable md5 rule
+    val sdir = java.nio.file.Files.createTempDirectory("graft_sink_s").toString + "/corpus"
+    val sdf = frame(struct("url" -> StringType, "text" -> StringType),
+      (1 to 40).map(i => Row(s"https://example.com/p$i", s"body $i")): _*)
+    Sink.writeShards(sdf, sdir, "url", nShards = 8)
+    val sback = spark.read.parquet(sdir).select("url", "shard").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(sback.keySet.size == 40)
+    sback.foreach { case (u, s) =>
+      val hex = md.digest(u.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(s == Integer.parseInt(hex.substring(0, 1), 16) % 8)
+    }
   }
 }

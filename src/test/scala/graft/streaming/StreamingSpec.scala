@@ -483,6 +483,43 @@ class StreamingSpec extends SparkSpec {
       "weight 0.5 must keep a strict non-empty subset")
   }
 
+  test("streaming shard sink: same layout and manifest as the batch sink") {
+    import graft.ops.Sink
+    val docSt = struct("doc_id" -> LongType, "text" -> StringType)
+    val inDir = Files.createTempDirectory("graft-shardstream-in").toString
+    val outDir = Files.createTempDirectory("graft-shardstream-out").toString + "/corpus"
+    val cp = Files.createTempDirectory("graft-shardstream-cp").toString
+    val rows = (1L to 90L).map(i => Row(i, s"doc body $i"))
+    rows.grouped(30).foreach { chunk =>
+      frame(docSt, chunk: _*).coalesce(1).write.mode("append").parquet(inDir)
+      Thread.sleep(5)
+    }
+    val q = StreamingOps.writeShardsStream(
+      spark.readStream.schema(docSt).option("maxFilesPerTrigger", "1").parquet(inDir),
+      "doc_id", nShards = 8)
+      .option("path", outDir)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // layout: shard dirs present, every row back, shard values portable
+    val back = spark.read.parquet(outDir)
+    assert(back.select("doc_id").collect().map(_.getLong(0)).toSet == (1L to 90L).toSet)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    back.select("doc_id", "shard").collect().foreach { r =>
+      val hex = md.digest(r.getLong(0).toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getInt(1) == Integer.parseInt(hex.substring(0, 1), 16) % 8)
+    }
+    // manifest from the streamed layout ≡ manifest from a batch write of
+    // the same rows
+    val batchDir = Files.createTempDirectory("graft-shardbatch-out").toString + "/corpus"
+    Sink.writeShards(spark.read.parquet(inDir), batchDir, "doc_id", nShards = 8)
+    def man(p: String) = Sink.shardManifest(spark, p).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(man(outDir) == man(batchDir))
+  }
+
   test("stateless streaming decontamination never passes a contaminated doc") {
     import graft.ops.Decontam
     val docSt = struct("doc_id" -> LongType, "text" -> StringType)
