@@ -61,6 +61,20 @@ object SparkEntry {
   private def q105ShardDir(sfDir: String) =
     s"/tmp/graft_q105_shards_${new java.io.File(sfDir).getName}"
 
+  private def q108IndexDir(sfDir: String) =
+    s"/tmp/graft_q108_paraindex_${new java.io.File(sfDir).getName}"
+
+  /** q107's paragraph-augmented corpus (a corpus-wide shared paragraph +
+    * a %7 class paragraph), shared by q107 and the q108 index lifecycle.
+    */
+  private def docsWithParagraphs(s: SparkSession, d: String) =
+    docsParallel(s, d).where(col("text").isNotNull).select(
+      col("doc_id"),
+      concat(
+        col("text"), lit("\n\n"),
+        lit("shared boilerplate paragraph"), lit("\n\n"),
+        concat(lit("para-"), (col("doc_id") % 7).cast("string"))).as("t"))
+
   /** Bench-only phase breakdown of the index-lifecycle queries (q97, q99):
     * each lifecycle stage timed on its own, so the per-job scheduling
     * floor of the build/append writes (11 sequential parquet writes +
@@ -101,6 +115,18 @@ object SparkEntry {
       graft.ops.Similarity.annTopKAgainstIndex(
         Tables(s, d, "embeddings").where(col("vec_id") < 10),
         "embedding", "vec_id", q99IndexDir(d), k = 5, nprobe = 8).count()
+      ()
+    }),
+    ("q108_paragraph_index", "q108_build", (s: SparkSession, d: String) =>
+      graft.ops.Dedup.writeParagraphIndex(
+        docsWithParagraphs(s, d).where(col("doc_id") % 3 === 1), "t", q108IndexDir(d))),
+    ("q108_paragraph_index", "q108_append", (s: SparkSession, d: String) =>
+      graft.ops.Dedup.appendParagraphIndex(
+        docsWithParagraphs(s, d).where(col("doc_id") % 3 === 2), "t", q108IndexDir(d))),
+    ("q108_paragraph_index", "q108_probe", (s: SparkSession, d: String) => {
+      graft.ops.Dedup.dedupParagraphsAgainstIndex(
+        docsWithParagraphs(s, d).where(col("doc_id") % 3 === 0),
+        "doc_id", "t", q108IndexDir(d)).count()
       ()
     }))
 
@@ -682,14 +708,26 @@ object SparkEntry {
     // augmented with a corpus-wide shared paragraph + a %7 class
     // paragraph; only the FIRST occurrence of each paragraph survives
     // (id, then position), docs rebuilt from survivors
-    "q107_dedup_paragraphs" -> ((s, d) => {
-      val aug = docsParallel(s, d).where(col("text").isNotNull).select(
-        col("doc_id"),
-        concat(
-          col("text"), lit("\n\n"),
-          lit("shared boilerplate paragraph"), lit("\n\n"),
-          concat(lit("para-"), (col("doc_id") % 7).cast("string"))).as("t"))
-      graft.ops.Dedup.dedupParagraphs(aug, "doc_id", "t")
+    "q107_dedup_paragraphs" -> ((s, d) =>
+      graft.ops.Dedup.dedupParagraphs(docsWithParagraphs(s, d), "doc_id", "t")
+        .select(col("doc_id"), col("cleaned"), col("n_paras"), col("n_kept_paras"))
+        .orderBy(col("doc_id"))),
+
+    // paragraph-index lifecycle (the third index next to q97 LSH and q99
+    // ANN): build the standing paragraph-hash index on the %3==1 docs,
+    // fold the %3==2 docs in as a delta append, probe the never-indexed
+    // %3==0 docs — indexed paragraphs suppressed, fresh ones deduped
+    // first-occurrence within the probe batch; everything exact, so the
+    // whole lifecycle is SQL-oracled
+    "q108_paragraph_index" -> ((s, d) => {
+      val aug = docsWithParagraphs(s, d)
+      val idx = q108IndexDir(d)
+      graft.ops.Dedup.writeParagraphIndex(
+        aug.where(col("doc_id") % 3 === 1), "t", idx)
+      graft.ops.Dedup.appendParagraphIndex(
+        aug.where(col("doc_id") % 3 === 2), "t", idx)
+      graft.ops.Dedup.dedupParagraphsAgainstIndex(
+        aug.where(col("doc_id") % 3 === 0), "doc_id", "t", idx)
         .select(col("doc_id"), col("cleaned"), col("n_paras"), col("n_kept_paras"))
         .orderBy(col("doc_id"))
     }),
@@ -1706,6 +1744,36 @@ object SparkEntry {
         |)
         |SELECT doc_id, source, n_tok FROM c
         |WHERE cum - coalesce(n_tok, 0) < 600 ORDER BY doc_id""".stripMargin,
+
+    "q108_paragraph_index" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    concat(text, e'\n\n', 'shared boilerplate paragraph', e'\n\n',
+        |           'para-', doc_id % 7) AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), l AS (
+        |  SELECT doc_id, string_split_regex(t, '\n{2,}') AS ps FROM aug
+        |), p AS (
+        |  SELECT doc_id, i - 1 AS pos, ps[i] AS para
+        |  FROM l, unnest(range(1, len(ps)+1)) u(i)
+        |), idx AS (
+        |  SELECT DISTINCT md5(para) AS h FROM p WHERE doc_id % 3 <> 0
+        |), pr AS (
+        |  SELECT doc_id, pos, para, md5(para) AS h FROM p WHERE doc_id % 3 = 0
+        |), j AS (
+        |  SELECT pr.doc_id, pr.pos, pr.para, pr.h, idx.h IS NOT NULL AS known
+        |  FROM pr LEFT JOIN idx ON pr.h = idx.h
+        |), k AS (
+        |  SELECT doc_id, pos, para, known,
+        |    row_number() OVER (PARTITION BY h, known ORDER BY doc_id, pos) AS rn
+        |  FROM j
+        |)
+        |SELECT doc_id,
+        |  coalesce(string_agg(para, e'\n\n' ORDER BY pos)
+        |    FILTER (WHERE NOT known AND rn = 1), '') AS cleaned,
+        |  cast(count(*) AS bigint) AS n_paras,
+        |  cast(count(*) FILTER (WHERE NOT known AND rn = 1) AS bigint) AS n_kept_paras
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q107_dedup_paragraphs" ->
       """WITH aug AS (

@@ -61,20 +61,37 @@ object Dedup {
       corpus: DataFrame,
       idCol: String,
       textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val sep = "\n{2,}"
-    val paras = corpus
-      .select(col(idCol), posexplode(split(col(textCol), sep)).as(Seq("__pos", "__para")))
-      .select(col(idCol), col("__pos"), md5(col("__para").cast("binary")).as("__h"))
-    val w = Window.partitionBy(col("__h")).orderBy(col(idCol).asc, col("__pos").asc)
-    val keepPos = paras
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
+    val keepPos = firstOccurrence(paragraphOccurrences(corpus, idCol, textCol), idCol)
       .groupBy(col(idCol))
       .agg(collect_list(col("__pos")).as("__keep"))
+    attachKeptParagraphs(corpus, keepPos, idCol, textCol)
+  }
+
+  /** Blank-line paragraph separator shared by every paragraph op. */
+  private[graft] val ParaSep = "\n{2,}"
+
+  /** (id, position, md5-hash) per paragraph — the narrow occurrence table
+    * all paragraph dedup variants key on.
+    */
+  private def paragraphOccurrences(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), posexplode(split(col(textCol), ParaSep)).as(Seq("__pos", "__para")))
+      .select(col(idCol), col("__pos"), md5(col("__para").cast("binary")).as("__h"))
+
+  /** First occurrence of each distinct hash: min (id, position). */
+  private def firstOccurrence(occ: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__h")).orderBy(col(idCol).asc, col("__pos").asc)
+    occ.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+  }
+
+  /** Rebuild documents from surviving paragraph positions (`(idCol,
+    * __keep: array<int>)`) — array math fused into the corpus scan.
+    */
+  private def attachKeptParagraphs(
+      corpus: DataFrame, keepPos: DataFrame, idCol: String, textCol: String): DataFrame =
     corpus.join(keepPos, Seq(idCol), "left")
       .withColumn("__keep", coalesce(col("__keep"), array().cast("array<int>")))
-      .withColumn("__paras", split(col(textCol), sep))
+      .withColumn("__paras", split(col(textCol), ParaSep))
       .withColumn("__kept", filter(col("__paras"), (p, i) => array_contains(col("__keep"), i)))
       .withColumn("cleaned",
         when(col(textCol).isNull, lit(null).cast("string"))
@@ -84,6 +101,156 @@ object Dedup {
       .withColumn("n_kept_paras",
         coalesce(size(col("__kept")).cast("bigint"), lit(0L)))
       .drop("__keep", "__paras", "__kept")
+
+  // ---- persisted paragraph-hash index ([[EpochStore]] delta-epoch layout) ----
+
+  /** On-disk format version of the paragraph index; bump on layout change. */
+  val ParagraphIndexFormatVersion: Int = 1
+
+  /** Distinct paragraph hashes of a corpus — the whole index payload. */
+  private def paraHashes(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), ParaSep)).as("__para"))
+      .select(md5(col("__para").cast("binary")).as("h")).distinct()
+
+  private def writeParaMeta(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    Seq(Tuple1(ParagraphIndexFormatVersion)).toDF("format_version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private[graft] def resolveParagraphIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val dir = EpochStore.epochDir(spark, path)
+    val v = spark.read.parquet(s"$dir/meta").head().getAs[Int]("format_version")
+    require(v == ParagraphIndexFormatVersion,
+      s"paragraph index at $path has on-disk format version $v but this " +
+      s"build reads version $ParagraphIndexFormatVersion — rebuild it with " +
+      "writeParagraphIndex")
+    dir
+  }
+
+  /** The live hash table (`h`) of a resolved epoch — pure delta union. */
+  private[graft] def paragraphIndexHashes(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    EpochStore.readTable(spark, dir, "phashes")
+
+  /** Persist the standing PARAGRAPH-hash index: the distinct md5 of every
+    * blank-line paragraph in the corpus, on the shared [[EpochStore]]
+    * delta-epoch layout — the third index lifecycle next to the LSH dedup
+    * index and the ANN index. A daily job probes arrivals against it
+    * ([[dedupParagraphsAgainstIndex]]) and folds them in
+    * ([[appendParagraphIndex]]) without ever re-reading corpus text: at
+    * 100 TB the index is one 16-byte column of distinct hashes.
+    * Non-destructive over an existing index (epoch N+1 + atomic pointer
+    * commit), same single-writer contract as the other indexes.
+    */
+  def writeParagraphIndex(
+      corpus: DataFrame,
+      textCol: String,
+      path: String,
+      retainEpochs: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    val cur = EpochStore.currentEpoch(spark, path)
+    if (cur.isEmpty) EpochStore.deleteDir(spark, path)
+    val n = cur.map(EpochStore.epochNumber(_) + 1L).getOrElse(1L)
+    val epoch = EpochStore.epochName(n)
+    val dir = s"$path/$epoch"
+    EpochStore.deleteDir(spark, dir)
+    val d = EpochStore.dataDirName("phashes", n)
+    paraHashes(corpus, textCol).write.mode("overwrite").parquet(s"$path/data/$d")
+    writeParaMeta(spark, dir)
+    EpochStore.writeManifest(spark, dir, Seq("phashes" -> d))
+    EpochStore.commitEpoch(spark, path, epoch, cur)
+    EpochStore.gc(spark, path, epoch, retainEpochs)
+  }
+
+  /** Fold a batch of new documents into the standing paragraph index:
+    * writes ONLY the hashes the index has never seen (one narrow anti-join
+    * on the 16-byte hash), carries standing data forward BY REFERENCE, so
+    * append ≡ rebuild on the union corpus table-for-table. Replaying a
+    * committed batch is a NO-OP by construction (its hashes are all known
+    * → empty delta → no new epoch), so this append needs no duplicate-id
+    * tripwire and is safe under at-least-once schedulers.
+    */
+  def appendParagraphIndex(
+      newDocs: DataFrame,
+      textCol: String,
+      path: String,
+      retainEpochs: Int = 2): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val spark = newDocs.sparkSession
+    val curDir = resolveParagraphIndex(spark, path)
+    val curEpoch = new HPath(curDir).getName
+    val n = EpochStore.epochNumber(curEpoch) + 1L
+    val epoch = EpochStore.epochName(n)
+    val dir = s"$path/$epoch"
+    EpochStore.deleteDir(spark, dir)
+    val d = EpochStore.dataDirName("phashes", n)
+    val delta = paraHashes(newDocs, textCol)
+      .join(paragraphIndexHashes(spark, curDir), Seq("h"), "left_anti")
+    delta.write.mode("overwrite").parquet(s"$path/data/$d")
+    if (spark.read.parquet(s"$path/data/$d").isEmpty) {
+      // nothing new — leave the live epoch untouched (idempotent replay)
+      EpochStore.deleteDir(spark, s"$path/data/$d")
+      EpochStore.deleteDir(spark, dir)
+      return
+    }
+    writeParaMeta(spark, dir)
+    EpochStore.writeManifest(spark, dir,
+      EpochStore.readManifest(spark, curDir) ++ Seq("phashes" -> d))
+    EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))
+    EpochStore.gc(spark, path, epoch, retainEpochs)
+  }
+
+  /** Merge the paragraph index's accumulated delta dirs into ONE file set
+    * — same maintenance op as [[compactDedupIndex]].
+    */
+  def compactParagraphIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      retainEpochs: Int = 2): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val curDir = resolveParagraphIndex(spark, path)
+    val curEpoch = new HPath(curDir).getName
+    val n = EpochStore.epochNumber(curEpoch) + 1L
+    val epoch = EpochStore.epochName(n)
+    val dir = s"$path/$epoch"
+    EpochStore.deleteDir(spark, dir)
+    val d = EpochStore.dataDirName("phashes", n)
+    paragraphIndexHashes(spark, curDir)
+      .write.mode("overwrite").parquet(s"$path/data/$d")
+    writeParaMeta(spark, dir)
+    EpochStore.writeManifest(spark, dir, Seq("phashes" -> d))
+    EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))
+    EpochStore.gc(spark, path, epoch, retainEpochs)
+  }
+
+  /** [[dedupParagraphs]] for DAILY ARRIVALS against the standing index:
+    * drop every paragraph whose hash the index already holds, and (with
+    * `withinBatch = true`, the default) also keep only the first
+    * occurrence of each new paragraph within the batch itself — the exact
+    * daily-job twin of running [[dedupParagraphs]] over the union corpus,
+    * for the cost of one narrow anti-join against the index's hash column.
+    * `withinBatch = false` skips the in-batch window (index suppression
+    * only — arrivals already deduped upstream). Batch/`foreachBatch`
+    * shapes both ways; for a per-ROW stateless stream filter use
+    * [[graft.streaming.StreamingOps.suppressKnownParagraphsStream]].
+    */
+  def dedupParagraphsAgainstIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      withinBatch: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
+    val dir = resolveParagraphIndex(spark, path)
+    val idx = paragraphIndexHashes(spark, dir).withColumnRenamed("h", "__h")
+    val fresh = paragraphOccurrences(docs, idCol, textCol)
+      .join(idx, Seq("__h"), "left_anti")
+    val keep = if (withinBatch) firstOccurrence(fresh, idCol) else fresh
+    val keepPos = keep.groupBy(col(idCol))
+      .agg(collect_list(col("__pos")).as("__keep"))
+    attachKeptParagraphs(docs, keepPos, idCol, textCol)
   }
 
   /** k-word shingles of a text column (empty when fewer than k tokens).

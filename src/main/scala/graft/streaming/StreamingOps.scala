@@ -317,6 +317,56 @@ object StreamingOps {
           Similarity.appendAnnIndex(fresh, vecCol, idCol, path, retainEpochs)
     }
 
+  /** [[appendToIndex]]'s PARAGRAPH twin: grow the standing
+    * [[graft.ops.Dedup.writeParagraphIndex]] index from the live stream,
+    * one delta of never-seen hashes per non-empty micro-batch. No dedup
+    * pre-step and no duplicate tripwire needed — the batch append is
+    * replay-idempotent BY CONSTRUCTION (known hashes ⇒ empty delta ⇒ no
+    * new epoch), so at-least-once delivery is safe as-is. Single writer
+    * per index while the query runs.
+    */
+  def appendToParagraphIndex(
+      newStream: DataFrame,
+      textCol: String,
+      path: String,
+      retainEpochs: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.Dedup.appendParagraphIndex(batch.toDF(), textCol, path, retainEpochs)
+    }
+
+  /** Per-ROW stateless stream filter against the standing paragraph index
+    * ([[graft.ops.Dedup.writeParagraphIndex]]): rebuild each streamed
+    * document with every ALREADY-INDEXED paragraph removed, deciding from
+    * a bloom filter built once over the index's hash column at query
+    * construction — no join, no aggregate, no state (the
+    * [[decontaminateStream]] construction applied per paragraph).
+    *
+    * Contract: NEVER keeps an indexed paragraph; an unseen paragraph is
+    * wrongly dropped with probability `fpp` (default 1e-6). Exact suppression
+    * — and within-batch dedup — runs via `foreachBatch` over
+    * [[graft.ops.Dedup.dedupParagraphsAgainstIndex]] instead. The index
+    * epoch and bloom are FIXED at query construction; restart the query
+    * to observe appends. Null text stays null.
+    */
+  def suppressKnownParagraphsStream(
+      newStream: DataFrame,
+      textCol: String,
+      path: String,
+      fpp: Double = 1e-6): DataFrame = {
+    import graft.ops.{Decontam, Dedup}
+    val spark = newStream.sparkSession
+    val dir = Dedup.resolveParagraphIndex(spark, path)
+    val bytes = Decontam.gramKeyBloom(
+      Dedup.paragraphIndexHashes(spark, dir).withColumnRenamed("h", "__g"))(fpp)
+    val kept = filter(split(col(textCol), Dedup.ParaSep),
+      p => !Decontam.bloomMightContainKey(bytes, md5(p.cast("binary"))))
+    newStream.withColumn("cleaned",
+      when(col(textCol).isNull, lit(null).cast("string"))
+        .otherwise(concat_ws("\n\n", kept)))
+  }
+
   /** Stream the corpus into a [[graft.ops.Sink.writeShards]]-layout
     * parquet directory: same engine-portable md5 shard key, same
     * `shard=NN` dirs, and the same bounded-file story PER MICRO-BATCH

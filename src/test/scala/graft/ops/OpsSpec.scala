@@ -1425,6 +1425,56 @@ class OpsSpec extends SparkSpec {
     assert(self == "X\n\nY")
   }
 
+  test("paragraph index: probe ≡ union dedup, append ≡ rebuild, replay no-op, compact") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pidx").toString
+    val dir = s"$root/pidx"
+    val st = struct("doc_id" -> LongType, "text" -> StringType)
+    val corpus1 = frame(st, Row(1L, "A\n\nB"), Row(2L, "C"))
+    Dedup.writeParagraphIndex(corpus1, "text", dir)
+    val batch = frame(st, Row(10L, "B\n\nD\n\nD"), Row(11L, "E"))
+    // B is known → dropped; D kept once (within-batch window); E kept
+    val probe = Dedup.dedupParagraphsAgainstIndex(batch, "doc_id", "text", dir)
+      .orderBy("doc_id").select("doc_id", "cleaned", "n_kept_paras").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(probe.toSeq == Seq((10L, "D", 1L), (11L, "E", 1L)))
+    // …exactly what dedupParagraphs says about these docs on the UNION
+    // corpus (corpus ids sort below batch ids, so standing always wins)
+    val union = Dedup.dedupParagraphs(corpus1.unionByName(batch), "doc_id", "text")
+      .where(col("doc_id") >= 10L).orderBy("doc_id")
+      .select("doc_id", "cleaned", "n_kept_paras").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(union.toSeq == probe.toSeq)
+    // withinBatch = false keeps the in-batch duplicate (stateless shape)
+    val stateless = Dedup.dedupParagraphsAgainstIndex(
+      batch, "doc_id", "text", dir, withinBatch = false)
+      .where(col("doc_id") === 10L).select("cleaned").head().getString(0)
+    assert(stateless == "D\n\nD")
+    // append folds only new hashes; the folded index equals a rebuild on
+    // the union corpus
+    Dedup.appendParagraphIndex(batch, "text", dir)
+    def hashes(p: String) = {
+      val d = Dedup.resolveParagraphIndex(spark, p)
+      Dedup.paragraphIndexHashes(spark, d).collect().map(_.getString(0)).sorted.toSeq
+    }
+    val rebuilt = s"$root/rebuilt"
+    Dedup.writeParagraphIndex(corpus1.unionByName(batch), "text", rebuilt)
+    assert(hashes(dir) == hashes(rebuilt))
+    // replaying the same batch is a NO-OP: the live epoch does not move
+    val epochBefore = EpochStore.currentEpoch(spark, dir)
+    Dedup.appendParagraphIndex(batch, "text", dir)
+    assert(EpochStore.currentEpoch(spark, dir) == epochBefore)
+    // appended paragraphs are now suppressed on probe
+    val reprobe = Dedup.dedupParagraphsAgainstIndex(batch, "doc_id", "text", dir)
+      .select("n_kept_paras").collect().map(_.getLong(0)).sum
+    assert(reprobe == 0L)
+    // compaction merges the delta dirs into one file set, hashes unchanged
+    val before = hashes(dir)
+    Dedup.compactParagraphIndex(spark, dir, retainEpochs = 1)
+    val dataDirs = new java.io.File(s"$dir/data").listFiles().count(_.isDirectory)
+    assert(dataDirs == 1, s"expected one data dir after compaction, saw $dataDirs")
+    assert(hashes(dir) == before)
+  }
+
   test("sourceOverlapMatrix: distinct shared grams per ordered pair only") {
     val st = struct("src" -> StringType, "text" -> StringType)
     val df = frame(st,

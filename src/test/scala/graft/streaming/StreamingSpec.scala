@@ -483,6 +483,51 @@ class StreamingSpec extends SparkSpec {
       "weight 0.5 must keep a strict non-empty subset")
   }
 
+  test("paragraph index grows from the stream; bloom probe suppresses indexed paragraphs") {
+    import graft.ops.Dedup
+    val docSt = struct("doc_id" -> LongType, "text" -> StringType)
+    val root = Files.createTempDirectory("graft-pidx-stream").toString
+    val streamIdx = s"$root/stream"
+    val batchIdx = s"$root/batch"
+    val corpus1 = frame(docSt, Row(1L, "A\n\nB"), Row(2L, "C"))
+    Dedup.writeParagraphIndex(corpus1, "text", streamIdx)
+    Dedup.writeParagraphIndex(corpus1, "text", batchIdx)
+    // two micro-batches; D arrives in batch 1, so batch 2's D is known
+    val inDir = Files.createTempDirectory("graft-pidx-in").toString
+    val chunks = Seq(Seq(Row(10L, "B\n\nD")), Seq(Row(11L, "D\n\nE")))
+    chunks.foreach { rows =>
+      frame(docSt, rows: _*).coalesce(1).write.mode("append").parquet(inDir)
+      Thread.sleep(5)
+    }
+    val cp = Files.createTempDirectory("graft-pidx-cp").toString
+    val q = StreamingOps.appendToParagraphIndex(
+      spark.readStream.schema(docSt).option("maxFilesPerTrigger", "1").parquet(inDir),
+      "text", streamIdx)
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    chunks.foreach(rows =>
+      Dedup.appendParagraphIndex(frame(docSt, rows: _*), "text", batchIdx))
+    def hashes(p: String) = Dedup.paragraphIndexHashes(
+      spark, Dedup.resolveParagraphIndex(spark, p))
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(hashes(streamIdx) == hashes(batchIdx))
+    // stateless bloom probe: indexed paragraphs vanish, new text survives
+    val probeDir = Files.createTempDirectory("graft-pidx-probe").toString
+    frame(docSt, Row(20L, "A\n\nZ"), Row(21L, null)).coalesce(1)
+      .write.mode("append").parquet(probeDir)
+    val cleaned = StreamingOps.suppressKnownParagraphsStream(
+      spark.readStream.schema(docSt).option("maxFilesPerTrigger", "1").parquet(probeDir),
+      "text", streamIdx)
+    runToCompletion(cleaned, "pidx_probe_out")
+    val got = spark.table("pidx_probe_out").orderBy("doc_id")
+      .select("doc_id", "cleaned").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got(0) == ((20L, "Z")))
+    assert(got(1)._1 == 21L && got(1)._2 == null)
+  }
+
   test("streaming shard sink: same layout and manifest as the batch sink") {
     import graft.ops.Sink
     val docSt = struct("doc_id" -> LongType, "text" -> StringType)
