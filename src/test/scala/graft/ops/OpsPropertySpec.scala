@@ -171,6 +171,47 @@ object OpsPropertySpec extends Properties("graft.ops") {
         (s.isEmpty || c >= 1)
     }
 
+  private val paraPool = Vector(
+    "alpha one", "beta two", "gamma three", "delta four", "epsilon five")
+
+  private def paraCorpus(docs: List[List[Int]], offset: Long) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        docs.zipWithIndex.map { case (ps, i) =>
+          Row(offset + i + 1, ps.map(paraPool).mkString("\n\n"))
+        }, 2),
+      docSt)
+
+  property("paragraph index: append ≡ rebuild, probe ≡ union dedup, on random corpora") =
+    forAll(
+      Gen.choose(1, 6).flatMap(k => Gen.listOfN(k,
+        Gen.choose(0, 3).flatMap(m => Gen.listOfN(m, Gen.choose(0, 4))))),
+      Gen.choose(0, 4).flatMap(k => Gen.listOfN(k,
+        Gen.choose(0, 3).flatMap(m => Gen.listOfN(m, Gen.choose(0, 4)))))) { (aD, bD) =>
+      val a = paraCorpus(aD, 0L)
+      val b = paraCorpus(bD, 100L)
+      val appended = java.nio.file.Files.createTempDirectory("graft-pprop-app").toString
+      Dedup.writeParagraphIndex(a, "text", appended)
+      Dedup.appendParagraphIndex(b, "text", appended)
+      val rebuilt = java.nio.file.Files.createTempDirectory("graft-pprop-reb").toString
+      Dedup.writeParagraphIndex(a.unionByName(b), "text", rebuilt)
+      def hashes(p: String) = Dedup.paragraphIndexHashes(
+        spark, Dedup.resolveParagraphIndex(spark, p))
+        .collect().map(_.getString(0)).sorted.toSeq
+      val appendEqRebuild = hashes(appended) == hashes(rebuilt)
+      // probing b against an index of a alone ≡ dedupParagraphs over the
+      // union (a's ids sort first, so standing paragraphs always win)
+      val aOnly = java.nio.file.Files.createTempDirectory("graft-pprop-a").toString
+      Dedup.writeParagraphIndex(a, "text", aOnly)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id", "cleaned", "n_kept_paras").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+      val probe = rows(Dedup.dedupParagraphsAgainstIndex(b, "doc_id", "text", aOnly))
+      val union = rows(Dedup.dedupParagraphs(a.unionByName(b), "doc_id", "text")
+        .where(org.apache.spark.sql.functions.col("doc_id") >= 100L))
+      appendEqRebuild && probe == union
+    }
+
   property("takeTokenBudget: monotone in budget, within-overshoot, stratum-local") =
     forAll(genCounts.suchThat(_.nonEmpty), Gen.choose(1L, 40L), Gen.choose(1, 4)) {
       (counts, budget, nStrata) =>
