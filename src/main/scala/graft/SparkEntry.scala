@@ -704,6 +704,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // corpus-frequency document score: the exact-integer stand-in for LM
+    // perplexity filtering (rare-token mass flags gibberish, high mean
+    // frequency flags boilerplate); integer sums hash-match any engine
+    "q109_frequency_score" -> ((s, d) =>
+      graft.ops.TextOps.frequencyScore(
+        docsParallel(s, d), "doc_id", "text", rareBelow = 3L)
+        .orderBy(col("doc_id"))),
+
     // paragraph-level dedup with reassembly (the C4/CCNet step): docs
     // augmented with a corpus-wide shared paragraph + a %7 class
     // paragraph; only the FIRST occurrence of each paragraph survives
@@ -1744,6 +1752,22 @@ object SparkEntry {
         |)
         |SELECT doc_id, source, n_tok FROM c
         |WHERE cum - coalesce(n_tok, 0) < 600 ORDER BY doc_id""".stripMargin,
+
+    "q109_frequency_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.token
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+        |        FROM documents) d, unnest(d.l) AS t(token)
+        |), tf AS (
+        |  SELECT token, count(*) AS n FROM toks GROUP BY token
+        |)
+        |SELECT doc_id,
+        |  cast(count(*) AS bigint) AS n_toks,
+        |  cast(sum(n) AS bigint) AS sum_freq,
+        |  cast(sum(CASE WHEN n < 3 THEN 1 ELSE 0 END) AS bigint) AS n_rare
+        |FROM toks JOIN tf USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q108_paragraph_index" ->
       """WITH aug AS (

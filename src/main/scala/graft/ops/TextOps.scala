@@ -394,6 +394,38 @@ object TextOps {
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n"))
 
+  /** Per-document corpus-frequency score — the exact-integer proxy for
+    * LM-perplexity quality filtering (CCNet ranks documents by a language
+    * model's likelihood; the corpus's own token frequencies are the
+    * zeroth-order version of that signal, and integer sums stay bit-exact
+    * in any engine where a log-prob would differ in final ulps). Returns
+    * `(idCol, n_toks, sum_freq, n_rare)`: token count, the sum of each
+    * token's corpus-wide occurrence count, and how many of the document's
+    * tokens occur fewer than `rareBelow` times corpus-wide. Low
+    * `sum_freq / n_toks` or high `n_rare / n_toks` flags gibberish and
+    * OCR noise; a suspiciously high mean flags boilerplate. Documents
+    * with no tokens are absent (nothing to score).
+    *
+    * Plan shape for 100 TB: one map-side-combining aggregate builds the
+    * (token, n) table, the corpus's exploded tokens shuffle ONCE on the
+    * token key to meet it (a corpus-derived table cannot broadcast), and
+    * the per-doc rollup is the second and final shuffle. Text itself
+    * never moves — only (id, token) pairs.
+    */
+  def frequencyScore(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      rareBelow: Long = 2L): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), explode(wsTokens(col(textCol))).as("token"))
+    toks.join(termFrequencies(df, textCol), Seq("token"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(col("n")).as("sum_freq"),
+        sum(when(col("n") < rareBelow, 1L).otherwise(0L)).as("n_rare"))
+  }
+
   /** Per-document top-`k` tokens by tf/df weight (tf-idf with the exact
     * rational inverse-frequency N/df — the constant corpus-size factor N
     * does not change per-document ranking, and dropping it keeps every

@@ -1425,6 +1425,15 @@ class OpsSpec extends SparkSpec {
     assert(self == "X\n\nY")
   }
 
+  test("frequencyScore: exact corpus-frequency sums and rare-token counts") {
+    val df = docs(1L -> "a a b", 2L -> "b c", 3L -> "")
+    // tf: a=2, b=2, c=1
+    val out = TextOps.frequencyScore(df, "doc_id", "text", rareBelow = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 3L, 6L, 0L), (2L, 2L, 3L, 1L)))
+  }
+
   test("paragraph index: probe ≡ union dedup, append ≡ rebuild, replay no-op, compact") {
     val root = java.nio.file.Files.createTempDirectory("graft_pidx").toString
     val dir = s"$root/pidx"
