@@ -59,6 +59,12 @@ object Sink {
     require(!df.columns.contains("shard"),
       "input already has a 'shard' column — rename it first (the sink " +
         "derives its own shard key from the id)")
+    // an empty write would leave a directory with no parquet files — a
+    // reader can't infer a schema from it, so the corpus would LOOK
+    // written but be unreadable; fail here instead (costs one short job)
+    require(!df.isEmpty,
+      s"writeShards: refusing to write an empty corpus to $path — the " +
+        "resulting directory would have no readable schema")
     val sharded = df.withColumn("shard", shardColumn(col(idCol), nShards))
     // the salt needs no cross-engine story (it never appears in the
     // output), so the cheap codegen hash is fine

@@ -1546,5 +1546,11 @@ class OpsSpec extends SparkSpec {
       val hex = md.digest(u.getBytes("UTF-8")).map("%02x".format(_)).mkString
       assert(s == Integer.parseInt(hex.substring(0, 1), 16) % 8)
     }
+    // an empty corpus is rejected loudly instead of leaving an
+    // unreadable no-schema directory
+    val err = intercept[IllegalArgumentException] {
+      Sink.writeShards(sdf.where(lit(false)), sdir + "3", "url", nShards = 8)
+    }
+    assert(err.getMessage.contains("empty corpus"))
   }
 }
