@@ -1776,7 +1776,7 @@ object SparkEntry {
         |           'para-', doc_id % 7) AS t
         |  FROM documents WHERE text IS NOT NULL
         |), l AS (
-        |  SELECT doc_id, string_split_regex(t, '\n{2,}') AS ps FROM aug
+        |  SELECT doc_id, string_split_regex(t, '(?:\r?\n){2,}') AS ps FROM aug
         |), p AS (
         |  SELECT doc_id, i - 1 AS pos, ps[i] AS para
         |  FROM l, unnest(range(1, len(ps)+1)) u(i)
@@ -1806,7 +1806,7 @@ object SparkEntry {
         |           'para-', doc_id % 7) AS t
         |  FROM documents WHERE text IS NOT NULL
         |), l AS (
-        |  SELECT doc_id, string_split_regex(t, '\n{2,}') AS ps FROM aug
+        |  SELECT doc_id, string_split_regex(t, '(?:\r?\n){2,}') AS ps FROM aug
         |), p AS (
         |  SELECT doc_id, i - 1 AS pos, ps[i] AS para
         |  FROM l, unnest(range(1, len(ps)+1)) u(i)

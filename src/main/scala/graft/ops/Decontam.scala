@@ -40,25 +40,37 @@ object Decontam {
     * grams as `n_shared_grams`. Set `broadcastEval = false` only if the
     * eval side is too large to broadcast (then AQE picks the join).
     */
-  private def grams(df: DataFrame, textCol: String, n: Int, keep: Seq[Column]) =
-    df.select(keep :+ explode(wordNgrams(col(textCol), n)).as("__gram"): _*)
+  private def grams(
+      df: DataFrame, textCol: String, n: Int, keep: Seq[Column],
+      foldCase: Boolean = false) = {
+    val t = if (foldCase) lower(col(textCol)) else col(textCol)
+    df.select(keep :+ explode(wordNgrams(t, n)).as("__gram"): _*)
       .select(keep :+ gramKey(col("__gram")).as("__g"): _*)
+  }
 
   private def evalSide(
-      evalSet: DataFrame, textCol: String, n: Int, bcast: Boolean): DataFrame = {
-    val evalGrams = grams(evalSet, textCol, n, Seq.empty).distinct()
+      evalSet: DataFrame, textCol: String, n: Int, bcast: Boolean,
+      foldCase: Boolean = false): DataFrame = {
+    val evalGrams = grams(evalSet, textCol, n, Seq.empty, foldCase).distinct()
     if (bcast) broadcast(evalGrams) else evalGrams
   }
 
+  /** `foldCase = true` lowercases both sides before gram matching — the
+    * normalization the published decontamination recipes apply (the GPT-3
+    * data card matches on lowercased n-grams), so a re-cased leak ("The
+    * Quick Brown Fox…" quoted in a different style) still counts as
+    * contamination. Default false: exact matching, byte-for-byte.
+    */
   def contaminationReport(
       corpus: DataFrame,
       evalSet: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 8,
-      broadcastEval: Boolean = true): DataFrame =
-    grams(corpus, textCol, n, Seq(col(idCol)))
-      .join(evalSide(evalSet, textCol, n, broadcastEval), Seq("__g"))
+      broadcastEval: Boolean = true,
+      foldCase: Boolean = false): DataFrame =
+    grams(corpus, textCol, n, Seq(col(idCol)), foldCase)
+      .join(evalSide(evalSet, textCol, n, broadcastEval, foldCase), Seq("__g"))
       .groupBy(col(idCol))
       .agg(countDistinct(col("__g")).as("n_shared_grams"))
 
@@ -76,9 +88,10 @@ object Decontam {
       idCol: String,
       textCol: String,
       n: Int = 8,
-      broadcastEval: Boolean = true): DataFrame = {
-    val contaminated = grams(corpus, textCol, n, Seq(col(idCol)))
-      .join(evalSide(evalSet, textCol, n, broadcastEval), Seq("__g"), "left_semi")
+      broadcastEval: Boolean = true,
+      foldCase: Boolean = false): DataFrame = {
+    val contaminated = grams(corpus, textCol, n, Seq(col(idCol)), foldCase)
+      .join(evalSide(evalSet, textCol, n, broadcastEval, foldCase), Seq("__g"), "left_semi")
       .select(col(idCol)).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }

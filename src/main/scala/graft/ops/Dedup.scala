@@ -67,8 +67,12 @@ object Dedup {
     attachKeptParagraphs(corpus, keepPos, idCol, textCol)
   }
 
-  /** Blank-line paragraph separator shared by every paragraph op. */
-  private[graft] val ParaSep = "\n{2,}"
+  /** Blank-line paragraph separator shared by every paragraph op —
+    * tolerates Windows CRLF line endings (a real crawl mixes both), and
+    * the non-capturing group splits identically under Java regex and RE2,
+    * so an oracle engine computes the same paragraphs.
+    */
+  private[graft] val ParaSep = "(?:\r?\n){2,}"
 
   /** (id, position, md5-hash) per paragraph — the narrow occurrence table
     * all paragraph dedup variants key on.

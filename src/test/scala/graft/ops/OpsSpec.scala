@@ -1361,6 +1361,24 @@ class OpsSpec extends SparkSpec {
     assert(out(4) == ((5L, "", 6L)))
   }
 
+  test("foldCase decontamination catches re-cased leaks, default stays exact") {
+    val train = docs(1L -> "The Quick Brown Fox Jumps over dog",
+      2L -> "unrelated words entirely here now")
+    val eval_ = docs(10L -> "the quick brown fox jumps over")
+    // byte-exact matching misses the re-cased quote …
+    assert(Decontam.contaminationReport(train, eval_, "doc_id", "text", n = 5)
+      .count() == 0)
+    // … case folding catches it, on report and drop alike
+    val folded = Decontam.contaminationReport(
+      train, eval_, "doc_id", "text", n = 5, foldCase = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(folded.toSeq == Seq((1L, 2L)))
+    val kept = Decontam.decontaminate(
+      train, eval_, "doc_id", "text", n = 5, foldCase = true)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
   test("contaminationReportBloom equals the exact report, even at absurd fpp") {
     val common = "alpha beta gamma delta epsilon"
     val corpus = docs((1L to 60L).map { i =>
@@ -1423,6 +1441,12 @@ class OpsSpec extends SparkSpec {
       frame(st, Row(7L, "X\n\nX\n\nY")), "doc_id", "text")
       .select("cleaned").head().getString(0)
     assert(self == "X\n\nY")
+    // Windows CRLF blank lines separate paragraphs too (mixed-crawl
+    // reality); survivors re-join with the canonical \n\n
+    val crlf = Dedup.dedupParagraphs(
+      frame(st, Row(8L, "P\r\n\r\nQ\n\nP\r\n\r\nR")), "doc_id", "text")
+      .select("cleaned").head().getString(0)
+    assert(crlf == "P\n\nQ\n\nR")
   }
 
   test("frequencyScore: exact corpus-frequency sums and rare-token counts") {
