@@ -171,6 +171,38 @@ object OpsPropertySpec extends Properties("graft.ops") {
         (s.isEmpty || c >= 1)
     }
 
+  property("dedupRepeatedSpans matches an independent interval-union recomputation") =
+    forAll(Gen.choose(1, 6).flatMap(k => Gen.listOfN(k,
+      Gen.choose(1, 3).flatMap(m => Gen.listOfN(m, Gen.choose(0, 4)))))) { docFrags =>
+      val n = 4
+      val rows = docFrags.zipWithIndex.map { case (ps, i) =>
+        ((i + 1).toLong, ps.map(dupPool).mkString(" "))
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, t) => Row(id, t) }, 2), docSt)
+      val got = Decontam.dedupRepeatedSpans(df, "doc_id", "text", n)
+        .select("doc_id", "n_removed_tokens").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // independent recomputation in plain Scala: gram → owning docs,
+      // winner = min id, covered = union of [p, p+n) over losing occurrences
+      val toks = rows.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toSeq
+      }.toMap
+      val occ = for {
+        (id, ts) <- toks.toSeq
+        p <- 0 to ts.length - n
+      } yield (id, p, ts.slice(p, p + n).mkString(" "))
+      val gramDocs = occ.groupBy(_._3).map { case (g, os) => g -> os.map(_._1).toSet }
+      val expect = toks.map { case (id, ts) =>
+        val covered = occ.collect {
+          case (d, p, g) if d == id && gramDocs(g).size >= 2 && gramDocs(g).min != id =>
+            p until p + n
+        }.flatten.toSet
+        id -> covered.size.toLong
+      }
+      got == expect
+    }
+
   private val paraPool = Vector(
     "alpha one", "beta two", "gamma three", "delta four", "epsilon five")
 
