@@ -265,6 +265,18 @@ class PlanSpec extends SparkSpec {
       s"hash must be computed map-side, below the exchange:\n$p")
   }
 
+  test("shard-sink layout delivers partition pruning on shard-filtered reads") {
+    val out = java.nio.file.Files.createTempDirectory("graft_planshard").toString + "/c"
+    ops.Sink.writeShards(
+      Tables(spark, dir, "documents").select("doc_id", "text"),
+      out, "doc_id", nShards = 8)
+    val p = plan(spark.read.parquet(out).where(col("shard") === 3))
+    assert(p.contains("PartitionFilters: [isnotnull(shard"),
+      s"shard filter must prune directories, not scan-and-filter:\n$p")
+    assert(p.contains("(shard#") && p.contains("= 3)"),
+      s"expected the shard=3 partition filter:\n$p")
+  }
+
   test("token-budget sampling is one window shuffle, no global sort") {
     val withTok = Tables(spark, dir, "documents")
       .withColumn("n_tok", ops.TextOps.tokenCount(col("text")).cast("long"))

@@ -1449,6 +1449,47 @@ class OpsSpec extends SparkSpec {
     assert(crlf == "P\n\nQ\n\nR")
   }
 
+  test("the pipeline composes: dedup → decontaminate → budget mix → pack → sink") {
+    val st = struct("doc_id" -> LongType, "source" -> StringType, "text" -> StringType)
+    val leak = "the held out benchmark answer sentence"
+    val boiler = "subscribe to our newsletter today"
+    val rows = (1L to 60L).map { i =>
+      val body = (1 to 6).map(j => s"s${i % 3}u${i}w$j").mkString(" ")
+      val paras = Seq(body) ++
+        (if (i % 4 == 0) Seq(boiler) else Nil) ++
+        (if (i % 5 == 0) Seq(leak) else Nil)
+      Row(i, s"src${i % 3}", paras.mkString("\n\n"))
+    }
+    val corpus = frame(st, rows: _*)
+    val evalSet = frame(struct("doc_id" -> LongType, "text" -> StringType),
+      Row(999L, leak))
+    // 1. paragraph dedup: every boiler/leak copy but the first vanishes
+    val deduped = Dedup.dedupParagraphs(corpus, "doc_id", "text")
+      .select(col("doc_id"), col("source"), col("cleaned").as("text"))
+    // 2. decontaminate: the one doc still carrying the leaked sentence drops
+    val clean = Decontam.decontaminate(deduped, evalSet, "doc_id", "text", n = 5)
+    val cleanRows = clean.collect()
+    assert(cleanRows.length == 59, "exactly the leak-winner doc should drop")
+    assert(cleanRows.forall(r => !r.getString(2).contains("held out")),
+      "no leaked gram may survive")
+    // 3. token-budget mix per source
+    val budgeted = Sampling.takeTokenBudget(
+      clean.withColumn("n_tok", TextOps.tokenCount(col("text")).cast("long")),
+      "source", "doc_id", "n_tok", budget = 60L)
+    val keptIds = budgeted.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds.nonEmpty && keptIds.size < 59, "the budget must bind")
+    // 4. pack: every surviving doc placed exactly once
+    val packed = Packing.packFirstFitDecreasing(
+      budgeted.select("doc_id", "text"), "doc_id", "text", capacity = 16, nGroups = 4)
+    assert(packed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      keptIds.toSeq.sorted)
+    // 5. sink: round trip loses nothing
+    val out = java.nio.file.Files.createTempDirectory("graft_pipe").toString + "/c"
+    Sink.writeShards(budgeted.drop("n_tok"), out, "doc_id", nShards = 4)
+    assert(spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).toSet == keptIds)
+  }
+
   test("frequencyScore: exact corpus-frequency sums and rare-token counts") {
     val df = docs(1L -> "a a b", 2L -> "b c", 3L -> "")
     // tf: a=2, b=2, c=1
