@@ -704,6 +704,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // quality-keyed exact dedup: among byte-identical texts keep the
+    // highest-score copy (min id on ties) — "keep the best mirror". The
+    // corpus has no natural byte-identical texts, so every %10==0 doc
+    // gets a planted twin at id+1000000; the id-derived score varies
+    // across the twins, so the election is genuinely contested (a
+    // text-derived score would tie everywhere)
+    "q110_keep_best_exact" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select("doc_id", "text")
+      val twins = docs.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val scored = docs.unionByName(twins)
+        .withColumn("score", pmod(col("doc_id") * 7, lit(100)))
+      graft.ops.Dedup.exactKeepBest(scored, "text", "doc_id", "score")
+        .select(col("doc_id"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus-frequency document score: the exact-integer stand-in for LM
     // perplexity filtering (rare-token mass flags gibberish, high mean
     // frequency flags boilerplate); integer sums hash-match any engine
@@ -1752,6 +1769,21 @@ object SparkEntry {
         |)
         |SELECT doc_id, source, n_tok FROM c
         |WHERE cum - coalesce(n_tok, 0) < 600 ORDER BY doc_id""".stripMargin,
+
+    "q110_keep_best_exact" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+        |), s AS (
+        |  SELECT doc_id, text, (doc_id * 7) % 100 AS score FROM u
+        |), r AS (
+        |  SELECT doc_id, score,
+        |    row_number() OVER (PARTITION BY md5(text) ORDER BY score DESC, doc_id ASC) AS rn
+        |  FROM s
+        |)
+        |SELECT doc_id, cast(score AS bigint) AS score
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q109_frequency_score" ->
       """WITH toks AS (

@@ -39,6 +39,34 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(min(col(idCol)).as(idCol))
 
+  /** [[exactKeepMin]] with a QUALITY key: among byte-identical texts keep
+    * the copy with the highest `scoreCol` (ties: smallest `idCol`) — the
+    * production rule "keep the best copy of each duplicate" (most recent
+    * crawl, cleanest metadata, highest-quality source). Returns the
+    * surviving FULL rows, unlike [[exactKeepMin]]'s (hash, id) pairs.
+    *
+    * Plan shape for 100 TB: the winner election runs on a PROJECTED
+    * (16-byte hash, id, score) table — text does not ride the window
+    * shuffle; the survivors then semi-join back by id (AQE broadcasts the
+    * winner set when it fits). Null texts form ONE duplicate class (their
+    * hash is null), matching [[exactKeepMin]]; null scores sort last.
+    */
+  def exactKeepBest(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__h"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val winners = df
+      .select(md5(col(textCol).cast("binary")).as("__h"), col(idCol), col(scoreCol))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(idCol))
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+
   /** PARAGRAPH-level exact dedup with document reassembly — the C4/CCNet
     * pipeline step between whole-document dedup and n-gram span dedup:
     * split every document on blank lines, keep exactly the FIRST

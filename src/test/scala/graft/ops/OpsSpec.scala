@@ -28,6 +28,18 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(2L, 9L))
   }
 
+  test("exactKeepBest keeps the highest-score copy, min id on ties") {
+    val st = struct("doc_id" -> LongType, "text" -> StringType, "score" -> LongType)
+    val df = frame(st,
+      Row(1L, "same text", 5L), Row(2L, "same text", 9L),   // 2 wins on score
+      Row(3L, "other text", 1L),
+      Row(4L, "tied text", 7L), Row(5L, "tied text", 7L),   // 4 wins the tie
+      Row(6L, null, 1L), Row(7L, null, 3L))                 // one null class, 7 wins
+    val kept = Dedup.exactKeepBest(df, "text", "doc_id", "score")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L, 7L))
+  }
+
   test("minhashPairs finds planted near-duplicates and skips dissimilar docs") {
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
     val nearDup = base.replace("token7", "tokenX") // ~1 shingle in 38 changed
