@@ -4,22 +4,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Test-table loaders for the driver-generated TPC-H-ish parquet data
-  * (TESTDATA.md). One quirk: `events.ts` is written as parquet
-  * INT64 TIMESTAMP(NANOS), which Spark's parquet reader rejects outright —
-  * all sessions therefore set `spark.sql.legacy.parquet.nanosAsLong=true`
-  * (see [[Sessions.config]]) and [[Tables.events]] converts the raw
-  * nanosecond long to a microsecond TimestampType (`ts div 1000`,
-  * truncation — identical to DuckDB's ns→us cast).
+  * (TESTDATA.md). One quirk: `events.ts` has been written two ways across
+  * driver generations — INT64 TIMESTAMP(NANOS) (which Spark's parquet
+  * reader rejects outright; `spark.sql.legacy.parquet.nanosAsLong=true`
+  * in [[Sessions.config]] surfaces it as a raw long) and plain
+  * TIMESTAMP(MICROS). [[Tables.events]] normalizes both to
+  * TIMESTAMP_NTZ microseconds by inspecting the read schema, so every
+  * query and oracle sees one canonical naive-µs `ts` regardless of which
+  * generation produced the file (the ns→µs path truncates — identical to
+  * DuckDB's ns→us cast).
   */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def events(spark: SparkSession, dir: String): DataFrame =
-    apply(spark, dir, "events")
-      // ntz: DuckDB timestamps are naive; with session tz UTC the cast is a
-      // pure type-tag change, values identical.
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // nanosAsLong surfaced a TIMESTAMP(NANOS) column as its raw long
+        raw.withColumn(
+          "ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case _ =>
+        // already a timestamp; ntz: DuckDB timestamps are naive — with
+        // session tz UTC the cast is a pure type-tag change, values identical
+        raw.withColumn("ts", expr("cast(ts as timestamp_ntz)"))
+    }
+  }
 }
 
 object Sessions {
