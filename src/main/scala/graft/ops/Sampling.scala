@@ -130,30 +130,144 @@ object Sampling {
     * yields at least one row, and the overshoot is bounded by one
     * document). Null token counts count as 0 tokens; counts must be
     * non-negative (a negative count makes the running total non-monotone
-    * and would re-admit rows past the cutoff).
+    * and would re-admit rows past the cutoff). `keyCol` must identify a
+    * row within its stratum (dup keys make the cutoff order, hence the
+    * kept set, partitioning-dependent — same caveat as [[takePerStratum]]).
     *
-    * Plan shape for 100 TB: one hash-partitioned window per stratum — the
-    * same single shuffle as any per-stratum ranking; no global sort, no
-    * driver state. The cumulative sum is streamed by the window operator
-    * in sort order, so memory per partition is O(1) beyond the sort.
+    * Plan shape for 100 TB — two-phase bucket prefix sums, NOT one
+    * window per stratum (a per-stratum running sum would sort and scan
+    * each stratum's ENTIRE row set in a single task: "take 1 B tokens
+    * per source" over ~10 sources would be ~10 straggler tasks sorting
+    * TB-scale partitions):
+    *
+    *   1. the input collapses to a (stratum, key, tokens) ledger — text
+    *      never rides any shuffle, no matter what columns the caller
+    *      passes — and each row lands in one of `16^bucketHexLen`
+    *      md5-prefix buckets. Bucket order refines the row order (the
+    *      bucket IS the leading prefix of the sort key), so per-bucket
+    *      token sums are contiguous runs of the global cumsum;
+    *   2. one map-side-combining aggregate yields the per-(stratum,
+    *      bucket) sums — strata × 4096 rows at the default — and the
+    *      driver prefix-sums that tiny table to classify each bucket:
+    *      strictly below the budget (keep whole bucket — a join-free
+    *      filter, no sort, no window), at-or-past it (drop), or THE
+    *      boundary bucket (at most one per stratum);
+    *   3. the windowed cumsum — the only sort — runs ONLY inside
+    *      boundary buckets, ~1/4096 of each stratum, with the bucket's
+    *      prefix offset added; the attach back to the caller's rows is
+    *      one pass with two BROADCAST lookups (the bucket classification
+    *      and the boundary bucket's surviving keys — both small by
+    *      construction), so the full rows never shuffle at all.
+    *
+    * The kept set is IDENTICAL to the one-window form row-for-row; only
+    * the plan changes.
     */
   def takeTokenBudget(
       df: DataFrame,
       stratumCol: String,
       keyCol: String,
       tokensCol: String,
-      budget: Long): DataFrame = {
+      budget: Long): DataFrame =
+    takeTokenBudget(df, stratumCol, keyCol, tokensCol, budget, bucketHexLen = 3)
+
+  /** `bucketHexLen` sets the bucket count (`16^bucketHexLen`): more
+    * buckets shrink the boundary window's single task but grow the
+    * driver-side classification table (strata × buckets rows).
+    */
+  def takeTokenBudget(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      tokensCol: String,
+      budget: Long,
+      bucketHexLen: Int): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(bucketHexLen >= 1 && bucketHexLen <= 6,
+      s"bucketHexLen must be in [1, 6], got $bucketHexLen")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(md5(col(keyCol).cast("string").cast("binary")).asc, col(keyCol).asc)
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+
+    // the narrow ledger: (stratum, key, tokens, md5-prefix bucket) — the
+    // ONLY shape that rides a shuffle regardless of the caller's columns.
+    // A null key cannot hash: its bucket is null, which sorts FIRST under
+    // Spark's ASC NULLS FIRST — the driver prefix below mirrors that.
+    val slim = df.select(
+      col(stratumCol).as("__s"),
+      col(keyCol).as("__k"),
+      coalesce(col(tokensCol).cast("long"), lit(0L)).as("__t"),
+      substring(md5(col(keyCol).cast("string").cast("binary")), 1, bucketHexLen)
+        .as("__b"))
+
+    // phase 1: per-(stratum, bucket) token sums — strata × 16^bucketHexLen
+    // rows at most; one map-side-combining aggregate, nothing else moves
+    val bucketSums = slim.groupBy("__s", "__b").agg(sum("__t").as("__sum")).collect()
+
+    // driver-side prefix in the window's own order (null bucket first,
+    // then hex asc — the bucket is the leading prefix of the md5 sort key,
+    // so bucket order refines row order exactly). A bucket whose whole
+    // prefix range ends strictly below the budget keeps every row (the
+    // keep test is `running-before-row < budget` and every before-row
+    // value in it is < its end sum); one that starts at-or-past the
+    // budget keeps none; the at-most-one straddling bucket per stratum
+    // goes through the exact windowed cumsum with its start as offset.
+    val clsRows = bucketSums
+      .groupBy(r => if (r.isNullAt(0)) None else Some(r.get(0)))
+      .iterator.flatMap { case (_, rows) =>
+        val ordered = rows.sortBy(r =>
+          (if (r.isNullAt(1)) "" else "" + r.getString(1)))
+        var before = 0L
+        ordered.flatMap { r =>
+          val sum = r.getLong(2)
+          val start = before
+          before += sum
+          if (start + sum < budget)
+            Some(org.apache.spark.sql.Row(r.get(0), r.get(1), true, 0L))
+          else if (start < budget)
+            Some(org.apache.spark.sql.Row(r.get(0), r.get(1), false, start))
+          else None
+        }
+      }.toSeq
+    val sType = slim.schema("__s").dataType
+    val cls = spark.createDataFrame(
+      spark.sparkContext.parallelize(clsRows, 1),
+      StructType(Seq(
+        StructField("__cs", sType, nullable = true),
+        StructField("__cb", StringType, nullable = true),
+        StructField("__keep_all", BooleanType, nullable = false),
+        StructField("__off", LongType, nullable = false))))
+
+    // phase 3: the windowed cumsum — the only sort — over boundary-bucket
+    // ledger rows only (~1/16^bucketHexLen of one stratum each), with the
+    // bucket's prefix offset restoring global semantics. Its surviving
+    // keys are a per-stratum slice of ONE bucket — small by construction,
+    // hence broadcastable below.
+    val w = Window.partitionBy(col("__s"))
+      .orderBy(md5(col("__k").cast("string").cast("binary")).asc, col("__k").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = Iterator.from(0).map(i => if (i == 0) "__cum" else s"__cum$i")
-      .find(!df.columns.contains(_)).get
-    val toks = coalesce(col(tokensCol).cast("long"), lit(0L))
-    df.withColumn(cum, sum(toks).over(w))
-      .where(col(cum) - toks < budget)
-      .drop(cum)
+    val boundaryKeys = slim.join(
+        broadcast(cls.where(!col("__keep_all"))),
+        col("__s") <=> col("__cs") && col("__b") <=> col("__cb"))
+      .withColumn("__cum", sum(col("__t")).over(w))
+      .where(col("__off") + col("__cum") - col("__t") < budget)
+      .select(col("__s").as("__bs"), col("__k").as("__bk"),
+        lit(true).as("__in_boundary"))
+
+    // attach: ONE pass over the input, two broadcast joins, zero shuffles
+    // of the caller's rows — bucket-level classification (tiny) admits
+    // whole kept buckets plus the boundary bucket, and the boundary's
+    // surviving keys flip per-row membership. Dropped buckets fall out of
+    // the inner join. Both lookup sides are 1:1 per row, so multiplicity
+    // is preserved. (The input is evaluated once per phase — persist an
+    // expensive non-file-backed frame before calling.)
+    val bucketOfDf =
+      substring(md5(df(keyCol).cast("string").cast("binary")), 1, bucketHexLen)
+    df.join(broadcast(cls),
+        df(stratumCol) <=> col("__cs") && bucketOfDf <=> col("__cb"))
+      .join(broadcast(boundaryKeys),
+        df(stratumCol) <=> col("__bs") && df(keyCol) <=> col("__bk"), "left")
+      .where(col("__keep_all") || coalesce(col("__in_boundary"), lit(false)))
+      .drop("__cs", "__cb", "__keep_all", "__off", "__bs", "__bk", "__in_boundary")
   }
 
   /** Weighted corpus mix: union of sources, each downsampled to its weight

@@ -277,15 +277,33 @@ class PlanSpec extends SparkSpec {
       s"expected the shard=3 partition filter:\n$p")
   }
 
-  test("token-budget sampling is one window shuffle, no global sort") {
+  test("token-budget sampling: no full-stratum window, no text in any exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
     val withTok = Tables(spark, dir, "documents")
       .withColumn("n_tok", ops.TextOps.tokenCount(col("text")).cast("long"))
-    val p = plan(ops.Sampling.takeTokenBudget(
-      withTok, "source", "doc_id", "n_tok", budget = 5000L))
-    val exchanges = "Exchange".r.findAllIn(p).length
-    assert(exchanges == 1, s"expected the one stratum hash exchange, saw $exchanges:\n$p")
-    assert(p.contains("hashpartitioning(source"),
-      s"window must partition on the stratum key:\n$p")
+    val out = ops.Sampling.takeTokenBudget(
+      withTok, "source", "doc_id", "n_tok", budget = 5000L)
+    // sparkPlan (pre-AQE) is a plain tree — programmatic shape asserts work
+    val exec = out.queryExecution.sparkPlan
+    // the windowed cumsum — the only sort — must consume ONLY rows the
+    // broadcast bucket-classification join admitted (the boundary bucket,
+    // ~1/4096 of a stratum), never a whole stratum
+    val windows = exec.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"expected the boundary-bucket window:\n$exec")
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case j: BroadcastHashJoinExec => j }.isDefined,
+        s"window input must be gated by the broadcast classification join:\n$exec")
+    }
+    // text must never ride a shuffle: every exchange's row is the narrow
+    // (stratum, key, tokens, bucket/…) ledger
+    val shuffles = exec.collect { case e: ShuffleExchangeExec => e }
+    shuffles.foreach { e =>
+      assert(e.output.forall(_.name != "text"),
+        s"text column in a shuffle row: ${e.output.map(_.name)}\n$exec")
+    }
+    val p = plan(out)
     assert(!p.toLowerCase.contains("rangepartitioning"),
       s"no global sort allowed:\n$p")
   }

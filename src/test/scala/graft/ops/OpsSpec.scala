@@ -1432,6 +1432,50 @@ class OpsSpec extends SparkSpec {
     assert(out.collect { case ("s2", i) => i }.toSet == s2Expect)
   }
 
+  test("takeTokenBudget: coarse buckets (whole-keep/boundary/drop) match the exact cumsum") {
+    // bucketHexLen = 1 → 16 buckets over ~60 keys per stratum, so the
+    // classification genuinely exercises multi-row whole-kept buckets, ONE
+    // boundary bucket, and dropped buckets — not the singleton-bucket
+    // degenerate case of the default length on small fixtures
+    val st = struct("src" -> StringType, "doc_id" -> LongType, "n_tok" -> LongType)
+    val rows = (1L to 60L).flatMap(i =>
+      Seq(Row("a", i, (i % 7) + 1L), Row("b", i + 1000L, (i % 5) + 2L))) ++
+      Seq(Row("tiny", 5000L, 3L), Row("tiny", 5001L, 4L)) // total < budget: all kept
+    val df = frame(st, rows: _*)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(i: Long) = md.digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def expect(budget: Long): Set[Long] = {
+      val byStratum = rows.groupBy(_.getString(0))
+      byStratum.values.flatMap { rs =>
+        val ordered = rs.sortBy(r => (hex(r.getLong(1)), r.getLong(1)))
+        val toks = ordered.map(_.getLong(2))
+        ordered.map(_.getLong(1)).zip(toks.scanLeft(0L)(_ + _))
+          .collect { case (id, before) if before < budget => id }
+      }.toSet
+    }
+    for (budget <- Seq(20L, 57L, 120L, 100000L)) {
+      val got = Sampling.takeTokenBudget(df, "src", "doc_id", "n_tok", budget, bucketHexLen = 1)
+        .collect().map(_.getLong(1)).toSet
+      assert(got == expect(budget), s"budget $budget: coarse-bucket path diverged")
+    }
+    // equality edge: a zero-token row arriving exactly AT the budget is
+    // dropped (its preceding cumsum is not < budget), even when its whole
+    // bucket's sum lands exactly on the budget
+    val ids = (1L to 16L)
+    val eq = frame(st, ids.map(i => Row("e", i, 4L)) :+ Row("e", 99L, 0L): _*)
+    val order = (ids :+ 99L).sortBy(i => (hex(i), i))
+    val eqToks = order.map(i => if (i == 99L) 0L else 4L)
+    val budget = { // cut exactly at a row boundary that precedes some row
+      val cums = eqToks.scanLeft(0L)(_ + _)
+      cums(8) // after 8 rows in md5 order
+    }
+    val expEq = order.zip(eqToks.scanLeft(0L)(_ + _))
+      .collect { case (i, before) if before < budget => i }.toSet
+    val gotEq = Sampling.takeTokenBudget(eq, "src", "doc_id", "n_tok", budget, bucketHexLen = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(gotEq == expEq, "equality-edge kept set diverged")
+  }
+
   test("dedupParagraphs keeps the first occurrence corpus-wide and reassembles") {
     val st = struct("doc_id" -> LongType, "text" -> StringType)
     val df = frame(st,
