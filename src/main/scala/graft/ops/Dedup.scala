@@ -182,8 +182,9 @@ object Dedup {
       path: String,
       retainEpochs: Int = 2): Unit = {
     val spark = corpus.sparkSession
+    EpochStore.withLease(spark, path) {
     val cur = EpochStore.currentEpoch(spark, path)
-    if (cur.isEmpty) EpochStore.deleteDir(spark, path)
+    if (cur.isEmpty) EpochStore.resetKeepingLease(spark, path)
     val n = cur.map(EpochStore.epochNumber(_) + 1L).getOrElse(1L)
     val epoch = EpochStore.epochName(n)
     val dir = s"$path/$epoch"
@@ -194,6 +195,7 @@ object Dedup {
     EpochStore.writeManifest(spark, dir, Seq("phashes" -> d))
     EpochStore.commitEpoch(spark, path, epoch, cur)
     EpochStore.gc(spark, path, epoch, retainEpochs)
+    }
   }
 
   /** Fold a batch of new documents into the standing paragraph index:
@@ -211,6 +213,7 @@ object Dedup {
       retainEpochs: Int = 2): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val spark = newDocs.sparkSession
+    EpochStore.withLease(spark, path) {
     val curDir = resolveParagraphIndex(spark, path)
     val curEpoch = new HPath(curDir).getName
     val n = EpochStore.epochNumber(curEpoch) + 1L
@@ -225,13 +228,14 @@ object Dedup {
       // nothing new — leave the live epoch untouched (idempotent replay)
       EpochStore.deleteDir(spark, s"$path/data/$d")
       EpochStore.deleteDir(spark, dir)
-      return
+    } else {
+      writeParaMeta(spark, dir)
+      EpochStore.writeManifest(spark, dir,
+        EpochStore.readManifest(spark, curDir) ++ Seq("phashes" -> d))
+      EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))
+      EpochStore.gc(spark, path, epoch, retainEpochs)
     }
-    writeParaMeta(spark, dir)
-    EpochStore.writeManifest(spark, dir,
-      EpochStore.readManifest(spark, curDir) ++ Seq("phashes" -> d))
-    EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))
-    EpochStore.gc(spark, path, epoch, retainEpochs)
+    }
   }
 
   /** Merge the paragraph index's accumulated delta dirs into ONE file set
@@ -242,6 +246,7 @@ object Dedup {
       path: String,
       retainEpochs: Int = 2): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
+    EpochStore.withLease(spark, path) {
     val curDir = resolveParagraphIndex(spark, path)
     val curEpoch = new HPath(curDir).getName
     val n = EpochStore.epochNumber(curEpoch) + 1L
@@ -255,6 +260,7 @@ object Dedup {
     EpochStore.writeManifest(spark, dir, Seq("phashes" -> d))
     EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))
     EpochStore.gc(spark, path, epoch, retainEpochs)
+    }
   }
 
   /** [[dedupParagraphs]] for DAILY ARRIVALS against the standing index:
@@ -617,8 +623,9 @@ object Dedup {
       maxBucketSize: Int = 4096,
       retainEpochs: Int = 2): Unit = {
     val spark = existing.sparkSession
+    EpochStore.withLease(spark, path) {
     val cur = EpochStore.currentEpoch(spark, path)
-    if (cur.isEmpty) EpochStore.deleteDir(spark, path)
+    if (cur.isEmpty) EpochStore.resetKeepingLease(spark, path)
     val n = cur.map(EpochStore.epochNumber(_) + 1L).getOrElse(1L)
     val epoch = EpochStore.epochName(n)
     val dir = s"$path/$epoch"
@@ -656,6 +663,7 @@ object Dedup {
     EpochStore.deleteDir(spark, stage)
     EpochStore.commitEpoch(spark, path, epoch, cur)
     EpochStore.gc(spark, path, epoch, retainEpochs)
+    }
   }
 
   /** Fold a batch of new documents into a standing index ([[writeDedupIndex]])
@@ -709,6 +717,7 @@ object Dedup {
       retainEpochs: Int = 2): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val spark = newDocs.sparkSession
+    EpochStore.withLease(spark, path) {
     val (curDir, meta) = resolveIndex(spark, path)
     val k = meta.getAs[Int]("k")
     val numHashes = meta.getAs[Int]("num_hashes")
@@ -782,6 +791,7 @@ object Dedup {
     EpochStore.deleteDir(spark, stage)
     EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))
     EpochStore.gc(spark, path, epoch, retainEpochs)
+    }
   }
 
   /** Rewrite the live epoch's delta history into ONE fresh file set per
@@ -805,6 +815,7 @@ object Dedup {
       path: String,
       retainEpochs: Int = 2): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
+    EpochStore.withLease(spark, path) {
     val (curDir, meta) = resolveIndex(spark, path)
     val curEpoch = new HPath(curDir).getName
     val n = EpochStore.epochNumber(curEpoch) + 1L
@@ -825,6 +836,7 @@ object Dedup {
       Seq("buckets" -> bucketsDir, "sets" -> setsDir))
     EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))
     EpochStore.gc(spark, path, epoch, retainEpochs)
+    }
   }
 
   /** Probe a persisted index ([[writeDedupIndex]]) with new documents —

@@ -27,12 +27,111 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * reading that epoch (retention gives them a grace window — size it with
   * `retainEpochs`). Writers must be SINGLE at a time per index: two
   * concurrent writers would both derive epoch N+1 from N and the loser's
-  * rows would silently vanish. [[commitEpoch]] re-reads the pointer
-  * immediately before the rename and fails loudly if it moved — not an
-  * atomic lock, but it shrinks the silent-loss window to the rename itself;
-  * run appends from one scheduler slot.
+  * rows would silently vanish. Two layers enforce that:
+  *
+  *   - a WRITER LEASE ([[withLease]]): every lifecycle op creates
+  *     `<path>/lease` before doing any work and deletes it after its
+  *     commit, so a second writer fails IMMEDIATELY — before burning a
+  *     full append — instead of at the final rename. A crashed writer's
+  *     lease goes stale by age and is taken over automatically
+  *     (`staleMs`, default 1 h — size it above the longest expected
+  *     build, below the tolerable lockout after a crash);
+  *   - the [[commitEpoch]] tripwire: the pointer is re-read immediately
+  *     before the rename and the commit fails loudly if it moved. This
+  *     backstops the one hole a create-based lease has (two takeover-ers
+  *     of the SAME stale lease can both think they won; object stores
+  *     with atomic create-if-absent close even that).
   */
 private[graft] object EpochStore {
+
+  val LeaseFileName = "lease"
+  val DefaultLeaseStaleMs: Long = 60L * 60L * 1000L
+
+  /** Acquire the single-writer lease on the index at `path`, failing
+    * loudly if a live (non-stale) lease exists. Returns the fencing token
+    * to pass to [[releaseLease]]. Staleness is judged against the store's
+    * own modification time for the lease file, so writer clock skew only
+    * shifts the takeover horizon, never the liveness decision.
+    */
+  def acquireLease(
+      spark: SparkSession, path: String,
+      staleMs: Long = DefaultLeaseStaleMs): String = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = hadoopFs(spark, path)
+    val p = new HPath(path, LeaseFileName)
+    val token = java.util.UUID.randomUUID().toString
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(p, false) // create-if-absent: fails when held
+        try out.write(token.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!tryCreate()) {
+      val age =
+        try System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+        catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+      if (age > staleMs) {
+        fs.delete(p, false) // stale: the holder crashed — take over
+        if (!tryCreate())
+          throw new IllegalStateException(
+            s"writer lease on index at $path was contended during stale-lease " +
+            "takeover — another writer won; retry once it finishes")
+      } else
+        throw new IllegalStateException(
+          s"another writer holds the lease on index at $path " +
+          s"(age ${age} ms, stale after $staleMs ms). Index lifecycles are " +
+          "single-writer: wait for the holder to finish; a crashed holder's " +
+          "lease is taken over automatically once stale")
+    }
+    token
+  }
+
+  /** Release the lease IF still held with `token` — a stale-lease takeover
+    * may have replaced it, in which case the new holder's lease is left
+    * untouched (our epoch either committed before the takeover horizon or
+    * the tripwire will fail it).
+    */
+  def releaseLease(spark: SparkSession, path: String, token: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = hadoopFs(spark, path)
+    val p = new HPath(path, LeaseFileName)
+    try {
+      val st = fs.getFileStatus(p)
+      val in = fs.open(p)
+      val held =
+        try {
+          val bytes = new Array[Byte](st.getLen.toInt)
+          in.readFully(bytes)
+          new String(bytes, "UTF-8") == token
+        } finally in.close()
+      if (held) { fs.delete(p, false); () }
+    } catch { case _: java.io.FileNotFoundException => () }
+  }
+
+  /** Run `body` under the writer lease — the wrapper every index lifecycle
+    * op (build / append / compact) uses. The lease is released on ANY
+    * exit: an uncommitted failure leaves only debris the next build's
+    * reset (or GC) clears.
+    */
+  def withLease[T](
+      spark: SparkSession, path: String,
+      staleMs: Long = DefaultLeaseStaleMs)(body: => T): T = {
+    val token = acquireLease(spark, path, staleMs)
+    try body finally releaseLease(spark, path, token)
+  }
+
+  /** Hard-reset an index path that has no committed pointer (debris from a
+    * never-committed first build), PRESERVING the caller's lease file.
+    */
+  def resetKeepingLease(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = hadoopFs(spark, path)
+    val root = new HPath(path)
+    if (fs.exists(root))
+      fs.listStatus(root).foreach { st =>
+        if (st.getPath.getName != LeaseFileName) fs.delete(st.getPath, true)
+      }
+  }
 
   def epochName(n: Long): String = f"epoch-$n%09d"
   def epochNumber(name: String): Long = name.stripPrefix("epoch-").toLong

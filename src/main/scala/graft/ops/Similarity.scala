@@ -475,10 +475,11 @@ object Similarity {
       retainEpochs: Int = 2,
       trainFraction: Double = 1.0): Unit = {
     val spark = corpus.sparkSession
+    EpochStore.withLease(spark, path) {
     val centroids = trainCentroids(corpus, vecCol, idCol, nlist, trainFraction)
     val idx = IvfIndex(centroids, null, null)
     val cur = EpochStore.currentEpoch(spark, path)
-    if (cur.isEmpty) EpochStore.deleteDir(spark, path)
+    if (cur.isEmpty) EpochStore.resetKeepingLease(spark, path)
     val n = cur.map(EpochStore.epochNumber(_) + 1L).getOrElse(1L)
     val epoch = EpochStore.epochName(n)
     val dir = s"$path/$epoch"
@@ -492,6 +493,7 @@ object Similarity {
     EpochStore.writeManifest(spark, dir, Seq("assigned" -> assignedDir))
     EpochStore.commitEpoch(spark, path, epoch, cur)
     EpochStore.gc(spark, path, epoch, retainEpochs)
+    }
   }
 
   /** Fold new vectors into a standing ANN index WITHOUT re-training or
@@ -499,9 +501,10 @@ object Similarity {
     * OWN centroids (standard IVF append — the quantizer is frozen between
     * rebuilds) and land as one delta `assigned` dir referenced by the new
     * epoch's manifest; nothing standing is copied. Ids must be disjoint
-    * from the index (same loud rejection as the dedup append). Rebuild
-    * with [[writeAnnIndex]] when drift from the trained centroids warrants
-    * re-quantizing.
+    * from the index (same loud rejection as the dedup append). When drift
+    * from the trained centroids warrants re-quantizing, retrain in place
+    * with [[compactAnnIndex]]`(retrain = true)` — or rebuild from source
+    * with [[writeAnnIndex]].
     */
   def appendAnnIndex(
       newVecs: DataFrame,
@@ -511,6 +514,7 @@ object Similarity {
       retainEpochs: Int = 2): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val spark = newVecs.sparkSession
+    EpochStore.withLease(spark, path) {
     val (curDir, meta) = resolveAnnIndex(spark, path)
     val nlist = meta.getAs[Int]("nlist")
     val centroids = readAnnCentroids(spark, curDir)
@@ -537,6 +541,7 @@ object Similarity {
       EpochStore.readManifest(spark, curDir) :+ ("assigned" -> assignedDir))
     EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))
     EpochStore.gc(spark, path, epoch, retainEpochs)
+    }
   }
 
   /** Diversity-aware downsample: cluster the corpus by embedding (the IVF
@@ -615,14 +620,30 @@ object Similarity {
     * of manifest designs). Compaction rewrites the union into a single
     * fresh data dir, commits it as a new epoch (same atomic pointer, same
     * single-writer contract), and GC then drops the now-unreferenced
-    * deltas. Centroids are untouched — compaction changes file layout,
-    * never results.
+    * deltas. With `retrain = false` centroids are untouched — compaction
+    * changes file layout, never results.
+    *
+    * `retrain = true` makes compaction the quantizer-maintenance op the
+    * frozen-quantizer append contract needs: appends assign to the
+    * BUILD-time centroids ([[appendAnnIndex]] — correct for probe
+    * consistency), so months of drift-y appends decay recall with nothing
+    * short of a full rebuild to recover it. A retraining compaction
+    * trains fresh centroids over the union (the same content-keyed
+    * `trainFraction` sampling as [[writeAnnIndex]] — set it well below 1
+    * at scale), re-assigns every vector to them, and commits centroids +
+    * cells together in the compacted epoch — exactly a [[writeAnnIndex]]
+    * rebuild from the index's own vectors, without re-reading the source
+    * corpus. Probe correctness at `nprobe = nlist` is unaffected either
+    * way; recall at partial probes recovers to build-fresh quality.
     */
   def compactAnnIndex(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      retainEpochs: Int = 2): Unit = {
+      retainEpochs: Int = 2,
+      retrain: Boolean = false,
+      trainFraction: Double = 1.0): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
+    EpochStore.withLease(spark, path) {
     val (curDir, meta) = resolveAnnIndex(spark, path)
     val nlist = meta.getAs[Int]("nlist")
     val curEpoch = new HPath(curDir).getName
@@ -631,12 +652,22 @@ object Similarity {
     val dir = s"$path/$epoch"
     EpochStore.deleteDir(spark, dir)
     val assignedDir = EpochStore.dataDirName("assigned", n)
-    EpochStore.readTable(spark, curDir, "assigned")
-      .write.mode("overwrite").parquet(s"$path/data/$assignedDir")
-    writeAnnEpochSmallTables(spark, dir, readAnnCentroids(spark, curDir), nlist)
+    val standing = EpochStore.readTable(spark, curDir, "assigned")
+    val centroids =
+      if (retrain) trainCentroids(standing, "vec", "id", nlist, trainFraction)
+      else readAnnCentroids(spark, curDir)
+    val compacted =
+      if (retrain) {
+        val idx = IvfIndex(centroids, null, null)
+        standing.select(
+          idx.nearestCell(col("vec")).as("cell"), col("id"), col("vec"))
+      } else standing
+    compacted.write.mode("overwrite").parquet(s"$path/data/$assignedDir")
+    writeAnnEpochSmallTables(spark, dir, centroids, nlist)
     EpochStore.writeManifest(spark, dir, Seq("assigned" -> assignedDir))
     EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))
     EpochStore.gc(spark, path, epoch, retainEpochs)
+    }
   }
 
   /** Probe a persisted ANN index ([[writeAnnIndex]]) — identical plan shape

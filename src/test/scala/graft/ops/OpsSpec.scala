@@ -1189,6 +1189,54 @@ class OpsSpec extends SparkSpec {
     assert(race.getMessage.contains("concurrent writer"))
   }
 
+  test("writer lease: the losing writer fails PRE-write; stale leases are taken over") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val idx = java.nio.file.Files.createTempDirectory("graft-idx-lease").toString
+    Dedup.writeDedupIndex(docs(1L -> base), "text", "doc_id", idx)
+    assert(!new java.io.File(s"$idx/${EpochStore.LeaseFileName}").exists(),
+      "a successful lifecycle op must release its lease")
+    // a held lease makes the next writer throw BEFORE doing any work:
+    // pointer unchanged, zero new data dirs, no staged debris
+    val token = EpochStore.acquireLease(spark, idx)
+    val dataBefore = new java.io.File(s"$idx/data").list().toSet
+    val epochBefore = Dedup.epochDir(spark, idx)
+    val loser = intercept[IllegalStateException] {
+      Dedup.appendDedupIndex(
+        docs(2L -> base.replace("token9", "tokenY")), "text", "doc_id", idx)
+    }
+    assert(loser.getMessage.contains("lease"))
+    assert(new java.io.File(s"$idx/data").list().toSet == dataBefore,
+      "the loser must not have written anything")
+    assert(Dedup.epochDir(spark, idx) == epochBefore)
+    // every lifecycle kind shares the gate — a build on a leased ANN path
+    // fails identically (before training, before any write)
+    val annIdx = java.nio.file.Files.createTempDirectory("graft-ann-lease").toString
+    val annTok = EpochStore.acquireLease(spark, annIdx)
+    intercept[IllegalStateException] {
+      Similarity.writeAnnIndex(
+        frame(struct("vec_id" -> LongType, "vec" -> ArrayType(FloatType)),
+          Row(1L, Seq(1f, 0f)), Row(2L, Seq(0f, 1f))),
+        "vec", "vec_id", annIdx, nlist = 2)
+    }
+    EpochStore.releaseLease(spark, annIdx, annTok)
+    // release: the blocked append now proceeds normally
+    EpochStore.releaseLease(spark, idx, token)
+    Dedup.appendDedupIndex(
+      docs(2L -> base.replace("token9", "tokenY")), "text", "doc_id", idx)
+    assert(Dedup.epochDir(spark, idx).endsWith("epoch-000000002"))
+    // a crashed writer's lease goes stale by age and is taken over
+    val t2 = EpochStore.acquireLease(spark, idx)
+    val leaseFile = new java.io.File(s"$idx/${EpochStore.LeaseFileName}")
+    assert(leaseFile.setLastModified(
+      System.currentTimeMillis() - 10L * 60 * 60 * 1000))
+    Dedup.appendDedupIndex(docs(3L -> base), "text", "doc_id", idx)
+    assert(Dedup.epochDir(spark, idx).endsWith("epoch-000000003"),
+      "the takeover append must commit")
+    assert(!leaseFile.exists(), "the takeover writer releases ITS lease")
+    // releasing a token that lost its lease to takeover is a no-op
+    EpochStore.releaseLease(spark, idx, t2)
+  }
+
   test("index commit is atomic: uncommitted epochs are invisible, dup ids rejected") {
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
     val idx = java.nio.file.Files.createTempDirectory("graft-idx-atomic").toString

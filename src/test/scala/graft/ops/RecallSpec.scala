@@ -138,6 +138,47 @@ class RecallSpec extends SparkSpec {
     assert(verr.getMessage.contains("format version 99"))
   }
 
+  test("compactAnnIndex(retrain) refreshes the quantizer; probes stay exact at full probe") {
+    requireTestdata(sfDir)
+    // drift scenario: the quantizer trains on a SMALL early slice, then
+    // the bulk of the corpus arrives via frozen-quantizer appends — the
+    // exact situation where recall decays and only retraining recovers it
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-ann-rt").toString
+    Similarity.writeAnnIndex(
+      emb.where(col("vec_id") < 30), "embedding", "vec_id", idxPath, nlist = 8)
+    Similarity.appendAnnIndex(
+      emb.where(col("vec_id") >= 30), "embedding", "vec_id", idxPath)
+    def centroids() = spark.read.parquet(
+      s"${EpochStore.epochDir(spark, idxPath)}/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSet
+    val centroidsBefore = centroids()
+    Similarity.compactAnnIndex(spark, idxPath, retrain = true)
+    // retraining over the union must actually move the drift-y quantizer
+    assert(centroids() != centroidsBefore,
+      "retrain must replace the slice-trained centroids")
+    val manifest = EpochStore.readManifest(
+      spark, EpochStore.epochDir(spark, idxPath))
+    assert(manifest.size == 1 && manifest.head._1 == "assigned",
+      s"retraining compaction still compacts to ONE data dir, got $manifest")
+    // probe correctness is quantizer-independent at nprobe = nlist …
+    assert(neighborSets(Similarity.annTopKAgainstIndex(
+      emb.where(col("vec_id") < 10), "embedding", "vec_id", idxPath,
+      k = 5, nprobe = 8)) == bruteForce,
+      "full probe after retraining compaction must equal brute force")
+    // … and the partial probe is back on a fresh-build-quality quantizer
+    val r = recallAgainst(bruteForce, neighborSets(
+      Similarity.annTopKAgainstIndex(
+        emb.where(col("vec_id") < 10), "embedding", "vec_id", idxPath,
+        k = 5, nprobe = 4)))
+    assert(r >= 0.6, s"post-retrain recall@5 = $r, floor 0.6")
+    // sampled retraining (the 100 TB path) keeps full-probe exactness too
+    Similarity.compactAnnIndex(spark, idxPath, retrain = true, trainFraction = 0.3)
+    assert(neighborSets(Similarity.annTopKAgainstIndex(
+      emb.where(col("vec_id") < 10), "embedding", "vec_id", idxPath,
+      k = 5, nprobe = 8)) == bruteForce,
+      "sample-retrained compaction must stay exact at full probe")
+  }
+
   test("annRangeAgainstIndex: zero vectors never match; floor filters exactly") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
