@@ -657,6 +657,13 @@ object Dedup {
       graft.functions.native
         .hashedShingleSet(TextOps.rawTokens(col(textCol)), k).as("hs"))
       .write.mode("overwrite").parquet(s"$path/data/$setsDir")
+    // id bloom for the O(1) append guard — built from the just-written
+    // sets file (footer-count sizing + one narrow id read)
+    val setsIds = spark.read.parquet(s"$path/data/$setsDir").select("id")
+    val bloomItems = EpochStore.idBloomItems(setsIds.count())
+    EpochStore.writeIdBloom(spark, dir,
+      EpochStore.buildIdBloom(setsIds, "id", bloomItems, EpochStore.IdBloomFpp),
+      bloomItems, EpochStore.IdBloomFpp)
     writeMeta(spark, dir, k, numHashes, bands, maxBucketSize)
     EpochStore.writeManifest(spark, dir,
       Seq("buckets" -> bucketsDir, "sets" -> setsDir))
@@ -723,14 +730,19 @@ object Dedup {
     val numHashes = meta.getAs[Int]("num_hashes")
     val bands = meta.getAs[Int]("bands")
     val maxBucketSize = meta.getAs[Int]("max_bucket_size")
-    val dupIds = indexSets(spark, curDir).select("id")
-      .join(newDocs.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      .limit(3).collect().map(_.get(0))
-    require(dupIds.isEmpty,
-      s"appendDedupIndex: ids already present in the index at $path " +
-      s"(e.g. ${dupIds.mkString(", ")}) — append requires disjoint ids, " +
-      "the same contract as unioning the corpora; re-appending a committed " +
-      "batch would double-count bucket sizes and duplicate probe pairs")
+    // dup-id guard: the epoch's id bloom clears a clean batch without
+    // touching the standing `sets` id column at all; only a bloom hit (a
+    // real dup or an fpp false positive) pays the exact semi-join
+    if (EpochStore.idGuardNeedsExact(spark, curDir, newDocs, idCol)) {
+      val dupIds = indexSets(spark, curDir).select("id")
+        .join(newDocs.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        .limit(3).collect().map(_.get(0))
+      require(dupIds.isEmpty,
+        s"appendDedupIndex: ids already present in the index at $path " +
+        s"(e.g. ${dupIds.mkString(", ")}) — append requires disjoint ids, " +
+        "the same contract as unioning the corpora; re-appending a committed " +
+        "batch would double-count bucket sizes and duplicate probe pairs")
+    }
     val curEpoch = new HPath(curDir).getName
     val n = EpochStore.epochNumber(curEpoch) + 1L
     val epoch = EpochStore.epochName(n)
@@ -784,6 +796,13 @@ object Dedup {
       graft.functions.native
         .hashedShingleSet(TextOps.rawTokens(col(textCol)), k).as("hs"))
       .write.mode("overwrite").parquet(s"$path/data/$setsDir")
+    // successor bloom: delta over the batch merged into the standing bits
+    // (pre-bloom indexes upgrade once from the union id set)
+    val (bItems, bFpp, bBytes) = EpochStore.appendedIdBloom(
+      spark, curDir, newDocs.select(col(idCol).as("id")),
+      indexSets(spark, curDir).select("id")
+        .unionByName(newDocs.select(col(idCol).as("id"))), "id")
+    EpochStore.writeIdBloom(spark, dir, bBytes, bItems, bFpp)
     writeMeta(spark, dir, k, numHashes, bands, maxBucketSize)
     EpochStore.writeManifest(spark, dir,
       EpochStore.readManifest(spark, curDir) ++
@@ -830,6 +849,13 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/data/$setsDir")
     indexDropped(spark, curDir)
       .write.mode("overwrite").parquet(s"$dir/dropped")
+    // right-size a fresh id bloom from the compacted sets (merged blooms
+    // keep build-time capacity; compaction is where capacity resets)
+    val setsIds = spark.read.parquet(s"$path/data/$setsDir").select("id")
+    val bloomItems = EpochStore.idBloomItems(setsIds.count())
+    EpochStore.writeIdBloom(spark, dir,
+      EpochStore.buildIdBloom(setsIds, "id", bloomItems, EpochStore.IdBloomFpp),
+      bloomItems, EpochStore.IdBloomFpp)
     writeMeta(spark, dir, meta.getAs[Int]("k"), meta.getAs[Int]("num_hashes"),
       meta.getAs[Int]("bands"), meta.getAs[Int]("max_bucket_size"))
     EpochStore.writeManifest(spark, dir,

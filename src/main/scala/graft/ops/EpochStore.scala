@@ -120,6 +120,113 @@ private[graft] object EpochStore {
     try body finally releaseLease(spark, path, token)
   }
 
+  // ---- per-epoch id bloom (the O(1) duplicate-id append guard) ----
+  //
+  // The dup-id guard otherwise scans the standing id column every append
+  // (O(corpus) narrow IO per daily batch). Each epoch carries a bloom over
+  // every id ever committed; a clean append probes the batch against it —
+  // zero hits PROVES disjointness (blooms have no false negatives) and the
+  // exact semi-join is skipped entirely. Any hit (a true dup or an fpp
+  // false positive) falls back to the exact check, so correctness never
+  // depends on the bloom. Appends grow the bloom by MERGING a delta bloom
+  // built with the standing file's own (items, fpp) parameters (same bit
+  // geometry ⇒ mergeable without touching standing data); past its
+  // capacity the fpp degrades gracefully toward always-fall-back — i.e.
+  // exactly today's behavior — and compaction right-sizes a fresh one.
+
+  val IdBloomMinItems: Long = 1L << 20
+  val IdBloomMaxItems: Long = 1L << 24 // ~19 MB of bits at 1% — stays well
+                                       // under task-binary warning size
+  val IdBloomFpp: Double = 0.01
+
+  /** Bloom capacity for a corpus of `n` ids: 4× headroom for future
+    * appends, clamped to keep the probe-side plan literal small.
+    */
+  def idBloomItems(n: Long): Long =
+    math.min(IdBloomMaxItems, math.max(IdBloomMinItems, 4L * n))
+
+  /** Serialized bloom over a frame's id column (any type — hashed through
+    * its canonical string form so build and probe agree across epochs).
+    */
+  def buildIdBloom(ids: DataFrame, idCol: String, items: Long, fpp: Double): Array[Byte] = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    // empty input (e.g. an empty append's delta) NPEs inside
+    // stat.bloomFilter — an empty filter with the same geometry merges fine
+    val bf =
+      if (ids.isEmpty) org.apache.spark.util.sketch.BloomFilter.create(items, fpp)
+      else ids.stat.bloomFilter(xxhash64(col(idCol).cast("string")), items, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  def mergeIdBlooms(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val fa = BloomFilter.readFrom(new java.io.ByteArrayInputStream(a))
+    val fb = BloomFilter.readFrom(new java.io.ByteArrayInputStream(b))
+    fa.mergeInPlace(fb)
+    val bos = new java.io.ByteArrayOutputStream()
+    fa.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Persist an epoch's id bloom (one parquet row: parameters + bits). */
+  def writeIdBloom(
+      spark: SparkSession, epochDir: String,
+      bytes: Array[Byte], items: Long, fpp: Double): Unit = {
+    import spark.implicits._
+    Seq((items, fpp, bytes)).toDF("expected_items", "fpp", "bloom")
+      .coalesce(1).write.mode("overwrite").parquet(s"$epochDir/idbloom")
+  }
+
+  /** (items, fpp, bits) of the epoch's id bloom; None on epochs written
+    * before blooms existed (the guard then falls back to the exact check,
+    * and the next append upgrades the index with a full bloom).
+    */
+  def readIdBloom(spark: SparkSession, epochDir: String): Option[(Long, Double, Array[Byte])] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = s"$epochDir/idbloom"
+    if (!hadoopFs(spark, p).exists(new HPath(p))) None
+    else {
+      val r = spark.read.parquet(p).head()
+      Some((r.getLong(0), r.getDouble(1), r.getAs[Array[Byte]](2)))
+    }
+  }
+
+  /** Does the duplicate-id guard need the exact semi-join for this batch?
+    * `false` ⇒ the epoch's bloom proved every batch id unseen (no false
+    * negatives), so a clean append touches NO standing id data at all.
+    */
+  def idGuardNeedsExact(
+      spark: SparkSession, epochDir: String,
+      batch: DataFrame, idCol: String): Boolean =
+    readIdBloom(spark, epochDir) match {
+      case None => true
+      case Some((_, _, bytes)) =>
+        import org.apache.spark.sql.functions.col
+        !batch.where(
+          Decontam.bloomMightContainKey(bytes, col(idCol).cast("string"))).isEmpty
+    }
+
+  /** The successor epoch's bloom: merge a delta over the batch ids into
+    * the standing bloom (same parameters ⇒ same bit geometry), or — on a
+    * pre-bloom index — build the full bloom once from `allIds` (the same
+    * narrow scan the exact guard just paid anyway). Returns
+    * (items, fpp, bytes) to hand to [[writeIdBloom]].
+    */
+  def appendedIdBloom(
+      spark: SparkSession, epochDir: String,
+      batch: DataFrame, allIds: => DataFrame, idCol: String): (Long, Double, Array[Byte]) =
+    readIdBloom(spark, epochDir) match {
+      case Some((items, fpp, bytes)) =>
+        (items, fpp,
+          mergeIdBlooms(bytes, buildIdBloom(batch, idCol, items, fpp)))
+      case None =>
+        val ids = allIds
+        val items = idBloomItems(ids.count())
+        (items, IdBloomFpp, buildIdBloom(ids, idCol, items, IdBloomFpp))
+    }
+
   /** Hard-reset an index path that has no committed pointer (debris from a
     * never-committed first build), PRESERVING the caller's lease file.
     */

@@ -489,6 +489,12 @@ object Similarity {
       idx.nearestCell(col(vecCol)).as("cell"),
       col(idCol).as("id"), col(vecCol).as("vec"))
       .write.mode("overwrite").parquet(s"$path/data/$assignedDir")
+    // id bloom for the O(1) append guard ([[EpochStore.idGuardNeedsExact]])
+    val annIds = spark.read.parquet(s"$path/data/$assignedDir").select("id")
+    val bloomItems = EpochStore.idBloomItems(annIds.count())
+    EpochStore.writeIdBloom(spark, dir,
+      EpochStore.buildIdBloom(annIds, "id", bloomItems, EpochStore.IdBloomFpp),
+      bloomItems, EpochStore.IdBloomFpp)
     writeAnnEpochSmallTables(spark, dir, centroids, nlist)
     EpochStore.writeManifest(spark, dir, Seq("assigned" -> assignedDir))
     EpochStore.commitEpoch(spark, path, epoch, cur)
@@ -518,13 +524,17 @@ object Similarity {
     val (curDir, meta) = resolveAnnIndex(spark, path)
     val nlist = meta.getAs[Int]("nlist")
     val centroids = readAnnCentroids(spark, curDir)
-    val dupIds = EpochStore.readTable(spark, curDir, "assigned").select("id")
-      .join(newVecs.select(col(idCol).as("id")), Seq("id"), "left_semi")
-      .limit(3).collect().map(_.get(0))
-    require(dupIds.isEmpty,
-      s"appendAnnIndex: ids already present in the index at $path " +
-      s"(e.g. ${dupIds.mkString(", ")}) — append requires disjoint ids; " +
-      "re-appending a committed batch would duplicate neighbors")
+    // dup-id guard: bloom clears clean batches without reading the
+    // standing `assigned` id column; hits fall back to the exact check
+    if (EpochStore.idGuardNeedsExact(spark, curDir, newVecs, idCol)) {
+      val dupIds = EpochStore.readTable(spark, curDir, "assigned").select("id")
+        .join(newVecs.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        .limit(3).collect().map(_.get(0))
+      require(dupIds.isEmpty,
+        s"appendAnnIndex: ids already present in the index at $path " +
+        s"(e.g. ${dupIds.mkString(", ")}) — append requires disjoint ids; " +
+        "re-appending a committed batch would duplicate neighbors")
+    }
     val curEpoch = new HPath(curDir).getName
     val n = EpochStore.epochNumber(curEpoch) + 1L
     val epoch = EpochStore.epochName(n)
@@ -536,6 +546,11 @@ object Similarity {
       idx.nearestCell(col(vecCol)).as("cell"),
       col(idCol).as("id"), col(vecCol).as("vec"))
       .write.mode("overwrite").parquet(s"$path/data/$assignedDir")
+    val (bItems, bFpp, bBytes) = EpochStore.appendedIdBloom(
+      spark, curDir, newVecs.select(col(idCol).as("id")),
+      EpochStore.readTable(spark, curDir, "assigned").select("id")
+        .unionByName(newVecs.select(col(idCol).as("id"))), "id")
+    EpochStore.writeIdBloom(spark, dir, bBytes, bItems, bFpp)
     writeAnnEpochSmallTables(spark, dir, centroids, nlist)
     EpochStore.writeManifest(spark, dir,
       EpochStore.readManifest(spark, curDir) :+ ("assigned" -> assignedDir))
@@ -663,6 +678,12 @@ object Similarity {
           idx.nearestCell(col("vec")).as("cell"), col("id"), col("vec"))
       } else standing
     compacted.write.mode("overwrite").parquet(s"$path/data/$assignedDir")
+    // right-size a fresh id bloom from the compacted id set
+    val annIds = spark.read.parquet(s"$path/data/$assignedDir").select("id")
+    val bloomItems = EpochStore.idBloomItems(annIds.count())
+    EpochStore.writeIdBloom(spark, dir,
+      EpochStore.buildIdBloom(annIds, "id", bloomItems, EpochStore.IdBloomFpp),
+      bloomItems, EpochStore.IdBloomFpp)
     writeAnnEpochSmallTables(spark, dir, centroids, nlist)
     EpochStore.writeManifest(spark, dir, Seq("assigned" -> assignedDir))
     EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))

@@ -1079,7 +1079,7 @@ class OpsSpec extends SparkSpec {
     assert(leftovers ==
       Set("current", "data", "epoch-000000001", "epoch-000000002"), leftovers)
     assert(new java.io.File(Dedup.epochDir(spark, appended)).list().toSet ==
-      Set("manifest", "dropped", "meta"))
+      Set("manifest", "dropped", "meta", "idbloom"))
     // the delta contract: the append wrote ONLY its delta dirs; the
     // standing data is referenced by the new manifest, not copied
     assert(new java.io.File(s"$appended/data").list().toSet == Set(
@@ -1235,6 +1235,64 @@ class OpsSpec extends SparkSpec {
     assert(!leaseFile.exists(), "the takeover writer releases ITS lease")
     // releasing a token that lost its lease to takeover is a no-op
     EpochStore.releaseLease(spark, idx, t2)
+  }
+
+  test("id-bloom append guard: clean appends skip the exact id scan, dups still rejected") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val idx = java.nio.file.Files.createTempDirectory("graft-idx-bloom").toString
+    Dedup.writeDedupIndex(docs(1L -> base), "text", "doc_id", idx)
+    val dir1 = Dedup.epochDir(spark, idx)
+    assert(EpochStore.readIdBloom(spark, dir1).isDefined,
+      "a fresh build must carry an id bloom")
+    // the guard decision: a disjoint batch is CLEARED by the bloom (no
+    // standing id data touched at all); an overlapping batch falls back
+    assert(!EpochStore.idGuardNeedsExact(spark, dir1, docs(2L -> base), "doc_id"),
+      "a clean batch must skip the exact semi-join")
+    assert(EpochStore.idGuardNeedsExact(spark, dir1, docs(1L -> base), "doc_id"),
+      "a duplicate id must force the exact check (no false negatives)")
+    // lifecycle behavior unchanged: clean appends commit, dups reject loudly
+    Dedup.appendDedupIndex(
+      docs(2L -> base.replace("token9", "tokenY")), "text", "doc_id", idx)
+    val err = intercept[IllegalArgumentException] {
+      Dedup.appendDedupIndex(docs(2L -> base), "text", "doc_id", idx)
+    }
+    assert(err.getMessage.contains("already present"))
+    // the merged successor bloom covers BOTH generations of ids
+    val dir2 = Dedup.epochDir(spark, idx)
+    assert(EpochStore.idGuardNeedsExact(spark, dir2, docs(1L -> base), "doc_id"))
+    assert(EpochStore.idGuardNeedsExact(spark, dir2, docs(2L -> base), "doc_id"))
+    assert(!EpochStore.idGuardNeedsExact(spark, dir2, docs(77L -> base), "doc_id"))
+    // a pre-bloom epoch (simulated by deleting the file) falls back to the
+    // exact check, and the NEXT append upgrades the index with a full bloom
+    EpochStore.deleteDir(spark, s"$dir2/idbloom")
+    assert(EpochStore.idGuardNeedsExact(spark, dir2, docs(50L -> base), "doc_id"),
+      "no bloom ⇒ conservative exact check")
+    Dedup.appendDedupIndex(docs(3L -> (base + " extra")), "text", "doc_id", idx)
+    val dir3 = Dedup.epochDir(spark, idx)
+    assert(EpochStore.readIdBloom(spark, dir3).isDefined,
+      "the upgrade append must write a full bloom")
+    assert(EpochStore.idGuardNeedsExact(spark, dir3, docs(1L -> base), "doc_id") &&
+      EpochStore.idGuardNeedsExact(spark, dir3, docs(3L -> base), "doc_id"),
+      "the upgraded bloom must cover every committed generation")
+    assert(!EpochStore.idGuardNeedsExact(spark, dir3, docs(78L -> base), "doc_id"))
+    // compaction right-sizes a fresh bloom; coverage unchanged
+    Dedup.compactDedupIndex(spark, idx)
+    val dirC = Dedup.epochDir(spark, idx)
+    assert(EpochStore.readIdBloom(spark, dirC).isDefined)
+    assert(EpochStore.idGuardNeedsExact(spark, dirC, docs(2L -> base), "doc_id"))
+    assert(!EpochStore.idGuardNeedsExact(spark, dirC, docs(79L -> base), "doc_id"))
+    // the ANN lifecycle shares the guard
+    val annIdx = java.nio.file.Files.createTempDirectory("graft-ann-bloom").toString
+    val vecSt = struct("vec_id" -> LongType, "vec" -> ArrayType(FloatType))
+    Similarity.writeAnnIndex(
+      frame(vecSt, Row(1L, Seq(1f, 0f)), Row(2L, Seq(0f, 1f))),
+      "vec", "vec_id", annIdx, nlist = 2)
+    val annDir = EpochStore.epochDir(spark, annIdx)
+    assert(EpochStore.readIdBloom(spark, annDir).isDefined)
+    assert(!EpochStore.idGuardNeedsExact(spark, annDir,
+      frame(vecSt, Row(9L, Seq(1f, 1f))), "vec_id"))
+    assert(EpochStore.idGuardNeedsExact(spark, annDir,
+      frame(vecSt, Row(1L, Seq(1f, 1f))), "vec_id"))
   }
 
   test("index commit is atomic: uncommitted epochs are invisible, dup ids rejected") {
