@@ -55,9 +55,30 @@ object Audio {
     */
   def wavBytesRaw(
       data: Array[Byte], sampleRate: Int, channels: Int, bits: Int): Array[Byte] = {
-    require(bits == 8 || bits == 16 || bits == 24,
-      s"bits must be 8, 16 or 24, got $bits")
+    require(bits == 8 || bits == 16 || bits == 24 || bits == 32,
+      s"bits must be 8, 16, 24 or 32, got $bits")
     wavBytesTagged(data, sampleRate, channels, bits, formatTag = 1)
+  }
+
+  /** WAVE_FORMAT_EXTENSIBLE wrapper (fmt tag 0xFFFE with the 22-byte
+    * extension) over integer-PCM (`innerTag = 1`) or IEEE-float
+    * (`innerTag = 3`) frame data — the layout professional tools emit for
+    * multi-channel or >16-bit WAVs, and the one the stock JVM reader
+    * rejects ([[decodeWav]] carries its own parser for it). The SubFormat
+    * GUID is the public KSDATAFORMAT one with the inner tag in Data1.
+    */
+  def wavBytesExtensible(
+      data: Array[Byte], sampleRate: Int, channels: Int, bits: Int,
+      innerTag: Int = 1): Array[Byte] = {
+    require(innerTag == 1 || innerTag == 3,
+      s"innerTag must be 1 (PCM) or 3 (IEEE float), got $innerTag")
+    val guid = leU32(innerTag.toLong) ++
+      Array(0x00, 0x00, 0x10, 0x00, 0x80, 0x00, 0x00, 0xAA,
+        0x00, 0x38, 0x9B, 0x71).map(_.toByte)
+    val extension = leU16(22) ++ leU16(bits) /* valid bits */ ++
+      leU32(0L) /* channel mask: unspecified */ ++ guid
+    wavBytesTagged(data, sampleRate, channels, bits, formatTag = 0xFFFE,
+      extension = extension)
   }
 
   /** IEEE-float WAV (format tag 3, 32-bit little-endian samples) — the
@@ -81,12 +102,13 @@ object Audio {
 
   private def wavBytesTagged(
       data: Array[Byte], sampleRate: Int, channels: Int, bits: Int,
-      formatTag: Int): Array[Byte] = {
+      formatTag: Int, extension: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
     require(sampleRate > 0, s"sampleRate must be positive, got $sampleRate")
     require(channels >= 1, s"channels must be >= 1, got $channels")
     val blockAlign = channels * (bits / 8)
     val fmt = leU16(formatTag) ++ leU16(channels) ++ leU32(sampleRate.toLong) ++
-      leU32(sampleRate.toLong * blockAlign) ++ leU16(blockAlign) ++ leU16(bits)
+      leU32(sampleRate.toLong * blockAlign) ++ leU16(blockAlign) ++ leU16(bits) ++
+      extension
     val body = "WAVE".getBytes("US-ASCII") ++
       "fmt ".getBytes("US-ASCII") ++ leU32(fmt.length.toLong) ++ fmt ++
       "data".getBytes("US-ASCII") ++ leU32(data.length.toLong) ++ data
@@ -145,8 +167,10 @@ object Audio {
   }
 
   /** Real audio decode: container + format from `AudioSystem`, PCM samples
-    * read through the decoded stream. `Left(reason)` for anything the JVM
-    * cannot decode (dead-letter, never a task failure).
+    * read through the decoded stream; WAVE_FORMAT_EXTENSIBLE — which the
+    * stock JVM reader rejects but real crawls carry routinely — falls back
+    * to [[decodeExtensibleWav]]. `Left(reason)` for anything neither path
+    * can decode (dead-letter, never a task failure).
     */
   private def decodeWav(bytes: Array[Byte]): Either[String, (javax.sound.sampled.AudioFormat, Array[Byte])] =
     if (bytes == null || bytes.length == 0) Left("empty payload")
@@ -156,9 +180,68 @@ object Audio {
         try Right((in.getFormat, in.readAllBytes())) finally in.close()
       } catch {
         case e: javax.sound.sampled.UnsupportedAudioFileException =>
-          Left(s"not a decodable audio payload: ${e.getMessage}")
+          decodeExtensibleWav(bytes).left.map(_ =>
+            s"not a decodable audio payload: ${e.getMessage}")
         case e: Exception => Left(s"decode error: ${e.getMessage}")
       }
+
+  /** Minimal RIFF walk for WAVE_FORMAT_EXTENSIBLE (fmt tag 0xFFFE): the
+    * 22-byte extension's SubFormat GUID carries the REAL format tag in its
+    * first four bytes (1 = integer PCM, 3 = IEEE float — the public
+    * KSDATAFORMAT registrations); everything else reads like a basic fmt
+    * chunk. Only called after `AudioSystem` declined the payload, so the
+    * basic-WAV path is byte-for-byte the JVM's own.
+    */
+  private def decodeExtensibleWav(
+      bytes: Array[Byte]): Either[String, (javax.sound.sampled.AudioFormat, Array[Byte])] =
+    try {
+      def ascii(o: Int) = new String(bytes, o, 4, "US-ASCII")
+      def u16(o: Int) = ((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff)
+      def u32(o: Int): Long =
+        ((bytes(o + 3) & 0xffL) << 24) | ((bytes(o + 2) & 0xffL) << 16) |
+          ((bytes(o + 1) & 0xffL) << 8) | (bytes(o) & 0xffL)
+      if (bytes.length < 44 || ascii(0) != "RIFF" || ascii(8) != "WAVE")
+        Left("not a RIFF/WAVE payload")
+      else {
+        var off = 12
+        var fmtOff = -1; var fmtLen = 0; var dataOff = -1; var dataLen = 0
+        while (off + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
+          val id = ascii(off)
+          val len = u32(off + 4).toInt
+          if (id == "fmt ") { fmtOff = off + 8; fmtLen = len }
+          else if (id == "data") { dataOff = off + 8; dataLen = len }
+          off += 8 + len + (len & 1) // chunks pad to even offsets
+        }
+        if (fmtOff < 0 || dataOff < 0) Left("missing fmt /data chunk")
+        else if (u16(fmtOff) != 0xFFFE) Left("not an extensible WAV")
+        else if (fmtLen < 40) Left("extensible fmt chunk too short")
+        else {
+          import javax.sound.sampled.AudioFormat
+          import javax.sound.sampled.AudioFormat.Encoding._
+          val channels = u16(fmtOff + 2)
+          val rate = u32(fmtOff + 4).toInt
+          val bits = u16(fmtOff + 14)
+          val innerTag = u32(fmtOff + 24).toInt // GUID Data1
+          val enc = innerTag match {
+            case 1 => Some(if (bits == 8) PCM_UNSIGNED else PCM_SIGNED)
+            case 3 => Some(PCM_FLOAT)
+            case _ => None
+          }
+          if (enc.isEmpty)
+            Left(s"unsupported extensible inner format tag $innerTag")
+          else if (channels < 1 || rate <= 0 || bits < 8 || bits % 8 != 0)
+            Left("malformed extensible fmt chunk")
+          else {
+            val fmt = new AudioFormat(enc.get, rate.toFloat, bits, channels,
+              channels * (bits / 8), rate.toFloat, /* bigEndian = */ false)
+            val end = math.min(dataOff.toLong + dataLen, bytes.length.toLong).toInt
+            Right((fmt, java.util.Arrays.copyOfRange(bytes, dataOff, end)))
+          }
+        }
+      }
+    } catch {
+      case e: Exception => Left(s"extensible parse error: ${e.getMessage}")
+    }
 
   /** Partition-batched audio metadata: sample rate, channels, bit depth,
     * sample count, integer-exact duration (`n_samples * 1000 / rate`).
@@ -192,7 +275,7 @@ object Audio {
   /** Sample-rate conversion by linear interpolation — the audio twin of
     * [[Multimodal.resize]]: decode, resample PCM to `toRate` PER CHANNEL,
     * re-encode as WAV preserving channel count and bit depth. Supports 8-,
-    * 16- and 24-bit little-endian integer PCM at any channel count (8-bit
+    * 16-, 24- and 32-bit little-endian integer PCM at any channel count (8-bit
     * WAV PCM is unsigned per the spec; each channel interpolates
     * independently over its own samples). All interpolation arithmetic is
     * EXACT integer math on the rational source position `j·fromRate/toRate`
@@ -219,7 +302,8 @@ object Audio {
         decodeWav(bytes) match {
           case Right((fmt, pcm))
               if (fmt.getSampleSizeInBits == 16 || fmt.getSampleSizeInBits == 8 ||
-                fmt.getSampleSizeInBits == 24) && !fmt.isBigEndian &&
+                fmt.getSampleSizeInBits == 24 || fmt.getSampleSizeInBits == 32) &&
+                !fmt.isBigEndian &&
                 fmt.getEncoding !=
                   javax.sound.sampled.AudioFormat.Encoding.PCM_FLOAT =>
             val bits = fmt.getSampleSizeInBits
@@ -237,7 +321,10 @@ object Audio {
               while (c < ch) {
                 def sampleAt(i: Int): Int = {
                   val off = math.min(i, n - 1) * blockAlign + c * bytesPerSample
-                  if (bits == 24) {
+                  if (bits == 32)
+                    ((pcm(off + 3) & 0xff) << 24) | ((pcm(off + 2) & 0xff) << 16) |
+                      ((pcm(off + 1) & 0xff) << 8) | (pcm(off) & 0xff)
+                  else if (bits == 24) {
                     val u = ((pcm(off + 2) & 0xff) << 16) |
                       ((pcm(off + 1) & 0xff) << 8) | (pcm(off) & 0xff)
                     (u << 8) >> 8 // sign-extend 24 → 32
@@ -251,11 +338,14 @@ object Audio {
                   val i0 = (num / toRate).toInt
                   val frac = num % toRate
                   val s0 = sampleAt(i0)
-                  val v = (s0 + (sampleAt(i0 + 1) - s0).toLong * frac / toRate).toInt
+                  // the delta in Long: two full-range 32-bit samples differ
+                  // by up to 2^32, past Int
+                  val v = (s0 + (sampleAt(i0 + 1).toLong - s0) * frac / toRate).toInt
                   val off = j * blockAlign + c * bytesPerSample
                   out(off) = (v & 0xff).toByte
                   if (bits >= 16) out(off + 1) = ((v >> 8) & 0xff).toByte
-                  if (bits == 24) out(off + 2) = ((v >> 16) & 0xff).toByte
+                  if (bits >= 24) out(off + 2) = ((v >> 16) & 0xff).toByte
+                  if (bits == 32) out(off + 3) = ((v >> 24) & 0xff).toByte
                   j += 1
                 }
                 c += 1
@@ -264,7 +354,7 @@ object Audio {
             }
           case Right(_) =>
             (id, null: Array[Byte],
-              "resample supports 8/16/24-bit little-endian integer PCM only")
+              "resample supports 8/16/24/32-bit little-endian integer PCM only")
           case Left(reason) => (id, null: Array[Byte], reason)
         }
       })
@@ -277,13 +367,13 @@ object Audio {
     val enc = fmt.getEncoding
     val bits = fmt.getSampleSizeInBits
     ((enc == PCM_SIGNED || enc == PCM_UNSIGNED) &&
-      (bits == 8 || bits == 16 || bits == 24)) ||
+      (bits == 8 || bits == 16 || bits == 24 || bits == 32)) ||
       (enc == PCM_FLOAT && bits == 32)
   }
 
   /** Signal features from the decoded PCM (first channel): RMS energy,
     * peak amplitude, zero-crossing count — the deterministic scalar shape
-    * an audio encoder front-end emits. Supports 8/16/24-bit integer PCM
+    * an audio encoder front-end emits. Supports 8/16/24/32-bit integer PCM
     * (either endianness; 8-bit WAV PCM is unsigned per the spec, centered
     * at 128 here) and 32-bit IEEE-float PCM. Float samples are nominally
     * in [-1, 1], so they are scaled by 2^15 into the 16-bit integer domain
@@ -331,6 +421,13 @@ object Audio {
                       ((pcm(i + 3) & 0xff) << 24) | ((pcm(i + 2) & 0xff) << 16) |
                         ((pcm(i + 1) & 0xff) << 8) | (pcm(i) & 0xff)
                   java.lang.Float.intBitsToFloat(b).toDouble * 32768.0
+                } else if (bits == 32) {
+                  (if (bigEndian)
+                    ((pcm(i) & 0xff) << 24) | ((pcm(i + 1) & 0xff) << 16) |
+                      ((pcm(i + 2) & 0xff) << 8) | (pcm(i + 3) & 0xff)
+                  else
+                    ((pcm(i + 3) & 0xff) << 24) | ((pcm(i + 2) & 0xff) << 16) |
+                      ((pcm(i + 1) & 0xff) << 8) | (pcm(i) & 0xff)).toDouble
                 } else if (bits == 24) {
                   val u =
                     if (bigEndian)
@@ -360,7 +457,7 @@ object Audio {
             (id, rms, peak.toInt, zc, null: String)
           case Right(_) =>
             (id, 0.0, 0, 0L,
-              "unsupported sample format (integer PCM 8/16/24-bit or float32 only)")
+              "unsupported sample format (integer PCM 8/16/24/32-bit or float32 only)")
           case Left(reason) => (id, 0.0, 0, 0L, reason)
         }
       })

@@ -189,6 +189,91 @@ class AudioSpec extends SparkSpec {
     assert(r.getString(2).contains("integer PCM"))
   }
 
+  test("32-bit int PCM: decode, features, exact resample") {
+    def le32(vs: Int*): Array[Byte] =
+      vs.flatMap(v => Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)).toArray
+    // samples beyond the 24-bit range — only 32-bit carries them
+    val wav = Audio.wavBytesRaw(le32(100000000, -100000000), 4000, channels = 1, bits = 32)
+    val df = frame(struct("doc_id" -> LongType, "payload" -> BinaryType),
+      Row(1L, wav))
+    val m = Audio.audioMeta(spark, df, "doc_id", "payload").head()
+    assert(m.getInt(2) == 4000 && m.getInt(4) == 32 && m.getLong(5) == 2L
+      && m.isNullAt(7), "32-bit int WAV must decode, not dead-letter")
+    val f = Audio.audioFeatures(spark, df, "doc_id", "payload").head()
+    // sumSq = 2·1e16 over 2 frames → rms = 1e8 exactly; one sign change
+    assert(f.getInt(2) == 100000000 && f.getLong(3) == 1L && f.isNullAt(4))
+    assert(math.abs(f.getDouble(1) - 1e8) < 1e-6)
+    // 4 kHz → 8 kHz: [1e8, midpoint 0, -1e8, clamp -1e8] — exact integers
+    val out = Audio.resample(spark, df, "doc_id", "payload", toRate = 8000).head()
+    assert(out.isNullAt(2), "32-bit int must not dead-letter in resample")
+    val bytes = out.getAs[Array[Byte]](1)
+    val pcm = java.util.Arrays.copyOfRange(bytes, bytes.length - 16, bytes.length)
+    def s32(o: Int) =
+      ((pcm(o + 3) & 0xff) << 24) | ((pcm(o + 2) & 0xff) << 16) |
+        ((pcm(o + 1) & 0xff) << 8) | (pcm(o) & 0xff)
+    assert(Seq(s32(0), s32(4), s32(8), s32(12)) ==
+      Seq(100000000, 0, -100000000, -100000000))
+  }
+
+  test("WAVE_FORMAT_EXTENSIBLE: int PCM and float decode; junk inner tags dead-letter") {
+    // 16-bit PCM inside the extensible container — the exact payload the
+    // stock JVM reader rejects; the fallback parser must yield the same
+    // metadata a basic 16-bit WAV would
+    def le16(vs: Short*): Array[Byte] =
+      vs.flatMap(v => Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)).toArray
+    val ext16 = Audio.wavBytesExtensible(
+      le16(0, 1000, -1000, 1000), sampleRate = 8000, channels = 1, bits = 16)
+    val df16 = frame(struct("doc_id" -> LongType, "payload" -> BinaryType),
+      Row(1L, ext16))
+    val m = Audio.audioMeta(spark, df16, "doc_id", "payload").head()
+    assert(m.getInt(2) == 8000 && m.getInt(3) == 1 && m.getInt(4) == 16
+      && m.getLong(5) == 4L && m.isNullAt(7),
+      "extensible 16-bit PCM must decode, not dead-letter")
+    // identical features to the basic-container fixture with the same PCM
+    val f = Audio.audioFeatures(spark, df16, "doc_id", "payload").head()
+    assert(f.getInt(2) == 1000 && f.getLong(3) == 2L && f.isNullAt(4))
+    assert(math.abs(f.getDouble(1) - math.sqrt(750000.0)) < 1e-9)
+    // resample treats it like any 16-bit int PCM
+    val out = Audio.resample(spark, df16, "doc_id", "payload", toRate = 4000).head()
+    assert(out.isNullAt(2), "extensible PCM must resample")
+    // extensible stereo 32-bit int also decodes
+    def le32(vs: Int*): Array[Byte] =
+      vs.flatMap(v => Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)).toArray
+    val ext32 = Audio.wavBytesExtensible(
+      le32(1, 2, 3, 4), sampleRate = 4000, channels = 2, bits = 32)
+    val m32 = Audio.audioMeta(spark,
+      frame(struct("doc_id" -> LongType, "payload" -> BinaryType), Row(2L, ext32)),
+      "doc_id", "payload").head()
+    assert(m32.getInt(3) == 2 && m32.getInt(4) == 32 && m32.getLong(5) == 2L
+      && m32.isNullAt(7))
+    // extensible float routes to the float feature path
+    val floats = Array(0.5f, -0.25f, 0.25f)
+    val fdata = new Array[Byte](12)
+    floats.zipWithIndex.foreach { case (x, i) =>
+      val b = java.lang.Float.floatToIntBits(x)
+      fdata(4 * i) = (b & 0xff).toByte
+      fdata(4 * i + 1) = ((b >> 8) & 0xff).toByte
+      fdata(4 * i + 2) = ((b >> 16) & 0xff).toByte
+      fdata(4 * i + 3) = ((b >> 24) & 0xff).toByte
+    }
+    val extF = Audio.wavBytesExtensible(fdata, 8000, channels = 1, bits = 32,
+      innerTag = 3)
+    val ff = Audio.audioFeatures(spark,
+      frame(struct("doc_id" -> LongType, "payload" -> BinaryType), Row(3L, extF)),
+      "doc_id", "payload").head()
+    assert(ff.getInt(2) == 16384 && ff.getLong(3) == 2L && ff.isNullAt(4))
+    // an extensible WAV with an unknown inner GUID tag stays a dead-letter
+    val alaw = ext16.clone()
+    // fmt chunk starts at byte 20; GUID Data1 sits at fmt+24 → byte 44
+    alaw(44) = 6 // WAVE_FORMAT_ALAW
+    val junk = Audio.audioMeta(spark,
+      frame(struct("doc_id" -> LongType, "payload" -> BinaryType), Row(4L, alaw)),
+      "doc_id", "payload").head()
+    assert(!junk.isNullAt(7), "unknown inner codec must dead-letter")
+  }
+
   test("audio features match the hand computation on a fixture WAV") {
     val fixture = Audio.wavBytes(Array[Short](0, 1000, -1000, 1000), sampleRate = 8000)
     val df = frame(struct("doc_id" -> LongType, "payload" -> BinaryType),
