@@ -738,6 +738,20 @@ object SparkEntry {
         .select(col("doc_id"), col("cleaned"), col("n_paras"), col("n_kept_paras"))
         .orderBy(col("doc_id"))),
 
+    // paragraph-level KEEP-BEST dedup: same augmented corpus as q107, but
+    // among copies of a duplicate paragraph the highest-SCORING document
+    // keeps its copy (ties: min id, then min pos) — the C4-style "keep
+    // the cleanest source's copy" election; the id-derived score varies
+    // across the duplicate classes, so winners genuinely differ from
+    // q107's first-occurrence picks
+    "q111_para_keep_best" -> ((s, d) => {
+      val aug = docsWithParagraphs(s, d)
+        .withColumn("score", pmod(col("doc_id") * 7, lit(100)))
+      graft.ops.Dedup.dedupParagraphsKeepBest(aug, "doc_id", "t", "score")
+        .select(col("doc_id"), col("cleaned"), col("n_paras"), col("n_kept_paras"))
+        .orderBy(col("doc_id"))
+    }),
+
     // paragraph-index lifecycle (the third index next to q97 LSH and q99
     // ANN): build the standing paragraph-hash index on the %3==1 docs,
     // fold the %3==2 docs in as a delta append, probe the never-indexed
@@ -1830,6 +1844,29 @@ object SparkEntry {
         |  cast(count(*) AS bigint) AS n_paras,
         |  cast(count(*) FILTER (WHERE NOT known AND rn = 1) AS bigint) AS n_kept_paras
         |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q111_para_keep_best" ->
+      """WITH aug AS (
+        |  SELECT doc_id, (doc_id * 7) % 100 AS score,
+        |    concat(text, e'\n\n', 'shared boilerplate paragraph', e'\n\n',
+        |           'para-', doc_id % 7) AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), l AS (
+        |  SELECT doc_id, score, string_split_regex(t, '(?:\r?\n){2,}') AS ps FROM aug
+        |), p AS (
+        |  SELECT doc_id, score, i - 1 AS pos, ps[i] AS para
+        |  FROM l, unnest(range(1, len(ps)+1)) u(i)
+        |), r AS (
+        |  SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY md5(para)
+        |      ORDER BY score DESC, doc_id, pos) AS rn
+        |  FROM p
+        |)
+        |SELECT doc_id,
+        |  coalesce(string_agg(para, e'\n\n' ORDER BY pos) FILTER (WHERE rn = 1), '') AS cleaned,
+        |  cast(count(*) AS bigint) AS n_paras,
+        |  cast(count(*) FILTER (WHERE rn = 1) AS bigint) AS n_kept_paras
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q107_dedup_paragraphs" ->
       """WITH aug AS (

@@ -95,6 +95,49 @@ object Dedup {
     attachKeptParagraphs(corpus, keepPos, idCol, textCol)
   }
 
+  /** [[dedupParagraphs]] with a QUALITY key — the C4-style refinement
+    * production pipelines actually want: among the copies of a duplicate
+    * paragraph, keep the one from the highest-`scoreCol` DOCUMENT (most
+    * recent crawl, cleanest source), not the lowest-id first occurrence.
+    * Ties break to the smallest id then smallest position — a total
+    * order, so the kept copy is engine-reproducible; null scores sort
+    * last (the same election contract as [[exactKeepBest]]). Output shape
+    * is identical to [[dedupParagraphs]].
+    *
+    * Plan shape for 100 TB: same as [[dedupParagraphs]] — the per-doc
+    * score rides the occurrence projection out of the SAME row (no join
+    * to attach it), the election window moves only (16-byte hash, score,
+    * id, pos), and paragraph text never shuffles except the final
+    * per-doc attach of the surviving position arrays.
+    *
+    * Index-probe contract: the standing paragraph index
+    * ([[writeParagraphIndex]]) stores ONLY hashes, so a probe can never
+    * re-elect a winner among already-committed copies — the index
+    * lifecycle keeps first-committed-wins
+    * ([[dedupParagraphsAgainstIndex]]). Keep-best elections apply WITHIN
+    * a corpus or within a batch BEFORE it is appended; an already-indexed
+    * paragraph always suppresses later copies regardless of score.
+    */
+  def dedupParagraphsKeepBest(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val occ = corpus.select(
+        col(idCol), col(scoreCol),
+        posexplode(split(col(textCol), ParaSep)).as(Seq("__pos", "__para")))
+      .select(col(idCol), col(scoreCol), col("__pos"),
+        md5(col("__para").cast("binary")).as("__h"))
+    val w = Window.partitionBy(col("__h"))
+      .orderBy(col(scoreCol).desc, col(idCol).asc, col("__pos").asc)
+    val keepPos = occ
+      .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(collect_list(col("__pos")).as("__keep"))
+    attachKeptParagraphs(corpus, keepPos, idCol, textCol)
+  }
+
   /** Blank-line paragraph separator shared by every paragraph op —
     * tolerates Windows CRLF line endings (a real crawl mixes both), and
     * the non-capturing group splits identically under Java regex and RE2,

@@ -1611,6 +1611,42 @@ class OpsSpec extends SparkSpec {
     assert(crlf == "P\n\nQ\n\nR")
   }
 
+  test("dedupParagraphsKeepBest: highest-scoring doc keeps each paragraph") {
+    val st = struct("doc_id" -> LongType, "text" -> StringType, "score" -> LongType)
+    val df = frame(st,
+      Row(1L, "A\n\nB", 5L),
+      Row(2L, "B\n\nC", 9L), // B: doc2 (9) beats doc1 (5); C first here
+      Row(3L, "A\n\nA", 7L), // A: doc3 (7) beats doc1 (5); within-doc pos 0 wins
+      Row(4L, null, 99L),    // null text: no paragraphs, cleaned stays null
+      Row(5L, "C", 9L))      // C: tie at 9 with doc2 → min id (2) wins
+    val out = Dedup.dedupParagraphsKeepBest(df, "doc_id", "text", "score")
+      .orderBy("doc_id")
+      .select("doc_id", "cleaned", "n_paras", "n_kept_paras").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, "", 2L, 0L)), "doc1 loses both elections")
+    assert(out(1) == ((2L, "B\n\nC", 2L, 2L)), "doc2 wins B on score, C on tie")
+    assert(out(2) == ((3L, "A", 2L, 1L)), "doc3 wins A, keeps only the pos-0 copy")
+    assert(out(3)._1 == 4L && out(3)._2 == null && out(3)._3 == 0L && out(3)._4 == 0L)
+    assert(out(4) == ((5L, "", 1L, 0L)), "doc5 loses the C tie to the lower id")
+    // null scores sort LAST: the scored doc beats the null-scored one
+    val nulls = Dedup.dedupParagraphsKeepBest(
+      frame(st, Row(6L, "D", null), Row(7L, "D", 1L)),
+      "doc_id", "text", "score")
+      .orderBy("doc_id").select("doc_id", "n_kept_paras").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(nulls.toSeq == Seq((6L, 0L), (7L, 1L)))
+    // equal scores everywhere degrade to exactly dedupParagraphs'
+    // first-occurrence semantics
+    val flatScore = df.where(col("text").isNotNull)
+      .withColumn("score", lit(1L))
+    val best = Dedup.dedupParagraphsKeepBest(flatScore, "doc_id", "text", "score")
+      .select("doc_id", "cleaned").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val first = Dedup.dedupParagraphs(df.where(col("text").isNotNull).drop("score"),
+      "doc_id", "text")
+      .select("doc_id", "cleaned").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(best == first)
+  }
+
   test("the pipeline composes: dedup → decontaminate → budget mix → pack → sink") {
     val st = struct("doc_id" -> LongType, "source" -> StringType, "text" -> StringType)
     val leak = "the held out benchmark answer sentence"
