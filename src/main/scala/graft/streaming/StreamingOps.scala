@@ -367,6 +367,82 @@ object StreamingOps {
         .otherwise(concat_ws("\n\n", kept)))
   }
 
+  /** [[suppressKnownParagraphsStream]] with LIVE index-growth visibility —
+    * the stateless filter fixes its bloom at query construction, so an
+    * [[graft.ops.Dedup.appendParagraphIndex]] landing DURING a long-running
+    * stream is invisible until restart. This `foreachBatch` variant
+    * re-resolves the index pointer every `refreshEvery` batches and
+    * rebuilds the bloom ONLY when the live epoch actually moved (pointer
+    * reads are O(1); the rebuild costs one scan of the index's hash
+    * column, so size `refreshEvery` to the append cadence), then applies
+    * the same per-row filter and hands the cleaned batch to `write`.
+    * Same contract per batch: never keeps an indexed paragraph, drops an
+    * unseen one with probability `fpp`; null text stays null. Batches are
+    * processed sequentially, so the cache needs no synchronization.
+    */
+  def suppressKnownParagraphsRefreshing(
+      newStream: DataFrame,
+      textCol: String,
+      path: String,
+      fpp: Double = 1e-6,
+      refreshEvery: Int = 1)(
+      write: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
+    var cached: Option[(String, Array[Byte])] = None
+    newStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.ops.{Decontam, Dedup}
+        val spark = batch.sparkSession
+        if (cached.isEmpty || batchId % refreshEvery == 0) {
+          val dir = Dedup.resolveParagraphIndex(spark, path)
+          if (!cached.exists(_._1 == dir))
+            cached = Some((dir, Decontam.gramKeyBloom(
+              Dedup.paragraphIndexHashes(spark, dir)
+                .withColumnRenamed("h", "__g"))(fpp)))
+        }
+        val bytes = cached.get._2
+        val kept = filter(split(col(textCol), Dedup.ParaSep),
+          p => !Decontam.bloomMightContainKey(bytes, md5(p.cast("binary"))))
+        write(batch.toDF().withColumn("cleaned",
+          when(col(textCol).isNull, lit(null).cast("string"))
+            .otherwise(concat_ws("\n\n", kept))))
+    }
+  }
+
+  /** [[decontaminateStream]] with a refreshing eval set — an eval suite
+    * that GROWS while the stream runs (new benchmarks added to the
+    * held-out store) is invisible to the construction-time bloom until
+    * restart. Here `evalSet` is a THUNK re-evaluated every `refreshEvery`
+    * batches (return a fresh `spark.read` so new files are visible); each
+    * rebuild costs one pass over the eval grams. Filter contract per
+    * batch is [[decontaminateStream]]'s: never passes a document sharing
+    * a gram with the CURRENT bloom's eval set, over-drops clean docs at
+    * ≤ grams × `fpp`.
+    */
+  def decontaminateRefreshing(
+      newStream: DataFrame,
+      evalSet: () => DataFrame,
+      textCol: String,
+      n: Int = 8,
+      fpp: Double = 1e-6,
+      refreshEvery: Int = 1)(
+      write: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
+    var cached: Option[Array[Byte]] = None
+    newStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.ops.Decontam
+        if (cached.isEmpty || batchId % refreshEvery == 0)
+          cached = Some(Decontam.gramKeyBloom(
+            Decontam.evalGramKeys(evalSet(), textCol, n))(fpp))
+        val bytes = cached.get
+        val contaminated = exists(
+          Decontam.wordNgrams(col(textCol), n),
+          g => Decontam.bloomMightContainKey(bytes, Decontam.gramKey(g)))
+        write(batch.toDF().where(coalesce(!contaminated, lit(true))))
+    }
+  }
+
   /** Stream the corpus into a [[graft.ops.Sink.writeShards]]-layout
     * parquet directory: same engine-portable md5 shard key, same
     * `shard=NN` dirs, and the same bounded-file story PER MICRO-BATCH

@@ -528,6 +528,78 @@ class StreamingSpec extends SparkSpec {
     assert(got(1)._1 == 21L && got(1)._2 == null)
   }
 
+  test("bloom refresh: paragraphs appended MID-STREAM are suppressed in later batches") {
+    import graft.ops.Dedup
+    val docSt = struct("doc_id" -> LongType, "text" -> StringType)
+    val idx = Files.createTempDirectory("graft-pidx-refresh").toString + "/idx"
+    Dedup.writeParagraphIndex(frame(docSt, Row(1L, "A")), "text", idx)
+    // both micro-batches exist before the query starts; batch 0's write
+    // callback appends NEW1 to the index (an external daily append landing
+    // between micro-batches), and batch 1 must already suppress it —
+    // WITHOUT a query restart
+    val inDir = Files.createTempDirectory("graft-pidx-refresh-in").toString
+    frame(docSt, Row(10L, "A\n\nNEW1")).coalesce(1).write.mode("append").parquet(inDir)
+    Thread.sleep(5)
+    frame(docSt, Row(11L, "NEW1\n\nNEW2")).coalesce(1).write.mode("append").parquet(inDir)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val cp = Files.createTempDirectory("graft-pidx-refresh-cp").toString
+    val q = StreamingOps.suppressKnownParagraphsRefreshing(
+      spark.readStream.schema(docSt).option("maxFilesPerTrigger", "1").parquet(inDir),
+      "text", idx, refreshEvery = 1) { cleaned =>
+        out ++= cleaned.select("doc_id", "cleaned").collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        if (out.size == 1 && out.head._1 == 10L)
+          Dedup.appendParagraphIndex(frame(docSt, Row(100L, "NEW1")), "text", idx)
+      }
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val byId = out.toMap
+    assert(byId(10L) == "NEW1", "batch 0: A suppressed, NEW1 unseen → kept")
+    assert(byId(11L) == "NEW2",
+      "batch 1: the mid-stream append must be visible — NEW1 suppressed without restart")
+  }
+
+  test("decontaminate refresh: eval rows added MID-STREAM drop later batches") {
+    val docSt = struct("doc_id" -> LongType, "text" -> StringType)
+    // no shared 5-gram between the two leaks (distinct word sets)
+    val leak1 = "first held out benchmark answer sentence body"
+    val leak2 = "entirely separate secret evaluation phrase appearing later"
+    val evalDir = Files.createTempDirectory("graft-dc-refresh-eval").toString
+    frame(docSt, Row(900L, leak1)).coalesce(1).write.mode("append").parquet(evalDir)
+    val inDir = Files.createTempDirectory("graft-dc-refresh-in").toString
+    // batch 0: a leak2 doc passes (leak2 not yet in the eval store) and a
+    // leak1 doc drops; batch 1: leak2 now in the store → its carrier drops
+    frame(docSt,
+      Row(10L, s"prefix words $leak2 suffix"),
+      Row(11L, s"alpha $leak1 omega")).coalesce(1).write.mode("append").parquet(inDir)
+    Thread.sleep(5)
+    frame(docSt,
+      Row(20L, s"other words $leak2 tail"),
+      Row(21L, "a perfectly clean document body here")).coalesce(1)
+      .write.mode("append").parquet(inDir)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val cp = Files.createTempDirectory("graft-dc-refresh-cp").toString
+    val q = StreamingOps.decontaminateRefreshing(
+      spark.readStream.schema(docSt).option("maxFilesPerTrigger", "1").parquet(inDir),
+      () => spark.read.parquet(evalDir), "text", n = 5, refreshEvery = 1) { kept =>
+        out ++= kept.select("doc_id").collect().map(_.getLong(0))
+        if (out.contains(10L) && !out.contains(20L))
+          frame(docSt, Row(901L, leak2)).coalesce(1)
+            .write.mode("append").parquet(evalDir)
+      }
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(out.contains(10L), "batch 0: leak2 unknown → its carrier passes")
+    assert(!out.contains(11L), "batch 0: leak1 known → dropped")
+    assert(!out.contains(20L),
+      "batch 1: the mid-stream eval growth must drop the leak2 carrier")
+    assert(out.contains(21L), "batch 1: clean docs still pass")
+  }
+
   test("streaming shard sink: same layout and manifest as the batch sink") {
     import graft.ops.Sink
     val docSt = struct("doc_id" -> LongType, "text" -> StringType)
