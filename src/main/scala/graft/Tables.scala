@@ -25,10 +25,17 @@ object Tables {
         // nanosAsLong surfaced a TIMESTAMP(NANOS) column as its raw long
         raw.withColumn(
           "ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
-      case _ =>
+      case org.apache.spark.sql.types.TimestampType |
+          org.apache.spark.sql.types.TimestampNTZType =>
         // already a timestamp; ntz: DuckDB timestamps are naive — with
         // session tz UTC the cast is a pure type-tag change, values identical
         raw.withColumn("ts", expr("cast(ts as timestamp_ntz)"))
+      case other =>
+        // fail fast on schema drift: a third generation (string, int32
+        // millis, …) must surface here, not as silently-coerced nulls
+        throw new IllegalArgumentException(
+          s"events.ts has unsupported parquet type $other; expected INT64 " +
+            "TIMESTAMP(NANOS) (read as long via nanosAsLong) or TIMESTAMP(MICROS)")
     }
   }
 }
