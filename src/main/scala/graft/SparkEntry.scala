@@ -752,6 +752,41 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // temperature-scaled source mixing (the mT5/XLM-R recipe): shares^0.5
+    // flattens a skewed domain mix toward uniform. The derived domain
+    // (substr(source, 1, 4)) folds src1 + src10..src19 into one 55%-mass
+    // domain, so alpha genuinely changes the quotas (proportional would
+    // give it 165 of 300; sqrt-share gives 81). Quotas are integers from
+    // counts; membership is md5-content order — all engine-portable.
+    "q112_temperature_mix" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .withColumn("domain", substring(col("source"), 1, 4))
+      graft.ops.Sampling.temperatureMix(
+        docs, "domain", "doc_id", alpha = 0.5, targetRows = 300)
+        .select(col("doc_id"), col("domain"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact KNN self-join: every embedding's top-3 cosine neighbors — the
+    // all-pairs baseline (broadcast-quadratic; the scale path is q114)
+    "q113_knn_join" -> ((s, d) =>
+      graft.ops.Similarity.knnJoin(
+        Tables(s, d, "embeddings"), "embedding", "vec_id", k = 3)
+        .orderBy(col("query_id"), col("rank"))),
+
+    // IVF-celled KNN self-join probed at nprobe = nlist: exhaustive
+    // probing makes the result EXACTLY brute force (q113's oracle,
+    // verbatim — the q99 trick) while exercising the corpus-scale plan:
+    // the candidate join is keyed on the int cell id (PlanSpec pins that
+    // with broadcast disabled both corpus-sized sides exchange once by
+    // cell), per-partition work is cell-local pair scoring. RecallSpec
+    // pins the nprobe < nlist recall floor.
+    "q114_knn_join_ivf" -> ((s, d) =>
+      graft.ops.Similarity.ivfKnnJoin(
+        Tables(s, d, "embeddings"), "embedding", "vec_id",
+        k = 3, nlist = 16, nprobe = 16)
+        .orderBy(col("query_id"), col("rank"))),
+
     // paragraph-index lifecycle (the third index next to q97 LSH and q99
     // ANN): build the standing paragraph-hash index on the %3==1 docs,
     // fold the %3==2 docs in as a delta append, probe the never-indexed
@@ -1867,6 +1902,59 @@ object SparkEntry {
         |  cast(count(*) AS bigint) AS n_paras,
         |  cast(count(*) FILTER (WHERE rn = 1) AS bigint) AS n_kept_paras
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // quotas recomputed from counts with the same IEEE-exact sqrt; the
+    // normalizer sums in domain order (list_sum over an ORDER BY list)
+    // mirroring the operator's name-ordered driver fold
+    "q112_temperature_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, substr(source, 1, 4) AS domain FROM documents
+        |), c AS (
+        |  SELECT domain, cast(count(*) AS BIGINT) AS c FROM d GROUP BY domain
+        |), z AS (
+        |  SELECT list_sum(list(sqrt(cast(c AS DOUBLE)) ORDER BY domain)) AS z FROM c
+        |), q AS (
+        |  SELECT domain,
+        |    least(c, cast(round(300 * sqrt(cast(c AS DOUBLE)) / z) AS BIGINT)) AS quota
+        |  FROM c, z
+        |), r AS (
+        |  SELECT doc_id, domain, source,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY md5(cast(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |  FROM d
+        |)
+        |SELECT doc_id, domain, source FROM r JOIN q USING (domain)
+        |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
+
+    "q113_knn_join" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(a.ev, b.ev) AS cosine
+        |  FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    cast(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) as int) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // nprobe = nlist probes every cell, so the IVF join IS brute force —
+    // identical oracle to q113
+    "q114_knn_join_ivf" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(a.ev, b.ev) AS cosine
+        |  FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    cast(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) as int) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q107_dedup_paragraphs" ->
       """WITH aug AS (

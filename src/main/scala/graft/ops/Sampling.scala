@@ -182,6 +182,23 @@ object Sampling {
       budget: Long,
       bucketHexLen: Int): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
+    takeBudgets(df, stratumCol, keyCol, col(tokensCol), _ => budget, bucketHexLen)
+  }
+
+  /** Per-stratum-budget core of [[takeTokenBudget]] (same two-phase
+    * bucket-prefix plan; only the driver-side classification consults a
+    * per-stratum budget). `budgetOf` receives the stratum value (None for
+    * the null stratum); a budget <= 0 drops the stratum entirely.
+    * `tokens` is any non-negative long expression — `lit(1L)` turns the
+    * token budget into an exact row quota.
+    */
+  private[ops] def takeBudgets(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      tokens: Column,
+      budgetOf: Option[Any] => Long,
+      bucketHexLen: Int): DataFrame = {
     require(bucketHexLen >= 1 && bucketHexLen <= 6,
       s"bucketHexLen must be in [1, 6], got $bucketHexLen")
     import org.apache.spark.sql.expressions.Window
@@ -195,7 +212,7 @@ object Sampling {
     val slim = df.select(
       col(stratumCol).as("__s"),
       col(keyCol).as("__k"),
-      coalesce(col(tokensCol).cast("long"), lit(0L)).as("__t"),
+      coalesce(tokens.cast("long"), lit(0L)).as("__t"),
       substring(md5(col(keyCol).cast("string").cast("binary")), 1, bucketHexLen)
         .as("__b"))
 
@@ -213,7 +230,8 @@ object Sampling {
     // goes through the exact windowed cumsum with its start as offset.
     val clsRows = bucketSums
       .groupBy(r => if (r.isNullAt(0)) None else Some(r.get(0)))
-      .iterator.flatMap { case (_, rows) =>
+      .iterator.flatMap { case (stratum, rows) =>
+        val budget = budgetOf(stratum)
         val ordered = rows.sortBy(r =>
           (if (r.isNullAt(1)) "" else "" + r.getString(1)))
         var before = 0L
@@ -221,10 +239,11 @@ object Sampling {
           val sum = r.getLong(2)
           val start = before
           before += sum
-          if (start + sum < budget)
-            Some(org.apache.spark.sql.Row(r.get(0), r.get(1), true, 0L))
+          if (budget <= 0L) None
+          else if (start + sum < budget)
+            Some(org.apache.spark.sql.Row(r.get(0), r.get(1), true, 0L, budget))
           else if (start < budget)
-            Some(org.apache.spark.sql.Row(r.get(0), r.get(1), false, start))
+            Some(org.apache.spark.sql.Row(r.get(0), r.get(1), false, start, budget))
           else None
         }
       }.toSeq
@@ -235,7 +254,8 @@ object Sampling {
         StructField("__cs", sType, nullable = true),
         StructField("__cb", StringType, nullable = true),
         StructField("__keep_all", BooleanType, nullable = false),
-        StructField("__off", LongType, nullable = false))))
+        StructField("__off", LongType, nullable = false),
+        StructField("__budget", LongType, nullable = false))))
 
     // phase 3: the windowed cumsum — the only sort — over boundary-bucket
     // ledger rows only (~1/16^bucketHexLen of one stratum each), with the
@@ -249,7 +269,7 @@ object Sampling {
         broadcast(cls.where(!col("__keep_all"))),
         col("__s") <=> col("__cs") && col("__b") <=> col("__cb"))
       .withColumn("__cum", sum(col("__t")).over(w))
-      .where(col("__off") + col("__cum") - col("__t") < budget)
+      .where(col("__off") + col("__cum") - col("__t") < col("__budget"))
       .select(col("__s").as("__bs"), col("__k").as("__bk"),
         lit(true).as("__in_boundary"))
 
@@ -267,7 +287,66 @@ object Sampling {
       .join(broadcast(boundaryKeys),
         df(stratumCol) <=> col("__bs") && df(keyCol) <=> col("__bk"), "left")
       .where(col("__keep_all") || coalesce(col("__in_boundary"), lit(false)))
-      .drop("__cs", "__cb", "__keep_all", "__off", "__bs", "__bk", "__in_boundary")
+      .drop("__cs", "__cb", "__keep_all", "__off", "__budget",
+        "__bs", "__bk", "__in_boundary")
+  }
+
+  /** Temperature-scaled source mixing — the multilingual-LM recipe (mT5 /
+    * XLM-R style): sampling probabilities follow source SHARES raised to
+    * `alpha` (p_s ∝ (c_s/Σc)^alpha), so alpha = 1 reproduces natural
+    * proportions and alpha → 0 flattens toward uniform, upsampling the
+    * tail sources a proportional mix would starve. Each source keeps
+    * exactly `quota_s = min(c_s, round(targetRows · p_s))` rows (no
+    * replacement — a quota never exceeds the source's row count, so the
+    * realized total can fall short of `targetRows` when small sources
+    * saturate), chosen in the engine-portable md5(key) content order of
+    * [[takePerStratum]].
+    *
+    * Plan shape: one tiny per-source count aggregate (map-side combining,
+    * sources × 1 rows to the driver), quota arithmetic on the driver, then
+    * the [[takeTokenBudget]] two-phase bucket-prefix machinery with
+    * per-source quotas and weight-1 tokens — the caller's rows never
+    * shuffle and no stratum funnels through a single window task, so the
+    * mix holds at 100 TB exactly like the token-budget take.
+    *
+    * Determinism: quotas are a pure function of the per-source counts
+    * (weights summed in source-name order), and membership is a pure
+    * function of content — reruns and engines agree. alpha = 0.5 and
+    * alpha = 1 use IEEE-exact sqrt/identity, so any engine recomputing the
+    * quotas from the same counts lands on the same integers.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      alpha: Double,
+      targetRows: Long,
+      bucketHexLen: Int = 3): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
+    // phase 0: per-source counts — sources × 1 rows, driver-side
+    val counts: Seq[(Option[Any], Long)] = df
+      .groupBy(col(sourceCol).as("__src")).agg(count(lit(1)).as("__c"))
+      .collect()
+      .map(r => ((if (r.isNullAt(0)) None
+                  else Some(r.get(0))): Option[Any], r.getLong(1)))
+      .toSeq
+      // canonical fold order (null stratum first, then by name) so the
+      // normalizer Z is the same double on every rerun
+      .sortBy { case (s, _) => (s.nonEmpty, s.map(_.toString).getOrElse("")) }
+    val weighted = counts.map { case (s, c) =>
+      val w =
+        if (alpha == 1.0) c.toDouble // exact
+        else if (alpha == 0.5) math.sqrt(c.toDouble) // IEEE-exact
+        else math.pow(c.toDouble, alpha)
+      (s, c, w)
+    }
+    val z = weighted.foldLeft(0.0)(_ + _._3)
+    val quotas: Map[Option[Any], Long] = weighted.map { case (s, c, w) =>
+      s -> math.min(c, math.round(targetRows * w / z))
+    }.toMap
+    takeBudgets(df, sourceCol, keyCol, lit(1L),
+      quotas.getOrElse(_, 0L), bucketHexLen)
   }
 
   /** Weighted corpus mix: union of sources, each downsampled to its weight

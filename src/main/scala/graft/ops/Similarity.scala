@@ -320,6 +320,76 @@ object Similarity {
     out
   }
 
+  /** Exact k-nearest-neighbor SELF-join: every vector gets its `k` nearest
+    * neighbors by cosine (ties toward the lower neighbor id). This is the
+    * all-pairs correctness baseline — the plan broadcasts the full vector
+    * set against itself ([[bruteForceTopK]] with queries = corpus), which
+    * is O(n²) compute and only viable when the whole (id, vec) table fits
+    * a broadcast. For corpus-scale semantic-neighbor graphs use
+    * [[ivfKnnJoin]]; use this to oracle it and to measure its recall.
+    */
+  def knnJoin(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int): DataFrame =
+    bruteForceTopK(df, df, vecCol, idCol, k)
+
+  /** IVF-accelerated k-nearest-neighbor SELF-join — the corpus-scale
+    * semantic-neighbor graph (near-dup mining, diversity analysis, graph
+    * clustering seeds): each vector probes its `nprobe` nearest IVF cells
+    * and only same-cell pairs get an exact cosine + per-query top-k.
+    *
+    * Plan shape at 100 TB: unlike [[ivfProbe]] (small query set →
+    * broadcast), BOTH sides here are corpus-sized, so the candidate join
+    * is a plain shuffle join on the int `cell` key — each side exchanges
+    * once, partitioned by cell, and per-partition work is (cell population
+    * × nprobe) pair scoring, linear-ish for balanced cells. Only
+    * (query_id, rank, neighbor_id, cosine) survives the ranking window.
+    * `nprobe = nlist` probes every cell and is EXACTly [[knnJoin]] (the
+    * oracle trick); recall at nprobe < nlist trades like FAISS IVF.
+    */
+  def ivfKnnJoin(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val idx = ivfBuild(df, vecCol, idCol, nlist)
+    val out = Materialize.eager(ivfKnnJoinPlan(idx, df, vecCol, idCol, k, nprobe))
+    idx.unpersist()
+    out
+  }
+
+  /** The un-materialized [[ivfKnnJoin]] plan against an already-built
+    * index — exposed so multi-batch callers can reuse one build and the
+    * plan suite can pin the join shape. The candidate join carries no
+    * strategy hint: Catalyst picks by size stats (broadcast when one side
+    * is genuinely small, shuffle join on the int cell key when both are
+    * corpus-sized — the 100 TB shape).
+    */
+  private[graft] def ivfKnnJoinPlan(
+      idx: IvfIndex,
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val probed = df.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(idx.probeCells(col(vecCol), nprobe)).as("cell"))
+    val scored = probed.join(idx.assigned, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** LSH-bucketed top-k: exact cosine only within the query's hyperplane
     * bucket(s). `bands` independent plane families OR-amplify recall
     * exactly like [[graft.ops.Dedup.embeddingNearDup]]'s banding — a true

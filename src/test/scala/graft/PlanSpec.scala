@@ -277,6 +277,33 @@ class PlanSpec extends SparkSpec {
       s"expected the shard=3 partition filter:\n$p")
   }
 
+  test("ivf knn join keys the candidate join on the cell id at corpus scale") {
+    val emb = Tables(spark, dir, "embeddings")
+    val idx = ops.Similarity.ivfBuild(emb, "embedding", "vec_id", nlist = 16)
+    try {
+      // disable broadcast to simulate both sides corpus-sized — the 100 TB
+      // shape must be a shuffle join partitioned by the int cell key, not
+      // a nested loop or a single-partition funnel
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = ops.Similarity
+        .ivfKnnJoinPlan(idx, emb, "embedding", "vec_id", k = 3, nprobe = 4)
+      // sparkPlan (pre-EnsureRequirements) pins the join choice; the
+      // executedPlan string pins the exchanges EnsureRequirements adds
+      val join = df.queryExecution.sparkPlan.toString
+      assert(join.contains("Join [cell") || join.contains("Join cell"),
+        s"candidate join must key on cell:\n$join")
+      assert(!join.contains("NestedLoop"), s"nested-loop join leaked in:\n$join")
+      val p = df.queryExecution.executedPlan.toString
+      assert("hashpartitioning\\(cell".r.findAllIn(p).size >= 2,
+        s"both candidate-join sides must exchange by cell:\n$p")
+      assert(!p.contains("SinglePartition"),
+        s"single-partition exchange in the knn-join plan:\n$p")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      idx.unpersist()
+    }
+  }
+
   test("token-budget sampling: no full-stratum window, no text in any exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec

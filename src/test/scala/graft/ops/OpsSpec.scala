@@ -763,6 +763,33 @@ class OpsSpec extends SparkSpec {
     assert(tiny.count() == 2)
   }
 
+  test("temperatureMix: alpha=1 proportional, alpha=0.5 flattens, quotas capped") {
+    // skewed two-source corpus: 'a' 8 rows, 'b' 2 rows; target 5
+    val df = docs((1L to 10L).map(i => i -> s"mix doc body $i"): _*)
+      .withColumn("src", when(col("doc_id") <= 8, "a").otherwise("b"))
+    def quotaCounts(alpha: Double, target: Long): Map[String, Int] =
+      Sampling.temperatureMix(df, "src", "doc_id", alpha, target)
+        .collect().groupBy(_.getAs[String]("src")).view.mapValues(_.length).toMap
+    // alpha=1: round(5·0.8)=4, round(5·0.2)=1 — natural proportions
+    assert(quotaCounts(1.0, 5L) == Map("a" -> 4, "b" -> 1))
+    // alpha=0.5: z=√8+√2; a→5·√8/z=3.33→3, b→5·√2/z=1.67→2 — flattened
+    assert(quotaCounts(0.5, 5L) == Map("a" -> 3, "b" -> 2))
+    // quotas cap at the source count — an oversized target keeps everything
+    assert(Sampling.temperatureMix(df, "src", "doc_id", 0.5, 100L).count() == 10L)
+    // a zero quota drops the stratum: target 1 at alpha=1 → b rounds to 0
+    assert(quotaCounts(1.0, 1L) == Map("a" -> 1))
+    // membership is the md5-order prefix per source — same picks as
+    // takePerStratum at the quota, and stable across reruns
+    val kept = Sampling.temperatureMix(df, "src", "doc_id", 0.5, 5L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected =
+      Sampling.takePerStratum(df.where(col("src") === "a"), "src", "doc_id", 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSet ++
+      Sampling.takePerStratum(df.where(col("src") === "b"), "src", "doc_id", 2)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == expected)
+  }
+
   test("pipeline ops degrade cleanly on an empty corpus") {
     val empty = docs()
     val evalDocs = docs(1L -> "some eval text here for grams")
