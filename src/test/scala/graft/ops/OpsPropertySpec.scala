@@ -244,6 +244,38 @@ object OpsPropertySpec extends Properties("graft.ops") {
       appendEqRebuild && probe == union
     }
 
+  property("temperatureMix: per-source kept counts equal the quota formula; sets nest in target") =
+    forAll(genCounts.suchThat(_.nonEmpty), Gen.oneOf(0.5, 1.0),
+      Gen.choose(1L, 30L), Gen.choose(1, 4)) { (counts, alpha, target, nStrata) =>
+        import org.apache.spark.sql.functions._
+        val df = corpus(counts)
+          .withColumn("src", pmod(col("doc_id"), lit(nStrata.toLong)).cast("string"))
+        def keptBySrc(t: Long): Map[String, Set[Long]] =
+          Sampling.temperatureMix(df, "src", "doc_id", alpha, t)
+            .select("doc_id", "src").collect()
+            .groupBy(_.getString(1)).map { case (s, rs) =>
+              s -> rs.map(_.getLong(0)).toSet
+            }
+        val bySrc = keptBySrc(target)
+        // independent quota recomputation from the raw counts
+        val cBySrc = df.groupBy("src").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+        val z = cBySrc.foldLeft(0.0) { case (acc, (_, c)) =>
+          acc + (if (alpha == 1.0) c.toDouble else math.sqrt(c.toDouble))
+        }
+        val expected = cBySrc.map { case (s, c) =>
+          val w = if (alpha == 1.0) c.toDouble else math.sqrt(c.toDouble)
+          s -> math.min(c, math.round(target * w / z))
+        }.filter(_._2 > 0L).toMap
+        val countsMatch =
+          bySrc.view.mapValues(_.size.toLong).toMap == expected
+        // kept sets nest as the target grows (round is monotone in N)
+        val nested = bySrc.forall { case (s, ids) =>
+          ids.subsetOf(keptBySrc(target + 11L).getOrElse(s, Set.empty))
+        }
+        countsMatch && nested
+    }
+
   property("takeTokenBudget: monotone in budget, within-overshoot, stratum-local") =
     forAll(genCounts.suchThat(_.nonEmpty), Gen.choose(1L, 40L), Gen.choose(1, 4)) {
       (counts, budget, nStrata) =>
