@@ -787,6 +787,19 @@ object SparkEntry {
         k = 3, nlist = 16, nprobe = 16)
         .orderBy(col("query_id"), col("rank"))),
 
+    // SemDeDup (Abbas et al. 2023): embedding pairs ≥ 0.35 cosine form
+    // transitive clusters; min-id representative survives, everything else
+    // is the audit trail. Probed at nprobe = nlist so the pair set is the
+    // exact threshold join — fully SQL-oracled (recursive-CTE closure,
+    // same machinery as q61).
+    "q115_semantic_dedup" -> ((s, d) =>
+      graft.ops.Similarity.semanticDedup(
+        Tables(s, d, "embeddings"), "embedding", "vec_id",
+        minCosine = 0.35, nlist = 16, nprobe = 16)
+        .select(col("id").as("vec_id"), col("rep"),
+          col("cluster_size"), col("kept"))
+        .orderBy(col("vec_id"))),
+
     // paragraph-index lifecycle (the third index next to q97 LSH and q99
     // ANN): build the standing paragraph-hash index on the %3==1 docs,
     // fold the %3==2 docs in as a delta append, probe the never-indexed
@@ -1939,6 +1952,28 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+
+    "q115_semantic_dedup" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+        |), p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.ev, b.ev) >= 0.35
+        |), e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT vec_id AS id, vec_id AS r FROM embeddings
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id
+        |), lab AS (
+        |  SELECT id, cast(min(r) AS BIGINT) AS rep FROM reach GROUP BY id
+        |)
+        |SELECT id AS vec_id, rep,
+        |  cast(count(*) OVER (PARTITION BY rep) AS BIGINT) AS cluster_size,
+        |  id = rep AS kept
+        |FROM lab ORDER BY vec_id""".stripMargin,
 
     // nprobe = nlist probes every cell, so the IVF join IS brute force —
     // identical oracle to q113

@@ -1125,9 +1125,16 @@ object Dedup {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("rep"))
-      val next = labels.union(viaNeighbors)
-        .groupBy("id").agg(min(col("rep")).as("rep"))
-        .persist()
+      // Lineage MUST truncate every round: this round references `labels`
+      // twice (join + union), so with persist alone the LOGICAL tree
+      // doubles per round and Catalyst's re-analysis / plan stringification
+      // OOMs the DRIVER after ~15 rounds on long-diameter graphs — data
+      // size is irrelevant (hit by chain-shaped embedding-similarity
+      // components that templated text corpora never produced). Eager
+      // checkpoint keeps the plan O(1) per round — the standard iterative
+      // pattern — and doubles as the round's materialization.
+      val next = Materialize.eager(labels.union(viaNeighbors)
+        .groupBy("id").agg(min(col("rep")).as("rep")))
       converged =
         if (repIsIntegral) {
           val s = repSum(next)
@@ -1226,12 +1233,15 @@ object Dedup {
     var converged = prev._1 == 0L
     var i = 0
     while (!converged && i < maxIters) {
-      // ONE star round per blocking job, materialized via persist before
-      // the next round reads it. Do NOT fuse rounds: largeStar/smallStar
-      // each reference their input in two union branches, so an unpersisted
+      // ONE star round per blocking job, materialized before the next
+      // round reads it. Do NOT fuse rounds: largeStar/smallStar each
+      // reference their input in two union branches, so an unpersisted
       // round re-computes multiplicatively inside the fused plan (measured
-      // 2× slower at sf0.1 than materializing every round).
-      val next = smallStar(largeStar(edges)).persist()
+      // 2× slower at sf0.1 than materializing every round). Eager
+      // checkpoint instead of bare persist for the same reason as
+      // [[dedupClusters]]: the logical tree would multiply per round and
+      // OOM the driver's plan analysis once rounds grow.
+      val next = Materialize.eager(smallStar(largeStar(edges)))
       val cs = checksum(next)
       val checksumMatch = cs._1 == prev._1 &&
         ((cs._2 == null && prev._2 == null) ||

@@ -390,6 +390,85 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** IVF-celled similarity SELF-join: every unordered pair with cosine at
+    * or above `minCosine` whose members share a probed cell — the
+    * pair-generation stage of [[semanticDedup]]. Both directions probe
+    * (a pair is a candidate if EITHER member probes the other's cell), so
+    * recall at nprobe < nlist is OR-amplified; `nprobe = nlist` probes
+    * every cell and the result is the exact threshold join. Same
+    * corpus-scale shape as [[ivfKnnJoin]]: one shuffle join on the int
+    * cell key, only (id_a, id_b, cosine) survives. Zero-norm vectors
+    * (NaN cosine) never match, matching [[rangeSearch]].
+    */
+  def ivfSimilarityJoin(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      minCosine: Double,
+      nlist: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val idx = ivfBuild(df, vecCol, idCol, nlist)
+    val out = Materialize.eager(
+      ivfSimilarityJoinPlan(idx, df, vecCol, idCol, minCosine, nprobe))
+    idx.unpersist()
+    out
+  }
+
+  private[graft] def ivfSimilarityJoinPlan(
+      idx: IvfIndex,
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      minCosine: Double,
+      nprobe: Int): DataFrame = {
+    val probed = df.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(idx.probeCells(col(vecCol), nprobe)).as("cell"))
+    probed.join(idx.assigned, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .where(col("cosine") >= minCosine && !isnan(col("cosine")))
+      .select(
+        least(col("query_id"), col("neighbor_id")).as("id_a"),
+        greatest(col("query_id"), col("neighbor_id")).as("id_b"),
+        col("cosine"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): embedding pairs above `minCosine` form components
+    * (transitive closure — a near-dup of a near-dup is the same semantic
+    * cluster), and each cluster elects one representative, the minimum id.
+    * Returns (id, rep, cluster_size, kept) for EVERY input row —
+    * `where(kept)` is the deduplicated corpus, the rest is the audit trail
+    * ("what was dropped and whose duplicate it was").
+    *
+    * Scale shape: pair generation is the IVF cell join (no quadratic
+    * fan-out at nprobe < nlist), components are
+    * [[Dedup.dedupClustersStar]]'s alternating large/small-star rounds
+    * over the (small) pair set — embedding-similarity components are
+    * chain-shaped (a drifts to b drifts to c), exactly the long-diameter
+    * graphs where O(log²)-round star contraction beats O(diameter)
+    * min-label propagation — and the size/kept attach is one window over
+    * the labels. Corpus vectors ride exactly one shuffle (the cell join);
+    * text never moves at all.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      minCosine: Double,
+      nlist: Int = 16,
+      nprobe: Int = 16): DataFrame = {
+    val pairs = ivfSimilarityJoin(df, vecCol, idCol, minCosine, nlist, nprobe)
+    val labels = Dedup.dedupClustersStar(df.select(col(idCol)), idCol, pairs)
+    val w = Window.partitionBy(col("rep"))
+    labels
+      .withColumn("cluster_size", count(lit(1)).over(w).cast("long"))
+      .withColumn("kept", col("id") === col("rep"))
+  }
+
   /** LSH-bucketed top-k: exact cosine only within the query's hyperplane
     * bucket(s). `bands` independent plane families OR-amplify recall
     * exactly like [[graft.ops.Dedup.embeddingNearDup]]'s banding — a true

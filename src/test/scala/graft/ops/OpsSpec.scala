@@ -763,6 +763,33 @@ class OpsSpec extends SparkSpec {
     assert(tiny.count() == 2)
   }
 
+  test("semanticDedup: transitive clusters, min-id representative, audit columns") {
+    val st = struct("vec_id" -> LongType,
+      "v" -> ArrayType(FloatType, containsNull = false))
+    // chain 1~2~3 (1 and 3 NOT directly similar — transitivity must close
+    // it), pair 4~5, singleton 6
+    def vec(x: Double, y: Double, z: Double) =
+      Seq(x.toFloat, y.toFloat, z.toFloat)
+    val df = frame(st,
+      Row(1L, vec(1.0, 0.0, 0.0)),
+      Row(2L, vec(0.9, 0.436, 0.0)),  // cos(1,2)=0.9, cos(2,3)~0.88, cos(1,3)~0.59
+      Row(3L, vec(0.59, 0.807, 0.0)),
+      Row(4L, vec(0.0, 0.0, 1.0)),
+      Row(5L, vec(0.0, 0.14, 0.99)),
+      Row(6L, vec(-1.0, 0.0, 0.0)))
+    val out = Similarity.semanticDedup(df, "v", "vec_id", minCosine = 0.8,
+      nlist = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
+      (4L, 4L, 2L, true), (5L, 4L, 2L, false), (6L, 6L, 1L, true)))
+    // the full-probe pair set is the exact threshold join
+    val pairs = Similarity.ivfSimilarityJoin(df, "v", "vec_id", 0.8, 2, 2)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L), (4L, 5L)))
+  }
+
   test("temperatureMix: alpha=1 proportional, alpha=0.5 flattens, quotas capped") {
     // skewed two-source corpus: 'a' 8 rows, 'b' 2 rows; target 5
     val df = docs((1L to 10L).map(i => i -> s"mix doc body $i"): _*)
