@@ -276,6 +276,46 @@ object OpsPropertySpec extends Properties("graft.ops") {
         countsMatch && nested
     }
 
+  property("semanticDedup: full-probe pairs ≡ brute force; labels are exactly the components") =
+    forAll(
+      Gen.choose(3, 10).flatMap(k => Gen.listOfN(k,
+        Gen.listOfN(4, Gen.choose(-5, 5).map(_.toFloat)))),
+      Gen.oneOf(0.6, 0.8)) { (vecs, tau) =>
+        import org.apache.spark.sql.functions._
+        val st = StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("v", ArrayType(FloatType, containsNull = false), nullable = false)))
+        val rows = vecs.zipWithIndex.map { case (v, i) => Row(i.toLong, v) }
+        val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), st)
+        // brute-force twin with the SAME kernel — identical arithmetic, so
+        // set equality is exact even at the threshold boundary
+        val a = df.select(col("id").as("ia"), col("v").as("va"))
+        val b = df.select(col("id").as("ib"), col("v").as("vb"))
+        val exact = a.crossJoin(b).where(col("ia") < col("ib"))
+          .withColumn("c", Similarity.cosine(col("va"), col("vb")))
+          .where(col("c") >= tau && !isnan(col("c")))
+          .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val pairs = Similarity.ivfSimilarityJoin(df, "v", "id", tau, nlist = 4, nprobe = 4)
+          .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        // independent union-find over the exact pair set
+        val parent = scala.collection.mutable.Map[Long, Long]() ++
+          rows.map(r => r.getLong(0) -> r.getLong(0))
+        def find(x: Long): Long =
+          if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+        exact.foreach { case (x, y) =>
+          val (rx, ry) = (find(x), find(y))
+          if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+        }
+        val out = Similarity.semanticDedup(df, "v", "id", tau, nlist = 4, nprobe = 4)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        val sizes = out.groupBy(_._2).view.mapValues(_.length).toMap
+        pairs == exact &&
+        out.forall { case (id, rep, size, kept) =>
+          rep == find(id) && kept == (id == rep) && size == sizes(rep).toLong
+        } &&
+        out.length == rows.length
+    }
+
   property("takeTokenBudget: monotone in budget, within-overshoot, stratum-local") =
     forAll(genCounts.suchThat(_.nonEmpty), Gen.choose(1L, 40L), Gen.choose(1, 4)) {
       (counts, budget, nStrata) =>
