@@ -140,6 +140,14 @@ object SparkEntry {
     Tables(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
 
+  /** embeddings with the cluster's parallelism — same single-split story as
+    * [[docsParallel]]: without the spread, the exact KNN join's
+    * 4 M-pair scoring + partial top-k sort all run in ONE task.
+    */
+  private def embParallel(s: SparkSession, dir: String) =
+    Tables(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+
   // Decimal-safe money sum: exact, order-independent, schema-stable.
   // Final cast to double (see class doc: decimal outputs are a driver-side
   // repr hazard; the decimal→double cast itself is deterministic).
@@ -771,7 +779,7 @@ object SparkEntry {
     // all-pairs baseline (broadcast-quadratic; the scale path is q114)
     "q113_knn_join" -> ((s, d) =>
       graft.ops.Similarity.knnJoin(
-        Tables(s, d, "embeddings"), "embedding", "vec_id", k = 3)
+        embParallel(s, d), "embedding", "vec_id", k = 3)
         .orderBy(col("query_id"), col("rank"))),
 
     // IVF-celled KNN self-join probed at nprobe = nlist: exhaustive
@@ -783,7 +791,7 @@ object SparkEntry {
     // pins the nprobe < nlist recall floor.
     "q114_knn_join_ivf" -> ((s, d) =>
       graft.ops.Similarity.ivfKnnJoin(
-        Tables(s, d, "embeddings"), "embedding", "vec_id",
+        embParallel(s, d), "embedding", "vec_id",
         k = 3, nlist = 16, nprobe = 16)
         .orderBy(col("query_id"), col("rank"))),
 
@@ -794,7 +802,7 @@ object SparkEntry {
     // same machinery as q61).
     "q115_semantic_dedup" -> ((s, d) =>
       graft.ops.Similarity.semanticDedup(
-        Tables(s, d, "embeddings"), "embedding", "vec_id",
+        embParallel(s, d), "embedding", "vec_id",
         minCosine = 0.35, nlist = 16, nprobe = 16)
         .select(col("id").as("vec_id"), col("rep"),
           col("cluster_size"), col("kept"))
@@ -1179,7 +1187,7 @@ object SparkEntry {
     // baseline for q39's banded LSH (cross-joinable corpus sizes only)
     "q57_neardup_exact" -> ((s, d) =>
       graft.ops.Dedup.embeddingNearDupExact(
-        Tables(s, d, "embeddings"), "embedding", "vec_id", threshold = 0.4)
+        embParallel(s, d), "embedding", "vec_id", threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
 
     // skew-safe salted join: result identical to the plain equi-join (the
