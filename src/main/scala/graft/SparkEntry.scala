@@ -61,6 +61,9 @@ object SparkEntry {
   private def q105ShardDir(sfDir: String) =
     s"/tmp/graft_q105_shards_${new java.io.File(sfDir).getName}"
 
+  private def q119IndexDir(sfDir: String) =
+    s"/tmp/graft_q119_annindex_${new java.io.File(sfDir).getName}"
+
   private def q108IndexDir(sfDir: String) =
     s"/tmp/graft_q108_paraindex_${new java.io.File(sfDir).getName}"
 
@@ -835,6 +838,63 @@ object SparkEntry {
       graft.ops.Decontam.sourceOverlapMatrix(
         docsParallel(s, d), "source", "text", n = 5)
         .orderBy(col("stratum_a"), col("stratum_b"))),
+
+    // DSIR-style two-corpus frequency contrast: rank raw docs by how
+    // target-like their token mass is (the %7 subset plays the curated
+    // target domain). Exact integer sums — the log-ratio stays with the
+    // caller so every engine hashes identically
+    "q116_contrast_score" -> ((s, d) => {
+      val raw = docsParallel(s, d)
+      val target = Tables(s, d, "documents").where(col("doc_id") % 7 === 0)
+      graft.ops.TextOps.contrastScore(raw, target, "doc_id", "text", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // asymmetric n-gram containment (the quote/subset detector Jaccard
+    // misses): every %11 doc gets a planted 30-token-prefix derivative,
+    // whose 5-gram set is wholly contained in its source — containment
+    // 1.0 for the pair while Jaccard would sit near |deriv|/|orig|.
+    // maxDf = 50 exercises the boilerplate cap on both engines
+    "q117_containment_pairs" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      val deriv = docs
+        .where(col("doc_id") % 11 === 0 && col("text").isNotNull)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(graft.ops.TextOps.wsTokens(col("text")), 1, 30), " ")
+            .as("text"))
+      graft.ops.Decontam.containmentPairs(
+        docs.unionByName(deriv), "doc_id", "text",
+        n = 5, minContainment = 0.5, maxDf = 50)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // hard-negative mining for contrastive training: per query (the %17
+    // vectors — a "training batch"), top-5 corpus neighbors inside the
+    // cosine band [0.1, 0.8) — near-dups excluded above, easy negatives
+    // below; broadcast-probe plan, band fused into the corpus scan
+    "q118_hard_negatives" -> ((s, d) => {
+      val emb = embParallel(s, d)
+      graft.ops.Similarity.hardNegatives(
+        emb, emb.where(col("vec_id") % 17 === 0), "embedding", "vec_id",
+        k = 5, maxCosine = 0.8, minCosine = 0.1)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // the corpus-scale twin of q118: candidates from the persisted ANN
+    // index (queries can be corpus-sized, no broadcast-quadratic sweep);
+    // probed at nprobe = nlist so the mined set is EXACTLY q118's — same
+    // oracle verbatim, the q99/q114 trick. The in-band filter runs before
+    // the ranking window, so the shuffle carries only in-band pairs
+    "q119_hard_negatives_ivf" -> ((s, d) => {
+      val emb = embParallel(s, d)
+      val idx = q119IndexDir(d)
+      graft.ops.Similarity.writeAnnIndex(
+        emb, "embedding", "vec_id", idx, nlist = 8)
+      graft.ops.Similarity.hardNegativesAgainstIndex(
+        emb.where(col("vec_id") % 17 === 0), "embedding", "vec_id", idx,
+        k = 5, maxCosine = 0.8, minCosine = 0.1, nprobe = 8)
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     // sharded corpus sink: write documents as shard=NN parquet (md5-nibble
     // shard, bounded file count, id-sorted files), then read the manifest
@@ -2034,6 +2094,97 @@ object SparkEntry {
         |       cast(count(*) AS bigint) AS n_shared_grams
         |FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY stratum_a, stratum_b""".stripMargin,
+
+    "q116_contrast_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.token
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+        |        FROM documents) d, unnest(d.l) AS t(token)
+        |), rtf AS (
+        |  SELECT token, count(*) AS rn FROM toks GROUP BY token
+        |), ttf AS (
+        |  SELECT token, count(*) AS tn
+        |  FROM toks WHERE doc_id % 7 = 0 GROUP BY token
+        |)
+        |SELECT doc_id,
+        |  cast(count(*) AS bigint) AS n_toks,
+        |  cast(sum(rn) AS bigint) AS sum_raw_freq,
+        |  cast(sum(coalesce(tn, 0)) AS bigint) AS sum_target_freq,
+        |  cast(sum(CASE WHEN tn IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_target_hit
+        |FROM toks JOIN rtf USING (token) LEFT JOIN ttf USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q117_containment_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    array_to_string(list_filter(string_split_regex(text, '\s+'),
+        |                                x -> x <> '')[1:30], ' ')
+        |  FROM documents WHERE doc_id % 11 = 0 AND text IS NOT NULL
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        |  FROM docs WHERE text IS NOT NULL
+        |), pg AS (
+        |  SELECT DISTINCT doc_id, substr(md5(array_to_string(l[i:i+4], ' ')), 1, 16) AS g
+        |  FROM toks, unnest(range(1, len(l)-5+2)) AS t(i)
+        |  WHERE len(l) >= 5
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS ng FROM pg GROUP BY doc_id
+        |), gc AS (
+        |  SELECT g FROM pg GROUP BY g HAVING count(*) BETWEEN 2 AND 50
+        |), kept AS (
+        |  SELECT doc_id, g FROM pg JOIN gc USING (g)
+        |), shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS sh
+        |  FROM kept a JOIN kept b USING (g)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, cast(sh AS bigint) AS shared_grams,
+        |  cast(sa.ng AS bigint) AS n_grams_a, cast(sb.ng AS bigint) AS n_grams_b,
+        |  cast(sh AS double) / cast(least(sa.ng, sb.ng) AS double) AS containment
+        |FROM shared
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE cast(sh AS double) / cast(least(sa.ng, sb.ng) AS double) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // full probe ⇒ identical to q118's exact band ranking
+    "q119_hard_negatives_ivf" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(a.ev, b.ev) AS cosine
+        |  FROM v a CROSS JOIN v b
+        |  WHERE a.vec_id % 17 = 0 AND a.vec_id <> b.vec_id
+        |), banded AS (
+        |  SELECT * FROM scored WHERE cosine >= 0.1 AND cosine < 0.8
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    cast(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS int) AS rank
+        |  FROM banded)
+        |SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q118_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        |scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(a.ev, b.ev) AS cosine
+        |  FROM v a CROSS JOIN v b
+        |  WHERE a.vec_id % 17 = 0 AND a.vec_id <> b.vec_id
+        |), banded AS (
+        |  SELECT * FROM scored WHERE cosine >= 0.1 AND cosine < 0.8
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    cast(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS int) AS rank
+        |  FROM banded)
+        |SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q105_shard_sink" ->
       """SELECT

@@ -23,7 +23,12 @@ object Verify {
         df.schema.fields.map(_.copy(nullable = true)))
       spark.createDataFrame(df.rdd, st)
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration filter, mirroring Bench: unset (the driver's case)
+    // runs everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try nullable(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

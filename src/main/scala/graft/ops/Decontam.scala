@@ -270,6 +270,64 @@ object Decontam {
     * sources), not per-document grouping — [[repeatedGramReport]] is the
     * per-document form.
     */
+  /** Asymmetric n-gram CONTAINMENT pairs — the quote/subset detector
+    * Jaccard misses: a short document wholly quoted inside a long one has
+    * tiny Jaccard (the union is dominated by the long doc) but containment
+    * `|A∩B| / |A|` ≈ 1 for the smaller side. Lee et al. 2022 §4 flag
+    * exactly this near-duplication mode; minhash estimates Jaccard, not
+    * containment, so the candidate step here is the exact shared-gram
+    * join instead. Emits each unordered pair `(id_a < id_b)` sharing at
+    * least one qualifying gram with
+    * `(id_a, id_b, shared_grams, n_grams_a, n_grams_b, containment)`
+    * where `containment = shared / min(n_a, n_b)` (the smaller side's
+    * coverage — an exact ratio of distinct-gram counts), filtered at
+    * `minContainment`.
+    *
+    * `maxDf` caps candidate generation: grams appearing in more than
+    * `maxDf` documents (boilerplate headers, licence blurbs) are excluded
+    * from SHARED-gram counting on both the pair and the oracle side —
+    * without the cap a corpus-wide stop-phrase fans out quadratically in
+    * the gram-keyed join. Denominators `n_grams_*` stay the UNCAPPED
+    * per-document distinct-gram counts, so capping only lowers
+    * containment for pairs whose overlap is mostly boilerplate — the
+    * pairs the cap exists to mute. Plan shape for 100 TB: text collapses
+    * map-side to distinct (id, 16-hex-md5-gram-key) rows; the pair join
+    * is keyed on the gram key with per-gram fan-out ≤ maxDf²; only
+    * (id_a, id_b) pairs and counters move after that. Text never reaches
+    * an Exchange.
+    */
+  def containmentPairs(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minContainment: Double = 0.5,
+      maxDf: Long = 10000L): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2 (no pair can share a df-1 gram), got $maxDf")
+    val pg = grams(corpus, textCol, n, Seq(col(idCol))).distinct()
+    val sizes = pg.groupBy(col(idCol)).agg(count(lit(1)).as("__ng"))
+    val kept = pg.join(
+      pg.groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
+        .where(col("__nd") >= 2 && col("__nd") <= maxDf)
+        .select(col("__g")),
+      Seq("__g"))
+    val a = kept.select(col(idCol).as("id_a"), col("__g"))
+    val b = kept.select(col(idCol).as("id_b"), col("__g"))
+    val shared = a.join(b, Seq("__g"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    shared
+      .join(sizes.select(col(idCol).as("id_a"), col("__ng").as("n_grams_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("__ng").as("n_grams_b")), Seq("id_b"))
+      .withColumn("containment",
+        col("shared_grams").cast("double") /
+          least(col("n_grams_a"), col("n_grams_b")).cast("double"))
+      .where(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("shared_grams"),
+        col("n_grams_a"), col("n_grams_b"), col("containment"))
+  }
+
   def sourceOverlapMatrix(
       corpus: DataFrame,
       stratumCol: String,

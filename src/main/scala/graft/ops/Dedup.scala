@@ -689,17 +689,20 @@ object Dedup {
     val staged = spark.read.parquet(stage)
     val bucketsDir = EpochStore.dataDirName("buckets", n)
     val setsDir = EpochStore.dataDirName("sets", n)
-    staged.where(col("n") <= maxBucketSize)
-      .select("band", "bhash", "id")
-      .write.mode("overwrite").parquet(s"$path/data/$bucketsDir")
-    staged.where(col("n") > maxBucketSize)
-      .select("band", "bhash", "n").distinct()
-      .write.mode("overwrite").parquet(s"$dir/dropped")
-    existing.select(
-      col(idCol).as("id"),
-      graft.functions.native
-        .hashedShingleSet(TextOps.rawTokens(col(textCol)), k).as("hs"))
-      .write.mode("overwrite").parquet(s"$path/data/$setsDir")
+    // the three epoch tables derive independently (buckets/dropped from the
+    // staged parquet, sets from the corpus) — overlap their write jobs
+    EpochStore.inParallel(
+      () => staged.where(col("n") <= maxBucketSize)
+        .select("band", "bhash", "id")
+        .write.mode("overwrite").parquet(s"$path/data/$bucketsDir"),
+      () => staged.where(col("n") > maxBucketSize)
+        .select("band", "bhash", "n").distinct()
+        .write.mode("overwrite").parquet(s"$dir/dropped"),
+      () => existing.select(
+        col(idCol).as("id"),
+        graft.functions.native
+          .hashedShingleSet(TextOps.rawTokens(col(textCol)), k).as("hs"))
+        .write.mode("overwrite").parquet(s"$path/data/$setsDir"))
     // id bloom for the O(1) append guard — built from the just-written
     // sets file (footer-count sizing + one narrow id read)
     val setsIds = spark.read.parquet(s"$path/data/$setsDir").select("id")
@@ -822,30 +825,38 @@ object Dedup {
     // tombstones: untouched carried unchanged; touched-and-tombstoned
     // re-totaled; newly-oversize added (guard re-evaluated on union counts
     // ⇒ oversize stays monotone under append, append ≡ rebuild)
-    tomb.join(broadcast(touched), Seq("band", "bhash"), "left_anti")
-      .unionByName(
-        totals.where(col("n_tomb").isNotNull || col("n") > maxBucketSize)
-          .select("band", "bhash", "n"))
-      .write.mode("overwrite").parquet(s"$dir/dropped")
-    val dropped = spark.read.parquet(s"$dir/dropped")
     val bucketsDir = EpochStore.dataDirName("buckets", n)
     val setsDir = EpochStore.dataDirName("sets", n)
-    staged.join(broadcast(dropped.select("band", "bhash")),
-      Seq("band", "bhash"), "left_anti")
-      .select("band", "bhash", "id")
-      .write.mode("overwrite").parquet(s"$path/data/$bucketsDir")
-    newDocs.select(
-      col(idCol).as("id"),
-      graft.functions.native
-        .hashedShingleSet(TextOps.rawTokens(col(textCol)), k).as("hs"))
-      .write.mode("overwrite").parquet(s"$path/data/$setsDir")
-    // successor bloom: delta over the batch merged into the standing bits
-    // (pre-bloom indexes upgrade once from the union id set)
-    val (bItems, bFpp, bBytes) = EpochStore.appendedIdBloom(
-      spark, curDir, newDocs.select(col(idCol).as("id")),
-      indexSets(spark, curDir).select("id")
-        .unionByName(newDocs.select(col(idCol).as("id"))), "id")
-    EpochStore.writeIdBloom(spark, dir, bBytes, bItems, bFpp)
+    // three independent arms overlap: (a) tombstones then the delta bucket
+    // rows they gate, (b) the batch's shingle sets (the heavy kernel pass),
+    // (c) the successor id bloom (reads only standing ids + batch ids)
+    EpochStore.inParallel(
+      () => {
+        tomb.join(broadcast(touched), Seq("band", "bhash"), "left_anti")
+          .unionByName(
+            totals.where(col("n_tomb").isNotNull || col("n") > maxBucketSize)
+              .select("band", "bhash", "n"))
+          .write.mode("overwrite").parquet(s"$dir/dropped")
+        val dropped = spark.read.parquet(s"$dir/dropped")
+        staged.join(broadcast(dropped.select("band", "bhash")),
+          Seq("band", "bhash"), "left_anti")
+          .select("band", "bhash", "id")
+          .write.mode("overwrite").parquet(s"$path/data/$bucketsDir")
+      },
+      () => newDocs.select(
+        col(idCol).as("id"),
+        graft.functions.native
+          .hashedShingleSet(TextOps.rawTokens(col(textCol)), k).as("hs"))
+        .write.mode("overwrite").parquet(s"$path/data/$setsDir"),
+      () => {
+        // successor bloom: delta over the batch merged into the standing
+        // bits (pre-bloom indexes upgrade once from the union id set)
+        val (bItems, bFpp, bBytes) = EpochStore.appendedIdBloom(
+          spark, curDir, newDocs.select(col(idCol).as("id")),
+          indexSets(spark, curDir).select("id")
+            .unionByName(newDocs.select(col(idCol).as("id"))), "id")
+        EpochStore.writeIdBloom(spark, dir, bBytes, bItems, bFpp)
+      })
     writeMeta(spark, dir, k, numHashes, bands, maxBucketSize)
     EpochStore.writeManifest(spark, dir,
       EpochStore.readManifest(spark, curDir) ++
@@ -886,12 +897,14 @@ object Dedup {
     EpochStore.deleteDir(spark, dir)
     val bucketsDir = EpochStore.dataDirName("buckets", n)
     val setsDir = EpochStore.dataDirName("sets", n)
-    indexBuckets(spark, curDir)
-      .write.mode("overwrite").parquet(s"$path/data/$bucketsDir")
-    indexSets(spark, curDir)
-      .write.mode("overwrite").parquet(s"$path/data/$setsDir")
-    indexDropped(spark, curDir)
-      .write.mode("overwrite").parquet(s"$dir/dropped")
+    // the three table rewrites are independent — overlap their jobs
+    EpochStore.inParallel(
+      () => indexBuckets(spark, curDir)
+        .write.mode("overwrite").parquet(s"$path/data/$bucketsDir"),
+      () => indexSets(spark, curDir)
+        .write.mode("overwrite").parquet(s"$path/data/$setsDir"),
+      () => indexDropped(spark, curDir)
+        .write.mode("overwrite").parquet(s"$dir/dropped"))
     // right-size a fresh id bloom from the compacted sets (merged blooms
     // keep build-time capacity; compaction is where capacity resets)
     val setsIds = spark.read.parquet(s"$path/data/$setsDir").select("id")

@@ -240,6 +240,36 @@ private[graft] object EpochStore {
       }
   }
 
+  /** Run independent Spark WRITE jobs concurrently, one thread each —
+    * SparkContext schedules jobs from separate threads in parallel, so
+    * sibling table writes of one epoch (buckets / sets / tombstones)
+    * overlap instead of paying the per-job scheduling floor serially.
+    * Every action is awaited; the first failure is rethrown AFTER all
+    * threads finish (in-flight siblings may complete their writes — they
+    * are pre-commit debris the failed lifecycle's next attempt or GC
+    * clears, exactly as with sequential writes). Commit ordering is
+    * unchanged: callers invoke this strictly before the manifest write
+    * and pointer rename.
+    */
+  def inParallel(actions: (() => Unit)*): Unit = {
+    if (actions.lengthCompare(2) < 0) { actions.foreach(_.apply()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(actions.size)
+    try {
+      val futures = actions.map(a => pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = a()
+      }))
+      var firstFailure: Throwable = null
+      futures.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (firstFailure == null) firstFailure = e.getCause
+        }
+      }
+      if (firstFailure != null) throw firstFailure
+    } finally pool.shutdown()
+  }
+
   def epochName(n: Long): String = f"epoch-$n%09d"
   def epochNumber(name: String): Long = name.stripPrefix("epoch-").toLong
   def dataDirName(table: String, n: Long): String = f"$table%s-$n%09d"

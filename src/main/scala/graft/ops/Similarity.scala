@@ -335,6 +335,47 @@ object Similarity {
       k: Int): DataFrame =
     bruteForceTopK(df, df, vecCol, idCol, k)
 
+  /** Hard-negative mining for contrastive embedding training: for each
+    * query, the top-`k` most-similar corpus items inside the cosine band
+    * `[minCosine, maxCosine)` — the upper bound EXCLUDES positives and
+    * near-duplicates (a near-dup mined as a "negative" poisons the loss;
+    * SemDeDup's τ is the natural ceiling), the lower bound drops easy
+    * negatives the model already separates. Self-pairs are excluded.
+    * Returns `(query_id, rank, neighbor_id, cosine)`; queries with no
+    * in-band neighbor are absent.
+    *
+    * Plan shape: queries are the training batch — small by construction —
+    * so they broadcast and the corpus streams map-side with the band
+    * filter fused into the scan ([[bruteForceTopK]]'s shape plus the
+    * band); the only shuffle is the per-query ranking window. For
+    * corpus×corpus mining feed [[ivfSimilarityJoin]]'s in-band pairs
+    * through the same window instead.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      maxCosine: Double,
+      minCosine: Double = -1.0): DataFrame = {
+    require(minCosine < maxCosine,
+      s"empty band: minCosine $minCosine must be < maxCosine $maxCosine")
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .where(col("cosine") >= minCosine && col("cosine") < maxCosine)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** IVF-accelerated k-nearest-neighbor SELF-join — the corpus-scale
     * semantic-neighbor graph (near-dup mining, diversity analysis, graph
     * clustering seeds): each vector probes its `nprobe` nearest IVF cells
@@ -634,17 +675,22 @@ object Similarity {
     val dir = s"$path/$epoch"
     EpochStore.deleteDir(spark, dir)
     val assignedDir = EpochStore.dataDirName("assigned", n)
-    corpus.select(
-      idx.nearestCell(col(vecCol)).as("cell"),
-      col(idCol).as("id"), col(vecCol).as("vec"))
-      .write.mode("overwrite").parquet(s"$path/data/$assignedDir")
-    // id bloom for the O(1) append guard ([[EpochStore.idGuardNeedsExact]])
-    val annIds = spark.read.parquet(s"$path/data/$assignedDir").select("id")
-    val bloomItems = EpochStore.idBloomItems(annIds.count())
-    EpochStore.writeIdBloom(spark, dir,
-      EpochStore.buildIdBloom(annIds, "id", bloomItems, EpochStore.IdBloomFpp),
-      bloomItems, EpochStore.IdBloomFpp)
-    writeAnnEpochSmallTables(spark, dir, centroids, nlist)
+    // the corpus-sized assigned write (then its read-back bloom) overlaps
+    // the O(nlist) small-table writes
+    EpochStore.inParallel(
+      () => {
+        corpus.select(
+          idx.nearestCell(col(vecCol)).as("cell"),
+          col(idCol).as("id"), col(vecCol).as("vec"))
+          .write.mode("overwrite").parquet(s"$path/data/$assignedDir")
+        // id bloom for the O(1) append guard ([[EpochStore.idGuardNeedsExact]])
+        val annIds = spark.read.parquet(s"$path/data/$assignedDir").select("id")
+        val bloomItems = EpochStore.idBloomItems(annIds.count())
+        EpochStore.writeIdBloom(spark, dir,
+          EpochStore.buildIdBloom(annIds, "id", bloomItems, EpochStore.IdBloomFpp),
+          bloomItems, EpochStore.IdBloomFpp)
+      },
+      () => writeAnnEpochSmallTables(spark, dir, centroids, nlist))
     EpochStore.writeManifest(spark, dir, Seq("assigned" -> assignedDir))
     EpochStore.commitEpoch(spark, path, epoch, cur)
     EpochStore.gc(spark, path, epoch, retainEpochs)
@@ -691,21 +737,57 @@ object Similarity {
     EpochStore.deleteDir(spark, dir)
     val idx = IvfIndex(centroids, null, null)
     val assignedDir = EpochStore.dataDirName("assigned", n)
-    newVecs.select(
-      idx.nearestCell(col(vecCol)).as("cell"),
-      col(idCol).as("id"), col(vecCol).as("vec"))
-      .write.mode("overwrite").parquet(s"$path/data/$assignedDir")
-    val (bItems, bFpp, bBytes) = EpochStore.appendedIdBloom(
-      spark, curDir, newVecs.select(col(idCol).as("id")),
-      EpochStore.readTable(spark, curDir, "assigned").select("id")
-        .unionByName(newVecs.select(col(idCol).as("id"))), "id")
-    EpochStore.writeIdBloom(spark, dir, bBytes, bItems, bFpp)
-    writeAnnEpochSmallTables(spark, dir, centroids, nlist)
+    // delta write, successor bloom, and small tables are independent
+    EpochStore.inParallel(
+      () => newVecs.select(
+        idx.nearestCell(col(vecCol)).as("cell"),
+        col(idCol).as("id"), col(vecCol).as("vec"))
+        .write.mode("overwrite").parquet(s"$path/data/$assignedDir"),
+      () => {
+        val (bItems, bFpp, bBytes) = EpochStore.appendedIdBloom(
+          spark, curDir, newVecs.select(col(idCol).as("id")),
+          EpochStore.readTable(spark, curDir, "assigned").select("id")
+            .unionByName(newVecs.select(col(idCol).as("id"))), "id")
+        EpochStore.writeIdBloom(spark, dir, bBytes, bItems, bFpp)
+      },
+      () => writeAnnEpochSmallTables(spark, dir, centroids, nlist))
     EpochStore.writeManifest(spark, dir,
       EpochStore.readManifest(spark, curDir) :+ ("assigned" -> assignedDir))
     EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))
     EpochStore.gc(spark, path, epoch, retainEpochs)
     }
+  }
+
+  /** Corpus-scale [[hardNegatives]]: candidates come from the standing
+    * ANN index instead of a broadcast-quadratic sweep, so the query side
+    * can itself be corpus-sized (mining negatives for every training
+    * example at once). Each query probes its `nprobe` nearest cells; the
+    * in-band filter (`[minCosine, maxCosine)`) prunes BEFORE the ranking
+    * window, so the one shuffle carries only in-band (query_id,
+    * neighbor_id, cosine) rows — band selectivity, not candidate count.
+    * `nprobe = nlist` probes every cell and is EXACTly [[hardNegatives]]
+    * against the indexed corpus (the oracle trick); at nprobe < nlist
+    * recall trades like FAISS IVF. Zero-magnitude vectors never match
+    * ([[annRangeAgainstIndex]]'s NaN guard).
+    */
+  def hardNegativesAgainstIndex(
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      k: Int,
+      maxCosine: Double,
+      minCosine: Double,
+      nprobe: Int = 4): DataFrame = {
+    require(minCosine < maxCosine,
+      s"empty band: minCosine $minCosine must be < maxCosine $maxCosine")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    annRangeAgainstIndex(queries, vecCol, idCol, path, minCosine, nprobe)
+      .where(col("cosine") < maxCosine)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
   /** Diversity-aware downsample: cluster the corpus by embedding (the IVF
@@ -826,14 +908,19 @@ object Similarity {
         standing.select(
           idx.nearestCell(col("vec")).as("cell"), col("id"), col("vec"))
       } else standing
-    compacted.write.mode("overwrite").parquet(s"$path/data/$assignedDir")
-    // right-size a fresh id bloom from the compacted id set
-    val annIds = spark.read.parquet(s"$path/data/$assignedDir").select("id")
-    val bloomItems = EpochStore.idBloomItems(annIds.count())
-    EpochStore.writeIdBloom(spark, dir,
-      EpochStore.buildIdBloom(annIds, "id", bloomItems, EpochStore.IdBloomFpp),
-      bloomItems, EpochStore.IdBloomFpp)
-    writeAnnEpochSmallTables(spark, dir, centroids, nlist)
+    // the assigned rewrite (then its read-back bloom) overlaps the small
+    // tables
+    EpochStore.inParallel(
+      () => {
+        compacted.write.mode("overwrite").parquet(s"$path/data/$assignedDir")
+        // right-size a fresh id bloom from the compacted id set
+        val annIds = spark.read.parquet(s"$path/data/$assignedDir").select("id")
+        val bloomItems = EpochStore.idBloomItems(annIds.count())
+        EpochStore.writeIdBloom(spark, dir,
+          EpochStore.buildIdBloom(annIds, "id", bloomItems, EpochStore.IdBloomFpp),
+          bloomItems, EpochStore.IdBloomFpp)
+      },
+      () => writeAnnEpochSmallTables(spark, dir, centroids, nlist))
     EpochStore.writeManifest(spark, dir, Seq("assigned" -> assignedDir))
     EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))
     EpochStore.gc(spark, path, epoch, retainEpochs)

@@ -426,6 +426,48 @@ object TextOps {
         sum(when(col("n") < rareBelow, 1L).otherwise(0L)).as("n_rare"))
   }
 
+  /** Two-corpus frequency contrast — the exact-integer zeroth-order form
+    * of DSIR-style importance resampling (Xie et al. 2023 select raw data
+    * by the ratio of target-domain to raw-corpus likelihood under hashed
+    * n-gram models; the two corpora's own token frequencies are that
+    * signal with the log left to the caller, and integer sums stay
+    * bit-exact in any engine where a log-ratio would differ in ulps).
+    * For each `raw` document: `(idCol, n_toks, sum_raw_freq,
+    * sum_target_freq, n_target_hit)` — token count, the sum of each
+    * token's `raw`-corpus-wide count, the sum of its `target`-corpus
+    * count (0 when absent), and how many of the document's tokens occur
+    * in `target` at all. High `sum_target_freq / sum_raw_freq` ranks the
+    * document target-like; `n_target_hit / n_toks` is the coverage guard
+    * against scoring by a handful of stopwords. Documents with no tokens
+    * are absent (nothing to score).
+    *
+    * Plan shape for 100 TB: the raw frequency table is corpus-derived and
+    * cannot broadcast — the exploded tokens shuffle ONCE on the token key
+    * to meet it (exactly [[frequencyScore]]'s join); the TARGET frequency
+    * table is the curated domain sample, orders of magnitude smaller, so
+    * Catalyst broadcasts its left join and the contrast adds no second
+    * corpus shuffle. The per-doc rollup is the final aggregate. Text
+    * never moves — only (id, token) pairs.
+    */
+  def contrastScore(
+      raw: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      targetTextCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = raw.select(col(idCol), explode(wsTokens(col(textCol))).as("token"))
+    val rawTf = termFrequencies(raw, textCol).withColumnRenamed("n", "__rn")
+    val tgtTf = termFrequencies(target, targetTextCol).withColumnRenamed("n", "__tn")
+    toks.join(rawTf, Seq("token"))
+      .join(tgtTf, Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(col("__rn")).as("sum_raw_freq"),
+        sum(coalesce(col("__tn"), lit(0L))).as("sum_target_freq"),
+        sum(when(col("__tn").isNotNull, 1L).otherwise(0L)).as("n_target_hit"))
+  }
+
   /** Per-document top-`k` tokens by tf/df weight (tf-idf with the exact
     * rational inverse-frequency N/df — the constant corpus-size factor N
     * does not change per-document ranking, and dropping it keeps every

@@ -247,6 +247,15 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).nonEmpty)
   }
 
+  test("containment pairs shuffle gram keys and id pairs, never document text") {
+    val p = plan(ops.Decontam.containmentPairs(
+      Tables(spark, dir, "documents"), "doc_id", "text", n = 5))
+    p.split("\n").filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("text#"), s"text reached a shuffle:\n$p")
+    }
+    assert("Exchange".r.findAllIn(p).nonEmpty)
+  }
+
   test("paragraph dedup window is hash-keyed and its shuffle rows are hash-narrow") {
     val p = plan(ops.Dedup.dedupParagraphs(
       Tables(spark, dir, "documents"), "doc_id", "text"))

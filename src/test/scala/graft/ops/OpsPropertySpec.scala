@@ -109,6 +109,41 @@ object OpsPropertySpec extends Properties("graft.ops") {
         idxs.zipWithIndex.map { case (pi, i) => Row(offset + i + 1, dupPool(pi)) }, 2),
       docSt)
 
+  private val genTokenDocs: Gen[List[List[String]]] =
+    Gen.choose(0, 10).flatMap(k => Gen.listOfN(k,
+      Gen.choose(0, 10).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e")))))
+
+  property("containmentPairs equals the exhaustive set-containment computation") =
+    forAll(genTokenDocs) { docsToks =>
+      val n = 3
+      val tau = 0.3
+      val rows = docsToks.zipWithIndex.map { case (ts, i) =>
+        Row((i + 1).toLong, ts.mkString(" "))
+      }
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), docSt)
+      // the tiny 5-token vocab forces heavy gram sharing, so the df-capped
+      // candidate join, the min-side denominator, and the threshold all
+      // get exercised against a driver-side set computation
+      val gsets = docsToks.zipWithIndex.map { case (ts, i) =>
+        (i + 1).toLong -> ts.sliding(n).filter(_.sizeIs == n).map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty).toMap
+      val expected = (for {
+        (a, ga) <- gsets
+        (b, gb) <- gsets
+        if a < b
+        sh = ga.intersect(gb).size
+        if sh > 0
+        if sh.toDouble / math.min(ga.size, gb.size) >= tau
+      } yield (a, b, sh.toLong, ga.size.toLong, gb.size.toLong)).toSet
+      val got = Decontam.containmentPairs(
+        df, "doc_id", "text", n, minContainment = tau, maxDf = Long.MaxValue)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      got == expected
+    }
+
   property("appendDedupIndex equals a full rebuild on random duplicate-heavy corpora") =
     forAll(
       Gen.choose(1, 8).flatMap(k => Gen.listOfN(k, Gen.choose(0, 4))),

@@ -1751,6 +1751,68 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 3L, 6L, 0L), (2L, 2L, 3L, 1L)))
   }
 
+  test("contrastScore: exact raw/target frequency sums and hit counts") {
+    val raw = docs(1L -> "a a b", 2L -> "b c", 3L -> "")
+    val target = docs(10L -> "a c c")
+    // raw tf: a=2, b=2, c=1; target tf: a=1, c=2
+    val out = TextOps.contrastScore(raw, target, "doc_id", "text", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // doc1 toks a,a,b: raw 2+2+2=6, target 1+1+0=2, hits a,a → 2
+    // doc2 toks b,c: raw 2+1=3, target 0+2=2, hits c → 1; doc3 empty → absent
+    assert(out.toSeq == Seq((1L, 3L, 6L, 2L, 2L), (2L, 2L, 3L, 2L, 1L)))
+  }
+
+  test("containmentPairs: subset doc scores 1.0, maxDf mutes boilerplate-only pairs") {
+    // grams (n=3): doc1 {abc,bcd,cde,def}, doc2 {abc,bcd} ⊂ doc1,
+    // doc3 {abc,bcx,cxy,xyz} — "a b c" is the df-3 boilerplate gram
+    val df = docs(
+      1L -> "a b c d e f",
+      2L -> "a b c d",
+      3L -> "a b c x y z")
+    val out = Decontam.containmentPairs(
+      df, "doc_id", "text", n = 3, minContainment = 0.5, maxDf = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .sortBy(p => (p._1, p._2))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 2L, 4L, 2L, 1.0),   // subset pair: both doc2 grams shared
+      (2L, 3L, 1L, 2L, 4L, 0.5)))  // boilerplate-only overlap squeaks in
+    // (1,3) shares only "a b c": 1/4 = 0.25 < 0.5 — filtered.
+    // maxDf = 2 excludes the df-3 boilerplate gram from sharing: the
+    // (2,3) pair vanishes, the genuine subset pair survives via "b c d"
+    val capped = Decontam.containmentPairs(
+      df, "doc_id", "text", n = 3, minContainment = 0.5, maxDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(capped.toSeq == Seq((1L, 2L, 1L, 0.5)))
+    // denominators stay UNCAPPED distinct-gram counts in both runs
+  }
+
+  test("hardNegatives: cosine band excludes near-dups and easy negatives") {
+    val vecs = frame(
+      struct("vec_id" -> LongType, "embedding" -> ArrayType(FloatType)),
+      Row(0L, Seq(1.0f, 0.0f)),            // query
+      Row(1L, Seq(0.999f, 0.001f)),        // near-dup: cosine ≈ 1 ≥ maxCosine
+      Row(2L, Seq(0.8f, 0.6f)),            // in band: cosine 0.8/1.0 = 0.8 < 0.95
+      Row(3L, Seq(0.6f, 0.8f)),            // in band: cosine 0.6
+      Row(4L, Seq(-1.0f, 0.0f)),           // easy negative: cosine -1 < 0.1
+      Row(5L, Seq(0.0f, 0.0f)))            // zero vector: NaN cosine, never matches
+    val out = Similarity.hardNegatives(
+      vecs, vecs.where(col("vec_id") === 0), "embedding", "vec_id",
+      k = 5, maxCosine = 0.95, minCosine = 0.1)
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(2L, 3L))
+    assert(out.map(_.getInt(1)).toSeq == Seq(1, 2))
+    // and the band is exactly bruteForceTopK post-filtered
+    val bf = Similarity.bruteForceTopK(
+      vecs, vecs.where(col("vec_id") === 0), "embedding", "vec_id", k = 5)
+      .where(col("cosine") >= 0.1 && col("cosine") < 0.95)
+      .orderBy(col("cosine").desc).collect().map(_.getLong(2)).toSeq
+    assert(bf == out.map(_.getLong(2)).toSeq)
+  }
+
   test("paragraph index: probe ≡ union dedup, append ≡ rebuild, replay no-op, compact") {
     val root = java.nio.file.Files.createTempDirectory("graft_pidx").toString
     val dir = s"$root/pidx"

@@ -215,6 +215,29 @@ class RecallSpec extends SparkSpec {
       s"expected exactly the >=0.7 non-NaN pairs, got $got")
   }
 
+  test("hardNegativesAgainstIndex: exact at nprobe = nlist (q119 twin); recall floor at nprobe = 2") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-ann-hn").toString
+    Similarity.writeAnnIndex(emb, "embedding", "vec_id", idx, nlist = 8)
+    val queries = emb.where(col("vec_id") % 17 === 0)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val exact = Similarity.hardNegatives(
+      emb, queries, "embedding", "vec_id", k = 5, maxCosine = 0.8, minCosine = 0.1)
+    // every cell probed ⇒ candidate set is the whole corpus ⇒ row-for-row
+    // identical to the broadcast-quadratic miner
+    val full = Similarity.hardNegativesAgainstIndex(
+      queries, "embedding", "vec_id", idx,
+      k = 5, maxCosine = 0.8, minCosine = 0.1, nprobe = 8)
+    assert(rows(full) == rows(exact))
+    // approximate probing keeps a sane fraction of the exact mined set
+    val approx = neighborSets(Similarity.hardNegativesAgainstIndex(
+      queries, "embedding", "vec_id", idx,
+      k = 5, maxCosine = 0.8, minCosine = 0.1, nprobe = 2))
+    val r = recallAgainst(neighborSets(exact), approx)
+    assert(r >= 0.4, s"hard-negative recall at nprobe=2 collapsed: $r")
+  }
+
   test("diversitySample: deterministic, caps every cell, keeps small cells whole") {
     requireTestdata(sfDir)
     val n = 5
