@@ -28,13 +28,12 @@ final class BpeModel private (ranks: Map[(String, String), Int]) extends Seriali
           size > 65536
       })
 
-  /** Number of BPE symbols the byte-encoded `word` merges down to. */
-  private def bpeLen(word: String): Int = {
-    if (word.length <= 1) return word.length
-    val cached = cache.get(word)
-    if (cached != null) return cached.intValue
+  /** The merged symbol sequence of one byte-encoded word — the shared
+    * merge loop behind counting and encoding.
+    */
+  private def mergeWord(word: String): mutable.ArrayBuffer[String] = {
     var symbols = mutable.ArrayBuffer.tabulate(word.length)(i => word.substring(i, i + 1))
-    var done = false
+    var done = symbols.length <= 1
     while (!done && symbols.length > 1) {
       var best = Int.MaxValue
       var i = 0
@@ -58,9 +57,72 @@ final class BpeModel private (ranks: Map[(String, String), Int]) extends Seriali
         symbols = out
       }
     }
-    cache.put(word, symbols.length)
-    symbols.length
+    symbols
   }
+
+  /** Number of BPE symbols the byte-encoded `word` merges down to. */
+  private def bpeLen(word: String): Int = {
+    if (word.length <= 1) return word.length
+    val cached = cache.get(word)
+    if (cached != null) return cached.intValue
+    val n = mergeWord(word).length
+    cache.put(word, n)
+    n
+  }
+
+  /** Id space derived from the merge table alone: ids 0–255 are the byte
+    * alphabet in byte order, then one id per merge rule's output symbol in
+    * rank order (first occurrence wins on the rare duplicate output).
+    * This is the canonical vocabulary a byte-level BPE trainer constructs
+    * from these merges — deterministic and stable across engines — NOT the
+    * published GPT-2 `encoder.json` numbering, which carries its own
+    * training-time id assignment. Training-data pipelines tokenizing from
+    * scratch want exactly this derived space.
+    */
+  @transient private lazy val vocab: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](ranks.size * 2 + 512)
+    var b = 0
+    while (b < 256) {
+      m.put(BpeModel.byteSymbol(b), Integer.valueOf(b)); b += 1
+    }
+    ranks.toSeq.sortBy(_._2).foreach { case ((l, r), _) =>
+      val s = l + r
+      if (!m.containsKey(s)) m.put(s, Integer.valueOf(m.size))
+    }
+    m
+  }
+
+  /** Number of distinct symbols in the derived vocabulary. */
+  def vocabSize: Int = vocab.size
+
+  /** The merged BPE symbol strings of `text`, in order (empty for
+    * null/empty input). Symbols are in the byte-encoder alphabet —
+    * [[BpeModel.decodeSymbols]] recovers the exact original text, and
+    * every symbol has an id in the derived vocabulary ([[encodeIds]]).
+    * By construction `encodeSymbols(t).length == countTokens(t)`.
+    */
+  def encodeSymbols(text: String): Array[String] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val m = BpeModel.PreToken.matcher(text)
+    val out = mutable.ArrayBuffer.empty[String]
+    while (m.find()) {
+      val bytes = m.group().getBytes("UTF-8")
+      val sb = new java.lang.StringBuilder(bytes.length)
+      var i = 0
+      while (i < bytes.length) {
+        sb.append(BpeModel.ByteEncoder(bytes(i) & 0xff)); i += 1
+      }
+      out ++= mergeWord(sb.toString)
+    }
+    out.toArray
+  }
+
+  /** Token ids of `text` in the derived vocabulary (see [[vocabSize]]).
+    * Every symbol the merge loop emits is either a single alphabet char or
+    * some rule's output, so the lookup is total.
+    */
+  def encodeIds(text: String): Array[Int] =
+    encodeSymbols(text).map(s => vocab.get(s).intValue)
 
   /** Token count of `text` under this merge table (0 for null/empty). */
   def countTokens(text: String): Int = {
@@ -104,6 +166,32 @@ object BpeModel {
       b += 1
     }
     out
+  }
+
+  private[functions] def byteSymbol(b: Int): String = ByteEncoder(b).toString
+
+  @transient private lazy val ByteDecoder: java.util.HashMap[Character, java.lang.Byte] = {
+    val m = new java.util.HashMap[Character, java.lang.Byte](512)
+    var b = 0
+    while (b < 256) {
+      m.put(Character.valueOf(ByteEncoder(b)), java.lang.Byte.valueOf(b.toByte)); b += 1
+    }
+    m
+  }
+
+  /** Exact inverse of [[BpeModel.encodeSymbols]]: map each symbol's chars
+    * back through the byte encoder and decode UTF-8. Throws on a char
+    * outside the byte alphabet (a symbol that never came from this
+    * encoder).
+    */
+  def decodeSymbols(symbols: Seq[String]): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    symbols.foreach(_.foreach { c =>
+      val b = ByteDecoder.get(Character.valueOf(c))
+      require(b != null, s"char '\\u${c.toInt.toHexString}' is not in the byte-level BPE alphabet")
+      bos.write(b.byteValue & 0xff)
+    })
+    new String(bos.toByteArray, "UTF-8")
   }
 
   /** Parse GPT-2 `merges.txt` lines: one "left right" pair per line in

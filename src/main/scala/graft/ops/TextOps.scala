@@ -61,6 +61,23 @@ object TextOps {
     (text: Column) => f(text)
   }
 
+  /** Full byte-level BPE ENCODE to token-id arrays (`array<int>`) — the
+    * materialization step after counting/packing, producing the rows a
+    * training loader reads directly. Ids live in the merge table's derived
+    * vocabulary ([[graft.functions.BpeModel.encodeIds]]: bytes 0–255 then
+    * merge outputs in rank order — the canonical from-scratch id space,
+    * deterministic across engines). Same broadcast-once/LRU-memo UDF
+    * discipline as [[bpeTokenCountFromMerges]]; null text encodes to null.
+    */
+  def bpeEncodeFromMerges(
+      spark: org.apache.spark.sql.SparkSession,
+      mergesPath: String): Column => Column = {
+    val bc = spark.sparkContext.broadcast(
+      graft.functions.BpeModel.fromMergesFile(mergesPath))
+    val f = udf((s: String) => if (s == null) null else bc.value.encodeIds(s))
+    (text: Column) => f(text)
+  }
+
   /** Occurrences of any of `words` among the whitespace tokens. */
   def wordHits(text: Column, words: Seq[String]): Column =
     size(filter(wsTokens(text), w => w.isInCollection(words)))

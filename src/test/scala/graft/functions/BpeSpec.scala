@@ -50,6 +50,40 @@ class BpeSpec extends SparkSpec {
     assert(proxy == 2) // "hello world" = two alpha runs under the proxy
   }
 
+  test("encodeSymbols/encodeIds match the hand computation; decode round-trips") {
+    val m = model
+    // "hello" → [hell, o]; space-prefixed second word keeps its Ġ symbol
+    assert(m.encodeSymbols("hello").toSeq == Seq("hell", "o"))
+    assert(m.encodeSymbols("hello hello").toSeq ==
+      Seq("hell", "o", "Ġ", "hell", "o"))
+    assert(m.encodeSymbols("").isEmpty && m.encodeSymbols(null).isEmpty)
+    // count ≡ encode length by construction
+    Seq("hello world", "it's", "é", "hello  hello\n", "###").foreach { t =>
+      assert(m.encodeSymbols(t).length == m.countTokens(t), s"mismatch on '$t'")
+    }
+    // decode is the exact inverse, including multi-byte UTF-8 and whitespace
+    Seq("hello world", "it's é", " leading and  double  spaces\n", "hélloé")
+      .foreach { t => assert(BpeModel.decodeSymbols(m.encodeSymbols(t).toSeq) == t) }
+    // derived id space: bytes 0-255 then merges in rank order —
+    // fixture merges are (h,e)=256, (l,l)=257, (he,ll)=258
+    assert(m.vocabSize == 259)
+    assert(m.encodeIds("hello").toSeq == Seq(258, 'o'.toInt))
+    assert(m.encodeIds("ll").toSeq == Seq(257))
+    // every emitted symbol has an id (lookup is total over arbitrary text)
+    assert(m.encodeIds("wider coverage: 123 !?").length == m.countTokens("wider coverage: 123 !?"))
+  }
+
+  test("the Spark encode backend produces id arrays with nulls preserved") {
+    val df = frame(struct("doc_id" -> LongType, "text" -> StringType),
+      Row(1L, "hello"), Row(2L, null))
+    val enc = TextOps.bpeEncodeFromMerges(
+      spark, getClass.getResource("/bpe_test_merges.txt").getPath)
+    val out = df.select(col("doc_id"), enc(col("text")).as("ids"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getSeq[Int](1) == Seq(258, 'o'.toInt))
+    assert(out(1).isNullAt(1))
+  }
+
   test("malformed and empty merges files fail loudly") {
     intercept[IllegalArgumentException] {
       BpeModel.fromMerges(Iterator("#version: 0.2")) // header only, no rules

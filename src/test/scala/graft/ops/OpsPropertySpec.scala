@@ -201,9 +201,14 @@ object OpsPropertySpec extends Properties("graft.ops") {
     forAll(Gen.listOf(Gen.oneOf("hello", "world", "it's", "héllo", "123", "x"))
       .map(_.mkString(" "))) { s =>
       val c = bpe.countTokens(s)
+      val syms = bpe.encodeSymbols(s)
       c == bpe.countTokens(s) &&
         c <= s.getBytes("UTF-8").length &&
-        (s.isEmpty || c >= 1)
+        (s.isEmpty || c >= 1) &&
+        // encode agrees with count, ids are total, decode inverts exactly
+        syms.length == c &&
+        bpe.encodeIds(s).length == c &&
+        graft.functions.BpeModel.decodeSymbols(syms.toSeq) == s
     }
 
   property("dedupRepeatedSpans matches an independent interval-union recomputation") =
