@@ -580,15 +580,45 @@ object Similarity {
 
   private def writeAnnEpochSmallTables(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      centroids: Seq[(Int, Seq[Float])], nlist: Int): Unit = {
+      centroids: Seq[(Int, Seq[Float])], nlist: Int,
+      quantized: Boolean = false): Unit = {
     import spark.implicits._
     centroids.toDF("cell", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
     val dim = centroids.headOption.map(_._2.length).getOrElse(0)
-    Seq((nlist, dim, AnnIndexFormatVersion))
-      .toDF("nlist", "dim", "format_version")
+    Seq((nlist, dim, AnnIndexFormatVersion, quantized))
+      .toDF("nlist", "dim", "format_version", "quantized")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
+
+  /** Whether the index stores int8 codes (pre-quantization epochs read
+    * false — their meta predates the column).
+    */
+  private def annMetaQuantized(meta: org.apache.spark.sql.Row): Boolean =
+    meta.schema.fieldNames.contains("quantized") && meta.getAs[Boolean]("quantized")
+
+  /** The assigned table as (cell, id, vec float vectors) regardless of
+    * storage: quantized epochs dequantize on read (`q · scale`, fused into
+    * the scan — codegen arithmetic, no shuffle, no UDF).
+    */
+  private def readAssignedVecs(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      quantized: Boolean): DataFrame = {
+    val t = EpochStore.readTable(spark, dir, "assigned")
+    if (quantized) dequantizeInt8(t, "qvec", "scale", "vec").select("cell", "id", "vec")
+    else t.select("cell", "id", "vec")
+  }
+
+  /** The storage projection of one batch of (cell, id, vec) rows: float
+    * vectors pass through, quantized indexes store per-vector int8 codes +
+    * scale ([[quantizeInt8]]) — the 4× cut, applied identically at build
+    * and append time (per-vector max-abs scaling carries no global state,
+    * so appends are self-consistent with any standing epoch).
+    */
+  private def assignedStorage(assigned: DataFrame, quantize: Boolean): DataFrame =
+    if (!quantize) assigned
+    else quantizeInt8(assigned, "vec")
+      .select(col("cell"), col("id"), col("vec_q").as("qvec"), col("scale"))
 
   /** Centroids trained without touching anything corpus-sized: hyperplane
     * seeding then per-cell element means over a content-keyed sample —
@@ -655,6 +685,18 @@ object Similarity {
     * At real scale, `assigned` is the corpus' vectors re-keyed by a small
     * int — store it once, probe many times; cell-bucketing the table makes
     * every probe join exchange-free on the corpus side.
+    *
+    * `quantize = true` stores per-vector int8 codes + a float scale
+    * ([[quantizeInt8]]) instead of float vectors — the 4× storage/IO cut a
+    * 100 TB vector store takes first. The scheme is recorded in `meta` and
+    * every reader honors it: probes dequantize ON READ (`q · scale` fused
+    * into the scan — codegen arithmetic, no shuffle), appends quantize
+    * their deltas to match the standing epochs (per-vector max-abs scaling
+    * carries no global state), and compaction preserves the original codes
+    * (re-quantizing a dequantized vector is an identity round-trip).
+    * Neighbor results are computed over the dequantized vectors — exact
+    * for THAT stored corpus, within quantization error of the float one
+    * (RecallSpec pins the top-k recall floor).
     */
   def writeAnnIndex(
       corpus: DataFrame,
@@ -663,7 +705,8 @@ object Similarity {
       path: String,
       nlist: Int = 16,
       retainEpochs: Int = 2,
-      trainFraction: Double = 1.0): Unit = {
+      trainFraction: Double = 1.0,
+      quantize: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     EpochStore.withLease(spark, path) {
     val centroids = trainCentroids(corpus, vecCol, idCol, nlist, trainFraction)
@@ -679,9 +722,11 @@ object Similarity {
     // the O(nlist) small-table writes
     EpochStore.inParallel(
       () => {
-        corpus.select(
-          idx.nearestCell(col(vecCol)).as("cell"),
-          col(idCol).as("id"), col(vecCol).as("vec"))
+        assignedStorage(
+          corpus.select(
+            idx.nearestCell(col(vecCol)).as("cell"),
+            col(idCol).as("id"), col(vecCol).as("vec")),
+          quantize)
           .write.mode("overwrite").parquet(s"$path/data/$assignedDir")
         // id bloom for the O(1) append guard ([[EpochStore.idGuardNeedsExact]])
         val annIds = spark.read.parquet(s"$path/data/$assignedDir").select("id")
@@ -690,7 +735,7 @@ object Similarity {
           EpochStore.buildIdBloom(annIds, "id", bloomItems, EpochStore.IdBloomFpp),
           bloomItems, EpochStore.IdBloomFpp)
       },
-      () => writeAnnEpochSmallTables(spark, dir, centroids, nlist))
+      () => writeAnnEpochSmallTables(spark, dir, centroids, nlist, quantize))
     EpochStore.writeManifest(spark, dir, Seq("assigned" -> assignedDir))
     EpochStore.commitEpoch(spark, path, epoch, cur)
     EpochStore.gc(spark, path, epoch, retainEpochs)
@@ -718,6 +763,7 @@ object Similarity {
     EpochStore.withLease(spark, path) {
     val (curDir, meta) = resolveAnnIndex(spark, path)
     val nlist = meta.getAs[Int]("nlist")
+    val quantized = annMetaQuantized(meta) // storage scheme is the index's, not the caller's
     val centroids = readAnnCentroids(spark, curDir)
     // dup-id guard: bloom clears clean batches without reading the
     // standing `assigned` id column; hits fall back to the exact check
@@ -739,9 +785,11 @@ object Similarity {
     val assignedDir = EpochStore.dataDirName("assigned", n)
     // delta write, successor bloom, and small tables are independent
     EpochStore.inParallel(
-      () => newVecs.select(
-        idx.nearestCell(col(vecCol)).as("cell"),
-        col(idCol).as("id"), col(vecCol).as("vec"))
+      () => assignedStorage(
+        newVecs.select(
+          idx.nearestCell(col(vecCol)).as("cell"),
+          col(idCol).as("id"), col(vecCol).as("vec")),
+        quantized)
         .write.mode("overwrite").parquet(s"$path/data/$assignedDir"),
       () => {
         val (bItems, bFpp, bBytes) = EpochStore.appendedIdBloom(
@@ -750,7 +798,7 @@ object Similarity {
             .unionByName(newVecs.select(col(idCol).as("id"))), "id")
         EpochStore.writeIdBloom(spark, dir, bBytes, bItems, bFpp)
       },
-      () => writeAnnEpochSmallTables(spark, dir, centroids, nlist))
+      () => writeAnnEpochSmallTables(spark, dir, centroids, nlist, quantized))
     EpochStore.writeManifest(spark, dir,
       EpochStore.readManifest(spark, curDir) :+ ("assigned" -> assignedDir))
     EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))
@@ -840,10 +888,10 @@ object Similarity {
       floor: Double,
       nprobe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
-    val (dir, _) = resolveAnnIndex(spark, path)
+    val (dir, meta) = resolveAnnIndex(spark, path)
     val idx = IvfIndex(
       readAnnCentroids(spark, dir),
-      EpochStore.readTable(spark, dir, "assigned").select(
+      readAssignedVecs(spark, dir, annMetaQuantized(meta)).select(
         col("cell"), col("id").as("neighbor_id"), col("vec").as("cv")),
       null)
     queries.select(
@@ -898,15 +946,24 @@ object Similarity {
     val dir = s"$path/$epoch"
     EpochStore.deleteDir(spark, dir)
     val assignedDir = EpochStore.dataDirName("assigned", n)
+    val quantized = annMetaQuantized(meta)
     val standing = EpochStore.readTable(spark, curDir, "assigned")
+    // retraining needs float vectors; quantized epochs dequantize on read
+    // but KEEP their original codes in the rewrite (requantizing would be
+    // an identity round-trip paid for nothing)
+    val withVec =
+      if (retrain && quantized) dequantizeInt8(standing, "qvec", "scale", "vec")
+      else standing
     val centroids =
-      if (retrain) trainCentroids(standing, "vec", "id", nlist, trainFraction)
+      if (retrain) trainCentroids(withVec, "vec", "id", nlist, trainFraction)
       else readAnnCentroids(spark, curDir)
+    val storageCols =
+      if (quantized) Seq(col("id"), col("qvec"), col("scale"))
+      else Seq(col("id"), col("vec"))
     val compacted =
       if (retrain) {
         val idx = IvfIndex(centroids, null, null)
-        standing.select(
-          idx.nearestCell(col("vec")).as("cell"), col("id"), col("vec"))
+        withVec.select(idx.nearestCell(col("vec")).as("cell") +: storageCols: _*)
       } else standing
     // the assigned rewrite (then its read-back bloom) overlaps the small
     // tables
@@ -920,7 +977,7 @@ object Similarity {
           EpochStore.buildIdBloom(annIds, "id", bloomItems, EpochStore.IdBloomFpp),
           bloomItems, EpochStore.IdBloomFpp)
       },
-      () => writeAnnEpochSmallTables(spark, dir, centroids, nlist))
+      () => writeAnnEpochSmallTables(spark, dir, centroids, nlist, quantized))
     EpochStore.writeManifest(spark, dir, Seq("assigned" -> assignedDir))
     EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))
     EpochStore.gc(spark, path, epoch, retainEpochs)
@@ -942,10 +999,10 @@ object Similarity {
       k: Int,
       nprobe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
-    val (dir, _) = resolveAnnIndex(spark, path)
+    val (dir, meta) = resolveAnnIndex(spark, path)
     val idx = IvfIndex(
       readAnnCentroids(spark, dir),
-      EpochStore.readTable(spark, dir, "assigned").select(
+      readAssignedVecs(spark, dir, annMetaQuantized(meta)).select(
         col("cell"), col("id").as("neighbor_id"), col("vec").as("cv")),
       null)
     ivfProbe(idx, queries, vecCol, idCol, k, nprobe)

@@ -215,6 +215,47 @@ class RecallSpec extends SparkSpec {
       s"expected exactly the >=0.7 non-NaN pairs, got $got")
   }
 
+  test("quantized ANN index: int8 on disk, probes ≡ brute force over dequantized, lifecycle intact") {
+    val idxQ = java.nio.file.Files.createTempDirectory("graft-ann-q").toString
+    val part = emb.where(col("vec_id") % 10 =!= 5)
+    Similarity.writeAnnIndex(part, "embedding", "vec_id", idxQ, nlist = 8, quantize = true)
+    // on disk: codes + scale, no float vector column
+    val (dir0, meta0) = Similarity.resolveAnnIndex(spark, idxQ)
+    assert(meta0.getAs[Boolean]("quantized"))
+    val cols = EpochStore.readTable(spark, dir0, "assigned").columns.toSet
+    assert(cols == Set("cell", "id", "qvec", "scale"), s"unexpected storage schema $cols")
+    // a frozen-quantizer append stores codes too, transparently
+    Similarity.appendAnnIndex(
+      emb.where(col("vec_id") % 10 === 5), "embedding", "vec_id", idxQ)
+    // full probe ≡ brute force over the DEQUANTIZED corpus (exact for the
+    // stored representation: same dequantize expressions on both sides)
+    val queries = emb.where(col("vec_id") < 10)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val deqCorpus = Similarity.dequantizeInt8(
+      Similarity.quantizeInt8(emb.select(col("vec_id"), col("embedding").as("vec")), "vec"),
+      "vec_q", "scale", "dv")
+      .select(col("vec_id"), col("dv").as("embedding"))
+    val expect = Similarity.bruteForceTopK(deqCorpus, queries, "embedding", "vec_id", k = 5)
+    val got = Similarity.annTopKAgainstIndex(
+      queries, "embedding", "vec_id", idxQ, k = 5, nprobe = 8)
+    assert(rows(got) == rows(expect))
+    // recall vs the FLOAT corpus stays near-exact (int8 error is tiny)
+    val r = recallAgainst(
+      neighborSets(Similarity.bruteForceTopK(emb, queries, "embedding", "vec_id", k = 5)),
+      neighborSets(got))
+    assert(r >= 0.9, s"quantized-index recall vs float collapsed: $r")
+    // retraining compaction keeps codes and probe equality
+    Similarity.compactAnnIndex(spark, idxQ, retrain = true)
+    val (dir1, meta1) = Similarity.resolveAnnIndex(spark, idxQ)
+    assert(meta1.getAs[Boolean]("quantized"))
+    assert(EpochStore.readTable(spark, dir1, "assigned").columns.toSet ==
+      Set("cell", "id", "qvec", "scale"))
+    assert(rows(Similarity.annTopKAgainstIndex(
+      queries, "embedding", "vec_id", idxQ, k = 5, nprobe = 8)) == rows(expect))
+  }
+
   test("hardNegativesAgainstIndex: exact at nprobe = nlist (q119 twin); recall floor at nprobe = 2") {
     val idx = java.nio.file.Files.createTempDirectory("graft-ann-hn").toString
     Similarity.writeAnnIndex(emb, "embedding", "vec_id", idx, nlist = 8)
