@@ -868,6 +868,22 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // incremental containment: today's batch (the planted derivatives)
+    // against the standing corpus — only cross-side pairs generated, df
+    // cap over the union so batch ≡ rebuild; the daily-crawl twin of q117
+    "q120_containment_against" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      val deriv = docs
+        .where(col("doc_id") % 11 === 0 && col("text").isNotNull)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(graft.ops.TextOps.wsTokens(col("text")), 1, 30), " ")
+            .as("text"))
+      graft.ops.Decontam.containmentPairsAgainst(
+        deriv, docs, "doc_id", "text",
+        n = 5, minContainment = 0.5, maxDf = 50)
+        .orderBy(col("new_id"), col("existing_id"))
+    }),
+
     // hard-negative mining for contrastive training: per query (the %17
     // vectors — a "training batch"), top-5 corpus neighbors inside the
     // cosine band [0.1, 0.8) — near-dups excluded above, easy negatives
@@ -2150,6 +2166,43 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE cast(sh AS double) / cast(least(sa.ng, sb.ng) AS double) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q120_containment_against" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    array_to_string(list_filter(string_split_regex(text, '\s+'),
+        |                                x -> x <> '')[1:30], ' ')
+        |  FROM documents WHERE doc_id % 11 = 0 AND text IS NOT NULL
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        |  FROM docs WHERE text IS NOT NULL
+        |), pg AS (
+        |  SELECT DISTINCT doc_id, substr(md5(array_to_string(l[i:i+4], ' ')), 1, 16) AS g
+        |  FROM toks, unnest(range(1, len(l)-5+2)) AS t(i)
+        |  WHERE len(l) >= 5
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS ng FROM pg GROUP BY doc_id
+        |), gc AS (
+        |  SELECT g FROM pg GROUP BY g HAVING count(*) BETWEEN 2 AND 50
+        |), kept AS (
+        |  SELECT doc_id, g FROM pg JOIN gc USING (g)
+        |), shared AS (
+        |  SELECT a.doc_id AS new_id, b.doc_id AS existing_id, count(*) AS sh
+        |  FROM kept a JOIN kept b USING (g)
+        |  WHERE a.doc_id >= 2000000 AND b.doc_id < 2000000
+        |  GROUP BY 1, 2
+        |)
+        |SELECT new_id, existing_id, cast(sh AS bigint) AS shared_grams,
+        |  cast(sa.ng AS bigint) AS n_grams_new,
+        |  cast(sb.ng AS bigint) AS n_grams_existing,
+        |  cast(sh AS double) / cast(least(sa.ng, sb.ng) AS double) AS containment
+        |FROM shared
+        |JOIN sizes sa ON sa.doc_id = new_id
+        |JOIN sizes sb ON sb.doc_id = existing_id
+        |WHERE cast(sh AS double) / cast(least(sa.ng, sb.ng) AS double) >= 0.5
+        |ORDER BY new_id, existing_id""".stripMargin,
 
     // full probe ⇒ identical to q118's exact band ranking
     "q119_hard_negatives_ivf" ->

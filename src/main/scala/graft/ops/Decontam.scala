@@ -328,6 +328,52 @@ object Decontam {
         col("n_grams_a"), col("n_grams_b"), col("containment"))
   }
 
+  /** Incremental [[containmentPairs]]: today's batch against the standing
+    * corpus, generating ONLY cross-side candidates — new×new and
+    * existing×existing pairs are never formed, the
+    * [[Dedup.minhashPairsAgainst]] discipline at containment semantics.
+    * Gram document-frequency (the `maxDf` boilerplate cap) is computed
+    * over the UNION of both sides, so the result is exactly
+    * `containmentPairs(new ∪ existing)` restricted to cross pairs — a
+    * batch that later folds into the corpus sees the same pairs either
+    * way. Ids must be disjoint across sides (same contract as appending).
+    * Returns `(new_id, existing_id, shared_grams, n_grams_new,
+    * n_grams_existing, containment)` with the same min-side containment
+    * and UNCAPPED denominators as the batch form.
+    */
+  def containmentPairsAgainst(
+      newDocs: DataFrame,
+      existing: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      minContainment: Double = 0.5,
+      maxDf: Long = 10000L): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2 (no pair can share a df-1 gram), got $maxDf")
+    val ng = grams(newDocs, textCol, n, Seq(col(idCol))).distinct()
+    val eg = grams(existing, textCol, n, Seq(col(idCol))).distinct()
+    val gc = ng.unionByName(eg)
+      .groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
+      .where(col("__nd") >= 2 && col("__nd") <= maxDf)
+      .select(col("__g"))
+    val a = ng.join(gc, Seq("__g")).select(col(idCol).as("new_id"), col("__g"))
+    val b = eg.join(gc, Seq("__g")).select(col(idCol).as("existing_id"), col("__g"))
+    val shared = a.join(b, Seq("__g"))
+      .groupBy(col("new_id"), col("existing_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+    shared
+      .join(ng.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams_new"))
+        .withColumnRenamed(idCol, "new_id"), Seq("new_id"))
+      .join(eg.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams_existing"))
+        .withColumnRenamed(idCol, "existing_id"), Seq("existing_id"))
+      .withColumn("containment",
+        col("shared_grams").cast("double") /
+          least(col("n_grams_new"), col("n_grams_existing")).cast("double"))
+      .where(col("containment") >= minContainment)
+      .select(col("new_id"), col("existing_id"), col("shared_grams"),
+        col("n_grams_new"), col("n_grams_existing"), col("containment"))
+  }
+
   def sourceOverlapMatrix(
       corpus: DataFrame,
       stratumCol: String,

@@ -1790,6 +1790,33 @@ class OpsSpec extends SparkSpec {
     // denominators stay UNCAPPED distinct-gram counts in both runs
   }
 
+  test("containmentPairsAgainst: cross-side only, ≡ batch form on the union") {
+    val existing = docs(1L -> "a b c d e f", 3L -> "a b c x y z")
+    val newDocs = docs(2L -> "a b c d")
+    val out = Decontam.containmentPairsAgainst(
+      newDocs, existing, "doc_id", "text", n = 3, minContainment = 0.5, maxDf = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .sortBy(p => (p._1, p._2))
+    // exactly the union-corpus pairs that cross sides: doc2 ⊂ doc1 at 1.0,
+    // doc2's boilerplate-only overlap with doc3 at 0.5; the (1,3)
+    // existing×existing pair is never generated
+    assert(out.toSeq == Seq(
+      (2L, 1L, 2L, 2L, 4L, 1.0),
+      (2L, 3L, 1L, 2L, 4L, 0.5)))
+    // …which is the batch form on the union, cross-filtered
+    val union = Decontam.containmentPairs(
+      existing.unionByName(newDocs), "doc_id", "text",
+      n = 3, minContainment = 0.5, maxDf = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+      .filter(p => p._1 == 2L || p._2 == 2L)
+      .map(p => if (p._1 == 2L) (p._1, p._2, p._3, p._4) else (p._2, p._1, p._3, p._4))
+      .sortBy(p => (p._1, p._2))
+    assert(union.toSeq == out.map(p => (p._1, p._2, p._3, p._6)).toSeq)
+  }
+
   test("hardNegatives: cosine band excludes near-dups and easy negatives") {
     val vecs = frame(
       struct("vec_id" -> LongType, "embedding" -> ArrayType(FloatType)),
