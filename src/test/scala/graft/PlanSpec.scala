@@ -247,6 +247,27 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).nonEmpty)
   }
 
+  test("contrast score shuffles tokens and counters, never document text") {
+    val docs = Tables(spark, dir, "documents")
+    val p = plan(ops.TextOps.contrastScore(
+      docs, docs.where(col("doc_id") % 7 === 0), "doc_id", "text", "text"))
+    p.split("\n").filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("text#"), s"text reached a shuffle:\n$p")
+    }
+    assert("Exchange".r.findAllIn(p).nonEmpty)
+  }
+
+  test("hard negatives broadcast the query batch; the only shuffle is the ranking window") {
+    val emb = Tables(spark, dir, "embeddings")
+    val p = plan(ops.Similarity.hardNegatives(
+      emb, emb.where(col("vec_id") % 17 === 0), "embedding", "vec_id",
+      k = 5, maxCosine = 0.8, minCosine = 0.1))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query batch must broadcast against the streaming corpus:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected exactly the per-query ranking exchange, saw $shuffles:\n$p")
+  }
+
   test("containment pairs shuffle gram keys and id pairs, never document text") {
     val p = plan(ops.Decontam.containmentPairs(
       Tables(spark, dir, "documents"), "doc_id", "text", n = 5))
