@@ -131,6 +131,15 @@ object SparkEntry {
         docsWithParagraphs(s, d).where(col("doc_id") % 3 === 0),
         "doc_id", "t", q108IndexDir(d)).count()
       ()
+    }),
+    ("q119_hard_negatives_ivf", "q119_build", (s: SparkSession, d: String) =>
+      graft.ops.Similarity.writeAnnIndex(
+        embParallel(s, d), "embedding", "vec_id", q119IndexDir(d), nlist = 8)),
+    ("q119_hard_negatives_ivf", "q119_probe", (s: SparkSession, d: String) => {
+      graft.ops.Similarity.hardNegativesAgainstIndex(
+        embParallel(s, d).where(col("vec_id") % 17 === 0), "embedding", "vec_id",
+        q119IndexDir(d), k = 5, maxCosine = 0.8, minCosine = 0.1, nprobe = 8).count()
+      ()
     }))
 
   /** documents with the cluster's parallelism. The test parquet is ONE small
