@@ -877,6 +877,24 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // winnowing fingerprints (Schleimer et al. 2003 / MOSS): the planted
+    // q117 derivatives share ≥ 30-token runs with their sources — far past
+    // the w+n-1 = 8 guarantee — so every derivative pair surfaces from
+    // ~2/(w+1) of the gram volume; per-doc selection is pure codegen in
+    // the scan, value-level minima make the set engine-portable
+    "q121_winnowing_pairs" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      val deriv = docs
+        .where(col("doc_id") % 11 === 0 && col("text").isNotNull)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(graft.ops.TextOps.wsTokens(col("text")), 1, 30), " ")
+            .as("text"))
+      graft.ops.Decontam.winnowingPairs(
+        docs.unionByName(deriv), "doc_id", "text",
+        n = 5, w = 4, minShared = 2, maxDf = 50)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // incremental containment: today's batch (the planted derivatives)
     // against the standing corpus — only cross-side pairs generated, df
     // cap over the union so batch ≡ rebuild; the daily-crawl twin of q117
@@ -2174,6 +2192,56 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE cast(sh AS double) / cast(least(sa.ng, sb.ng) AS double) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // per-doc winnowing in SQL: window minima over pos-ordered gram keys;
+    // a doc with fewer than w grams keeps the window ending at its LAST
+    // position, which covers everything it has (the single-window
+    // fallback). Value-distinct selection makes tie positions irrelevant
+    "q121_winnowing_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    array_to_string(list_filter(string_split_regex(text, '\s+'),
+        |                                x -> x <> '')[1:30], ' ')
+        |  FROM documents WHERE doc_id % 11 = 0 AND text IS NOT NULL
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        |  FROM docs WHERE text IS NOT NULL
+        |), occ AS (
+        |  SELECT doc_id, i - 1 AS pos, substr(md5(array_to_string(l[i:i+4], ' ')), 1, 16) AS g
+        |  FROM toks, unnest(range(1, len(l)-5+2)) AS t(i)
+        |  WHERE len(l) >= 5
+        |), cnt AS (
+        |  SELECT doc_id, count(*) AS m FROM occ GROUP BY doc_id
+        |), wins AS (
+        |  SELECT o.doc_id,
+        |    min(g) OVER (PARTITION BY o.doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mg,
+        |    pos, c.m
+        |  FROM occ o JOIN cnt c USING (doc_id)
+        |), fp AS (
+        |  SELECT DISTINCT doc_id, mg AS g FROM wins
+        |  WHERE (m >= 4 AND pos >= 3) OR (m < 4 AND pos = m - 1)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS nf FROM fp GROUP BY doc_id
+        |), gc AS (
+        |  SELECT g FROM fp GROUP BY g HAVING count(*) BETWEEN 2 AND 50
+        |), kept AS (
+        |  SELECT doc_id, g FROM fp JOIN gc USING (g)
+        |), shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS sh
+        |  FROM kept a JOIN kept b USING (g)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 2
+        |)
+        |SELECT id_a, id_b, cast(sh AS bigint) AS shared_fps,
+        |  cast(sa.nf AS bigint) AS n_fps_a, cast(sb.nf AS bigint) AS n_fps_b
+        |FROM shared
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
         |ORDER BY id_a, id_b""".stripMargin,
 
     "q120_containment_against" ->

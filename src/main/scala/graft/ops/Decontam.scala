@@ -328,6 +328,79 @@ object Decontam {
         col("n_grams_a"), col("n_grams_b"), col("containment"))
   }
 
+  /** Winnowed fingerprint keys of one document (Schleimer et al. 2003,
+    * SIGMOD — the MOSS algorithm, public): hash every word `n`-gram, slide
+    * a window of `w` consecutive hashes, keep each window's MINIMUM, and
+    * return the distinct kept values. Value-level winnowing: the selected
+    * value SET is independent of which tied position a window picks, so it
+    * is engine-portable (16-hex md5 keys compare lexicographically the
+    * same everywhere). The winnowing guarantee holds: any shared token run
+    * of length ≥ `w + n − 1` contributes at least one shared fingerprint,
+    * while expected density drops to ~2/(w+1) of the gram count — the
+    * knob that buys partial-overlap detection at a fraction of
+    * [[containmentPairs]]' volume. Documents with fewer than `w` grams
+    * keep the minimum of what they have (one window); no grams → empty;
+    * null text → null.
+    *
+    * Pure codegen selection fused into the scan (let-bound arrays, no
+    * shuffle, no UDF): the per-window `array_min(slice(...))` runs over
+    * the ONCE-computed key array.
+    */
+  def winnowedGramKeys(text: Column, n: Int, w: Int): Column = {
+    require(w >= 1, s"window must be >= 1 gram, got $w")
+    Dedup.bind(transform(wordNgrams(text, n), g => gramKey(g))) { keys =>
+      Dedup.bind(size(keys)) { m =>
+        when(m === 0, array().cast("array<string>"))
+          .when(m < w, array(array_min(keys)))
+          .otherwise(array_distinct(
+            transform(sequence(lit(0), m - w),
+              j => array_min(slice(keys, j + lit(1), lit(w))))))
+      }
+    }
+  }
+
+  /** Fingerprint-sharing pairs over the winnowed keys — the corpus-scale
+    * partial-overlap detector: each unordered pair sharing at least
+    * `minShared` qualifying fingerprints, with both sides' fingerprint
+    * counts for caller-side scoring. The same df cap and plan shape as
+    * [[containmentPairs]], but the shuffled volume is the WINNOWED
+    * fingerprint set (~2/(w+1) of the grams) and the per-doc selection
+    * happened in the scan, so this is the cheap first pass; route its
+    * survivors through [[containmentPairs]]-grade exact verification when
+    * exact overlap ratios matter.
+    */
+  def winnowingPairs(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      w: Int = 4,
+      minShared: Long = 2L,
+      maxDf: Long = 10000L): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2 (no pair can share a df-1 fingerprint), got $maxDf")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    // winnowedGramKeys is per-doc distinct already — no dedup shuffle
+    val fp = corpus.select(
+      col(idCol), explode(winnowedGramKeys(col(textCol), n, w)).as("__g"))
+    val sizes = fp.groupBy(col(idCol)).agg(count(lit(1)).as("__nf"))
+    val kept = fp.join(
+      fp.groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
+        .where(col("__nd") >= 2 && col("__nd") <= maxDf)
+        .select(col("__g")),
+      Seq("__g"))
+    val a = kept.select(col(idCol).as("id_a"), col("__g"))
+    val b = kept.select(col(idCol).as("id_b"), col("__g"))
+    a.join(b, Seq("__g"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+      .join(sizes.select(col(idCol).as("id_a"), col("__nf").as("n_fps_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("__nf").as("n_fps_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("shared_fps"),
+        col("n_fps_a"), col("n_fps_b"))
+  }
+
   /** Incremental [[containmentPairs]]: today's batch against the standing
     * corpus, generating ONLY cross-side candidates — new×new and
     * existing×existing pairs are never formed, the

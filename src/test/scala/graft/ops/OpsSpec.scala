@@ -1790,6 +1790,42 @@ class OpsSpec extends SparkSpec {
     // denominators stay UNCAPPED distinct-gram counts in both runs
   }
 
+  test("winnowedGramKeys: window minima, short-doc fallback, empty and null text") {
+    def key(g: String) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 16)
+    }
+    val df = docs(1L -> "a b c d e", 2L -> "a b c", 3L -> "")
+    val out = df.select(col("doc_id"),
+      Decontam.winnowedGramKeys(col("text"), 3, 2).as("fp"))
+      .orderBy("doc_id").collect()
+    // doc1 grams: "a b c","b c d","c d e"; windows of 2 → mins, distinct
+    val keys1 = Seq("a b c", "b c d", "c d e").map(key)
+    assert(out(0).getSeq[String](1) == keys1.sliding(2).map(_.min).toSeq.distinct)
+    // doc2 has ONE gram (< w): the single-window fallback keeps its min
+    assert(out(1).getSeq[String](1) == Seq(key("a b c")))
+    assert(out(2).getSeq[String](1).isEmpty)
+    val nullRow = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(9L, null))),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+    assert(nullRow.select(Decontam.winnowedGramKeys(col("text"), 3, 2)).head().isNullAt(0))
+  }
+
+  test("winnowingPairs: a shared run ≥ w+n-1 tokens is detected, disjoint docs are not") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val df = docs(
+      1L -> (shared + " " + (1 to 10).map(i => s"a$i").mkString(" ")),
+      2L -> (shared + " " + (1 to 5).map(i => s"b$i").mkString(" ")),
+      3L -> (1 to 12).map(i => s"z$i").mkString(" "))
+    // the 10-token shared prefix ≥ w+n-1 = 8 ⇒ the (1,2) pair MUST share
+    // at least one fingerprint (the winnowing guarantee)
+    val out = Decontam.winnowingPairs(
+      df, "doc_id", "text", n = 5, w = 4, minShared = 1, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(p => (p._1, p._2)).toSet == Set((1L, 2L)))
+    assert(out.head._3 >= 1L)
+  }
+
   test("containmentPairsAgainst: cross-side only, ≡ batch form on the union") {
     val existing = docs(1L -> "a b c d e f", 3L -> "a b c x y z")
     val newDocs = docs(2L -> "a b c d")
