@@ -64,6 +64,9 @@ object SparkEntry {
   private def q119IndexDir(sfDir: String) =
     s"/tmp/graft_q119_annindex_${new java.io.File(sfDir).getName}"
 
+  private def q122IndexDir(sfDir: String) =
+    s"/tmp/graft_q122_fpindex_${new java.io.File(sfDir).getName}"
+
   private def q108IndexDir(sfDir: String) =
     s"/tmp/graft_q108_paraindex_${new java.io.File(sfDir).getName}"
 
@@ -893,6 +896,28 @@ object SparkEntry {
         docs.unionByName(deriv), "doc_id", "text",
         n = 5, w = 4, minShared = 2, maxDf = 50)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // winnowing-fingerprint index lifecycle (the FOURTH index next to q97
+    // LSH, q99 ANN, q108 paragraphs): build postings on the even docs,
+    // fold the odd docs in as a delta append, probe the planted q117
+    // derivatives for partial overlap against the whole standing corpus —
+    // all exact, so the lifecycle is fully SQL-oracled
+    "q122_fp_index" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      val idx = q122IndexDir(d)
+      graft.ops.Decontam.writeFingerprintIndex(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text", idx, n = 5, w = 4)
+      graft.ops.Decontam.appendFingerprintIndex(
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text", idx)
+      val deriv = docs
+        .where(col("doc_id") % 11 === 0 && col("text").isNotNull)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(graft.ops.TextOps.wsTokens(col("text")), 1, 30), " ")
+            .as("text"))
+      graft.ops.Decontam.winnowingPairsAgainstIndex(
+        deriv, "doc_id", "text", idx, minShared = 2, maxDf = 50)
+        .orderBy(col("new_id"), col("existing_id"))
     }),
 
     // incremental containment: today's batch (the planted derivatives)
@@ -2193,6 +2218,55 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE cast(sh AS double) / cast(least(sa.ng, sb.ng) AS double) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the q121 winnowing derivation, pairs restricted to batch × standing
+    // (the index holds every original doc after build + append, so the
+    // probe's candidate universe is the whole corpus)
+    "q122_fp_index" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    array_to_string(list_filter(string_split_regex(text, '\s+'),
+        |                                x -> x <> '')[1:30], ' ')
+        |  FROM documents WHERE doc_id % 11 = 0 AND text IS NOT NULL
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        |  FROM docs WHERE text IS NOT NULL
+        |), occ AS (
+        |  SELECT doc_id, i - 1 AS pos, substr(md5(array_to_string(l[i:i+4], ' ')), 1, 16) AS g
+        |  FROM toks, unnest(range(1, len(l)-5+2)) AS t(i)
+        |  WHERE len(l) >= 5
+        |), cnt AS (
+        |  SELECT doc_id, count(*) AS m FROM occ GROUP BY doc_id
+        |), wins AS (
+        |  SELECT o.doc_id,
+        |    min(g) OVER (PARTITION BY o.doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mg,
+        |    pos, c.m
+        |  FROM occ o JOIN cnt c USING (doc_id)
+        |), fp AS (
+        |  SELECT DISTINCT doc_id, mg AS g FROM wins
+        |  WHERE (m >= 4 AND pos >= 3) OR (m < 4 AND pos = m - 1)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS nf FROM fp GROUP BY doc_id
+        |), gc AS (
+        |  SELECT g FROM fp GROUP BY g HAVING count(*) BETWEEN 2 AND 50
+        |), kept AS (
+        |  SELECT doc_id, g FROM fp JOIN gc USING (g)
+        |), shared AS (
+        |  SELECT a.doc_id AS new_id, b.doc_id AS existing_id, count(*) AS sh
+        |  FROM kept a JOIN kept b USING (g)
+        |  WHERE a.doc_id >= 2000000 AND b.doc_id < 2000000
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 2
+        |)
+        |SELECT new_id, existing_id, cast(sh AS bigint) AS shared_fps,
+        |  cast(sa.nf AS bigint) AS n_fps_new, cast(sb.nf AS bigint) AS n_fps_existing
+        |FROM shared
+        |JOIN sizes sa ON sa.doc_id = new_id
+        |JOIN sizes sb ON sb.doc_id = existing_id
+        |ORDER BY new_id, existing_id""".stripMargin,
 
     // per-doc winnowing in SQL: window minima over pos-ordered gram keys;
     // a doc with fewer than w grams keeps the window ending at its LAST

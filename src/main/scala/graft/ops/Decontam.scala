@@ -401,6 +401,281 @@ object Decontam {
         col("n_fps_a"), col("n_fps_b"))
   }
 
+  /** Incremental [[winnowingPairs]]: today's batch against the standing
+    * corpus, cross-side candidates only — the [[containmentPairsAgainst]]
+    * discipline over the winnowed fingerprint sets. Fingerprint df (the
+    * `maxDf` cap) counts over the union of both sides, so the result is
+    * exactly `winnowingPairs(new ∪ existing)` restricted to cross pairs.
+    * Ids must be disjoint across sides. Returns `(new_id, existing_id,
+    * shared_fps, n_fps_new, n_fps_existing)`.
+    */
+  def winnowingPairsAgainst(
+      newDocs: DataFrame,
+      existing: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      w: Int = 4,
+      minShared: Long = 2L,
+      maxDf: Long = 10000L): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2 (no pair can share a df-1 fingerprint), got $maxDf")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val nf = newDocs.select(
+      col(idCol).as("new_id"), explode(winnowedGramKeys(col(textCol), n, w)).as("__g"))
+    val ef = existing.select(
+      col(idCol).as("existing_id"), explode(winnowedGramKeys(col(textCol), n, w)).as("__g"))
+    crossSideFpPairs(nf, ef, minShared, maxDf)
+  }
+
+  /** Cross-side fingerprint pair core shared by the direct and the
+    * index-backed probes: df cap over the union of both posting sets,
+    * pairs only across sides, per-side total fingerprint counts attached.
+    */
+  private def crossSideFpPairs(
+      nf: DataFrame, ef: DataFrame,
+      minShared: Long, maxDf: Long): DataFrame = {
+    val gc = nf.select(col("__g"))
+      .unionAll(ef.select(col("__g")))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
+      .where(col("__nd") >= 2 && col("__nd") <= maxDf)
+      .select(col("__g"))
+    nf.join(gc, Seq("__g"))
+      .join(ef.join(gc, Seq("__g")), Seq("__g"))
+      .groupBy(col("new_id"), col("existing_id"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+      .join(nf.groupBy(col("new_id")).agg(count(lit(1)).as("n_fps_new")), Seq("new_id"))
+      .join(ef.groupBy(col("existing_id")).agg(count(lit(1)).as("n_fps_existing")),
+        Seq("existing_id"))
+      .select(col("new_id"), col("existing_id"), col("shared_fps"),
+        col("n_fps_new"), col("n_fps_existing"))
+  }
+
+  // ---- persisted winnowing-fingerprint index ([[EpochStore]] layout) ----
+
+  /** On-disk format version of the fingerprint index; bump on change. */
+  val FingerprintIndexFormatVersion: Int = 1
+
+  private def fpPostings(
+      df: DataFrame, idCol: String, textCol: String, n: Int, w: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(winnowedGramKeys(col(textCol), n, w)).as("__g"))
+
+  private def writeFpMeta(
+      spark: org.apache.spark.sql.SparkSession, dir: String, n: Int, w: Int): Unit = {
+    import spark.implicits._
+    Seq((n, w, FingerprintIndexFormatVersion)).toDF("n", "w", "format_version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private[graft] def resolveFingerprintIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (String, org.apache.spark.sql.Row) = {
+    val dir = EpochStore.epochDir(spark, path)
+    val meta = spark.read.parquet(s"$dir/meta").head()
+    val v = meta.getAs[Int]("format_version")
+    require(v == FingerprintIndexFormatVersion,
+      s"fingerprint index at $path has on-disk format version $v but this " +
+      s"build reads version $FingerprintIndexFormatVersion — rebuild it " +
+      "with writeFingerprintIndex")
+    (dir, meta)
+  }
+
+  /** Persist the standing WINNOWING-FINGERPRINT index — the fourth index
+    * lifecycle on the shared [[EpochStore]] delta-epoch layout (next to
+    * LSH dedup, ANN, and paragraph hashes): `postings` = (id, 16-hex
+    * fingerprint) rows, `fsizes` = per-doc fingerprint counts, and `meta`
+    * holding (n, w) so probes can never run with mismatched winnowing
+    * parameters. A daily job probes arrivals for partial overlap against
+    * the whole standing corpus ([[winnowingPairsAgainstIndex]]) and folds
+    * them in ([[appendFingerprintIndex]]) without re-reading corpus text.
+    * At 100 TB the index is ~2/(w+1) of the corpus' gram keys — the
+    * winnowing compression is exactly what makes a standing all-corpus
+    * overlap table storable. Non-destructive over a live index; single
+    * writer ([[EpochStore.commitEpoch]]).
+    */
+  def writeFingerprintIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      n: Int = 8,
+      w: Int = 4,
+      retainEpochs: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    EpochStore.withLease(spark, path) {
+    val cur = EpochStore.currentEpoch(spark, path)
+    if (cur.isEmpty) EpochStore.resetKeepingLease(spark, path)
+    val en = cur.map(EpochStore.epochNumber(_) + 1L).getOrElse(1L)
+    val epoch = EpochStore.epochName(en)
+    val dir = s"$path/$epoch"
+    EpochStore.deleteDir(spark, dir)
+    val postingsDir = EpochStore.dataDirName("postings", en)
+    val sizesDir = EpochStore.dataDirName("fsizes", en)
+    val posted = fpPostings(corpus, idCol, textCol, n, w)
+    // postings and per-doc counts are independent writes — overlap them
+    EpochStore.inParallel(
+      () => {
+        posted.write.mode("overwrite").parquet(s"$path/data/$postingsDir")
+        val ids = spark.read.parquet(s"$path/data/$postingsDir").select("id").distinct()
+        val items = EpochStore.idBloomItems(ids.count())
+        EpochStore.writeIdBloom(spark, dir,
+          EpochStore.buildIdBloom(ids, "id", items, EpochStore.IdBloomFpp),
+          items, EpochStore.IdBloomFpp)
+      },
+      () => posted.groupBy(col("id")).agg(count(lit(1)).as("nf"))
+        .write.mode("overwrite").parquet(s"$path/data/$sizesDir"))
+    writeFpMeta(spark, dir, n, w)
+    EpochStore.writeManifest(spark, dir,
+      Seq("postings" -> postingsDir, "fsizes" -> sizesDir))
+    EpochStore.commitEpoch(spark, path, epoch, cur)
+    EpochStore.gc(spark, path, epoch, retainEpochs)
+    }
+  }
+
+  /** Fold new documents into the standing fingerprint index: ONLY the
+    * batch's postings and counts are written (per-doc payloads carry no
+    * cross-doc state, so append ≡ rebuild on the union trivially —
+    * table-for-table); standing data rides forward by manifest reference.
+    * Ids must be disjoint from the index — re-appending a committed batch
+    * would double its postings — enforced by the same bloom-then-exact
+    * guard as the dedup/ANN appends (O(1) standing reads on clean
+    * appends). Winnowing parameters come FROM the index.
+    */
+  def appendFingerprintIndex(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      retainEpochs: Int = 2): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val spark = newDocs.sparkSession
+    EpochStore.withLease(spark, path) {
+    val (curDir, meta) = resolveFingerprintIndex(spark, path)
+    val n = meta.getAs[Int]("n")
+    val w = meta.getAs[Int]("w")
+    if (EpochStore.idGuardNeedsExact(spark, curDir, newDocs, idCol)) {
+      val dupIds = EpochStore.readTable(spark, curDir, "fsizes").select("id")
+        .join(newDocs.select(col(idCol).as("id")), Seq("id"), "left_semi")
+        .limit(3).collect().map(_.get(0))
+      require(dupIds.isEmpty,
+        s"appendFingerprintIndex: ids already present in the index at $path " +
+        s"(e.g. ${dupIds.mkString(", ")}) — append requires disjoint ids; " +
+        "re-appending a committed batch would double its postings")
+    }
+    val curEpoch = new HPath(curDir).getName
+    val en = EpochStore.epochNumber(curEpoch) + 1L
+    val epoch = EpochStore.epochName(en)
+    val dir = s"$path/$epoch"
+    EpochStore.deleteDir(spark, dir)
+    val postingsDir = EpochStore.dataDirName("postings", en)
+    val sizesDir = EpochStore.dataDirName("fsizes", en)
+    val posted = fpPostings(newDocs, idCol, textCol, n, w)
+    EpochStore.inParallel(
+      () => posted.write.mode("overwrite").parquet(s"$path/data/$postingsDir"),
+      () => posted.groupBy(col("id")).agg(count(lit(1)).as("nf"))
+        .write.mode("overwrite").parquet(s"$path/data/$sizesDir"),
+      () => {
+        val (bItems, bFpp, bBytes) = EpochStore.appendedIdBloom(
+          spark, curDir, newDocs.select(col(idCol).as("id")),
+          EpochStore.readTable(spark, curDir, "fsizes").select("id")
+            .unionByName(newDocs.select(col(idCol).as("id"))), "id")
+        EpochStore.writeIdBloom(spark, dir, bBytes, bItems, bFpp)
+      })
+    writeFpMeta(spark, dir, n, w)
+    EpochStore.writeManifest(spark, dir,
+      EpochStore.readManifest(spark, curDir) ++
+        Seq("postings" -> postingsDir, "fsizes" -> sizesDir))
+    EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))
+    EpochStore.gc(spark, path, epoch, retainEpochs)
+    }
+  }
+
+  /** Merge the fingerprint index's delta history into one file set per
+    * table — same maintenance op as the other three lifecycles; a fresh
+    * right-sized id bloom replaces the merged one.
+    */
+  def compactFingerprintIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      retainEpochs: Int = 2): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    EpochStore.withLease(spark, path) {
+    val (curDir, meta) = resolveFingerprintIndex(spark, path)
+    val curEpoch = new HPath(curDir).getName
+    val en = EpochStore.epochNumber(curEpoch) + 1L
+    val epoch = EpochStore.epochName(en)
+    val dir = s"$path/$epoch"
+    EpochStore.deleteDir(spark, dir)
+    val postingsDir = EpochStore.dataDirName("postings", en)
+    val sizesDir = EpochStore.dataDirName("fsizes", en)
+    EpochStore.inParallel(
+      () => {
+        EpochStore.readTable(spark, curDir, "postings")
+          .write.mode("overwrite").parquet(s"$path/data/$postingsDir")
+        val ids = spark.read.parquet(s"$path/data/$postingsDir").select("id").distinct()
+        val items = EpochStore.idBloomItems(ids.count())
+        EpochStore.writeIdBloom(spark, dir,
+          EpochStore.buildIdBloom(ids, "id", items, EpochStore.IdBloomFpp),
+          items, EpochStore.IdBloomFpp)
+      },
+      () => EpochStore.readTable(spark, curDir, "fsizes")
+        .write.mode("overwrite").parquet(s"$path/data/$sizesDir"))
+    writeFpMeta(spark, dir, meta.getAs[Int]("n"), meta.getAs[Int]("w"))
+    EpochStore.writeManifest(spark, dir,
+      Seq("postings" -> postingsDir, "fsizes" -> sizesDir))
+    EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))
+    EpochStore.gc(spark, path, epoch, retainEpochs)
+    }
+  }
+
+  /** [[winnowingPairsAgainst]] with the EXISTING side read from the
+    * standing index — the daily partial-overlap job: no standing text is
+    * touched, winnowing parameters come FROM the index, and the standing
+    * postings scan is pruned to the batch's fingerprint keys by a
+    * broadcast semi-join BEFORE anything shuffles (the touched-buckets
+    * discipline of the dedup append). Fingerprint df for the `maxDf` cap
+    * counts batch + standing occurrences of each candidate key — the same
+    * union semantics as the direct form, so probe ≡
+    * `winnowingPairsAgainst(batch, corpus)` row-for-row.
+    */
+  def winnowingPairsAgainstIndex(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      minShared: Long = 2L,
+      maxDf: Long = 10000L): DataFrame = {
+    require(maxDf >= 2, s"maxDf must be >= 2 (no pair can share a df-1 fingerprint), got $maxDf")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val spark = batch.sparkSession
+    val (dir, meta) = resolveFingerprintIndex(spark, path)
+    val n = meta.getAs[Int]("n")
+    val w = meta.getAs[Int]("w")
+    val nf = fpPostings(batch, idCol, textCol, n, w)
+      .withColumnRenamed("id", "new_id")
+    val touched = nf.select(col("__g")).distinct()
+    val ef = EpochStore.readTable(spark, dir, "postings")
+      .join(broadcast(touched), Seq("__g"), "left_semi")
+      .withColumnRenamed("id", "existing_id")
+    val gc = nf.select(col("__g"))
+      .unionAll(ef.select(col("__g")))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
+      .where(col("__nd") >= 2 && col("__nd") <= maxDf)
+      .select(col("__g"))
+    nf.join(gc, Seq("__g"))
+      .join(ef.join(gc, Seq("__g")), Seq("__g"))
+      .groupBy(col("new_id"), col("existing_id"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+      .join(nf.groupBy(col("new_id")).agg(count(lit(1)).as("n_fps_new")), Seq("new_id"))
+      .join(EpochStore.readTable(spark, dir, "fsizes")
+        .select(col("id").as("existing_id"), col("nf").as("n_fps_existing")),
+        Seq("existing_id"))
+      .select(col("new_id"), col("existing_id"), col("shared_fps"),
+        col("n_fps_new"), col("n_fps_existing"))
+  }
+
   /** Incremental [[containmentPairs]]: today's batch against the standing
     * corpus, generating ONLY cross-side candidates — new×new and
     * existing×existing pairs are never formed, the

@@ -317,6 +317,32 @@ object StreamingOps {
           Similarity.appendAnnIndex(fresh, vecCol, idCol, path, retainEpochs)
     }
 
+  /** [[appendToAnnIndex]]'s FINGERPRINT twin: grow the standing
+    * [[graft.ops.Decontam.writeFingerprintIndex]] postings from the live
+    * stream. Replay safety mirrors the ANN path: each micro-batch is
+    * deduped by id within itself AND against the index's `fsizes` id
+    * column before the fold, so an at-least-once redelivery appends
+    * nothing instead of tripping the duplicate-id guard. Single writer
+    * per index while the query runs.
+    */
+  def appendToFingerprintIndex(
+      newStream: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      retainEpochs: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import graft.ops.{Decontam, EpochStore}
+        val spark = batch.sparkSession
+        val (dir, _) = Decontam.resolveFingerprintIndex(spark, path)
+        val fresh = batch.dropDuplicates(idCol)
+          .join(EpochStore.readTable(spark, dir, "fsizes")
+            .select(col("id").as(idCol)), Seq(idCol), "left_anti")
+        if (!fresh.isEmpty)
+          Decontam.appendFingerprintIndex(fresh, idCol, textCol, path, retainEpochs)
+    }
+
   /** [[appendToIndex]]'s PARAGRAPH twin: grow the standing
     * [[graft.ops.Dedup.writeParagraphIndex]] index from the live stream,
     * one delta of never-seen hashes per non-empty micro-batch. No dedup

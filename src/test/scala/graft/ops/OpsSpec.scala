@@ -1826,6 +1826,54 @@ class OpsSpec extends SparkSpec {
     assert(out.head._3 >= 1L)
   }
 
+  test("fingerprint index: probe ≡ direct cross-side pairs, append ≡ rebuild, dup ids rejected, compact") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fpidx").toString
+    val dir = s"$root/fpidx"
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val corpus1 = docs(
+      1L -> (shared + " " + (1 to 10).map(i => s"a$i").mkString(" ")),
+      2L -> (1 to 12).map(i => s"z$i").mkString(" "))
+    val corpus2 = docs(3L -> ((1 to 8).map(i => s"z$i").mkString(" ") + " tail"))
+    Decontam.writeFingerprintIndex(corpus1, "doc_id", "text", dir, n = 5, w = 4)
+    Decontam.appendFingerprintIndex(corpus2, "doc_id", "text", dir)
+    val batch = docs(10L -> (shared + " " + (1 to 5).map(i => s"b$i").mkString(" ")))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(p => (p._1, p._2)).toSeq
+    val probe = rows(Decontam.winnowingPairsAgainstIndex(
+      batch, "doc_id", "text", dir, minShared = 1, maxDf = 10))
+    // the 10-token shared run guarantees the (10, 1) pair; z-docs don't match
+    assert(probe.map(p => (p._1, p._2)) == Seq((10L, 1L)))
+    // …and the probe equals the direct cross-side form on the full corpus
+    val direct = rows(Decontam.winnowingPairsAgainst(
+      batch, corpus1.unionByName(corpus2), "doc_id", "text",
+      n = 5, w = 4, minShared = 1, maxDf = 10))
+    assert(probe == direct)
+    // append ≡ rebuild table-for-table
+    val rebuilt = s"$root/rebuilt"
+    Decontam.writeFingerprintIndex(
+      corpus1.unionByName(corpus2), "doc_id", "text", rebuilt, n = 5, w = 4)
+    def table(p: String, t: String) = {
+      val (d, _) = Decontam.resolveFingerprintIndex(spark, p)
+      EpochStore.readTable(spark, d, t).collect()
+        .map(_.toSeq.toList).sortBy(_.toString).toSeq
+    }
+    assert(table(dir, "postings") == table(rebuilt, "postings"))
+    assert(table(dir, "fsizes") == table(rebuilt, "fsizes"))
+    // duplicate-id append rejected loudly
+    val ex = intercept[IllegalArgumentException] {
+      Decontam.appendFingerprintIndex(corpus2, "doc_id", "text", dir)
+    }
+    assert(ex.getMessage.contains("disjoint ids"))
+    // compaction: one data dir per table, probe unchanged
+    Decontam.compactFingerprintIndex(spark, dir, retainEpochs = 1)
+    val dataDirs = new java.io.File(s"$dir/data").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("postings"))
+    assert(dataDirs == 1, s"expected one postings dir after compaction, saw $dataDirs")
+    assert(rows(Decontam.winnowingPairsAgainstIndex(
+      batch, "doc_id", "text", dir, minShared = 1, maxDf = 10)) == probe)
+  }
+
   test("containmentPairsAgainst: cross-side only, ≡ batch form on the union") {
     val existing = docs(1L -> "a b c d e f", 3L -> "a b c x y z")
     val newDocs = docs(2L -> "a b c d")

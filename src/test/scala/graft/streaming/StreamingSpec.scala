@@ -456,6 +456,42 @@ class StreamingSpec extends SparkSpec {
       s"stream probe must equal batch probe: stream=$stream batch=$batch")
   }
 
+  test("streaming fingerprint-index growth ≡ batch appends, replay-safe") {
+    import graft.ops.{Decontam, EpochStore}
+    val docSt = struct("doc_id" -> LongType, "text" -> StringType)
+    val base = frame(docSt,
+      Row(10L, (1 to 10).map(i => s"s$i").mkString(" ")),
+      Row(11L, (1 to 12).map(i => s"z$i").mkString(" ")))
+    val streamed = Files.createTempDirectory("graft-sfp-idx").toString
+    val batched = Files.createTempDirectory("graft-bfp-idx").toString
+    Decontam.writeFingerprintIndex(base, "doc_id", "text", streamed, n = 5, w = 4)
+    Decontam.writeFingerprintIndex(base, "doc_id", "text", batched, n = 5, w = 4)
+    // batch 2 replays doc 1 and carries a within-batch duplicate of doc 2
+    val d1 = Row(1L, (1 to 9).map(i => s"q$i").mkString(" "))
+    val d2 = Row(2L, (1 to 8).map(i => s"r$i").mkString(" "))
+    val arrivals = Seq(Seq(d1), Seq(d1, d2, d2))
+    val dir = Files.createTempDirectory("graft-sfp-in").toString
+    arrivals.foreach { rows =>
+      frame(docSt, rows: _*).coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(5)
+    }
+    val cp = Files.createTempDirectory("graft-sfp-cp").toString
+    val q = StreamingOps.appendToFingerprintIndex(
+      spark.readStream.schema(docSt).option("maxFilesPerTrigger", "1").parquet(dir),
+      "doc_id", "text", streamed)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", cp).start()
+    q.awaitTermination()
+    Decontam.appendFingerprintIndex(
+      frame(docSt, d1, d2), "doc_id", "text", batched)
+    def table(p: String, t: String) = EpochStore.readTable(
+      spark, EpochStore.epochDir(spark, p), t)
+      .collect().map(_.toSeq).toSet
+    assert(table(streamed, "postings") == table(batched, "postings"),
+      "stream-grown fingerprint index must equal the batch-appended one")
+    assert(table(streamed, "fsizes") == table(batched, "fsizes"))
+  }
+
   test("content-keyed sampling and mixing are stateless — stream ≡ batch") {
     // md5 split/sample/mix decide per row from content alone (no seed, no
     // state), so the SAME rows must be kept whether the corpus arrives as
