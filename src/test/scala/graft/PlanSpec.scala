@@ -277,6 +277,17 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).nonEmpty)
   }
 
+  test("winnowing pairs: selection fused into the scan, no text in any shuffle") {
+    val p = plan(ops.Decontam.winnowingPairs(
+      Tables(spark, dir, "documents"), "doc_id", "text", n = 5, w = 4))
+    p.split("\n").filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("text#"), s"text reached a shuffle:\n$p")
+    }
+    // the per-window minima are array math in the scan — no extra exchange
+    // beyond the fingerprint aggregates and the pair join
+    assert("Exchange".r.findAllIn(p).nonEmpty)
+  }
+
   test("paragraph dedup window is hash-keyed and its shuffle rows are hash-narrow") {
     val p = plan(ops.Dedup.dedupParagraphs(
       Tables(spark, dir, "documents"), "doc_id", "text"))

@@ -144,6 +144,31 @@ object OpsPropertySpec extends Properties("graft.ops") {
       got == expected
     }
 
+  property("winnowedGramKeys equals the driver-side window-minima computation") =
+    forAll(genTokenDocs, Gen.choose(1, 5)) { (docsToks, w) =>
+      val n = 3
+      def key(g: String) = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 16)
+      }
+      val rows = docsToks.zipWithIndex.map { case (ts, i) =>
+        Row((i + 1).toLong, ts.mkString(" "))
+      }
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), docSt)
+      import org.apache.spark.sql.functions.col
+      val got = df.select(col("doc_id"),
+        Decontam.winnowedGramKeys(col("text"), n, w).as("fp"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      docsToks.zipWithIndex.forall { case (ts, i) =>
+        val keys = ts.sliding(n).filter(_.sizeIs == n).map(g => key(g.mkString(" "))).toList
+        val expect =
+          if (keys.isEmpty) Nil
+          else if (keys.size < w) List(keys.min)
+          else keys.sliding(w).map(_.min).toList.distinct
+        got((i + 1).toLong) == expect
+      }
+    }
+
   property("appendDedupIndex equals a full rebuild on random duplicate-heavy corpora") =
     forAll(
       Gen.choose(1, 8).flatMap(k => Gen.listOfN(k, Gen.choose(0, 4))),
