@@ -172,6 +172,29 @@ class PlanSpec extends SparkSpec {
     assert(textScans == 1, s"corpus text must be read exactly once, got $textScans:\n$p")
   }
 
+  test("fingerprint-index probe prunes standing postings by broadcast semi-join; text read once") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-plan-fpidx").toString
+    val docs = Tables(spark, dir, "documents")
+    ops.Decontam.writeFingerprintIndex(
+      docs.where(col("doc_id") % 2 === 0), "doc_id", "text", idx, n = 5, w = 4)
+    val probe = ops.Decontam.winnowingPairsAgainstIndex(
+      docs.where(col("doc_id") % 2 === 1), "doc_id", "text", idx)
+    val p = probe.queryExecution.sparkPlan.toString
+    // standing postings are pruned to the batch's fingerprint keys BEFORE
+    // any shuffle: a broadcast LeftSemi sits directly over the postings scan
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"expected the broadcast semi-join postings prune:\n$p")
+    // batch text is scanned; the standing side never is — every scan of an
+    // index table (postings/fsizes) must be text-free (the index holds
+    // only 16-hex keys and counts)
+    val indexScans = p.linesIterator.filter(l =>
+      l.contains("FileScan parquet") &&
+        (l.contains("postings") || l.contains("fsizes"))).toSeq
+    assert(indexScans.nonEmpty, s"expected index-table scans:\n$p")
+    assert(indexScans.forall(!_.contains("text")),
+      s"standing side must be text-free:\n$p")
+  }
+
   test("persisted-ANN probe broadcasts queries; the assigned table never shuffles") {
     // centroids come off the index as PLAN LITERALS (no join against the
     // centroids table), the probed query side is broadcast, and the
