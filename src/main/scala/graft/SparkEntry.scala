@@ -135,6 +135,28 @@ object SparkEntry {
         "doc_id", "t", q108IndexDir(d)).count()
       ()
     }),
+    ("q122_fp_index", "q122_build", (s: SparkSession, d: String) =>
+      graft.ops.Decontam.writeFingerprintIndex(
+        Tables(s, d, "documents").where(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", q122IndexDir(d), n = 5, w = 4)),
+    ("q122_fp_index", "q122_append", (s: SparkSession, d: String) =>
+      graft.ops.Decontam.appendFingerprintIndex(
+        Tables(s, d, "documents").where(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", q122IndexDir(d))),
+    ("q122_fp_index", "q122_probe", (s: SparkSession, d: String) => {
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+      val deriv = docs
+        .where(col("doc_id") % 11 === 0 && col("text").isNotNull)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(graft.ops.TextOps.wsTokens(col("text")), 1, 30), " ")
+            .as("text"))
+      graft.ops.Decontam.winnowingPairsAgainstIndex(
+        deriv, "doc_id", "text", q122IndexDir(d),
+        minShared = 2, maxDf = 50).count()
+      ()
+    }),
     ("q119_hard_negatives_ivf", "q119_build", (s: SparkSession, d: String) =>
       graft.ops.Similarity.writeAnnIndex(
         embParallel(s, d), "embedding", "vec_id", q119IndexDir(d), nlist = 8)),
