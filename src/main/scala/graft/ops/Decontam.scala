@@ -304,7 +304,11 @@ object Decontam {
       minContainment: Double = 0.5,
       maxDf: Long = 10000L): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2 (no pair can share a df-1 gram), got $maxDf")
-    val pg = grams(corpus, textCol, n, Seq(col(idCol))).distinct()
+    // the distinct gram table feeds sizes, the df counts, AND both pair
+    // sides; consumers optimize the shared subtree differently, so AQE
+    // never reuses its stages — materialize ONCE (measured: 6 corpus
+    // scans without this) instead of re-running scan+explode+md5 per use
+    val pg = Materialize.eager(grams(corpus, textCol, n, Seq(col(idCol))).distinct())
     val sizes = pg.groupBy(col(idCol)).agg(count(lit(1)).as("__ng"))
     val kept = pg.join(
       pg.groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
@@ -379,9 +383,11 @@ object Decontam {
       maxDf: Long = 10000L): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2 (no pair can share a df-1 fingerprint), got $maxDf")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    // winnowedGramKeys is per-doc distinct already — no dedup shuffle
-    val fp = corpus.select(
-      col(idCol), explode(winnowedGramKeys(col(textCol), n, w)).as("__g"))
+    // winnowedGramKeys is per-doc distinct already — no dedup shuffle; the
+    // fingerprint table feeds sizes, df counts, and both pair sides, so it
+    // materializes once (same rationale as [[containmentPairs]])
+    val fp = Materialize.eager(corpus.select(
+      col(idCol), explode(winnowedGramKeys(col(textCol), n, w)).as("__g")))
     val sizes = fp.groupBy(col(idCol)).agg(count(lit(1)).as("__nf"))
     val kept = fp.join(
       fp.groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
@@ -420,10 +426,10 @@ object Decontam {
       maxDf: Long = 10000L): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2 (no pair can share a df-1 fingerprint), got $maxDf")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    val nf = newDocs.select(
-      col(idCol).as("new_id"), explode(winnowedGramKeys(col(textCol), n, w)).as("__g"))
-    val ef = existing.select(
-      col(idCol).as("existing_id"), explode(winnowedGramKeys(col(textCol), n, w)).as("__g"))
+    val nf = Materialize.eager(newDocs.select(
+      col(idCol).as("new_id"), explode(winnowedGramKeys(col(textCol), n, w)).as("__g")))
+    val ef = Materialize.eager(existing.select(
+      col(idCol).as("existing_id"), explode(winnowedGramKeys(col(textCol), n, w)).as("__g")))
     crossSideFpPairs(nf, ef, minShared, maxDf)
   }
 
@@ -652,8 +658,15 @@ object Decontam {
     val (dir, meta) = resolveFingerprintIndex(spark, path)
     val n = meta.getAs[Int]("n")
     val w = meta.getAs[Int]("w")
-    val nf = fpPostings(batch, idCol, textCol, n, w)
-      .withColumnRenamed("id", "new_id")
+    // the batch's fingerprints feed the touched-key broadcast, the df
+    // counts, the pair join, and the per-doc sizes — materialize once so
+    // the batch text is winnowed exactly once. The PRUNED standing side
+    // stays lazy: its two consumers (df counts, pair join) each re-run
+    // only a narrow two-column postings scan behind the broadcast
+    // semi-join — cheap by construction, and the probe plan stays
+    // inspectable (PlanSpec pins the prune shape)
+    val nf = Materialize.eager(fpPostings(batch, idCol, textCol, n, w)
+      .withColumnRenamed("id", "new_id"))
     val touched = nf.select(col("__g")).distinct()
     val ef = EpochStore.readTable(spark, dir, "postings")
       .join(broadcast(touched), Seq("__g"), "left_semi")
@@ -698,8 +711,8 @@ object Decontam {
       minContainment: Double = 0.5,
       maxDf: Long = 10000L): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2 (no pair can share a df-1 gram), got $maxDf")
-    val ng = grams(newDocs, textCol, n, Seq(col(idCol))).distinct()
-    val eg = grams(existing, textCol, n, Seq(col(idCol))).distinct()
+    val ng = Materialize.eager(grams(newDocs, textCol, n, Seq(col(idCol))).distinct())
+    val eg = Materialize.eager(grams(existing, textCol, n, Seq(col(idCol))).distinct())
     val gc = ng.unionByName(eg)
       .groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
       .where(col("__nd") >= 2 && col("__nd") <= maxDf)
