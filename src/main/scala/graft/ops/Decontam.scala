@@ -499,6 +499,13 @@ object Decontam {
     * winnowing compression is exactly what makes a standing all-corpus
     * overlap table storable. Non-destructive over a live index; single
     * writer ([[EpochStore.commitEpoch]]).
+    *
+    * `w = 1` degenerates to a FULL gram-postings index (every distinct
+    * gram selected): probes then return exact shared-gram counts, and
+    * `shared_fps / least(n_fps_new, n_fps_existing)` IS the
+    * [[containmentPairs]] containment — the storage/recall dial between
+    * exact containment (w = 1) and cheap winnowed screening (larger w)
+    * is one build parameter.
     */
   def writeFingerprintIndex(
       corpus: DataFrame,

@@ -1865,6 +1865,33 @@ class OpsSpec extends SparkSpec {
       Decontam.appendFingerprintIndex(corpus2, "doc_id", "text", dir)
     }
     assert(ex.getMessage.contains("disjoint ids"))
+    // a future on-disk format is rejected loudly, like the other indexes
+    val (liveDir, _) = Decontam.resolveFingerprintIndex(spark, dir)
+    import spark.implicits._
+    Seq((5, 4, 99)).toDF("n", "w", "format_version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$liveDir/meta")
+    val vx = intercept[IllegalArgumentException] {
+      Decontam.winnowingPairsAgainstIndex(batch, "doc_id", "text", dir)
+    }
+    assert(vx.getMessage.contains("format version 99"))
+    Seq((5, 4, Decontam.FingerprintIndexFormatVersion))
+      .toDF("n", "w", "format_version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$liveDir/meta")
+    // w = 1 degenerates to the full-gram postings index: probe shared
+    // counts over containment denominators reproduce containmentPairsAgainst
+    val dirW1 = s"$root/fpidx_w1"
+    Decontam.writeFingerprintIndex(
+      corpus1.unionByName(corpus2), "doc_id", "text", dirW1, n = 5, w = 1)
+    val w1 = Decontam.winnowingPairsAgainstIndex(
+      batch, "doc_id", "text", dirW1, minShared = 1, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(p => (p._1, p._2)).toSeq
+    val cont = Decontam.containmentPairsAgainst(
+      batch, corpus1.unionByName(corpus2), "doc_id", "text",
+      n = 5, minContainment = 0.0 + 1e-9, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(p => (p._1, p._2)).toSeq
+    assert(w1 == cont, s"w=1 probe must equal exact containment counts: $w1 vs $cont")
     // compaction: one data dir per table, probe unchanged
     Decontam.compactFingerprintIndex(spark, dir, retainEpochs = 1)
     val dataDirs = new java.io.File(s"$dir/data").listFiles()
