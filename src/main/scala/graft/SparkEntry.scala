@@ -845,6 +845,18 @@ object SparkEntry {
           col("cluster_size"), col("kept"))
         .orderBy(col("vec_id"))),
 
+    // SemDeDup with a QUALITY election: the id-derived %100 score varies
+    // inside clusters, so winners genuinely differ from q115's min-id
+    // picks while rep stays the stable min-id cluster label
+    "q123_semantic_keep_best" -> ((s, d) =>
+      graft.ops.Similarity.semanticDedupKeepBest(
+        embParallel(s, d).withColumn("score", pmod(col("vec_id") * 7, lit(100))),
+        "embedding", "vec_id", "score",
+        minCosine = 0.35, nlist = 16, nprobe = 16)
+        .select(col("id").as("vec_id"), col("rep"),
+          col("cluster_size"), col("kept"))
+        .orderBy(col("vec_id"))),
+
     // paragraph-index lifecycle (the third index next to q97 LSH and q99
     // ANN): build the standing paragraph-hash index on the %3==1 docs,
     // fold the %3==2 docs in as a delta append, probe the never-indexed
@@ -2110,6 +2122,30 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+
+    // q115's closure + a QUALIFY-style election on the derived score
+    "q123_semantic_keep_best" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+        |), p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.ev, b.ev) >= 0.35
+        |), e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT vec_id AS id, vec_id AS r FROM embeddings
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id
+        |), lab AS (
+        |  SELECT id, cast(min(r) AS BIGINT) AS rep FROM reach GROUP BY id
+        |)
+        |SELECT id AS vec_id, rep,
+        |  cast(count(*) OVER (PARTITION BY rep) AS BIGINT) AS cluster_size,
+        |  (row_number() OVER (PARTITION BY rep
+        |     ORDER BY (id * 7) % 100 DESC, id) = 1) AS kept
+        |FROM lab ORDER BY vec_id""".stripMargin,
 
     "q115_semantic_dedup" ->
       """WITH RECURSIVE v AS (

@@ -510,6 +510,41 @@ object Similarity {
       .withColumn("kept", col("id") === col("rep"))
   }
 
+  /** [[semanticDedup]] with a QUALITY-keyed survivor election: within each
+    * semantic cluster the row with the highest `scoreCol` survives (ties:
+    * smallest id; null scores last) instead of the min-id representative —
+    * "keep the cleanest copy of each semantic duplicate class" (most
+    * recent crawl, best quality signal), the [[Dedup.exactKeepBest]] rule
+    * at embedding granularity. Output keeps [[semanticDedup]]'s audit
+    * shape `(id, rep, cluster_size, kept)`; `rep` stays the min-id
+    * cluster LABEL (stable under re-scoring) while `kept` marks the
+    * elected winner.
+    *
+    * Plan shape: identical to [[semanticDedup]] plus one narrow
+    * (id, score) join onto the labels — embeddings never ride the
+    * election window.
+    */
+  def semanticDedupKeepBest(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      scoreCol: String,
+      minCosine: Double,
+      nlist: Int = 16,
+      nprobe: Int = 16): DataFrame = {
+    val pairs = ivfSimilarityJoin(df, vecCol, idCol, minCosine, nlist, nprobe)
+    val labels = Dedup.dedupClustersStar(df.select(col(idCol)), idCol, pairs)
+    val scored = labels.join(
+      df.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
+    val w = Window.partitionBy(col("rep"))
+    val we = Window.partitionBy(col("rep"))
+      .orderBy(col("__score").desc_nulls_last, col("id").asc)
+    scored
+      .withColumn("cluster_size", count(lit(1)).over(w).cast("long"))
+      .withColumn("kept", row_number().over(we) === 1)
+      .drop("__score")
+  }
+
   /** LSH-bucketed top-k: exact cosine only within the query's hyperplane
     * bucket(s). `bands` independent plane families OR-amplify recall
     * exactly like [[graft.ops.Dedup.embeddingNearDup]]'s banding — a true

@@ -790,6 +790,40 @@ class OpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (2L, 3L), (4L, 5L)))
   }
 
+  test("semanticDedupKeepBest: highest score survives per cluster, rep label stable, null scores last") {
+    val st = struct("vec_id" -> LongType,
+      "v" -> ArrayType(FloatType, containsNull = false),
+      "score" -> LongType)
+    def vec(x: Double, y: Double, z: Double) =
+      Seq(x.toFloat, y.toFloat, z.toFloat)
+    val rows = Seq(
+      Row(1L, vec(1.0, 0.0, 0.0), 10L),
+      Row(2L, vec(0.9, 0.436, 0.0), 50L),   // chain winner by score
+      Row(3L, vec(0.59, 0.807, 0.0), 10L),
+      Row(4L, vec(0.0, 0.0, 1.0), null),    // null score loses to any number
+      Row(5L, vec(0.0, 0.14, 0.99), 1L),
+      Row(6L, vec(-1.0, 0.0, 0.0), 7L))     // singleton keeps itself
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      StructType(Seq(StructField("vec_id", LongType, nullable = false),
+        StructField("v", ArrayType(FloatType, containsNull = false)),
+        StructField("score", LongType, nullable = true))))
+    val out = Similarity.semanticDedupKeepBest(
+      df, "v", "vec_id", "score", minCosine = 0.8, nlist = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L, false), (2L, 1L, 3L, true), (3L, 1L, 3L, false),
+      (4L, 4L, 2L, false), (5L, 4L, 2L, true), (6L, 6L, 1L, true)))
+    // flat scores degrade to semanticDedup's min-id election
+    val flat = Similarity.semanticDedupKeepBest(
+      df.withColumn("score", lit(1L)), "v", "vec_id", "score",
+      minCosine = 0.8, nlist = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).sortBy(_._1)
+    assert(flat.toSeq == Seq((1L, true), (2L, false), (3L, false),
+      (4L, true), (5L, false), (6L, true)))
+  }
+
   test("temperatureMix: alpha=1 proportional, alpha=0.5 flattens, quotas capped") {
     // skewed two-source corpus: 'a' 8 rows, 'b' 2 rows; target 5
     val df = docs((1L to 10L).map(i => i -> s"mix doc body $i"): _*)
