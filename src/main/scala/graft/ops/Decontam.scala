@@ -302,13 +302,17 @@ object Decontam {
       textCol: String,
       n: Int = 8,
       minContainment: Double = 0.5,
-      maxDf: Long = 10000L): DataFrame = {
+      maxDf: Long = 10000L,
+      materialize: Boolean = true): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2 (no pair can share a df-1 gram), got $maxDf")
     // the distinct gram table feeds sizes, the df counts, AND both pair
     // sides; consumers optimize the shared subtree differently, so AQE
     // never reuses its stages — materialize ONCE (measured: 6 corpus
-    // scans without this) instead of re-running scan+explode+md5 per use
-    val pg = Materialize.eager(grams(corpus, textCol, n, Seq(col(idCol))).distinct())
+    // scans without this) instead of re-running scan+explode+md5 per use.
+    // `materialize = false` keeps the derivation lazy for plan inspection
+    // (PlanSpec pins the pre-materialization shape)
+    val pgLazy = grams(corpus, textCol, n, Seq(col(idCol))).distinct()
+    val pg = if (materialize) Materialize.eager(pgLazy) else pgLazy
     val sizes = pg.groupBy(col(idCol)).agg(count(lit(1)).as("__ng"))
     val kept = pg.join(
       pg.groupBy(col("__g")).agg(count(lit(1)).as("__nd"))
@@ -380,14 +384,16 @@ object Decontam {
       n: Int = 8,
       w: Int = 4,
       minShared: Long = 2L,
-      maxDf: Long = 10000L): DataFrame = {
+      maxDf: Long = 10000L,
+      materialize: Boolean = true): DataFrame = {
     require(maxDf >= 2, s"maxDf must be >= 2 (no pair can share a df-1 fingerprint), got $maxDf")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     // winnowedGramKeys is per-doc distinct already — no dedup shuffle; the
     // fingerprint table feeds sizes, df counts, and both pair sides, so it
     // materializes once (same rationale as [[containmentPairs]])
-    val fp = Materialize.eager(corpus.select(
-      col(idCol), explode(winnowedGramKeys(col(textCol), n, w)).as("__g")))
+    val fpLazy = corpus.select(
+      col(idCol), explode(winnowedGramKeys(col(textCol), n, w)).as("__g"))
+    val fp = if (materialize) Materialize.eager(fpLazy) else fpLazy
     val sizes = fp.groupBy(col(idCol)).agg(count(lit(1)).as("__nf"))
     val kept = fp.join(
       fp.groupBy(col("__g")).agg(count(lit(1)).as("__nd"))

@@ -293,7 +293,8 @@ class PlanSpec extends SparkSpec {
 
   test("containment pairs shuffle gram keys and id pairs, never document text") {
     val p = plan(ops.Decontam.containmentPairs(
-      Tables(spark, dir, "documents"), "doc_id", "text", n = 5))
+      Tables(spark, dir, "documents"), "doc_id", "text", n = 5,
+      materialize = false))
     p.split("\n").filter(_.contains("Exchange")).foreach { line =>
       assert(!line.contains("text#"), s"text reached a shuffle:\n$p")
     }
@@ -302,7 +303,8 @@ class PlanSpec extends SparkSpec {
 
   test("winnowing pairs: selection fused into the scan, no text in any shuffle") {
     val p = plan(ops.Decontam.winnowingPairs(
-      Tables(spark, dir, "documents"), "doc_id", "text", n = 5, w = 4))
+      Tables(spark, dir, "documents"), "doc_id", "text", n = 5, w = 4,
+      materialize = false))
     p.split("\n").filter(_.contains("Exchange")).foreach { line =>
       assert(!line.contains("text#"), s"text reached a shuffle:\n$p")
     }
