@@ -62,12 +62,15 @@ object Plans {
       "map-side to distinct (id, 16-hex md5 gram-key) rows; the df-capped " +
       "pair join is keyed on the gram key (per-gram fan-out ≤ maxDf²) and " +
       "only (id_a, id_b) pairs and counters move after it — text reaches " +
-      "no Exchange"),
+      "no Exchange. The 'Scan ExistingRDD' leaves are the ONCE-materialized " +
+      "gram table (its multi-consumer subtree otherwise recomputes 6×; " +
+      "PlanSpec pins the full lazy derivation via materialize = false)"),
     "q121_winnowing_pairs" -> ("winnowing fingerprints: the per-window " +
       "minima are let-bound array math fused into the scan (no shuffle for " +
       "selection), so the pair machinery runs on ~2/(w+1) of the gram " +
       "volume; the df-capped fingerprint join then moves only (id, 16-hex " +
-      "key) rows and counters"))
+      "key) rows and counters. Scan ExistingRDD = the once-materialized " +
+      "fingerprint table (see q117's note)"))
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
