@@ -144,6 +144,33 @@ object OpsPropertySpec extends Properties("graft.ops") {
       got == expected
     }
 
+  property("contrastScore equals the driver-side two-corpus frequency computation") =
+    forAll(genTokenDocs, genTokenDocs) { (rawToks, tgtToks) =>
+      val raw = spark.createDataFrame(
+        spark.sparkContext.parallelize(rawToks.zipWithIndex.map { case (ts, i) =>
+          Row((i + 1).toLong, ts.mkString(" "))
+        }, 2), docSt)
+      val target = spark.createDataFrame(
+        spark.sparkContext.parallelize(tgtToks.zipWithIndex.map { case (ts, i) =>
+          Row((i + 1001).toLong, ts.mkString(" "))
+        }, 2), docSt)
+      val rawTf = rawToks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val tgtTf = tgtToks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = TextOps.contrastScore(raw, target, "doc_id", "text", "text")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toMap
+      rawToks.zipWithIndex.forall { case (ts, i) =>
+        val id = (i + 1).toLong
+        if (ts.isEmpty) !got.contains(id)
+        else got(id) == (
+          ts.size.toLong,
+          ts.map(rawTf).sum,
+          ts.map(t => tgtTf.getOrElse(t, 0L)).sum,
+          ts.count(tgtTf.contains).toLong)
+      }
+    }
+
   property("winnowedGramKeys equals the driver-side window-minima computation") =
     forAll(genTokenDocs, Gen.choose(1, 5)) { (docsToks, w) =>
       val n = 3
