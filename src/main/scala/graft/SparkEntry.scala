@@ -812,6 +812,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // temperature mixing in TOKEN space (the recipe as mT5 states it):
+    // sqrt token shares set per-domain token quotas, membership is the
+    // md5-content-order prefix until the quota — binding at every SF
+    "q124_temperature_tokens" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .withColumn("domain", substring(col("source"), 1, 4))
+        .withColumn("n_tok", graft.ops.TextOps.tokenCount(col("text")).cast("long"))
+      graft.ops.Sampling.temperatureMixTokens(
+        docs, "domain", "doc_id", "n_tok", alpha = 0.5, targetTokens = 10000L)
+        .select(col("doc_id"), col("domain"), col("n_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // exact KNN self-join: every embedding's top-3 cosine neighbors — the
     // all-pairs baseline (broadcast-quadratic; the scale path is q114)
     "q113_knn_join" -> ((s, d) =>
@@ -2108,6 +2121,30 @@ object SparkEntry {
         |)
         |SELECT doc_id, domain, source FROM r JOIN q USING (domain)
         |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
+
+    // q112's quota machinery over TOKEN sums + q103's cum-window keep rule
+    "q124_temperature_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, substr(source, 1, 4) AS domain,
+        |    cast(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS bigint) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT domain, sum(coalesce(n_tok, 0)) AS tk FROM t GROUP BY domain
+        |), z AS (
+        |  SELECT list_sum(list(sqrt(cast(tk AS DOUBLE)) ORDER BY domain)) AS z FROM c
+        |), q AS (
+        |  SELECT domain,
+        |    least(tk, cast(round(10000 * sqrt(cast(tk AS DOUBLE)) / z) AS BIGINT)) AS quota
+        |  FROM c, z
+        |), r AS (
+        |  SELECT doc_id, domain, n_tok,
+        |    sum(coalesce(n_tok, 0)) OVER (PARTITION BY domain
+        |      ORDER BY md5(cast(doc_id AS varchar)) ASC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, domain, n_tok FROM r JOIN q USING (domain)
+        |WHERE cum - coalesce(n_tok, 0) < quota ORDER BY doc_id""".stripMargin,
 
     "q113_knn_join" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),

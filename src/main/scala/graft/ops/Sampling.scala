@@ -349,6 +349,54 @@ object Sampling {
       quotas.getOrElse(_, 0L), bucketHexLen)
   }
 
+  /** [[temperatureMix]] in TOKEN space — the form the mT5/XLM-R recipe is
+    * actually stated in ("sample so each language contributes share^alpha
+    * of the TOKEN budget"): sampling probabilities follow per-source token
+    * SHARES raised to `alpha`, each source keeps its md5-content-order
+    * prefix until `quota_s = min(tok_s, round(targetTokens · p_s))` tokens
+    * (crossing row kept, [[takeTokenBudget]]'s rule, so a tiny quota still
+    * yields rows; a saturated source keeps everything).
+    *
+    * Plan shape: one tiny per-source token-sum aggregate (map-side
+    * combining), quota arithmetic on the driver, then the two-phase
+    * bucket-prefix take — the caller's rows never shuffle and no source
+    * funnels through a single window task. Determinism matches
+    * [[temperatureMix]]: alpha ∈ {1, 0.5} recompute IEEE-exactly on any
+    * engine (weights summed in source-name order, null source first).
+    */
+  def temperatureMixTokens(
+      df: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      tokensCol: String,
+      alpha: Double,
+      targetTokens: Long,
+      bucketHexLen: Int = 3): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(targetTokens >= 1, s"targetTokens must be >= 1, got $targetTokens")
+    val counts: Seq[(Option[Any], Long)] = df
+      .groupBy(col(sourceCol).as("__src"))
+      .agg(coalesce(sum(coalesce(col(tokensCol), lit(0L))), lit(0L)).as("__c"))
+      .collect()
+      .map(r => ((if (r.isNullAt(0)) None
+                  else Some(r.get(0))): Option[Any], r.getLong(1)))
+      .toSeq
+      .sortBy { case (s, _) => (s.nonEmpty, s.map(_.toString).getOrElse("")) }
+    val weighted = counts.map { case (s, c) =>
+      val w =
+        if (alpha == 1.0) c.toDouble
+        else if (alpha == 0.5) math.sqrt(c.toDouble)
+        else math.pow(c.toDouble, alpha)
+      (s, c, w)
+    }
+    val z = weighted.foldLeft(0.0)(_ + _._3)
+    val quotas: Map[Option[Any], Long] = weighted.map { case (s, c, w) =>
+      s -> math.min(c, math.round(targetTokens * w / z))
+    }.toMap
+    takeBudgets(df, sourceCol, keyCol, coalesce(col(tokensCol), lit(0L)),
+      quotas.getOrElse(_, 0L), bucketHexLen)
+  }
+
   /** Weighted corpus mix: union of sources, each downsampled to its weight
     * (1.0 = keep all). The mixing decision is content-keyed per source, so
     * the mix is stable under re-runs and independent of source ordering.

@@ -824,6 +824,25 @@ class OpsSpec extends SparkSpec {
       (4L, true), (5L, false), (6L, true)))
   }
 
+  test("temperatureMixTokens: token-share quotas, flattening, saturation keeps whole source") {
+    // source a: 4 docs × 100 tokens = 400; source b: 2 docs × 50 = 100
+    val st = struct("doc_id" -> LongType, "src" -> StringType, "n_tok" -> LongType)
+    val df = frame(st,
+      Row(1L, "a", 100L), Row(2L, "a", 100L), Row(3L, "a", 100L), Row(4L, "a", 100L),
+      Row(5L, "b", 50L), Row(6L, "b", 50L))
+    def kept(alpha: Double, target: Long): Map[String, Int] =
+      Sampling.temperatureMixTokens(df, "src", "doc_id", "n_tok", alpha, target)
+        .collect().groupBy(_.getAs[String]("src")).view.mapValues(_.length).toMap
+    // full budget at alpha=1: quotas saturate at each source's token total
+    assert(kept(1.0, 500L) == Map("a" -> 4, "b" -> 2))
+    // alpha=1, target 250: quotas a=200, b=50 → prefix rule keeps
+    // cum-before < quota: a keeps 2 docs (0, 100 < 200), b keeps 1 (0 < 50)
+    assert(kept(1.0, 250L) == Map("a" -> 2, "b" -> 1))
+    // alpha=0.5: weights 20/10, quotas round(250·2/3)=167, round(250/3)=83
+    // → a still 2 docs, b now BOTH (0 and 50 < 83) — the tail upsampled
+    assert(kept(0.5, 250L) == Map("a" -> 2, "b" -> 2))
+  }
+
   test("temperatureMix: alpha=1 proportional, alpha=0.5 flattens, quotas capped") {
     // skewed two-source corpus: 'a' 8 rows, 'b' 2 rows; target 5
     val df = docs((1L to 10L).map(i => i -> s"mix doc body $i"): _*)
