@@ -1913,6 +1913,11 @@ class OpsSpec extends SparkSpec {
     }
     assert(table(dir, "postings") == table(rebuilt, "postings"))
     assert(table(dir, "fsizes") == table(rebuilt, "fsizes"))
+    // an empty append commits an empty delta — tables unchanged
+    Decontam.appendFingerprintIndex(
+      corpus2.where(col("doc_id") < 0), "doc_id", "text", dir)
+    assert(table(dir, "postings") == table(rebuilt, "postings"))
+    assert(table(dir, "fsizes") == table(rebuilt, "fsizes"))
     // duplicate-id append rejected loudly
     val ex = intercept[IllegalArgumentException] {
       Decontam.appendFingerprintIndex(corpus2, "doc_id", "text", dir)
