@@ -144,6 +144,39 @@ object OpsPropertySpec extends Properties("graft.ops") {
       got == expected
     }
 
+  private val genVecs: Gen[List[List[Float]]] =
+    Gen.choose(2, 12).flatMap(k => Gen.listOfN(k,
+      Gen.listOfN(3, Gen.choose(-5, 5).map(_.toFloat))))
+
+  property("hardNegatives equals the driver-side banded ranking on random geometry") =
+    forAll(genVecs) { vecs =>
+      val st = StructType(Seq(
+        StructField("vec_id", LongType, nullable = false),
+        StructField("v", ArrayType(FloatType, containsNull = false))))
+      val rows = vecs.zipWithIndex.map { case (v, i) => Row(i.toLong, v) }
+      val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), st)
+      val (lo, hi, k) = (0.1, 0.9, 3)
+      def cos(a: List[Float], b: List[Float]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+        dot / (na * nb) // NaN for zero vectors, matching the column kernel
+      }
+      val expect = vecs.indices.flatMap { qi =>
+        vecs.indices
+          .filter(_ != qi)
+          .map(ni => (ni.toLong, cos(vecs(qi), vecs(ni))))
+          .filter { case (_, c) => !c.isNaN && c >= lo && c < hi }
+          .sortBy { case (ni, c) => (-c, ni) }
+          .take(k)
+          .zipWithIndex
+          .map { case ((ni, _), r) => (qi.toLong, r + 1, ni) }
+      }.toSet
+      val got = Similarity.hardNegatives(df, df, "v", "vec_id", k, hi, lo)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      got == expect
+    }
+
   property("contrastScore equals the driver-side two-corpus frequency computation") =
     forAll(genTokenDocs, genTokenDocs) { (rawToks, tgtToks) =>
       val raw = spark.createDataFrame(
