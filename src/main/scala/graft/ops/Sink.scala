@@ -53,7 +53,8 @@ object Sink {
       idCol: String,
       nShards: Int,
       filesPerShard: Int = 1,
-      overwrite: Boolean = false): Unit = {
+      overwrite: Boolean = false,
+      idBloom: Boolean = false): Unit = {
     require(filesPerShard >= 1 && filesPerShard <= 4096,
       s"filesPerShard must be in [1, 4096], got $filesPerShard")
     require(!df.columns.contains("shard"),
@@ -69,7 +70,7 @@ object Sink {
     // the salt needs no cross-engine story (it never appears in the
     // output), so the cheap codegen hash is fine
     val salt = pmod(xxhash64(col(idCol)), lit(filesPerShard))
-    sharded
+    val writer = sharded
       .repartition(nShards * filesPerShard, col("shard"), salt)
       // shard leads the sort so it already satisfies the writer's
       // required partition-column ordering — otherwise FileFormatWriter
@@ -77,6 +78,14 @@ object Sink {
       .sortWithinPartitions(col("shard"), col(idCol))
       .write
       .mode(if (overwrite) "overwrite" else "errorifexists")
+    // `idBloom` writes a parquet bloom filter on the id column of every
+    // file: point lookups and id semi-joins against the standing corpus
+    // then skip row groups whose bloom rules the key out — the standard
+    // lakehouse complement to the min/max pruning the id-sorted files
+    // already give range scans. Footer-verified in OpsSpec.
+    (if (idBloom)
+      writer.option(s"parquet.bloom.filter.enabled#$idCol", "true")
+    else writer)
       .partitionBy("shard")
       .parquet(path)
   }

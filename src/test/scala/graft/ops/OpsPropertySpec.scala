@@ -401,6 +401,45 @@ object OpsPropertySpec extends Properties("graft.ops") {
         countsMatch && nested
     }
 
+  property("temperatureMixTokens: kept set is exactly the md5-order token-quota prefix") =
+    forAll(genCounts.suchThat(_.nonEmpty), Gen.oneOf(0.5, 1.0),
+      Gen.choose(1L, 60L), Gen.choose(1, 3)) { (toks, alpha, target, nStrata) =>
+        import org.apache.spark.sql.functions.col
+        val st = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("src", StringType, nullable = false),
+          StructField("n_tok", LongType, nullable = false)))
+        val rows = toks.zipWithIndex.map { case (t, i) =>
+          Row((i + 1).toLong, ((i + 1) % nStrata).toString, t.toLong)
+        }
+        val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), st)
+        // independent recomputation: quotas from token sums, membership
+        // from the driver-side md5 content order
+        val bySrc = rows.groupBy(_.getString(1)).toSeq.sortBy(_._1)
+        val z = bySrc.foldLeft(0.0) { case (acc, (_, rs)) =>
+          val c = rs.map(_.getLong(2)).sum.toDouble
+          acc + (if (alpha == 1.0) c else math.sqrt(c))
+        }
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def m5(id: Long) =
+          md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val expected = bySrc.flatMap { case (_, rs) =>
+          val tok = rs.map(_.getLong(2)).sum
+          val w = if (alpha == 1.0) tok.toDouble else math.sqrt(tok.toDouble)
+          val quota = math.min(tok, math.round(target * w / z))
+          var cum = 0L
+          rs.sortBy(r => (m5(r.getLong(0)), r.getLong(0))).flatMap { r =>
+            val keep = cum < quota
+            cum += r.getLong(2)
+            if (keep) Some(r.getLong(0)) else None
+          }
+        }.toSet
+        val got = Sampling.temperatureMixTokens(
+          df, "src", "doc_id", "n_tok", alpha, target)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+        got == expected
+    }
+
   property("semanticDedup: full-probe pairs ≡ brute force; labels are exactly the components") =
     forAll(
       Gen.choose(3, 10).flatMap(k => Gen.listOfN(k,

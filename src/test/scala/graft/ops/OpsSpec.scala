@@ -2071,6 +2071,33 @@ class OpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("s1", "s2", 1L)))
   }
 
+  test("writeShards(idBloom): parquet footers carry an id bloom filter; round trip intact") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sinkbf").toString + "/corpus"
+    val df = docs((1L to 100L).map(i => i -> s"text $i"): _*)
+    Sink.writeShards(df, dir, "doc_id", nShards = 4, idBloom = true)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 100L)
+    // read one data file's footer directly and assert the bloom exists
+    val conf = spark.sparkContext.hadoopConfiguration
+    val file = new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard="))
+      .head.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file.getAbsolutePath), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val rg = reader.getFooter.getBlocks.get(0)
+      val idChunk = rg.getColumns.asScala
+        .find(_.getPath.toDotString == "doc_id").get
+      assert(reader.getBloomFilterDataReader(rg).readBloomFilter(idChunk) != null,
+        "expected a bloom filter on the doc_id column chunk")
+      // text column stays bloom-free (only the id was requested)
+      val txtChunk = rg.getColumns.asScala
+        .find(_.getPath.toDotString == "text").get
+      assert(reader.getBloomFilterDataReader(rg).readBloomFilter(txtChunk) == null)
+    } finally reader.close()
+  }
+
   test("writeShards: portable shard key, bounded sorted files, exact round trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString + "/corpus"
     val df = docs((1L to 200L).map(i => i -> s"text $i"): _*)
