@@ -2108,7 +2108,7 @@ object SparkEntry {
         |), c AS (
         |  SELECT domain, cast(count(*) AS BIGINT) AS c FROM d GROUP BY domain
         |), z AS (
-        |  SELECT list_sum(list(sqrt(cast(c AS DOUBLE)) ORDER BY domain)) AS z FROM c
+        |  SELECT list_sum(list(sqrt(cast(c AS DOUBLE)) ORDER BY domain NULLS FIRST)) AS z FROM c
         |), q AS (
         |  SELECT domain,
         |    least(c, cast(round(300 * sqrt(cast(c AS DOUBLE)) / z) AS BIGINT)) AS quota
@@ -2131,7 +2131,7 @@ object SparkEntry {
         |), c AS (
         |  SELECT domain, sum(coalesce(n_tok, 0)) AS tk FROM t GROUP BY domain
         |), z AS (
-        |  SELECT list_sum(list(sqrt(cast(tk AS DOUBLE)) ORDER BY domain)) AS z FROM c
+        |  SELECT list_sum(list(sqrt(cast(tk AS DOUBLE)) ORDER BY domain NULLS FIRST)) AS z FROM c
         |), q AS (
         |  SELECT domain,
         |    least(tk, cast(round(10000 * sqrt(cast(tk AS DOUBLE)) / z) AS BIGINT)) AS quota

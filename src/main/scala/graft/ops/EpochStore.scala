@@ -259,13 +259,25 @@ private[graft] object EpochStore {
         def call(): Unit = a()
       }))
       var firstFailure: Throwable = null
+      var interrupted = false
       futures.foreach { f =>
-        try f.get()
-        catch {
-          case e: java.util.concurrent.ExecutionException =>
-            if (firstFailure == null) firstFailure = e.getCause
+        // loop so an interrupt of the AWAITING thread still awaits the
+        // remaining arms (the documented contract: first failure rethrown
+        // AFTER all threads finish) — the interrupt is re-asserted on the
+        // way out instead of abandoning in-flight sibling writes
+        var done = false
+        while (!done) {
+          try { f.get(); done = true }
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              if (firstFailure == null) firstFailure = e.getCause
+              done = true
+            case _: InterruptedException =>
+              interrupted = true
+          }
         }
       }
+      if (interrupted) Thread.currentThread().interrupt()
       if (firstFailure != null) throw firstFailure
     } finally pool.shutdown()
   }

@@ -192,13 +192,21 @@ object Sampling {
     * `tokens` is any non-negative long expression — `lit(1L)` turns the
     * token budget into an exact row quota.
     */
+  /** Hard bound on the driver-side bucket-classification table (strata ×
+    * 16^bucketHexLen rows). 2M rows ≈ low hundreds of MB of Rows — far
+    * above any mixing-grade stratum count (10s-1000s of sources × ≤4096
+    * buckets) and far below where the collect would take down the driver.
+    */
+  private[ops] val MaxClassificationRows: Int = 2000000
+
   private[ops] def takeBudgets(
       df: DataFrame,
       stratumCol: String,
       keyCol: String,
       tokens: Column,
       budgetOf: Option[Any] => Long,
-      bucketHexLen: Int): DataFrame = {
+      bucketHexLen: Int,
+      maxClassificationRows: Int = MaxClassificationRows): DataFrame = {
     require(bucketHexLen >= 1 && bucketHexLen <= 6,
       s"bucketHexLen must be in [1, 6], got $bucketHexLen")
     import org.apache.spark.sql.expressions.Window
@@ -217,8 +225,21 @@ object Sampling {
         .as("__b"))
 
     // phase 1: per-(stratum, bucket) token sums — strata × 16^bucketHexLen
-    // rows at most; one map-side-combining aggregate, nothing else moves
-    val bucketSums = slim.groupBy("__s", "__b").agg(sum("__t").as("__sum")).collect()
+    // rows at most; one map-side-combining aggregate, nothing else moves.
+    // The limit bounds driver memory BEFORE anything lands: if the
+    // aggregate exceeds [[MaxClassificationRows]] the stratum column is
+    // high-cardinality (domain, language-pair, ...) and the driver-side
+    // classification table would silently OOM — fail with a contract
+    // error instead (the limit admits at most cap + 1 rows, so the guard
+    // itself never collects the oversized table).
+    val bucketSums = slim.groupBy("__s", "__b").agg(sum("__t").as("__sum"))
+      .limit(maxClassificationRows + 1).collect()
+    require(bucketSums.length <= maxClassificationRows,
+      s"takeBudgets: stratum '$stratumCol' × 16^$bucketHexLen buckets " +
+      s"exceeds $maxClassificationRows driver-side classification rows — " +
+      "this API is for mixing-grade strata (10s-1000s of sources); for a " +
+      "high-cardinality stratum lower bucketHexLen, or aggregate the " +
+      "stratum to a coarser key first")
 
     // driver-side prefix in the window's own order (null bucket first,
     // then hex asc — the bucket is the leading prefix of the md5 sort key,
@@ -311,9 +332,14 @@ object Sampling {
     *
     * Determinism: quotas are a pure function of the per-source counts
     * (weights summed in source-name order), and membership is a pure
-    * function of content — reruns and engines agree. alpha = 0.5 and
-    * alpha = 1 use IEEE-exact sqrt/identity, so any engine recomputing the
-    * quotas from the same counts lands on the same integers.
+    * function of content — reruns and engines agree. The CROSS-ENGINE
+    * portability contract is restricted to alpha ∈ {1, 0.5}: those use
+    * IEEE-exact identity/sqrt, so any engine recomputing the quotas from
+    * the same counts lands on the same integers. Any other alpha goes
+    * through `math.pow`, whose last-ulp behavior is platform-dependent —
+    * same-engine reruns still agree, but another engine's pow may differ
+    * by one ulp and shift a `round` boundary by one row. Ship alpha ∈
+    * {1, 0.5} when downstream consumers hash-compare across engines.
     */
   def temperatureMix(
       df: DataFrame,
@@ -361,8 +387,15 @@ object Sampling {
     * combining), quota arithmetic on the driver, then the two-phase
     * bucket-prefix take — the caller's rows never shuffle and no source
     * funnels through a single window task. Determinism matches
-    * [[temperatureMix]]: alpha ∈ {1, 0.5} recompute IEEE-exactly on any
-    * engine (weights summed in source-name order, null source first).
+    * [[temperatureMix]] including its portability contract: only alpha ∈
+    * {1, 0.5} recompute IEEE-exactly on any engine (weights summed in
+    * source-name order, null source first); other alphas ride `math.pow`
+    * and may shift a rounding boundary across engines.
+    *
+    * A corpus whose every row has null/zero tokens has no token shares to
+    * mix (Z = 0, every quota would be round(NaN·…) = 0) — that is a
+    * caller error and fails loudly rather than silently emptying the
+    * result.
     */
   def temperatureMixTokens(
       df: DataFrame,
@@ -390,6 +423,10 @@ object Sampling {
       (s, c, w)
     }
     val z = weighted.foldLeft(0.0)(_ + _._3)
+    require(counts.isEmpty || z > 0.0,
+      "temperatureMixTokens: every source has 0 total tokens (all-null/zero " +
+      s"'$tokensCol') — token-share mixing is undefined on a zero-token " +
+      "corpus; fix the token column or use temperatureMix (row space)")
     val quotas: Map[Option[Any], Long] = weighted.map { case (s, c, w) =>
       s -> math.min(c, math.round(targetTokens * w / z))
     }.toMap

@@ -185,20 +185,34 @@ object Similarity {
     * int cell key; recall trades against `nprobe` exactly like FAISS IVF.
     */
   /** A built IVF index: the trained centroids (tiny — nlist × dim, they
-    * live in query plans as literals) plus the cell-assigned corpus. The
-    * seeded corpus is persisted by [[ivfBuild]] so the centroid action and
-    * the assignment read one scan; call [[IvfIndex.unpersist]] when done
-    * (or use [[ivfTopK]], which does). At real scale, persist `assigned`
-    * once as a table bucketed by `cell`, making every probe join
-    * exchange-free.
+    * live in query plans as literals) plus the cell-assigned corpus.
+    * Nothing corpus-sized is cached — [[ivfBuild]] trains centroids on a
+    * content-keyed sample and `assigned` is a plain projection over the
+    * source scan, so repeated probing re-reads the source (at real scale,
+    * persist `assigned` once as a table bucketed by `cell` — that is what
+    * [[writeAnnIndex]] does — making every probe join exchange-free).
+    *
+    * `cellSalts` records the dense-cell guard ([[ivfBuild]]'s
+    * `maxCellFraction`): cells whose estimated population exceeds the
+    * fraction carry a salt factor S > 1, and the self-join plans key on
+    * (cell, salt) instead of cell — the assigned side salts
+    * deterministically by `xxhash64(id) mod S`, the probe side explodes
+    * all S salts of each probed cell, so the candidate set is
+    * BIT-IDENTICAL to the unsalted join while the dense cell's work
+    * spreads over S tasks. This guards the degenerate case no quantizer
+    * refinement can: a pile of identical (templated) vectors lands in one
+    * cell with zero internal variance, but their ids still salt uniformly.
     */
   final case class IvfIndex(
       centroids: Seq[(Int, Seq[Float])],
       assigned: DataFrame,
-      private[Similarity] val cached: DataFrame) {
+      cellSalts: Map[Int, Int] = Map.empty) {
 
-    /** Release the cached seeded corpus backing `assigned`. */
-    def unpersist(): Unit = if (cached != null) { cached.unpersist(); () }
+    /** No-op, kept for source compatibility: [[ivfBuild]] no longer
+      * persists anything (a 100 TB build must not park the corpus in
+      * executor storage to train a few centroids).
+      */
+    def unpersist(): Unit = ()
 
     /** One `(sim, negcid, cid)` struct per centroid. Lexicographic struct
       * ordering then gives argmax/top-n directly — max sim, ties broken
@@ -238,39 +252,57 @@ object Similarity {
         s => s.getField("cid"))
   }
 
-  /** Train the IVF index: deterministic hash seeding → per-cell centroids
-    * (one posexplode + groupBy job, the only action — which also warms the
-    * persisted seeded corpus) → one Lloyd half-step re-assignment reading
-    * the cache (argmax over broadcast centroid literals, no second corpus
-    * scan).
+  /** Salt-factor cap: a cell never splits into more than this many salt
+    * partitions (256 tasks over one cell is parallelism enough; an even
+    * denser cell is a quantizer-quality problem — raise nlist).
+    */
+  private val MaxCellSalt: Int = 256
+
+  /** Per-cell salt factors from (estimated) cell populations: a cell
+    * holding more than `maxCellFraction` of the total splits into
+    * `ceil(frac / maxCellFraction)` salt partitions (capped at
+    * [[MaxCellSalt]]); balanced cells keep factor 1 and are omitted.
+    * Fractions are scale-free, so sample counts work as-is.
+    */
+  private def saltFactors(
+      counts: Map[Int, Long], maxCellFraction: Double): Map[Int, Int] = {
+    require(maxCellFraction > 0.0 && maxCellFraction <= 1.0,
+      s"maxCellFraction must be in (0, 1], got $maxCellFraction")
+    val total = counts.values.sum.toDouble
+    if (total == 0) Map.empty
+    else counts.flatMap { case (cell, n) =>
+      val frac = n / total
+      if (frac <= maxCellFraction) None
+      else Some(cell ->
+        math.min(MaxCellSalt, math.ceil(frac / maxCellFraction).toLong.toInt))
+    }
+  }
+
+  /** Train the IVF index WITHOUT caching anything corpus-sized:
+    * [[trainCentroids]] over a content-keyed sample (ONE aggregation job,
+    * map-side partial means — `trainFraction = 1.0` reproduces the
+    * historical full-corpus centroids bit-for-bit; at 100 TB pass a small
+    * fraction), then `assigned` is a plain projection — the one Lloyd
+    * half-step argmax over centroid literals fused into the source scan,
+    * re-read per downstream action instead of parked in executor storage.
+    *
+    * The same training aggregate yields per-cell sample counts, from which
+    * cells denser than `maxCellFraction` of the corpus get salt factors
+    * ([[IvfIndex.cellSalts]]) — the skew guard the self-join plans consume.
     */
   def ivfBuild(
       corpus: DataFrame,
       vecCol: String,
       idCol: String,
-      nlist: Int = 16): IvfIndex = {
-    require(nlist > 1 && Integer.bitCount(nlist) == 1, "nlist must be a power of 2")
-    val planes = Integer.numberOfTrailingZeros(nlist)
-    val seeded = corpus.select(
+      nlist: Int = 16,
+      trainFraction: Double = 1.0,
+      maxCellFraction: Double = 0.25): IvfIndex = {
+    val (centroids, counts) =
+      trainCentroidsAndCounts(corpus, vecCol, idCol, nlist, trainFraction)
+    val idx = IvfIndex(centroids, null, saltFactors(counts, maxCellFraction))
+    idx.copy(assigned = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      hyperplaneBucket(col(vecCol), planes).as("cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // centroids: element-wise mean per seed cell, collected driver-side
-    // (nlist × dim doubles — tiny by construction)
-    val centroids: Seq[(Int, Seq[Float])] = seeded
-      .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
-      .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
-      .collect()
-      .groupBy(_.getInt(0))
-      .map { case (cell, rows) =>
-        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
-      }
-      .toSeq.sortBy(_._1)
-
-    val idx = IvfIndex(centroids, null, seeded)
-    idx.copy(assigned = seeded.select(
-      col("neighbor_id"), col("cv"), idx.nearestCell(col("cv")).as("cell")))
+      idx.nearestCell(col(vecCol)).as("cell")))
   }
 
   /** Probe a built index: each query scores all centroids (plan literals —
@@ -301,9 +333,10 @@ object Similarity {
 
   /** One-shot build + probe. The probe result (queries × k rows — tiny) is
     * eagerly materialized (reliable checkpoint when a checkpoint dir is
-    * set, local otherwise — see [[Materialize.eager]]) so the corpus cache
-    * can be released before returning; multi-batch callers should
-    * [[ivfBuild]] once and [[ivfProbe]] per batch instead.
+    * set, local otherwise — see [[Materialize.eager]]) so downstream
+    * actions read the small result instead of re-running the corpus scans;
+    * multi-batch callers should [[ivfBuild]] once and [[ivfProbe]] per
+    * batch instead.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -314,10 +347,7 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4): DataFrame = {
     val idx = ivfBuild(corpus, vecCol, idCol, nlist)
-    val out = Materialize.eager(
-      ivfProbe(idx, queries, vecCol, idCol, k, nprobe))
-    idx.unpersist()
-    out
+    Materialize.eager(ivfProbe(idx, queries, vecCol, idCol, k, nprobe))
   }
 
   /** Exact k-nearest-neighbor SELF-join: every vector gets its `k` nearest
@@ -398,9 +428,7 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4): DataFrame = {
     val idx = ivfBuild(df, vecCol, idCol, nlist)
-    val out = Materialize.eager(ivfKnnJoinPlan(idx, df, vecCol, idCol, k, nprobe))
-    idx.unpersist()
-    out
+    Materialize.eager(ivfKnnJoinPlan(idx, df, vecCol, idCol, k, nprobe))
   }
 
   /** The un-materialized [[ivfKnnJoin]] plan against an already-built
@@ -410,6 +438,32 @@ object Similarity {
     * is genuinely small, shuffle join on the int cell key when both are
     * corpus-sized — the 100 TB shape).
     */
+  /** The candidate-join sides, salted when the index flags dense cells
+    * ([[IvfIndex.cellSalts]]): the assigned side salts deterministically by
+    * `xxhash64(id) mod S(cell)`, the probe side explodes every salt of each
+    * probed cell, and the join keys on (cell, salt). Candidate pairs are
+    * BIT-IDENTICAL to the unsalted cell join (each corpus vector holds
+    * exactly one (cell, salt); each probe reaches all of them) — only the
+    * shuffle partitioning changes, spreading a dense cell's quadratic work
+    * over S tasks instead of one straggler. With no dense cells the
+    * unsalted plan is returned untouched.
+    */
+  private def saltedCandidateJoin(
+      idx: IvfIndex, probed: DataFrame): DataFrame =
+    if (idx.cellSalts.isEmpty) probed.join(idx.assigned, Seq("cell"))
+    else {
+      val factor = idx.cellSalts.foldLeft(lit(1)) { case (acc, (c, s)) =>
+        when(col("cell") === c, lit(s)).otherwise(acc)
+      }
+      probed
+        .withColumn("salt", explode(sequence(lit(0), factor - 1)))
+        .join(
+          idx.assigned.withColumn("salt",
+            pmod(xxhash64(col("neighbor_id")), factor.cast("long")).cast("int")),
+          Seq("cell", "salt"))
+        .drop("salt")
+    }
+
   private[graft] def ivfKnnJoinPlan(
       idx: IvfIndex,
       df: DataFrame,
@@ -420,7 +474,7 @@ object Similarity {
     val probed = df.select(
       col(idCol).as("query_id"), col(vecCol).as("qv"),
       explode(idx.probeCells(col(vecCol), nprobe)).as("cell"))
-    val scored = probed.join(idx.assigned, Seq("cell"))
+    val scored = saltedCandidateJoin(idx, probed)
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id"))
@@ -449,10 +503,8 @@ object Similarity {
       nlist: Int = 16,
       nprobe: Int = 4): DataFrame = {
     val idx = ivfBuild(df, vecCol, idCol, nlist)
-    val out = Materialize.eager(
+    Materialize.eager(
       ivfSimilarityJoinPlan(idx, df, vecCol, idCol, minCosine, nprobe))
-    idx.unpersist()
-    out
   }
 
   private[graft] def ivfSimilarityJoinPlan(
@@ -465,7 +517,7 @@ object Similarity {
     val probed = df.select(
       col(idCol).as("query_id"), col(vecCol).as("qv"),
       explode(idx.probeCells(col(vecCol), nprobe)).as("cell"))
-    probed.join(idx.assigned, Seq("cell"))
+    saltedCandidateJoin(idx, probed)
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
       .where(col("cosine") >= minCosine && !isnan(col("cosine")))
@@ -672,7 +724,22 @@ object Similarity {
       vecCol: String,
       idCol: String,
       nlist: Int,
-      trainFraction: Double): Seq[(Int, Seq[Float])] = {
+      trainFraction: Double): Seq[(Int, Seq[Float])] =
+    trainCentroidsAndCounts(corpus, vecCol, idCol, nlist, trainFraction)._1
+
+  /** [[trainCentroids]] plus per-seed-cell sample vector counts (the skew
+    * estimate feeding [[saltFactors]]) — same single aggregation job, the
+    * count rides the existing (cell, pos) groups for free. Counts are of
+    * SEEDED cells (raw hyperplane bucket); the Lloyd half-step re-assigns
+    * some boundary vectors, but a degenerate dense cluster (identical
+    * vectors) moves together either way, which is what the guard is for.
+    */
+  private def trainCentroidsAndCounts(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nlist: Int,
+      trainFraction: Double): (Seq[(Int, Seq[Float])], Map[Int, Long]) = {
     require(nlist > 1 && Integer.bitCount(nlist) == 1, "nlist must be a power of 2")
     require(trainFraction > 0.0 && trainFraction <= 1.0,
       s"trainFraction must be in (0, 1], got $trainFraction")
@@ -682,20 +749,22 @@ object Similarity {
       else corpus.where(
         pmod(xxhash64(col(idCol)), lit(1000000L)).cast("double") / 1000000.0
           < trainFraction)
-    val centroids = sampled.select(
+    val rows = sampled.select(
         hyperplaneBucket(col(vecCol), planes).as("cell"),
         posexplode(col(vecCol)).as(Seq("pos", "x")))
-      .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+      .groupBy("cell", "pos").agg(avg(col("x")).as("m"), count(lit(1)).as("n"))
       .collect()
       .groupBy(_.getInt(0))
-      .map { case (cell, rows) =>
-        cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+    val centroids = rows
+      .map { case (cell, rs) =>
+        cell -> rs.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
       }
       .toSeq.sortBy(_._1)
     require(centroids.nonEmpty,
       s"centroid training sample is empty (trainFraction = $trainFraction " +
       "over this corpus) — raise trainFraction or check the vector column")
-    centroids
+    val counts = rows.map { case (cell, rs) => cell -> rs.map(_.getLong(3)).max }
+    (centroids, counts)
   }
 
   /** Persist an IVF index so daily probe jobs stop re-training centroids
@@ -711,11 +780,10 @@ object Similarity {
     *
     * Cost shape: TWO plain corpus scans (sampled centroid training, then
     * the literal-centroid assignment feeding the write) and nothing
-    * persisted — unlike the in-session [[ivfBuild]], which caches the
-    * seeded corpus for repeated probing, a 100 TB build must not park the
-    * corpus in executor storage to train a few centroids. Set
-    * `trainFraction` well below 1 at scale; the default reproduces
-    * [[ivfBuild]]'s centroids exactly.
+    * persisted — a 100 TB build must not park the corpus in executor
+    * storage to train a few centroids (the in-session [[ivfBuild]] follows
+    * the same discipline). Set `trainFraction` well below 1 at scale; the
+    * default reproduces [[ivfBuild]]'s centroids exactly.
     *
     * At real scale, `assigned` is the corpus' vectors re-keyed by a small
     * int — store it once, probe many times; cell-bucketing the table makes
@@ -745,7 +813,7 @@ object Similarity {
     val spark = corpus.sparkSession
     EpochStore.withLease(spark, path) {
     val centroids = trainCentroids(corpus, vecCol, idCol, nlist, trainFraction)
-    val idx = IvfIndex(centroids, null, null)
+    val idx = IvfIndex(centroids, null)
     val cur = EpochStore.currentEpoch(spark, path)
     if (cur.isEmpty) EpochStore.resetKeepingLease(spark, path)
     val n = cur.map(EpochStore.epochNumber(_) + 1L).getOrElse(1L)
@@ -816,7 +884,7 @@ object Similarity {
     val epoch = EpochStore.epochName(n)
     val dir = s"$path/$epoch"
     EpochStore.deleteDir(spark, dir)
-    val idx = IvfIndex(centroids, null, null)
+    val idx = IvfIndex(centroids, null)
     val assignedDir = EpochStore.dataDirName("assigned", n)
     // delta write, successor bloom, and small tables are independent
     EpochStore.inParallel(
@@ -898,7 +966,7 @@ object Similarity {
     require(!corpus.columns.contains("cell"),
       "diversitySample adds a 'cell' column — rename the existing one first")
     val idx = IvfIndex(
-      trainCentroids(corpus, vecCol, idCol, nlist, trainFraction), null, null)
+      trainCentroids(corpus, vecCol, idCol, nlist, trainFraction), null)
     Sampling.takePerStratum(
       corpus.withColumn("cell", idx.nearestCell(col(vecCol))),
       "cell", idCol, nPerCell)
@@ -927,8 +995,7 @@ object Similarity {
     val idx = IvfIndex(
       readAnnCentroids(spark, dir),
       readAssignedVecs(spark, dir, annMetaQuantized(meta)).select(
-        col("cell"), col("id").as("neighbor_id"), col("vec").as("cv")),
-      null)
+        col("cell"), col("id").as("neighbor_id"), col("vec").as("cv")))
     queries.select(
         col(idCol).as("query_id"), col(vecCol).as("qv"),
         explode(idx.probeCells(col(vecCol), nprobe)).as("cell"))
@@ -997,7 +1064,7 @@ object Similarity {
       else Seq(col("id"), col("vec"))
     val compacted =
       if (retrain) {
-        val idx = IvfIndex(centroids, null, null)
+        val idx = IvfIndex(centroids, null)
         withVec.select(idx.nearestCell(col("vec")).as("cell") +: storageCols: _*)
       } else standing
     // the assigned rewrite (then its read-back bloom) overlaps the small
@@ -1038,8 +1105,7 @@ object Similarity {
     val idx = IvfIndex(
       readAnnCentroids(spark, dir),
       readAssignedVecs(spark, dir, annMetaQuantized(meta)).select(
-        col("cell"), col("id").as("neighbor_id"), col("vec").as("cv")),
-      null)
+        col("cell"), col("id").as("neighbor_id"), col("vec").as("cv")))
     ivfProbe(idx, queries, vecCol, idCol, k, nprobe)
   }
 }

@@ -364,6 +364,10 @@ class PlanSpec extends SparkSpec {
         s"both candidate-join sides must exchange by cell:\n$p")
       assert(!p.contains("SinglePartition"),
         s"single-partition exchange in the knn-join plan:\n$p")
+      // the build must never park the corpus in executor storage: a 100 TB
+      // corpus cannot be cached to train nlist × dim centroid floats
+      assert(!p.contains("InMemoryRelation") && !p.contains("InMemoryTableScan"),
+        s"ivfBuild persisted something corpus-sized:\n$p")
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       idx.unpersist()

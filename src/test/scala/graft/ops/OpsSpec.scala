@@ -238,13 +238,12 @@ class OpsSpec extends SparkSpec {
           math.sin(i * 0.3 + 1).toFloat))): _*)
     val queries = vecs.where(col("vec_id") < 4)
     val idx = Similarity.ivfBuild(vecs, "embedding", "vec_id", nlist = 4)
-    // the assignment reads the persisted seeded corpus — its plan bottoms
-    // out in exactly one InMemoryRelation leaf (single corpus scan). Checked
-    // before ivfTopK below: its internal unpersist evicts the shared
-    // canonical-plan cache entry.
-    val leaves = idx.assigned.queryExecution.optimizedPlan.collectLeaves()
-    assert(leaves.size == 1 &&
-      leaves.head.getClass.getSimpleName == "InMemoryRelation")
+    // the build must not park the corpus in executor storage (a 100 TB
+    // corpus cannot be cached to train a few centroids): the assignment is
+    // a plain projection over the source, no InMemoryRelation anywhere
+    assert(!idx.assigned.queryExecution.optimizedPlan.toString
+      .contains("InMemoryRelation"),
+      "ivfBuild must not persist the corpus")
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(x => (x._1, x._2)).toSeq
     val p1 = rows(Similarity.ivfProbe(idx, queries, "embedding", "vec_id", k = 3, nprobe = 2))
@@ -253,6 +252,49 @@ class OpsSpec extends SparkSpec {
     val p2 = rows(Similarity.ivfProbe(idx, queries, "embedding", "vec_id", k = 3, nprobe = 2))
     assert(p1 == once && p2 == once)
     idx.unpersist()
+  }
+
+  test("ivf dense-cell salt: skewed corpus engages the guard, results exact") {
+    // 30 of 60 vectors are an identical template — they land in ONE cell
+    // with zero internal variance (the case no quantizer refinement can
+    // split), which at scale would make the cell join a single all-pairs
+    // straggler task. The salt guard must engage AND change nothing about
+    // the results.
+    val template = Seq(0.5f, -0.25f, 0.75f)
+    val rows = (0L until 30L).map(i => Row(i, template)) ++
+      (30L until 60L).map(i => Row(i,
+        Seq(math.sin(i * 1.7).toFloat, math.cos(i * 0.9).toFloat,
+          math.sin(i * 0.3 + 1).toFloat)))
+    val vecs = frame(
+      struct("vec_id" -> LongType, "embedding" -> ArrayType(FloatType)),
+      rows: _*)
+    val idx = Similarity.ivfBuild(vecs, "embedding", "vec_id", nlist = 4)
+    assert(idx.cellSalts.nonEmpty, "a 50% cell must trip the dense-cell guard")
+    assert(idx.cellSalts.values.forall(s => s >= 2 && s <= 256))
+    // the salted (cell, salt) join must produce the same exact results as
+    // the broadcast-quadratic truth at nprobe = nlist...
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(x => (x._1, x._2)).toSeq
+    assert(key(Similarity.ivfKnnJoin(vecs, "embedding", "vec_id", k = 3,
+      nlist = 4, nprobe = 4)) ==
+      key(Similarity.knnJoin(vecs, "embedding", "vec_id", k = 3)))
+    // ...and the similarity self-join pair set is identical to an unsalted
+    // run of the same plan (salting only re-keys the shuffle)
+    val unsalted = Similarity.ivfSimilarityJoinPlan(
+      idx.copy(cellSalts = Map.empty), vecs, "embedding", "vec_id",
+      minCosine = 0.9, nprobe = 4)
+    val salted = Similarity.ivfSimilarityJoinPlan(
+      idx, vecs, "embedding", "vec_id", minCosine = 0.9, nprobe = 4)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(pairs(salted) == pairs(unsalted) && pairs(salted).nonEmpty)
+    // under its threshold the guard stays out of the way (plans unsalted);
+    // 0.6 because nlist = 4 puts the fair share at 25% — the 0.25 default
+    // is calibrated to nlist >= 16, where fair share is 4x below it
+    val balanced = Similarity.ivfBuild(
+      vecs.where(col("vec_id") >= 30), "embedding", "vec_id", nlist = 4,
+      maxCellFraction = 0.6)
+    assert(balanced.cellSalts.isEmpty)
   }
 
   test("candidatePairs drops a degenerate bucket without materializing it") {
@@ -868,6 +910,37 @@ class OpsSpec extends SparkSpec {
       Sampling.takePerStratum(df.where(col("src") === "b"), "src", "doc_id", 2)
         .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == expected)
+  }
+
+  test("temperatureMixTokens: an all-zero-token corpus fails loudly, not empty") {
+    val st = struct("doc_id" -> LongType, "src" -> StringType, "n_tok" -> LongType)
+    val df = frame(st, Row(1L, "a", 0L), Row(2L, "b", null))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.temperatureMixTokens(df, "src", "doc_id", "n_tok", 0.5, 100L)
+        .collect()
+    }
+    assert(e.getMessage.contains("0 total tokens"))
+    // an EMPTY corpus (no sources at all) stays a clean empty result — the
+    // require only rejects the defined-but-degenerate zero-token case
+    assert(Sampling.temperatureMixTokens(
+      frame(st), "src", "doc_id", "n_tok", 0.5, 100L).count() == 0L)
+  }
+
+  test("takeBudgets: a high-cardinality stratum trips the classification bound") {
+    // 6 strata × 16^1 buckets can exceed a cap of 8 classification rows —
+    // the contract error must fire instead of a silent driver-side collect
+    // of an unbounded (strata × buckets) table
+    val st = struct("doc_id" -> LongType, "src" -> StringType, "n_tok" -> LongType)
+    val rows = (1L to 60L).map(i => Row(i, s"stratum_${i % 6}", 10L))
+    val df = frame(st, rows: _*)
+    val e = intercept[IllegalArgumentException] {
+      Sampling.takeBudgets(df, "src", "doc_id", col("n_tok"), _ => 1000L,
+        bucketHexLen = 1, maxClassificationRows = 8)
+    }
+    assert(e.getMessage.contains("classification rows"))
+    // under the bound the same call answers normally
+    assert(Sampling.takeBudgets(df, "src", "doc_id", col("n_tok"), _ => 1000L,
+      bucketHexLen = 1, maxClassificationRows = 96).count() == 60L)
   }
 
   test("pipeline ops degrade cleanly on an empty corpus") {
