@@ -67,6 +67,9 @@ object SparkEntry {
   private def q122IndexDir(sfDir: String) =
     s"/tmp/graft_q122_fpindex_${new java.io.File(sfDir).getName}"
 
+  private def q125IndexDir(sfDir: String) =
+    s"/tmp/graft_q125_annindex_${new java.io.File(sfDir).getName}"
+
   private def q108IndexDir(sfDir: String) =
     s"/tmp/graft_q108_paraindex_${new java.io.File(sfDir).getName}"
 
@@ -164,6 +167,16 @@ object SparkEntry {
       graft.ops.Similarity.hardNegativesAgainstIndex(
         embParallel(s, d).where(col("vec_id") % 17 === 0), "embedding", "vec_id",
         q119IndexDir(d), k = 5, maxCosine = 0.8, minCosine = 0.1, nprobe = 8).count()
+      ()
+    }),
+    ("q125_semantic_against", "q125_build", (s: SparkSession, d: String) =>
+      graft.ops.Similarity.writeAnnIndex(
+        embParallel(s, d).where(col("vec_id") % 10 =!= 0),
+        "embedding", "vec_id", q125IndexDir(d), nlist = 8)),
+    ("q125_semantic_against", "q125_probe", (s: SparkSession, d: String) => {
+      graft.ops.Similarity.semanticDedupAgainstIndex(
+        embParallel(s, d).where(col("vec_id") % 10 === 0), "embedding", "vec_id",
+        q125IndexDir(d), minCosine = 0.35, nprobe = 8).count()
       ()
     }))
 
@@ -869,6 +882,25 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("rep"),
           col("cluster_size"), col("kept"))
         .orderBy(col("vec_id"))),
+
+    // incremental SemDeDup — the FIFTH daily-batch path (after q90 LSH,
+    // q108 paragraphs, q120 containment, q122 winnowing): the standing
+    // corpus (%10 != 0) is indexed once, today's batch (%10 == 0) probes
+    // it for cross pairs only plus its own in-batch pairs, and the
+    // standing side wins every election. nprobe = nlist so the pair sets
+    // are exact ⇒ fully SQL-oracled (recursive-CTE closure with the
+    // standing-anchor override)
+    "q125_semantic_against" -> ((s, d) => {
+      val emb = embParallel(s, d)
+      val idx = q125IndexDir(d)
+      graft.ops.Similarity.writeAnnIndex(
+        emb.where(col("vec_id") % 10 =!= 0), "embedding", "vec_id", idx, nlist = 8)
+      graft.ops.Similarity.semanticDedupAgainstIndex(
+        emb.where(col("vec_id") % 10 === 0), "embedding", "vec_id", idx,
+        minCosine = 0.35, nprobe = 8)
+        .select(col("id").as("vec_id"), col("rep"), col("kept"))
+        .orderBy(col("vec_id"))
+    }),
 
     // paragraph-index lifecycle (the third index next to q97 LSH and q99
     // ANN): build the standing paragraph-hash index on the %3==1 docs,
@@ -2183,6 +2215,49 @@ object SparkEntry {
         |  (row_number() OVER (PARTITION BY rep
         |     ORDER BY (id * 7) % 100 DESC, id) = 1) AS kept
         |FROM lab ORDER BY vec_id""".stripMargin,
+
+    // q115's closure machinery over batch-side edges only (cross pairs to
+    // the standing %10 != 0 corpus + in-batch pairs; standing-standing
+    // pairs withheld — the incremental discipline), then the
+    // standing-anchor override: any component touching the standing side
+    // reps to its smallest matched standing id and keeps nothing
+    "q125_semantic_against" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+        |), s AS (SELECT * FROM v WHERE vec_id % 10 <> 0
+        |), b AS (SELECT * FROM v WHERE vec_id % 10 = 0
+        |), cp AS (
+        |  SELECT b.vec_id AS id_a, s.vec_id AS id_b
+        |  FROM b CROSS JOIN s
+        |  WHERE list_cosine_similarity(b.ev, s.ev) >= 0.35
+        |), ip AS (
+        |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM b x JOIN b y ON x.vec_id < y.vec_id
+        |  WHERE list_cosine_similarity(x.ev, y.ev) >= 0.35
+        |), p AS (
+        |  SELECT * FROM cp UNION ALL SELECT * FROM ip
+        |), n AS (
+        |  SELECT vec_id AS id FROM b UNION SELECT id_b FROM cp
+        |), e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT id, id AS r FROM n
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id
+        |), lab AS (
+        |  SELECT id, cast(min(r) AS BIGINT) AS rep0 FROM reach GROUP BY id
+        |), anch AS (
+        |  SELECT lab.rep0, min(lab.id) AS anchor
+        |  FROM lab JOIN (SELECT DISTINCT id_b FROM cp) a ON lab.id = a.id_b
+        |  GROUP BY lab.rep0
+        |)
+        |SELECT lab.id AS vec_id,
+        |  cast(coalesce(anch.anchor, lab.rep0) AS BIGINT) AS rep,
+        |  (anch.anchor IS NULL AND lab.id = lab.rep0) AS kept
+        |FROM lab JOIN b ON lab.id = b.vec_id
+        |LEFT JOIN anch ON lab.rep0 = anch.rep0
+        |ORDER BY vec_id""".stripMargin,
 
     "q115_semantic_dedup" ->
       """WITH RECURSIVE v AS (

@@ -597,6 +597,95 @@ object Similarity {
       .drop("__score")
   }
 
+  /** [[semanticDedup]] for DAILY ARRIVALS against a standing ANN index —
+    * the incremental form every other dedup family already has
+    * ([[Dedup.minhashPairsAgainstIndex]], [[Decontam.containmentPairsAgainst]],
+    * [[Decontam.winnowingPairsAgainstIndex]], [[Dedup.dedupParagraphsAgainstIndex]]):
+    * the batch probes the persisted index ([[writeAnnIndex]]) for
+    * CROSS-side pairs only — the standing corpus is never re-paired
+    * against itself — and survivors are elected against the standing
+    * representatives. Returns `(id, rep, kept)` for every batch row:
+    *
+    *   - a row whose component touches the standing corpus is a duplicate:
+    *     `kept = false`, `rep` = the smallest matched STANDING id (the
+    *     standing side wins every election regardless of id order —
+    *     first-writer-wins, the same seniority rule as the other index
+    *     lifecycles, so a standing survivor is never retroactively
+    *     demoted by an arriving near-duplicate);
+    *   - a batch-only component elects its minimum id: `kept` marks it,
+    *     the rest carry it as `rep` ([[semanticDedup]]'s audit shape).
+    *
+    * `withinBatch = true` (default) also pairs the batch against itself —
+    * cell-keyed by the INDEX's own centroids, so recall behaves uniformly
+    * across both pair kinds — making the call the exact daily twin of
+    * re-running [[semanticDedup]] over the union with standing-standing
+    * pairs withheld (at `nprobe = nlist` exactly; below it, IVF recall).
+    * Two batch rows near a common standing vector unify THROUGH it even
+    * when not near each other, matching the union closure.
+    *
+    * Replay guard: a batch id already committed to the index is already
+    * represented — it comes back `kept = false` anchored at itself (or a
+    * smaller matched standing id), so replaying yields no survivors and
+    * the appendix loop below stays idempotent. The intended daily loop:
+    *
+    * {{{
+    *   val audit = semanticDedupAgainstIndex(batch, "vec", "id", path, tau)
+    *   val survivors = batch.join(audit.where(col("kept")), Seq("id"), "left_semi")
+    *   appendAnnIndex(survivors, "vec", "id", path)   // dup-ids rejected
+    * }}}
+    *
+    * Cost shape at 100 TB: the standing side is two narrow manifest reads
+    * (probe join + the replay-guard id column); batch vectors ride ONE
+    * cell-keyed shuffle per pair kind; the closure runs over the (small)
+    * pair set; nothing corpus-sized is cached, collected, or rewritten.
+    */
+  def semanticDedupAgainstIndex(
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      minCosine: Double,
+      nprobe: Int = 4,
+      withinBatch: Boolean = true): DataFrame = {
+    val spark = batch.sparkSession
+    val (dir, _) = resolveAnnIndex(spark, path)
+    val ids = batch.select(col(idCol).as("id"))
+    // replay guard: an already-indexed id anchors to itself (self-edges
+    // are closure no-ops, but the id joins the anchor set below)
+    val replayed = ids
+      .join(EpochStore.readTable(spark, dir, "assigned").select("id"),
+        Seq("id"), "left_semi")
+      .select(col("id").as("id_a"), col("id").as("id_b"))
+    // cross pairs: batch → standing, from the index probe (consumed twice
+    // below — once as edges, once as the anchor set — hence materialized)
+    val cross = Materialize.eager(
+      annRangeAgainstIndex(batch, vecCol, idCol, path, minCosine, nprobe)
+        .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+        .unionByName(replayed))
+    val inBatch =
+      if (!withinBatch) cross.limit(0)
+      else {
+        val idx0 = IvfIndex(readAnnCentroids(spark, dir), null)
+        val idx = idx0.copy(assigned = batch.select(
+          col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+          idx0.nearestCell(col(vecCol)).as("cell")))
+        ivfSimilarityJoinPlan(idx, batch, vecCol, idCol, minCosine, nprobe)
+          .select(col("id_a"), col("id_b"))
+      }
+    val anchors = cross.select(col("id_b").as("id")).distinct()
+    val nodes = ids.unionByName(anchors).distinct()
+    val labels = Dedup.dedupClustersStar(nodes, "id", cross.unionByName(inBatch))
+    // the standing-wins election: each component's smallest matched
+    // standing id (when any) overrides the min-id label as `rep`
+    val anchorRep = labels.join(anchors, Seq("id"))
+      .groupBy(col("rep")).agg(min(col("id")).as("__anchor"))
+    labels.join(ids, Seq("id"))
+      .join(anchorRep, Seq("rep"), "left")
+      .select(col("id"),
+        coalesce(col("__anchor"), col("rep")).as("rep"),
+        (col("__anchor").isNull && col("id") === col("rep")).as("kept"))
+  }
+
   /** LSH-bucketed top-k: exact cosine only within the query's hyperplane
     * bucket(s). `bands` independent plane families OR-amplify recall
     * exactly like [[graft.ops.Dedup.embeddingNearDup]]'s banding — a true

@@ -866,6 +866,83 @@ class OpsSpec extends SparkSpec {
       (4L, true), (5L, false), (6L, true)))
   }
 
+  test("semanticDedupAgainstIndex: probe equals the cross-restricted union closure; standing wins; replay anchors itself") {
+    // planar unit vectors — pair cosines are cos(angle difference), so the
+    // fixture controls which pairs clear the 0.9 threshold (≈ 0.45 rad)
+    def vec(angle: Double): Seq[Float] =
+      Seq(math.cos(angle).toFloat, math.sin(angle).toFloat, 0f)
+    val standing = Seq(10L -> 0.0, 11L -> 1.5, 12L -> 3.0)
+    val batch = Seq(
+      100L -> 0.05, // dup of s10
+      101L -> 0.10, // dup of s10 and of b100
+      103L -> 2.00, 104L -> 2.10, // batch-only pair, far from standing
+      105L -> 4.50, // singleton
+      106L -> -0.30, 107L -> 0.30) // each near s10, NOT near each other
+    val st = struct("vec_id" -> LongType, "embedding" -> ArrayType(FloatType))
+    val sDf = frame(st, standing.map { case (i, a) => Row(i, vec(a)) }: _*)
+    val bDf = frame(st, batch.map { case (i, a) => Row(i, vec(a)) }: _*)
+    val dir = java.nio.file.Files.createTempDirectory("graft_semidx").toString + "/idx"
+    Similarity.writeAnnIndex(sDf, "embedding", "vec_id", dir, nlist = 4)
+
+    // driver-side reference: same kernel arithmetic (sequential double
+    // accumulation), cross pairs + optional in-batch pairs, union-find,
+    // standing-anchor override
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val sv = standing.map { case (i, a) => i -> vec(a) }.toMap
+    val bv = batch.map { case (i, a) => i -> vec(a) }.toMap
+    def reference(withinBatch: Boolean): Map[Long, (Long, Boolean)] = {
+      val tau = 0.9
+      val crossP = for { (b, x) <- bv.toSeq; (s, y) <- sv.toSeq
+        if cos(x, y) >= tau } yield (b, s)
+      val inP = if (!withinBatch) Seq.empty else
+        for { (a, x) <- bv.toSeq; (b, y) <- bv.toSeq
+          if a < b && cos(x, y) >= tau } yield (a, b)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r } }
+      def union(a: Long, b: Long): Unit = { val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra max rb) = ra min rb }
+      (crossP ++ inP).foreach { case (a, b) => union(a, b) }
+      val anchors = crossP.map(_._2).toSet
+      val comps = (bv.keySet ++ anchors).groupBy(find)
+      bv.keySet.map { id =>
+        val comp = comps(find(id))
+        val compAnchors = comp & anchors
+        if (compAnchors.nonEmpty) id -> (compAnchors.min, false)
+        else id -> (comp.min, id == comp.min)
+      }.toMap
+    }
+    def got(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Boolean)] =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // nprobe = nlist ⇒ exact pair sets ⇒ the probe must reproduce the
+    // reference verbatim, both with and without in-batch pairing
+    assert(got(Similarity.semanticDedupAgainstIndex(
+      bDf, "embedding", "vec_id", dir, minCosine = 0.9, nprobe = 4)) ==
+      reference(withinBatch = true))
+    assert(got(Similarity.semanticDedupAgainstIndex(
+      bDf, "embedding", "vec_id", dir, minCosine = 0.9, nprobe = 4,
+      withinBatch = false)) == reference(withinBatch = false))
+    // spot-check the semantics the fixture was built for
+    val full = reference(withinBatch = true)
+    assert(full(100L) == (10L, false) && full(101L) == (10L, false))
+    assert(full(106L) == (10L, false) && full(107L) == (10L, false)) // via s10
+    assert(full(103L) == (103L, true) && full(104L) == (103L, false))
+    assert(full(105L) == (105L, true))
+    // replay guard: a batch containing an already-indexed id yields no
+    // survivor for it — it anchors (at least) at itself
+    val replay = got(Similarity.semanticDedupAgainstIndex(
+      sDf.where(col("vec_id") === 11L), "embedding", "vec_id", dir,
+      minCosine = 0.9, nprobe = 4))
+    assert(replay == Map(11L -> (11L, false)))
+  }
+
   test("temperatureMixTokens: token-share quotas, flattening, saturation keeps whole source") {
     // source a: 4 docs × 100 tokens = 400; source b: 2 docs × 50 = 100
     val st = struct("doc_id" -> LongType, "src" -> StringType, "n_tok" -> LongType)
