@@ -343,6 +343,104 @@ object StreamingOps {
           Decontam.appendFingerprintIndex(fresh, idCol, textCol, path, retainEpochs)
     }
 
+  /** Winnowed-fingerprint hit count + suspect flag against a fixed bloom —
+    * the shared core of [[screenFingerprintsStream]] and
+    * [[screenFingerprintsRefreshing]]. Pure per-row codegen (winnowing
+    * fused into the scan, one bloom probe per selected fingerprint);
+    * null text carries no fingerprints and is never suspect.
+    */
+  private def fpScreenColumns(
+      df: DataFrame, textCol: String, n: Int, w: Int,
+      minShared: Long, bytes: Array[Byte]): DataFrame = {
+    import graft.ops.Decontam
+    val hits = when(col(textCol).isNull, lit(0L)).otherwise(
+      size(filter(Decontam.winnowedGramKeys(col(textCol), n, w),
+        k => Decontam.bloomMightContainKey(bytes, k))).cast("long"))
+    df.withColumn("fp_hits", hits)
+      .withColumn("suspect", col("fp_hits") >= minShared)
+  }
+
+  /** Per-ROW stateless near-duplicate SCREEN against the standing
+    * winnowing-fingerprint index
+    * ([[graft.ops.Decontam.writeFingerprintIndex]]): each streamed
+    * document is winnowed with the INDEX's own (n, w) and its selected
+    * fingerprints probe a bloom built once over the index's postings keys
+    * at query construction — no join, no aggregate, no state (the
+    * [[suppressKnownParagraphsStream]] construction at fingerprint
+    * granularity). Adds `fp_hits` (how many of the document's fingerprints
+    * the index might hold) and `suspect` (`fp_hits >= minShared`);
+    * rows pass through unfiltered — the caller routes.
+    *
+    * Contract: a document genuinely sharing `minShared`+ fingerprints
+    * with the standing corpus is ALWAYS flagged (blooms have no false
+    * negatives); a clean document is over-flagged with probability ≤ its
+    * fingerprint count × `fpp`. Two asymmetries vs the exact batch probe
+    * ([[graft.ops.Decontam.winnowingPairsAgainstIndex]]), both toward
+    * over-flagging: hits count fingerprints shared with the CORPUS (a doc
+    * touching several standing docs sums across them, where per-pair
+    * `shared_fps` would not), and no `maxDf` boilerplate cap applies (the
+    * bloom carries no frequencies). The intended pipeline: screen at
+    * stream rate, route `suspect` rows through the exact batch probe for
+    * pair attribution. The epoch and bloom are FIXED at query
+    * construction — use [[screenFingerprintsRefreshing]] to observe
+    * appends without restart.
+    */
+  def screenFingerprintsStream(
+      newStream: DataFrame,
+      textCol: String,
+      path: String,
+      minShared: Long = 2L,
+      fpp: Double = 1e-6): DataFrame = {
+    import graft.ops.{Decontam, EpochStore}
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val spark = newStream.sparkSession
+    val (dir, meta) = Decontam.resolveFingerprintIndex(spark, path)
+    val bytes = Decontam.gramKeyBloom(
+      EpochStore.readTable(spark, dir, "postings").select(col("__g")).distinct())(fpp)
+    fpScreenColumns(newStream, textCol,
+      meta.getAs[Int]("n"), meta.getAs[Int]("w"), minShared, bytes)
+  }
+
+  /** [[screenFingerprintsStream]] with LIVE index-growth visibility — the
+    * stateless screen fixes its bloom at query construction, so an
+    * [[graft.ops.Decontam.appendFingerprintIndex]] landing DURING a
+    * long-running stream is invisible until restart. This `foreachBatch`
+    * variant re-resolves the index pointer every `refreshEvery` batches
+    * and rebuilds the bloom ONLY when the live epoch actually moved
+    * (pointer reads are O(1); a rebuild scans the postings key column —
+    * size `refreshEvery` to the append cadence). Winnowing parameters are
+    * re-read with the epoch, so even a parameter-changing rebuild screens
+    * consistently. Same per-batch contract as the stateless form; batches
+    * run sequentially, so the cache needs no synchronization.
+    */
+  def screenFingerprintsRefreshing(
+      newStream: DataFrame,
+      textCol: String,
+      path: String,
+      minShared: Long = 2L,
+      fpp: Double = 1e-6,
+      refreshEvery: Int = 1)(
+      write: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(refreshEvery >= 1, s"refreshEvery must be >= 1, got $refreshEvery")
+    var cached: Option[(String, Int, Int, Array[Byte])] = None
+    newStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.ops.{Decontam, EpochStore}
+        val spark = batch.sparkSession
+        if (cached.isEmpty || batchId % refreshEvery == 0) {
+          val (dir, meta) = Decontam.resolveFingerprintIndex(spark, path)
+          if (!cached.exists(_._1 == dir))
+            cached = Some((dir, meta.getAs[Int]("n"), meta.getAs[Int]("w"),
+              Decontam.gramKeyBloom(
+                EpochStore.readTable(spark, dir, "postings")
+                  .select(col("__g")).distinct())(fpp)))
+        }
+        val (_, n, w, bytes) = cached.get
+        write(fpScreenColumns(batch.toDF(), textCol, n, w, minShared, bytes))
+    }
+  }
+
   /** [[appendToIndex]]'s PARAGRAPH twin: grow the standing
     * [[graft.ops.Dedup.writeParagraphIndex]] index from the live stream,
     * one delta of never-seen hashes per non-empty micro-batch. No dedup

@@ -492,6 +492,77 @@ class StreamingSpec extends SparkSpec {
     assert(table(streamed, "fsizes") == table(batched, "fsizes"))
   }
 
+  test("fingerprint screen: stream flags agree with the exact batch probe") {
+    import graft.ops.Decontam
+    val docSt = struct("doc_id" -> LongType, "text" -> StringType)
+    val corpusText = (1 to 12).map(i => s"s$i").mkString(" ")
+    val idx = Files.createTempDirectory("graft-fpscreen-idx").toString + "/idx"
+    Decontam.writeFingerprintIndex(
+      frame(docSt, Row(10L, corpusText),
+        Row(11L, (1 to 12).map(i => s"z$i").mkString(" "))),
+      "doc_id", "text", idx, n = 5, w = 4)
+    // doc 1 duplicates an indexed doc (every fingerprint hits), doc 2 is
+    // fresh (zero hits at fpp 1e-6), doc 3 has null text
+    val inDir = Files.createTempDirectory("graft-fpscreen-in").toString
+    val batch = frame(docSt,
+      Row(1L, corpusText),
+      Row(2L, (1 to 12).map(i => s"fresh$i").mkString(" ")),
+      Row(3L, null))
+    batch.coalesce(1).write.mode("append").parquet(inDir)
+    val screened = StreamingOps.screenFingerprintsStream(
+      spark.readStream.schema(docSt).option("maxFilesPerTrigger", "1").parquet(inDir),
+      "text", idx, minShared = 1L)
+    runToCompletion(screened, "fp_screen_out")
+    val got = spark.table("fp_screen_out").orderBy("doc_id")
+      .select("doc_id", "fp_hits", "suspect").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // the exact probe attributes the pair; its shared_fps must equal the
+    // screen's hit count for the single-source duplicate
+    val exact = Decontam.winnowingPairsAgainstIndex(
+      batch, "doc_id", "text", idx, minShared = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(exact.map(p => (p._1, p._2)).toSet == Set((1L, 10L)))
+    assert(got(0) == ((1L, exact.head._3, true)),
+      "screen hits must equal the exact probe's shared_fps for a one-source dup")
+    assert(got(1) == ((2L, 0L, false)) && got(2) == ((3L, 0L, false)))
+  }
+
+  test("fingerprint screen refresh: an index append MID-STREAM flags later batches") {
+    import graft.ops.Decontam
+    val docSt = struct("doc_id" -> LongType, "text" -> StringType)
+    val corpusA = (1 to 12).map(i => s"a$i").mkString(" ")
+    val corpusB = (1 to 12).map(i => s"b$i").mkString(" ")
+    val idx = Files.createTempDirectory("graft-fpscr-refresh").toString + "/idx"
+    Decontam.writeFingerprintIndex(
+      frame(docSt, Row(10L, corpusA)), "doc_id", "text", idx, n = 5, w = 4)
+    // batch 0: a corpusB copy passes (B unindexed); the write callback
+    // appends B — an external daily append landing between micro-batches —
+    // and batch 1's corpusB copy must flag WITHOUT a restart
+    val inDir = Files.createTempDirectory("graft-fpscr-refresh-in").toString
+    frame(docSt, Row(20L, corpusB)).coalesce(1).write.mode("append").parquet(inDir)
+    Thread.sleep(5)
+    frame(docSt, Row(21L, corpusB)).coalesce(1).write.mode("append").parquet(inDir)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val cp = Files.createTempDirectory("graft-fpscr-refresh-cp").toString
+    val q = StreamingOps.screenFingerprintsRefreshing(
+      spark.readStream.schema(docSt).option("maxFilesPerTrigger", "1").parquet(inDir),
+      "text", idx, minShared = 1L, refreshEvery = 1) { screened =>
+        out ++= screened.select("doc_id", "suspect").collect()
+          .map(r => (r.getLong(0), r.getBoolean(1)))
+        if (out.size == 1 && out.head._1 == 20L)
+          Decontam.appendFingerprintIndex(
+            frame(docSt, Row(50L, corpusB)), "doc_id", "text", idx)
+      }
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val byId = out.toMap
+    assert(byId(20L) == false, "batch 0: corpusB unindexed, must pass clean")
+    assert(byId(21L) == true,
+      "batch 1: the mid-stream append must be visible — corpusB flagged without restart")
+  }
+
   test("content-keyed sampling and mixing are stateless — stream ≡ batch") {
     // md5 split/sample/mix decide per row from content alone (no seed, no
     // state), so the SAME rows must be kept whether the corpus arrives as
