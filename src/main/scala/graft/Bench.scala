@@ -69,7 +69,24 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$breakdownJson$failedJson,"sf":"$sfDir"}""")
+    // Full-precision record (long names + phase breakdown) goes to a FILE;
+    // stdout gets a COMPACT single line as the very last output. The
+    // consumer records only the last 2000 characters of stdout, so the
+    // final line must fit entirely inside that window with every query
+    // present — short qNN keys and centisecond precision keep ~125 queries
+    // near 1.6 kB (full-length names with nanosecond doubles passed 5 kB
+    // and could never parse from the tail).
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$breakdownJson$failedJson,"sf":"$sfDir"}"""
+    val fullPath = s"/tmp/graft_bench_full_${new java.io.File(sfDir).getName}.json"
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson)
+    catch { case e: Throwable => System.err.println(s"bench: full JSON write failed: $e") }
+    System.err.println(s"bench: full-precision JSON at $fullPath")
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+    val qsCompact = results
+      .map { case (k, v) => "\"" + k.split("_")(0) + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsCompact$failedJson,"sf":"${new java.io.File(sfDir).getName}"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

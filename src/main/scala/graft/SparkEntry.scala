@@ -941,6 +941,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR selection (the step q116 only ships the signal for): band raw
+    // docs by the integer-exact floor(log2) importance ratio against the
+    // %7 target, allocate the token budget across bands by importance
+    // mass (2^band × band tokens — IEEE-exact power-of-two scaling), take
+    // each band's md5-content-order prefix. Every arithmetic step
+    // recomputes identically in DuckDB ⇒ fully oracled
+    "q126_dsir_select" -> ((s, d) => {
+      val raw = docsParallel(s, d)
+      val target = Tables(s, d, "documents").where(col("doc_id") % 7 === 0)
+      graft.ops.Sampling.dsirSelect(raw, target, "doc_id", "text", "text",
+        tokenBudget = 20000L)
+        .select(col("doc_id"), col("band"), col("n_toks"))
+        .orderBy(col("doc_id"))
+    }),
+
     // asymmetric n-gram containment (the quote/subset detector Jaccard
     // misses): every %11 doc gets a planted 30-token-prefix derivative,
     // whose 5-gram set is wholly contained in its source — containment
@@ -2352,6 +2367,53 @@ object SparkEntry {
         |  cast(sum(CASE WHEN tn IS NOT NULL THEN 1 ELSE 0 END) AS bigint) AS n_target_hit
         |FROM toks JOIN rtf USING (token) LEFT JOIN ttf USING (token)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q116's contrast CTEs → integer-exact log2 banding (no float log:
+    // one integer division + a binary-digit count) → mass-proportional
+    // band quotas (power-of-two scalings are IEEE-exact in any
+    // association) → q124's md5-order crossing-row-kept prefix rule
+    "q126_dsir_select" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t.token
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+        |        FROM documents) d, unnest(d.l) AS t(token)
+        |), rtf AS (
+        |  SELECT token, count(*) AS rn FROM toks GROUP BY token
+        |), ttf AS (
+        |  SELECT token, count(*) AS tn
+        |  FROM toks WHERE doc_id % 7 = 0 GROUP BY token
+        |), cs AS (
+        |  SELECT doc_id,
+        |    cast(count(*) AS bigint) AS n_toks,
+        |    cast(sum(rn) AS bigint) AS sr,
+        |    cast(sum(coalesce(tn, 0)) AS bigint) AS st
+        |  FROM toks JOIN rtf USING (token) LEFT JOIN ttf USING (token)
+        |  GROUP BY doc_id
+        |), banded AS (
+        |  SELECT doc_id, n_toks,
+        |    cast(CASE WHEN p <= 0 THEN -8
+        |         ELSE least(greatest(length(bin(p)) - 1 - 8, -8), 8)
+        |         END AS int) AS band
+        |  FROM (SELECT *, (st + 1) * 256 // (sr + 1) AS p FROM cs)
+        |), tot AS (
+        |  SELECT band, sum(n_toks) AS tk FROM banded GROUP BY band
+        |), mm AS (
+        |  SELECT list_sum(list(power(2.0, band) * tk ORDER BY band ASC)) AS m
+        |  FROM tot
+        |), q AS (
+        |  SELECT band,
+        |    least(tk, cast(round(20000 * power(2.0, band) * tk / m) AS BIGINT)) AS quota
+        |  FROM tot, mm
+        |), r AS (
+        |  SELECT doc_id, band, n_toks,
+        |    sum(n_toks) OVER (PARTITION BY band
+        |      ORDER BY md5(cast(doc_id AS varchar)) ASC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM banded
+        |)
+        |SELECT doc_id, band, n_toks FROM r JOIN q USING (band)
+        |WHERE cum - n_toks < quota ORDER BY doc_id""".stripMargin,
 
     "q117_containment_pairs" ->
       """WITH docs AS (

@@ -86,38 +86,64 @@ private[graft] object EpochStore {
     token
   }
 
-  /** Release the lease IF still held with `token` — a stale-lease takeover
-    * may have replaced it, in which case the new holder's lease is left
-    * untouched (our epoch either committed before the takeover horizon or
-    * the tripwire will fail it).
+  /** The current content of the lease file (the holder's fencing token),
+    * or None when no lease exists.
     */
-  def releaseLease(spark: SparkSession, path: String, token: String): Unit = {
+  private def readLeaseToken(spark: SparkSession, path: String): Option[String] = {
     import org.apache.hadoop.fs.{Path => HPath}
     val fs = hadoopFs(spark, path)
     val p = new HPath(path, LeaseFileName)
     try {
       val st = fs.getFileStatus(p)
       val in = fs.open(p)
-      val held =
-        try {
-          val bytes = new Array[Byte](st.getLen.toInt)
-          in.readFully(bytes)
-          new String(bytes, "UTF-8") == token
-        } finally in.close()
-      if (held) { fs.delete(p, false); () }
-    } catch { case _: java.io.FileNotFoundException => () }
+      try {
+        val bytes = new Array[Byte](st.getLen.toInt)
+        in.readFully(bytes)
+        Some(new String(bytes, "UTF-8"))
+      } finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** Release the lease IF still held with `token` — a stale-lease takeover
+    * may have replaced it, in which case the new holder's lease is left
+    * untouched (our epoch either committed before the takeover horizon or
+    * the fence/tripwire failed it).
+    */
+  def releaseLease(spark: SparkSession, path: String, token: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    if (readLeaseToken(spark, path).contains(token)) {
+      hadoopFs(spark, path).delete(new HPath(path, LeaseFileName), false)
+      ()
+    }
+  }
+
+  /** Fencing tokens of leases held by THIS thread, keyed by index path —
+    * [[withLease]] registers them so [[commitEpoch]] can verify, right
+    * before the pointer rename, that the lease still carries our token.
+    * Thread-local is correct because a lifecycle op runs body and commit
+    * on the acquiring thread ([[inParallel]] workers only write data
+    * dirs, never commit).
+    */
+  private val leaseFences = new ThreadLocal[Map[String, String]] {
+    override def initialValue(): Map[String, String] = Map.empty
   }
 
   /** Run `body` under the writer lease — the wrapper every index lifecycle
     * op (build / append / compact) uses. The lease is released on ANY
     * exit: an uncommitted failure leaves only debris the next build's
-    * reset (or GC) clears.
+    * reset (or GC) clears. While the body runs, the fencing token is
+    * registered for [[commitEpoch]]'s pre-rename lease check.
     */
   def withLease[T](
       spark: SparkSession, path: String,
       staleMs: Long = DefaultLeaseStaleMs)(body: => T): T = {
     val token = acquireLease(spark, path, staleMs)
-    try body finally releaseLease(spark, path, token)
+    leaseFences.set(leaseFences.get + (path -> token))
+    try body
+    finally {
+      leaseFences.set(leaseFences.get - path)
+      releaseLease(spark, path, token)
+    }
   }
 
   // ---- per-epoch id bloom (the O(1) duplicate-id append guard) ----
@@ -348,6 +374,22 @@ private[graft] object EpochStore {
       s"${expectCurrent.getOrElse("an empty index")} — committing would " +
       "silently drop the other writer's rows. Indexes require a single " +
       "writer at a time; re-run this batch against the new live epoch")
+    // epoch-fenced lease check: when this thread committed under
+    // [[withLease]], the lease file must still carry OUR token. This
+    // closes the double-takeover hole the create-based lease leaves on
+    // stores without atomic create-if-absent (two claimants of the same
+    // stale lease both pass tryCreate; the last content write wins): the
+    // displaced claimant now fails HERE, before the pointer rename, while
+    // the pointer tripwire above remains the backstop for races that slip
+    // between this read and the rename.
+    leaseFences.get.get(path).foreach { token =>
+      require(readLeaseToken(spark, path).contains(token),
+        s"writer lease on index at $path was taken over during this " +
+        s"lifecycle (stale-lease double-takeover) — aborting commit of " +
+        s"$epoch before the pointer rename; no epoch was committed and " +
+        "the new holder's lease is left untouched. Re-run this batch " +
+        "once the other writer finishes")
+    }
     val fs = hadoopFs(spark, path)
     val tmp = new HPath(path, "current_tmp")
     val out = fs.create(tmp, true)

@@ -434,6 +434,81 @@ object Sampling {
       quotas.getOrElse(_, 0L), bucketHexLen)
   }
 
+  /** DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169) as one
+    * entry point: rank raw documents by how TARGET-like their token mass
+    * is ([[TextOps.contrastScore]]'s exact integers), band them by the
+    * importance ratio, allocate a token budget across bands by importance
+    * MASS, and select within each band in the engine-portable md5 content
+    * order — importance resampling at band granularity, built so every
+    * arithmetic step recomputes identically on any engine:
+    *
+    *   - the per-doc importance ratio `(sum_target_freq + 1) /
+    *     (sum_raw_freq + 1)` is never materialized as a float: documents
+    *     band by `clamp(floor(log2(ratio)), ±maxBand)`, computed with one
+    *     integer division and a binary-digit count — integer ops, no log;
+    *   - band budgets follow importance mass (`2^band ×` the band's token
+    *     total — a power-of-two scaling of an integer, IEEE-exact), folded
+    *     in band-ascending order: `budget_b = min(tok_b,
+    *     round(tokenBudget · mass_b / Σmass))`;
+    *   - membership inside a band is [[takeBudgets]]' two-phase
+    *     bucket-prefix take (crossing row kept), so the caller's rows
+    *     never shuffle and no band funnels through a single window task.
+    *
+    * Returns the SELECTED documents' contrast rows + `band` — narrow by
+    * construction; semi-join the corpus on `idCol` for the full rows.
+    * Documents with no tokens carry no importance evidence and are never
+    * selected (they have no [[TextOps.contrastScore]] row). An empty raw
+    * corpus selects nothing.
+    *
+    * Scale shape: two token-keyed shuffles (the contrast signal), one tiny
+    * per-band aggregate to the driver (≤ 2·maxBand+1 rows), then the
+    * scale-safe take — corpus text rides no shuffle at all.
+    */
+  def dsirSelect(
+      raw: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetTextCol: String,
+      tokenBudget: Long,
+      maxBand: Int = 8,
+      bucketHexLen: Int = 3): DataFrame = {
+    require(tokenBudget >= 1, s"tokenBudget must be >= 1, got $tokenBudget")
+    require(maxBand >= 1 && maxBand <= 16,
+      s"maxBand must be in [1, 16], got $maxBand")
+    val cs = TextOps.contrastScore(raw, target, idCol, textCol, targetTextCol)
+    // floor(log2((t+1)/(r+1))) via p = (t+1)·2^maxBand div (r+1):
+    // floor(log2(p)) = digits(bin(p)) − 1, then shift back by maxBand —
+    // both engines agree digit-for-digit (no float log anywhere)
+    val p = expr(
+      s"(sum_target_freq + 1L) * ${1L << maxBand}L div (sum_raw_freq + 1L)")
+    val bandRaw = when(p <= 0L, lit(-maxBand))
+      .otherwise(length(bin(p)) - 1 - maxBand)
+    val banded = cs.withColumn("band",
+      least(greatest(bandRaw, lit(-maxBand)), lit(maxBand)).cast("int"))
+    // per-band token totals — ≤ 2·maxBand+1 rows to the driver
+    val totals: Seq[(Int, Long)] = banded
+      .groupBy(col("band")).agg(sum(col("n_toks")).as("tk"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sortBy(_._1)
+    // importance mass per band: 2^band · tok_band — a power-of-two scaling
+    // of an integer is exact in IEEE double regardless of association, so
+    // quota arithmetic recomputes identically on any engine (the fold runs
+    // band-ascending to pin the one order-dependent step, the Σ)
+    val mass = totals.map { case (b, tk) => (b, tk, math.pow(2.0, b) * tk) }
+    val m = mass.foldLeft(0.0)(_ + _._3)
+    val budgets: Map[Int, Long] =
+      if (m <= 0.0) Map.empty
+      else mass.map { case (b, tk, w) =>
+        b -> math.min(tk, math.round(tokenBudget * w / m))
+      }.toMap
+    takeBudgets(banded, "band", idCol, col("n_toks"),
+      {
+        case Some(b: Int) => budgets.getOrElse(b, 0L)
+        case _ => 0L
+      },
+      bucketHexLen)
+  }
+
   /** Weighted corpus mix: union of sources, each downsampled to its weight
     * (1.0 = keep all). The mixing decision is content-keyed per source, so
     * the mix is stable under re-runs and independent of source ordering.

@@ -989,6 +989,35 @@ class OpsSpec extends SparkSpec {
     assert(kept == expected)
   }
 
+  test("dsirSelect: importance banding routes the budget to target-like docs, deterministically") {
+    // skewed two-corpus fixture: docs 1-2 are verbatim target-language
+    // (ratio (30+1)/(6+1) → band 2), docs 3-4 are junk with no target hit
+    // (ratio (0+1)/(3+1) → band -2); importance mass 24 vs 1.5 routes a
+    // 6-token budget entirely to the target-like band
+    val st = struct("doc_id" -> LongType, "text" -> StringType)
+    val raw = frame(st,
+      Row(1L, "alpha beta gamma"), Row(2L, "alpha beta gamma"),
+      Row(3L, "j31 j32 j33"), Row(4L, "j41 j42 j43"))
+    val target = frame(st,
+      (100L until 110L).map(i => Row(i, "alpha beta gamma")): _*)
+    def run() = Sampling.dsirSelect(
+      raw, target, "doc_id", "text", "text", tokenBudget = 6L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("band")))
+      .sortBy(_._1).toSeq
+    val got = run()
+    assert(got == Seq((1L, 2), (2L, 2)),
+      s"band-2 target-like docs take the whole budget, junk band -2 gets 0: $got")
+    assert(run() == got, "content-keyed selection must be rerun-stable")
+    // a larger budget reaches the junk band but selects content-keyed
+    val wide = Sampling.dsirSelect(
+      raw, target, "doc_id", "text", "text", tokenBudget = 12L)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(wide.toSet.subsetOf(Set(1L, 2L, 3L, 4L)) && wide.size > 2)
+    // empty raw corpus selects nothing (no importance evidence at all)
+    assert(Sampling.dsirSelect(
+      frame(st), target, "doc_id", "text", "text", 10L).count() == 0L)
+  }
+
   test("temperatureMixTokens: an all-zero-token corpus fails loudly, not empty") {
     val st = struct("doc_id" -> LongType, "src" -> StringType, "n_tok" -> LongType)
     val df = frame(st, Row(1L, "a", 0L), Row(2L, "b", null))
@@ -1492,6 +1521,41 @@ class OpsSpec extends SparkSpec {
     assert(!leaseFile.exists(), "the takeover writer releases ITS lease")
     // releasing a token that lost its lease to takeover is a no-op
     EpochStore.releaseLease(spark, idx, t2)
+  }
+
+  test("lease fence: a double-takeover loser fails AT commit, before the rename") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val idx = java.nio.file.Files.createTempDirectory("graft-idx-fence").toString
+    Dedup.writeDedupIndex(docs(1L -> base), "text", "doc_id", idx)
+    val epochBefore = Dedup.epochDir(spark, idx)
+    assert(epochBefore.endsWith("epoch-000000001"))
+    // simulate the non-atomic-create double-takeover: while OUR lifecycle
+    // holds the lease, a second stale-lease claimant overwrites the lease
+    // CONTENT with its own token (last-content-write-wins on stores
+    // without atomic create-if-absent). The displaced writer must fail at
+    // the fence check inside commitEpoch — before the pointer rename —
+    // not discover the conflict after publishing an epoch
+    val e = intercept[IllegalArgumentException] {
+      EpochStore.withLease(spark, idx) {
+        val fs = EpochStore.hadoopFs(spark, idx)
+        val p = new org.apache.hadoop.fs.Path(idx, EpochStore.LeaseFileName)
+        val out = fs.create(p, true)
+        try out.write("intruder-token".getBytes("UTF-8")) finally out.close()
+        EpochStore.commitEpoch(spark, idx, "epoch-000000002",
+          Some("epoch-000000001"))
+      }
+    }
+    assert(e.getMessage.contains("taken over"))
+    assert(Dedup.epochDir(spark, idx) == epochBefore,
+      "the fenced commit must not have moved the pointer")
+    // our release leaves the new holder's lease untouched
+    assert(new java.io.File(s"$idx/${EpochStore.LeaseFileName}").exists(),
+      "the displaced writer must not delete the intruder's lease")
+    new java.io.File(s"$idx/${EpochStore.LeaseFileName}").delete()
+    // a lifecycle whose lease is NOT disturbed still commits normally
+    Dedup.appendDedupIndex(
+      docs(2L -> base.replace("token9", "tokenY")), "text", "doc_id", idx)
+    assert(Dedup.epochDir(spark, idx).endsWith("epoch-000000002"))
   }
 
   test("id-bloom append guard: clean appends skip the exact id scan, dups still rejected") {
