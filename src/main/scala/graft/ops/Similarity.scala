@@ -651,17 +651,22 @@ object Similarity {
     val (dir, _) = resolveAnnIndex(spark, path)
     val ids = batch.select(col(idCol).as("id"))
     // replay guard: an already-indexed id anchors to itself (self-edges
-    // are closure no-ops, but the id joins the anchor set below)
-    val replayed = ids
-      .join(EpochStore.readTable(spark, dir, "assigned").select("id"),
-        Seq("id"), "left_semi")
-      .select(col("id").as("id_a"), col("id").as("id_b"))
-    // cross pairs: batch → standing, from the index probe (consumed twice
-    // below — once as edges, once as the anchor set — hence materialized)
-    val cross = Materialize.eager(
-      annRangeAgainstIndex(batch, vecCol, idCol, path, minCosine, nprobe)
-        .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
-        .unionByName(replayed))
+    // are closure no-ops, but the id joins the anchor set below). The
+    // epoch's id bloom clears the COMMON case — a batch of genuinely new
+    // ids — without touching the standing id column at all (no false
+    // negatives, so an all-miss batch provably has no replays); only
+    // bloom hits pay the exact semi-join.
+    val probePlan = annRangeAgainstIndex(batch, vecCol, idCol, path, minCosine, nprobe)
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+    val withReplays =
+      if (!EpochStore.idGuardNeedsExact(spark, dir, batch, idCol)) probePlan
+      else probePlan.unionByName(ids
+        .join(EpochStore.readTable(spark, dir, "assigned").select("id"),
+          Seq("id"), "left_semi")
+        .select(col("id").as("id_a"), col("id").as("id_b")))
+    // cross pairs: batch → standing (consumed twice below — once as
+    // edges, once as the anchor set — hence materialized)
+    val cross = Materialize.eager(withReplays)
     val inBatch =
       if (!withinBatch) cross.limit(0)
       else {

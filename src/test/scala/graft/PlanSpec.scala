@@ -280,6 +280,29 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).nonEmpty)
   }
 
+  test("dsir selection: text never rides a shuffle; no full-band window") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = Tables(spark, dir, "documents")
+    val out = ops.Sampling.dsirSelect(
+      docs, docs.where(col("doc_id") % 7 === 0), "doc_id", "text", "text",
+      tokenBudget = 5000L)
+    val p = plan(out)
+    // the contrast phase shuffles tokens/counters and the take shuffles
+    // the narrow banded ledger — document text must reach neither
+    p.split("\n").filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("text#"), s"text reached a shuffle:\n$p")
+    }
+    // the selection inherits takeBudgets' two-phase shape: any windowed
+    // cumsum consumes ONLY rows a broadcast bucket-classification join
+    // admitted — never a whole band
+    val exec = out.queryExecution.sparkPlan
+    exec.collect { case w: WindowExec => w }.foreach { w =>
+      assert(w.child.collectFirst { case j: BroadcastHashJoinExec => j }.isDefined,
+        s"a window must sit above the boundary-bucket broadcast join:\n$exec")
+    }
+  }
+
   test("hard negatives broadcast the query batch; the only shuffle is the ranking window") {
     val emb = Tables(spark, dir, "embeddings")
     val p = plan(ops.Similarity.hardNegatives(

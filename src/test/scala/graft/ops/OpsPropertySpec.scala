@@ -505,4 +505,114 @@ object OpsPropertySpec extends Properties("graft.ops") {
         strataWithRows.forall(s => perStratum.contains(s)) &&
         kept.subsetOf(takeIds(budget + 7))
     }
+
+  property("dsirSelect: kept set is exactly the banded md5-order mass-quota prefix; nests in budget") =
+    forAll(
+      // texts over a SHARED 12-word vocabulary so raw and target genuinely
+      // overlap (per-doc-unique tokens would put every doc in one band)
+      Gen.choose(2, 12).flatMap(k => Gen.listOfN(k,
+        Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.choose(0, 11))))),
+      Gen.choose(1, 4), Gen.choose(1L, 40L)) { (docsToks, nTarget, budget) =>
+        import org.apache.spark.sql.functions.col
+        val st = StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("text", StringType, nullable = true)))
+        def df(rows: Seq[Row]) =
+          spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), st)
+        val rawRows = docsToks.zipWithIndex.map { case (ts, i) =>
+          Row((i + 1).toLong, ts.map(t => s"w$t").mkString(" "))
+        }
+        val tgtRows = (1 to nTarget).map(i =>
+          Row((100 + i).toLong, (0 until 12 by (i + 1)).map(t => s"w$t").mkString(" ")))
+        val raw = df(rawRows)
+        // independent recomputation of the whole chain: contrast integers,
+        // integer-division banding, mass quotas, md5-prefix membership
+        val rawTf = rawRows.flatMap(_.getString(1).split(" ")).groupBy(identity)
+          .view.mapValues(_.size.toLong).toMap
+        val tgtTf = tgtRows.flatMap(_.getString(1).split(" ")).groupBy(identity)
+          .view.mapValues(_.size.toLong).toMap
+        val perDoc = rawRows.map { r =>
+          val toks = r.getString(1).split(" ").toSeq
+          val sr = toks.map(rawTf).sum
+          val stg = toks.map(t => tgtTf.getOrElse(t, 0L)).sum
+          val p = (stg + 1L) * 256L / (sr + 1L)
+          val band =
+            if (p <= 0L) -8
+            else math.min(8, math.max(-8, java.lang.Long.toBinaryString(p).length - 1 - 8))
+          (r.getLong(0), toks.size.toLong, band)
+        }
+        val byBand = perDoc.groupBy(_._3).toSeq.sortBy(_._1)
+        val m = byBand.foldLeft(0.0) { case (acc, (b, ds)) =>
+          acc + math.pow(2.0, b) * ds.map(_._2).sum
+        }
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def m5(id: Long) =
+          md.digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        def expected(tb: Long): Set[Long] = byBand.flatMap { case (b, ds) =>
+          val tk = ds.map(_._2).sum
+          val quota = math.min(tk, math.round(tb * math.pow(2.0, b) * tk / m))
+          var cum = 0L
+          ds.sortBy(d => (m5(d._1), d._1)).flatMap { case (id, n, _) =>
+            val keep = cum < quota
+            cum += n
+            if (keep) Some(id) else None
+          }
+        }.toSet
+        def got(tb: Long): Set[Long] = Sampling.dsirSelect(
+          raw, df(tgtRows), "doc_id", "text", "text", tb)
+          .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+        val kept = got(budget)
+        kept == expected(budget) && kept.subsetOf(got(budget + 13L))
+    }
+
+  property("semanticDedupAgainstIndex ≡ cross-restricted union closure on random geometry") =
+    forAll(
+      Gen.choose(6, 16).flatMap(k => Gen.listOfN(k,
+        Gen.listOfN(3, Gen.choose(-5, 5).map(_.toFloat)))),
+      Gen.oneOf(0.6, 0.85)) { (vecs, tau) =>
+        import org.apache.spark.sql.functions._
+        val st = StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("v", ArrayType(FloatType, containsNull = false), nullable = false)))
+        val rows = vecs.zipWithIndex.map { case (v, i) => Row(i.toLong, v) }
+        val all = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), st)
+        val standing = all.where(col("id") % 2 === 0)
+        val batch = all.where(col("id") % 2 === 1)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_semprop").toString + "/idx"
+        Similarity.writeAnnIndex(standing, "v", "id", dir, nlist = 2)
+        // reference pair sets with the SAME kernel (identical arithmetic ⇒
+        // identical threshold decisions), then a driver-side union-find
+        def pairs(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+          l.select(col("id").as("ia"), col("v").as("va"))
+            .crossJoin(r.select(col("id").as("ib"), col("v").as("vb")))
+            .where(col("ia") =!= col("ib"))
+            .withColumn("c", Similarity.cosine(col("va"), col("vb")))
+            .where(col("c") >= tau && !isnan(col("c")))
+            .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1)))
+        val cross = pairs(batch, standing)
+        val inb = pairs(batch, batch).filter { case (a, b) => a < b }
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        (cross ++ inb).foreach { case (x, y) =>
+          val (rx, ry) = (find(x), find(y))
+          if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+        }
+        val anchors = cross.map(_._2).toSet
+        val batchIds = rows.map(_.getLong(0)).filter(_ % 2 == 1).toSet
+        val comps = (batchIds ++ anchors).groupBy(find)
+        val expected = batchIds.map { id =>
+          val comp = comps(find(id))
+          val ca = comp & anchors
+          if (ca.nonEmpty) id -> (ca.min, false)
+          else id -> (comp.min, id == comp.min)
+        }.toMap
+        val out = Similarity.semanticDedupAgainstIndex(
+          batch, "v", "id", dir, tau, nprobe = 2)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+        out == expected
+    }
 }
