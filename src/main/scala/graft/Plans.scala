@@ -70,7 +70,14 @@ object Plans {
       "selection), so the pair machinery runs on ~2/(w+1) of the gram " +
       "volume; the df-capped fingerprint join then moves only (id, 16-hex " +
       "key) rows and counters. Scan ExistingRDD = the once-materialized " +
-      "fingerprint table (see q117's note)"))
+      "fingerprint table (see q117's note)"),
+    "q126_dsir_select" -> ("DSIR band-quota selection: text collapses " +
+      "map-side to token keys for the two contrast aggregates (the only " +
+      "corpus shuffles — counters, never text), banding is integer " +
+      "division + a binary-digit count fused into the projection, and the " +
+      "selection inherits takeBudgets' two-phase shape — any windowed " +
+      "cumsum sits above a broadcast bucket-classification join, so no " +
+      "band ever funnels through one task"))
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
