@@ -70,6 +70,9 @@ object SparkEntry {
   private def q125IndexDir(sfDir: String) =
     s"/tmp/graft_q125_annindex_${new java.io.File(sfDir).getName}"
 
+  private def q127IndexDir(sfDir: String) =
+    s"/tmp/graft_q127_annindex_${new java.io.File(sfDir).getName}"
+
   private def q108IndexDir(sfDir: String) =
     s"/tmp/graft_q108_paraindex_${new java.io.File(sfDir).getName}"
 
@@ -167,6 +170,14 @@ object SparkEntry {
       graft.ops.Similarity.hardNegativesAgainstIndex(
         embParallel(s, d).where(col("vec_id") % 17 === 0), "embedding", "vec_id",
         q119IndexDir(d), k = 5, maxCosine = 0.8, minCosine = 0.1, nprobe = 8).count()
+      ()
+    }),
+    ("q127_semantic_kb_against", "q127_probe", (s: SparkSession, d: String) => {
+      graft.ops.Similarity.semanticDedupKeepBestAgainstIndex(
+        embParallel(s, d).where(col("vec_id") % 10 === 0)
+          .withColumn("score", pmod(col("vec_id") * 13, lit(97))),
+        "embedding", "vec_id", "score", q127IndexDir(d),
+        minCosine = 0.35, nprobe = 8).count()
       ()
     }),
     ("q125_semantic_against", "q125_build", (s: SparkSession, d: String) =>
@@ -898,6 +909,25 @@ object SparkEntry {
       graft.ops.Similarity.semanticDedupAgainstIndex(
         emb.where(col("vec_id") % 10 === 0), "embedding", "vec_id", idx,
         minCosine = 0.35, nprobe = 8)
+        .select(col("id").as("vec_id"), col("rep"), col("kept"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // q125's incremental SemDeDup with the QUALITY election inside
+    // batch-only clusters; the (id·13) mod 97 score FLIPS the winner in
+    // the sf0.01 two-member batch-only cluster (ids 80/230 score 70/80),
+    // so the election path is binding, not a min-id echo. Anchored
+    // components still keep nothing — standing wins regardless of score,
+    // the first-writer-wins contract of every lifecycle
+    "q127_semantic_kb_against" -> ((s, d) => {
+      val emb = embParallel(s, d)
+      val idx = q127IndexDir(d)
+      graft.ops.Similarity.writeAnnIndex(
+        emb.where(col("vec_id") % 10 =!= 0), "embedding", "vec_id", idx, nlist = 8)
+      graft.ops.Similarity.semanticDedupKeepBestAgainstIndex(
+        emb.where(col("vec_id") % 10 === 0)
+          .withColumn("score", pmod(col("vec_id") * 13, lit(97))),
+        "embedding", "vec_id", "score", idx, minCosine = 0.35, nprobe = 8)
         .select(col("id").as("vec_id"), col("rep"), col("kept"))
         .orderBy(col("vec_id"))
     }),
@@ -2270,6 +2300,48 @@ object SparkEntry {
         |SELECT lab.id AS vec_id,
         |  cast(coalesce(anch.anchor, lab.rep0) AS BIGINT) AS rep,
         |  (anch.anchor IS NULL AND lab.id = lab.rep0) AS kept
+        |FROM lab JOIN b ON lab.id = b.vec_id
+        |LEFT JOIN anch ON lab.rep0 = anch.rep0
+        |ORDER BY vec_id""".stripMargin,
+
+    // q125's closure + q123's score election confined to batch-only
+    // components (anchored components keep nothing at any score)
+    "q127_semantic_kb_against" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+        |), s AS (SELECT * FROM v WHERE vec_id % 10 <> 0
+        |), b AS (SELECT * FROM v WHERE vec_id % 10 = 0
+        |), cp AS (
+        |  SELECT b.vec_id AS id_a, s.vec_id AS id_b
+        |  FROM b CROSS JOIN s
+        |  WHERE list_cosine_similarity(b.ev, s.ev) >= 0.35
+        |), ip AS (
+        |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM b x JOIN b y ON x.vec_id < y.vec_id
+        |  WHERE list_cosine_similarity(x.ev, y.ev) >= 0.35
+        |), p AS (
+        |  SELECT * FROM cp UNION ALL SELECT * FROM ip
+        |), n AS (
+        |  SELECT vec_id AS id FROM b UNION SELECT id_b FROM cp
+        |), e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT id, id AS r FROM n
+        |  UNION
+        |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.id
+        |), lab AS (
+        |  SELECT id, cast(min(r) AS BIGINT) AS rep0 FROM reach GROUP BY id
+        |), anch AS (
+        |  SELECT lab.rep0, min(lab.id) AS anchor
+        |  FROM lab JOIN (SELECT DISTINCT id_b FROM cp) a ON lab.id = a.id_b
+        |  GROUP BY lab.rep0
+        |)
+        |SELECT lab.id AS vec_id,
+        |  cast(coalesce(anch.anchor, lab.rep0) AS BIGINT) AS rep,
+        |  (anch.anchor IS NULL AND row_number() OVER (
+        |     PARTITION BY lab.rep0
+        |     ORDER BY (lab.id * 13) % 97 DESC, lab.id) = 1) AS kept
         |FROM lab JOIN b ON lab.id = b.vec_id
         |LEFT JOIN anch ON lab.rep0 = anch.rep0
         |ORDER BY vec_id""".stripMargin,

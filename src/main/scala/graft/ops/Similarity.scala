@@ -647,6 +647,67 @@ object Similarity {
       minCosine: Double,
       nprobe: Int = 4,
       withinBatch: Boolean = true): DataFrame = {
+    val (labels, ids, anchorRep) =
+      semanticProbeLabels(batch, vecCol, idCol, path, minCosine, nprobe, withinBatch)
+    labels.join(ids, Seq("id"))
+      .join(anchorRep, Seq("rep"), "left")
+      .select(col("id"),
+        coalesce(col("__anchor"), col("rep")).as("rep"),
+        (col("__anchor").isNull && col("id") === col("rep")).as("kept"))
+  }
+
+  /** [[semanticDedupAgainstIndex]] with a QUALITY-keyed survivor election
+    * inside batch-only clusters: the highest-`scoreCol` row survives
+    * (ties: smallest id; null scores last) — [[semanticDedupKeepBest]]'s
+    * rule in the incremental setting. Components touching the standing
+    * corpus still keep NOTHING regardless of score: the standing
+    * representative won when IT was committed, and a later arrival cannot
+    * re-elect it (first-writer-wins, the same contract as
+    * [[Dedup.dedupParagraphsKeepBest]]'s standing-index note — rebuild
+    * from source when quality must re-rank the whole corpus). `rep` stays
+    * the deterministic audit label: the smallest matched standing id for
+    * anchored components, the min batch id otherwise.
+    */
+  def semanticDedupKeepBestAgainstIndex(
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      scoreCol: String,
+      path: String,
+      minCosine: Double,
+      nprobe: Int = 4,
+      withinBatch: Boolean = true): DataFrame = {
+    val (labels, ids, anchorRep) =
+      semanticProbeLabels(batch, vecCol, idCol, path, minCosine, nprobe, withinBatch)
+    val scored = labels.join(ids, Seq("id"))
+      .join(batch.select(col(idCol).as("id"), col(scoreCol).as("__score")), Seq("id"))
+      .join(anchorRep, Seq("rep"), "left")
+    // election window over the min-id cluster LABEL (`rep` pre-override),
+    // scores ride a narrow (id, score) join — embeddings never shuffle
+    val we = Window.partitionBy(col("rep"))
+      .orderBy(col("__score").desc_nulls_last, col("id").asc)
+    scored
+      .withColumn("__rn", row_number().over(we))
+      .select(col("id"),
+        coalesce(col("__anchor"), col("rep")).as("rep"),
+        (col("__anchor").isNull && col("__rn") === 1).as("kept"))
+  }
+
+  /** Shared probe core of the two incremental SemDeDup elections: cross
+    * pairs from the index probe (+ replay self-anchors), optional
+    * in-batch pairs cell-keyed by the index's centroids, star-contraction
+    * labels over the mixed node set, and each component's smallest
+    * matched standing anchor. Returns (labels(id, rep), batch ids,
+    * anchorRep(rep, __anchor)).
+    */
+  private def semanticProbeLabels(
+      batch: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      minCosine: Double,
+      nprobe: Int,
+      withinBatch: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val spark = batch.sparkSession
     val (dir, _) = resolveAnnIndex(spark, path)
     val ids = batch.select(col(idCol).as("id"))
@@ -680,15 +741,11 @@ object Similarity {
     val anchors = cross.select(col("id_b").as("id")).distinct()
     val nodes = ids.unionByName(anchors).distinct()
     val labels = Dedup.dedupClustersStar(nodes, "id", cross.unionByName(inBatch))
-    // the standing-wins election: each component's smallest matched
-    // standing id (when any) overrides the min-id label as `rep`
+    // the standing-wins override: each component's smallest matched
+    // standing id (when any) replaces the min-id label as `rep`
     val anchorRep = labels.join(anchors, Seq("id"))
       .groupBy(col("rep")).agg(min(col("id")).as("__anchor"))
-    labels.join(ids, Seq("id"))
-      .join(anchorRep, Seq("rep"), "left")
-      .select(col("id"),
-        coalesce(col("__anchor"), col("rep")).as("rep"),
-        (col("__anchor").isNull && col("id") === col("rep")).as("kept"))
+    (labels, ids, anchorRep)
   }
 
   /** LSH-bucketed top-k: exact cosine only within the query's hyperplane

@@ -943,6 +943,39 @@ class OpsSpec extends SparkSpec {
     assert(replay == Map(11L -> (11L, false)))
   }
 
+  test("semanticDedupKeepBestAgainstIndex: score elects in batch-only clusters; standing still wins") {
+    def vec(angle: Double): Seq[Float] =
+      Seq(math.cos(angle).toFloat, math.sin(angle).toFloat, 0f)
+    val st = struct(
+      "vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
+      "score" -> DoubleType)
+    val sDf = frame(st, Row(10L, vec(0.0), 0.0), Row(11L, vec(1.5), 0.0))
+    // batch: {100} dup of s10 with a huge score (must STILL lose to the
+    // standing rep); {103, 104} batch-only cluster where 104 outscores
+    // 103; {105} singleton with null score (still kept — sole member)
+    val bDf = frame(st,
+      Row(100L, vec(0.05), 99.0),
+      Row(103L, vec(3.00), 1.0), Row(104L, vec(3.10), 9.0),
+      Row(105L, vec(4.50), null))
+    val dir = java.nio.file.Files.createTempDirectory("graft_semkb").toString + "/idx"
+    Similarity.writeAnnIndex(sDf, "embedding", "vec_id", dir, nlist = 4)
+    def got(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val kb = got(Similarity.semanticDedupKeepBestAgainstIndex(
+      bDf, "embedding", "vec_id", "score", dir, minCosine = 0.9, nprobe = 4))
+    assert(kb == Map(
+      100L -> (10L, false),  // anchored: no score can demote the standing rep
+      103L -> (103L, false), // rep stays the min-id label...
+      104L -> (103L, true),  // ...but the score winner is kept
+      105L -> (105L, true))) // null-score singleton keeps (sole member)
+    // flat scores degrade to the min-id election of the keep-min form
+    val flat = got(Similarity.semanticDedupKeepBestAgainstIndex(
+      bDf.withColumn("score", lit(1.0)), "embedding", "vec_id", "score",
+      dir, minCosine = 0.9, nprobe = 4))
+    assert(flat == got(Similarity.semanticDedupAgainstIndex(
+      bDf, "embedding", "vec_id", dir, minCosine = 0.9, nprobe = 4)))
+  }
+
   test("temperatureMixTokens: token-share quotas, flattening, saturation keeps whole source") {
     // source a: 4 docs × 100 tokens = 400; source b: 2 docs × 50 = 100
     val st = struct("doc_id" -> LongType, "src" -> StringType, "n_tok" -> LongType)
