@@ -83,10 +83,24 @@ object Bench {
     catch { case e: Throwable => System.err.println(s"bench: full JSON write failed: $e") }
     System.err.println(s"bench: full-precision JSON at $fullPath")
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", v)
+    def short(name: String): String = name.split("_")(0)
+    // the qNN compaction assumes one query per number — fail loudly if a
+    // second query ever lands under an existing number (duplicate JSON
+    // keys would silently drop a timing at the parser)
+    require(results.keys.map(short).toSet.size == results.size,
+      "compact bench keys collide: two queries share a qNN prefix")
     val qsCompact = results
-      .map { case (k, v) => "\"" + k.split("_")(0) + "\":" + fmt(v) }
+      .map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsCompact$failedJson,"sf":"${new java.io.File(sfDir).getName}"}""")
+    // failures compact to deduplicated qNN prefixes for the same reason
+    // the timings do: full names could push the line past the consumer's
+    // tail window exactly when it carries failure information (full names
+    // are already on stderr, one line per failure)
+    val failedCompact =
+      if (failed.isEmpty) ""
+      else failed.map(short).toSeq.distinct.map("\"" + _ + "\"")
+        .mkString(""","failed":[""", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsCompact$failedCompact,"sf":"${new java.io.File(sfDir).getName}"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

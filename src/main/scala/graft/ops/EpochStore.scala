@@ -287,23 +287,38 @@ private[graft] object EpochStore {
       var firstFailure: Throwable = null
       var interrupted = false
       futures.foreach { f =>
-        // loop so an interrupt of the AWAITING thread still awaits the
-        // remaining arms (the documented contract: first failure rethrown
-        // AFTER all threads finish) — the interrupt is re-asserted on the
-        // way out instead of abandoning in-flight sibling writes
+        // await with a timeout so an interrupt of the AWAITING thread
+        // still awaits the remaining arms (the documented contract: the
+        // failure is rethrown AFTER all threads finish) without becoming
+        // un-cancellable: a hung arm re-offers the interrupt every poll
         var done = false
         while (!done) {
-          try { f.get(); done = true }
-          catch {
+          try {
+            f.get(10, java.util.concurrent.TimeUnit.SECONDS)
+            done = true
+          } catch {
             case e: java.util.concurrent.ExecutionException =>
               if (firstFailure == null) firstFailure = e.getCause
               done = true
+            case _: java.util.concurrent.TimeoutException =>
+              // still running — if we were interrupted earlier, give up
+              // on awaiting a hung arm rather than spinning forever
+              if (interrupted) { f.cancel(true); done = true }
             case _: InterruptedException =>
               interrupted = true
           }
         }
       }
-      if (interrupted) Thread.currentThread().interrupt()
+      if (interrupted) {
+        // a CANCELLED lifecycle must not proceed to manifest + commit:
+        // re-assert the flag and propagate, so withLease releases and
+        // nothing is published (debris is cleared by the next build/GC)
+        Thread.currentThread().interrupt()
+        if (firstFailure != null) throw firstFailure
+        throw new InterruptedException(
+          "inParallel: awaiting thread interrupted — lifecycle aborted " +
+          "after all arms finished; no epoch was committed")
+      }
       if (firstFailure != null) throw firstFailure
     } finally pool.shutdown()
   }

@@ -484,8 +484,12 @@ object Sampling {
       s"(sum_target_freq + 1L) * ${1L << maxBand}L div (sum_raw_freq + 1L)")
     val bandRaw = when(p <= 0L, lit(-maxBand))
       .otherwise(length(bin(p)) - 1 - maxBand)
-    val banded = cs.withColumn("band",
-      least(greatest(bandRaw, lit(-maxBand)), lit(maxBand)).cast("int"))
+    // materialized: the contrast lineage (two corpus-wide token shuffles)
+    // otherwise re-runs for the totals collect, for takeBudgets' phase-1
+    // aggregate, AND for the caller's action — the banded frame is narrow
+    // (id + four counters + band) by construction
+    val banded = Materialize.eager(cs.withColumn("band",
+      least(greatest(bandRaw, lit(-maxBand)), lit(maxBand)).cast("int")))
     // per-band token totals — ≤ 2·maxBand+1 rows to the driver
     val totals: Seq[(Int, Long)] = banded
       .groupBy(col("band")).agg(sum(col("n_toks")).as("tk"))

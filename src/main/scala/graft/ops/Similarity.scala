@@ -252,6 +252,13 @@ object Similarity {
         s => s.getField("cid"))
   }
 
+  /** Default dense-cell threshold for persisted-index probe joins: a cell
+    * holding more than this fraction of the stored corpus salts. Matches
+    * [[ivfBuild]]'s default (calibrated to nlist ≥ 16 — fair share 4×
+    * below it).
+    */
+  private val DefaultMaxCellFraction: Double = 0.25
+
   /** Salt-factor cap: a cell never splits into more than this many salt
     * partitions (256 tasks over one cell is parallelism enough; an even
     * denser cell is a quantizer-quality problem — raise nlist).
@@ -731,7 +738,12 @@ object Similarity {
     val inBatch =
       if (!withinBatch) cross.limit(0)
       else {
-        val idx0 = IvfIndex(readAnnCentroids(spark, dir), null)
+        // the standing index's per-cell populations proxy the batch's own
+        // distribution (a templated cell in the corpus is templated in its
+        // arrivals too), so the in-batch join inherits the salt guard
+        val (centroids, counts) = readAnnCentroidsWithCounts(spark, dir)
+        val idx0 = IvfIndex(centroids, null,
+          saltFactors(counts, DefaultMaxCellFraction))
         val idx = idx0.copy(assigned = batch.select(
           col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
           idx0.nearestCell(col(vecCol)).as("cell")))
@@ -813,15 +825,35 @@ object Similarity {
 
   private def readAnnCentroids(
       spark: org.apache.spark.sql.SparkSession, dir: String): Seq[(Int, Seq[Float])] =
-    spark.read.parquet(s"$dir/centroids")
-      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+    readAnnCentroidsWithCounts(spark, dir)._1
+
+  /** Centroids plus the PERSISTED per-cell population estimates (the
+    * dense-cell salt guard's input — see [[saltFactors]]). Epochs written
+    * before counts existed read an empty map: probes then run unsalted,
+    * exactly the pre-counts behavior, and the next build/append/compact
+    * upgrades the table.
+    */
+  private def readAnnCentroidsWithCounts(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Seq[(Int, Seq[Float])], Map[Int, Long]) = {
+    val t = spark.read.parquet(s"$dir/centroids")
+    val hasN = t.schema.fieldNames.contains("n")
+    val rows = t.collect()
+    val centroids = rows.map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+    val counts =
+      if (!hasN) Map.empty[Int, Long]
+      else rows.map(r => r.getInt(0) -> r.getLong(t.schema.fieldIndex("n"))).toMap
+    (centroids, counts)
+  }
 
   private def writeAnnEpochSmallTables(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       centroids: Seq[(Int, Seq[Float])], nlist: Int,
-      quantized: Boolean = false): Unit = {
+      quantized: Boolean,
+      counts: Map[Int, Long]): Unit = {
     import spark.implicits._
-    centroids.toDF("cell", "centroid").coalesce(1)
+    centroids.map { case (c, v) => (c, v, counts.getOrElse(c, 0L)) }
+      .toDF("cell", "centroid", "n").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/centroids")
     val dim = centroids.headOption.map(_._2.length).getOrElse(0)
     Seq((nlist, dim, AnnIndexFormatVersion, quantized))
@@ -963,7 +995,13 @@ object Similarity {
       quantize: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     EpochStore.withLease(spark, path) {
-    val centroids = trainCentroids(corpus, vecCol, idCol, nlist, trainFraction)
+    val (centroids, sampleCounts) =
+      trainCentroidsAndCounts(corpus, vecCol, idCol, nlist, trainFraction)
+    // estimated FULL populations (sample counts scaled back) — persisted
+    // with the centroids so probe-side joins can salt dense cells
+    val counts = sampleCounts.map { case (c, n) =>
+      c -> math.round(n / trainFraction)
+    }
     val idx = IvfIndex(centroids, null)
     val cur = EpochStore.currentEpoch(spark, path)
     if (cur.isEmpty) EpochStore.resetKeepingLease(spark, path)
@@ -989,7 +1027,7 @@ object Similarity {
           EpochStore.buildIdBloom(annIds, "id", bloomItems, EpochStore.IdBloomFpp),
           bloomItems, EpochStore.IdBloomFpp)
       },
-      () => writeAnnEpochSmallTables(spark, dir, centroids, nlist, quantize))
+      () => writeAnnEpochSmallTables(spark, dir, centroids, nlist, quantize, counts))
     EpochStore.writeManifest(spark, dir, Seq("assigned" -> assignedDir))
     EpochStore.commitEpoch(spark, path, epoch, cur)
     EpochStore.gc(spark, path, epoch, retainEpochs)
@@ -1018,7 +1056,7 @@ object Similarity {
     val (curDir, meta) = resolveAnnIndex(spark, path)
     val nlist = meta.getAs[Int]("nlist")
     val quantized = annMetaQuantized(meta) // storage scheme is the index's, not the caller's
-    val centroids = readAnnCentroids(spark, curDir)
+    val (centroids, standingCounts) = readAnnCentroidsWithCounts(spark, curDir)
     // dup-id guard: bloom clears clean batches without reading the
     // standing `assigned` id column; hits fall back to the exact check
     if (EpochStore.idGuardNeedsExact(spark, curDir, newVecs, idCol)) {
@@ -1037,6 +1075,15 @@ object Similarity {
     EpochStore.deleteDir(spark, dir)
     val idx = IvfIndex(centroids, null)
     val assignedDir = EpochStore.dataDirName("assigned", n)
+    // successor cell counts: standing + the batch's own (one tiny agg —
+    // nlist rows — over the batch's frozen-quantizer assignment)
+    val deltaCounts = newVecs
+      .select(idx.nearestCell(col(vecCol)).as("cell"))
+      .groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val counts = (standingCounts.keySet ++ deltaCounts.keySet).map { c =>
+      c -> (standingCounts.getOrElse(c, 0L) + deltaCounts.getOrElse(c, 0L))
+    }.toMap
     // delta write, successor bloom, and small tables are independent
     EpochStore.inParallel(
       () => assignedStorage(
@@ -1052,7 +1099,7 @@ object Similarity {
             .unionByName(newVecs.select(col(idCol).as("id"))), "id")
         EpochStore.writeIdBloom(spark, dir, bBytes, bItems, bFpp)
       },
-      () => writeAnnEpochSmallTables(spark, dir, centroids, nlist, quantized))
+      () => writeAnnEpochSmallTables(spark, dir, centroids, nlist, quantized, counts))
     EpochStore.writeManifest(spark, dir,
       EpochStore.readManifest(spark, curDir) :+ ("assigned" -> assignedDir))
     EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))
@@ -1143,14 +1190,21 @@ object Similarity {
       nprobe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
     val (dir, meta) = resolveAnnIndex(spark, path)
+    val (centroids, counts) = readAnnCentroidsWithCounts(spark, dir)
+    // dense cells salt from the PERSISTED population estimates: with a
+    // corpus-sized query frame this join shuffles on the cell key, and a
+    // templated-embedding cell would otherwise funnel through one task
+    // (small/broadcast query sides are skew-free either way — a broadcast
+    // join never co-locates a cell). Deterministic constants, so the plan
+    // stays streaming-compatible.
     val idx = IvfIndex(
-      readAnnCentroids(spark, dir),
+      centroids,
       readAssignedVecs(spark, dir, annMetaQuantized(meta)).select(
-        col("cell"), col("id").as("neighbor_id"), col("vec").as("cv")))
-    queries.select(
+        col("cell"), col("id").as("neighbor_id"), col("vec").as("cv")),
+      saltFactors(counts, DefaultMaxCellFraction))
+    saltedCandidateJoin(idx, queries.select(
         col(idCol).as("query_id"), col(vecCol).as("qv"),
-        explode(idx.probeCells(col(vecCol), nprobe)).as("cell"))
-      .join(idx.assigned, Seq("cell"))
+        explode(idx.probeCells(col(vecCol), nprobe)).as("cell")))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("qv"), col("cv")))
       // same NaN guard as [[rangeSearch]]: NaN sorts above every number,
@@ -1218,19 +1272,23 @@ object Similarity {
         val idx = IvfIndex(centroids, null)
         withVec.select(idx.nearestCell(col("vec")).as("cell") +: storageCols: _*)
       } else standing
-    // the assigned rewrite (then its read-back bloom) overlaps the small
-    // tables
+    // the assigned rewrite (then its read-back bloom + EXACT cell counts —
+    // compaction is where the salt guard's estimates get trued up, like
+    // the bloom) overlaps the small tables
     EpochStore.inParallel(
       () => {
         compacted.write.mode("overwrite").parquet(s"$path/data/$assignedDir")
+        val written = spark.read.parquet(s"$path/data/$assignedDir")
         // right-size a fresh id bloom from the compacted id set
-        val annIds = spark.read.parquet(s"$path/data/$assignedDir").select("id")
+        val annIds = written.select("id")
         val bloomItems = EpochStore.idBloomItems(annIds.count())
         EpochStore.writeIdBloom(spark, dir,
           EpochStore.buildIdBloom(annIds, "id", bloomItems, EpochStore.IdBloomFpp),
           bloomItems, EpochStore.IdBloomFpp)
-      },
-      () => writeAnnEpochSmallTables(spark, dir, centroids, nlist, quantized))
+        val counts = written.groupBy("cell").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        writeAnnEpochSmallTables(spark, dir, centroids, nlist, quantized, counts)
+      })
     EpochStore.writeManifest(spark, dir, Seq("assigned" -> assignedDir))
     EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))
     EpochStore.gc(spark, path, epoch, retainEpochs)

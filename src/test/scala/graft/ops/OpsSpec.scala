@@ -295,6 +295,27 @@ class OpsSpec extends SparkSpec {
       vecs.where(col("vec_id") >= 30), "embedding", "vec_id", nlist = 4,
       maxCellFraction = 0.6)
     assert(balanced.cellSalts.isEmpty)
+    // the guard PERSISTS: an index over the skewed corpus stores per-cell
+    // populations, and the corpus-sized range probe salts its cell join...
+    val dir = java.nio.file.Files.createTempDirectory("graft_saltidx").toString + "/idx"
+    Similarity.writeAnnIndex(vecs.where(col("vec_id") < 50),
+      "embedding", "vec_id", dir, nlist = 4)
+    val probe = Similarity.annRangeAgainstIndex(
+      vecs, "embedding", "vec_id", dir, floor = 0.9, nprobe = 4)
+    assert(probe.queryExecution.sparkPlan.toString.contains("salt"),
+      "a dense standing cell must salt the probe join")
+    // ...with results EXACTLY the brute-force range search (nprobe = nlist)
+    def rs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(rs(probe) == rs(Similarity.rangeSearch(
+      vecs.where(col("vec_id") < 50), vecs, "embedding", "vec_id", 0.9)))
+    // appends fold their arrivals into the stored populations and stay exact
+    Similarity.appendAnnIndex(
+      vecs.where(col("vec_id") >= 50), "embedding", "vec_id", dir)
+    val probe2 = Similarity.annRangeAgainstIndex(
+      vecs, "embedding", "vec_id", dir, floor = 0.9, nprobe = 4)
+    assert(rs(probe2) == rs(Similarity.rangeSearch(
+      vecs, vecs, "embedding", "vec_id", 0.9)))
   }
 
   test("candidatePairs drops a degenerate bucket without materializing it") {
@@ -1105,6 +1126,21 @@ class OpsSpec extends SparkSpec {
     assert(Sampling.md5WeightedMix(Seq((empty, "a", 0.7)), "doc_id").count() == 0)
     assert(TextOps.termFrequencies(empty, "text").count() == 0)
     assert(TextOps.repetitionReport(empty, "doc_id", "text").count() == 0)
+    // the round-10 additions: an empty batch probes an index to an empty
+    // audit; an oversized DSIR budget keeps every tokened doc
+    val st = struct("vec_id" -> LongType, "embedding" -> ArrayType(FloatType))
+    val idx = java.nio.file.Files.createTempDirectory("graft-empty-sem").toString + "/idx"
+    Similarity.writeAnnIndex(
+      frame(st, Row(1L, Seq(1f, 0f)), Row(2L, Seq(0f, 1f))),
+      "embedding", "vec_id", idx, nlist = 2)
+    assert(Similarity.semanticDedupAgainstIndex(
+      frame(st), "embedding", "vec_id", idx, minCosine = 0.8).count() == 0)
+    val raw = docs(1L -> "alpha beta", 2L -> "gamma delta", 3L -> null)
+    val sel = Sampling.dsirSelect(
+      raw, docs(9L -> "alpha"), "doc_id", "text", "text", tokenBudget = 1000000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sel == Set(1L, 2L),
+      "an oversized budget keeps every doc with tokens; null text has no evidence")
   }
 
   test("dedupClustersStar: path graphs converge to the component minimum") {
