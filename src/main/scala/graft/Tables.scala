@@ -46,6 +46,9 @@ object Sessions {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
+    // default-on with AQE, made explicit: runtime skew-splitting backstops
+    // the deterministic dense-cell/bucket salt guards on shuffle joins
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
     // µs parquet timestamps (not INT96) so outputs compare equal to DuckDB's
     "spark.sql.parquet.outputTimestampType" -> "TIMESTAMP_MICROS",
     // native kernels as SQL functions (simhash64, cosine_similarity, …)

@@ -751,8 +751,17 @@ object Similarity {
           .select(col("id_a"), col("id_b"))
       }
     val anchors = cross.select(col("id_b").as("id")).distinct()
-    val nodes = ids.unionByName(anchors).distinct()
-    val labels = Dedup.dedupClustersStar(nodes, "id", cross.unionByName(inBatch))
+    // CLEAN-BATCH fast path — the production common case (a daily batch
+    // with no near-duplicates at all): zero edges means every batch row
+    // is its own singleton component, so the star-contraction rounds,
+    // the node union, and the anchor aggregation are all skipped. The
+    // edge set is materialized either way (the closure's rounds would
+    // persist it anyway; here it also makes the emptiness probe free).
+    val edges = Materialize.eager(cross.unionByName(inBatch))
+    val labels =
+      if (edges.isEmpty) ids.select(col("id"), col("id").as("rep"))
+      else Dedup.dedupClustersStar(
+        ids.unionByName(anchors).distinct(), "id", edges)
     // the standing-wins override: each component's smallest matched
     // standing id (when any) replaces the min-id label as `rep`
     val anchorRep = labels.join(anchors, Seq("id"))

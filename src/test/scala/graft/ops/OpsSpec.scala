@@ -962,6 +962,12 @@ class OpsSpec extends SparkSpec {
       sDf.where(col("vec_id") === 11L), "embedding", "vec_id", dir,
       minCosine = 0.9, nprobe = 4))
     assert(replay == Map(11L -> (11L, false)))
+    // clean-batch fast path: a batch far from the corpus AND itself has
+    // zero edges — every row comes back its own kept singleton
+    val clean = got(Similarity.semanticDedupAgainstIndex(
+      frame(st, Row(300L, vec(2.2)), Row(301L, vec(5.3))),
+      "embedding", "vec_id", dir, minCosine = 0.99, nprobe = 4))
+    assert(clean == Map(300L -> (300L, true), 301L -> (301L, true)))
   }
 
   test("semanticDedupKeepBestAgainstIndex: score elects in batch-only clusters; standing still wins") {
