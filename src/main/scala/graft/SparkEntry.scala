@@ -836,6 +836,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // temperature mixing WITH REPLACEMENT (the recipe as mT5 trains it):
+    // target 900 over 500 docs forces upsampling — tail domains emit full
+    // copies plus an md5-order partial copy, head domains subsample; the
+    // copy index is part of the output so the repeat structure is itself
+    // oracle-checked
+    "q128_temperature_repeat" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .withColumn("domain", substring(col("source"), 1, 4))
+      graft.ops.Sampling.temperatureMixRepeat(
+        docs, "domain", "doc_id", alpha = 0.5, targetRows = 900)
+        .select(col("doc_id"), col("domain"), col("copy"))
+        .orderBy(col("doc_id"), col("copy"))
+    }),
+
     // temperature mixing in TOKEN space (the recipe as mT5 states it):
     // sqrt token shares set per-domain token quotas, membership is the
     // md5-content-order prefix until the quota — binding at every SF
@@ -2179,6 +2193,38 @@ object SparkEntry {
     // quotas recomputed from counts with the same IEEE-exact sqrt; the
     // normalizer sums in domain order (list_sum over an ORDER BY list)
     // mirroring the operator's name-ordered driver fold
+    // q112's quota CTEs uncapped, split div/mod into full copies (a
+    // per-source range unnest) + the md5-order partial copy
+    "q128_temperature_repeat" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, substr(source, 1, 4) AS domain FROM documents
+        |), c AS (
+        |  SELECT domain, cast(count(*) AS BIGINT) AS c FROM d GROUP BY domain
+        |), z AS (
+        |  SELECT list_sum(list(sqrt(cast(c AS DOUBLE)) ORDER BY domain NULLS FIRST)) AS z FROM c
+        |), q AS (
+        |  SELECT domain, c,
+        |    cast(round(900 * sqrt(cast(c AS DOUBLE)) / z) AS BIGINT) AS quota
+        |  FROM c, z
+        |), k AS (
+        |  SELECT domain, quota // c AS kf, quota % c AS rem FROM q
+        |), fullc AS (
+        |  SELECT d.doc_id, d.domain, unnest(range(k.kf)) AS copy
+        |  FROM d JOIN k USING (domain)
+        |), r AS (
+        |  SELECT doc_id, domain,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY md5(cast(doc_id AS varchar)) ASC, doc_id ASC) AS rn
+        |  FROM d
+        |), part AS (
+        |  SELECT r.doc_id, r.domain, k.kf AS copy
+        |  FROM r JOIN k USING (domain) WHERE r.rn <= k.rem
+        |)
+        |SELECT doc_id, domain, cast(copy AS BIGINT) AS copy FROM fullc
+        |UNION ALL
+        |SELECT doc_id, domain, cast(copy AS BIGINT) AS copy FROM part
+        |ORDER BY doc_id, copy""".stripMargin,
+
     "q112_temperature_mix" ->
       """WITH d AS (
         |  SELECT doc_id, source, substr(source, 1, 4) AS domain FROM documents

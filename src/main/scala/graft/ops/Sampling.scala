@@ -375,6 +375,81 @@ object Sampling {
       quotas.getOrElse(_, 0L), bucketHexLen)
   }
 
+  /** [[temperatureMix]] WITH REPLACEMENT — the form the mT5/XLM-R recipe
+    * actually trains with: a source whose temperature quota EXCEEDS its
+    * row count repeats its data (tail languages run multiple epochs while
+    * head languages are subsampled) instead of saturating at one copy.
+    * Each source emits `quota_s div c_s` full copies of every row plus
+    * the md5-content-order prefix of `quota_s mod c_s` rows as the last
+    * partial copy, so the realized total is exactly `Σ round(N·p_s)`.
+    * Output = input columns + `copy` (0-based repeat index — downstream
+    * dedup keys must include it, and shuffling repeats into training
+    * order is the caller's step).
+    *
+    * Determinism: quotas are [[temperatureMix]]'s driver arithmetic (same
+    * cross-engine contract — exact only at alpha ∈ {1, 0.5}); full copies
+    * are a per-row `sequence` explode (no shuffle at all), and the
+    * partial copy is the same scale-safe two-phase take. `maxRepeat`
+    * bounds the copy factor so a degenerate mix (a tiny source under a
+    * huge target) fails loudly instead of exploding the corpus.
+    */
+  def temperatureMixRepeat(
+      df: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      alpha: Double,
+      targetRows: Long,
+      bucketHexLen: Int = 3,
+      maxRepeat: Long = 100L): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
+    require(!df.columns.contains("copy"),
+      "temperatureMixRepeat adds a 'copy' column — rename the existing one first")
+    val counts: Seq[(Option[Any], Long)] = df
+      .groupBy(col(sourceCol).as("__src")).agg(count(lit(1)).as("__c"))
+      .collect()
+      .map(r => ((if (r.isNullAt(0)) None
+                  else Some(r.get(0))): Option[Any], r.getLong(1)))
+      .toSeq
+      .sortBy { case (s, _) => (s.nonEmpty, s.map(_.toString).getOrElse("")) }
+    val weighted = counts.map { case (s, c) =>
+      val w =
+        if (alpha == 1.0) c.toDouble
+        else if (alpha == 0.5) math.sqrt(c.toDouble)
+        else math.pow(c.toDouble, alpha)
+      (s, c, w)
+    }
+    val z = weighted.foldLeft(0.0)(_ + _._3)
+    // UNCAPPED quotas: div/mod split each into full copies + a remainder
+    val split: Seq[(Option[Any], Long, Long)] = weighted.map { case (s, c, w) =>
+      val quota = math.round(targetRows * w / z)
+      (s, quota / c, quota % c)
+    }
+    split.foreach { case (s, k, _) =>
+      require(k <= maxRepeat,
+        s"temperatureMixRepeat: source ${s.getOrElse("NULL")} would repeat " +
+        s"$k times (> maxRepeat $maxRepeat) — a degenerate mix for this " +
+        "alpha/target; raise maxRepeat only if that is intended")
+    }
+    def perSource(values: Seq[(Option[Any], Long)]): Column =
+      values.foldLeft(lit(0L)) {
+        case (acc, (None, v)) => when(col(sourceCol).isNull, lit(v)).otherwise(acc)
+        case (acc, (Some(s), v)) => when(col(sourceCol) === lit(s), lit(v)).otherwise(acc)
+      }
+    val kCol = perSource(split.map(t => (t._1, t._2)))
+    val rems: Map[Option[Any], Long] = split.map(t => t._1 -> t._3).toMap
+    // full copies: a per-row generator, zero shuffle (k = 0 sources emit
+    // nothing — the guard keeps sequence() off its descending-step path)
+    val fullCopies = df.withColumn("copy",
+      explode(when(kCol > 0L, sequence(lit(0L), kCol - 1L))
+        .otherwise(array().cast("array<bigint>"))))
+    // the partial copy: md5-content-order prefix of quota mod c rows
+    val partial = takeBudgets(df, sourceCol, keyCol, lit(1L),
+      rems.getOrElse(_, 0L), bucketHexLen)
+      .withColumn("copy", kCol)
+    fullCopies.unionByName(partial)
+  }
+
   /** [[temperatureMix]] in TOKEN space — the form the mT5/XLM-R recipe is
     * actually stated in ("sample so each language contributes share^alpha
     * of the TOKEN budget"): sampling probabilities follow per-source token

@@ -1022,6 +1022,36 @@ class OpsSpec extends SparkSpec {
     assert(kept(0.5, 250L) == Map("a" -> 2, "b" -> 2))
   }
 
+  test("temperatureMixRepeat: tail sources emit full + partial copies; guard trips on degenerate mixes") {
+    // a: 8 rows, b: 2 rows; alpha = 0.5, target 15 → quotas EXACTLY 10/5
+    // (15·(2√2)/(3√2) and 15·√2/(3√2)): a = 1 full copy + 2-row partial,
+    // b = 2 full copies + 1-row partial — genuine upsampling of the tail
+    val df = docs((1L to 10L).map(i => i -> s"repeat doc body $i"): _*)
+      .withColumn("src", when(col("doc_id") <= 8, "a").otherwise("b"))
+    val out = Sampling.temperatureMixRepeat(
+      df, "src", "doc_id", alpha = 0.5, targetRows = 15L)
+      .select("doc_id", "src", "copy").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.length == 15)
+    val hist = out.groupBy(t => (t._2, t._3)).view.mapValues(_.length).toMap
+    assert(hist == Map(("a", 0L) -> 8, ("a", 1L) -> 2,
+      ("b", 0L) -> 2, ("b", 1L) -> 2, ("b", 2L) -> 1))
+    // the partial copy is the md5-content-order prefix (takePerStratum's picks)
+    val partialA = out.filter(t => t._2 == "a" && t._3 == 1L).map(_._1).toSet
+    assert(partialA == Sampling.takePerStratum(
+      df.where(col("src") === "a"), "src", "doc_id", 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet)
+    // each full copy carries EVERY row of its source
+    assert(out.filter(t => t._2 == "b" && t._3 == 0L).map(_._1).toSet == Set(9L, 10L))
+    assert(out.filter(t => t._2 == "b" && t._3 == 1L).map(_._1).toSet == Set(9L, 10L))
+    // a degenerate mix (tiny source under a huge target) fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Sampling.temperatureMixRepeat(
+        df, "src", "doc_id", alpha = 0.5, targetRows = 100000L, maxRepeat = 100L)
+    }
+    assert(e.getMessage.contains("maxRepeat"))
+  }
+
   test("temperatureMix: alpha=1 proportional, alpha=0.5 flattens, quotas capped") {
     // skewed two-source corpus: 'a' 8 rows, 'b' 2 rows; target 5
     val df = docs((1L to 10L).map(i => i -> s"mix doc body $i"): _*)
