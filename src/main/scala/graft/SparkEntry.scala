@@ -836,6 +836,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // percentile quality filter: keep each source's top 25% of docs by
+    // token count — EXACT (ties by doc_id, nulls last) but never sorting
+    // a whole source in one task: score-range buckets classify rows
+    // keep-all/drop/boundary and only the boundary bucket runs the
+    // (score, id) window (the takeBudgets two-phase discipline at score
+    // order)
+    "q129_top_fraction" -> ((s, d) => {
+      val docs = docsParallel(s, d)
+        .withColumn("n_tok", graft.ops.TextOps.tokenCount(col("text")).cast("long"))
+      graft.ops.Sampling.takeTopFraction(
+        docs, "source", "doc_id", "n_tok", fraction = 0.25, nBuckets = 8)
+        .select(col("doc_id"), col("source"), col("n_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // temperature mixing WITH REPLACEMENT (the recipe as mT5 trains it):
     // target 900 over 500 docs forces upsampling — tail domains emit full
     // copies plus an md5-order partial copy, head domains subsample; the
@@ -2193,6 +2208,23 @@ object SparkEntry {
     // quotas recomputed from counts with the same IEEE-exact sqrt; the
     // normalizer sums in domain order (list_sum over an ORDER BY list)
     // mirroring the operator's name-ordered driver fold
+    // exact per-source top-25%-by-token-count: rank vs round(0.25·c)
+    "q129_top_fraction" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    cast(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, cast(count(*) AS BIGINT) AS c FROM t GROUP BY source
+        |), r AS (
+        |  SELECT doc_id, source, n_tok,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_tok DESC NULLS LAST, doc_id) AS rn
+        |  FROM t
+        |)
+        |SELECT doc_id, source, n_tok FROM r JOIN c USING (source)
+        |WHERE rn <= cast(round(0.25 * c) AS BIGINT) ORDER BY doc_id""".stripMargin,
+
     // q112's quota CTEs uncapped, split div/mod into full copies (a
     // per-source range unnest) + the md5-order partial copy
     "q128_temperature_repeat" ->

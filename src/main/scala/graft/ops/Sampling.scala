@@ -509,6 +509,147 @@ object Sampling {
       quotas.getOrElse(_, 0L), bucketHexLen)
   }
 
+  /** EXACT top-fraction quality filter per stratum — "keep the best 25%
+    * of each source by score", the percentile form of quality filtering
+    * (Gopher/CCNet-style): each stratum keeps its `round(fraction · c_s)`
+    * highest-`scoreCol` rows, ties broken by `keyCol` ascending (which
+    * must identify a row within its stratum — the usual total-order
+    * caveat), null scores last. The kept set is EXACT — identical to a
+    * per-stratum `row_number` over `(score DESC, key ASC)` — but the plan
+    * never sorts a whole stratum in one task:
+    *
+    *   1. one aggregate computes per-stratum counts + approximate score
+    *      quantiles (the bucket BOUNDARIES — their accuracy affects only
+    *      load balance, never the kept set);
+    *   2. rows land in score-range buckets (a broadcast boundary join +
+    *      one codegen array fold — no per-stratum when-chains), and one
+    *      map-side-combining aggregate counts each (stratum, bucket);
+    *   3. the driver prefix-sums the tiny count table in descending
+    *      score-bucket order: buckets wholly above the cutoff keep every
+    *      row join-free, buckets below drop, and the ONE boundary bucket
+    *      per stratum runs the exact `(score DESC, key)` window over
+    *      ~1/nBuckets of the stratum with its prefix offset;
+    *   4. membership attaches back through two broadcast joins — the
+    *      caller's rows never shuffle (the [[takeBudgets]] discipline at
+    *      score order instead of md5 content order).
+    *
+    * Rerun-deterministic even though the quantile sketch is not: the kept
+    * set is a pure function of `(score, key)` order and exact counts;
+    * boundaries only move rows between the keep-all and boundary-window
+    * paths. A stratum whose budget rounds to 0 is dropped entirely.
+    */
+  def takeTopFraction(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      scoreCol: String,
+      fraction: Double,
+      nBuckets: Int = 64,
+      maxClassificationRows: Int = MaxClassificationRows): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0, 1], got $fraction")
+    require(nBuckets >= 2 && nBuckets <= 4096,
+      s"nBuckets must be in [2, 4096], got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+
+    // phase 0: per-stratum counts + approx quantile boundaries (ascending)
+    val statRows = df.groupBy(col(stratumCol).as("__s"))
+      .agg(
+        count(lit(1)).as("__c"),
+        expr(s"approx_percentile(cast(`$scoreCol` as double), " +
+          s"array(${probs.mkString(",")}), 1000)")
+          .as("__bounds"))
+      .limit(maxClassificationRows + 1).collect()
+    require(statRows.length <= maxClassificationRows,
+      s"takeTopFraction: stratum '$stratumCol' exceeds $maxClassificationRows " +
+      "distinct values — aggregate to a coarser stratum first")
+    // bucket(score) = number of boundaries <= score (0 .. nBuckets-1);
+    // null scores sit below every bucket (-1). Order-consistent with
+    // (score DESC): higher score ⇒ same-or-higher bucket.
+    val bSchema = StructType(Seq(
+      StructField("__bs", statRows.headOption.map(_.schema("__s").dataType)
+        .getOrElse(StringType), nullable = true),
+      StructField("__bounds", ArrayType(DoubleType), nullable = true)))
+    val boundsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(statRows.toSeq.map(r =>
+        org.apache.spark.sql.Row(r.get(0), r.getSeq[Double](2))), 1), bSchema)
+    def bucketOf(score: Column): Column =
+      when(score.isNull, lit(-1)).otherwise(
+        aggregate(coalesce(col("__bounds"), array().cast("array<double>")),
+          lit(0), (acc, b) => acc + when(score >= b, 1).otherwise(0)))
+
+    // phase 1: per-(stratum, bucket) counts — strata × nBuckets at most
+    val slim = df.select(
+      col(stratumCol).as("__s"), col(keyCol).as("__k"),
+      col(scoreCol).cast("double").as("__v"))
+      .join(broadcast(boundsDf), col("__s") <=> col("__bs"), "left")
+      .withColumn("__b", bucketOf(col("__v")))
+      .select(col("__s"), col("__k"), col("__v"), col("__b"))
+    val bucketCounts = slim.groupBy("__s", "__b").agg(count(lit(1)).as("__n"))
+      .limit(maxClassificationRows + 1).collect()
+    require(bucketCounts.length <= maxClassificationRows,
+      s"takeTopFraction: stratum × bucket classification exceeds " +
+      s"$maxClassificationRows rows — lower nBuckets or coarsen the stratum")
+
+    // driver prefix in DESCENDING bucket order (highest scores first)
+    val budgets: Map[Option[Any], Long] = statRows.map { r =>
+      ((if (r.isNullAt(0)) None else Some(r.get(0))): Option[Any]) ->
+        math.round(fraction * r.getLong(1))
+    }.toMap
+    val clsRows = bucketCounts
+      .groupBy(r => if (r.isNullAt(0)) None else Some(r.get(0)))
+      .iterator.flatMap { case (stratum, rows) =>
+        val budget = budgets.getOrElse(stratum, 0L)
+        var before = 0L
+        rows.sortBy(-_.getInt(1)).flatMap { r =>
+          val n = r.getLong(2)
+          val start = before
+          before += n
+          if (budget <= 0L) None
+          else if (start + n <= budget)
+            Some(org.apache.spark.sql.Row(r.get(0), r.getInt(1), true, 0L, budget))
+          else if (start < budget)
+            Some(org.apache.spark.sql.Row(r.get(0), r.getInt(1), false, start, budget))
+          else None
+        }
+      }.toSeq
+    val sType = slim.schema("__s").dataType
+    val cls = spark.createDataFrame(
+      spark.sparkContext.parallelize(clsRows, 1),
+      StructType(Seq(
+        StructField("__cs", sType, nullable = true),
+        StructField("__cb", IntegerType, nullable = false),
+        StructField("__keep_all", BooleanType, nullable = false),
+        StructField("__off", LongType, nullable = false),
+        StructField("__budget", LongType, nullable = false))))
+
+    // phase 2: the exact window ONLY inside boundary buckets
+    val w = Window.partitionBy(col("__s"))
+      .orderBy(col("__v").desc_nulls_last, col("__k").asc)
+    val boundaryKeys = slim.join(
+        broadcast(cls.where(!col("__keep_all"))),
+        col("__s") <=> col("__cs") && col("__b") === col("__cb"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__off") + col("__rn") <= col("__budget"))
+      .select(col("__s").as("__ts"), col("__k").as("__tk"),
+        lit(true).as("__in_boundary"))
+
+    // attach: one pass, two broadcast joins, caller's rows never shuffle
+    val dfBucket = bucketOf(df(scoreCol).cast("double"))
+    df.join(broadcast(boundsDf), df(stratumCol) <=> col("__bs"), "left")
+      .withColumn("__db", dfBucket)
+      .join(broadcast(cls),
+        df(stratumCol) <=> col("__cs") && col("__db") === col("__cb"))
+      .join(broadcast(boundaryKeys),
+        df(stratumCol) <=> col("__ts") && df(keyCol) <=> col("__tk"), "left")
+      .where(col("__keep_all") || coalesce(col("__in_boundary"), lit(false)))
+      .drop("__bs", "__bounds", "__db", "__cs", "__cb", "__keep_all",
+        "__off", "__budget", "__ts", "__tk", "__in_boundary")
+  }
+
   /** DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169) as one
     * entry point: rank raw documents by how TARGET-like their token mass
     * is ([[TextOps.contrastScore]]'s exact integers), band them by the

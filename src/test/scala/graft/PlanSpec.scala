@@ -303,6 +303,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("top-fraction filter: no full-stratum sort; text never rides a shuffle") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("n_tok", ops.TextOps.tokenCount(col("text")).cast("long"))
+    val out = ops.Sampling.takeTopFraction(
+      docs, "source", "doc_id", "n_tok", fraction = 0.25, nBuckets = 8)
+    val p = plan(out)
+    p.split("\n").filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("text#"), s"text reached a shuffle:\n$p")
+    }
+    // every window (the exact boundary-bucket ranking) must sit above a
+    // broadcast classification join — a stratum is never sorted whole
+    val exec = out.queryExecution.sparkPlan
+    val windows = exec.collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, s"expected the boundary-bucket window:\n$exec")
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case j: BroadcastHashJoinExec => j }.isDefined,
+        s"a window must consume only broadcast-classified boundary rows:\n$exec")
+    }
+  }
+
   test("hard negatives broadcast the query batch; the only shuffle is the ranking window") {
     val emb = Tables(spark, dir, "embeddings")
     val p = plan(ops.Similarity.hardNegatives(

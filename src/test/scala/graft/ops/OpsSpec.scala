@@ -1022,6 +1022,38 @@ class OpsSpec extends SparkSpec {
     assert(kept(0.5, 250L) == Map("a" -> 2, "b" -> 2))
   }
 
+  test("takeTopFraction: exactly the per-stratum (score desc, id) prefix, ties and nulls included") {
+    import org.apache.spark.sql.expressions.Window
+    // 3 strata × 40 rows with HEAVY score ties ((id·37) mod 11) plus a
+    // null-score row per stratum; nBuckets = 4 forces all three bucket
+    // classes (keep-all, boundary, drop) through the machinery
+    val st = struct("id" -> LongType, "src" -> StringType, "score" -> LongType)
+    val rows = (1L to 120L).map { i =>
+      Row(i, s"s${i % 3}", if (i % 40 == 0) null else (i * 37) % 11)
+    }
+    val df = frame(st, rows: _*)
+    for (fraction <- Seq(0.25, 0.5, 1.0)) {
+      val got = Sampling.takeTopFraction(
+        df, "src", "id", "score", fraction, nBuckets = 4)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("score").desc_nulls_last, col("id").asc)
+      val budgets = df.groupBy("src").count().collect()
+        .map(r => r.getString(0) -> math.round(fraction * r.getLong(1))).toMap
+      val expected = df.withColumn("__rn", row_number().over(w))
+        .collect()
+        .filter(r => r.getInt(r.fieldIndex("__rn")) <= budgets(r.getString(1)))
+        .map(_.getLong(0)).toSet
+      assert(got == expected, s"fraction $fraction")
+    }
+    // rerun-stable despite the approximate bucket boundaries
+    val a = Sampling.takeTopFraction(df, "src", "id", "score", 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.takeTopFraction(df, "src", "id", "score", 0.3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("temperatureMixRepeat: tail sources emit full + partial copies; guard trips on degenerate mixes") {
     // a: 8 rows, b: 2 rows; alpha = 0.5, target 15 → quotas EXACTLY 10/5
     // (15·(2√2)/(3√2) and 15·√2/(3√2)): a = 1 full copy + 2-row partial,
