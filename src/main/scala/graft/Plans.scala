@@ -71,6 +71,12 @@ object Plans {
       "volume; the df-capped fingerprint join then moves only (id, 16-hex " +
       "key) rows and counters. Scan ExistingRDD = the once-materialized " +
       "fingerprint table (see q117's note)"),
+    "q129_top_fraction" -> ("exact top-fraction quality filter: rows " +
+      "bucket by approximate score quantiles (broadcast boundary join + " +
+      "codegen array fold), exact counts classify buckets keep-all/" +
+      "boundary/drop on the driver, and ONLY the boundary bucket runs the " +
+      "(score, id) ranking window — no stratum is ever sorted whole, and " +
+      "document text reaches no Exchange"),
     "q126_dsir_select" -> ("DSIR band-quota selection: text collapses " +
       "map-side to token keys for the two contrast aggregates (the only " +
       "corpus shuffles — counters, never text), banding is integer " +

@@ -565,6 +565,37 @@ object OpsPropertySpec extends Properties("graft.ops") {
         kept == expected(budget) && kept.subsetOf(got(budget + 13L))
     }
 
+  property("takeTopFraction ≡ the naive per-stratum window prefix on random shapes") =
+    forAll(
+      Gen.choose(1, 30).flatMap(k => Gen.listOfN(k, Gen.choose(0, 6))),
+      Gen.choose(1, 100).map(_ / 100.0), Gen.choose(1, 3), Gen.oneOf(2, 4, 16)) {
+      (scores, fraction, nStrata, nBuckets) =>
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{col, row_number}
+        val st = StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("src", StringType, nullable = false),
+          StructField("score", LongType, nullable = true)))
+        // scores 0..6 over ≤30 rows guarantee heavy ties; score 6 → null
+        val rows = scores.zipWithIndex.map { case (v, i) =>
+          Row((i + 1).toLong, s"s${i % nStrata}",
+            if (v == 6) null else v.toLong)
+        }
+        val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), st)
+        val got = Sampling.takeTopFraction(
+          df, "src", "id", "score", fraction, nBuckets)
+          .select("id").collect().map(_.getLong(0)).toSet
+        val w = Window.partitionBy(col("src"))
+          .orderBy(col("score").desc_nulls_last, col("id").asc)
+        val budgets = rows.groupBy(_.getString(1)).view
+          .mapValues(rs => math.round(fraction * rs.size)).toMap
+        val expected = df.withColumn("__rn", row_number().over(w))
+          .collect()
+          .filter(r => r.getInt(r.fieldIndex("__rn")) <= budgets(r.getString(1)))
+          .map(_.getLong(0)).toSet
+        got == expected
+    }
+
   property("semanticDedupAgainstIndex ≡ cross-restricted union closure on random geometry") =
     forAll(
       Gen.choose(6, 16).flatMap(k => Gen.listOfN(k,
