@@ -851,6 +851,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // quality-ordered token budget: fill each source's 700-token budget
+    // with its longest documents first (700 binds every source at sf0.01: totals 1.1-1.6k) (score = token count, heavy ties
+    // broken by doc_id), crossing row kept — q129's two-phase machinery
+    // consuming token WEIGHTS instead of row counts
+    "q130_top_token_budget" -> ((s, d) => {
+      val docs = docsParallel(s, d)
+        .withColumn("n_tok", graft.ops.TextOps.tokenCount(col("text")).cast("long"))
+      graft.ops.Sampling.takeTopTokenBudget(
+        docs, "source", "doc_id", "n_tok", "n_tok", budget = 700L, nBuckets = 8)
+        .select(col("doc_id"), col("source"), col("n_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // temperature mixing WITH REPLACEMENT (the recipe as mT5 trains it):
     // target 900 over 500 docs forces upsampling — tail domains emit full
     // copies plus an md5-order partial copy, head domains subsample; the
@@ -2208,6 +2221,22 @@ object SparkEntry {
     // quotas recomputed from counts with the same IEEE-exact sqrt; the
     // normalizer sums in domain order (list_sum over an ORDER BY list)
     // mirroring the operator's name-ordered driver fold
+    // score-ordered cumulative token window, crossing row kept
+    "q130_top_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    cast(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, source, n_tok,
+        |    sum(coalesce(n_tok, 0)) OVER (PARTITION BY source
+        |      ORDER BY n_tok DESC NULLS LAST, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, source, n_tok FROM r
+        |WHERE cum - coalesce(n_tok, 0) < 700 ORDER BY doc_id""".stripMargin,
+
     // exact per-source top-25%-by-token-count: rank vs round(0.25·c)
     "q129_top_fraction" ->
       """WITH t AS (

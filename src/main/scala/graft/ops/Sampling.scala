@@ -548,6 +548,52 @@ object Sampling {
       maxClassificationRows: Int = MaxClassificationRows): DataFrame = {
     require(fraction > 0.0 && fraction <= 1.0,
       s"fraction must be in (0, 1], got $fraction")
+    takeTopCore(df, stratumCol, keyCol, scoreCol, lit(1L),
+      (_, c) => math.round(fraction * c), nBuckets, maxClassificationRows)
+  }
+
+  /** Quality-ORDERED token budget per stratum — "fill each source's 1 B
+    * token budget with its highest-quality documents": rows are taken in
+    * `(scoreCol DESC, keyCol ASC)` order (nulls last) until the stratum's
+    * running `tokensCol` total reaches `budget`, with the crossing row
+    * kept ([[takeTokenBudget]]'s rule at score order instead of content
+    * order). Null token counts count as 0. Same exactness and plan
+    * contract as [[takeTopFraction]]: identical to the naive per-stratum
+    * window, but no stratum is ever sorted whole — score-range buckets
+    * classify from exact TOKEN sums and only the boundary bucket runs the
+    * windowed cumsum.
+    */
+  def takeTopTokenBudget(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      scoreCol: String,
+      tokensCol: String,
+      budget: Long,
+      nBuckets: Int = 64,
+      maxClassificationRows: Int = MaxClassificationRows): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    takeTopCore(df, stratumCol, keyCol, scoreCol,
+      coalesce(col(tokensCol).cast("long"), lit(0L)),
+      (_, _) => budget, nBuckets, maxClassificationRows)
+  }
+
+  /** Shared score-ordered two-phase core of [[takeTopFraction]] and
+    * [[takeTopTokenBudget]]: `tokens` is the per-row weight the budget
+    * consumes (`lit(1)` = row counting), `budgetOf` maps (stratum, row
+    * count) to its budget. Keep rule: running-weight-before-row < budget
+    * in `(score DESC, key ASC)` order — for unit weights that is exactly
+    * "rank ≤ budget".
+    */
+  private def takeTopCore(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      scoreCol: String,
+      tokens: Column,
+      budgetOf: (Option[Any], Long) => Long,
+      nBuckets: Int,
+      maxClassificationRows: Int): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= 4096,
       s"nBuckets must be in [2, 4096], got $nBuckets")
     import org.apache.spark.sql.expressions.Window
@@ -564,7 +610,7 @@ object Sampling {
           .as("__bounds"))
       .limit(maxClassificationRows + 1).collect()
     require(statRows.length <= maxClassificationRows,
-      s"takeTopFraction: stratum '$stratumCol' exceeds $maxClassificationRows " +
+      s"top-by-score take: stratum '$stratumCol' exceeds $maxClassificationRows " +
       "distinct values — aggregate to a coarser stratum first")
     // bucket(score) = number of boundaries <= score (0 .. nBuckets-1);
     // null scores sit below every bucket (-1). Order-consistent with
@@ -584,20 +630,24 @@ object Sampling {
     // phase 1: per-(stratum, bucket) counts — strata × nBuckets at most
     val slim = df.select(
       col(stratumCol).as("__s"), col(keyCol).as("__k"),
-      col(scoreCol).cast("double").as("__v"))
+      col(scoreCol).cast("double").as("__v"), tokens.as("__t"))
       .join(broadcast(boundsDf), col("__s") <=> col("__bs"), "left")
       .withColumn("__b", bucketOf(col("__v")))
-      .select(col("__s"), col("__k"), col("__v"), col("__b"))
-    val bucketCounts = slim.groupBy("__s", "__b").agg(count(lit(1)).as("__n"))
+      .select(col("__s"), col("__k"), col("__v"), col("__t"), col("__b"))
+    val bucketCounts = slim.groupBy("__s", "__b").agg(sum("__t").as("__n"))
       .limit(maxClassificationRows + 1).collect()
     require(bucketCounts.length <= maxClassificationRows,
-      s"takeTopFraction: stratum × bucket classification exceeds " +
+      s"top-by-score take: stratum × bucket classification exceeds " +
       s"$maxClassificationRows rows — lower nBuckets or coarsen the stratum")
 
-    // driver prefix in DESCENDING bucket order (highest scores first)
+    // driver prefix in DESCENDING bucket order (highest scores first).
+    // Keep rule is running-weight-BEFORE-row < budget (crossing row kept),
+    // so a bucket whose whole range ends at-or-under the budget keeps all
+    // rows and the at-most-one straddling bucket per stratum goes through
+    // the exact window with its start as offset.
     val budgets: Map[Option[Any], Long] = statRows.map { r =>
-      ((if (r.isNullAt(0)) None else Some(r.get(0))): Option[Any]) ->
-        math.round(fraction * r.getLong(1))
+      val st = (if (r.isNullAt(0)) None else Some(r.get(0))): Option[Any]
+      st -> budgetOf(st, r.getLong(1))
     }.toMap
     val clsRows = bucketCounts
       .groupBy(r => if (r.isNullAt(0)) None else Some(r.get(0)))
@@ -626,14 +676,15 @@ object Sampling {
         StructField("__off", LongType, nullable = false),
         StructField("__budget", LongType, nullable = false))))
 
-    // phase 2: the exact window ONLY inside boundary buckets
+    // phase 2: the exact windowed cumsum ONLY inside boundary buckets
     val w = Window.partitionBy(col("__s"))
       .orderBy(col("__v").desc_nulls_last, col("__k").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val boundaryKeys = slim.join(
         broadcast(cls.where(!col("__keep_all"))),
         col("__s") <=> col("__cs") && col("__b") === col("__cb"))
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__off") + col("__rn") <= col("__budget"))
+      .withColumn("__cum", sum(col("__t")).over(w))
+      .where(col("__off") + col("__cum") - col("__t") < col("__budget"))
       .select(col("__s").as("__ts"), col("__k").as("__tk"),
         lit(true).as("__in_boundary"))
 

@@ -1052,6 +1052,21 @@ class OpsSpec extends SparkSpec {
     val b = Sampling.takeTopFraction(df, "src", "id", "score", 0.3)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(a == b)
+    // the token-budget twin: same order, budget consumes TOKEN weights
+    // (here tokens = id % 7, nulls-as-0 included), crossing row kept
+    val dft = df.withColumn("n_tok",
+      when(col("id") % 9 === 0, lit(null)).otherwise(col("id") % 7))
+    val gotT = Sampling.takeTopTokenBudget(
+      dft, "src", "id", "score", "n_tok", budget = 40L, nBuckets = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val wT = Window.partitionBy(col("src"))
+      .orderBy(col("score").desc_nulls_last, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expT = dft
+      .withColumn("__cum", sum(coalesce(col("n_tok"), lit(0L))).over(wT))
+      .where(col("__cum") - coalesce(col("n_tok"), lit(0L)) < 40L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(gotT == expT && gotT.nonEmpty && gotT.size < 120)
   }
 
   test("temperatureMixRepeat: tail sources emit full + partial copies; guard trips on degenerate mixes") {
