@@ -312,6 +312,38 @@ object Sampling {
         "__bs", "__bk", "__in_boundary")
   }
 
+  /** Per-source (stratum, size, weight^alpha) triples plus the normalizer
+    * Z — the shared quota arithmetic of the temperature mixes. `sizes` is
+    * the per-source magnitude (row count or token sum) collected from one
+    * tiny aggregate; the canonical fold order (null source first, then by
+    * name) makes Z the same double on every rerun, and the cross-engine
+    * exactness contract is alpha ∈ {1, 0.5} (identity/sqrt — see
+    * [[temperatureMix]]'s portability note).
+    */
+  private def temperatureWeights(
+      sizes: Seq[(Option[Any], Long)],
+      alpha: Double): (Seq[(Option[Any], Long, Double)], Double) = {
+    val weighted = sizes
+      .sortBy { case (s, _) => (s.nonEmpty, s.map(_.toString).getOrElse("")) }
+      .map { case (s, c) =>
+        val w =
+          if (alpha == 1.0) c.toDouble // exact
+          else if (alpha == 0.5) math.sqrt(c.toDouble) // IEEE-exact
+          else math.pow(c.toDouble, alpha)
+        (s, c, w)
+      }
+    (weighted, weighted.foldLeft(0.0)(_ + _._3))
+  }
+
+  /** One tiny per-source aggregate of `sizeAgg`, collected driver-side. */
+  private def sourceSizes(
+      df: DataFrame, sourceCol: String, sizeAgg: Column): Seq[(Option[Any], Long)] =
+    df.groupBy(col(sourceCol).as("__src")).agg(sizeAgg.as("__c"))
+      .collect()
+      .map(r => ((if (r.isNullAt(0)) None
+                  else Some(r.get(0))): Option[Any], r.getLong(1)))
+      .toSeq
+
   /** Temperature-scaled source mixing — the multilingual-LM recipe (mT5 /
     * XLM-R style): sampling probabilities follow source SHARES raised to
     * `alpha` (p_s ∝ (c_s/Σc)^alpha), so alpha = 1 reproduces natural
@@ -350,24 +382,8 @@ object Sampling {
       bucketHexLen: Int = 3): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
     require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
-    // phase 0: per-source counts — sources × 1 rows, driver-side
-    val counts: Seq[(Option[Any], Long)] = df
-      .groupBy(col(sourceCol).as("__src")).agg(count(lit(1)).as("__c"))
-      .collect()
-      .map(r => ((if (r.isNullAt(0)) None
-                  else Some(r.get(0))): Option[Any], r.getLong(1)))
-      .toSeq
-      // canonical fold order (null stratum first, then by name) so the
-      // normalizer Z is the same double on every rerun
-      .sortBy { case (s, _) => (s.nonEmpty, s.map(_.toString).getOrElse("")) }
-    val weighted = counts.map { case (s, c) =>
-      val w =
-        if (alpha == 1.0) c.toDouble // exact
-        else if (alpha == 0.5) math.sqrt(c.toDouble) // IEEE-exact
-        else math.pow(c.toDouble, alpha)
-      (s, c, w)
-    }
-    val z = weighted.foldLeft(0.0)(_ + _._3)
+    val (weighted, z) = temperatureWeights(
+      sourceSizes(df, sourceCol, count(lit(1))), alpha)
     val quotas: Map[Option[Any], Long] = weighted.map { case (s, c, w) =>
       s -> math.min(c, math.round(targetRows * w / z))
     }.toMap
@@ -405,21 +421,9 @@ object Sampling {
     require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
     require(!df.columns.contains("copy"),
       "temperatureMixRepeat adds a 'copy' column — rename the existing one first")
-    val counts: Seq[(Option[Any], Long)] = df
-      .groupBy(col(sourceCol).as("__src")).agg(count(lit(1)).as("__c"))
-      .collect()
-      .map(r => ((if (r.isNullAt(0)) None
-                  else Some(r.get(0))): Option[Any], r.getLong(1)))
-      .toSeq
-      .sortBy { case (s, _) => (s.nonEmpty, s.map(_.toString).getOrElse("")) }
-    val weighted = counts.map { case (s, c) =>
-      val w =
-        if (alpha == 1.0) c.toDouble
-        else if (alpha == 0.5) math.sqrt(c.toDouble)
-        else math.pow(c.toDouble, alpha)
-      (s, c, w)
-    }
-    val z = weighted.foldLeft(0.0)(_ + _._3)
+    val spark = df.sparkSession
+    val (weighted, z) = temperatureWeights(
+      sourceSizes(df, sourceCol, count(lit(1))), alpha)
     // UNCAPPED quotas: div/mod split each into full copies + a remainder
     val split: Seq[(Option[Any], Long, Long)] = weighted.map { case (s, c, w) =>
       val quota = math.round(targetRows * w / z)
@@ -431,22 +435,31 @@ object Sampling {
         s"$k times (> maxRepeat $maxRepeat) — a degenerate mix for this " +
         "alpha/target; raise maxRepeat only if that is intended")
     }
-    def perSource(values: Seq[(Option[Any], Long)]): Column =
-      values.foldLeft(lit(0L)) {
-        case (acc, (None, v)) => when(col(sourceCol).isNull, lit(v)).otherwise(acc)
-        case (acc, (Some(s), v)) => when(col(sourceCol) === lit(s), lit(v)).otherwise(acc)
-      }
-    val kCol = perSource(split.map(t => (t._1, t._2)))
+    // per-source copy factor via a tiny BROADCAST lookup (a per-source
+    // when-chain would deepen the expression tree linearly in source
+    // count and fall out of codegen at 1000s of sources)
+    val sType = df.schema(sourceCol).dataType
+    val kDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(split.map(t =>
+        org.apache.spark.sql.Row(t._1.orNull, t._2)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__ks", sType, nullable = true),
+        org.apache.spark.sql.types.StructField("__kf",
+          org.apache.spark.sql.types.LongType, nullable = false))))
     val rems: Map[Option[Any], Long] = split.map(t => t._1 -> t._3).toMap
+    def withK(frame: DataFrame): DataFrame =
+      frame.join(broadcast(kDf), frame(sourceCol) <=> col("__ks"), "left")
     // full copies: a per-row generator, zero shuffle (k = 0 sources emit
     // nothing — the guard keeps sequence() off its descending-step path)
-    val fullCopies = df.withColumn("copy",
-      explode(when(kCol > 0L, sequence(lit(0L), kCol - 1L))
+    val fullCopies = withK(df).withColumn("copy",
+      explode(when(col("__kf") > 0L, sequence(lit(0L), col("__kf") - 1L))
         .otherwise(array().cast("array<bigint>"))))
+      .drop("__ks", "__kf")
     // the partial copy: md5-content-order prefix of quota mod c rows
-    val partial = takeBudgets(df, sourceCol, keyCol, lit(1L),
-      rems.getOrElse(_, 0L), bucketHexLen)
-      .withColumn("copy", kCol)
+    val partial = withK(takeBudgets(df, sourceCol, keyCol, lit(1L),
+      rems.getOrElse(_, 0L), bucketHexLen))
+      .withColumn("copy", coalesce(col("__kf"), lit(0L)))
+      .drop("__ks", "__kf")
     fullCopies.unionByName(partial)
   }
 
@@ -482,23 +495,10 @@ object Sampling {
       bucketHexLen: Int = 3): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
     require(targetTokens >= 1, s"targetTokens must be >= 1, got $targetTokens")
-    val counts: Seq[(Option[Any], Long)] = df
-      .groupBy(col(sourceCol).as("__src"))
-      .agg(coalesce(sum(coalesce(col(tokensCol), lit(0L))), lit(0L)).as("__c"))
-      .collect()
-      .map(r => ((if (r.isNullAt(0)) None
-                  else Some(r.get(0))): Option[Any], r.getLong(1)))
-      .toSeq
-      .sortBy { case (s, _) => (s.nonEmpty, s.map(_.toString).getOrElse("")) }
-    val weighted = counts.map { case (s, c) =>
-      val w =
-        if (alpha == 1.0) c.toDouble
-        else if (alpha == 0.5) math.sqrt(c.toDouble)
-        else math.pow(c.toDouble, alpha)
-      (s, c, w)
-    }
-    val z = weighted.foldLeft(0.0)(_ + _._3)
-    require(counts.isEmpty || z > 0.0,
+    val sizes = sourceSizes(df, sourceCol,
+      coalesce(sum(coalesce(col(tokensCol), lit(0L))), lit(0L)))
+    val (weighted, z) = temperatureWeights(sizes, alpha)
+    require(sizes.isEmpty || z > 0.0,
       "temperatureMixTokens: every source has 0 total tokens (all-null/zero " +
       s"'$tokensCol') — token-share mixing is undefined on a zero-token " +
       "corpus; fix the token column or use temperatureMix (row space)")
@@ -537,6 +537,11 @@ object Sampling {
     * set is a pure function of `(score, key)` order and exact counts;
     * boundaries only move rows between the keep-all and boundary-window
     * paths. A stratum whose budget rounds to 0 is dropped entirely.
+    *
+    * Scores are compared AS DOUBLES: integral scores beyond ±2^53 (or
+    * decimals finer than double precision) collapse to ties broken by
+    * `keyCol` — keep quality scores inside double range (every practical
+    * count/ratio signal is).
     */
   def takeTopFraction(
       df: DataFrame,
@@ -658,8 +663,13 @@ object Sampling {
           val n = r.getLong(2)
           val start = before
           before += n
+          // STRICT keep-all bound (same as takeBudgets): a bucket ending
+          // exactly AT the budget must go through the window — its
+          // positive-weight rows all pass cum-before < budget there, but
+          // a ZERO-weight row in a later bucket starting at the budget
+          // must not be admitted by a <= class test
           if (budget <= 0L) None
-          else if (start + n <= budget)
+          else if (start + n < budget)
             Some(org.apache.spark.sql.Row(r.get(0), r.getInt(1), true, 0L, budget))
           else if (start < budget)
             Some(org.apache.spark.sql.Row(r.get(0), r.getInt(1), false, start, budget))

@@ -758,8 +758,11 @@ object Similarity {
     // edge set is materialized either way (the closure's rounds would
     // persist it anyway; here it also makes the emptiness probe free).
     val edges = Materialize.eager(cross.unionByName(inBatch))
+    // ids.distinct() in BOTH branches: the closure branch distincts its
+    // node union, so the fast path must match or output multiplicity
+    // would depend on which branch ran for a (caller-error) dup-id batch
     val labels =
-      if (edges.isEmpty) ids.select(col("id"), col("id").as("rep"))
+      if (edges.isEmpty) ids.distinct().select(col("id"), col("id").as("rep"))
       else Dedup.dedupClustersStar(
         ids.unionByName(anchors).distinct(), "id", edges)
     // the standing-wins override: each component's smallest matched

@@ -1067,6 +1067,19 @@ class OpsSpec extends SparkSpec {
       .where(col("__cum") - coalesce(col("n_tok"), lit(0L)) < 40L)
       .select("id").collect().map(_.getLong(0)).toSet
     assert(gotT == expT && gotT.nonEmpty && gotT.size < 120)
+    // zero-weight rows at an EXACT budget boundary: the top row consumes
+    // the whole budget, so the zero-token row behind it has
+    // cum-before = budget and must be dropped (strict keep-all class —
+    // a <= class test would wrongly admit its bucket join-free)
+    val stB = struct("id" -> LongType, "src" -> StringType,
+      "score" -> LongType, "n_tok" -> LongType)
+    val dfb = frame(stB,
+      Row(1L, "s", 5L, 10L), Row(2L, "s", 3L, null), Row(3L, "s", 1L, 4L))
+    val gotB = Sampling.takeTopTokenBudget(
+      dfb, "src", "id", "score", "n_tok", budget = 10L, nBuckets = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(gotB == Set(1L),
+      s"only the budget-consuming top row may survive, got $gotB")
   }
 
   test("temperatureMixRepeat: tail sources emit full + partial copies; guard trips on degenerate mixes") {
