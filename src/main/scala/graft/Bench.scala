@@ -47,6 +47,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // The round-2 bench gate compares against the 64-query baseline set
+    // recorded in BENCH_r02.json — exactly the queries numbered q01..q64.
+    // Emitting their subtotal makes the gate ratio a first-class recorded
+    // number (subtotal / 59.7 s) instead of a per-round re-derivation
+    // from the full query map.
+    val gate64 = results.collect {
+      case (name, t) if name.split("_")(0).drop(1).toIntOption.exists(_ <= 64) => t
+    }.sum
     // Lifecycle-query phase breakdown (build/append/probe timed on their
     // own) — emitted OUTSIDE "queries" so the total and round-over-round
     // comparable sets are untouched; a probe regression shows here even
@@ -77,7 +85,7 @@ object Bench {
     // near 1.6 kB (full-length names with nanosecond doubles passed 5 kB
     // and could never parse from the tail).
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$breakdownJson$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","gate64":$gate64,"queries":$qs$breakdownJson$failedJson,"sf":"$sfDir"}"""
     val fullPath = s"/tmp/graft_bench_full_${new java.io.File(sfDir).getName}.json"
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson)
     catch { case e: Throwable => System.err.println(s"bench: full JSON write failed: $e") }
@@ -95,12 +103,17 @@ object Bench {
     // failures compact to deduplicated qNN prefixes for the same reason
     // the timings do: full names could push the line past the consumer's
     // tail window exactly when it carries failure information (full names
-    // are already on stderr, one line per failure)
+    // are already on stderr, one line per failure). Breakdown-PHASE
+    // failures keep their full name ("q97_build") — compacting them to
+    // the parent's qNN would make a failed phase indistinguishable from a
+    // failed query, and phase names are already qNN-short.
+    val phaseNames = SparkEntry.benchBreakdown.map(_._2).toSet
     val failedCompact =
       if (failed.isEmpty) ""
-      else failed.map(short).toSeq.distinct.map("\"" + _ + "\"")
+      else failed.map(n => if (phaseNames(n)) n else short(n))
+        .toSeq.distinct.map("\"" + _ + "\"")
         .mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsCompact$failedCompact,"sf":"${new java.io.File(sfDir).getName}"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","gate64":${fmt(gate64)},"queries":$qsCompact$failedCompact,"sf":"${new java.io.File(sfDir).getName}"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

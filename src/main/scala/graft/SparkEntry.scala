@@ -837,11 +837,12 @@ object SparkEntry {
     }),
 
     // percentile quality filter: keep each source's top 25% of docs by
-    // token count — EXACT (ties by doc_id, nulls last) but never sorting
-    // a whole source in one task: score-range buckets classify rows
-    // keep-all/drop/boundary and only the boundary bucket runs the
-    // (score, id) window (the takeBudgets two-phase discipline at score
-    // order)
+    // token count — EXACT (ties in md5 content order, nulls last) but
+    // never sorting a whole source in one task: score-range buckets
+    // classify rows keep-all/drop/boundary, the boundary bucket
+    // classifies per score RUN, and only the cutoff tie run's md5
+    // sub-boundary sub-bucket is windowed — token counts tie HEAVILY
+    // here, so the run/tie path is the one actually exercised
     "q129_top_fraction" -> ((s, d) => {
       val docs = docsParallel(s, d)
         .withColumn("n_tok", graft.ops.TextOps.tokenCount(col("text")).cast("long"))
@@ -852,8 +853,9 @@ object SparkEntry {
     }),
 
     // quality-ordered token budget: fill each source's 700-token budget
-    // with its longest documents first (700 binds every source at sf0.01: totals 1.1-1.6k) (score = token count, heavy ties
-    // broken by doc_id), crossing row kept — q129's two-phase machinery
+    // with its longest documents first (700 binds every source at
+    // sf0.01: totals 1.1-1.6k; score = token count, heavy ties broken in
+    // md5 content order), crossing row kept — q129's run/tie machinery
     // consuming token WEIGHTS instead of row counts
     "q130_top_token_budget" -> ((s, d) => {
       val docs = docsParallel(s, d)
@@ -2230,7 +2232,8 @@ object SparkEntry {
         |), r AS (
         |  SELECT doc_id, source, n_tok,
         |    sum(coalesce(n_tok, 0)) OVER (PARTITION BY source
-        |      ORDER BY n_tok DESC NULLS LAST, doc_id
+        |      ORDER BY n_tok DESC NULLS LAST,
+        |        md5(cast(doc_id AS varchar)) ASC, doc_id ASC
         |      ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM t
         |)
@@ -2248,7 +2251,8 @@ object SparkEntry {
         |), r AS (
         |  SELECT doc_id, source, n_tok,
         |    row_number() OVER (PARTITION BY source
-        |      ORDER BY n_tok DESC NULLS LAST, doc_id) AS rn
+        |      ORDER BY n_tok DESC NULLS LAST,
+        |        md5(cast(doc_id AS varchar)) ASC, doc_id ASC) AS rn
         |  FROM t
         |)
         |SELECT doc_id, source, n_tok FROM r JOIN c USING (source)

@@ -193,9 +193,13 @@ object Sampling {
     * token budget into an exact row quota.
     */
   /** Hard bound on the driver-side bucket-classification table (strata ×
-    * 16^bucketHexLen rows). 2M rows ≈ low hundreds of MB of Rows — far
-    * above any mixing-grade stratum count (10s-1000s of sources × ≤4096
-    * buckets) and far below where the collect would take down the driver.
+    * 16^bucketHexLen rows at the widest attempted width). 2M rows ≈ low
+    * hundreds of MB of Rows — below where the collect would take down the
+    * driver. [[takeBudgets]] narrows the bucket width automatically when
+    * the requested width would overflow this (more strata ⇒ fewer buckets
+    * each — the kept set is width-independent), so the bound only fails a
+    * call when the STRATA alone exceed 2M/16 ≈ 125k distinct values —
+    * far past mixing-grade (10s-1000s of sources).
     */
   private[ops] val MaxClassificationRows: Int = 2000000
 
@@ -217,29 +221,34 @@ object Sampling {
     // ONLY shape that rides a shuffle regardless of the caller's columns.
     // A null key cannot hash: its bucket is null, which sorts FIRST under
     // Spark's ASC NULLS FIRST — the driver prefix below mirrors that.
-    val slim = df.select(
+    def slimAt(h: Int): DataFrame = df.select(
       col(stratumCol).as("__s"),
       col(keyCol).as("__k"),
       coalesce(tokens.cast("long"), lit(0L)).as("__t"),
-      substring(md5(col(keyCol).cast("string").cast("binary")), 1, bucketHexLen)
+      substring(md5(col(keyCol).cast("string").cast("binary")), 1, h)
         .as("__b"))
 
-    // phase 1: per-(stratum, bucket) token sums — strata × 16^bucketHexLen
-    // rows at most; one map-side-combining aggregate, nothing else moves.
-    // The limit bounds driver memory BEFORE anything lands: if the
-    // aggregate exceeds [[MaxClassificationRows]] the stratum column is
-    // high-cardinality (domain, language-pair, ...) and the driver-side
-    // classification table would silently OOM — fail with a contract
-    // error instead (the limit admits at most cap + 1 rows, so the guard
-    // itself never collects the oversized table).
-    val bucketSums = slim.groupBy("__s", "__b").agg(sum("__t").as("__sum"))
-      .limit(maxClassificationRows + 1).collect()
-    require(bucketSums.length <= maxClassificationRows,
-      s"takeBudgets: stratum '$stratumCol' × 16^$bucketHexLen buckets " +
-      s"exceeds $maxClassificationRows driver-side classification rows — " +
-      "this API is for mixing-grade strata (10s-1000s of sources); for a " +
-      "high-cardinality stratum lower bucketHexLen, or aggregate the " +
-      "stratum to a coarser key first")
+    // phase 1: per-(stratum, bucket) token sums — strata × 16^hexLen rows
+    // at most; one map-side-combining aggregate, nothing else moves. The
+    // limit bounds driver memory BEFORE anything lands (it admits at most
+    // cap + 1 rows, so the guard itself never collects the oversized
+    // table); when the requested width overflows — more strata than
+    // cap/16^h — retry NARROWER instead of failing: the kept set is
+    // width-independent (buckets only set the boundary window's size), so
+    // a 600-source mix at the default width simply degrades to 256
+    // buckets per stratum. Only the degenerate path pays the extra
+    // aggregate pass. Fails only when strata alone exceed cap/16.
+    val attempt = (bucketHexLen to 1 by -1).view.map { h =>
+      h -> slimAt(h).groupBy("__s", "__b").agg(sum("__t").as("__sum"))
+        .limit(maxClassificationRows + 1).collect()
+    }.find(_._2.length <= maxClassificationRows)
+    require(attempt.isDefined,
+      s"takeBudgets: stratum '$stratumCol' has more than " +
+      s"${maxClassificationRows / 16} distinct values — this API is for " +
+      "mixing-grade strata (10s-1000s of sources); aggregate the stratum " +
+      "to a coarser key first")
+    val (hexLen, bucketSums) = attempt.get
+    val slim = slimAt(hexLen)
 
     // driver-side prefix in the window's own order (null bucket first,
     // then hex asc — the bucket is the leading prefix of the md5 sort key,
@@ -302,7 +311,7 @@ object Sampling {
     // is preserved. (The input is evaluated once per phase — persist an
     // expensive non-file-backed frame before calling.)
     val bucketOfDf =
-      substring(md5(df(keyCol).cast("string").cast("binary")), 1, bucketHexLen)
+      substring(md5(df(keyCol).cast("string").cast("binary")), 1, hexLen)
     df.join(broadcast(cls),
         df(stratumCol) <=> col("__cs") && bucketOfDf <=> col("__cb"))
       .join(broadcast(boundaryKeys),
@@ -335,14 +344,23 @@ object Sampling {
     (weighted, weighted.foldLeft(0.0)(_ + _._3))
   }
 
-  /** One tiny per-source aggregate of `sizeAgg`, collected driver-side. */
+  /** One tiny per-source aggregate of `sizeAgg`, collected driver-side.
+    * Guarded like [[takeBudgets]]' classification collect: a
+    * high-cardinality source column fails with a contract error before
+    * the collect can OOM the driver (the limit admits cap + 1 rows only).
+    */
   private def sourceSizes(
-      df: DataFrame, sourceCol: String, sizeAgg: Column): Seq[(Option[Any], Long)] =
-    df.groupBy(col(sourceCol).as("__src")).agg(sizeAgg.as("__c"))
-      .collect()
-      .map(r => ((if (r.isNullAt(0)) None
-                  else Some(r.get(0))): Option[Any], r.getLong(1)))
+      df: DataFrame, sourceCol: String, sizeAgg: Column): Seq[(Option[Any], Long)] = {
+    val rows = df.groupBy(col(sourceCol).as("__src")).agg(sizeAgg.as("__c"))
+      .limit(MaxClassificationRows + 1).collect()
+    require(rows.length <= MaxClassificationRows,
+      s"temperature mixing: source column '$sourceCol' exceeds " +
+      s"$MaxClassificationRows distinct values — not a mixing-grade " +
+      "source key; aggregate to a coarser source first")
+    rows.map(r => ((if (r.isNullAt(0)) None
+                    else Some(r.get(0))): Option[Any], r.getLong(1)))
       .toSeq
+  }
 
   /** Temperature-scaled source mixing — the multilingual-LM recipe (mT5 /
     * XLM-R style): sampling probabilities follow source SHARES raised to
@@ -512,11 +530,12 @@ object Sampling {
   /** EXACT top-fraction quality filter per stratum — "keep the best 25%
     * of each source by score", the percentile form of quality filtering
     * (Gopher/CCNet-style): each stratum keeps its `round(fraction · c_s)`
-    * highest-`scoreCol` rows, ties broken by `keyCol` ascending (which
-    * must identify a row within its stratum — the usual total-order
-    * caveat), null scores last. The kept set is EXACT — identical to a
-    * per-stratum `row_number` over `(score DESC, key ASC)` — but the plan
-    * never sorts a whole stratum in one task:
+    * highest-`scoreCol` rows in `(score DESC nulls last, md5(key), key)`
+    * order — ties at the cutoff break in the same engine-portable md5
+    * content order every other take in this module uses (`keyCol` must
+    * identify a row within its stratum — the usual total-order caveat).
+    * The kept set is EXACT — identical to a per-stratum `row_number` over
+    * that order — but the plan never sorts a whole stratum in one task:
     *
     *   1. one aggregate computes per-stratum counts + approximate score
     *      quantiles (the bucket BOUNDARIES — their accuracy affects only
@@ -527,21 +546,36 @@ object Sampling {
     *   3. the driver prefix-sums the tiny count table in descending
     *      score-bucket order: buckets wholly above the cutoff keep every
     *      row join-free, buckets below drop, and the ONE boundary bucket
-    *      per stratum runs the exact `(score DESC, key)` window over
-    *      ~1/nBuckets of the stratum with its prefix offset;
-    *   4. membership attaches back through two broadcast joins — the
-    *      caller's rows never shuffle (the [[takeBudgets]] discipline at
-    *      score order instead of md5 content order).
+    *      per stratum goes through score-RUN classification — grouped by
+    *      exact score value, prefixed by a window over DISTINCT scores
+    *      (tiny when scores are tie-dense; ~bucket-sized narrow rows when
+    *      they are continuous, in which case the bucket is ~1/nBuckets of
+    *      the stratum anyway). Whole runs keep or drop join-free; the
+    *      at-most-one straddling TIE run per stratum routes through
+    *      [[takeBudgets]]' md5 sub-bucket machinery (within a tied score
+    *      the keep rule IS a content-order prefix), so a binary quality
+    *      flag — where the tie run is half the stratum — still never
+    *      funnels a stratum into one window task;
+    *   4. membership attaches back through broadcast joins only — the
+    *      caller's rows never shuffle.
     *
     * Rerun-deterministic even though the quantile sketch is not: the kept
-    * set is a pure function of `(score, key)` order and exact counts;
-    * boundaries only move rows between the keep-all and boundary-window
+    * set is a pure function of `(score, md5(key), key)` order and exact
+    * counts; boundaries only move rows between the join-free and windowed
     * paths. A stratum whose budget rounds to 0 is dropped entirely.
     *
     * Scores are compared AS DOUBLES: integral scores beyond ±2^53 (or
     * decimals finer than double precision) collapse to ties broken by
-    * `keyCol` — keep quality scores inside double range (every practical
-    * count/ratio signal is).
+    * content order — keep quality scores inside double range (every
+    * practical count/ratio signal is).
+    *
+    * The input is evaluated once per phase (stats, bucket counts, run
+    * classification, and each attach arm) — persist an expensive
+    * non-file-backed frame before calling, or the exact-kept-set
+    * guarantee rests on the frame being deterministic.
+    *
+    * [[takeTopFractionWithStats]] additionally returns per-stratum
+    * boundary/tie skew telemetry.
     */
   def takeTopFraction(
       df: DataFrame,
@@ -550,7 +584,23 @@ object Sampling {
       scoreCol: String,
       fraction: Double,
       nBuckets: Int = 64,
-      maxClassificationRows: Int = MaxClassificationRows): DataFrame = {
+      maxClassificationRows: Int = MaxClassificationRows): DataFrame =
+    takeTopFractionWithStats(
+      df, stratumCol, keyCol, scoreCol, fraction, nBuckets,
+      maxClassificationRows)._1
+
+  /** [[takeTopFraction]] plus the per-stratum [[TopTakeStratumStats]]
+    * skew telemetry (free — phase-1/2 classification data).
+    */
+  def takeTopFractionWithStats(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      scoreCol: String,
+      fraction: Double,
+      nBuckets: Int = 64,
+      maxClassificationRows: Int = MaxClassificationRows)
+      : (DataFrame, Seq[TopTakeStratumStats]) = {
     require(fraction > 0.0 && fraction <= 1.0,
       s"fraction must be in (0, 1], got $fraction")
     takeTopCore(df, stratumCol, keyCol, scoreCol, lit(1L),
@@ -559,14 +609,15 @@ object Sampling {
 
   /** Quality-ORDERED token budget per stratum — "fill each source's 1 B
     * token budget with its highest-quality documents": rows are taken in
-    * `(scoreCol DESC, keyCol ASC)` order (nulls last) until the stratum's
-    * running `tokensCol` total reaches `budget`, with the crossing row
-    * kept ([[takeTokenBudget]]'s rule at score order instead of content
-    * order). Null token counts count as 0. Same exactness and plan
-    * contract as [[takeTopFraction]]: identical to the naive per-stratum
-    * window, but no stratum is ever sorted whole — score-range buckets
-    * classify from exact TOKEN sums and only the boundary bucket runs the
-    * windowed cumsum.
+    * `(scoreCol DESC nulls last, md5(key), key)` order until the
+    * stratum's running `tokensCol` total reaches `budget`, with the
+    * crossing row kept ([[takeTokenBudget]]'s rule at score order instead
+    * of content order). Null token counts count as 0. Same exactness,
+    * tie-order, plan, and evaluated-once-per-phase contract as
+    * [[takeTopFraction]]: identical to the naive per-stratum window, but
+    * no stratum is ever sorted whole — score-range buckets classify from
+    * exact TOKEN sums, the boundary bucket classifies per score RUN, and
+    * only the cutoff tie run's md5 sub-boundary sub-bucket is windowed.
     */
   def takeTopTokenBudget(
       df: DataFrame,
@@ -576,19 +627,72 @@ object Sampling {
       tokensCol: String,
       budget: Long,
       nBuckets: Int = 64,
-      maxClassificationRows: Int = MaxClassificationRows): DataFrame = {
+      maxClassificationRows: Int = MaxClassificationRows): DataFrame =
+    takeTopTokenBudgetWithStats(
+      df, stratumCol, keyCol, scoreCol, tokensCol, budget, nBuckets,
+      maxClassificationRows)._1
+
+  /** [[takeTopTokenBudget]] plus the per-stratum [[TopTakeStratumStats]]
+    * skew telemetry (weights are TOKENS here, not rows).
+    */
+  def takeTopTokenBudgetWithStats(
+      df: DataFrame,
+      stratumCol: String,
+      keyCol: String,
+      scoreCol: String,
+      tokensCol: String,
+      budget: Long,
+      nBuckets: Int = 64,
+      maxClassificationRows: Int = MaxClassificationRows)
+      : (DataFrame, Seq[TopTakeStratumStats]) = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     takeTopCore(df, stratumCol, keyCol, scoreCol,
       coalesce(col(tokensCol).cast("long"), lit(0L)),
       (_, _) => budget, nBuckets, maxClassificationRows)
   }
 
+  /** Per-stratum skew telemetry from the score-ordered takes
+    * ([[takeTopFractionWithStats]] / [[takeTopTokenBudgetWithStats]]):
+    * how much of the stratum's weight (rows for the fraction take, tokens
+    * for the budget take) landed in the score-range boundary bucket, and
+    * how much of the stratum is tied exactly AT the cutoff score.
+    * `boundaryShare` near 1/nBuckets is healthy; a large `tieShare` means
+    * the score is discrete at the cutoff (a binary quality flag shows
+    * ~0.5 here) — exact either way, the tie region rides the md5
+    * sub-bucket path, so this is load-balance visibility, not a
+    * correctness signal. Strata with no boundary bucket (budget ≥ total
+    * or budget 0) report 0 for both.
+    */
+  final case class TopTakeStratumStats(
+      stratum: Option[Any],
+      totalWeight: Long,
+      boundaryWeight: Long,
+      tieWeight: Long) {
+    def boundaryShare: Double =
+      if (totalWeight <= 0L) 0.0 else boundaryWeight.toDouble / totalWeight
+    def tieShare: Double =
+      if (totalWeight <= 0L) 0.0 else tieWeight.toDouble / totalWeight
+  }
+
   /** Shared score-ordered two-phase core of [[takeTopFraction]] and
     * [[takeTopTokenBudget]]: `tokens` is the per-row weight the budget
     * consumes (`lit(1)` = row counting), `budgetOf` maps (stratum, row
     * count) to its budget. Keep rule: running-weight-before-row < budget
-    * in `(score DESC, key ASC)` order — for unit weights that is exactly
-    * "rank ≤ budget".
+    * in `(score DESC nulls last, md5(key), key)` order — for unit weights
+    * that is exactly "rank ≤ budget".
+    *
+    * Round-11 boundary handling: the round-10 form ran one `(score DESC,
+    * key)` window over the whole boundary bucket, which degenerates to a
+    * single-task full-stratum sort when the score is tie-dense (a binary
+    * quality flag collapses the quantile boundaries and one bucket IS the
+    * stratum). Now the boundary bucket classifies per score RUN — grouped
+    * by exact score value (map-side combining), prefixed by a window over
+    * DISTINCT scores — and only the at-most-one straddling TIE run per
+    * stratum does ordered work, via [[takeBudgets]]' md5 sub-bucket
+    * machinery (within a tied score the keep rule reduces to a
+    * content-order prefix, which is exactly the order md5 buckets
+    * refine). No task ever holds more than
+    * max(distinct-scores-in-one-bucket, tie-region/16^3) ledger rows.
     */
   private def takeTopCore(
       df: DataFrame,
@@ -598,7 +702,7 @@ object Sampling {
       tokens: Column,
       budgetOf: (Option[Any], Long) => Long,
       nBuckets: Int,
-      maxClassificationRows: Int): DataFrame = {
+      maxClassificationRows: Int): (DataFrame, Seq[TopTakeStratumStats]) = {
     require(nBuckets >= 2 && nBuckets <= 4096,
       s"nBuckets must be in [2, 4096], got $nBuckets")
     import org.apache.spark.sql.expressions.Window
@@ -647,34 +751,43 @@ object Sampling {
 
     // driver prefix in DESCENDING bucket order (highest scores first).
     // Keep rule is running-weight-BEFORE-row < budget (crossing row kept),
-    // so a bucket whose whole range ends at-or-under the budget keeps all
-    // rows and the at-most-one straddling bucket per stratum goes through
-    // the exact window with its start as offset.
+    // so a bucket whose whole range ends strictly under the budget keeps
+    // all rows and the at-most-one straddling bucket per stratum goes
+    // through the score-run machinery with its start as offset. The fold
+    // also collects the per-stratum totals + boundary weights for the
+    // skew telemetry — free, it is the same classification data.
     val budgets: Map[Option[Any], Long] = statRows.map { r =>
       val st = (if (r.isNullAt(0)) None else Some(r.get(0))): Option[Any]
       st -> budgetOf(st, r.getLong(1))
     }.toMap
+    val statsAcc =
+      scala.collection.mutable.ArrayBuffer.empty[(Option[Any], Long, Long)]
     val clsRows = bucketCounts
       .groupBy(r => if (r.isNullAt(0)) None else Some(r.get(0)))
       .iterator.flatMap { case (stratum, rows) =>
         val budget = budgets.getOrElse(stratum, 0L)
+        val total = rows.iterator.map(_.getLong(2)).sum
+        var boundaryW = 0L
         var before = 0L
-        rows.sortBy(-_.getInt(1)).flatMap { r =>
+        val out = rows.sortBy(-_.getInt(1)).flatMap { r =>
           val n = r.getLong(2)
           val start = before
           before += n
           // STRICT keep-all bound (same as takeBudgets): a bucket ending
-          // exactly AT the budget must go through the window — its
-          // positive-weight rows all pass cum-before < budget there, but
-          // a ZERO-weight row in a later bucket starting at the budget
-          // must not be admitted by a <= class test
+          // exactly AT the budget must go through run classification —
+          // its positive-weight rows all pass cum-before < budget there,
+          // but a ZERO-weight row in a later bucket starting at the
+          // budget must not be admitted by a <= class test
           if (budget <= 0L) None
           else if (start + n < budget)
             Some(org.apache.spark.sql.Row(r.get(0), r.getInt(1), true, 0L, budget))
-          else if (start < budget)
+          else if (start < budget) {
+            boundaryW = n
             Some(org.apache.spark.sql.Row(r.get(0), r.getInt(1), false, start, budget))
-          else None
+          } else None
         }
+        statsAcc += ((stratum, total, boundaryW))
+        out
       }.toSeq
     val sType = slim.schema("__s").dataType
     val cls = spark.createDataFrame(
@@ -685,30 +798,98 @@ object Sampling {
         StructField("__keep_all", BooleanType, nullable = false),
         StructField("__off", LongType, nullable = false),
         StructField("__budget", LongType, nullable = false))))
+    val hasBoundary = clsRows.exists(r => !r.getBoolean(2))
 
-    // phase 2: the exact windowed cumsum ONLY inside boundary buckets
-    val w = Window.partitionBy(col("__s"))
-      .orderBy(col("__v").desc_nulls_last, col("__k").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val boundaryKeys = slim.join(
+    // phase 2: score-RUN classification inside boundary buckets. One
+    // map-side-combining aggregate per (stratum, exact score value), then
+    // a running prefix over DISTINCT scores — the window input is the
+    // per-run table, not the ledger: tiny when the score is tie-dense
+    // (the case that used to degenerate), ~bucket-sized narrow rows when
+    // the score is continuous (in which case the bucket is ~1/nBuckets of
+    // the stratum and the old plan did the same work on wider rows).
+    val runCls = slim.join(
         broadcast(cls.where(!col("__keep_all"))),
         col("__s") <=> col("__cs") && col("__b") === col("__cb"))
-      .withColumn("__cum", sum(col("__t")).over(w))
-      .where(col("__off") + col("__cum") - col("__t") < col("__budget"))
-      .select(col("__s").as("__ts"), col("__k").as("__tk"),
-        lit(true).as("__in_boundary"))
+      .groupBy(col("__s"), col("__v"), col("__off"), col("__budget"))
+      .agg(sum(col("__t")).as("__sw"))
+      .withColumn("__bef",
+        col("__off") +
+          sum(col("__sw")).over(Window.partitionBy(col("__s"))
+            .orderBy(col("__v").desc_nulls_last)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)) -
+          col("__sw"))
+    // runs wholly under the budget keep every row join-free (strict, so a
+    // zero-weight row sitting exactly at the budget can never slip in)
+    val runsKeepAll = runCls
+      .where(col("__bef") + col("__sw") < col("__budget"))
+      .select(col("__s").as("__rs"), col("__v").as("__rv"))
+    // the at-most-one straddling TIE run per stratum, collected with its
+    // remaining budget — ≤ 1 row per stratum, same strata bound as phase 0
+    val tieRows: Array[org.apache.spark.sql.Row] =
+      if (!hasBoundary) Array.empty
+      else runCls
+        .where(col("__bef") < col("__budget") &&
+          col("__bef") + col("__sw") >= col("__budget"))
+        .select(col("__s"), col("__v"),
+          (col("__budget") - col("__bef")).as("__tb"), col("__sw"))
+        .limit(maxClassificationRows + 1).collect()
+    require(tieRows.length <= maxClassificationRows,
+      s"top-by-score take: stratum '$stratumCol' exceeds " +
+      s"$maxClassificationRows tie-run rows — aggregate to a coarser " +
+      "stratum first")
+    def stratumOf(r: org.apache.spark.sql.Row): Option[Any] =
+      if (r.isNullAt(0)) None else Some(r.get(0))
+    val tieBudgets: Map[Option[Any], Long] =
+      tieRows.iterator.map(r => stratumOf(r) -> r.getLong(2)).toMap
+    val tieWeights: Map[Option[Any], Long] =
+      tieRows.iterator.map(r => stratumOf(r) -> r.getLong(3)).toMap
 
-    // attach: one pass, two broadcast joins, caller's rows never shuffle
-    val dfBucket = bucketOf(df(scoreCol).cast("double"))
-    df.join(broadcast(boundsDf), df(stratumCol) <=> col("__bs"), "left")
-      .withColumn("__db", dfBucket)
-      .join(broadcast(cls),
+    // attach arms — each a broadcast-join filter over the caller's rows
+    // (they never shuffle), mutually exclusive by construction: a row is
+    // in a keep-all bucket, OR in a keep-all score run of the boundary
+    // bucket, OR in the tie run (score values never span buckets).
+    val keepAllArm = df
+      .join(broadcast(boundsDf), df(stratumCol) <=> col("__bs"), "left")
+      .withColumn("__db", bucketOf(df(scoreCol).cast("double")))
+      .join(broadcast(cls.where(col("__keep_all"))),
         df(stratumCol) <=> col("__cs") && col("__db") === col("__cb"))
-      .join(broadcast(boundaryKeys),
-        df(stratumCol) <=> col("__ts") && df(keyCol) <=> col("__tk"), "left")
-      .where(col("__keep_all") || coalesce(col("__in_boundary"), lit(false)))
       .drop("__bs", "__bounds", "__db", "__cs", "__cb", "__keep_all",
-        "__off", "__budget", "__ts", "__tk", "__in_boundary")
+        "__off", "__budget")
+    val result =
+      if (!hasBoundary) keepAllArm
+      else {
+        val runArm = df.join(broadcast(runsKeepAll),
+            df(stratumCol) <=> col("__rs") &&
+              df(scoreCol).cast("double") <=> col("__rv"))
+          .drop("__rs", "__rv")
+        if (tieRows.isEmpty) keepAllArm.unionByName(runArm)
+        else {
+          // the tie run reduces to a content-order prefix with the
+          // remaining budget — exactly takeBudgets' md5 sub-bucket plan,
+          // so its window touches ~1/16^3 of the tie region, never the
+          // whole run
+          val tieDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(tieRows.toSeq.map(r =>
+              org.apache.spark.sql.Row(r.get(0), r.get(1))), 1),
+            StructType(Seq(
+              StructField("__zs", sType, nullable = true),
+              StructField("__zv", DoubleType, nullable = true))))
+          val dfTie = df.join(broadcast(tieDf),
+              df(stratumCol) <=> col("__zs") &&
+                df(scoreCol).cast("double") <=> col("__zv"))
+            .drop("__zs", "__zv")
+          val tieArm = takeBudgets(dfTie, stratumCol, keyCol, tokens,
+            tieBudgets.getOrElse(_, 0L), bucketHexLen = 3,
+            maxClassificationRows)
+          keepAllArm.unionByName(runArm).unionByName(tieArm)
+        }
+      }
+    val stats = statsAcc.toSeq
+      .sortBy { case (s, _, _) => (s.nonEmpty, s.map(_.toString).getOrElse("")) }
+      .map { case (s, total, bw) =>
+        TopTakeStratumStats(s, total, bw, tieWeights.getOrElse(s, 0L))
+      }
+    (result, stats)
   }
 
   /** DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169) as one

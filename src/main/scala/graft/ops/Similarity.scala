@@ -842,8 +842,10 @@ object Similarity {
   /** Centroids plus the PERSISTED per-cell population estimates (the
     * dense-cell salt guard's input — see [[saltFactors]]). Epochs written
     * before counts existed read an empty map: probes then run unsalted,
-    * exactly the pre-counts behavior, and the next build/append/compact
-    * upgrades the table.
+    * exactly the pre-counts behavior, and the next build/compact — or the
+    * first [[appendAnnIndex]], which recounts the standing assigned table
+    * rather than persisting batch-only populations — upgrades the table
+    * with TRUE counts.
     */
   private def readAnnCentroidsWithCounts(
       spark: org.apache.spark.sql.SparkSession,
@@ -1068,7 +1070,19 @@ object Similarity {
     val (curDir, meta) = resolveAnnIndex(spark, path)
     val nlist = meta.getAs[Int]("nlist")
     val quantized = annMetaQuantized(meta) // storage scheme is the index's, not the caller's
-    val (centroids, standingCounts) = readAnnCentroidsWithCounts(spark, curDir)
+    val (centroids, storedCounts) = readAnnCentroidsWithCounts(spark, curDir)
+    // legacy epoch (pre-'n' centroids table): the stored counts are absent,
+    // and summing the batch's counts alone would persist batch-only
+    // populations as the successor's full 'n' — later probes would salt
+    // from estimates reflecting only the last batch (load-balance skew,
+    // results exact either way). Derive the TRUE standing populations from
+    // the assigned table instead: one narrow (cell) aggregate, paid once —
+    // the successor epoch carries real counts from here on.
+    val standingCounts =
+      if (storedCounts.nonEmpty || centroids.isEmpty) storedCounts
+      else EpochStore.readTable(spark, curDir, "assigned")
+        .groupBy("cell").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
     // dup-id guard: bloom clears clean batches without reading the
     // standing `assigned` id column; hits fall back to the exact check
     if (EpochStore.idGuardNeedsExact(spark, curDir, newVecs, idCol)) {

@@ -317,6 +317,125 @@ object StreamingOps {
           Similarity.appendAnnIndex(fresh, vecCol, idCol, path, retainEpochs)
     }
 
+  /** Exact incremental SemDeDup per micro-batch against the standing ANN
+    * index — the fifth lifecycle's LIVE form, closing the one gap the
+    * other lifecycles don't have: minhash has [[dedupAgainstIndex]],
+    * fingerprints have [[screenFingerprintsStream]], paragraphs have
+    * [[suppressKnownParagraphsStream]]; a long-running SEMANTIC near-dup
+    * screen previously required batch restarts. Each non-empty micro-batch
+    * runs [[graft.ops.Similarity.semanticDedupAgainstIndex]] (or the
+    * keep-best election when `scoreCol` is set) and hands `write` the
+    * batch's rows with the audit columns attached — `rep` (the
+    * component's representative: smallest matched STANDING id when the
+    * component touches the corpus, min batch id otherwise) and `kept`
+    * (the survivor flag) — so the caller routes survivors and duplicates
+    * to their sinks.
+    *
+    * The raw pair probe needs no batching at all —
+    * [[graft.ops.Similarity.annRangeAgainstIndex]] is deliberately
+    * stateless and runs on a `readStream` frame directly; this wrapper
+    * exists for the parts a stream cannot express inline (the
+    * star-contraction closure, the standing-wins election, the replay
+    * guard), which are exact per batch here.
+    *
+    * Index-growth visibility comes FREE in this form: the probe
+    * re-resolves the epoch pointer on every batch (it is already
+    * per-batch work — two narrow manifest reads), so an
+    * [[graft.ops.Similarity.appendAnnIndex]] landing mid-stream is
+    * observed by the NEXT batch without restart — no `…Refreshing`
+    * variant needed, unlike the construction-time-bloom screens.
+    * Replay safety: an id already committed to the index comes back
+    * `kept = false` anchored at itself (the probe's id-bloom replay
+    * guard), so redelivered batches produce no survivors. Batches are
+    * deduped by id before the probe (at-least-once delivery can repeat
+    * rows WITHIN a redelivered batch too). Size the index's
+    * `retainEpochs` to the append cadence if another writer grows it
+    * while this query runs.
+    */
+  def dedupSemanticAgainstIndexStream(
+      newStream: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      minCosine: Double,
+      nprobe: Int = 4,
+      withinBatch: Boolean = true,
+      scoreCol: Option[String] = None)(
+      write: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    semanticForeachBatch(newStream, vecCol, idCol, path, minCosine, nprobe,
+      withinBatch, scoreCol, grow = false, retainEpochs = 2)(write)
+
+  /** [[dedupSemanticAgainstIndexStream]] PLUS the index fold — the whole
+    * daily SemDeDup loop as one streaming sink: per micro-batch, audit
+    * the batch against the standing index, hand the audited rows to
+    * `write`, then [[graft.ops.Similarity.appendAnnIndex]] the SURVIVORS
+    * (`kept = true`) so later batches dedup against them. Exactly the
+    * documented batch loop (probe → semi-join survivors → append) run at
+    * micro-batch cadence; `foreachBatch` executes batches sequentially,
+    * so the index's single-writer contract holds as long as no OTHER job
+    * writes the same index. Replay-idempotent end to end: a redelivered
+    * batch's ids anchor at themselves (`kept = false`), yielding zero
+    * survivors and no new epoch. Each surviving batch consumes one epoch
+    * generation — size `retainEpochs` to cover concurrent probe queries.
+    */
+  def dedupAndGrowSemanticIndexStream(
+      newStream: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      minCosine: Double,
+      nprobe: Int = 4,
+      withinBatch: Boolean = true,
+      scoreCol: Option[String] = None,
+      retainEpochs: Int = 2)(
+      write: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    semanticForeachBatch(newStream, vecCol, idCol, path, minCosine, nprobe,
+      withinBatch, scoreCol, grow = true, retainEpochs)(write)
+
+  /** Shared foreachBatch core of the two streaming SemDeDup forms. The
+    * audited frame is materialized once per batch — `write` and the
+    * survivor append both consume it, and the probe + closure lineage is
+    * far too expensive to run twice.
+    */
+  private def semanticForeachBatch(
+      newStream: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String,
+      minCosine: Double,
+      nprobe: Int,
+      withinBatch: Boolean,
+      scoreCol: Option[String],
+      grow: Boolean,
+      retainEpochs: Int)(
+      write: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val clash = newStream.columns.toSet & Set("rep", "kept")
+    require(clash.isEmpty,
+      s"the audit adds ${clash.mkString(", ")} — rename the existing column first")
+    newStream.writeStream.foreachBatch {
+      (rawBatch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import graft.ops.{Materialize, Similarity}
+        if (!rawBatch.isEmpty) {
+          val batch = rawBatch.toDF().dropDuplicates(idCol)
+          val audit = scoreCol match {
+            case Some(s) => Similarity.semanticDedupKeepBestAgainstIndex(
+              batch, vecCol, idCol, s, path, minCosine, nprobe, withinBatch)
+            case None => Similarity.semanticDedupAgainstIndex(
+              batch, vecCol, idCol, path, minCosine, nprobe, withinBatch)
+          }
+          val audited = Materialize.eager(
+            if (idCol == "id") batch.join(audit, Seq("id"))
+            else batch.join(audit, batch(idCol) === audit("id")).drop(audit("id")))
+          write(audited)
+          if (grow) {
+            val survivors = audited.where(col("kept")).drop("rep", "kept")
+            if (!survivors.isEmpty)
+              Similarity.appendAnnIndex(survivors, vecCol, idCol, path, retainEpochs)
+          }
+        }
+    }
+  }
+
   /** [[appendToAnnIndex]]'s FINGERPRINT twin: grow the standing
     * [[graft.ops.Decontam.writeFingerprintIndex]] postings from the live
     * stream. Replay safety mirrors the ANN path: each micro-batch is

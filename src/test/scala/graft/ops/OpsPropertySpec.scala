@@ -571,7 +571,7 @@ object OpsPropertySpec extends Properties("graft.ops") {
       Gen.choose(1, 100).map(_ / 100.0), Gen.choose(1, 3), Gen.oneOf(2, 4, 16)) {
       (scores, fraction, nStrata, nBuckets) =>
         import org.apache.spark.sql.expressions.Window
-        import org.apache.spark.sql.functions.{col, row_number}
+        import org.apache.spark.sql.functions.{col, md5, row_number}
         val st = StructType(Seq(
           StructField("id", LongType, nullable = false),
           StructField("src", StringType, nullable = false),
@@ -586,7 +586,8 @@ object OpsPropertySpec extends Properties("graft.ops") {
           df, "src", "id", "score", fraction, nBuckets)
           .select("id").collect().map(_.getLong(0)).toSet
         val w = Window.partitionBy(col("src"))
-          .orderBy(col("score").desc_nulls_last, col("id").asc)
+          .orderBy(col("score").desc_nulls_last,
+          md5(col("id").cast("string").cast("binary")).asc, col("id").asc)
         val budgets = rows.groupBy(_.getString(1)).view
           .mapValues(rs => math.round(fraction * rs.size)).toMap
         val expected = df.withColumn("__rn", row_number().over(w))
@@ -645,5 +646,73 @@ object OpsPropertySpec extends Properties("graft.ops") {
           batch, "v", "id", dir, tau, nprobe = 2)
           .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
         out == expected
+    }
+
+  property("daily SemDeDup loop: each day's audit ≡ the closure against the GROWN standing set") =
+    forAll(
+      Gen.choose(9, 18).flatMap(k => Gen.listOfN(k,
+        Gen.listOfN(3, Gen.choose(-5, 5).map(_.toFloat)))),
+      Gen.oneOf(0.6, 0.85)) { (vecs, tau) =>
+        // the fifth lifecycle's daily loop (probe → append survivors),
+        // run for two days against an index that GROWS through
+        // appendAnnIndex between them — every day's audit must equal the
+        // brute-force cross-restricted closure against the standing set
+        // as it stands THAT day (survivors included). This is the
+        // append ≡ rebuild guarantee the other lifecycles' properties
+        // pin, at nprobe = nlist so IVF recall is exact.
+        import org.apache.spark.sql.functions._
+        val st = StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("v", ArrayType(FloatType, containsNull = false), nullable = false)))
+        def df(rows: Seq[(Long, Seq[Float])]) = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            rows.map { case (i, v) => Row(i, v) }, 2), st)
+        val all = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+        val (seed, rest) = all.splitAt(math.max(all.size / 3, 2))
+        val days = Seq(rest.take(rest.size / 2), rest.drop(rest.size / 2))
+          .filter(_.nonEmpty)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_semloop").toString + "/idx"
+        Similarity.writeAnnIndex(df(seed), "v", "id", dir, nlist = 2)
+        var standing = seed
+        days.forall { day =>
+          val batch = df(day)
+          def pairs(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+            l.select(col("id").as("ia"), col("v").as("va"))
+              .crossJoin(r.select(col("id").as("ib"), col("v").as("vb")))
+              .where(col("ia") =!= col("ib"))
+              .withColumn("c", Similarity.cosine(col("va"), col("vb")))
+              .where(col("c") >= tau && !isnan(col("c")))
+              .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1)))
+          val cross = pairs(batch, df(standing))
+          val inb = pairs(batch, batch).filter { case (a, b) => a < b }
+          val parent = scala.collection.mutable.Map.empty[Long, Long]
+          def find(x: Long): Long = {
+            val p = parent.getOrElse(x, x)
+            if (p == x) x else { val r = find(p); parent(x) = r; r }
+          }
+          (cross ++ inb).foreach { case (x, y) =>
+            val (rx, ry) = (find(x), find(y))
+            if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+          }
+          val anchors = cross.map(_._2).toSet
+          val batchIds = day.map(_._1).toSet
+          val comps = (batchIds ++ anchors).groupBy(find)
+          val expected = batchIds.map { id =>
+            val comp = comps(find(id))
+            val ca = comp & anchors
+            if (ca.nonEmpty) id -> (ca.min, false)
+            else id -> (comp.min, id == comp.min)
+          }.toMap
+          val out = Similarity.semanticDedupAgainstIndex(
+            batch, "v", "id", dir, tau, nprobe = 2)
+            .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+          val ok = out == expected
+          val survivors = day.filter { case (i, _) => expected(i)._2 }
+          if (survivors.nonEmpty)
+            Similarity.appendAnnIndex(df(survivors), "v", "id", dir)
+          standing = standing ++ survivors
+          ok
+        }
     }
 }

@@ -1022,7 +1022,7 @@ class OpsSpec extends SparkSpec {
     assert(kept(0.5, 250L) == Map("a" -> 2, "b" -> 2))
   }
 
-  test("takeTopFraction: exactly the per-stratum (score desc, id) prefix, ties and nulls included") {
+  test("takeTopFraction: exactly the per-stratum (score desc, md5 content) prefix, ties and nulls included") {
     import org.apache.spark.sql.expressions.Window
     // 3 strata × 40 rows with HEAVY score ties ((id·37) mod 11) plus a
     // null-score row per stratum; nBuckets = 4 forces all three bucket
@@ -1037,7 +1037,8 @@ class OpsSpec extends SparkSpec {
         df, "src", "id", "score", fraction, nBuckets = 4)
         .select("id").collect().map(_.getLong(0)).toSet
       val w = Window.partitionBy(col("src"))
-        .orderBy(col("score").desc_nulls_last, col("id").asc)
+        .orderBy(col("score").desc_nulls_last,
+          md5(col("id").cast("string").cast("binary")).asc, col("id").asc)
       val budgets = df.groupBy("src").count().collect()
         .map(r => r.getString(0) -> math.round(fraction * r.getLong(1))).toMap
       val expected = df.withColumn("__rn", row_number().over(w))
@@ -1060,7 +1061,8 @@ class OpsSpec extends SparkSpec {
       dft, "src", "id", "score", "n_tok", budget = 40L, nBuckets = 4)
       .select("id").collect().map(_.getLong(0)).toSet
     val wT = Window.partitionBy(col("src"))
-      .orderBy(col("score").desc_nulls_last, col("id").asc)
+      .orderBy(col("score").desc_nulls_last,
+          md5(col("id").cast("string").cast("binary")).asc, col("id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val expT = dft
       .withColumn("__cum", sum(coalesce(col("n_tok"), lit(0L))).over(wT))
@@ -1080,6 +1082,54 @@ class OpsSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     assert(gotB == Set(1L),
       s"only the budget-consuming top row may survive, got $gotB")
+  }
+
+  test("takeTopFraction: a CONSTANT score never funnels a stratum into one window task") {
+    // one stratum, 120 rows, ONE score value — the tie-dense worst case.
+    // The round-10 plan put all 120 rows through a single
+    // Window.partitionBy(stratum) task; the score-run machinery must
+    // instead window only the md5 sub-boundary sub-bucket (~1 row at
+    // 4096 sub-buckets) plus the 1-row distinct-score prefix window.
+    val st = struct("id" -> LongType, "src" -> StringType, "score" -> LongType)
+    val rows = (1L to 120L).map(i => Row(i, "only", 7L))
+    val df = frame(st, rows: _*)
+    val (out, stats) = Sampling.takeTopFractionWithStats(
+      df, "src", "id", "score", 0.5, nBuckets = 4)
+    val got = out.select(col("id")).collect().map(_.getLong(0)).toSet
+    // the tie run IS the stratum, so the kept set is the md5-content-order
+    // prefix — takePerStratum's picks
+    val expected = Sampling.takePerStratum(df, "src", "id", 60)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == expected && got.size == 60)
+    // telemetry: the whole stratum is boundary weight AND cutoff-tie weight
+    assert(stats ==
+      Seq(Sampling.TopTakeStratumStats(Some("only"), 120L, 120L, 120L)))
+    // plan-level degeneracy tripwire: execute the take and, for every
+    // WindowExec in the final adaptive plan, read the ROW COUNT of the
+    // shuffle stage feeding it (WindowExec itself only meters spill) —
+    // no window may have consumed anything close to the 120-row stratum.
+    // The round-10 plan fed the boundary window all 120 rows; the
+    // run/tie machinery feeds it the md5 sub-boundary sub-bucket (~1 row
+    // at 4096 sub-buckets).
+    out.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windowInputRows(p: SparkPlan): Seq[BigInt] =
+      p.flatMap {
+        case a: AdaptiveSparkPlanExec => windowInputRows(a.executedPlan)
+        case q: QueryStageExec => windowInputRows(q.plan)
+        case w: WindowExec =>
+          w.child.collectFirst { case s: ShuffleQueryStageExec =>
+            s.getRuntimeStatistics.rowCount
+          }.flatten.toSeq
+        case _ => Nil
+      }
+    val sizes = windowInputRows(out.queryExecution.executedPlan)
+    assert(sizes.nonEmpty, "expected the sub-boundary window's shuffle stage")
+    assert(sizes.forall(_ <= 32),
+      s"a window consumed a whole tie-dense stratum: $sizes")
   }
 
   test("temperatureMixRepeat: tail sources emit full + partial copies; guard trips on degenerate mixes") {
@@ -1182,21 +1232,29 @@ class OpsSpec extends SparkSpec {
       frame(st), "src", "doc_id", "n_tok", 0.5, 100L).count() == 0L)
   }
 
-  test("takeBudgets: a high-cardinality stratum trips the classification bound") {
-    // 6 strata × 16^1 buckets can exceed a cap of 8 classification rows —
-    // the contract error must fire instead of a silent driver-side collect
-    // of an unbounded (strata × buckets) table
+  test("takeBudgets: strata past the narrowest bucket width trip the bound; wide requests degrade, not fail") {
     val st = struct("doc_id" -> LongType, "src" -> StringType, "n_tok" -> LongType)
     val rows = (1L to 60L).map(i => Row(i, s"stratum_${i % 6}", 10L))
     val df = frame(st, rows: _*)
+    // 6 strata exceed a cap of 8 even at 16^1 buckets — the contract error
+    // must fire instead of a silent driver-side collect of an unbounded
+    // (strata × buckets) table
     val e = intercept[IllegalArgumentException] {
       Sampling.takeBudgets(df, "src", "doc_id", col("n_tok"), _ => 1000L,
         bucketHexLen = 1, maxClassificationRows = 8)
     }
-    assert(e.getMessage.contains("classification rows"))
-    // under the bound the same call answers normally
+    assert(e.getMessage.contains("distinct values"))
+    // a cap the strata FIT at a narrower width must degrade the bucket
+    // width instead of failing (the round-10 form rejected this call:
+    // 6 strata × 4096 buckets > 96) — and still answer exactly
     assert(Sampling.takeBudgets(df, "src", "doc_id", col("n_tok"), _ => 1000L,
-      bucketHexLen = 1, maxClassificationRows = 96).count() == 60L)
+      bucketHexLen = 3, maxClassificationRows = 96).count() == 60L)
+    // binding budgets stay exact through the degraded width
+    val kept = Sampling.takeBudgets(df, "src", "doc_id", col("n_tok"),
+      _ => 25L, bucketHexLen = 3, maxClassificationRows = 96)
+      .groupBy("src").count().collect().map(r => r.getLong(1)).toSeq
+    assert(kept.size == 6 && kept.forall(_ == 3L),
+      s"25-token budget over 10-token docs keeps 3 per stratum (crossing row kept): $kept")
   }
 
   test("pipeline ops degrade cleanly on an empty corpus") {

@@ -456,6 +456,103 @@ class StreamingSpec extends SparkSpec {
       s"stream probe must equal batch probe: stream=$stream batch=$batch")
   }
 
+  test("streaming SemDeDup audits ≡ sequential batch loop; survivors grow the index mid-stream") {
+    import graft.ops.Similarity
+    val vecSt = struct("vec_id" -> LongType, "embedding" -> ArrayType(FloatType))
+    def v(xs: Float*): Seq[Float] = xs
+    val standing = frame(vecSt,
+      Row(100L, v(1f, 0f, 0f, 0f)), Row(101L, v(0f, 1f, 0f, 0f)),
+      Row(102L, v(0f, 0f, 1f, 0f)), Row(103L, v(0f, 0f, 0f, 1f)))
+    val streamed = Files.createTempDirectory("graft-ssem-idx").toString
+    val batched = Files.createTempDirectory("graft-bsem-idx").toString
+    Similarity.writeAnnIndex(standing, "embedding", "vec_id", streamed, nlist = 2)
+    Similarity.writeAnnIndex(standing, "embedding", "vec_id", batched, nlist = 2)
+    // batch 0: id 1 duplicates standing 100 (standing wins); {2, 3} are a
+    // batch-only near-dup pair far from every standing axis — 2 survives
+    // and must be APPENDED. batch 1: id 4 duplicates 2 — only visible if
+    // batch 0's survivor actually grew the index mid-stream; id 5 is novel.
+    val arrivals = Seq(
+      Seq(Row(1L, v(0.95f, 0.05f, 0f, 0f)),
+        Row(2L, v(0.5f, 0.5f, 0.5f, 0.5f)),
+        Row(3L, v(0.5f, 0.5f, 0.48f, 0.52f))),
+      Seq(Row(4L, v(0.5f, 0.5f, 0.5f, 0.5f)),
+        Row(5L, v(0f, 0f, 0.6f, -0.8f))))
+    val dir = Files.createTempDirectory("graft-ssem-in").toString
+    arrivals.foreach { rows =>
+      frame(vecSt, rows: _*).coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(5)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    val cp = Files.createTempDirectory("graft-ssem-cp").toString
+    val q = StreamingOps.dedupAndGrowSemanticIndexStream(
+      spark.readStream.schema(vecSt).option("maxFilesPerTrigger", "1").parquet(dir),
+      "embedding", "vec_id", streamed, minCosine = 0.9, nprobe = 2) { audited =>
+        // the audited frame carries the BATCH columns plus the audit
+        assert(audited.columns.toSet == Set("vec_id", "embedding", "rep", "kept"))
+        out ++= audited.select("vec_id", "rep", "kept").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", cp).start()
+    q.awaitTermination()
+    // parity: the documented batch daily loop over the same arrivals
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    arrivals.foreach { rows =>
+      val b = frame(vecSt, rows: _*)
+      val audit = Similarity.semanticDedupAgainstIndex(
+        b, "embedding", "vec_id", batched, minCosine = 0.9, nprobe = 2)
+      expected ++= audit.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      val survivors = b.join(
+        audit.where(col("kept")).select(col("id").as("vec_id")),
+        Seq("vec_id"), "left_semi")
+      if (!survivors.isEmpty)
+        Similarity.appendAnnIndex(survivors, "embedding", "vec_id", batched)
+    }
+    assert(out.toSet == expected.toSet && out.size == expected.size,
+      s"stream audits must equal the batch loop: stream=$out batch=$expected")
+    val byId = out.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byId(1L) == ((100L, false)), "standing wins the duplicate of 100")
+    assert(byId(2L) == ((2L, true)) && byId(3L) == ((2L, false)),
+      "batch-only pair elects min id")
+    assert(byId(4L) == ((2L, false)),
+      "batch 1 must see batch 0's appended survivor WITHOUT a restart")
+    assert(byId(5L)._2, "novel vector survives")
+  }
+
+  test("streaming SemDeDup keep-best election: the high-score row survives") {
+    import graft.ops.Similarity
+    val vecSt = struct("vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
+      "score" -> LongType)
+    def v(xs: Float*): Seq[Float] = xs
+    val idx = Files.createTempDirectory("graft-ssemkb-idx").toString
+    Similarity.writeAnnIndex(
+      frame(struct("vec_id" -> LongType, "embedding" -> ArrayType(FloatType)),
+        Row(100L, v(1f, 0f, 0f, 0f)), Row(101L, v(0f, 1f, 0f, 0f))),
+      "embedding", "vec_id", idx, nlist = 2)
+    // {2, 3} tie semantically; 3 has the better score and must win the
+    // election (min-id would pick 2) — the scoreCol branch is binding
+    val inDir = Files.createTempDirectory("graft-ssemkb-in").toString
+    frame(vecSt,
+      Row(2L, v(0.5f, 0.5f, 0.5f, 0.5f), 1L),
+      Row(3L, v(0.5f, 0.5f, 0.48f, 0.52f), 9L))
+      .coalesce(1).write.mode("append").parquet(inDir)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+    val cp = Files.createTempDirectory("graft-ssemkb-cp").toString
+    val q = StreamingOps.dedupSemanticAgainstIndexStream(
+      spark.readStream.schema(vecSt).option("maxFilesPerTrigger", "1").parquet(inDir),
+      "embedding", "vec_id", idx, minCosine = 0.9, nprobe = 2,
+      scoreCol = Some("score")) { audited =>
+        out ++= audited.select("vec_id", "rep", "kept").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", cp).start()
+    q.awaitTermination()
+    assert(out.toSet == Set((2L, 2L, false), (3L, 2L, true)),
+      s"keep-best must elect the high-score row (rep stays the min-id label): $out")
+  }
+
   test("streaming fingerprint-index growth ≡ batch appends, replay-safe") {
     import graft.ops.{Decontam, EpochStore}
     val docSt = struct("doc_id" -> LongType, "text" -> StringType)
