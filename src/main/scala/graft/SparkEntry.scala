@@ -866,6 +866,71 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // quality-FILLED temperature mix: q112's sqrt-share quotas per domain,
+    // but each quota filled with the domain's LONGEST documents (score =
+    // token count, heavy ties broken in md5 content order) instead of a
+    // content-keyed sample — the quality-aware multilingual recipe
+    "q134_temperature_quality" -> ((s, d) => {
+      val docs = docsParallel(s, d)
+        .withColumn("domain", substring(col("source"), 1, 4))
+        .withColumn("n_tok", graft.ops.TextOps.tokenCount(col("text")).cast("long"))
+      graft.ops.Sampling.temperatureMixTopQuality(
+        docs, "domain", "doc_id", "n_tok", alpha = 0.5, targetRows = 300,
+        nBuckets = 8)
+        .select(col("doc_id"), col("domain"), col("n_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // TIE-DENSE top-fraction: score = n_tok % 3 (three values over
+    // hundreds of docs per source — the quantile boundaries collapse and
+    // the cutoff lands mid-tie in every source) with maxBoundaryTaskRows
+    // forced to 1 so the run/tie machinery — score-run classification +
+    // the md5 sub-bucket tie path — is the path the oracle hashes, not
+    // the direct boundary window. Same exact-kept-set contract as q129.
+    "q131_top_fraction_tiedense" -> ((s, d) => {
+      val docs = docsParallel(s, d)
+        .withColumn("n_tok", graft.ops.TextOps.tokenCount(col("text")).cast("long"))
+        .withColumn("q3", col("n_tok") % 3)
+      graft.ops.Sampling.takeTopFraction(
+        docs, "source", "doc_id", "q3", fraction = 0.4, nBuckets = 8,
+        maxBoundaryTaskRows = 1L)
+        .select(col("doc_id"), col("source"), col("q3"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // TIE-DENSE quality-ordered token budget: the q130 keep rule (cum
+    // token weight in (score DESC, md5, id) order, crossing row kept)
+    // driven through the run/tie path — binary quality flag, so ~half of
+    // every source is ONE tie run and the md5 sub-bucket prefix decides
+    // the cutoff
+    "q132_top_budget_tiedense" -> ((s, d) => {
+      val docs = docsParallel(s, d)
+        .withColumn("n_tok", graft.ops.TextOps.tokenCount(col("text")).cast("long"))
+        .withColumn("good", (col("n_tok") % 2).cast("long"))
+      graft.ops.Sampling.takeTopTokenBudget(
+        docs, "source", "doc_id", "good", "n_tok", budget = 500L,
+        nBuckets = 8, maxBoundaryTaskRows = 1L)
+        .select(col("doc_id"), col("source"), col("good"), col("n_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ADAPTIVE bucket-width degrade: q103's token budget requested at the
+    // widest bucket width under a classification cap of 350 rows — every
+    // width down to 16^1 overflows it (distinct (source, bucket) groups
+    // exceed 350 at h ≥ 2 for this corpus; 20 sources × 16 fits at h = 1),
+    // so takeBudgets must retry NARROWER until the table fits, and the
+    // kept set must be IDENTICAL to q103's (width only moves the boundary
+    // window's size) — the shared oracle form hashes exactly that
+    "q133_token_budget_degrade" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .withColumn("n_tok", graft.ops.TextOps.tokenCount(col("text")).cast("long"))
+      graft.ops.Sampling.takeTokenBudget(
+        docs, "source", "doc_id", "n_tok", budget = 600L, bucketHexLen = 6,
+        maxClassificationRows = 350)
+        .select(col("doc_id"), col("source"), col("n_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // temperature mixing WITH REPLACEMENT (the recipe as mT5 trains it):
     // target 900 over 500 docs forces upsampling — tail domains emit full
     // copies plus an md5-order partial copy, head domains subsample; the
@@ -2239,6 +2304,86 @@ object SparkEntry {
         |)
         |SELECT doc_id, source, n_tok FROM r
         |WHERE cum - coalesce(n_tok, 0) < 700 ORDER BY doc_id""".stripMargin,
+
+    // q112's sqrt-share quota CTEs + q129's rank window at (score DESC,
+    // md5, id) — the quota formula and the quality order hash together
+    "q134_temperature_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id, substr(source, 1, 4) AS domain,
+        |    cast(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT domain, cast(count(*) AS BIGINT) AS c FROM d GROUP BY domain
+        |), z AS (
+        |  SELECT list_sum(list(sqrt(cast(c AS DOUBLE)) ORDER BY domain NULLS FIRST)) AS z FROM c
+        |), q AS (
+        |  SELECT domain,
+        |    least(c, cast(round(300 * sqrt(cast(c AS DOUBLE)) / z) AS BIGINT)) AS quota
+        |  FROM c, z
+        |), r AS (
+        |  SELECT doc_id, domain, n_tok,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY n_tok DESC NULLS LAST,
+        |        md5(cast(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |  FROM d
+        |)
+        |SELECT doc_id, domain, n_tok FROM r JOIN q USING (domain)
+        |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
+
+    // q129's rank form over a 3-value score with the md5 tie-break doing
+    // ALL the work at the cutoff (the run/tie path's oracle)
+    "q131_top_fraction_tiedense" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    cast(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) % 3 AS q3
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, cast(count(*) AS BIGINT) AS c FROM t GROUP BY source
+        |), r AS (
+        |  SELECT doc_id, source, q3,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY q3 DESC NULLS LAST,
+        |        md5(cast(doc_id AS varchar)) ASC, doc_id ASC) AS rn
+        |  FROM t
+        |)
+        |SELECT doc_id, source, q3 FROM r JOIN c USING (source)
+        |WHERE rn <= cast(round(0.4 * c) AS BIGINT) ORDER BY doc_id""".stripMargin,
+
+    // q130's cum-window keep rule over a BINARY score — half of each
+    // source is one tie run, so the md5-order prefix decides the cutoff
+    "q132_top_budget_tiedense" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    cast(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+        |    cast(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) % 2 AS good
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, source, good, n_tok,
+        |    sum(coalesce(n_tok, 0)) OVER (PARTITION BY source
+        |      ORDER BY good DESC NULLS LAST,
+        |        md5(cast(doc_id AS varchar)) ASC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, source, good, n_tok FROM r
+        |WHERE cum - coalesce(n_tok, 0) < 500 ORDER BY doc_id""".stripMargin,
+
+    // the kept set is WIDTH-INDEPENDENT: q103's md5-order cum-window keep
+    // rule verbatim — the degraded-width plan must hash to it exactly
+    "q133_token_budget_degrade" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    cast(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS bigint) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n_tok,
+        |    sum(coalesce(n_tok, 0)) OVER (PARTITION BY source
+        |      ORDER BY md5(cast(doc_id AS varchar)) ASC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, source, n_tok FROM c
+        |WHERE cum - coalesce(n_tok, 0) < 600 ORDER BY doc_id""".stripMargin,
 
     // exact per-source top-25%-by-token-count: rank vs round(0.25·c)
     "q129_top_fraction" ->

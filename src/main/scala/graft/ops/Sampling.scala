@@ -172,7 +172,9 @@ object Sampling {
 
   /** `bucketHexLen` sets the bucket count (`16^bucketHexLen`): more
     * buckets shrink the boundary window's single task but grow the
-    * driver-side classification table (strata × buckets rows).
+    * driver-side classification table (strata × buckets rows — widths
+    * that overflow `maxClassificationRows` narrow automatically; the
+    * kept set is width-independent).
     */
   def takeTokenBudget(
       df: DataFrame,
@@ -180,9 +182,11 @@ object Sampling {
       keyCol: String,
       tokensCol: String,
       budget: Long,
-      bucketHexLen: Int): DataFrame = {
+      bucketHexLen: Int,
+      maxClassificationRows: Int = MaxClassificationRows): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
-    takeBudgets(df, stratumCol, keyCol, col(tokensCol), _ => budget, bucketHexLen)
+    takeBudgets(df, stratumCol, keyCol, col(tokensCol), _ => budget,
+      bucketHexLen, maxClassificationRows)
   }
 
   /** Per-stratum-budget core of [[takeTokenBudget]] (same two-phase
@@ -527,6 +531,42 @@ object Sampling {
       quotas.getOrElse(_, 0L), bucketHexLen)
   }
 
+  /** Temperature-scaled mixing FILLED BY QUALITY — [[temperatureMix]]'s
+    * per-source quotas (`quota_s = min(c_s, round(targetRows · p_s))`,
+    * p_s ∝ share^alpha) taken in `(scoreCol DESC nulls last, md5(key),
+    * key)` order instead of md5 content order: "mix to temperature,
+    * keeping each source's BEST documents" — the quality-aware form of
+    * the multilingual recipe (a content-keyed mix admits a uniform
+    * sample of each source; real pipelines fill the quota from the top
+    * of the quality distribution). Quota arithmetic, determinism, and
+    * the alpha ∈ {1, 0.5} cross-engine contract are [[temperatureMix]]'s
+    * verbatim; the selection plan, exactness, tie order, and
+    * evaluated-once-per-phase contract are [[takeTopFraction]]'s (no
+    * source is ever sorted whole, discrete scores ride the run/tie
+    * path).
+    */
+  def temperatureMixTopQuality(
+      df: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      scoreCol: String,
+      alpha: Double,
+      targetRows: Long,
+      nBuckets: Int = 64,
+      maxClassificationRows: Int = MaxClassificationRows,
+      maxBoundaryTaskRows: Long = MaxBoundaryTaskRows): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
+    val (weighted, z) = temperatureWeights(
+      sourceSizes(df, sourceCol, count(lit(1))), alpha)
+    val quotas: Map[Option[Any], Long] = weighted.map { case (s, c, w) =>
+      s -> math.min(c, math.round(targetRows * w / z))
+    }.toMap
+    takeTopCore(df, sourceCol, keyCol, scoreCol, lit(1L),
+      (s, _) => quotas.getOrElse(s, 0L), nBuckets, maxClassificationRows,
+      maxBoundaryTaskRows)._1
+  }
+
   /** EXACT top-fraction quality filter per stratum — "keep the best 25%
     * of each source by score", the percentile form of quality filtering
     * (Gopher/CCNet-style): each stratum keeps its `round(fraction · c_s)`
@@ -546,16 +586,20 @@ object Sampling {
     *   3. the driver prefix-sums the tiny count table in descending
     *      score-bucket order: buckets wholly above the cutoff keep every
     *      row join-free, buckets below drop, and the ONE boundary bucket
-    *      per stratum goes through score-RUN classification — grouped by
-    *      exact score value, prefixed by a window over DISTINCT scores
-    *      (tiny when scores are tie-dense; ~bucket-sized narrow rows when
-    *      they are continuous, in which case the bucket is ~1/nBuckets of
-    *      the stratum anyway). Whole runs keep or drop join-free; the
-    *      at-most-one straddling TIE run per stratum routes through
-    *      [[takeBudgets]]' md5 sub-bucket machinery (within a tied score
-    *      the keep rule IS a content-order prefix), so a binary quality
-    *      flag — where the tie run is half the stratum — still never
-    *      funnels a stratum into one window task;
+    *      per stratum resolves by a strategy CHOSEN FROM phase-1's
+    *      measured row counts: a bucket within `maxBoundaryTaskRows`
+    *      (default 2M ledger rows — every practical continuous-score
+    *      take, where the bucket is ~1/nBuckets of its stratum) runs the
+    *      exact cumsum window directly, zero extra jobs; an OVERSIZED
+    *      bucket — a tie-dense score collapsing the quantile boundaries —
+    *      goes through score-RUN classification instead: runs grouped by
+    *      exact score value keep or drop join-free (the prefix is a
+    *      window over DISTINCT scores, tiny precisely when ties are the
+    *      problem), and the at-most-one straddling TIE run per stratum
+    *      routes through [[takeBudgets]]' md5 sub-bucket machinery
+    *      (within a tied score the keep rule IS a content-order prefix),
+    *      so a binary quality flag — where the tie run is half the
+    *      stratum — never funnels a stratum into one window task;
     *   4. membership attaches back through broadcast joins only — the
     *      caller's rows never shuffle.
     *
@@ -584,10 +628,11 @@ object Sampling {
       scoreCol: String,
       fraction: Double,
       nBuckets: Int = 64,
-      maxClassificationRows: Int = MaxClassificationRows): DataFrame =
+      maxClassificationRows: Int = MaxClassificationRows,
+      maxBoundaryTaskRows: Long = MaxBoundaryTaskRows): DataFrame =
     takeTopFractionWithStats(
       df, stratumCol, keyCol, scoreCol, fraction, nBuckets,
-      maxClassificationRows)._1
+      maxClassificationRows, maxBoundaryTaskRows)._1
 
   /** [[takeTopFraction]] plus the per-stratum [[TopTakeStratumStats]]
     * skew telemetry (free — phase-1/2 classification data).
@@ -599,12 +644,14 @@ object Sampling {
       scoreCol: String,
       fraction: Double,
       nBuckets: Int = 64,
-      maxClassificationRows: Int = MaxClassificationRows)
+      maxClassificationRows: Int = MaxClassificationRows,
+      maxBoundaryTaskRows: Long = MaxBoundaryTaskRows)
       : (DataFrame, Seq[TopTakeStratumStats]) = {
     require(fraction > 0.0 && fraction <= 1.0,
       s"fraction must be in (0, 1], got $fraction")
     takeTopCore(df, stratumCol, keyCol, scoreCol, lit(1L),
-      (_, c) => math.round(fraction * c), nBuckets, maxClassificationRows)
+      (_, c) => math.round(fraction * c), nBuckets, maxClassificationRows,
+      maxBoundaryTaskRows)
   }
 
   /** Quality-ORDERED token budget per stratum — "fill each source's 1 B
@@ -627,10 +674,11 @@ object Sampling {
       tokensCol: String,
       budget: Long,
       nBuckets: Int = 64,
-      maxClassificationRows: Int = MaxClassificationRows): DataFrame =
+      maxClassificationRows: Int = MaxClassificationRows,
+      maxBoundaryTaskRows: Long = MaxBoundaryTaskRows): DataFrame =
     takeTopTokenBudgetWithStats(
       df, stratumCol, keyCol, scoreCol, tokensCol, budget, nBuckets,
-      maxClassificationRows)._1
+      maxClassificationRows, maxBoundaryTaskRows)._1
 
   /** [[takeTopTokenBudget]] plus the per-stratum [[TopTakeStratumStats]]
     * skew telemetry (weights are TOKENS here, not rows).
@@ -643,13 +691,23 @@ object Sampling {
       tokensCol: String,
       budget: Long,
       nBuckets: Int = 64,
-      maxClassificationRows: Int = MaxClassificationRows)
+      maxClassificationRows: Int = MaxClassificationRows,
+      maxBoundaryTaskRows: Long = MaxBoundaryTaskRows)
       : (DataFrame, Seq[TopTakeStratumStats]) = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     takeTopCore(df, stratumCol, keyCol, scoreCol,
       coalesce(col(tokensCol).cast("long"), lit(0L)),
-      (_, _) => budget, nBuckets, maxClassificationRows)
+      (_, _) => budget, nBuckets, maxClassificationRows,
+      maxBoundaryTaskRows)
   }
+
+  /** Boundary-bucket rows above which the score-ordered takes switch from
+    * the direct one-task boundary window to the run/tie classification
+    * path (see [[takeTopFraction]] step 3). 2M narrow ledger rows ≈ a
+    * hundred MB in one sort task — the comfortable ceiling; a tie-dense
+    * score blows far past it and routes through the scale-safe machinery.
+    */
+  val MaxBoundaryTaskRows: Long = 2000000L
 
   /** Per-stratum skew telemetry from the score-ordered takes
     * ([[takeTopFractionWithStats]] / [[takeTopTokenBudgetWithStats]]):
@@ -661,7 +719,9 @@ object Sampling {
     * ~0.5 here) — exact either way, the tie region rides the md5
     * sub-bucket path, so this is load-balance visibility, not a
     * correctness signal. Strata with no boundary bucket (budget ≥ total
-    * or budget 0) report 0 for both.
+    * or budget 0) report 0 for both; `tieWeight` is measured only when
+    * the run/tie path engaged (a boundary bucket over
+    * `maxBoundaryTaskRows`) — direct-windowed buckets report 0 there.
     */
   final case class TopTakeStratumStats(
       stratum: Option[Any],
@@ -702,9 +762,12 @@ object Sampling {
       tokens: Column,
       budgetOf: (Option[Any], Long) => Long,
       nBuckets: Int,
-      maxClassificationRows: Int): (DataFrame, Seq[TopTakeStratumStats]) = {
+      maxClassificationRows: Int,
+      maxBoundaryTaskRows: Long): (DataFrame, Seq[TopTakeStratumStats]) = {
     require(nBuckets >= 2 && nBuckets <= 4096,
       s"nBuckets must be in [2, 4096], got $nBuckets")
+    require(maxBoundaryTaskRows >= 1,
+      s"maxBoundaryTaskRows must be >= 1, got $maxBoundaryTaskRows")
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
@@ -736,14 +799,16 @@ object Sampling {
         aggregate(coalesce(col("__bounds"), array().cast("array<double>")),
           lit(0), (acc, b) => acc + when(score >= b, 1).otherwise(0)))
 
-    // phase 1: per-(stratum, bucket) counts — strata × nBuckets at most
+    // phase 1: per-(stratum, bucket) weights AND row counts — strata ×
+    // nBuckets at most (the row count picks the boundary strategy below)
     val slim = df.select(
       col(stratumCol).as("__s"), col(keyCol).as("__k"),
       col(scoreCol).cast("double").as("__v"), tokens.as("__t"))
       .join(broadcast(boundsDf), col("__s") <=> col("__bs"), "left")
       .withColumn("__b", bucketOf(col("__v")))
       .select(col("__s"), col("__k"), col("__v"), col("__t"), col("__b"))
-    val bucketCounts = slim.groupBy("__s", "__b").agg(sum("__t").as("__n"))
+    val bucketCounts = slim.groupBy("__s", "__b")
+      .agg(sum("__t").as("__n"), count(lit(1)).as("__rc"))
       .limit(maxClassificationRows + 1).collect()
     require(bucketCounts.length <= maxClassificationRows,
       s"top-by-score take: stratum × bucket classification exceeds " +
@@ -762,6 +827,7 @@ object Sampling {
     }.toMap
     val statsAcc =
       scala.collection.mutable.ArrayBuffer.empty[(Option[Any], Long, Long)]
+    var maxBoundaryRows = 0L
     val clsRows = bucketCounts
       .groupBy(r => if (r.isNullAt(0)) None else Some(r.get(0)))
       .iterator.flatMap { case (stratum, rows) =>
@@ -783,6 +849,7 @@ object Sampling {
             Some(org.apache.spark.sql.Row(r.get(0), r.getInt(1), true, 0L, budget))
           else if (start < budget) {
             boundaryW = n
+            maxBoundaryRows = math.max(maxBoundaryRows, r.getLong(3))
             Some(org.apache.spark.sql.Row(r.get(0), r.getInt(1), false, start, budget))
           } else None
         }
@@ -799,6 +866,14 @@ object Sampling {
         StructField("__off", LongType, nullable = false),
         StructField("__budget", LongType, nullable = false))))
     val hasBoundary = clsRows.exists(r => !r.getBoolean(2))
+    // boundary strategy, chosen from phase-1's measured row counts: a
+    // boundary bucket that comfortably fits one task (every practical
+    // continuous-score take — the bucket is ~1/nBuckets of its stratum)
+    // windows DIRECTLY with zero extra driver jobs; only an oversized
+    // bucket — the tie-dense degeneracy this machinery exists for, or a
+    // stratum so large that two more classification jobs are noise —
+    // pays the run/tie path below.
+    val direct = hasBoundary && maxBoundaryRows <= maxBoundaryTaskRows
 
     // phase 2: score-RUN classification inside boundary buckets. One
     // map-side-combining aggregate per (stratum, exact score value), then
@@ -822,11 +897,12 @@ object Sampling {
     // zero-weight row sitting exactly at the budget can never slip in)
     val runsKeepAll = runCls
       .where(col("__bef") + col("__sw") < col("__budget"))
-      .select(col("__s").as("__rs"), col("__v").as("__rv"))
+      .select(col("__s").as("__rs"), col("__v").as("__rv"),
+        lit(true).as("__runkeep"))
     // the at-most-one straddling TIE run per stratum, collected with its
     // remaining budget — ≤ 1 row per stratum, same strata bound as phase 0
     val tieRows: Array[org.apache.spark.sql.Row] =
-      if (!hasBoundary) Array.empty
+      if (!hasBoundary || direct) Array.empty
       else runCls
         .where(col("__bef") < col("__budget") &&
           col("__bef") + col("__sw") >= col("__budget"))
@@ -844,46 +920,130 @@ object Sampling {
     val tieWeights: Map[Option[Any], Long] =
       tieRows.iterator.map(r => stratumOf(r) -> r.getLong(3)).toMap
 
-    // attach arms — each a broadcast-join filter over the caller's rows
-    // (they never shuffle), mutually exclusive by construction: a row is
-    // in a keep-all bucket, OR in a keep-all score run of the boundary
-    // bucket, OR in the tie run (score values never span buckets).
-    val keepAllArm = df
-      .join(broadcast(boundsDf), df(stratumCol) <=> col("__bs"), "left")
-      .withColumn("__db", bucketOf(df(scoreCol).cast("double")))
-      .join(broadcast(cls.where(col("__keep_all"))),
-        df(stratumCol) <=> col("__cs") && col("__db") === col("__cb"))
-      .drop("__bs", "__bounds", "__db", "__cs", "__cb", "__keep_all",
-        "__off", "__budget")
-    val result =
-      if (!hasBoundary) keepAllArm
+    // the tie run reduces to a content-order prefix with the remaining
+    // budget — takeBudgets' md5 sub-bucket machinery inlined so the
+    // attach below stays ONE pass: sub-bucket the tie ledger, classify
+    // per (stratum, sub-bucket) on the driver, and window ONLY the
+    // sub-boundary sub-bucket (~1/16^3 of the tie region, never the run).
+    val tieHexLen = 3
+    val tieDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(tieRows.toSeq.map(r =>
+        org.apache.spark.sql.Row(r.get(0), r.get(1))), 1),
+      StructType(Seq(
+        StructField("__zs", sType, nullable = true),
+        StructField("__zv", DoubleType, nullable = true))))
+    lazy val tieLedger = slim
+      .join(broadcast(tieDf),
+        col("__s") <=> col("__zs") && col("__v") <=> col("__zv"))
+      .withColumn("__b2",
+        substring(md5(col("__k").cast("string").cast("binary")), 1, tieHexLen))
+    val cls2Rows: Seq[org.apache.spark.sql.Row] =
+      if (tieRows.isEmpty) Seq.empty
       else {
-        val runArm = df.join(broadcast(runsKeepAll),
-            df(stratumCol) <=> col("__rs") &&
-              df(scoreCol).cast("double") <=> col("__rv"))
-          .drop("__rs", "__rv")
-        if (tieRows.isEmpty) keepAllArm.unionByName(runArm)
-        else {
-          // the tie run reduces to a content-order prefix with the
-          // remaining budget — exactly takeBudgets' md5 sub-bucket plan,
-          // so its window touches ~1/16^3 of the tie region, never the
-          // whole run
-          val tieDf = spark.createDataFrame(
-            spark.sparkContext.parallelize(tieRows.toSeq.map(r =>
-              org.apache.spark.sql.Row(r.get(0), r.get(1))), 1),
-            StructType(Seq(
-              StructField("__zs", sType, nullable = true),
-              StructField("__zv", DoubleType, nullable = true))))
-          val dfTie = df.join(broadcast(tieDf),
-              df(stratumCol) <=> col("__zs") &&
-                df(scoreCol).cast("double") <=> col("__zv"))
-            .drop("__zs", "__zv")
-          val tieArm = takeBudgets(dfTie, stratumCol, keyCol, tokens,
-            tieBudgets.getOrElse(_, 0L), bucketHexLen = 3,
-            maxClassificationRows)
-          keepAllArm.unionByName(runArm).unionByName(tieArm)
-        }
+        val sums = tieLedger.groupBy("__s", "__zv", "__b2")
+          .agg(sum("__t").as("__sum"))
+          .limit(maxClassificationRows + 1).collect()
+        require(sums.length <= maxClassificationRows,
+          s"top-by-score take: tie-region sub-bucket classification " +
+          s"exceeds $maxClassificationRows rows — coarsen the stratum")
+        sums.groupBy(r => if (r.isNullAt(0)) None else Some(r.get(0)))
+          .iterator.flatMap { case (stratum, rows) =>
+            val budget = tieBudgets.getOrElse(stratum, 0L)
+            var before = 0L
+            // null sub-bucket (null key) first, then hex asc — the
+            // sub-bucket is the leading prefix of the (md5, key) order
+            rows.sortBy(r => (if (r.isNullAt(2)) "" else "" + r.getString(2)))
+              .flatMap { r =>
+                val n = r.getLong(3)
+                val start = before
+                before += n
+                if (budget <= 0L) None
+                else if (start + n < budget)
+                  Some(org.apache.spark.sql.Row(
+                    r.get(0), r.get(1), r.get(2), true, 0L, budget))
+                else if (start < budget)
+                  Some(org.apache.spark.sql.Row(
+                    r.get(0), r.get(1), r.get(2), false, start, budget))
+                else None
+              }
+          }.toSeq
       }
+    val cls2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(cls2Rows, 1),
+      StructType(Seq(
+        StructField("__c2s", sType, nullable = true),
+        StructField("__c2v", DoubleType, nullable = true),
+        StructField("__c2b", StringType, nullable = true),
+        StructField("__keep2", BooleanType, nullable = false),
+        StructField("__off2", LongType, nullable = false),
+        StructField("__budget2", LongType, nullable = false))))
+    // the exact windowed cumsum — the ONLY sort anywhere — over the
+    // sub-boundary sub-bucket's ledger rows, in the (md5, key) order the
+    // sub-buckets refine
+    val w2 = Window.partitionBy(col("__s"))
+      .orderBy(md5(col("__k").cast("string").cast("binary")).asc, col("__k").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tieBoundaryKeys = tieLedger
+      .join(broadcast(cls2.where(!col("__keep2"))),
+        col("__s") <=> col("__c2s") && col("__b2") <=> col("__c2b"))
+      .withColumn("__cum", sum(col("__t")).over(w2))
+      .where(col("__off2") + col("__cum") - col("__t") < col("__budget2"))
+      .select(col("__s").as("__ks"), col("__k").as("__kk"),
+        lit(true).as("__in_tie_boundary"))
+
+    // attach: ONE pass over the caller's rows, broadcast lookups only —
+    // the categories are mutually exclusive by construction (a row is in
+    // a keep-all bucket, OR a keep-all score run of the boundary bucket,
+    // OR the tie run — score values never span buckets), so left joins +
+    // an OR filter preserve multiplicity exactly.
+    val dfScore = df(scoreCol).cast("double")
+    val base = df
+      .join(broadcast(boundsDf), df(stratumCol) <=> col("__bs"), "left")
+      .withColumn("__db", bucketOf(dfScore))
+      .join(broadcast(cls.where(col("__keep_all"))),
+        df(stratumCol) <=> col("__cs") && col("__db") === col("__cb"), "left")
+    val withFlags =
+      if (!hasBoundary) base.where(coalesce(col("__keep_all"), lit(false)))
+      else if (direct) {
+        // direct boundary window (the phase-1 counts proved it fits one
+        // task): the exact cumsum over the whole boundary bucket in the
+        // full (score DESC nulls last, md5, key) order — identical kept
+        // set, no run/tie jobs at all
+        val wD = Window.partitionBy(col("__s"))
+          .orderBy(col("__v").desc_nulls_last,
+            md5(col("__k").cast("string").cast("binary")).asc, col("__k").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val directKeys = slim.join(
+            broadcast(cls.where(!col("__keep_all"))),
+            col("__s") <=> col("__cs") && col("__b") === col("__cb"))
+          .withColumn("__cum", sum(col("__t")).over(wD))
+          .where(col("__off") + col("__cum") - col("__t") < col("__budget"))
+          .select(col("__s").as("__ks"), col("__k").as("__kk"),
+            lit(true).as("__in_tie_boundary"))
+        base.join(broadcast(directKeys),
+            df(stratumCol) <=> col("__ks") && df(keyCol) <=> col("__kk"), "left")
+          .where(coalesce(col("__keep_all"), lit(false)) ||
+            coalesce(col("__in_tie_boundary"), lit(false)))
+      } else {
+        val dfB2 = substring(
+          md5(df(keyCol).cast("string").cast("binary")), 1, tieHexLen)
+        base
+          .join(broadcast(runsKeepAll),
+            df(stratumCol) <=> col("__rs") && dfScore <=> col("__rv"), "left")
+          .join(broadcast(cls2.where(col("__keep2"))),
+            df(stratumCol) <=> col("__c2s") && dfScore <=> col("__c2v") &&
+              dfB2 <=> col("__c2b"), "left")
+          .join(broadcast(tieBoundaryKeys),
+            df(stratumCol) <=> col("__ks") && df(keyCol) <=> col("__kk"), "left")
+          .where(coalesce(col("__keep_all"), lit(false)) ||
+            coalesce(col("__runkeep"), lit(false)) ||
+            coalesce(col("__keep2"), lit(false)) ||
+            coalesce(col("__in_tie_boundary"), lit(false)))
+      }
+    val result = withFlags.drop(
+      "__bs", "__bounds", "__db", "__cs", "__cb", "__keep_all", "__off",
+      "__budget", "__rs", "__rv", "__runkeep", "__c2s", "__c2v", "__c2b",
+      "__keep2", "__off2", "__budget2", "__ks", "__kk", "__in_tie_boundary")
     val stats = statsAcc.toSeq
       .sortBy { case (s, _, _) => (s.nonEmpty, s.map(_.toString).getOrElse("")) }
       .map { case (s, total, bw) =>

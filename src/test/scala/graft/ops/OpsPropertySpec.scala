@@ -568,8 +568,11 @@ object OpsPropertySpec extends Properties("graft.ops") {
   property("takeTopFraction ≡ the naive per-stratum window prefix on random shapes") =
     forAll(
       Gen.choose(1, 30).flatMap(k => Gen.listOfN(k, Gen.choose(0, 6))),
-      Gen.choose(1, 100).map(_ / 100.0), Gen.choose(1, 3), Gen.oneOf(2, 4, 16)) {
-      (scores, fraction, nStrata, nBuckets) =>
+      Gen.choose(1, 100).map(_ / 100.0), Gen.choose(1, 3), Gen.oneOf(2, 4, 16),
+      // 1 forces the run/tie path on every boundary bucket; the default
+      // direct-windows these tiny shapes — both must agree with naive
+      Gen.oneOf(1L, Sampling.MaxBoundaryTaskRows)) {
+      (scores, fraction, nStrata, nBuckets, mbtr) =>
         import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.functions.{col, md5, row_number}
         val st = StructType(Seq(
@@ -583,7 +586,8 @@ object OpsPropertySpec extends Properties("graft.ops") {
         }
         val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), st)
         val got = Sampling.takeTopFraction(
-          df, "src", "id", "score", fraction, nBuckets)
+          df, "src", "id", "score", fraction, nBuckets,
+          maxBoundaryTaskRows = mbtr)
           .select("id").collect().map(_.getLong(0)).toSet
         val w = Window.partitionBy(col("src"))
           .orderBy(col("score").desc_nulls_last,

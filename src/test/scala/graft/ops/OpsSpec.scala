@@ -1084,6 +1084,20 @@ class OpsSpec extends SparkSpec {
       s"only the budget-consuming top row may survive, got $gotB")
   }
 
+  test("temperatureMixTopQuality: sqrt-share quotas filled with the best-scored rows") {
+    // a: 8 rows (score = id), b: 2 rows; alpha = 0.5, target 6 → weights
+    // √8/√2, quotas round(6·2/3) = 4 and round(6·1/3) = 2 — a keeps its
+    // top-4 scores, b saturates whole
+    val st = struct("id" -> LongType, "src" -> StringType, "score" -> LongType)
+    val rows = (1L to 8L).map(i => Row(i, "a", i)) ++
+      Seq(Row(20L, "b", 1L), Row(21L, "b", 2L))
+    val df = frame(st, rows: _*)
+    val kept = Sampling.temperatureMixTopQuality(
+      df, "src", "id", "score", alpha = 0.5, targetRows = 6L, nBuckets = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(5L, 6L, 7L, 8L, 20L, 21L))
+  }
+
   test("takeTopFraction: a CONSTANT score never funnels a stratum into one window task") {
     // one stratum, 120 rows, ONE score value — the tie-dense worst case.
     // The round-10 plan put all 120 rows through a single
@@ -1093,8 +1107,11 @@ class OpsSpec extends SparkSpec {
     val st = struct("id" -> LongType, "src" -> StringType, "score" -> LongType)
     val rows = (1L to 120L).map(i => Row(i, "only", 7L))
     val df = frame(st, rows: _*)
+    // maxBoundaryTaskRows below the stratum size forces the run/tie path
+    // (the production 2M default would direct-window this tiny fixture)
     val (out, stats) = Sampling.takeTopFractionWithStats(
-      df, "src", "id", "score", 0.5, nBuckets = 4)
+      df, "src", "id", "score", 0.5, nBuckets = 4,
+      maxBoundaryTaskRows = 16L)
     val got = out.select(col("id")).collect().map(_.getLong(0)).toSet
     // the tie run IS the stratum, so the kept set is the md5-content-order
     // prefix — takePerStratum's picks
