@@ -51,10 +51,14 @@ object Bench {
     // recorded in BENCH_r02.json — exactly the queries numbered q01..q64.
     // Emitting their subtotal makes the gate ratio a first-class recorded
     // number (subtotal / 59.7 s) instead of a per-round re-derivation
-    // from the full query map.
-    val gate64 = results.collect {
-      case (name, t) if name.split("_")(0).drop(1).toIntOption.exists(_ <= 64) => t
-    }.sum
+    // from the full query map. Only a FULL run may emit it: a
+    // SPARK_GRAFT_ONLY subset would record a partial subtotal
+    // indistinguishable from a real gate number.
+    val gate64: Option[Double] =
+      if (only.nonEmpty) None
+      else Some(results.collect {
+        case (name, t) if name.split("_")(0).drop(1).toIntOption.exists(_ <= 64) => t
+      }.sum)
     // Lifecycle-query phase breakdown (build/append/probe timed on their
     // own) — emitted OUTSIDE "queries" so the total and round-over-round
     // comparable sets are untouched; a probe regression shows here even
@@ -84,8 +88,9 @@ object Bench {
     // present — short qNN keys and centisecond precision keep ~125 queries
     // near 1.6 kB (full-length names with nanosecond doubles passed 5 kB
     // and could never parse from the tail).
+    val gateFull = gate64.map(g => s""""gate64":$g,""").getOrElse("")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","gate64":$gate64,"queries":$qs$breakdownJson$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$gateFull"queries":$qs$breakdownJson$failedJson,"sf":"$sfDir"}"""
     val fullPath = s"/tmp/graft_bench_full_${new java.io.File(sfDir).getName}.json"
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson)
     catch { case e: Throwable => System.err.println(s"bench: full JSON write failed: $e") }
@@ -113,7 +118,8 @@ object Bench {
       else failed.map(n => if (phaseNames(n)) n else short(n))
         .toSeq.distinct.map("\"" + _ + "\"")
         .mkString(""","failed":[""", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","gate64":${fmt(gate64)},"queries":$qsCompact$failedCompact,"sf":"${new java.io.File(sfDir).getName}"}""")
+    val gateCompact = gate64.map(g => s""""gate64":${fmt(g)},""").getOrElse("")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$gateCompact"queries":$qsCompact$failedCompact,"sf":"${new java.io.File(sfDir).getName}"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

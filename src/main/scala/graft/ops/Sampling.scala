@@ -236,22 +236,38 @@ object Sampling {
     // at most; one map-side-combining aggregate, nothing else moves. The
     // limit bounds driver memory BEFORE anything lands (it admits at most
     // cap + 1 rows, so the guard itself never collects the oversized
-    // table); when the requested width overflows — more strata than
-    // cap/16^h — retry NARROWER instead of failing: the kept set is
-    // width-independent (buckets only set the boundary window's size), so
-    // a 600-source mix at the default width simply degrades to 256
-    // buckets per stratum. Only the degenerate path pays the extra
-    // aggregate pass. Fails only when strata alone exceed cap/16.
-    val attempt = (bucketHexLen to 1 by -1).view.map { h =>
-      h -> slimAt(h).groupBy("__s", "__b").agg(sum("__t").as("__sum"))
-        .limit(maxClassificationRows + 1).collect()
-    }.find(_._2.length <= maxClassificationRows)
-    require(attempt.isDefined,
-      s"takeBudgets: stratum '$stratumCol' has more than " +
-      s"${maxClassificationRows / 16} distinct values — this API is for " +
-      "mixing-grade strata (10s-1000s of sources); aggregate the stratum " +
-      "to a coarser key first")
-    val (hexLen, bucketSums) = attempt.get
+    // table). When the requested width overflows — more strata than
+    // cap/16^h — degrade to a NARROWER width instead of failing: the kept
+    // set is width-independent (buckets only set the boundary window's
+    // size), so a 600-source mix at the default width simply gets fewer
+    // buckets per stratum. The feasible width comes from ONE per-stratum
+    // distinct count (not blind narrowing retries — each retry would
+    // re-run the whole upstream lineage); only the overflow path pays the
+    // two extra jobs. Fails only when strata alone exceed cap/16 (h = 1
+    // always fits below that).
+    def sumsAt(h: Int) = slimAt(h).groupBy("__s", "__b")
+      .agg(sum("__t").as("__sum"))
+      .limit(maxClassificationRows + 1).collect()
+    val firstTry = sumsAt(bucketHexLen)
+    val (hexLen, bucketSums) =
+      if (firstTry.length <= maxClassificationRows) (bucketHexLen, firstTry)
+      else {
+        val strataCap = maxClassificationRows / 16
+        val nStrata = df.select(col(stratumCol)).distinct()
+          .limit(strataCap + 1).count()
+        require(nStrata <= strataCap,
+          s"takeBudgets: stratum '$stratumCol' has more than $strataCap " +
+          "distinct values — this API is for mixing-grade strata " +
+          "(10s-1000s of sources); aggregate the stratum to a coarser " +
+          "key first")
+        val h = (bucketHexLen - 1 to 1 by -1).find(h =>
+          nStrata * (1L << (4 * h)) <= maxClassificationRows).getOrElse(1)
+        val sums = sumsAt(h)
+        require(sums.length <= maxClassificationRows,
+          s"takeBudgets: classification table still exceeds " +
+          s"$maxClassificationRows rows at width $h — coarsen the stratum")
+        (h, sums)
+      }
     val slim = slimAt(hexLen)
 
     // driver-side prefix in the window's own order (null bucket first,
@@ -557,14 +573,17 @@ object Sampling {
       maxBoundaryTaskRows: Long = MaxBoundaryTaskRows): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
     require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
-    val (weighted, z) = temperatureWeights(
-      sourceSizes(df, sourceCol, count(lit(1))), alpha)
-    val quotas: Map[Option[Any], Long] = weighted.map { case (s, c, w) =>
-      s -> math.min(c, math.round(targetRows * w / z))
-    }.toMap
+    // quota arithmetic runs over takeTopCore's OWN phase-0 per-source
+    // counts — a separate sourceSizes aggregate would be an identical
+    // second pass over the input
     takeTopCore(df, sourceCol, keyCol, scoreCol, lit(1L),
-      (s, _) => quotas.getOrElse(s, 0L), nBuckets, maxClassificationRows,
-      maxBoundaryTaskRows)._1
+      counts => {
+        val (weighted, z) = temperatureWeights(counts, alpha)
+        weighted.map { case (s, c, w) =>
+          s -> math.min(c, math.round(targetRows * w / z))
+        }.toMap
+      },
+      nBuckets, maxClassificationRows, maxBoundaryTaskRows)._1
   }
 
   /** EXACT top-fraction quality filter per stratum — "keep the best 25%
@@ -650,8 +669,10 @@ object Sampling {
     require(fraction > 0.0 && fraction <= 1.0,
       s"fraction must be in (0, 1], got $fraction")
     takeTopCore(df, stratumCol, keyCol, scoreCol, lit(1L),
-      (_, c) => math.round(fraction * c), nBuckets, maxClassificationRows,
-      maxBoundaryTaskRows)
+      counts => counts.map { case (s, c) =>
+        s -> math.round(fraction * c)
+      }.toMap,
+      nBuckets, maxClassificationRows, maxBoundaryTaskRows)
   }
 
   /** Quality-ORDERED token budget per stratum — "fill each source's 1 B
@@ -697,8 +718,8 @@ object Sampling {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     takeTopCore(df, stratumCol, keyCol, scoreCol,
       coalesce(col(tokensCol).cast("long"), lit(0L)),
-      (_, _) => budget, nBuckets, maxClassificationRows,
-      maxBoundaryTaskRows)
+      counts => counts.map { case (s, _) => s -> budget }.toMap,
+      nBuckets, maxClassificationRows, maxBoundaryTaskRows)
   }
 
   /** Boundary-bucket rows above which the score-ordered takes switch from
@@ -736,10 +757,13 @@ object Sampling {
 
   /** Shared score-ordered two-phase core of [[takeTopFraction]] and
     * [[takeTopTokenBudget]]: `tokens` is the per-row weight the budget
-    * consumes (`lit(1)` = row counting), `budgetOf` maps (stratum, row
-    * count) to its budget. Keep rule: running-weight-before-row < budget
-    * in `(score DESC nulls last, md5(key), key)` order — for unit weights
-    * that is exactly "rank ≤ budget".
+    * consumes (`lit(1)` = row counting), `budgetsOf` maps the FULL
+    * per-stratum row-count table (phase 0's own aggregate — so quota
+    * arithmetic that needs every stratum's size, like the temperature
+    * mix, costs no second pass) to the per-stratum budget map. Keep
+    * rule: running-weight-before-row < budget in `(score DESC nulls
+    * last, md5(key), key)` order — for unit weights that is exactly
+    * "rank ≤ budget".
     *
     * Round-11 boundary handling: the round-10 form ran one `(score DESC,
     * key)` window over the whole boundary bucket, which degenerates to a
@@ -760,7 +784,7 @@ object Sampling {
       keyCol: String,
       scoreCol: String,
       tokens: Column,
-      budgetOf: (Option[Any], Long) => Long,
+      budgetsOf: Seq[(Option[Any], Long)] => Map[Option[Any], Long],
       nBuckets: Int,
       maxClassificationRows: Int,
       maxBoundaryTaskRows: Long): (DataFrame, Seq[TopTakeStratumStats]) = {
@@ -821,10 +845,9 @@ object Sampling {
     // through the score-run machinery with its start as offset. The fold
     // also collects the per-stratum totals + boundary weights for the
     // skew telemetry — free, it is the same classification data.
-    val budgets: Map[Option[Any], Long] = statRows.map { r =>
-      val st = (if (r.isNullAt(0)) None else Some(r.get(0))): Option[Any]
-      st -> budgetOf(st, r.getLong(1))
-    }.toMap
+    val budgets: Map[Option[Any], Long] = budgetsOf(statRows.toSeq.map { r =>
+      ((if (r.isNullAt(0)) None else Some(r.get(0))): Option[Any], r.getLong(1))
+    })
     val statsAcc =
       scala.collection.mutable.ArrayBuffer.empty[(Option[Any], Long, Long)]
     var maxBoundaryRows = 0L
@@ -920,77 +943,6 @@ object Sampling {
     val tieWeights: Map[Option[Any], Long] =
       tieRows.iterator.map(r => stratumOf(r) -> r.getLong(3)).toMap
 
-    // the tie run reduces to a content-order prefix with the remaining
-    // budget — takeBudgets' md5 sub-bucket machinery inlined so the
-    // attach below stays ONE pass: sub-bucket the tie ledger, classify
-    // per (stratum, sub-bucket) on the driver, and window ONLY the
-    // sub-boundary sub-bucket (~1/16^3 of the tie region, never the run).
-    val tieHexLen = 3
-    val tieDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(tieRows.toSeq.map(r =>
-        org.apache.spark.sql.Row(r.get(0), r.get(1))), 1),
-      StructType(Seq(
-        StructField("__zs", sType, nullable = true),
-        StructField("__zv", DoubleType, nullable = true))))
-    lazy val tieLedger = slim
-      .join(broadcast(tieDf),
-        col("__s") <=> col("__zs") && col("__v") <=> col("__zv"))
-      .withColumn("__b2",
-        substring(md5(col("__k").cast("string").cast("binary")), 1, tieHexLen))
-    val cls2Rows: Seq[org.apache.spark.sql.Row] =
-      if (tieRows.isEmpty) Seq.empty
-      else {
-        val sums = tieLedger.groupBy("__s", "__zv", "__b2")
-          .agg(sum("__t").as("__sum"))
-          .limit(maxClassificationRows + 1).collect()
-        require(sums.length <= maxClassificationRows,
-          s"top-by-score take: tie-region sub-bucket classification " +
-          s"exceeds $maxClassificationRows rows — coarsen the stratum")
-        sums.groupBy(r => if (r.isNullAt(0)) None else Some(r.get(0)))
-          .iterator.flatMap { case (stratum, rows) =>
-            val budget = tieBudgets.getOrElse(stratum, 0L)
-            var before = 0L
-            // null sub-bucket (null key) first, then hex asc — the
-            // sub-bucket is the leading prefix of the (md5, key) order
-            rows.sortBy(r => (if (r.isNullAt(2)) "" else "" + r.getString(2)))
-              .flatMap { r =>
-                val n = r.getLong(3)
-                val start = before
-                before += n
-                if (budget <= 0L) None
-                else if (start + n < budget)
-                  Some(org.apache.spark.sql.Row(
-                    r.get(0), r.get(1), r.get(2), true, 0L, budget))
-                else if (start < budget)
-                  Some(org.apache.spark.sql.Row(
-                    r.get(0), r.get(1), r.get(2), false, start, budget))
-                else None
-              }
-          }.toSeq
-      }
-    val cls2 = spark.createDataFrame(
-      spark.sparkContext.parallelize(cls2Rows, 1),
-      StructType(Seq(
-        StructField("__c2s", sType, nullable = true),
-        StructField("__c2v", DoubleType, nullable = true),
-        StructField("__c2b", StringType, nullable = true),
-        StructField("__keep2", BooleanType, nullable = false),
-        StructField("__off2", LongType, nullable = false),
-        StructField("__budget2", LongType, nullable = false))))
-    // the exact windowed cumsum — the ONLY sort anywhere — over the
-    // sub-boundary sub-bucket's ledger rows, in the (md5, key) order the
-    // sub-buckets refine
-    val w2 = Window.partitionBy(col("__s"))
-      .orderBy(md5(col("__k").cast("string").cast("binary")).asc, col("__k").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tieBoundaryKeys = tieLedger
-      .join(broadcast(cls2.where(!col("__keep2"))),
-        col("__s") <=> col("__c2s") && col("__b2") <=> col("__c2b"))
-      .withColumn("__cum", sum(col("__t")).over(w2))
-      .where(col("__off2") + col("__cum") - col("__t") < col("__budget2"))
-      .select(col("__s").as("__ks"), col("__k").as("__kk"),
-        lit(true).as("__in_tie_boundary"))
-
     // attach: ONE pass over the caller's rows, broadcast lookups only —
     // the categories are mutually exclusive by construction (a row is in
     // a keep-all bucket, OR a keep-all score run of the boundary bucket,
@@ -1025,6 +977,78 @@ object Sampling {
           .where(coalesce(col("__keep_all"), lit(false)) ||
             coalesce(col("__in_tie_boundary"), lit(false)))
       } else {
+        // run/tie path. The tie run reduces to a content-order prefix
+        // with the remaining budget — takeBudgets' md5 sub-bucket
+        // machinery inlined so the attach stays ONE pass: sub-bucket the
+        // tie ledger, classify per (stratum, sub-bucket) on the driver,
+        // and window ONLY the sub-boundary sub-bucket (~1/16^3 of the
+        // tie region, never the run).
+        val tieHexLen = 3
+        val tieDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(tieRows.toSeq.map(r =>
+            org.apache.spark.sql.Row(r.get(0), r.get(1))), 1),
+          StructType(Seq(
+            StructField("__zs", sType, nullable = true),
+            StructField("__zv", DoubleType, nullable = true))))
+        val tieLedger = slim
+          .join(broadcast(tieDf),
+            col("__s") <=> col("__zs") && col("__v") <=> col("__zv"))
+          .withColumn("__b2",
+            substring(md5(col("__k").cast("string").cast("binary")), 1, tieHexLen))
+        val cls2Rows: Seq[org.apache.spark.sql.Row] =
+          if (tieRows.isEmpty) Seq.empty
+          else {
+            val sums = tieLedger.groupBy("__s", "__zv", "__b2")
+              .agg(sum("__t").as("__sum"))
+              .limit(maxClassificationRows + 1).collect()
+            require(sums.length <= maxClassificationRows,
+              s"top-by-score take: tie-region sub-bucket classification " +
+              s"exceeds $maxClassificationRows rows — coarsen the stratum")
+            sums.groupBy(r => if (r.isNullAt(0)) None else Some(r.get(0)))
+              .iterator.flatMap { case (stratum, rows) =>
+                val budget = tieBudgets.getOrElse(stratum, 0L)
+                var before = 0L
+                // null sub-bucket (null key) first, then hex asc — the
+                // sub-bucket is the leading prefix of the (md5, key) order
+                rows.sortBy(r => (if (r.isNullAt(2)) "" else "" + r.getString(2)))
+                  .flatMap { r =>
+                    val n = r.getLong(3)
+                    val start = before
+                    before += n
+                    if (budget <= 0L) None
+                    else if (start + n < budget)
+                      Some(org.apache.spark.sql.Row(
+                        r.get(0), r.get(1), r.get(2), true, 0L, budget))
+                    else if (start < budget)
+                      Some(org.apache.spark.sql.Row(
+                        r.get(0), r.get(1), r.get(2), false, start, budget))
+                    else None
+                  }
+              }.toSeq
+          }
+        val cls2 = spark.createDataFrame(
+          spark.sparkContext.parallelize(cls2Rows, 1),
+          StructType(Seq(
+            StructField("__c2s", sType, nullable = true),
+            StructField("__c2v", DoubleType, nullable = true),
+            StructField("__c2b", StringType, nullable = true),
+            StructField("__keep2", BooleanType, nullable = false),
+            StructField("__off2", LongType, nullable = false),
+            StructField("__budget2", LongType, nullable = false))))
+        // the exact windowed cumsum — the ONLY ledger sort anywhere on
+        // this path — over the sub-boundary sub-bucket's rows, in the
+        // (md5, key) order the sub-buckets refine
+        val w2 = Window.partitionBy(col("__s"))
+          .orderBy(md5(col("__k").cast("string").cast("binary")).asc,
+            col("__k").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tieBoundaryKeys = tieLedger
+          .join(broadcast(cls2.where(!col("__keep2"))),
+            col("__s") <=> col("__c2s") && col("__b2") <=> col("__c2b"))
+          .withColumn("__cum", sum(col("__t")).over(w2))
+          .where(col("__off2") + col("__cum") - col("__t") < col("__budget2"))
+          .select(col("__s").as("__ks"), col("__k").as("__kk"),
+            lit(true).as("__in_tie_boundary"))
         val dfB2 = substring(
           md5(df(keyCol).cast("string").cast("binary")), 1, tieHexLen)
         base
