@@ -1829,13 +1829,18 @@ object SparkEntry {
 
     // large-star/small-star connected components over the same LSH pairs as
     // q61 — identical labeling contract (component minimum), O(log²) rounds
-    // instead of O(diameter); same recursive-CTE closure oracle
+    // instead of O(diameter); same recursive-CTE closure oracle.
+    // maxDriverEdges = 0 PINS the distributed star rounds: this query is
+    // the 100 TB path's showcase, so the adaptive small-graph fast path
+    // (which every other closure caller rightly takes at this scale) is
+    // disabled here to keep the rounds themselves oracle-checked
     "q79_clusters_star" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
       val pairs = graft.ops.Dedup.minhashPairs(
         docsParallel(s, d), "text", "doc_id",
         k = 3, numHashes = 64, bands = 32, threshold = 0.5)
-      graft.ops.Dedup.dedupClustersStar(docs, "doc_id", pairs)
+      graft.ops.Dedup.dedupClustersStar(docs, "doc_id", pairs,
+        maxDriverEdges = 0)
         .select(col("id").as("doc_id"), col("rep"))
         .orderBy(col("doc_id"))
     }),

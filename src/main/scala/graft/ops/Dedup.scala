@@ -1206,11 +1206,28 @@ object Dedup {
     *     hash collision can delay convergence detection but never emit
     *     wrong reps.
     */
+  /** `maxDriverEdges` gates the ADAPTIVE small-graph fast path: when the
+    * (deduplicated, self-loop-free) edge set fits under it, the closure
+    * runs as a driver-side union-find over one bounded collect instead of
+    * alternating star rounds — identical min-id labels, zero iterative
+    * jobs (each distributed round costs a full shuffle + checkpoint; a
+    * 100 k-edge graph pays ~6 of them for work a laptop does in
+    * milliseconds). The default admits ≤ 1 M edges (~tens of MB of
+    * driver rows, the same class as the classification-table bounds);
+    * larger graphs — the 100 TB case the star rounds exist for — take
+    * the distributed path unchanged. Pass 0 to force the distributed
+    * path (plan showcases, tests of the rounds themselves). The fast
+    * path engages only for integral id types: its min-root rule must
+    * order EXACTLY like Spark's `least`/`min` on the id column, which is
+    * guaranteed for integers and subtle for strings (UTF-8 binary vs
+    * UTF-16 code-unit order on supplementary characters).
+    */
   def dedupClustersStar(
       nodes: DataFrame,
       idCol: String,
       pairs: DataFrame,
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25,
+      maxDriverEdges: Int = 1000000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("u")
     def largeStar(e: DataFrame): DataFrame = {
@@ -1242,6 +1259,63 @@ object Dedup {
       .select(col("id_a").as("a"), col("id_b").as("b"))
       .where(col("a") =!= col("b"))
       .persist()
+    val idType = nodes.schema(idCol).dataType
+    val integralIds = idType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    if (integralIds && maxDriverEdges > 0) {
+      // bounded probe: at most cap + 1 rows land on the driver, so the
+      // probe itself can never OOM; an over-cap graph falls through to
+      // the star rounds with the edge frame already persisted (the first
+      // round's checksum would have materialized it anyway)
+      val sample = edges.limit(maxDriverEdges + 1).collect()
+      if (sample.length <= maxDriverEdges) {
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val nx = parent(c); parent(c) = r; c = nx
+          }
+          r
+        }
+        val orig = scala.collection.mutable.LongMap.empty[Any]
+        sample.foreach { e =>
+          val (oa, ob) = (e.get(0), e.get(1))
+          val (a, b) = (oa.asInstanceOf[Number].longValue,
+            ob.asInstanceOf[Number].longValue)
+          orig.getOrElseUpdate(a, oa)
+          orig.getOrElseUpdate(b, ob)
+          val (ra, rb) = (find(a), find(b))
+          // min root wins — exactly the distributed rounds' least/min rule
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val spark = nodes.sparkSession
+        val lblRows = orig.keys.toSeq.map { id =>
+          org.apache.spark.sql.Row(orig(id), orig(find(id)))
+        }
+        val lbl = spark.createDataFrame(
+          spark.sparkContext.parallelize(lblRows, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id", idType, nullable = true),
+            org.apache.spark.sql.types.StructField("__rep0", idType, nullable = true))))
+        val labels = nodes.select(col(idCol).as("id"))
+          .join(broadcast(lbl), Seq("id"), "left")
+          .select(col("id"), coalesce(col("__rep0"), col("id")).as("rep"))
+        edges.unpersist()
+        // no materialization needed: the closure already lives in the
+        // broadcast table — re-evaluating `labels` is one nodes scan +
+        // a broadcast join, never a recomputation of the closure
+        return labels
+      }
+    }
     var prev = checksum(edges)
     var converged = prev._1 == 0L
     var i = 0

@@ -1325,6 +1325,12 @@ class OpsSpec extends SparkSpec {
     val expected = ((1L to 8L).map(_ -> 1L) ++
       Seq(9L -> 9L, 10L -> 10L, 11L -> 10L, 12L -> 12L)).toMap
     assert(star == expected)
+    // the DISTRIBUTED star rounds (fast path disabled) label identically —
+    // the small graph above rode the driver union-find by default
+    val distributed = Dedup.dedupClustersStar(nodes, "doc_id", pairsDf,
+      maxDriverEdges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(distributed == expected)
     // identical labeling from the min-label propagation path
     val prop = Dedup.dedupClusters(nodes, "doc_id", pairsDf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap

@@ -349,6 +349,12 @@ class RecallSpec extends SparkSpec {
     val star = Dedup.dedupClustersStar(docs, "doc_id", pairs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(star == prop)
+    // the distributed star rounds (driver fast path disabled) agree on
+    // the same real pair set — all three closure implementations coincide
+    val starDistributed = Dedup.dedupClustersStar(docs, "doc_id", pairs,
+      maxDriverEdges = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(starDistributed == prop)
     assert(prop.exists { case (id, rep) => id != rep },
       "corpus must contain at least one non-trivial cluster")
   }

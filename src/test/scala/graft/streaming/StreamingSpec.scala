@@ -520,6 +520,47 @@ class StreamingSpec extends SparkSpec {
     assert(byId(5L)._2, "novel vector survives")
   }
 
+  test("streaming SemDeDup grow loop is replay-idempotent: a fresh-checkpoint rerun appends nothing") {
+    import graft.ops.{EpochStore, Similarity}
+    val vecSt = struct("vec_id" -> LongType, "embedding" -> ArrayType(FloatType))
+    def v(xs: Float*): Seq[Float] = xs
+    val idx = Files.createTempDirectory("graft-ssemrp-idx").toString
+    Similarity.writeAnnIndex(
+      frame(vecSt, Row(100L, v(1f, 0f, 0f, 0f)), Row(101L, v(0f, 1f, 0f, 0f))),
+      "embedding", "vec_id", idx, nlist = 2)
+    val inDir = Files.createTempDirectory("graft-ssemrp-in").toString
+    frame(vecSt,
+      Row(2L, v(0.5f, 0.5f, 0.5f, 0.5f)),
+      Row(3L, v(0.5f, 0.5f, 0.48f, 0.52f)))
+      .coalesce(1).write.mode("append").parquet(inDir)
+    def runOnce(): Seq[(Long, Long, Boolean)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+      val cp = Files.createTempDirectory("graft-ssemrp-cp").toString
+      val q = StreamingOps.dedupAndGrowSemanticIndexStream(
+        spark.readStream.schema(vecSt).option("maxFilesPerTrigger", "1").parquet(inDir),
+        "embedding", "vec_id", idx, minCosine = 0.9, nprobe = 2) { audited =>
+          out ++= audited.select("vec_id", "rep", "kept").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", cp).start()
+      q.awaitTermination()
+      out.toSeq
+    }
+    val first = runOnce()
+    assert(first.toSet == Set((2L, 2L, true), (3L, 2L, false)))
+    val epochAfterFirst = EpochStore.epochDir(spark, idx)
+    // a FRESH checkpoint reprocesses every file — the worst-case
+    // at-least-once redelivery. The replayed survivor anchors at itself
+    // (id-bloom replay guard), so the rerun elects nothing and the index
+    // commits no epoch.
+    val second = runOnce()
+    assert(second.toSet == Set((2L, 2L, false), (3L, 2L, false)),
+      s"replayed ids must come back kept=false: $second")
+    assert(EpochStore.epochDir(spark, idx) == epochAfterFirst,
+      "a replayed batch must not commit a new epoch")
+  }
+
   test("streaming SemDeDup keep-best election: the high-score row survives") {
     import graft.ops.Similarity
     val vecSt = struct("vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
