@@ -866,6 +866,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // engine-portable epoch shuffle: every doc's exact global position in
+    // the md5(epoch # id) order, computed WITHOUT a global sort (bucket
+    // counts → driver prefix → per-bucket window + broadcast offset);
+    // positions are data, so the hash compare checks the whole permutation
+    "q135_epoch_shuffle" -> ((s, d) => {
+      graft.ops.Sampling.epochShuffle(
+        Tables(s, d, "documents"), "doc_id", epoch = 7L)
+        .select(col("doc_id"), col("pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // quality-FILLED temperature mix: q112's sqrt-share quotas per domain,
     // but each quota filled with the domain's LONGEST documents (score =
     // token count, heavy ties broken in md5 content order) instead of a
@@ -2309,6 +2320,14 @@ object SparkEntry {
         |)
         |SELECT doc_id, source, n_tok FROM r
         |WHERE cum - coalesce(n_tok, 0) < 700 ORDER BY doc_id""".stripMargin,
+
+    // the whole permutation in one window: rank in md5('7#'||id) order
+    "q135_epoch_shuffle" ->
+      """SELECT doc_id,
+        |  row_number() OVER (
+        |    ORDER BY md5('7#' || cast(doc_id AS VARCHAR)) ASC, doc_id ASC)
+        |    - 1 AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q112's sqrt-share quota CTEs + q129's rank window at (score DESC,
     // md5, id) — the quota formula and the quality order hash together

@@ -1155,6 +1155,76 @@ object Sampling {
       bucketHexLen)
   }
 
+  /** Deterministic, engine-portable GLOBAL training-order shuffle: every
+    * row gets its position in the `md5(epoch # key)` order — the epoch
+    * shuffle a training pipeline runs between passes. A different `epoch`
+    * seed yields an uncorrelated order; the same epoch reproduces the
+    * same positions on any cluster, rerun, or engine (md5 of the same
+    * string). Output = input columns + `pos` (0-based long); materialize
+    * the shuffled order with `orderBy("pos")` into a sink, or
+    * `repartitionByRange` on it.
+    *
+    * Plan shape for 100 TB — no global single-task sort anywhere: the
+    * md5 bucket prefix IS the leading prefix of the sort key (the
+    * [[takeBudgets]] discipline), so one map-side-combining per-bucket
+    * count (≤ 16^bucketHexLen rows to the driver), a driver prefix sum,
+    * and a per-bucket `row_number` window (each bucket ~1/16^hexLen of
+    * the corpus, uniform by construction) plus a broadcast offset yield
+    * the exact global rank. More hex digits shrink the window tasks and
+    * grow the (tiny) driver table.
+    *
+    * Null keys cannot hash to a position and are rejected loudly; `keyCol`
+    * must identify a row (dup keys tie at the same rank — the usual
+    * total-order caveat, here enforced by the `row_number` making them
+    * partition-order-dependent, so pass a unique id).
+    */
+  def epochShuffle(
+      df: DataFrame,
+      keyCol: String,
+      epoch: Long,
+      bucketHexLen: Int = 3,
+      maxClassificationRows: Int = MaxClassificationRows): DataFrame = {
+    require(bucketHexLen >= 1 && bucketHexLen <= 6,
+      s"bucketHexLen must be in [1, 6], got $bucketHexLen")
+    require(!df.columns.contains("pos"),
+      "epochShuffle adds a 'pos' column — rename the existing one first")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    def hashOf(key: Column): Column =
+      md5(concat(lit(epoch.toString), lit("#"), key.cast("string"))
+        .cast("binary"))
+    val bucketOf = substring(hashOf(col(keyCol)), 1, bucketHexLen)
+    val counts = df.select(bucketOf.as("__b")).groupBy("__b").count()
+      .limit(maxClassificationRows + 1).collect()
+    require(counts.length <= maxClassificationRows,
+      s"epochShuffle: 16^$bucketHexLen buckets exceed " +
+      s"$maxClassificationRows driver rows — lower bucketHexLen")
+    require(counts.forall(!_.isNullAt(0)),
+      s"epochShuffle: null '$keyCol' keys cannot be ordered — filter or " +
+      "fill them first")
+    // driver prefix in bucket (= hash-prefix) order: each bucket's offset
+    // is the count of all rows hashing strictly below it
+    var acc = 0L
+    val offRows = counts.sortBy(_.getString(0)).map { r =>
+      val o = acc
+      acc += r.getLong(1)
+      org.apache.spark.sql.Row(r.getString(0), o)
+    }.toSeq
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1),
+      StructType(Seq(
+        StructField("__b", StringType, nullable = false),
+        StructField("__off", LongType, nullable = false))))
+    val w = Window.partitionBy(col("__b"))
+      .orderBy(hashOf(col(keyCol)).asc, col(keyCol).asc)
+    df.withColumn("__b", bucketOf)
+      .join(broadcast(offDf), Seq("__b"))
+      .withColumn("pos",
+        col("__off") + row_number().over(w).cast("long") - 1L)
+      .drop("__b", "__off")
+  }
+
   /** Weighted corpus mix: union of sources, each downsampled to its weight
     * (1.0 = keep all). The mixing decision is content-keyed per source, so
     * the mix is stable under re-runs and independent of source ordering.

@@ -1084,6 +1084,35 @@ class OpsSpec extends SparkSpec {
       s"only the budget-consuming top row may survive, got $gotB")
   }
 
+  test("epochShuffle: exact permutation, reproducible per epoch, uncorrelated across epochs") {
+    val df = docs((1L to 200L).map(i => i -> s"doc $i"): _*)
+    def shuffle(epoch: Long) = Sampling.epochShuffle(df, "doc_id", epoch)
+      .select("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val a = shuffle(7L)
+    // positions are exactly 0..n-1 (a permutation, no gaps or ties)
+    assert(a.map(_._2).sorted.toSeq == (0L until 200L))
+    // identical to the naive single-window ranking
+    import org.apache.spark.sql.expressions.Window
+    val naive = df.withColumn("pos",
+      row_number().over(Window.orderBy(
+        md5(concat(lit("7"), lit("#"), col("doc_id").cast("string"))
+          .cast("binary")).asc, col("doc_id").asc)).cast("long") - 1L)
+      .select("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a.toSet == naive)
+    // same epoch reproduces; a different epoch is a different permutation
+    assert(shuffle(7L).toSet == a.toSet)
+    assert(shuffle(8L).toSet != a.toSet)
+    // null keys are rejected loudly
+    val withNull = frame(struct("doc_id" -> LongType, "text" -> StringType),
+      Row(1L, "x"), Row(null, "y"))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.epochShuffle(withNull, "doc_id", 1L)
+    }
+    assert(e.getMessage.contains("null"))
+  }
+
   test("temperatureMixTopQuality: sqrt-share quotas filled with the best-scored rows") {
     // a: 8 rows (score = id), b: 2 rows; alpha = 0.5, target 6 → weights
     // √8/√2, quotas round(6·2/3) = 4 and round(6·1/3) = 2 — a keeps its
