@@ -866,6 +866,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // deterministic GLOBAL sample: exactly 137 docs of the whole corpus in
+    // md5 content order (nested: any larger sample contains these) — the
+    // constant-stratum two-phase take, no global sort
+    "q136_take_global" -> ((s, d) => {
+      graft.ops.Sampling.takeGlobal(Tables(s, d, "documents"), "doc_id", 137L)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // engine-portable epoch shuffle: every doc's exact global position in
     // the md5(epoch # id) order, computed WITHOUT a global sort (bucket
     // counts → driver prefix → per-bucket window + broadcast offset);
@@ -2320,6 +2329,16 @@ object SparkEntry {
         |)
         |SELECT doc_id, source, n_tok FROM r
         |WHERE cum - coalesce(n_tok, 0) < 700 ORDER BY doc_id""".stripMargin,
+
+    // the md5-order global prefix: rank ≤ 137
+    "q136_take_global" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (
+        |      ORDER BY md5(cast(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |  FROM documents
+        |)
+        |SELECT doc_id, source FROM r WHERE rn <= 137 ORDER BY doc_id""".stripMargin,
 
     // the whole permutation in one window: rank in md5('7#'||id) order
     "q135_epoch_shuffle" ->

@@ -1170,8 +1170,10 @@ object Sampling {
     * count (≤ 16^bucketHexLen rows to the driver), a driver prefix sum,
     * and a per-bucket `row_number` window (each bucket ~1/16^hexLen of
     * the corpus, uniform by construction) plus a broadcast offset yield
-    * the exact global rank. More hex digits shrink the window tasks and
-    * grow the (tiny) driver table.
+    * the exact global rank. Size `bucketHexLen` so a bucket's ledger fits
+    * one window task: the default 4 (65 536 buckets) puts a 100 TB
+    * narrow-ledger corpus at ~1.5 GB per task; 5 (1 M buckets, still
+    * under the driver cap) divides it again by 16.
     *
     * Null keys cannot hash to a position and are rejected loudly; `keyCol`
     * must identify a row (dup keys tie at the same rank — the usual
@@ -1182,7 +1184,7 @@ object Sampling {
       df: DataFrame,
       keyCol: String,
       epoch: Long,
-      bucketHexLen: Int = 3,
+      bucketHexLen: Int = 4,
       maxClassificationRows: Int = MaxClassificationRows): DataFrame = {
     require(bucketHexLen >= 1 && bucketHexLen <= 6,
       s"bucketHexLen must be in [1, 6], got $bucketHexLen")
@@ -1223,6 +1225,30 @@ object Sampling {
       .withColumn("pos",
         col("__off") + row_number().over(w).cast("long") - 1L)
       .drop("__b", "__off")
+  }
+
+  /** Deterministic GLOBAL sample: exactly `n` rows from the whole corpus
+    * (not per stratum), picked in the engine-portable md5(key) content
+    * order — "cut a reproducible 1 M-doc sample" without a global sort or
+    * a single-task window. This is the constant-stratum form of
+    * [[takeBudgets]]' two-phase machinery: bucket counts → driver prefix →
+    * whole buckets keep join-free and only the ONE boundary bucket
+    * (~1/16^bucketHexLen of the corpus) runs a window. Samples NEST:
+    * a larger `n` contains every smaller one (the md5-order prefix
+    * property every take here shares), so growing a sample never
+    * re-selects. Smaller corpora return whole.
+    */
+  def takeGlobal(
+      df: DataFrame,
+      keyCol: String,
+      n: Long,
+      bucketHexLen: Int = 3): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val one = Iterator.from(0).map(i => if (i == 0) "__g" else s"__g$i")
+      .find(!df.columns.contains(_)).get
+    takeBudgets(df.withColumn(one, lit(1)), one, keyCol, lit(1L),
+      _ => n, bucketHexLen)
+      .drop(one)
   }
 
   /** Weighted corpus mix: union of sources, each downsampled to its weight

@@ -1113,6 +1113,24 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("null"))
   }
 
+  test("takeGlobal: the md5-order corpus prefix, nested across sizes") {
+    val df = docs((1L to 60L).map(i => i -> s"doc $i"): _*)
+    def take(n: Long) = Sampling.takeGlobal(df, "doc_id", n)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val t10 = take(10L)
+    val t25 = take(25L)
+    assert(t10.size == 10 && t25.size == 25 && t10.subsetOf(t25))
+    // exactly the naive md5-order prefix
+    import org.apache.spark.sql.expressions.Window
+    val naive = df.withColumn("rn", row_number().over(Window.orderBy(
+        md5(col("doc_id").cast("string").cast("binary")).asc, col("doc_id").asc)))
+      .where(col("rn") <= 10).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(t10 == naive)
+    // over-ask returns the whole corpus
+    assert(take(100L).size == 60)
+  }
+
   test("temperatureMixTopQuality: sqrt-share quotas filled with the best-scored rows") {
     // a: 8 rows (score = id), b: 2 rows; alpha = 0.5, target 6 → weights
     // √8/√2, quotas round(6·2/3) = 4 and round(6·1/3) = 2 — a keeps its
