@@ -866,6 +866,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // global TOKEN-budget sample: the md5-order corpus prefix until 2 000
+    // tokens, crossing row kept — q103's rule at one global stratum
+    "q137_take_global_tokens" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .withColumn("n_tok", graft.ops.TextOps.tokenCount(col("text")).cast("long"))
+      graft.ops.Sampling.takeGlobalTokens(docs, "doc_id", "n_tok", budget = 2000L)
+        .select(col("doc_id"), col("n_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic GLOBAL sample: exactly 137 docs of the whole corpus in
     // md5 content order (nested: any larger sample contains these) — the
     // constant-stratum two-phase take, no global sort
@@ -2329,6 +2339,22 @@ object SparkEntry {
         |)
         |SELECT doc_id, source, n_tok FROM r
         |WHERE cum - coalesce(n_tok, 0) < 700 ORDER BY doc_id""".stripMargin,
+
+    // q103's cum-window keep rule without the partition — one global prefix
+    "q137_take_global_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    cast(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS bigint) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tok,
+        |    sum(coalesce(n_tok, 0)) OVER (
+        |      ORDER BY md5(cast(doc_id AS varchar)) ASC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tok FROM c
+        |WHERE cum - coalesce(n_tok, 0) < 2000 ORDER BY doc_id""".stripMargin,
 
     // the md5-order global prefix: rank ≤ 137
     "q136_take_global" ->

@@ -1251,6 +1251,27 @@ object Sampling {
       .drop(one)
   }
 
+  /** [[takeGlobal]] in TOKEN space: the md5-content-order prefix of the
+    * WHOLE corpus until `budget` tokens, crossing row kept
+    * ([[takeTokenBudget]]'s rule at one global stratum) — "cut a
+    * reproducible 1 B-token sample of the corpus". Null token counts
+    * count as 0; same nesting, plan, and determinism as [[takeGlobal]].
+    */
+  def takeGlobalTokens(
+      df: DataFrame,
+      keyCol: String,
+      tokensCol: String,
+      budget: Long,
+      bucketHexLen: Int = 3): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val one = Iterator.from(0).map(i => if (i == 0) "__g" else s"__g$i")
+      .find(!df.columns.contains(_)).get
+    takeBudgets(df.withColumn(one, lit(1)), one, keyCol,
+      coalesce(col(tokensCol).cast("long"), lit(0L)), _ => budget,
+      bucketHexLen)
+      .drop(one)
+  }
+
   /** Weighted corpus mix: union of sources, each downsampled to its weight
     * (1.0 = keep all). The mixing decision is content-keyed per source, so
     * the mix is stable under re-runs and independent of source ordering.

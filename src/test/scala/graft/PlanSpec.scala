@@ -358,6 +358,25 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).nonEmpty)
   }
 
+  test("epoch shuffle: bucket-keyed window + broadcast offsets, never a global sort") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val p = plan(ops.Sampling.epochShuffle(
+      Tables(spark, dir, "documents"), "doc_id", epoch = 7L))
+    // global positions must come from the per-bucket window — a global
+    // row_number would plan Exchange SinglePartition and sort the corpus
+    // in one task
+    assert(!p.contains("SinglePartition"),
+      s"epoch shuffle collapsed to one partition:\n$p")
+    assert(p.contains("Exchange hashpartitioning(__b"),
+      s"expected the bucket-keyed window exchange:\n$p")
+    // the offset table attaches via a broadcast join, not a shuffle join
+    val exec = ops.Sampling.epochShuffle(
+      Tables(spark, dir, "documents"), "doc_id", epoch = 7L)
+      .queryExecution.sparkPlan
+    assert(exec.collectFirst { case j: BroadcastHashJoinExec => j }.isDefined,
+      s"offsets must broadcast:\n$exec")
+  }
+
   test("paragraph dedup window is hash-keyed and its shuffle rows are hash-narrow") {
     val p = plan(ops.Dedup.dedupParagraphs(
       Tables(spark, dir, "documents"), "doc_id", "text"))

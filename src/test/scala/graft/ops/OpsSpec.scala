@@ -1129,6 +1129,18 @@ class OpsSpec extends SparkSpec {
     assert(t10 == naive)
     // over-ask returns the whole corpus
     assert(take(100L).size == 60)
+    // the token twin: md5-order prefix until the budget, crossing row kept
+    val dft = df.withColumn("n_tok", col("doc_id") % 5)
+    val gotT = Sampling.takeGlobalTokens(dft, "doc_id", "n_tok", budget = 20L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    import org.apache.spark.sql.expressions.Window
+    val wT = Window.orderBy(
+        md5(col("doc_id").cast("string").cast("binary")).asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expT = dft.withColumn("cum", sum(col("n_tok")).over(wT))
+      .where(col("cum") - col("n_tok") < 20L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotT == expT && gotT.nonEmpty && gotT.size < 60)
   }
 
   test("temperatureMixTopQuality: sqrt-share quotas filled with the best-scored rows") {
