@@ -866,6 +866,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the corpus-sized half of BPE tokenizer TRAINING: the pre-token
+    // histogram under the GPT-2 byte-level pre-tokenizer regex — training
+    // reduces the whole corpus to this one vocabulary-sized aggregate
+    // before the driver-side merge loop starts (the loop is sequential,
+    // no SQL form; BpeSpec pins it with a hand-computed Sennrich fixture
+    // and an encode-parity property). DuckDB's RE2 lacks the regex's
+    // `(?!\S)` lookahead, so the oracle spells the branch-free equivalent
+    // — identical wherever text has no interior multi-space runs and no
+    // trailing whitespace, which compare.py's hash then re-proves on the
+    // actual corpus.
+    "q138_bpe_word_histogram" -> ((s, d) => {
+      graft.ops.TextOps.preTokenHistogram(Tables(s, d, "documents"), "text")
+        .select(col("word"), col("n"))
+        .orderBy(col("word"))
+    }),
+
     // global TOKEN-budget sample: the md5-order corpus prefix until 2 000
     // tokens, crossing row kept — q103's rule at one global stratum
     "q137_take_global_tokens" -> ((s, d) => {
@@ -2339,6 +2355,18 @@ object SparkEntry {
         |)
         |SELECT doc_id, source, n_tok FROM r
         |WHERE cum - coalesce(n_tok, 0) < 700 ORDER BY doc_id""".stripMargin,
+
+    // the GPT-2 pre-tokenizer spelled for RE2 (no lookahead): on a corpus
+    // with no interior multi-space runs or trailing whitespace the
+    // `\s+(?!\S)` branch never fires, so this alternation tokenizes
+    // byte-identically to the Java regex the Spark side uses
+    "q138_bpe_word_histogram" ->
+      """WITH w AS (
+        |  SELECT unnest(regexp_extract_all(text,
+        |    '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS word
+        |  FROM documents
+        |)
+        |SELECT word, count(*) AS n FROM w GROUP BY word ORDER BY word""".stripMargin,
 
     // q103's cum-window keep rule without the partition — one global prefix
     "q137_take_global_tokens" ->

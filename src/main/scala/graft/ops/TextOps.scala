@@ -78,6 +78,63 @@ object TextOps {
     (text: Column) => f(text)
   }
 
+  /** Corpus pre-token (word) histogram under the byte-level BPE
+    * pre-tokenizer — the ENTIRE corpus-sized half of tokenizer training.
+    * Splits with EXACTLY the model's own pre-tokenizer regex
+    * ([[graft.functions.BpeModel.PreTokenPattern]], a codegen'd
+    * `regexp_extract_all` — Spark compiles it with the same Java regex
+    * engine the driver-side model uses), so the histogram the trainer
+    * sees agrees with the word boundaries `countTokens` will use. One
+    * generator + one partially-aggregated shuffle keyed on the word: the
+    * map-side combine collapses each split's repeats before anything
+    * moves, so shuffle volume is per-split VOCABULARY, not corpus token
+    * count — at 100 TB this is the only pass over the text.
+    */
+  def preTokenHistogram(df: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame =
+    df.select(explode(regexp_extract_all(
+        col(textCol), lit(graft.functions.BpeModel.PreTokenPattern), lit(0))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+
+  /** FIT a byte-level BPE tokenizer on the corpus (Sennrich et al. 2016;
+    * GPT-2's byte-level variant): ONE distributed aggregate to the word
+    * histogram ([[preTokenHistogram]]), then the driver-side greedy merge
+    * loop ([[graft.functions.BpeModel.train]]) over that vocabulary-sized
+    * table — merges never touch the corpus, which is what makes tokenizer
+    * training scale-free: 100 TB of text reduces to a few million
+    * histogram rows before any sequential work starts.
+    *
+    * The driver collect is BOUNDED: the histogram is truncated to the
+    * `maxWords` most frequent words (count desc, then word asc — a
+    * deterministic total order, so the trained tokenizer is reproducible
+    * across runs and cluster layouts) after dropping words rarer than
+    * `minCount`. Truncation only starves merge statistics of the long
+    * tail of near-hapax words, which is standard trainer practice — both
+    * knobs are explicit so the caller decides the memory/fidelity trade.
+    *
+    * `vocabSize` counts the 256-byte alphabet plus one entry per learned
+    * merge (the canonical derived id space, [[graft.functions.BpeModel]]
+    * `.vocabSize`); `vocabSize - 256` merges are learned.
+    */
+  def trainBpe(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      vocabSize: Int,
+      minCount: Long = 1L,
+      maxWords: Int = 1 << 20): graft.functions.BpeModel = {
+    require(vocabSize >= 256, s"vocabSize must be >= 256 (byte alphabet), got $vocabSize")
+    require(maxWords > 0, s"maxWords must be positive, got $maxWords")
+    val hist = preTokenHistogram(df, textCol)
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(maxWords)
+      .collect()
+    val wordCounts = hist.iterator.map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.functions.BpeModel.fromRanks(
+      graft.functions.BpeModel.train(wordCounts, vocabSize - 256))
+  }
+
   /** Occurrences of any of `words` among the whitespace tokens. */
   def wordHits(text: Column, words: Seq[String]): Column =
     size(filter(wsTokens(text), w => w.isInCollection(words)))
