@@ -605,20 +605,24 @@ object Sampling {
     *   3. the driver prefix-sums the tiny count table in descending
     *      score-bucket order: buckets wholly above the cutoff keep every
     *      row join-free, buckets below drop, and the ONE boundary bucket
-    *      per stratum resolves by a strategy CHOSEN FROM phase-1's
-    *      measured row counts: a bucket within `maxBoundaryTaskRows`
-    *      (default 2M ledger rows — every practical continuous-score
-    *      take, where the bucket is ~1/nBuckets of its stratum) runs the
-    *      exact cumsum window directly, zero extra jobs; an OVERSIZED
-    *      bucket — a tie-dense score collapsing the quantile boundaries —
-    *      goes through score-RUN classification instead: runs grouped by
+    *      per stratum resolves by a strategy chosen PER STRATUM from
+    *      phase-1's measured row counts: a bucket within
+    *      `maxBoundaryTaskRows` (default 2M ledger rows — every practical
+    *      continuous-score take: phase 0 SELF-SIZES the bucket count so a
+    *      giant stratum's buckets average ~maxBoundaryTaskRows, up to
+    *      4096 buckets ≈ 8B rows per stratum) runs the exact cumsum
+    *      window directly, zero extra jobs; an OVERSIZED bucket — a
+    *      tie-dense score collapsing the quantile boundaries — goes
+    *      through score-RUN classification instead: runs grouped by
     *      exact score value keep or drop join-free (the prefix is a
     *      window over DISTINCT scores, tiny precisely when ties are the
     *      problem), and the at-most-one straddling TIE run per stratum
     *      routes through [[takeBudgets]]' md5 sub-bucket machinery
     *      (within a tied score the keep rule IS a content-order prefix),
     *      so a binary quality flag — where the tie run is half the
-    *      stratum — never funnels a stratum into one window task;
+    *      stratum — never funnels a stratum into one window task, and a
+    *      tie-dense stratum no longer drags well-behaved strata through
+    *      its extra classification jobs;
     *   4. membership attaches back through broadcast joins only — the
     *      caller's rows never shuffle.
     *
@@ -775,8 +779,23 @@ object Sampling {
     * stratum does ordered work, via [[takeBudgets]]' md5 sub-bucket
     * machinery (within a tied score the keep rule reduces to a
     * content-order prefix, which is exactly the order md5 buckets
-    * refine). No task ever holds more than
-    * max(distinct-scores-in-one-bucket, tie-region/16^3) ledger rows.
+    * refine).
+    *
+    * Round-12 refinements: (a) the direct-vs-run/tie choice is PER
+    * STRATUM (phase 1 measures every boundary bucket's row count), so
+    * one tie-dense stratum no longer routes every stratum through the
+    * two extra classification jobs; (b) phase 0 SELF-SIZES the bucket
+    * count — when the largest stratum would average more than
+    * `maxBoundaryTaskRows` rows per bucket, the quantiles are recomputed
+    * once at a finer width (≤ 4096) so a CONTINUOUS score's boundary
+    * bucket fits the direct window up to ~4096 × maxBoundaryTaskRows
+    * (≈ 8B rows) per stratum; (c) the phase-0 stats collect cap is
+    * byte-honest (scaled by the quantile-array width). Residual, stated
+    * honestly: a continuous-score stratum BEYOND ~8B rows still resolves
+    * exactly, but its distinct-score prefix window takes ~bucket-sized
+    * narrow-row input in one task. No task ever holds more than
+    * max(maxBoundaryTaskRows, distinct-scores-in-one-bucket,
+    * tie-region/16^3) ledger rows.
     */
   private def takeTopCore(
       df: DataFrame,
@@ -795,19 +814,48 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
-    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
 
-    // phase 0: per-stratum counts + approx quantile boundaries (ascending)
-    val statRows = df.groupBy(col(stratumCol).as("__s"))
-      .agg(
-        count(lit(1)).as("__c"),
-        expr(s"approx_percentile(cast(`$scoreCol` as double), " +
-          s"array(${probs.mkString(",")}), 1000)")
-          .as("__bounds"))
-      .limit(maxClassificationRows + 1).collect()
-    require(statRows.length <= maxClassificationRows,
-      s"top-by-score take: stratum '$stratumCol' exceeds $maxClassificationRows " +
-      "distinct values — aggregate to a coarser stratum first")
+    // phase 0: per-stratum counts + approx quantile boundaries
+    // (ascending). The strata cap is BYTE-honest, not row-honest: each
+    // stats row carries an (n-1)-double quantile array, so the cap scales
+    // down with the bucket count (at 4096 buckets a maxClassificationRows
+    // collect would be tens of GB) — floored so mixing-grade strata
+    // (10s–1000s) always fit.
+    def phase0(n: Int): Array[org.apache.spark.sql.Row] = {
+      val statCap = math.max(1024, maxClassificationRows / math.max(2, n))
+      val probs = (1 until n).map(_.toDouble / n)
+      val rows = df.groupBy(col(stratumCol).as("__s"))
+        .agg(
+          count(lit(1)).as("__c"),
+          percentile_approx(col(scoreCol).cast("double"),
+            lit(probs.toArray), lit(1000)).as("__bounds"))
+        .limit(statCap + 1).collect()
+      require(rows.length <= statCap,
+        s"top-by-score take: stratum '$stratumCol' exceeds $statCap " +
+        s"distinct values (the quantile-stats byte budget at $n buckets) " +
+        "— aggregate to a coarser stratum first")
+      rows
+    }
+    // SELF-SIZING bucket count: if phase 0 shows the largest stratum
+    // would average more than maxBoundaryTaskRows per bucket, re-quantile
+    // once at a finer width (2× margin for sketch error, capped at 4096)
+    // so a CONTINUOUS score's boundary bucket fits the direct one-task
+    // window. Paid only by giant strata — one extra aggregate against a
+    // corpus that large is noise, and it buys boundary buckets of
+    // ~maxBoundaryTaskRows up to 4096 × 2M ≈ 8B rows per stratum. Beyond
+    // that, a continuous-score stratum's boundary still resolves exactly
+    // via the run path, with the documented ~bucket-sized narrow-row
+    // distinct-score window as the residual cost. Tie-dense strata are
+    // unaffected: their runs collapse regardless of bucket width.
+    var nEff = nBuckets
+    var statRows = phase0(nEff)
+    val maxCnt =
+      if (statRows.isEmpty) 0L else statRows.iterator.map(_.getLong(1)).max
+    if (nEff < 4096 && maxCnt / nEff > maxBoundaryTaskRows) {
+      nEff = math.min(4096L,
+        math.max(nEff.toLong, 2L * (maxCnt / maxBoundaryTaskRows + 1L))).toInt
+      statRows = phase0(nEff)
+    }
     // bucket(score) = number of boundaries <= score (0 .. nBuckets-1);
     // null scores sit below every bucket (-1). Order-consistent with
     // (score DESC): higher score ⇒ same-or-higher bucket.
@@ -850,7 +898,6 @@ object Sampling {
     })
     val statsAcc =
       scala.collection.mutable.ArrayBuffer.empty[(Option[Any], Long, Long)]
-    var maxBoundaryRows = 0L
     val clsRows = bucketCounts
       .groupBy(r => if (r.isNullAt(0)) None else Some(r.get(0)))
       .iterator.flatMap { case (stratum, rows) =>
@@ -869,11 +916,23 @@ object Sampling {
           // budget must not be admitted by a <= class test
           if (budget <= 0L) None
           else if (start + n < budget)
-            Some(org.apache.spark.sql.Row(r.get(0), r.getInt(1), true, 0L, budget))
+            Some(org.apache.spark.sql.Row(
+              r.get(0), r.getInt(1), true, 0L, budget, true))
           else if (start < budget) {
             boundaryW = n
-            maxBoundaryRows = math.max(maxBoundaryRows, r.getLong(3))
-            Some(org.apache.spark.sql.Row(r.get(0), r.getInt(1), false, start, budget))
+            // boundary strategy, PER STRATUM from phase-1's measured row
+            // count: a boundary bucket that fits one task (every
+            // practical continuous-score take — ~1/nBuckets of its
+            // stratum, and self-sizing above keeps that near
+            // maxBoundaryTaskRows even for giant strata) windows DIRECTLY
+            // with zero extra driver jobs; an oversized bucket — the
+            // tie-dense degeneracy this machinery exists for — pays the
+            // run/tie path. Strata choose independently, so one
+            // tie-dense stratum no longer drags every well-behaved
+            // stratum through the two extra classification jobs.
+            Some(org.apache.spark.sql.Row(
+              r.get(0), r.getInt(1), false, start, budget,
+              r.getLong(3) <= maxBoundaryTaskRows))
           } else None
         }
         statsAcc += ((stratum, total, boundaryW))
@@ -887,16 +946,11 @@ object Sampling {
         StructField("__cb", IntegerType, nullable = false),
         StructField("__keep_all", BooleanType, nullable = false),
         StructField("__off", LongType, nullable = false),
-        StructField("__budget", LongType, nullable = false))))
-    val hasBoundary = clsRows.exists(r => !r.getBoolean(2))
-    // boundary strategy, chosen from phase-1's measured row counts: a
-    // boundary bucket that comfortably fits one task (every practical
-    // continuous-score take — the bucket is ~1/nBuckets of its stratum)
-    // windows DIRECTLY with zero extra driver jobs; only an oversized
-    // bucket — the tie-dense degeneracy this machinery exists for, or a
-    // stratum so large that two more classification jobs are noise —
-    // pays the run/tie path below.
-    val direct = hasBoundary && maxBoundaryRows <= maxBoundaryTaskRows
+        StructField("__budget", LongType, nullable = false),
+        StructField("__direct", BooleanType, nullable = false))))
+    val hasDirect = clsRows.exists(r => !r.getBoolean(2) && r.getBoolean(5))
+    val hasRunTie = clsRows.exists(r => !r.getBoolean(2) && !r.getBoolean(5))
+    val hasBoundary = hasDirect || hasRunTie
 
     // phase 2: score-RUN classification inside boundary buckets. One
     // map-side-combining aggregate per (stratum, exact score value), then
@@ -906,7 +960,7 @@ object Sampling {
     // the score is continuous (in which case the bucket is ~1/nBuckets of
     // the stratum and the old plan did the same work on wider rows).
     val runCls = slim.join(
-        broadcast(cls.where(!col("__keep_all"))),
+        broadcast(cls.where(!col("__keep_all") && !col("__direct"))),
         col("__s") <=> col("__cs") && col("__b") === col("__cb"))
       .groupBy(col("__s"), col("__v"), col("__off"), col("__budget"))
       .agg(sum(col("__t")).as("__sw"))
@@ -925,7 +979,7 @@ object Sampling {
     // the at-most-one straddling TIE run per stratum, collected with its
     // remaining budget — ≤ 1 row per stratum, same strata bound as phase 0
     val tieRows: Array[org.apache.spark.sql.Row] =
-      if (!hasBoundary || direct) Array.empty
+      if (!hasRunTie) Array.empty
       else runCls
         .where(col("__bef") < col("__budget") &&
           col("__bef") + col("__sw") >= col("__budget"))
@@ -954,29 +1008,30 @@ object Sampling {
       .withColumn("__db", bucketOf(dfScore))
       .join(broadcast(cls.where(col("__keep_all"))),
         df(stratumCol) <=> col("__cs") && col("__db") === col("__cb"), "left")
-    val withFlags =
-      if (!hasBoundary) base.where(coalesce(col("__keep_all"), lit(false)))
-      else if (direct) {
-        // direct boundary window (the phase-1 counts proved it fits one
-        // task): the exact cumsum over the whole boundary bucket in the
-        // full (score DESC nulls last, md5, key) order — identical kept
-        // set, no run/tie jobs at all
-        val wD = Window.partitionBy(col("__s"))
-          .orderBy(col("__v").desc_nulls_last,
-            md5(col("__k").cast("string").cast("binary")).asc, col("__k").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val directKeys = slim.join(
-            broadcast(cls.where(!col("__keep_all"))),
-            col("__s") <=> col("__cs") && col("__b") === col("__cb"))
-          .withColumn("__cum", sum(col("__t")).over(wD))
-          .where(col("__off") + col("__cum") - col("__t") < col("__budget"))
-          .select(col("__s").as("__ks"), col("__k").as("__kk"),
-            lit(true).as("__in_tie_boundary"))
-        base.join(broadcast(directKeys),
-            df(stratumCol) <=> col("__ks") && df(keyCol) <=> col("__kk"), "left")
-          .where(coalesce(col("__keep_all"), lit(false)) ||
-            coalesce(col("__in_tie_boundary"), lit(false)))
-      } else {
+    var attached = base
+    val keepFlags = scala.collection.mutable.ArrayBuffer[Column](
+      coalesce(col("__keep_all"), lit(false)))
+    if (hasDirect) {
+      // direct boundary window (the phase-1 counts proved those strata's
+      // boundary buckets each fit one task): the exact cumsum over the
+      // whole boundary bucket in the full (score DESC nulls last, md5,
+      // key) order — identical kept set, no run/tie jobs for these strata
+      val wD = Window.partitionBy(col("__s"))
+        .orderBy(col("__v").desc_nulls_last,
+          md5(col("__k").cast("string").cast("binary")).asc, col("__k").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val directKeys = slim.join(
+          broadcast(cls.where(!col("__keep_all") && col("__direct"))),
+          col("__s") <=> col("__cs") && col("__b") === col("__cb"))
+        .withColumn("__cum", sum(col("__t")).over(wD))
+        .where(col("__off") + col("__cum") - col("__t") < col("__budget"))
+        .select(col("__s").as("__dks"), col("__k").as("__dkk"),
+          lit(true).as("__in_direct"))
+      attached = attached.join(broadcast(directKeys),
+        df(stratumCol) <=> col("__dks") && df(keyCol) <=> col("__dkk"), "left")
+      keepFlags += coalesce(col("__in_direct"), lit(false))
+    }
+    if (hasRunTie) {
         // run/tie path. The tie run reduces to a content-order prefix
         // with the remaining budget — takeBudgets' md5 sub-bucket
         // machinery inlined so the attach stays ONE pass: sub-bucket the
@@ -1051,7 +1106,7 @@ object Sampling {
             lit(true).as("__in_tie_boundary"))
         val dfB2 = substring(
           md5(df(keyCol).cast("string").cast("binary")), 1, tieHexLen)
-        base
+        attached = attached
           .join(broadcast(runsKeepAll),
             df(stratumCol) <=> col("__rs") && dfScore <=> col("__rv"), "left")
           .join(broadcast(cls2.where(col("__keep2"))),
@@ -1059,15 +1114,16 @@ object Sampling {
               dfB2 <=> col("__c2b"), "left")
           .join(broadcast(tieBoundaryKeys),
             df(stratumCol) <=> col("__ks") && df(keyCol) <=> col("__kk"), "left")
-          .where(coalesce(col("__keep_all"), lit(false)) ||
-            coalesce(col("__runkeep"), lit(false)) ||
-            coalesce(col("__keep2"), lit(false)) ||
-            coalesce(col("__in_tie_boundary"), lit(false)))
+        keepFlags += coalesce(col("__runkeep"), lit(false))
+        keepFlags += coalesce(col("__keep2"), lit(false))
+        keepFlags += coalesce(col("__in_tie_boundary"), lit(false))
       }
+    val withFlags = attached.where(keepFlags.reduce(_ || _))
     val result = withFlags.drop(
       "__bs", "__bounds", "__db", "__cs", "__cb", "__keep_all", "__off",
-      "__budget", "__rs", "__rv", "__runkeep", "__c2s", "__c2v", "__c2b",
-      "__keep2", "__off2", "__budget2", "__ks", "__kk", "__in_tie_boundary")
+      "__budget", "__direct", "__rs", "__rv", "__runkeep", "__c2s", "__c2v",
+      "__c2b", "__keep2", "__off2", "__budget2", "__ks", "__kk",
+      "__in_tie_boundary", "__dks", "__dkk", "__in_direct")
     val stats = statsAcc.toSeq
       .sortBy { case (s, _, _) => (s.nonEmpty, s.map(_.toString).getOrElse("")) }
       .map { case (s, total, bw) =>

@@ -1208,6 +1208,76 @@ class OpsSpec extends SparkSpec {
       s"a window consumed a whole tie-dense stratum: $sizes")
   }
 
+  test("takeTopFraction: a giant CONTINUOUS-score stratum self-sizes its buckets under maxBoundaryTaskRows") {
+    // one stratum, 600 rows, all-distinct scores — the round-11 residual:
+    // at the requested nBuckets = 2 the boundary bucket would be ~300
+    // rows (> maxBoundaryTaskRows = 40), and because the score is
+    // continuous the run table is row-sized, so the run path's
+    // distinct-score window would ALSO take ~300 rows in one task.
+    // Phase 0 must instead re-quantile at a finer width so the boundary
+    // bucket fits the direct window.
+    val st = struct("id" -> LongType, "src" -> StringType, "score" -> DoubleType)
+    val rows = (1L to 600L).map(i => Row(i, "g", i.toDouble))
+    val df = frame(st, rows: _*)
+    val (out, stats) = Sampling.takeTopFractionWithStats(
+      df, "src", "id", "score", 0.3, nBuckets = 2, maxBoundaryTaskRows = 40L)
+    val got = out.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(got == (421L to 600L).toSet) // exact top-30% by score
+    out.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{
+      AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def windowInputRows(p: SparkPlan): Seq[BigInt] =
+      p.flatMap {
+        case a: AdaptiveSparkPlanExec => windowInputRows(a.executedPlan)
+        case q: QueryStageExec => windowInputRows(q.plan)
+        case w: WindowExec =>
+          w.child.collectFirst { case s: ShuffleQueryStageExec =>
+            s.getRuntimeStatistics.rowCount
+          }.flatten.toSeq
+        case _ => Nil
+      }
+    val sizes = windowInputRows(out.queryExecution.executedPlan)
+    assert(sizes.nonEmpty, "expected the direct boundary window's shuffle stage")
+    assert(sizes.forall(_ <= 40),
+      s"self-sizing failed — a window consumed more than maxBoundaryTaskRows: $sizes")
+    // telemetry: the boundary bucket is bucket-sized, and the run/tie
+    // path never engaged (no tie weight) — the self-sized direct path
+    assert(stats.size == 1 && stats.head.totalWeight == 600L)
+    assert(stats.head.boundaryWeight <= 40L && stats.head.tieWeight == 0L)
+  }
+
+  test("takeTopFraction: strata choose direct vs run/tie INDEPENDENTLY in one call") {
+    // stratum t: 100 rows at ONE score (tie-dense — boundary bucket is
+    // the stratum, must take the run/tie path); stratum c: 100 distinct
+    // scores (continuous — its boundary bucket fits the direct window
+    // after self-sizing). Before round 12 the strategy was a global flag:
+    // t's oversized bucket would have dragged c through the run/tie jobs.
+    val st = struct("id" -> LongType, "src" -> StringType, "score" -> DoubleType)
+    val rows = (1L to 100L).map(i => Row(i, "t", 5.0)) ++
+      (101L to 200L).map(i => Row(i, "c", (i - 100).toDouble))
+    val df = frame(st, rows: _*)
+    val (out, stats) = Sampling.takeTopFractionWithStats(
+      df, "src", "id", "score", 0.5, nBuckets = 4, maxBoundaryTaskRows = 16L)
+    val got = out.select(col("id"), col("src")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val gotC = got.filter(_._2 == "c").map(_._1).toSet
+    val gotT = got.filter(_._2 == "t").map(_._1).toSet
+    assert(gotC == (151L to 200L).toSet) // exact top-50% of the continuous stratum
+    // the tie stratum's kept half is the md5-content-order prefix
+    val expectedT = Sampling.takePerStratum(
+      df.where(col("src") === "t"), "src", "id", 50)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(gotT == expectedT && gotT.size == 50)
+    // telemetry separates the two strategies: only t has tie weight
+    val bySrc = stats.map(s => s.stratum -> s).toMap
+    assert(bySrc(Some("t")).tieWeight == 100L &&
+      bySrc(Some("t")).boundaryWeight == 100L)
+    assert(bySrc(Some("c")).tieWeight == 0L &&
+      bySrc(Some("c")).boundaryWeight <= 16L)
+  }
+
   test("temperatureMixRepeat: tail sources emit full + partial copies; guard trips on degenerate mixes") {
     // a: 8 rows, b: 2 rows; alpha = 0.5, target 15 → quotas EXACTLY 10/5
     // (15·(2√2)/(3√2) and 15·√2/(3√2)): a = 1 full copy + 2-row partial,
