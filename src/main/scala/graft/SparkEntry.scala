@@ -1633,13 +1633,16 @@ object SparkEntry {
 
     // duplicate-cluster formation: connected components over the verified
     // minhash pair graph (min-label propagation; oracle = recursive CTE
-    // transitive closure over the exact-jaccard pair set)
+    // transitive closure over the exact-jaccard pair set).
+    // maxDriverEdges = 0 PINS the distributed propagation rounds under
+    // the oracle (the q79 discipline) — production-sized small graphs
+    // take the driver union-find fast path, exercised by q88/q115/q123
     "q61_dedup_clusters" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
       val pairs = graft.ops.Dedup.minhashPairs(
         docsParallel(s, d), "text", "doc_id",
         k = 3, numHashes = 64, bands = 32, threshold = 0.5)
-      graft.ops.Dedup.dedupClusters(docs, "doc_id", pairs)
+      graft.ops.Dedup.dedupClusters(docs, "doc_id", pairs, maxDriverEdges = 0)
         .select(col("id").as("doc_id"), col("rep"))
         .orderBy(col("doc_id"))
     }),

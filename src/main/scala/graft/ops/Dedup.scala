@@ -1103,12 +1103,104 @@ object Dedup {
     * been called — set one in cluster deployments, since a local checkpoint
     * cannot be recomputed after an executor is lost — and an executor-local
     * checkpoint otherwise.
+    *
+    * `maxDriverEdges` gates the same adaptive small-graph fast path as
+    * [[dedupClustersStar]]: an integral-id pair graph under the cap runs
+    * as ONE bounded collect + driver union-find (identical min-id
+    * labels, zero propagation rounds). NOTE the cap is a DRIVER-side
+    * footprint callers inherit by default — up to 1M edge rows (~tens of
+    * MB) on the driver heap; size it down for small-heap drivers, or
+    * pass 0 to force the distributed rounds.
     */
+  /** Shared ADAPTIVE small-graph fast path of [[dedupClusters]] and
+    * [[dedupClustersStar]]: a bounded probe (at most `cap + 1` edge rows
+    * ever land on the driver, so the probe itself cannot OOM — but note
+    * the cap IS a driver-side footprint: the default 1M edges is ~tens
+    * of MB of Row objects on the driver heap, the same class as the
+    * classification-table bounds; size it down for small-heap drivers)
+    * followed by a driver union-find with the exact min-root rule, so
+    * labels are IDENTICAL to the distributed fixpoints' component
+    * minima. Returns None when the edge set exceeds the cap — callers
+    * fall through to their distributed rounds. Integral-id callers only:
+    * the min-root rule must order exactly like Spark's `least`/`min` on
+    * the id column.
+    *
+    * `edges`' first two columns are the endpoints (self-loops allowed —
+    * they union trivially). The result needs no materialization: the
+    * closure lives in a broadcast table, so re-evaluation is one nodes
+    * scan + a broadcast join, never a recomputation of the closure.
+    */
+  private def driverClosureLabels(
+      nodes: DataFrame,
+      idCol: String,
+      edges: DataFrame,
+      maxDriverEdges: Int): Option[DataFrame] = {
+    val idType = nodes.schema(idCol).dataType
+    val sample = edges.limit(maxDriverEdges + 1).collect()
+    if (sample.length > maxDriverEdges) return None
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val nx = parent(c); parent(c) = r; c = nx
+      }
+      r
+    }
+    val orig = scala.collection.mutable.LongMap.empty[Any]
+    sample.foreach { e =>
+      val (oa, ob) = (e.get(0), e.get(1))
+      val (a, b) = (oa.asInstanceOf[Number].longValue,
+        ob.asInstanceOf[Number].longValue)
+      orig.getOrElseUpdate(a, oa)
+      orig.getOrElseUpdate(b, ob)
+      val (ra, rb) = (find(a), find(b))
+      // min root wins — exactly the distributed rounds' least/min rule
+      if (ra != rb) {
+        if (ra < rb) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val spark = nodes.sparkSession
+    val lblRows = orig.keys.toSeq.map { id =>
+      org.apache.spark.sql.Row(orig(id), orig(find(id)))
+    }
+    val lbl = spark.createDataFrame(
+      spark.sparkContext.parallelize(lblRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType, nullable = true),
+        org.apache.spark.sql.types.StructField("__rep0", idType, nullable = true))))
+    Some(nodes.select(col(idCol).as("id"))
+      .join(broadcast(lbl), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__rep0"), col("id")).as("rep")))
+  }
+
   def dedupClusters(
       nodes: DataFrame,
       idCol: String,
       pairs: DataFrame,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20,
+      maxDriverEdges: Int = 1000000): DataFrame = {
+    // ADAPTIVE fast path (round 12, mirroring [[dedupClustersStar]]):
+    // integral-id graphs under maxDriverEdges run the driver union-find
+    // instead of O(diameter) propagation rounds — identical min-id
+    // labels, zero iterative jobs. Pass 0 to force the distributed
+    // rounds (plan showcases, tests of the propagation itself).
+    val integralIdsFast = {
+      import org.apache.spark.sql.types._
+      nodes.schema(idCol).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      }
+    }
+    if (integralIdsFast && maxDriverEdges > 0) {
+      val probe = pairs.select(col("id_a"), col("id_b"))
+        .where(col("id_a") =!= col("id_b"))
+      driverClosureLabels(nodes, idCol, probe, maxDriverEdges) match {
+        case Some(labels) => return labels
+        case None => // over cap — run the propagation rounds below
+      }
+    }
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
@@ -1213,10 +1305,12 @@ object Dedup {
     * jobs (each distributed round costs a full shuffle + checkpoint; a
     * 100 k-edge graph pays ~6 of them for work a laptop does in
     * milliseconds). The default admits ≤ 1 M edges (~tens of MB of
-    * driver rows, the same class as the classification-table bounds);
-    * larger graphs — the 100 TB case the star rounds exist for — take
-    * the distributed path unchanged. Pass 0 to force the distributed
-    * path (plan showcases, tests of the rounds themselves). The fast
+    * driver rows, the same class as the classification-table bounds) —
+    * a DRIVER-side collect integral-id callers inherit by default; size
+    * the cap down for small-heap drivers. Larger graphs — the 100 TB
+    * case the star rounds exist for — take the distributed path
+    * unchanged. Pass 0 to force the distributed path (plan showcases,
+    * tests of the rounds themselves). The fast
     * path engages only for integral id types: its min-root rule must
     * order EXACTLY like Spark's `least`/`min` on the id column, which is
     * guaranteed for integers and subtle for strings (UTF-8 binary vs
@@ -1268,52 +1362,13 @@ object Dedup {
       case _ => false
     }
     if (integralIds && maxDriverEdges > 0) {
-      // bounded probe: at most cap + 1 rows land on the driver, so the
-      // probe itself can never OOM; an over-cap graph falls through to
-      // the star rounds with the edge frame already persisted (the first
-      // round's checksum would have materialized it anyway)
-      val sample = edges.limit(maxDriverEdges + 1).collect()
-      if (sample.length <= maxDriverEdges) {
-        val parent = scala.collection.mutable.LongMap.empty[Long]
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent(r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) {
-            val nx = parent(c); parent(c) = r; c = nx
-          }
-          r
-        }
-        val orig = scala.collection.mutable.LongMap.empty[Any]
-        sample.foreach { e =>
-          val (oa, ob) = (e.get(0), e.get(1))
-          val (a, b) = (oa.asInstanceOf[Number].longValue,
-            ob.asInstanceOf[Number].longValue)
-          orig.getOrElseUpdate(a, oa)
-          orig.getOrElseUpdate(b, ob)
-          val (ra, rb) = (find(a), find(b))
-          // min root wins — exactly the distributed rounds' least/min rule
-          if (ra != rb) {
-            if (ra < rb) parent(rb) = ra else parent(ra) = rb
-          }
-        }
-        val spark = nodes.sparkSession
-        val lblRows = orig.keys.toSeq.map { id =>
-          org.apache.spark.sql.Row(orig(id), orig(find(id)))
-        }
-        val lbl = spark.createDataFrame(
-          spark.sparkContext.parallelize(lblRows, 1),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("id", idType, nullable = true),
-            org.apache.spark.sql.types.StructField("__rep0", idType, nullable = true))))
-        val labels = nodes.select(col(idCol).as("id"))
-          .join(broadcast(lbl), Seq("id"), "left")
-          .select(col("id"), coalesce(col("__rep0"), col("id")).as("rep"))
-        edges.unpersist()
-        // no materialization needed: the closure already lives in the
-        // broadcast table — re-evaluating `labels` is one nodes scan +
-        // a broadcast join, never a recomputation of the closure
-        return labels
+      driverClosureLabels(nodes, idCol, edges, maxDriverEdges) match {
+        case Some(labels) =>
+          edges.unpersist()
+          return labels
+        case None => // over cap — fall through to the star rounds with
+          // the edge frame already persisted (the first round's checksum
+          // would have materialized it anyway)
       }
     }
     var prev = checksum(edges)

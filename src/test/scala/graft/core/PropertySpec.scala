@@ -153,7 +153,15 @@ object PropertySpec extends Properties("graft") {
       val pairs = spark.createDataFrame(
         spark.sparkContext.parallelize(edges.map { case (a, b) => Row(a.toLong, b.toLong) }),
         StructType(Seq(StructField("id_a", LongType), StructField("id_b", LongType))))
-      val got = Dedup.dedupClusters(nodes, "id", pairs, maxIters = n + 1)
+      // maxDriverEdges = 0 pins the DISTRIBUTED propagation rounds — the
+      // subject of this property; these tiny graphs would otherwise ride
+      // the driver union-find fast path, which shares the reference
+      // implementation's algorithm
+      val got = Dedup.dedupClusters(nodes, "id", pairs, maxIters = n + 1,
+        maxDriverEdges = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // and the fast path labels identically on the same graph
+      val fast = Dedup.dedupClusters(nodes, "id", pairs, maxIters = n + 1)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       // reference union-find
       val parent = Array.tabulate(n)(identity)
@@ -166,7 +174,7 @@ object PropertySpec extends Properties("graft") {
         val members = (0 until n).filter(j => find(j) == find(i))
         i.toLong -> members.min.toLong
       }.toMap
-      got == expect
+      got == expect && fast == expect
     }
 
   // the fused threshold predicate must make the SAME decision as computing

@@ -355,6 +355,13 @@ class OpsSpec extends SparkSpec {
       .orderBy(col("id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(out == Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 4L), (5L, 2L)))
+    // the distributed propagation rounds (fast path pinned off) label the
+    // chain identically — transitivity must hold on BOTH paths
+    val distributed = Dedup.dedupClusters(nodes, "doc_id", pairs,
+      maxDriverEdges = 0)
+      .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(distributed == out)
   }
 
   test("dedupClusters takes the reliable-checkpoint path when a dir is set") {
@@ -368,7 +375,9 @@ class OpsSpec extends SparkSpec {
       val nodes = docs(1L -> "a", 2L -> "b", 3L -> "c")
       val pairs = frame(
         struct("id_a" -> LongType, "id_b" -> LongType), Row(1L, 3L))
-      val out = Dedup.dedupClusters(nodes, "doc_id", pairs)
+      // pin the distributed rounds: only they checkpoint — the driver
+      // fast path has no lineage to truncate
+      val out = Dedup.dedupClusters(nodes, "doc_id", pairs, maxDriverEdges = 0)
         .orderBy(col("id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(out == Seq((1L, 1L), (2L, 2L), (3L, 1L)))
@@ -1460,10 +1469,16 @@ class OpsSpec extends SparkSpec {
       maxDriverEdges = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(distributed == expected)
-    // identical labeling from the min-label propagation path
-    val prop = Dedup.dedupClusters(nodes, "doc_id", pairsDf)
+    // identical labeling from the min-label PROPAGATION rounds (pinned —
+    // by default this small graph rides the shared driver fast path, so
+    // the default call below only re-checks the fast path's labels)
+    val prop = Dedup.dedupClusters(nodes, "doc_id", pairsDf,
+      maxDriverEdges = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(star == prop)
+    val propFast = Dedup.dedupClusters(nodes, "doc_id", pairsDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(propFast == prop)
     // empty edge set → everyone their own rep
     val empty = frame(struct("id_a" -> LongType, "id_b" -> LongType))
     val singletons = Dedup.dedupClustersStar(nodes, "doc_id", empty)

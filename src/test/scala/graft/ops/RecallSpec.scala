@@ -344,7 +344,9 @@ class RecallSpec extends SparkSpec {
     // identical (id, rep) labeling — both pick the component minimum
     val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
       k = 3, numHashes = 64, bands = 32, threshold = 0.5)
-    val prop = Dedup.dedupClusters(docs, "doc_id", pairs)
+    // propagation rounds pinned on (fast path off) so the comparison
+    // below spans three genuinely different closure implementations
+    val prop = Dedup.dedupClusters(docs, "doc_id", pairs, maxDriverEdges = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val star = Dedup.dedupClustersStar(docs, "doc_id", pairs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
