@@ -882,6 +882,30 @@ object SparkEntry {
         .orderBy(col("word"))
     }),
 
+    // GLOBAL quality filter: the best 20% of the WHOLE corpus by token
+    // count in (score DESC, md5, id) order — takeTopFraction's exact rule
+    // at one constant stratum, the two-phase take instead of a global sort
+    "q139_take_global_top" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .withColumn("n_tok", graft.ops.TextOps.tokenCount(col("text")).cast("long"))
+      graft.ops.Sampling.takeGlobalTopFraction(
+        docs, "doc_id", "n_tok", fraction = 0.2, nBuckets = 8)
+        .select(col("doc_id"), col("n_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // GLOBAL quality-ordered token budget: the corpus's highest-quality
+    // docs until 1 500 running tokens, crossing row kept — q130's rule
+    // with no stratum
+    "q140_take_global_tokens_top" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .withColumn("n_tok", graft.ops.TextOps.tokenCount(col("text")).cast("long"))
+      graft.ops.Sampling.takeGlobalTokensTop(
+        docs, "doc_id", "n_tok", "n_tok", budget = 1500L, nBuckets = 8)
+        .select(col("doc_id"), col("n_tok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // global TOKEN-budget sample: the md5-order corpus prefix until 2 000
     // tokens, crossing row kept — q103's rule at one global stratum
     "q137_take_global_tokens" -> ((s, d) => {
@@ -2370,6 +2394,42 @@ object SparkEntry {
         |  FROM documents
         |)
         |SELECT word, count(*) AS n FROM w GROUP BY word ORDER BY word""".stripMargin,
+
+    // q129's rank form with no partition — one global prefix of the
+    // (score DESC, md5, id) order
+    "q139_take_global_top" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    cast(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), c AS (
+        |  SELECT cast(count(*) AS BIGINT) AS c FROM t
+        |), r AS (
+        |  SELECT doc_id, n_tok,
+        |    row_number() OVER (
+        |      ORDER BY n_tok DESC NULLS LAST,
+        |        md5(cast(doc_id AS varchar)) ASC, doc_id ASC) AS rn
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tok FROM r, c
+        |WHERE rn <= cast(round(0.2 * c) AS BIGINT) ORDER BY doc_id""".stripMargin,
+
+    // q130's cum-window keep rule with no partition
+    "q140_take_global_tokens_top" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    cast(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, n_tok,
+        |    sum(coalesce(n_tok, 0)) OVER (
+        |      ORDER BY n_tok DESC NULLS LAST,
+        |        md5(cast(doc_id AS varchar)) ASC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tok FROM r
+        |WHERE cum - coalesce(n_tok, 0) < 1500 ORDER BY doc_id""".stripMargin,
 
     // q103's cum-window keep rule without the partition — one global prefix
     "q137_take_global_tokens" ->

@@ -1328,6 +1328,57 @@ object Sampling {
       .drop(one)
   }
 
+  /** Score-ordered GLOBAL take: "keep the best `fraction` of the WHOLE
+    * corpus by score" — [[takeTopFraction]]'s exact keep rule (rank ≤
+    * round(fraction · corpus count) in `(score DESC nulls last,
+    * md5(key), key)` order) at one constant stratum, so the whole
+    * two-phase plan applies: score-range buckets keep/drop join-free and
+    * only the boundary bucket does ordered work. With a single global
+    * stratum the boundary bucket is ~1/nBuckets of the CORPUS — phase
+    * 0's self-sizing (see [[takeTopFraction]] step 3) is what keeps that
+    * near `maxBoundaryTaskRows` at 100 TB. Same nesting property as
+    * [[takeGlobal]]: for a fixed score column, a larger fraction's kept
+    * set contains every smaller one (the keep rule is a prefix of one
+    * fixed global order).
+    */
+  def takeGlobalTopFraction(
+      df: DataFrame,
+      keyCol: String,
+      scoreCol: String,
+      fraction: Double,
+      nBuckets: Int = 64,
+      maxClassificationRows: Int = MaxClassificationRows,
+      maxBoundaryTaskRows: Long = MaxBoundaryTaskRows): DataFrame = {
+    val one = Iterator.from(0).map(i => if (i == 0) "__g" else s"__g$i")
+      .find(!df.columns.contains(_)).get
+    takeTopFraction(df.withColumn(one, lit(1)), one, keyCol, scoreCol,
+      fraction, nBuckets, maxClassificationRows, maxBoundaryTaskRows)
+      .drop(one)
+  }
+
+  /** Score-ordered GLOBAL token budget: "fill a corpus-wide 1 B-token
+    * budget with the highest-quality documents" — [[takeTopTokenBudget]]'s
+    * keep rule (running token weight before the row < `budget` in
+    * `(score DESC nulls last, md5(key), key)` order, crossing row kept)
+    * at one constant stratum. Same plan and nesting notes as
+    * [[takeGlobalTopFraction]]; null token counts count as 0.
+    */
+  def takeGlobalTokensTop(
+      df: DataFrame,
+      keyCol: String,
+      scoreCol: String,
+      tokensCol: String,
+      budget: Long,
+      nBuckets: Int = 64,
+      maxClassificationRows: Int = MaxClassificationRows,
+      maxBoundaryTaskRows: Long = MaxBoundaryTaskRows): DataFrame = {
+    val one = Iterator.from(0).map(i => if (i == 0) "__g" else s"__g$i")
+      .find(!df.columns.contains(_)).get
+    takeTopTokenBudget(df.withColumn(one, lit(1)), one, keyCol, scoreCol,
+      tokensCol, budget, nBuckets, maxClassificationRows, maxBoundaryTaskRows)
+      .drop(one)
+  }
+
   /** Weighted corpus mix: union of sources, each downsampled to its weight
     * (1.0 = keep all). The mixing decision is content-keyed per source, so
     * the mix is stable under re-runs and independent of source ordering.

@@ -1287,6 +1287,36 @@ class OpsSpec extends SparkSpec {
       bySrc(Some("c")).boundaryWeight <= 16L)
   }
 
+  test("global score-ordered takes equal the naive global prefix and nest") {
+    val st = struct("id" -> LongType, "score" -> LongType, "w" -> LongType)
+    val rows = (1L to 90L).map(i => Row(i, i % 7, (i % 5) + 1L))
+    val df = frame(st, rows: _*)
+    // the one fixed global order every take here prefixes:
+    // (score DESC nulls last, md5(key), key)
+    val ord = df
+      .withColumn("m", md5(col("id").cast("string").cast("binary")))
+      .orderBy(col("score").desc_nulls_last, col("m").asc, col("id").asc)
+      .select("id", "w").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val top30 = Sampling.takeGlobalTopFraction(
+      df, "id", "score", 30.0 / 90.0, nBuckets = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(top30 == ord.take(30).map(_._1).toSet)
+    val top60 = Sampling.takeGlobalTopFraction(
+      df, "id", "score", 60.0 / 90.0, nBuckets = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(top60 == ord.take(60).map(_._1).toSet)
+    assert(top30.subsetOf(top60)) // samples nest: prefixes of one order
+    // token form: running weight BEFORE the row < budget, crossing kept
+    var cum = 0L
+    val expectTok = ord.takeWhile { case (_, w) =>
+      val before = cum; cum += w; before < 40L
+    }.map(_._1).toSet
+    val gotTok = Sampling.takeGlobalTokensTop(
+      df, "id", "score", "w", budget = 40L, nBuckets = 4)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(gotTok == expectTok)
+  }
+
   test("temperatureMixRepeat: tail sources emit full + partial copies; guard trips on degenerate mixes") {
     // a: 8 rows, b: 2 rows; alpha = 0.5, target 15 → quotas EXACTLY 10/5
     // (15·(2√2)/(3√2) and 15·√2/(3√2)): a = 1 full copy + 2-row partial,
