@@ -76,6 +76,9 @@ object SparkEntry {
   private def q108IndexDir(sfDir: String) =
     s"/tmp/graft_q108_paraindex_${new java.io.File(sfDir).getName}"
 
+  private def q141IndexDir(sfDir: String) =
+    s"/tmp/graft_q141_tfindex_${new java.io.File(sfDir).getName}"
+
   /** q107's paragraph-augmented corpus (a corpus-wide shared paragraph +
     * a %7 class paragraph), shared by q107 and the q108 index lifecycle.
     */
@@ -139,6 +142,20 @@ object SparkEntry {
       graft.ops.Dedup.dedupParagraphsAgainstIndex(
         docsWithParagraphs(s, d).where(col("doc_id") % 3 === 0),
         "doc_id", "t", q108IndexDir(d)).count()
+      ()
+    }),
+    ("q141_tf_index_lifecycle", "q141_build", (s: SparkSession, d: String) =>
+      graft.ops.TextOps.writeTokenFrequencyIndex(
+        docsParallel(s, d).where(col("doc_id") % 3 === 1),
+        "doc_id", "text", q141IndexDir(d))),
+    ("q141_tf_index_lifecycle", "q141_append", (s: SparkSession, d: String) =>
+      graft.ops.TextOps.appendTokenFrequencyIndex(
+        docsParallel(s, d).where(col("doc_id") % 3 === 2),
+        "doc_id", "text", q141IndexDir(d))),
+    ("q141_tf_index_lifecycle", "q141_probe", (s: SparkSession, d: String) => {
+      graft.ops.TextOps.frequencyScoreAgainstIndex(
+        docsParallel(s, d).where(col("doc_id") % 3 === 0),
+        "doc_id", "text", q141IndexDir(d), rareBelow = 3L).count()
       ()
     }),
     ("q122_fp_index", "q122_build", (s: SparkSession, d: String) =>
@@ -880,6 +897,25 @@ object SparkEntry {
       graft.ops.TextOps.preTokenHistogram(Tables(s, d, "documents"), "text")
         .select(col("word"), col("n"))
         .orderBy(col("word"))
+    }),
+
+    // the SIXTH index lifecycle end-to-end under the hash oracle:
+    // standing corpus token counters persisted as delta epochs (build on
+    // the %3=1 slice, append the %3=2 slice — one batch-histogram delta,
+    // replay-guarded by the committed ids + bloom), then the daily probe:
+    // frequencyScore for the %3=0 arrivals against the COMMITTED totals
+    // only. Exact integers end to end, so the whole lifecycle hashes
+    "q141_tf_index_lifecycle" -> ((s, d) => {
+      val docs = docsParallel(s, d)
+      val idx = q141IndexDir(d)
+      graft.ops.TextOps.writeTokenFrequencyIndex(
+        docs.where(col("doc_id") % 3 === 1), "doc_id", "text", idx)
+      graft.ops.TextOps.appendTokenFrequencyIndex(
+        docs.where(col("doc_id") % 3 === 2), "doc_id", "text", idx)
+      graft.ops.TextOps.frequencyScoreAgainstIndex(
+        docs.where(col("doc_id") % 3 === 0), "doc_id", "text", idx,
+        rareBelow = 3L)
+        .orderBy(col("doc_id"))
     }),
 
     // GLOBAL quality filter: the best 20% of the WHOLE corpus by token
@@ -2394,6 +2430,29 @@ object SparkEntry {
         |  FROM documents
         |)
         |SELECT word, count(*) AS n FROM w GROUP BY word ORDER BY word""".stripMargin,
+
+    // standing tf over the committed slices (%3 ∈ {1,2}) + q109's rollup
+    // over the probe batch (%3 = 0), unseen tokens scoring 0/rare — the
+    // lifecycle's build+append+probe all under one hash
+    "q141_tf_index_lifecycle" ->
+      """WITH stand AS (
+        |  SELECT t.token
+        |  FROM (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+        |        FROM documents WHERE doc_id % 3 <> 0) d, unnest(d.l) AS t(token)
+        |), tf AS (
+        |  SELECT token, count(*) AS n FROM stand GROUP BY token
+        |), batch AS (
+        |  SELECT doc_id, t.token
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS l
+        |        FROM documents WHERE doc_id % 3 = 0) d, unnest(d.l) AS t(token)
+        |)
+        |SELECT doc_id,
+        |  cast(count(*) AS bigint) AS n_toks,
+        |  cast(sum(coalesce(n, 0)) AS bigint) AS sum_freq,
+        |  cast(sum(CASE WHEN coalesce(n, 0) < 3 THEN 1 ELSE 0 END) AS bigint) AS n_rare
+        |FROM batch LEFT JOIN tf USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q129's rank form with no partition — one global prefix of the
     // (score DESC, md5, id) order

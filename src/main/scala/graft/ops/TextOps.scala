@@ -542,6 +542,256 @@ object TextOps {
         sum(when(col("__tn").isNotNull, 1L).otherwise(0L)).as("n_target_hit"))
   }
 
+  // ---- persisted token-frequency index ([[EpochStore]] delta-epoch
+  // layout — the SIXTH index lifecycle) ----
+  //
+  // DSIR/quality scoring is the op most likely to run DAILY against a
+  // growing corpus, and [[frequencyScore]]/[[contrastScore]] recompute the
+  // raw-side term frequencies from the whole corpus each time. This index
+  // persists the standing corpus token counters as delta epochs: each
+  // epoch's `tf` dirs hold PARTIAL (token, n) counts, and the live total
+  // for a token is their exact integer SUM — so an append writes only the
+  // BATCH's own one-aggregate histogram (one token-keyed counter merge at
+  // read time, never a rewrite of standing counters), and every probe
+  // stays bit-exact oracle-able. A committed `ids` table (the canonical
+  // string form of each counted doc id) plus the shared per-epoch id
+  // bloom give the replay guard counters need: counter folds are NOT
+  // naturally idempotent, so a replayed batch must no-op and a PARTIAL
+  // overlap must fail loudly instead of double-counting.
+
+  /** On-disk format version of the token-frequency index. */
+  val TokenFrequencyIndexFormatVersion: Int = 1
+
+  private def writeTfMeta(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    Seq(Tuple1(TokenFrequencyIndexFormatVersion)).toDF("format_version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private[graft] def resolveTokenFrequencyIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val dir = EpochStore.epochDir(spark, path)
+    val v = spark.read.parquet(s"$dir/meta").head().getAs[Int]("format_version")
+    require(v == TokenFrequencyIndexFormatVersion,
+      s"token-frequency index at $path has on-disk format version $v but " +
+      s"this build reads version $TokenFrequencyIndexFormatVersion — " +
+      "rebuild it with writeTokenFrequencyIndex")
+    dir
+  }
+
+  /** Canonical batch id frame: one row per distinct doc id, in the
+    * string form the index's `ids` table and bloom hash.
+    */
+  private def tfBatchIds(df: org.apache.spark.sql.DataFrame, idCol: String)
+      : org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).cast("string").as("id")).distinct()
+
+  private def tfTotalsAt(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    EpochStore.readTable(spark, dir, "tf")
+      .groupBy(col("token")).agg(sum(col("n")).as("n"))
+
+  /** The live epoch's standing corpus token totals, `(token, n)` — the
+    * exact-integer [[termFrequencies]] of every committed document: the
+    * one token-keyed SUM over the delta counter dirs (vocabulary-sized,
+    * one multi-path scan + one aggregate; [[compactTokenFrequencyIndex]]
+    * pre-sums it back to one dir).
+    */
+  def indexTokenFrequencies(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : org.apache.spark.sql.DataFrame =
+    tfTotalsAt(spark, resolveTokenFrequencyIndex(spark, path))
+
+  /** Persist the standing token-frequency index from scratch: ONE
+    * map-side-combining aggregate over the corpus ([[termFrequencies]] —
+    * at 100 TB the only pass over text) plus the narrow distinct-id
+    * table and its bloom. Non-destructive over an existing index (epoch
+    * N+1 + atomic pointer commit), same single-writer lease contract as
+    * the other five lifecycles.
+    */
+  def writeTokenFrequencyIndex(
+      corpus: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      retainEpochs: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    EpochStore.withLease(spark, path) {
+    val cur = EpochStore.currentEpoch(spark, path)
+    if (cur.isEmpty) EpochStore.resetKeepingLease(spark, path)
+    val n = cur.map(EpochStore.epochNumber(_) + 1L).getOrElse(1L)
+    val epoch = EpochStore.epochName(n)
+    val dir = s"$path/$epoch"
+    EpochStore.deleteDir(spark, dir)
+    val dTf = EpochStore.dataDirName("tf", n)
+    val dIds = EpochStore.dataDirName("ids", n)
+    EpochStore.inParallel(
+      () => termFrequencies(corpus, textCol)
+        .write.mode("overwrite").parquet(s"$path/data/$dTf"),
+      () => tfBatchIds(corpus, idCol)
+        .write.mode("overwrite").parquet(s"$path/data/$dIds"))
+    val idsDf = spark.read.parquet(s"$path/data/$dIds")
+    val items = EpochStore.idBloomItems(idsDf.count())
+    EpochStore.writeIdBloom(spark, dir,
+      EpochStore.buildIdBloom(idsDf, "id", items, EpochStore.IdBloomFpp),
+      items, EpochStore.IdBloomFpp)
+    writeTfMeta(spark, dir)
+    EpochStore.writeManifest(spark, dir, Seq("tf" -> dTf, "ids" -> dIds))
+    EpochStore.commitEpoch(spark, path, epoch, cur)
+    EpochStore.gc(spark, path, epoch, retainEpochs)
+    }
+  }
+
+  /** Fold a batch of NEW documents into the standing counters: writes
+    * only the batch's own one-aggregate histogram as a fresh `tf` delta
+    * (standing data carried forward BY REFERENCE), so append ≡ rebuild
+    * on the union corpus, token for token, in exact integers. Replay
+    * guard (the counter-specific contract): a batch whose ids are ALL
+    * already committed is a NO-OP (at-least-once schedulers replay
+    * safely — the bloom makes the usual clean append prove disjointness
+    * without touching standing ids); a batch with a PARTIAL id overlap
+    * fails loudly, since folding it would double-count the overlap's
+    * tokens — split the batch instead.
+    */
+  def appendTokenFrequencyIndex(
+      newDocs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      retainEpochs: Int = 2): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val spark = newDocs.sparkSession
+    EpochStore.withLease(spark, path) {
+    val curDir = resolveTokenFrequencyIndex(spark, path)
+    val curEpoch = new HPath(curDir).getName
+    val batchIds = tfBatchIds(newDocs, idCol)
+    val overlap: Long =
+      if (!EpochStore.idGuardNeedsExact(spark, curDir, batchIds, "id")) 0L
+      else batchIds
+        .join(EpochStore.readTable(spark, curDir, "ids"), Seq("id"), "left_semi")
+        .count()
+    val total = batchIds.count()
+    if (total > 0L && overlap < total) {
+      require(overlap == 0L,
+        s"appendTokenFrequencyIndex: $overlap of $total batch ids are " +
+        s"already committed in the index at $path — folding this batch " +
+        "would double-count their tokens. Split the batch into the new " +
+        "ids and re-append; a FULL replay (all ids committed) is a no-op")
+      val n = EpochStore.epochNumber(curEpoch) + 1L
+      val epoch = EpochStore.epochName(n)
+      val dir = s"$path/$epoch"
+      EpochStore.deleteDir(spark, dir)
+      val dTf = EpochStore.dataDirName("tf", n)
+      val dIds = EpochStore.dataDirName("ids", n)
+      EpochStore.inParallel(
+        () => termFrequencies(newDocs, textCol)
+          .write.mode("overwrite").parquet(s"$path/data/$dTf"),
+        () => batchIds.write.mode("overwrite").parquet(s"$path/data/$dIds"))
+      val (items, fpp, bloom) = EpochStore.appendedIdBloom(
+        spark, curDir, batchIds,
+        EpochStore.readTable(spark, curDir, "ids"), "id")
+      EpochStore.writeIdBloom(spark, dir, bloom, items, fpp)
+      writeTfMeta(spark, dir)
+      EpochStore.writeManifest(spark, dir,
+        EpochStore.readManifest(spark, curDir) ++ Seq("tf" -> dTf, "ids" -> dIds))
+      EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))
+      EpochStore.gc(spark, path, epoch, retainEpochs)
+    } // else: empty batch or full replay — live epoch untouched
+    }
+  }
+
+  /** Merge the accumulated `tf` counter deltas into ONE pre-summed dir
+    * (and the id deltas into one), with a right-sized fresh bloom — the
+    * same maintenance op as the other lifecycles' compact.
+    */
+  def compactTokenFrequencyIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      retainEpochs: Int = 2): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    EpochStore.withLease(spark, path) {
+    val curDir = resolveTokenFrequencyIndex(spark, path)
+    val curEpoch = new HPath(curDir).getName
+    val n = EpochStore.epochNumber(curEpoch) + 1L
+    val epoch = EpochStore.epochName(n)
+    val dir = s"$path/$epoch"
+    EpochStore.deleteDir(spark, dir)
+    val dTf = EpochStore.dataDirName("tf", n)
+    val dIds = EpochStore.dataDirName("ids", n)
+    EpochStore.inParallel(
+      () => tfTotalsAt(spark, curDir)
+        .write.mode("overwrite").parquet(s"$path/data/$dTf"),
+      // append-guard disjointness makes the union already distinct
+      () => EpochStore.readTable(spark, curDir, "ids")
+        .write.mode("overwrite").parquet(s"$path/data/$dIds"))
+    val idsDf = spark.read.parquet(s"$path/data/$dIds")
+    val items = EpochStore.idBloomItems(idsDf.count())
+    EpochStore.writeIdBloom(spark, dir,
+      EpochStore.buildIdBloom(idsDf, "id", items, EpochStore.IdBloomFpp),
+      items, EpochStore.IdBloomFpp)
+    writeTfMeta(spark, dir)
+    EpochStore.writeManifest(spark, dir, Seq("tf" -> dTf, "ids" -> dIds))
+    EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))
+    EpochStore.gc(spark, path, epoch, retainEpochs)
+    }
+  }
+
+  /** [[frequencyScore]] for DAILY ARRIVALS against the standing index:
+    * each batch document scored by the COMMITTED corpus's token counts —
+    * no corpus recompute, one vocabulary-sized totals aggregate + the
+    * batch's own token shuffle. A token the standing corpus has never
+    * seen counts 0 toward `sum_freq` and counts as rare (0 < rareBelow)
+    * — the natural daily-batch semantics, where unseen means rarest.
+    * Same output schema as [[frequencyScore]].
+    */
+  def frequencyScoreAgainstIndex(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      rareBelow: Long = 2L): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    val tf = indexTokenFrequencies(spark, path)
+    val toks = docs.select(col(idCol), explode(wsTokens(col(textCol))).as("token"))
+    toks.join(tf, Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(coalesce(col("n"), lit(0L))).as("sum_freq"),
+        sum(when(coalesce(col("n"), lit(0L)) < rareBelow, 1L).otherwise(0L))
+          .as("n_rare"))
+  }
+
+  /** [[contrastScore]] with the RAW side served by the standing index:
+    * rank daily arrivals by target-likeness against the committed
+    * corpus's counters plus the (small, curated) target sample's own
+    * frequencies — the DSIR daily job with zero raw-corpus recompute.
+    * A standing-unseen token contributes 0 raw mass (it cannot make a
+    * document raw-typical); target semantics match [[contrastScore]].
+    */
+  def contrastScoreAgainstIndex(
+      docs: org.apache.spark.sql.DataFrame,
+      target: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      targetTextCol: String,
+      path: String): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    val rawTf = indexTokenFrequencies(spark, path).withColumnRenamed("n", "__rn")
+    val tgtTf = termFrequencies(target, targetTextCol).withColumnRenamed("n", "__tn")
+    val toks = docs.select(col(idCol), explode(wsTokens(col(textCol))).as("token"))
+    toks.join(rawTf, Seq("token"), "left")
+      .join(tgtTf, Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(coalesce(col("__rn"), lit(0L))).as("sum_raw_freq"),
+        sum(coalesce(col("__tn"), lit(0L))).as("sum_target_freq"),
+        sum(when(col("__tn").isNotNull, 1L).otherwise(0L)).as("n_target_hit"))
+  }
+
   /** Per-document top-`k` tokens by tf/df weight (tf-idf with the exact
     * rational inverse-frequency N/df — the constant corpus-size factor N
     * does not change per-document ranking, and dropping it keeps every

@@ -369,6 +369,67 @@ object OpsPropertySpec extends Properties("graft.ops") {
       appendEqRebuild && probe == union
     }
 
+  /** Corpus where doc `idBase + i + 1` holds the words `w<k>` for its
+    * generated k-list — overlapping vocabularies across docs/batches, the
+    * shape counter folding must get right.
+    */
+  private def wordCorpus(docsWords: Seq[Seq[Int]], idBase: Long) = {
+    val rows = docsWords.zipWithIndex.map { case (ws, i) =>
+      Row(idBase + i + 1, ws.map(k => s"w$k").mkString(" "))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), docSt)
+  }
+
+  property("token-frequency index: append ≡ rebuild; probe ≡ standing recompute; replay no-ops") =
+    forAll(
+      Gen.choose(0, 5).flatMap(k => Gen.listOfN(k,
+        Gen.choose(0, 6).flatMap(m => Gen.listOfN(m, Gen.choose(0, 9))))),
+      Gen.choose(0, 4).flatMap(k => Gen.listOfN(k,
+        Gen.choose(0, 6).flatMap(m => Gen.listOfN(m, Gen.choose(0, 9)))))) { (aD, bD) =>
+      val a = wordCorpus(aD, 0L)
+      val b = wordCorpus(bD, 100L)
+      def totals(path: String): Map[String, Long] =
+        TextOps.indexTokenFrequencies(spark, path)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val appended = java.nio.file.Files.createTempDirectory("graft-tfprop-app").toString
+      TextOps.writeTokenFrequencyIndex(a, "doc_id", "text", appended)
+      TextOps.appendTokenFrequencyIndex(b, "doc_id", "text", appended)
+      val rebuilt = java.nio.file.Files.createTempDirectory("graft-tfprop-reb").toString
+      TextOps.writeTokenFrequencyIndex(a.unionByName(b), "doc_id", "text", rebuilt)
+      val appendEqRebuild = totals(appended) == totals(rebuilt)
+      // replaying the committed batch must be a NO-OP (no epoch, no counts)
+      val epochBefore = EpochStore.currentEpoch(spark, appended)
+      TextOps.appendTokenFrequencyIndex(b, "doc_id", "text", appended)
+      val replayNoop = EpochStore.currentEpoch(spark, appended) == epochBefore &&
+        totals(appended) == totals(rebuilt)
+      // a PARTIAL id overlap must fail loudly (it would double-count)
+      val overlapGuard = bD.isEmpty || {
+        val mixed = b.limit(1).unionByName(wordCorpus(Seq(Seq(1, 2)), 900L))
+        scala.util.Try(
+          TextOps.appendTokenFrequencyIndex(mixed, "doc_id", "text", appended))
+          .isFailure
+      }
+      // compaction preserves the totals exactly
+      TextOps.compactTokenFrequencyIndex(spark, appended)
+      val compactKeeps = totals(appended) == totals(rebuilt)
+      // daily probe: b scored against an index of a alone ≡ the driver
+      // recompute from a's own term frequencies (unseen tokens → 0/rare)
+      val aOnly = java.nio.file.Files.createTempDirectory("graft-tfprop-a").toString
+      TextOps.writeTokenFrequencyIndex(a, "doc_id", "text", aOnly)
+      val tfA = TextOps.termFrequencies(a, "text")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rareBelow = 2L
+      val expect = bD.zipWithIndex.filter(_._1.nonEmpty).map { case (ws, i) =>
+        val ns = ws.map(k => tfA.getOrElse(s"w$k", 0L))
+        (100L + i + 1, (ws.size.toLong, ns.sum, ns.count(_ < rareBelow).toLong))
+      }.toMap
+      val got = TextOps.frequencyScoreAgainstIndex(
+        b, "doc_id", "text", aOnly, rareBelow)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      appendEqRebuild && replayNoop && overlapGuard && compactKeeps && got == expect
+    }
+
   property("temperatureMix: per-source kept counts equal the quota formula; sets nest in target") =
     forAll(genCounts.suchThat(_.nonEmpty), Gen.oneOf(0.5, 1.0),
       Gen.choose(1L, 30L), Gen.choose(1, 4)) { (counts, alpha, target, nStrata) =>

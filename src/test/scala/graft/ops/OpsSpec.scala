@@ -1317,6 +1317,32 @@ class OpsSpec extends SparkSpec {
     assert(gotTok == expectTok)
   }
 
+  test("contrastScoreAgainstIndex over a full-corpus index equals contrastScore") {
+    // when the standing index holds EXACTLY the raw corpus, the daily
+    // probe must reproduce contrastScore row for row (probe docs' tokens
+    // are all committed, so the left join degenerates to the inner one)
+    val corpus = docs(1L -> "alpha beta beta", 2L -> "beta gamma",
+      3L -> "alpha delta delta", 4L -> "gamma gamma epsilon")
+    val target = docs(100L -> "beta delta", 101L -> "delta")
+    val idx = java.nio.file.Files.createTempDirectory("graft-tfc").toString
+    TextOps.writeTokenFrequencyIndex(corpus, "doc_id", "text", idx)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_toks", "sum_raw_freq", "sum_target_freq", "n_target_hit")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val probe = corpus.where(col("doc_id") <= 2)
+    val got = rows(TextOps.contrastScoreAgainstIndex(
+      probe, target, "doc_id", "text", "text", idx))
+    val full = rows(TextOps.contrastScore(corpus, target, "doc_id", "text", "text")
+      .where(col("doc_id") <= 2))
+    assert(got == full && got.nonEmpty)
+    // a probe token the index has never seen scores 0 raw mass
+    val fresh = docs(50L -> "zeta zeta beta")
+    val scored = rows(TextOps.contrastScoreAgainstIndex(
+      fresh, target, "doc_id", "text", "text", idx))
+    assert(scored == Seq((50L, 3L, 3L, 1L, 1L))) // beta: raw 3, target 1; zeta unseen → 0
+  }
+
   test("temperatureMixRepeat: tail sources emit full + partial copies; guard trips on degenerate mixes") {
     // a: 8 rows, b: 2 rows; alpha = 0.5, target 15 → quotas EXACTLY 10/5
     // (15·(2√2)/(3√2) and 15·√2/(3√2)): a = 1 full copy + 2-row partial,
