@@ -79,6 +79,9 @@ object SparkEntry {
   private def q141IndexDir(sfDir: String) =
     s"/tmp/graft_q141_tfindex_${new java.io.File(sfDir).getName}"
 
+  private def q142ShardDir(sfDir: String) =
+    s"/tmp/graft_q142_epochshards_${new java.io.File(sfDir).getName}"
+
   /** q107's paragraph-augmented corpus (a corpus-wide shared paragraph +
     * a %7 class paragraph), shared by q107 and the q108 index lifecycle.
     */
@@ -897,6 +900,24 @@ object SparkEntry {
       graft.ops.TextOps.preTokenHistogram(Tables(s, d, "documents"), "text")
         .select(col("word"), col("n"))
         .orderBy(col("word"))
+    }),
+
+    // the last-mile composition end-to-end under ONE hash: epochShuffle
+    // positions → stride groups (pos % 4, a distributed loader's worker
+    // assignment) → capacity-token sequence bins in position order →
+    // hash-sharded sink, manifest read back FROM the written files (the
+    // q105 discipline). Every stage keys on a bounded column — the naive
+    // orderBy(pos) global sort never appears (PlanSpec-pinned)
+    "q142_epoch_order_shards" -> ((s, d) => {
+      val out = q142ShardDir(d)
+      val bins = graft.ops.Packing.materializeEpochOrder(
+        Tables(s, d, "documents"), "doc_id", "text",
+        epoch = 7L, capacity = 256L, nGroups = 4)
+        .withColumn("bin_key", concat(col("grp"), lit(":"), col("bin")))
+      graft.ops.Sink.writeShards(bins, out, "bin_key", nShards = 4,
+        overwrite = true)
+      graft.ops.Sink.shardManifest(s, out, sumCols = Seq("n_tokens"))
+        .orderBy(col("shard"))
     }),
 
     // the SIXTH index lifecycle end-to-end under the hash oracle:
@@ -2430,6 +2451,42 @@ object SparkEntry {
         |  FROM documents
         |)
         |SELECT word, count(*) AS n FROM w GROUP BY word ORDER BY word""".stripMargin,
+
+    // q135's rank → q86's binning at (pos % 4) strides → q105's shard
+    // digit, composed: the manifest of the written epoch-order corpus
+    "q142_epoch_order_shards" ->
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |    row_number() OVER (
+        |      ORDER BY md5('7#' || cast(doc_id AS varchar)) ASC, doc_id ASC)
+        |      - 1 AS pos
+        |  FROM documents
+        |), d AS (
+        |  SELECT pos, cast(pos % 4 AS int) AS grp,
+        |    list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        |  FROM p
+        |), c AS (
+        |  SELECT pos, grp, cast(len(l) AS bigint) AS n_tokens,
+        |    sum(cast(len(l) AS bigint)) OVER (PARTITION BY grp ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d
+        |), f AS (
+        |  SELECT grp, pos, n_tokens, cum - n_tokens AS g0, b.bin AS bin
+        |  FROM c, unnest(range(cast((cum - n_tokens) // 256 AS bigint),
+        |                       cast((cum - 1) // 256 + 1 AS bigint))) AS b(bin)
+        |  WHERE n_tokens > 0
+        |), bins AS (
+        |  SELECT grp, bin,
+        |    cast(sum(least(n_tokens, (bin+1)*256 - g0)
+        |             - greatest(0, bin*256 - g0)) AS bigint) AS n_tokens
+        |  FROM f GROUP BY grp, bin
+        |)
+        |SELECT
+        |  cast((strpos('0123456789abcdef',
+        |     substr(md5(grp || ':' || bin), 1, 1)) - 1) % 4 AS int) AS shard,
+        |  cast(count(*) AS bigint) AS n_rows,
+        |  cast(sum(n_tokens) AS bigint) AS sum_n_tokens
+        |FROM bins GROUP BY 1 ORDER BY shard""".stripMargin,
 
     // standing tf over the committed slices (%3 ∈ {1,2}) + q109's rollup
     // over the probe batch (%3 = 0), unseen tokens scoring 0/rare — the

@@ -157,13 +157,27 @@ object Packing {
       textCol: String,
       capacity: Long,
       nGroups: Int): DataFrame = {
-    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
     require(nGroups >= 1 && nGroups <= 4096, s"nGroups must be in [1, 4096], got $nGroups")
-    val w = Window.partitionBy(col("grp")).orderBy(col(idCol))
+    materializeBinsCore(df, idCol, textCol, capacity, md5Group(idCol, nGroups))
+  }
+
+  /** The shared binning engine of [[materializeBins]] (md5-hash groups in
+    * id order) and [[materializeEpochOrder]] (stride groups in shuffled
+    * position order): `grp` is any caller-supplied bounded-cardinality
+    * grouping expression, `orderCol` the total order within a group.
+    */
+  private def materializeBinsCore(
+      df: DataFrame,
+      orderCol: String,
+      textCol: String,
+      capacity: Long,
+      grp: org.apache.spark.sql.Column): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val w = Window.partitionBy(col("grp")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(
-      col(idCol),
-      md5Group(idCol, nGroups).as("grp"),
+      col(orderCol),
+      grp.as("grp"),
       TextOps.wsTokens(col(textCol)).as("__toks"))
       .withColumn("n_tokens", size(col("__toks")).cast("bigint"))
       .withColumn("__cum", sum(col("n_tokens")).over(w))
@@ -180,9 +194,43 @@ object Packing {
       .groupBy(col("grp"), col("bin"))
       .agg(
         concat_ws(" ", flatten(transform(
-          array_sort(collect_list(struct(col(idCol).as("i"), col("__frag").as("f")))),
+          array_sort(collect_list(struct(col(orderCol).as("i"), col("__frag").as("f")))),
           e => e("f")))).as("bin_text"),
         sum(col("__e0") - col("__s0")).as("n_tokens"))
+  }
+
+  /** Materialize ONE TRAINING EPOCH's shuffled global order into
+    * capacity-token sequences, end to end and bucket-parallel — the
+    * composition a training-data pipeline runs last: shuffle
+    * ([[Sampling.epochShuffle]]: every doc's exact global position in the
+    * md5(epoch#key) order, no global sort), shard the position space by
+    * STRIDE (`grp = pos % nGroups` — exactly a distributed data loader's
+    * worker assignment: worker w trains on samples w, w+W, w+2W, … of the
+    * shuffled order), and concat-chunk each worker's stream in position
+    * order at `capacity` tokens ([[materializeBins]]' exact integer
+    * math). Returns (grp, bin, bin_text, n_tokens): worker `grp`'s
+    * training sequence `bin`.
+    *
+    * The naive formulation is `orderBy(pos)` + a single running window —
+    * the one global sort this engine otherwise avoids; here every stage
+    * keys on a bounded column (hash bucket, then stride), so no task ever
+    * sees more than corpus/nGroups rows and no exchange is
+    * single-partition (PlanSpec-pinned). Deterministic for a given
+    * (epoch, corpus): positions, strides, and bin boundaries are all
+    * exact integer functions of md5 — any engine reproduces the same
+    * sequences byte for byte.
+    */
+  def materializeEpochOrder(
+      df: DataFrame,
+      keyCol: String,
+      textCol: String,
+      epoch: Long,
+      capacity: Long,
+      nGroups: Int): DataFrame = {
+    require(nGroups >= 1 && nGroups <= 4096, s"nGroups must be in [1, 4096], got $nGroups")
+    val shuffled = Sampling.epochShuffle(df, keyCol, epoch)
+    materializeBinsCore(shuffled, "pos", textCol, capacity,
+      pmod(col("pos"), lit(nGroups.toLong)).cast("int"))
   }
 
   /** First-fit-decreasing bin packing per md5 group: documents sorted by

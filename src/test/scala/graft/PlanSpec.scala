@@ -377,6 +377,22 @@ class PlanSpec extends SparkSpec {
       s"offsets must broadcast:\n$exec")
   }
 
+  test("epoch-order materialization stays bucket-parallel — never the naive global sort") {
+    // the composed path (epochShuffle → stride groups → capacity bins) is
+    // semantically orderBy(pos) + one running window; the plan must
+    // instead key every exchange on a bounded column: the md5 bucket for
+    // positions, then the stride group for the binning window
+    val p = plan(ops.Packing.materializeEpochOrder(
+      Tables(spark, dir, "documents"), "doc_id", "text",
+      epoch = 7L, capacity = 256L, nGroups = 4))
+    assert(!p.contains("SinglePartition"),
+      s"epoch-order materialization collapsed to one partition:\n$p")
+    assert(p.contains("Exchange hashpartitioning(__b"),
+      s"expected the position bucket-window exchange:\n$p")
+    assert(p.contains("Exchange hashpartitioning(grp"),
+      s"expected the stride-group binning exchange:\n$p")
+  }
+
   test("paragraph dedup window is hash-keyed and its shuffle rows are hash-narrow") {
     val p = plan(ops.Dedup.dedupParagraphs(
       Tables(spark, dir, "documents"), "doc_id", "text"))

@@ -1317,6 +1317,35 @@ class OpsSpec extends SparkSpec {
     assert(gotTok == expectTok)
   }
 
+  test("materializeEpochOrder equals the naive shuffled-order recompute") {
+    // 40 docs, 1–5 distinct tokens each; epoch 5, capacity 7, 3 strides.
+    // The driver recompute does what the engine refuses to: sort ALL docs
+    // by (md5('5#'||id), id), stride them, concat each stride in order,
+    // chunk at 7 tokens — the composed plan must emit the identical
+    // (grp, bin) → (bin_text, n_tokens) map, byte for byte.
+    val texts = (1L to 40L).map(i =>
+      i -> (1 to ((i % 5) + 1).toInt).map(j => s"t${i}x$j").mkString(" "))
+    val df = docs(texts: _*)
+    val got = Packing.materializeEpochOrder(
+      df, "doc_id", "text", epoch = 5L, capacity = 7L, nGroups = 3)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3))))
+      .toMap
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val byText = texts.toMap
+    val order = (1L to 40L).sortBy(id => (md5hex(s"5#$id"), id))
+    val expect = scala.collection.mutable.Map.empty[(Int, Long), (String, Long)]
+    (0 until 3).foreach { g =>
+      val toks = order.zipWithIndex.filter(_._2 % 3 == g)
+        .flatMap { case (id, _) => byText(id).split(" ") }
+      toks.grouped(7).zipWithIndex.foreach { case (bin, b) =>
+        expect((g, b.toLong)) = (bin.mkString(" "), bin.size.toLong)
+      }
+    }
+    assert(got == expect.toMap)
+  }
+
   test("contrastScoreAgainstIndex over a full-corpus index equals contrastScore") {
     // when the standing index holds EXACTLY the raw corpus, the daily
     // probe must reproduce contrastScore row for row (probe docs' tokens
