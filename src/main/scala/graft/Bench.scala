@@ -81,6 +81,32 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
+    // Score-ordered-take skew telemetry, surfaced per round: the
+    // WithStats variants return the per-stratum boundary/tie weights the
+    // classification phases already computed — a large max_tie_share
+    // (a binary score shows ~0.5) says the production corpus is routing
+    // takes through the run/tie path; max_boundary_share near 1/nBuckets
+    // is the healthy continuous-score shape. One extra two-aggregate
+    // probe on the q129 shape; full runs only (subsets skip, like gate64).
+    val toptake: Option[(Int, Double, Double)] =
+      if (only.nonEmpty) None
+      else try {
+        import org.apache.spark.sql.functions.col
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .withColumn("n_tok",
+            ops.TextOps.tokenCount(col("text")).cast("long"))
+        val (_, stats) = ops.Sampling.takeTopFractionWithStats(
+          docs, "source", "doc_id", "n_tok", 0.25, nBuckets = 8)
+        Some((stats.size,
+          if (stats.isEmpty) 0.0 else stats.map(_.tieShare).max,
+          if (stats.isEmpty) 0.0 else stats.map(_.boundaryShare).max))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"bench: toptake telemetry failed: $e"); None
+      }
+    val toptakeJson = toptake.map { case (n, tie, bnd) =>
+      s""","toptake":{"strata":$n,"max_tie_share":$tie,"max_boundary_share":$bnd}"""
+    }.getOrElse("")
     // Full-precision record (long names + phase breakdown) goes to a FILE;
     // stdout gets a COMPACT single line as the very last output. The
     // consumer records only the last 2000 characters of stdout, so the
@@ -90,7 +116,7 @@ object Bench {
     // and could never parse from the tail).
     val gateFull = gate64.map(g => s""""gate64":$g,""").getOrElse("")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec",$gateFull"queries":$qs$breakdownJson$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$gateFull"queries":$qs$breakdownJson$failedJson$toptakeJson,"sf":"$sfDir"}"""
     val fullPath = s"/tmp/graft_bench_full_${new java.io.File(sfDir).getName}.json"
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson)
     catch { case e: Throwable => System.err.println(s"bench: full JSON write failed: $e") }
@@ -119,7 +145,10 @@ object Bench {
         .toSeq.distinct.map("\"" + _ + "\"")
         .mkString(""","failed":[""", ",", "]")
     val gateCompact = gate64.map(g => s""""gate64":${fmt(g)},""").getOrElse("")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$gateCompact"queries":$qsCompact$failedCompact,"sf":"${new java.io.File(sfDir).getName}"}""")
+    val toptakeCompact = toptake.map { case (_, tie, bnd) =>
+      s""","tie_share":${fmt(tie)},"bnd_share":${fmt(bnd)}"""
+    }.getOrElse("")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$gateCompact"queries":$qsCompact$failedCompact$toptakeCompact,"sf":"${new java.io.File(sfDir).getName}"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -1231,10 +1231,13 @@ object Sampling {
     * narrow-ledger corpus at ~1.5 GB per task; 5 (1 M buckets, still
     * under the driver cap) divides it again by 16.
     *
-    * Null keys cannot hash to a position and are rejected loudly; `keyCol`
-    * must identify a row (dup keys tie at the same rank — the usual
-    * total-order caveat, here enforced by the `row_number` making them
-    * partition-order-dependent, so pass a unique id).
+    * Null keys cannot hash to a position and are rejected loudly, and so
+    * are DUPLICATE keys (round 12): tied keys would take their
+    * `row_number` from partition order — positions that silently change
+    * across reruns/clusters — so a lag-equality tripwire inside the
+    * per-bucket window (dups sort adjacent; same window, no extra cost)
+    * fails the job on the first duplicate instead of leaving the caveat
+    * to documentation. Pass a unique id.
     */
   def epochShuffle(
       df: DataFrame,
@@ -1276,10 +1279,23 @@ object Sampling {
         StructField("__off", LongType, nullable = false))))
     val w = Window.partitionBy(col("__b"))
       .orderBy(hashOf(col(keyCol)).asc, col(keyCol).asc)
+    // duplicate-key tripwire, riding the SAME window (equal keys hash to
+    // the same bucket and sort adjacent, so a lag-equality catches every
+    // dup; row_number ties between dup rows would otherwise make their
+    // positions partition-order-dependent, silently breaking the
+    // "same positions on any cluster/rerun" contract). The check lives
+    // INSIDE the pos expression so column pruning can never drop it, and
+    // lag shares the window spec — one WindowExec, no extra shuffle.
     df.withColumn("__b", bucketOf)
       .join(broadcast(offDf), Seq("__b"))
       .withColumn("pos",
-        col("__off") + row_number().over(w).cast("long") - 1L)
+        when(lag(col(keyCol), 1).over(w) === col(keyCol),
+          raise_error(concat(
+            lit(s"epochShuffle: duplicate '$keyCol' key "),
+            col(keyCol).cast("string"),
+            lit(" — duplicate keys have no deterministic order; " +
+              "deduplicate or re-key first"))).cast("long"))
+        .otherwise(col("__off") + row_number().over(w).cast("long") - 1L))
       .drop("__b", "__off")
   }
 

@@ -1120,6 +1120,17 @@ class OpsSpec extends SparkSpec {
       Sampling.epochShuffle(withNull, "doc_id", 1L)
     }
     assert(e.getMessage.contains("null"))
+    // duplicate keys are rejected loudly too (round 12): their positions
+    // would be partition-order-dependent, breaking the same-positions-
+    // everywhere contract — the in-window tripwire must fire on execute
+    val withDup = frame(struct("doc_id" -> LongType, "text" -> StringType),
+      Row(1L, "x"), Row(2L, "y"), Row(1L, "z"))
+    val de = intercept[Exception] {
+      Sampling.epochShuffle(withDup, "doc_id", 1L).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + messages(t.getCause)
+    assert(messages(de).contains("duplicate"))
   }
 
   test("takeGlobal: the md5-order corpus prefix, nested across sizes") {
