@@ -53,9 +53,19 @@ object TextOps {
     */
   def bpeTokenCountFromMerges(
       spark: org.apache.spark.sql.SparkSession,
-      mergesPath: String): Column => Column = {
-    val bc = spark.sparkContext.broadcast(
+      mergesPath: String): Column => Column =
+    bpeTokenCountFromModel(spark,
       graft.functions.BpeModel.fromMergesFile(mergesPath))
+
+  /** [[bpeTokenCountFromMerges]] for an IN-MEMORY model — the composition
+    * point after [[trainBpe]]: fit the tokenizer on the cleaned corpus and
+    * budget/pack with it in the same job, no merges-file round trip.
+    * Same broadcast-once discipline.
+    */
+  def bpeTokenCountFromModel(
+      spark: org.apache.spark.sql.SparkSession,
+      model: graft.functions.BpeModel): Column => Column = {
+    val bc = spark.sparkContext.broadcast(model)
     val f = udf((s: String) =>
       if (s == null) null else Integer.valueOf(bc.value.countTokens(s)))
     (text: Column) => f(text)
@@ -71,9 +81,17 @@ object TextOps {
     */
   def bpeEncodeFromMerges(
       spark: org.apache.spark.sql.SparkSession,
-      mergesPath: String): Column => Column = {
-    val bc = spark.sparkContext.broadcast(
+      mergesPath: String): Column => Column =
+    bpeEncodeFromModel(spark,
       graft.functions.BpeModel.fromMergesFile(mergesPath))
+
+  /** [[bpeEncodeFromMerges]] for an IN-MEMORY model (see
+    * [[bpeTokenCountFromModel]]) — train → encode in one job.
+    */
+  def bpeEncodeFromModel(
+      spark: org.apache.spark.sql.SparkSession,
+      model: graft.functions.BpeModel): Column => Column = {
+    val bc = spark.sparkContext.broadcast(model)
     val f = udf((s: String) => if (s == null) null else bc.value.encodeIds(s))
     (text: Column) => f(text)
   }

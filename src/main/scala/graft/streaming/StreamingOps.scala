@@ -579,6 +579,31 @@ object StreamingOps {
           graft.ops.Dedup.appendParagraphIndex(batch.toDF(), textCol, path, retainEpochs)
     }
 
+  /** Fold each micro-batch of arrivals into the standing TOKEN-FREQUENCY
+    * index ([[graft.ops.TextOps.writeTokenFrequencyIndex]]) — the sixth
+    * lifecycle's streaming form, one counter-delta epoch per batch.
+    * Replay-safe under at-least-once delivery BY THE APPEND'S OWN GUARD:
+    * a replayed batch's ids are all committed, so the fold no-ops (the
+    * id bloom decides without touching standing data); a batch REUSING a
+    * committed id alongside new ones is a partial overlap and fails
+    * loudly rather than double-counting — ids must be unique across the
+    * stream's life, the same contract as the other id-guarded
+    * lifecycles. Batches run sequentially (single writer holds the
+    * lease per fold).
+    */
+  def appendToTokenFrequencyIndex(
+      newStream: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      retainEpochs: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.TextOps.appendTokenFrequencyIndex(
+            batch.toDF(), idCol, textCol, path, retainEpochs)
+    }
+
   /** Per-ROW stateless stream filter against the standing paragraph index
     * ([[graft.ops.Dedup.writeParagraphIndex]]): rebuild each streamed
     * document with every ALREADY-INDEXED paragraph removed, deciding from

@@ -247,6 +247,32 @@ class BpeSpec extends SparkSpec {
     intercept[IllegalArgumentException] { TextOps.trainBpe(df, "text", 255) }
   }
 
+  test("model-direct column backends compose train -> count/encode with no merges file") {
+    val texts = Map(1L -> "the lower the newer", 2L -> "the newest of the new",
+      3L -> null.asInstanceOf[String])
+    val df = frame(struct("doc_id" -> LongType, "text" -> StringType),
+      texts.toSeq.sortBy(_._1).map { case (i, t) => Row(i, t) }: _*)
+    val model = TextOps.trainBpe(df, "text", vocabSize = 256 + 6)
+    val counter = TextOps.bpeTokenCountFromModel(spark, model)
+    val enc = TextOps.bpeEncodeFromModel(spark, model)
+    val rows = df.select(col("doc_id"), counter(col("text")).as("n"),
+      enc(col("text")).as("ids")).orderBy("doc_id").collect()
+    rows.foreach { r =>
+      val t = texts(r.getLong(0))
+      if (t == null) assert(r.isNullAt(1) && r.isNullAt(2))
+      else {
+        assert(r.getInt(1) == model.countTokens(t))
+        assert(r.getSeq[Int](2) == model.encodeIds(t).toSeq)
+      }
+    }
+    // and the trained counter slots straight into the packing budgets
+    val plan = graft.ops.Packing.concatChunkPlan(
+      df.where(col("text").isNotNull), "doc_id", "text",
+      capacity = 4L, nGroups = 1, counter)
+    assert(plan.agg(sum("n_tokens")).head().getLong(0) ==
+      model.countTokens(texts(1L)) + model.countTokens(texts(2L)))
+  }
+
   test("a BOM or leading blank lines before the #version header still parse") {
     // HF tooling accepts both; the header check keys on the first NON-BLANK
     // line with any UTF-8 BOM stripped, not physical line 0

@@ -630,6 +630,45 @@ class StreamingSpec extends SparkSpec {
     assert(table(streamed, "fsizes") == table(batched, "fsizes"))
   }
 
+  test("stream-grown token-frequency index equals batch appends; replay no-ops") {
+    import graft.ops.{EpochStore, TextOps}
+    val docSt = struct("doc_id" -> LongType, "text" -> StringType)
+    val streamIdx = Files.createTempDirectory("graft-tfidx-s").toString + "/idx"
+    val batchIdx = Files.createTempDirectory("graft-tfidx-b").toString + "/idx"
+    val seed = frame(docSt, Row(1L, "alpha beta beta"), Row(2L, "gamma"))
+    TextOps.writeTokenFrequencyIndex(seed, "doc_id", "text", streamIdx)
+    TextOps.writeTokenFrequencyIndex(seed, "doc_id", "text", batchIdx)
+    val chunks = Seq(
+      Seq(Row(10L, "beta delta"), Row(11L, "alpha")),
+      Seq(Row(12L, "delta delta epsilon")))
+    val inDir = Files.createTempDirectory("graft-tfidx-in").toString
+    chunks.foreach { rows =>
+      frame(docSt, rows: _*).coalesce(1).write.mode("append").parquet(inDir)
+      Thread.sleep(5)
+    }
+    def fold(cp: String): Unit = {
+      val q = StreamingOps.appendToTokenFrequencyIndex(
+        spark.readStream.schema(docSt).option("maxFilesPerTrigger", "1").parquet(inDir),
+        "doc_id", "text", streamIdx)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", cp).start()
+      q.awaitTermination()
+    }
+    fold(Files.createTempDirectory("graft-tfidx-cp").toString)
+    chunks.foreach(rows => TextOps.appendTokenFrequencyIndex(
+      frame(docSt, rows: _*), "doc_id", "text", batchIdx))
+    def totals(p: String) = TextOps.indexTokenFrequencies(spark, p)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totals(streamIdx) == totals(batchIdx),
+      "stream-folded counters must equal the batch-appended ones")
+    // replay EVERYTHING from a fresh checkpoint: each re-delivered batch's
+    // ids are all committed, so every fold no-ops — same epoch, same counts
+    val epochBefore = EpochStore.currentEpoch(spark, streamIdx)
+    fold(Files.createTempDirectory("graft-tfidx-cp2").toString)
+    assert(EpochStore.currentEpoch(spark, streamIdx) == epochBefore)
+    assert(totals(streamIdx) == totals(batchIdx))
+  }
+
   test("fingerprint screen: stream flags agree with the exact batch probe") {
     import graft.ops.Decontam
     val docSt = struct("doc_id" -> LongType, "text" -> StringType)
