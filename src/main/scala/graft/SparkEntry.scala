@@ -82,6 +82,15 @@ object SparkEntry {
   private def q142ShardDir(sfDir: String) =
     s"/tmp/graft_q142_epochshards_${new java.io.File(sfDir).getName}"
 
+  private def q143ModelDir(sfDir: String) =
+    s"/tmp/graft_q143_nb_${new java.io.File(sfDir).getName}"
+
+  private def q144LmDir(sfDir: String) =
+    s"/tmp/graft_q144_lm_${new java.io.File(sfDir).getName}"
+
+  private def q145ModelDir(sfDir: String) =
+    s"/tmp/graft_q145_nb_${new java.io.File(sfDir).getName}"
+
   /** q107's paragraph-augmented corpus (a corpus-wide shared paragraph +
     * a %7 class paragraph), shared by q107 and the q108 index lifecycle.
     */
@@ -896,6 +905,82 @@ object SparkEntry {
     // — identical wherever text has no interior multi-space runs and no
     // trailing whitespace, which compare.py's hash then re-proves on the
     // actual corpus.
+    // corpus-trained quality classifier (Brown et al. 2020 appendix A /
+    // CCNet, Wenzek et al. 2020): multinomial Naive Bayes over tokens,
+    // positives = the 'en' slice, TRAINED on doc_id % 3 != 0 and scoring
+    // ALL docs so the held-out third exercises the OOV path under the
+    // hash. The quantized integer micro-nat weights are materialized
+    // mid-query (the q62 discipline) so DuckDB scores with the IDENTICAL
+    // integers — scoring is pure integer join-and-sum, ulp-proof
+    "q143_nb_quality_classifier" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val model = graft.ops.LangModel.trainTokenClassifier(
+        docs.where(col("doc_id") % 3 =!= 0)
+          .withColumn("pos", col("lang") === "en"),
+        "text", "pos")
+      val out = q143ModelDir(d)
+      model.weights.write.mode("overwrite").parquet(s"$out/weights")
+      import s.implicits._
+      Seq((model.oovWeight, model.prior)).toDF("oov_weight", "prior")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
+      val w = s.read.parquet(s"$out/weights")
+      val meta = s.read.parquet(s"$out/meta").head()
+      graft.ops.LangModel.scoreTokenWeights(docs, "doc_id", "text", w,
+        meta.getAs[Long]("oov_weight"), meta.getAs[Long]("prior"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // bigram-LM corpus-likelihood scoring (the exact-integer stand-in for
+    // CCNet's KenLM perplexity filter): add-one-smoothed bigram model
+    // TRAINED on doc_id % 3 != 0, scoring ALL docs so the held-out third
+    // hits the fallback/floor paths under the hash. Model tables carry
+    // train-time-quantized integer micro-nat logprobs, materialized
+    // mid-query so both engines integer-sum identical values
+    "q144_bigram_lm_score" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val lm = graft.ops.LangModel.trainBigramLm(
+        docs.where(col("doc_id") % 3 =!= 0), "text")
+      val out = q144LmDir(d)
+      lm.bigrams.write.mode("overwrite").parquet(s"$out/bigrams")
+      lm.fallback.write.mode("overwrite").parquet(s"$out/fallback")
+      import s.implicits._
+      Seq(lm.floorLp).toDF("floor_lp")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
+      val floor = s.read.parquet(s"$out/meta").head().getAs[Long]("floor_lp")
+      graft.ops.LangModel.scoreBigramTables(docs, "doc_id", "text",
+        s.read.parquet(s"$out/bigrams"), s.read.parquet(s"$out/fallback"),
+        floor)
+        .orderBy(col("doc_id"))
+    }),
+
+    // the composed CCNet selection: train the quality classifier, score
+    // EVERY doc, keep the global best 25% by classifier score — the
+    // takeGlobalTopFraction two-phase take rides directly on the scored
+    // frame, so "filter the corpus by a learned quality model" is one
+    // pipeline with no global sort; the model dir is this query's own
+    // (q143's discipline, separate dir — queries stay order-independent)
+    "q145_classifier_top_quality" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val model = graft.ops.LangModel.trainTokenClassifier(
+        docs.where(col("doc_id") % 3 =!= 0)
+          .withColumn("pos", col("lang") === "en"),
+        "text", "pos")
+      val out = q145ModelDir(d)
+      model.weights.write.mode("overwrite").parquet(s"$out/weights")
+      import s.implicits._
+      Seq((model.oovWeight, model.prior)).toDF("oov_weight", "prior")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
+      val w = s.read.parquet(s"$out/weights")
+      val meta = s.read.parquet(s"$out/meta").head()
+      val scored = graft.ops.LangModel.scoreTokenWeights(
+        docs, "doc_id", "text", w,
+        meta.getAs[Long]("oov_weight"), meta.getAs[Long]("prior"))
+      graft.ops.Sampling.takeGlobalTopFraction(
+        scored, "doc_id", "score", fraction = 0.25, nBuckets = 8)
+        .select(col("doc_id"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q138_bpe_word_histogram" -> ((s, d) => {
       graft.ops.TextOps.preTokenHistogram(Tables(s, d, "documents"), "text")
         .select(col("word"), col("n"))
@@ -2444,6 +2529,77 @@ object SparkEntry {
     // with no interior multi-space runs or trailing whitespace the
     // `\s+(?!\S)` branch never fires, so this alternation tokenizes
     // byte-identically to the Java regex the Spark side uses
+    // scores with the SAME materialized integer weight table the Spark
+    // query trained and wrote mid-query (q62 discipline) — the oracle
+    // re-derives only the tokenization and the integer join-and-sum
+    "q143_nb_quality_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents
+        |),
+        |w AS (SELECT * FROM read_parquet('/tmp/graft_q143_nb_sf0.01/weights/*.parquet')),
+        |m AS (SELECT * FROM read_parquet('/tmp/graft_q143_nb_sf0.01/meta/*.parquet'))
+        |SELECT doc_id,
+        |  count(*)::BIGINT AS n_toks,
+        |  sum(CASE WHEN w.weight IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        |  (sum(coalesce(w.weight, (SELECT oov_weight FROM m)))
+        |    + (SELECT prior FROM m))::BIGINT AS score
+        |FROM t LEFT JOIN w USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same discipline for the bigram LM: DuckDB re-derives the adjacent
+    // pairs and integer-sums the SAME materialized quantized logprobs
+    "q144_bigram_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ls
+        |  FROM documents
+        |),
+        |p AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ls)),
+        |      i -> {'w1': ls[i], 'w2': ls[i + 1]}), recursive := true)
+        |  FROM t WHERE len(ls) >= 2
+        |),
+        |b AS (SELECT w1, w2, lp AS blp
+        |      FROM read_parquet('/tmp/graft_q144_lm_sf0.01/bigrams/*.parquet')),
+        |f AS (SELECT w1, lp AS flp
+        |      FROM read_parquet('/tmp/graft_q144_lm_sf0.01/fallback/*.parquet')),
+        |m AS (SELECT floor_lp FROM read_parquet('/tmp/graft_q144_lm_sf0.01/meta/*.parquet'))
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  sum(coalesce(b.blp, f.flp, (SELECT floor_lp FROM m)))::BIGINT AS lp_sum
+        |FROM p LEFT JOIN b USING (w1, w2) LEFT JOIN f USING (w1)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q143's integer scoring feeding q139's global rank-prefix rule —
+    // score DESC then the engine-portable (md5, id) tie order
+    "q145_classifier_top_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents
+        |),
+        |w AS (SELECT * FROM read_parquet('/tmp/graft_q145_nb_sf0.01/weights/*.parquet')),
+        |m AS (SELECT * FROM read_parquet('/tmp/graft_q145_nb_sf0.01/meta/*.parquet')),
+        |s AS (
+        |  SELECT doc_id,
+        |    (sum(coalesce(w.weight, (SELECT oov_weight FROM m)))
+        |      + (SELECT prior FROM m))::BIGINT AS score
+        |  FROM t LEFT JOIN w USING (token)
+        |  GROUP BY doc_id
+        |),
+        |c AS (SELECT cast(count(*) AS BIGINT) AS c FROM s),
+        |r AS (
+        |  SELECT doc_id, score,
+        |    row_number() OVER (
+        |      ORDER BY score DESC NULLS LAST,
+        |        md5(cast(doc_id AS varchar)) ASC, doc_id ASC) AS rn
+        |  FROM s
+        |)
+        |SELECT doc_id, score FROM r, c
+        |WHERE rn <= cast(round(0.25 * c) AS BIGINT) ORDER BY doc_id""".stripMargin,
+
     "q138_bpe_word_histogram" ->
       """WITH w AS (
         |  SELECT unnest(regexp_extract_all(text,

@@ -1,0 +1,237 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained scoring models for training-data curation: a multinomial
+  * Naive Bayes token classifier (the aggregate-exact form of the
+  * "quality classifier" used to filter web corpora against a curated
+  * positive set — Brown et al. 2020 appendix A train a linear classifier
+  * on WebText-vs-CommonCrawl; CCNet, Wenzek et al. 2020, filters by a
+  * model trained on Wikipedia) and an add-one-smoothed bigram language
+  * model (the exact-arithmetic stand-in for CCNet's KenLM perplexity
+  * filter: rank documents by corpus-likelihood under an n-gram model).
+  *
+  * Both follow the module's exact-integer oracle discipline
+  * ([[TextOps.contrastScore]]): every floating-point log is computed ONCE
+  * at training time over exact integer counts, quantized to integer
+  * micro-nats (`round(ln(p) * microNats)`), and stored in the model
+  * tables. Scoring is then pure integer join-and-sum — order-independent
+  * and bit-exact in any engine that reads the same model tables, so a
+  * scoring query stays hash-oracle-able even though two engines' `ln`
+  * may differ in ulps.
+  *
+  * Plan shape for 100 TB (same as [[TextOps.frequencyScore]]): training
+  * is one explode + token-keyed aggregate (ONE shuffle; text never
+  * moves, only (label, token) pairs); the totals the weight formula
+  * needs are a single-row aggregate collected to the driver (three
+  * longs — bounded). Scoring explodes tokens/bigrams and joins the model
+  * on the token key — the model is corpus-derived and in general cannot
+  * broadcast, so the exploded pairs shuffle ONCE to meet it (Catalyst
+  * broadcasts instead when the vocabulary is small); the per-doc rollup
+  * is the final aggregate.
+  */
+object LangModel {
+
+  /** A trained binary multinomial Naive Bayes model over whitespace
+    * tokens. `weights` is `(token, weight)` with
+    * `weight = round(microNats * (ln((cPos+1)/(nPos+V)) - ln((cNeg+1)/(nNeg+V))))`
+    * — the add-one-smoothed per-occurrence log-likelihood ratio in
+    * integer micro-nats. `oovWeight` is the same formula at `cPos = cNeg
+    * = 0` (a token never seen in training); `prior` is
+    * `round(microNats * ln((dPos+1)/(dNeg+1)))` over DOCUMENT counts.
+    * A document's decision score is `prior + sum(weight per token)`;
+    * positive means the positive class is more likely.
+    */
+  final case class TokenClassifier(
+      weights: DataFrame,
+      oovWeight: Long,
+      prior: Long,
+      microNats: Long)
+
+  /** Spark's `round` is HALF_UP (away from zero); `Math.round` is
+    * half-toward-positive-infinity — they disagree on negative .5
+    * boundaries, and model constants must quantize exactly like the
+    * model tables do.
+    */
+  private def roundHalfUp(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+
+  /** Train a binary multinomial Naive Bayes token classifier.
+    *
+    * `labelCol` must be boolean-castable (true = positive class). One
+    * explode + one token-keyed aggregate builds the per-class counts;
+    * the class totals and vocabulary size are a single-row aggregate
+    * (three longs collected — bounded regardless of corpus size), and
+    * the document-count prior is a second single-row aggregate over the
+    * un-exploded frame. The weight table stays distributed — nothing
+    * vocabulary-sized ever reaches the driver.
+    */
+  def trainTokenClassifier(
+      labeled: DataFrame,
+      textCol: String,
+      labelCol: String,
+      microNats: Long = 1000000L): TokenClassifier = {
+    val toks = labeled.select(
+      col(labelCol).cast("boolean").as("__pos"),
+      explode(TextOps.wsTokens(col(textCol))).as("token"))
+    val counts = toks.groupBy("token").agg(
+      sum(when(col("__pos"), 1L).otherwise(0L)).as("__cp"),
+      sum(when(!col("__pos"), 1L).otherwise(0L)).as("__cn"))
+    val t = counts.agg(
+      sum("__cp"), sum("__cn"), count(lit(1))).head()
+    val nPos = t.getLong(0)
+    val nNeg = t.getLong(1)
+    val v = t.getLong(2)
+    require(v > 0, "trainTokenClassifier: corpus has no tokens")
+    val d = labeled.agg(
+      sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)),
+      count(lit(1))).head()
+    val dPos = d.getLong(0)
+    val dAll = d.getLong(1)
+    val weights = counts.select(
+      col("token"),
+      round(
+        (log((col("__cp") + lit(1)).cast("double") / lit((nPos + v).toDouble)) -
+          log((col("__cn") + lit(1)).cast("double") / lit((nNeg + v).toDouble))) *
+          lit(microNats.toDouble))
+        .cast("long").as("weight"))
+    val oov = roundHalfUp(
+      (math.log(1.0 / (nPos + v)) - math.log(1.0 / (nNeg + v))) * microNats)
+    val prior = roundHalfUp(
+      math.log((dPos + 1.0) / (dAll - dPos + 1.0)) * microNats)
+    TokenClassifier(weights, oov, prior, microNats)
+  }
+
+  /** Score documents under a trained classifier: `(idCol, n_toks, n_oov,
+    * score)` where `score = prior + sum(weight, OOV tokens scoring
+    * oovWeight)` in integer micro-nats — positive means positive-class.
+    * Documents with no tokens are absent (nothing to score — matches
+    * [[TextOps.frequencyScore]]). The weights frame may be the trained
+    * one or re-read from parquet (the oracle-materialization path).
+    */
+  def scoreTokenClassifier(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: TokenClassifier): DataFrame =
+    scoreTokenWeights(df, idCol, textCol,
+      model.weights, model.oovWeight, model.prior)
+
+  /** [[scoreTokenClassifier]] against an explicit weights table —
+    * `(token, weight)` — plus the OOV and prior constants; the form both
+    * the persisted-model path and the oracle query use.
+    */
+  def scoreTokenWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: DataFrame,
+      oovWeight: Long,
+      prior: Long): DataFrame = {
+    val toks = df.select(
+      col(idCol), explode(TextOps.wsTokens(col(textCol))).as("token"))
+    toks.join(weights, Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(when(col("weight").isNull, 1L).otherwise(0L)).as("n_oov"),
+        (sum(coalesce(col("weight"), lit(oovWeight))) + lit(prior))
+          .as("score"))
+  }
+
+  /** An add-one-smoothed bigram language model in integer micro-nats.
+    * `bigrams` is `(w1, w2, lp)` with
+    * `lp = round(microNats * ln((c(w1,w2)+1)/(c1(w1)+V)))` where `c1(w1)`
+    * is the number of training bigrams starting with `w1` and `V` the
+    * corpus vocabulary size; `fallback` is `(w1, lp)` at `c = 0` (seen
+    * context, unseen continuation); `floorLp = round(microNats * ln(1/V))`
+    * covers an unseen context (add-one at `c = c1 = 0`). Higher
+    * (less-negative) scores mean more corpus-like text — the perplexity
+    * filter's ranking signal with the exp left to the caller.
+    */
+  final case class BigramLm(
+      bigrams: DataFrame,
+      fallback: DataFrame,
+      floorLp: Long,
+      microNats: Long)
+
+  /** Adjacent-token pairs of `textCol` as an exploded `(w1, w2)` frame —
+    * pure Column expressions (slice + indexed transform), no UDF.
+    */
+  private def bigramPairs(df: DataFrame, idCols: Seq[String], textCol: String) = {
+    val withT = df.select(
+      idCols.map(col) :+ TextOps.wsTokens(col(textCol)).as("__t"): _*)
+    withT
+      .where(size(col("__t")) >= 2)
+      .select(
+        idCols.map(col) :+ explode(expr(
+          "transform(slice(__t, 1, size(__t) - 1), " +
+            "(x, i) -> struct(x AS w1, element_at(__t, i + 2) AS w2))"))
+          .as("__p"): _*)
+      .select(idCols.map(col) :+ col("__p.w1") :+ col("__p.w2"): _*)
+  }
+
+  /** Train the bigram LM: one explode + one (w1, w2)-keyed aggregate for
+    * the pair counts, a w1 rollup of THAT table for the context counts
+    * (bigram-vocabulary-sized input, not corpus-sized), and one distinct
+    * count for V. All integer counts; the only floating log is the
+    * quantized `lp` column computed here once.
+    */
+  def trainBigramLm(
+      df: DataFrame,
+      textCol: String,
+      microNats: Long = 1000000L): BigramLm = {
+    val pairs = bigramPairs(df, Seq.empty, textCol)
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("__c"))
+    val v = df.select(explode(TextOps.wsTokens(col(textCol))).as("token"))
+      .agg(count_distinct(col("token"))).head().getLong(0)
+    require(v > 0, "trainBigramLm: corpus has no tokens")
+    val ctx = big.groupBy("w1").agg(sum("__c").as("__c1"))
+    val bigrams = big.join(ctx, Seq("w1")).select(
+      col("w1"), col("w2"),
+      round(log((col("__c") + lit(1)).cast("double") /
+        (col("__c1") + lit(v)).cast("double")) * lit(microNats.toDouble))
+        .cast("long").as("lp"))
+    val fallback = ctx.select(
+      col("w1"),
+      round(log(lit(1.0) / (col("__c1") + lit(v)).cast("double")) *
+        lit(microNats.toDouble)).cast("long").as("lp"))
+    val floor = roundHalfUp(math.log(1.0 / v) * microNats)
+    BigramLm(bigrams, fallback, floor, microNats)
+  }
+
+  /** Score documents under a bigram LM: `(idCol, n_bigrams, lp_sum)` —
+    * the summed quantized log-probability of each document's adjacent
+    * token pairs (unseen continuations take the context's fallback,
+    * unseen contexts the floor). Documents with fewer than two tokens
+    * are absent. Integer sum — order-independent, oracle-exact against
+    * the same model tables.
+    */
+  def scoreBigramLm(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lm: BigramLm): DataFrame =
+    scoreBigramTables(df, idCol, textCol, lm.bigrams, lm.fallback, lm.floorLp)
+
+  /** [[scoreBigramLm]] against explicit model tables (`(w1, w2, lp)` and
+    * `(w1, lp)`) — the persisted-model / oracle-materialization form.
+    */
+  def scoreBigramTables(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bigrams: DataFrame,
+      fallback: DataFrame,
+      floorLp: Long): DataFrame = {
+    val pairs = bigramPairs(df, Seq(idCol), textCol)
+    pairs
+      .join(bigrams.withColumnRenamed("lp", "__blp"), Seq("w1", "w2"), "left")
+      .join(fallback.withColumnRenamed("lp", "__flp"), Seq("w1"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("__blp"), col("__flp"), lit(floorLp))).as("lp_sum"))
+  }
+}

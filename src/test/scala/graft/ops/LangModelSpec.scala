@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+
+/** Naive Bayes token classifier + bigram LM: exact hand fixtures for the
+  * quantized weight/logprob formulas, the OOV/fallback/floor paths, and
+  * separation floors on the driver-generated documents table.
+  */
+class LangModelSpec extends SparkSpec {
+
+  private val labeledSt = struct(
+    "doc_id" -> LongType, "text" -> StringType, "pos" -> BooleanType)
+
+  private def m(x: Double): Long =
+    BigDecimal(x * 1000000L).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+      .toLongExact
+
+  test("trainTokenClassifier: exact weights, OOV, prior on a hand fixture") {
+    // positives: "a a b"  negatives: "a c"
+    // counts: a -> (2,1), b -> (1,0), c -> (0,1); nPos=3 nNeg=2 V=3
+    val df = frame(labeledSt,
+      Row(1L, "a a b", true), Row(2L, "a c", false))
+    val model = LangModel.trainTokenClassifier(df, "text", "pos")
+    val w = model.weights.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w("a") == m(math.log(3.0 / 6) - math.log(2.0 / 5)))
+    assert(w("b") == m(math.log(2.0 / 6) - math.log(1.0 / 5)))
+    assert(w("c") == m(math.log(1.0 / 6) - math.log(2.0 / 5)))
+    assert(model.oovWeight == m(math.log(1.0 / 6) - math.log(1.0 / 5)))
+    assert(model.prior == m(math.log(2.0 / 2))) // (1+1)/(1+1)
+  }
+
+  test("scoreTokenClassifier: integer sum + OOV count, empty docs absent") {
+    val df = frame(labeledSt,
+      Row(1L, "a a b", true), Row(2L, "a c", false))
+    val model = LangModel.trainTokenClassifier(df, "text", "pos")
+    val w = model.weights.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toScore = frame(struct("doc_id" -> LongType, "text" -> StringType),
+      Row(10L, "a b zzz"), Row(11L, "   "))
+    val out = LangModel.scoreTokenClassifier(toScore, "doc_id", "text", model)
+      .collect()
+    assert(out.length == 1) // the whitespace-only doc has nothing to score
+    val r = out.head
+    assert(r.getLong(r.fieldIndex("n_toks")) == 3L)
+    assert(r.getLong(r.fieldIndex("n_oov")) == 1L)
+    assert(r.getLong(r.fieldIndex("score")) ==
+      model.prior + w("a") + w("b") + model.oovWeight)
+  }
+
+  test("classifier separates two token domains (train + held-out accuracy)") {
+    // The driver-generated documents table draws every language's text
+    // from ONE shared token pool (lang is independent of content), so a
+    // token model cannot separate it — build a deterministic two-domain
+    // corpus instead: distinct content vocabularies plus a shared filler
+    // token, so separation must come from the learned weights.
+    val posVocab = Vector("epsilon", "delta", "kappa", "sigma", "tau")
+    val negVocab = Vector("mango", "papaya", "guava", "lychee", "durian")
+    def doc(vocab: Vector[String], i: Int): String =
+      (0 until 8).map(j => vocab((i + j) % vocab.size))
+        .patch(i % 9 min 8, Seq("the"), 0).mkString(" ")
+    val rows = (0 until 100).flatMap { i =>
+      Seq(Row(i.toLong * 2, doc(posVocab, i), true),
+        Row(i.toLong * 2 + 1, doc(negVocab, i), false))
+    }
+    val all = frame(labeledSt, rows: _*)
+    val train = all.where(col("doc_id") % 5 =!= 0)
+    val model = LangModel.trainTokenClassifier(train, "text", "pos")
+    val scored = LangModel.scoreTokenClassifier(all, "doc_id", "text", model)
+      .join(all.select(col("doc_id"), col("pos"),
+        (col("doc_id") % 5 === 0).as("held_out")), Seq("doc_id"))
+    val Array(trainAcc, testAcc) = scored
+      .groupBy("held_out")
+      .agg(avg(when((col("score") > 0) === col("pos"), 1.0).otherwise(0.0)))
+      .orderBy("held_out").collect().map(_.getDouble(1))
+    assert(trainAcc == 1.0, s"training accuracy $trainAcc below floor")
+    assert(testAcc == 1.0, s"held-out accuracy $testAcc below floor")
+  }
+
+  test("trainBigramLm: exact lp / fallback / floor on a hand fixture") {
+    // corpus "a b a b" + "a b": pairs (a,b)x3, (b,a)x1; V=2
+    // c1(a)=3, c1(b)=1
+    val df = frame(struct("doc_id" -> LongType, "text" -> StringType),
+      Row(1L, "a b a b"), Row(2L, "a b"))
+    val lm = LangModel.trainBigramLm(df, "text")
+    val big = lm.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(big(("a", "b")) == m(math.log(4.0 / 5)))
+    assert(big(("b", "a")) == m(math.log(2.0 / 3)))
+    val fb = lm.fallback.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fb("a") == m(math.log(1.0 / 5)))
+    assert(fb("b") == m(math.log(1.0 / 3)))
+    assert(lm.floorLp == m(math.log(1.0 / 2)))
+  }
+
+  test("scoreBigramLm: bigram/fallback/floor coalesce, short docs absent") {
+    val df = frame(struct("doc_id" -> LongType, "text" -> StringType),
+      Row(1L, "a b a b"), Row(2L, "a b"))
+    val lm = LangModel.trainBigramLm(df, "text")
+    val big = lm.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val fb = lm.fallback.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toScore = frame(struct("doc_id" -> LongType, "text" -> StringType),
+      Row(10L, "a b"),    // seen bigram
+      Row(11L, "b b"),    // seen context, unseen continuation -> fallback(b)
+      Row(12L, "zz a"),   // unseen context -> floor
+      Row(13L, "solo"))   // < 2 tokens -> absent
+    val out = LangModel.scoreBigramLm(toScore, "doc_id", "text", lm)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(r.fieldIndex("n_bigrams")), r.getLong(r.fieldIndex("lp_sum"))))
+      .toMap
+    assert(out.keySet == Set(10L, 11L, 12L))
+    assert(out(10L) == (1L, big(("a", "b"))))
+    assert(out(11L) == (1L, fb("b")))
+    assert(out(12L) == (1L, lm.floorLp))
+  }
+
+  test("bigram LM ranks in-domain text above out-of-domain (mean lp/bigram)") {
+    val sf = s"$testdataRoot/sf0.001"
+    requireTestdata(sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val en = docs.where(col("lang") === "en")
+    val lm = LangModel.trainBigramLm(en, "text")
+    val scored = LangModel.scoreBigramLm(docs, "doc_id", "text", lm)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .withColumn("avg_lp", col("lp_sum").cast("double") / col("n_bigrams"))
+    val Array(enAvg, otherAvg) = scored
+      .groupBy((col("lang") === "en").as("is_en")).agg(avg("avg_lp").as("a"))
+      .orderBy(col("is_en").desc).collect().map(_.getDouble(1))
+    assert(enAvg > otherAvg,
+      s"en mean lp/bigram $enAvg not above non-en $otherAvg")
+  }
+}
