@@ -972,9 +972,14 @@ object SparkEntry {
         .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
       val w = s.read.parquet(s"$out/weights")
       val meta = s.read.parquet(s"$out/meta").head()
-      val scored = graft.ops.LangModel.scoreTokenWeights(
-        docs, "doc_id", "text", w,
-        meta.getAs[Long]("oov_weight"), meta.getAs[Long]("prior"))
+      // the take evaluates its input once per phase (takeTopFraction
+      // scaladoc) — materialize the expensive explode-join-agg scoring so
+      // each phase reads the narrow (doc_id, score) result, not the corpus
+      val scored = graft.ops.Materialize.eager(
+        graft.ops.LangModel.scoreTokenWeights(
+          docs, "doc_id", "text", w,
+          meta.getAs[Long]("oov_weight"), meta.getAs[Long]("prior"))
+          .select(col("doc_id"), col("score")))
       graft.ops.Sampling.takeGlobalTopFraction(
         scored, "doc_id", "score", fraction = 0.25, nBuckets = 8)
         .select(col("doc_id"), col("score"))

@@ -75,9 +75,12 @@ object LangModel {
     val toks = labeled.select(
       col(labelCol).cast("boolean").as("__pos"),
       explode(TextOps.wsTokens(col(textCol))).as("token"))
-    val counts = toks.groupBy("token").agg(
+    // vocab-sized and consumed twice (the totals collect AND the weight
+    // projection the caller executes later) — materialized so the corpus
+    // explode-aggregate runs exactly once (Materialize.eager scaladoc)
+    val counts = Materialize.eager(toks.groupBy("token").agg(
       sum(when(col("__pos"), 1L).otherwise(0L)).as("__cp"),
-      sum(when(!col("__pos"), 1L).otherwise(0L)).as("__cn"))
+      sum(when(!col("__pos"), 1L).otherwise(0L)).as("__cn")))
     val t = counts.agg(
       sum("__cp"), sum("__cn"), count(lit(1))).head()
     val nPos = t.getLong(0)
@@ -183,7 +186,12 @@ object LangModel {
       textCol: String,
       microNats: Long = 1000000L): BigramLm = {
     val pairs = bigramPairs(df, Seq.empty, textCol)
-    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("__c"))
+    // bigram-vocab-sized and consumed by BOTH sides of the bigrams join
+    // (directly and via the ctx rollup) plus the fallback table — without
+    // materialization the corpus pair explode-aggregate runs once per
+    // consumer (the multi-consumer recompute gotcha)
+    val big = Materialize.eager(
+      pairs.groupBy("w1", "w2").agg(count(lit(1)).as("__c")))
     val v = df.select(explode(TextOps.wsTokens(col(textCol))).as("token"))
       .agg(count_distinct(col("token"))).head().getLong(0)
     require(v > 0, "trainBigramLm: corpus has no tokens")
