@@ -91,6 +91,9 @@ object SparkEntry {
   private def q145ModelDir(sfDir: String) =
     s"/tmp/graft_q145_nb_${new java.io.File(sfDir).getName}"
 
+  private def q146IndexDir(sfDir: String) =
+    s"/tmp/graft_q146_clsindex_${new java.io.File(sfDir).getName}"
+
   /** q107's paragraph-augmented corpus (a corpus-wide shared paragraph +
     * a %7 class paragraph), shared by q107 and the q108 index lifecycle.
     */
@@ -168,6 +171,22 @@ object SparkEntry {
       graft.ops.TextOps.frequencyScoreAgainstIndex(
         docsParallel(s, d).where(col("doc_id") % 3 === 0),
         "doc_id", "text", q141IndexDir(d), rareBelow = 3L).count()
+      ()
+    }),
+    ("q146_cls_index_lifecycle", "q146_build", (s: SparkSession, d: String) =>
+      graft.ops.LangModel.writeClassifierIndex(
+        docsParallel(s, d).withColumn("pos", col("lang") === "en")
+          .where(col("doc_id") % 3 === 1),
+        "doc_id", "text", "pos", q146IndexDir(d))),
+    ("q146_cls_index_lifecycle", "q146_append", (s: SparkSession, d: String) =>
+      graft.ops.LangModel.appendClassifierIndex(
+        docsParallel(s, d).withColumn("pos", col("lang") === "en")
+          .where(col("doc_id") % 3 === 2),
+        "doc_id", "text", "pos", q146IndexDir(d))),
+    ("q146_cls_index_lifecycle", "q146_probe", (s: SparkSession, d: String) => {
+      graft.ops.LangModel.scoreAgainstClassifierIndex(
+        docsParallel(s, d).where(col("doc_id") % 3 === 0),
+        "doc_id", "text", q146IndexDir(d)).count()
       ()
     }),
     ("q122_fp_index", "q122_build", (s: SparkSession, d: String) =>
@@ -983,6 +1002,50 @@ object SparkEntry {
       graft.ops.Sampling.takeGlobalTopFraction(
         scored, "doc_id", "score", fraction = 0.25, nBuckets = 8)
         .select(col("doc_id"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // persisted classifier index (the SEVENTH lifecycle): build standing
+    // labeled counters on the day-1 slice (%3 == 1), fold the day-2 slice
+    // (%3 == 2) as one delta epoch, derive the live model from the
+    // standing totals, and score the arrivals (%3 == 0). The output puts
+    // BOTH halves under the one hash: score/n_oov ride the mid-query-
+    // materialized weight table (q143 discipline), while sum_cp/sum_cn
+    // are integer sums of the STANDING counters that DuckDB recomputes
+    // from the raw train slices — so append ≡ rebuild on the union corpus
+    // is itself oracle-checked, token for token
+    "q146_cls_index_lifecycle" -> ((s, d) => {
+      val docs = docsParallel(s, d)
+      val labeled = docs.withColumn("pos", col("lang") === "en")
+      val idx = q146IndexDir(d)
+      graft.ops.LangModel.writeClassifierIndex(
+        labeled.where(col("doc_id") % 3 === 1), "doc_id", "text", "pos", idx)
+      graft.ops.LangModel.appendClassifierIndex(
+        labeled.where(col("doc_id") % 3 === 2), "doc_id", "text", "pos", idx)
+      val model = graft.ops.LangModel.indexClassifier(s, idx)
+      val out = s"${idx}_model"
+      model.weights.write.mode("overwrite").parquet(s"$out/weights")
+      import s.implicits._
+      Seq((model.oovWeight, model.prior)).toDF("oov_weight", "prior")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
+      val w = s.read.parquet(s"$out/weights")
+      val meta = s.read.parquet(s"$out/meta").head()
+      val arrivals = docs.where(col("doc_id") % 3 === 0)
+      val scored = graft.ops.LangModel.scoreTokenWeights(
+        arrivals, "doc_id", "text", w,
+        meta.getAs[Long]("oov_weight"), meta.getAs[Long]("prior"))
+      val counts = graft.ops.LangModel.indexClassifierCounts(s, idx)
+      val standing = arrivals
+        .select(col("doc_id"),
+          explode(graft.ops.TextOps.wsTokens(col("text"))).as("token"))
+        .join(counts, Seq("token"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(coalesce(col("cp"), lit(0L))).as("sum_cp"),
+          sum(coalesce(col("cn"), lit(0L))).as("sum_cn"))
+      scored.join(standing, Seq("doc_id"))
+        .select(col("doc_id"), col("n_toks"), col("n_oov"),
+          col("sum_cp"), col("sum_cn"), col("score"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2604,6 +2667,41 @@ object SparkEntry {
         |)
         |SELECT doc_id, score FROM r, c
         |WHERE rn <= cast(round(0.25 * c) AS BIGINT) ORDER BY doc_id""".stripMargin,
+
+    // the lifecycle oracle verifies two things at once: the scoring sums
+    // ride the materialized weight table (q143 discipline), and sum_cp/
+    // sum_cn recompute the STANDING counters from the raw train slices —
+    // the exact-integer append ≡ rebuild claim under the hash. The CASE
+    // arms are null-safe to match Spark's when(): a null label counts in
+    // NEITHER class
+    "q146_cls_index_lifecycle" ->
+      """WITH train AS (
+        |  SELECT doc_id, lang = 'en' AS pos,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents WHERE doc_id % 3 <> 0
+        |),
+        |cls AS (
+        |  SELECT token,
+        |    sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS cp,
+        |    sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)::BIGINT AS cn
+        |  FROM train GROUP BY token
+        |),
+        |arr AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents WHERE doc_id % 3 = 0
+        |),
+        |w AS (SELECT * FROM read_parquet('/tmp/graft_q146_clsindex_sf0.01_model/weights/*.parquet')),
+        |m AS (SELECT * FROM read_parquet('/tmp/graft_q146_clsindex_sf0.01_model/meta/*.parquet'))
+        |SELECT doc_id,
+        |  count(*)::BIGINT AS n_toks,
+        |  sum(CASE WHEN w.weight IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        |  sum(coalesce(cls.cp, 0))::BIGINT AS sum_cp,
+        |  sum(coalesce(cls.cn, 0))::BIGINT AS sum_cn,
+        |  (sum(coalesce(w.weight, (SELECT oov_weight FROM m)))
+        |    + (SELECT prior FROM m))::BIGINT AS score
+        |FROM arr LEFT JOIN cls USING (token) LEFT JOIN w USING (token)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q138_bpe_word_histogram" ->
       """WITH w AS (

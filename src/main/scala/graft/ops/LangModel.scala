@@ -72,37 +72,60 @@ object LangModel {
       textCol: String,
       labelCol: String,
       microNats: Long = 1000000L): TokenClassifier = {
-    val toks = labeled.select(
-      col(labelCol).cast("boolean").as("__pos"),
-      explode(TextOps.wsTokens(col(textCol))).as("token"))
-    // vocab-sized and consumed twice (the totals collect AND the weight
-    // projection the caller executes later) — materialized so the corpus
-    // explode-aggregate runs exactly once (Materialize.eager scaladoc)
-    val counts = Materialize.eager(toks.groupBy("token").agg(
-      sum(when(col("__pos"), 1L).otherwise(0L)).as("__cp"),
-      sum(when(!col("__pos"), 1L).otherwise(0L)).as("__cn")))
-    val t = counts.agg(
-      sum("__cp"), sum("__cn"), count(lit(1))).head()
-    val nPos = t.getLong(0)
-    val nNeg = t.getLong(1)
-    val v = t.getLong(2)
-    require(v > 0, "trainTokenClassifier: corpus has no tokens")
     val d = labeled.agg(
       sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)),
       count(lit(1))).head()
     val dPos = d.getLong(0)
     val dAll = d.getLong(1)
+    classifierFrom(
+      labeledTokenCounts(labeled, textCol, labelCol),
+      dPos, dAll - dPos, microNats)
+  }
+
+  /** The per-class token histogram of a labeled batch: `(token, cp, cn)`
+    * over whitespace tokens — one explode + one token-keyed aggregate,
+    * the only pass over text in both training and the index lifecycle.
+    */
+  private def labeledTokenCounts(
+      labeled: DataFrame, textCol: String, labelCol: String): DataFrame =
+    labeled.select(
+      col(labelCol).cast("boolean").as("__pos"),
+      explode(TextOps.wsTokens(col(textCol))).as("token"))
+      .groupBy("token").agg(
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("cp"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("cn"))
+
+  /** Derive the quantized model from a `(token, cp, cn)` histogram plus
+    * the positive/negative DOCUMENT counts — the single place the weight
+    * formula lives, shared by [[trainTokenClassifier]] and the index
+    * probe so the two derivations cannot drift. The histogram is
+    * vocab-sized and consumed twice (the totals collect AND the weight
+    * projection the caller executes later) — materialized so its
+    * upstream runs exactly once.
+    */
+  private def classifierFrom(
+      countsRaw: DataFrame,
+      dPos: Long,
+      dNeg: Long,
+      microNats: Long): TokenClassifier = {
+    val counts = Materialize.eager(countsRaw)
+    val t = counts.agg(
+      sum("cp"), sum("cn"), count(lit(1))).head()
+    val nPos = t.getLong(0)
+    val nNeg = t.getLong(1)
+    val v = t.getLong(2)
+    require(v > 0, "classifier training: corpus has no tokens")
     val weights = counts.select(
       col("token"),
       round(
-        (log((col("__cp") + lit(1)).cast("double") / lit((nPos + v).toDouble)) -
-          log((col("__cn") + lit(1)).cast("double") / lit((nNeg + v).toDouble))) *
+        (log((col("cp") + lit(1)).cast("double") / lit((nPos + v).toDouble)) -
+          log((col("cn") + lit(1)).cast("double") / lit((nNeg + v).toDouble))) *
           lit(microNats.toDouble))
         .cast("long").as("weight"))
     val oov = roundHalfUp(
       (math.log(1.0 / (nPos + v)) - math.log(1.0 / (nNeg + v))) * microNats)
     val prior = roundHalfUp(
-      math.log((dPos + 1.0) / (dAll - dPos + 1.0)) * microNats)
+      math.log((dPos + 1.0) / (dNeg + 1.0)) * microNats)
     TokenClassifier(weights, oov, prior, microNats)
   }
 
@@ -242,4 +265,252 @@ object LangModel {
         count(lit(1)).as("n_bigrams"),
         sum(coalesce(col("__blp"), col("__flp"), lit(floorLp))).as("lp_sum"))
   }
+
+  // ---- persisted classifier index ([[EpochStore]] delta-epoch layout —
+  // the SEVENTH index lifecycle) ----
+  //
+  // A production quality classifier is trained on labeled data that
+  // ARRIVES: a curation team labels a batch a day, and retraining from
+  // scratch re-aggregates every labeled document ever seen. Because
+  // multinomial NB is a pure function of integer counters — the per-class
+  // token histogram `(token, cp, cn)` and the per-class document counts
+  // `(dp, dn)` — the model state is exactly a counter index: each epoch's
+  // `cls`/`docs` dirs hold the BATCH's own partial counts, live totals
+  // are their exact integer SUM, and the derived weights are therefore
+  // IDENTICAL to a from-scratch retrain on the union corpus (pinned in
+  // LangModelSpec). Append = one explode-aggregate over the new batch
+  // alone. Counter folds are not idempotent, so the committed `ids`
+  // table + per-epoch id bloom give the same replay guard as the
+  // token-frequency lifecycle: a full replay NO-OPs, a partial overlap
+  // fails loudly instead of double-counting.
+
+  /** On-disk format version of the classifier index. */
+  val ClassifierIndexFormatVersion: Int = 1
+
+  private def writeClsMeta(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    import spark.implicits._
+    Seq(Tuple1(ClassifierIndexFormatVersion)).toDF("format_version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private[graft] def resolveClassifierIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val dir = EpochStore.epochDir(spark, path)
+    val v = spark.read.parquet(s"$dir/meta").head().getAs[Int]("format_version")
+    require(v == ClassifierIndexFormatVersion,
+      s"classifier index at $path has on-disk format version $v but this " +
+      s"build reads version $ClassifierIndexFormatVersion — rebuild it " +
+      "with writeClassifierIndex")
+    dir
+  }
+
+  private def clsBatchIds(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol).cast("string").as("id")).distinct()
+
+  /** One batch's per-class DOCUMENT counts, `(dp, dn)` — single row. */
+  private def labeledDocCounts(labeled: DataFrame, labelCol: String): DataFrame =
+    labeled.agg(
+      sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("dp"),
+      sum(when(!col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("dn"))
+
+  private def clsCountsAt(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    EpochStore.readTable(spark, dir, "cls")
+      .groupBy(col("token"))
+      .agg(sum(col("cp")).as("cp"), sum(col("cn")).as("cn"))
+
+  private def clsDocsAt(
+      spark: org.apache.spark.sql.SparkSession, dir: String): (Long, Long) = {
+    val r = EpochStore.readTable(spark, dir, "docs")
+      .agg(sum("dp"), sum("dn")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Persist the classifier index from scratch: ONE explode-aggregate
+    * over the labeled corpus (at 100 TB the only pass over text) plus
+    * the single-row doc counts, the narrow distinct-id table and its
+    * bloom. Non-destructive over an existing index (epoch N+1 + atomic
+    * pointer commit), same single-writer lease contract as the other
+    * six lifecycles.
+    */
+  def writeClassifierIndex(
+      labeled: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      path: String,
+      retainEpochs: Int = 2): Unit = {
+    val spark = labeled.sparkSession
+    EpochStore.withLease(spark, path) {
+    val cur = EpochStore.currentEpoch(spark, path)
+    if (cur.isEmpty) EpochStore.resetKeepingLease(spark, path)
+    val n = cur.map(EpochStore.epochNumber(_) + 1L).getOrElse(1L)
+    val epoch = EpochStore.epochName(n)
+    val dir = s"$path/$epoch"
+    EpochStore.deleteDir(spark, dir)
+    val dCls = EpochStore.dataDirName("cls", n)
+    val dDocs = EpochStore.dataDirName("docs", n)
+    val dIds = EpochStore.dataDirName("ids", n)
+    EpochStore.inParallel(
+      () => labeledTokenCounts(labeled, textCol, labelCol)
+        .write.mode("overwrite").parquet(s"$path/data/$dCls"),
+      () => labeledDocCounts(labeled, labelCol)
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/data/$dDocs"),
+      () => clsBatchIds(labeled, idCol)
+        .write.mode("overwrite").parquet(s"$path/data/$dIds"))
+    val idsDf = spark.read.parquet(s"$path/data/$dIds")
+    val items = EpochStore.idBloomItems(idsDf.count())
+    EpochStore.writeIdBloom(spark, dir,
+      EpochStore.buildIdBloom(idsDf, "id", items, EpochStore.IdBloomFpp),
+      items, EpochStore.IdBloomFpp)
+    writeClsMeta(spark, dir)
+    EpochStore.writeManifest(spark, dir,
+      Seq("cls" -> dCls, "docs" -> dDocs, "ids" -> dIds))
+    EpochStore.commitEpoch(spark, path, epoch, cur)
+    EpochStore.gc(spark, path, epoch, retainEpochs)
+    }
+  }
+
+  /** Fold a batch of NEWLY LABELED documents into the standing counters:
+    * writes only the batch's own histogram and doc counts as fresh
+    * `cls`/`docs` deltas (standing data carried forward BY REFERENCE),
+    * so the derived model ≡ a from-scratch retrain on the union corpus,
+    * weight for weight, in exact integers. Replay guard: a batch whose
+    * ids are ALL already committed is a NO-OP (at-least-once schedulers
+    * replay safely); a PARTIAL id overlap fails loudly, since folding it
+    * would double-count the overlap — split the batch instead.
+    */
+  def appendClassifierIndex(
+      newLabeled: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      path: String,
+      retainEpochs: Int = 2): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val spark = newLabeled.sparkSession
+    EpochStore.withLease(spark, path) {
+    val curDir = resolveClassifierIndex(spark, path)
+    val curEpoch = new HPath(curDir).getName
+    val batchIds = clsBatchIds(newLabeled, idCol)
+    val overlap: Long =
+      if (!EpochStore.idGuardNeedsExact(spark, curDir, batchIds, "id")) 0L
+      else batchIds
+        .join(EpochStore.readTable(spark, curDir, "ids"), Seq("id"), "left_semi")
+        .count()
+    val total = batchIds.count()
+    if (total > 0L && overlap < total) {
+      require(overlap == 0L,
+        s"appendClassifierIndex: $overlap of $total batch ids are already " +
+        s"committed in the index at $path — folding this batch would " +
+        "double-count their tokens. Split the batch into the new ids and " +
+        "re-append; a FULL replay (all ids committed) is a no-op")
+      val n = EpochStore.epochNumber(curEpoch) + 1L
+      val epoch = EpochStore.epochName(n)
+      val dir = s"$path/$epoch"
+      EpochStore.deleteDir(spark, dir)
+      val dCls = EpochStore.dataDirName("cls", n)
+      val dDocs = EpochStore.dataDirName("docs", n)
+      val dIds = EpochStore.dataDirName("ids", n)
+      EpochStore.inParallel(
+        () => labeledTokenCounts(newLabeled, textCol, labelCol)
+          .write.mode("overwrite").parquet(s"$path/data/$dCls"),
+        () => labeledDocCounts(newLabeled, labelCol)
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/data/$dDocs"),
+        () => batchIds.write.mode("overwrite").parquet(s"$path/data/$dIds"))
+      val (items, fpp, bloom) = EpochStore.appendedIdBloom(
+        spark, curDir, batchIds,
+        EpochStore.readTable(spark, curDir, "ids"), "id")
+      EpochStore.writeIdBloom(spark, dir, bloom, items, fpp)
+      writeClsMeta(spark, dir)
+      EpochStore.writeManifest(spark, dir,
+        EpochStore.readManifest(spark, curDir) ++
+          Seq("cls" -> dCls, "docs" -> dDocs, "ids" -> dIds))
+      EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))
+      EpochStore.gc(spark, path, epoch, retainEpochs)
+    } // else: empty batch or full replay — live epoch untouched
+    }
+  }
+
+  /** Merge the accumulated counter deltas into ONE pre-summed dir per
+    * table, with a right-sized fresh bloom — the same maintenance op as
+    * the other lifecycles' compact. Totals (and therefore the derived
+    * model) are unchanged.
+    */
+  def compactClassifierIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      retainEpochs: Int = 2): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    EpochStore.withLease(spark, path) {
+    val curDir = resolveClassifierIndex(spark, path)
+    val curEpoch = new HPath(curDir).getName
+    val n = EpochStore.epochNumber(curEpoch) + 1L
+    val epoch = EpochStore.epochName(n)
+    val dir = s"$path/$epoch"
+    EpochStore.deleteDir(spark, dir)
+    val dCls = EpochStore.dataDirName("cls", n)
+    val dDocs = EpochStore.dataDirName("docs", n)
+    val dIds = EpochStore.dataDirName("ids", n)
+    EpochStore.inParallel(
+      () => clsCountsAt(spark, curDir)
+        .write.mode("overwrite").parquet(s"$path/data/$dCls"),
+      () => EpochStore.readTable(spark, curDir, "docs")
+        .agg(sum("dp").as("dp"), sum("dn").as("dn"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/data/$dDocs"),
+      // append-guard disjointness makes the union already distinct
+      () => EpochStore.readTable(spark, curDir, "ids")
+        .write.mode("overwrite").parquet(s"$path/data/$dIds"))
+    val idsDf = spark.read.parquet(s"$path/data/$dIds")
+    val items = EpochStore.idBloomItems(idsDf.count())
+    EpochStore.writeIdBloom(spark, dir,
+      EpochStore.buildIdBloom(idsDf, "id", items, EpochStore.IdBloomFpp),
+      items, EpochStore.IdBloomFpp)
+    writeClsMeta(spark, dir)
+    EpochStore.writeManifest(spark, dir,
+      Seq("cls" -> dCls, "docs" -> dDocs, "ids" -> dIds))
+    EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))
+    EpochStore.gc(spark, path, epoch, retainEpochs)
+    }
+  }
+
+  /** The live epoch's standing per-class token counters, `(token, cp,
+    * cn)` — the exact-integer histogram of every committed labeled
+    * document: one token-keyed SUM over the delta dirs (vocabulary-sized;
+    * [[compactClassifierIndex]] pre-sums it back to one dir).
+    */
+  def indexClassifierCounts(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    clsCountsAt(spark, resolveClassifierIndex(spark, path))
+
+  /** Derive the live model from the standing counters — identical, by
+    * exact-integer construction, to [[trainTokenClassifier]] on the
+    * union of every committed batch (LangModelSpec pins this). The one
+    * quantization (`ln` → integer micro-nats) happens HERE, once per
+    * probe session; persist `weights` if downstream engines must score
+    * bit-identically.
+    */
+  def indexClassifier(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      microNats: Long = 1000000L): TokenClassifier = {
+    val dir = resolveClassifierIndex(spark, path)
+    val (dp, dn) = clsDocsAt(spark, dir)
+    classifierFrom(clsCountsAt(spark, dir), dp, dn, microNats)
+  }
+
+  /** Score DAILY ARRIVALS under the standing model: derive the weights
+    * from the committed counters and [[scoreTokenClassifier]] the batch
+    * — zero labeled-corpus recompute; the batch's own token shuffle is
+    * the only corpus-shaped work.
+    */
+  def scoreAgainstClassifierIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String,
+      microNats: Long = 1000000L): DataFrame =
+    scoreTokenClassifier(docs, idCol, textCol,
+      indexClassifier(docs.sparkSession, path, microNats))
 }

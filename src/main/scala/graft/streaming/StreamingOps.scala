@@ -604,6 +604,28 @@ object StreamingOps {
             batch.toDF(), idCol, textCol, path, retainEpochs)
     }
 
+  /** Fold each micro-batch of newly LABELED documents into the standing
+    * classifier index ([[graft.ops.LangModel.writeClassifierIndex]]) —
+    * the seventh lifecycle's streaming form: the quality model keeps
+    * learning as labels arrive, and the derived weights stay exactly the
+    * from-scratch retrain on everything committed. Replay-safe by the
+    * append's own id guard, same contract as
+    * [[appendToTokenFrequencyIndex]].
+    */
+  def appendToClassifierIndex(
+      newStream: DataFrame,
+      idCol: String,
+      textCol: String,
+      labelCol: String,
+      path: String,
+      retainEpochs: Int = 2): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.LangModel.appendClassifierIndex(
+            batch.toDF(), idCol, textCol, labelCol, path, retainEpochs)
+    }
+
   /** Per-ROW stateless stream filter against the standing paragraph index
     * ([[graft.ops.Dedup.writeParagraphIndex]]): rebuild each streamed
     * document with every ALREADY-INDEXED paragraph removed, deciding from

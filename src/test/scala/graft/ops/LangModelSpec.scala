@@ -121,6 +121,51 @@ class LangModelSpec extends SparkSpec {
     assert(out(12L) == (1L, lm.floorLp))
   }
 
+  test("classifier index: append ≡ retrain, replay no-op, overlap loud, compact exact") {
+    import java.nio.file.Files
+    val a = frame(labeledSt,
+      Row(1L, "a a b", true), Row(2L, "a c", false))
+    val b = frame(labeledSt,
+      Row(3L, "b c c", true), Row(4L, "d", false), Row(5L, "a d", true))
+    val idx = Files.createTempDirectory("graft-clsidx").toString + "/idx"
+    LangModel.writeClassifierIndex(a, "doc_id", "text", "pos", idx)
+    LangModel.appendClassifierIndex(b, "doc_id", "text", "pos", idx)
+    def modelOf(m: LangModel.TokenClassifier) =
+      (m.weights.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+        m.oovWeight, m.prior)
+    val retrained = modelOf(
+      LangModel.trainTokenClassifier(a.unionByName(b), "text", "pos"))
+    assert(modelOf(LangModel.indexClassifier(spark, idx)) == retrained,
+      "standing-counter model must equal the from-scratch retrain exactly")
+    // a FULL replay of a committed batch no-ops: same epoch, same model
+    val epochBefore = EpochStore.currentEpoch(spark, idx)
+    LangModel.appendClassifierIndex(b, "doc_id", "text", "pos", idx)
+    assert(EpochStore.currentEpoch(spark, idx) == epochBefore)
+    assert(modelOf(LangModel.indexClassifier(spark, idx)) == retrained)
+    // a PARTIAL id overlap would double-count — must fail loudly
+    val mixed = frame(labeledSt,
+      Row(5L, "a d", true), Row(9L, "e e", false))
+    assertThrows[IllegalArgumentException](
+      LangModel.appendClassifierIndex(mixed, "doc_id", "text", "pos", idx))
+    assert(modelOf(LangModel.indexClassifier(spark, idx)) == retrained,
+      "the refused append must leave the standing model untouched")
+    // compaction pre-sums the deltas without moving a single counter
+    LangModel.compactClassifierIndex(spark, idx)
+    assert(modelOf(LangModel.indexClassifier(spark, idx)) == retrained)
+    // daily probe ≡ scoring under the retrained model
+    val arrivals = frame(struct("doc_id" -> LongType, "text" -> StringType),
+      Row(10L, "a b zzz"), Row(11L, "c d"))
+    def scoredSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        r.getLong(r.fieldIndex("n_toks")), r.getLong(r.fieldIndex("n_oov")),
+        r.getLong(r.fieldIndex("score")))).toSet
+    assert(
+      scoredSet(LangModel.scoreAgainstClassifierIndex(
+        arrivals, "doc_id", "text", idx)) ==
+      scoredSet(LangModel.scoreTokenClassifier(arrivals, "doc_id", "text",
+        LangModel.trainTokenClassifier(a.unionByName(b), "text", "pos"))))
+  }
+
   test("bigram LM ranks in-domain text above out-of-domain (mean lp/bigram)") {
     val sf = s"$testdataRoot/sf0.001"
     requireTestdata(sf)

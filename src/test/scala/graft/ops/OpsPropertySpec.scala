@@ -430,6 +430,50 @@ object OpsPropertySpec extends Properties("graft.ops") {
       appendEqRebuild && replayNoop && overlapGuard && compactKeeps && got == expect
     }
 
+  property("classifier index: append ≡ retrain; replay no-ops; probe ≡ direct scoring") =
+    forAll(
+      Gen.choose(0, 5).flatMap(k => Gen.listOfN(k,
+        Gen.choose(0, 6).flatMap(m => Gen.listOfN(m, Gen.choose(0, 9))))),
+      Gen.choose(0, 4).flatMap(k => Gen.listOfN(k,
+        Gen.choose(0, 6).flatMap(m => Gen.listOfN(m, Gen.choose(0, 9)))))) { (aD, bD) =>
+      import org.apache.spark.sql.functions._
+      // one guaranteed token-bearing doc so the derived model exists
+      def labeled(docsWords: Seq[Seq[Int]], idBase: Long) =
+        wordCorpus(docsWords, idBase)
+          .withColumn("pos", col("doc_id") % 2 === 0)
+      val a = labeled(aD :+ List(1, 2), 0L)
+      val b = labeled(bD, 100L)
+      def modelOf(m: LangModel.TokenClassifier) =
+        (m.weights.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+          m.oovWeight, m.prior)
+      val appended = java.nio.file.Files.createTempDirectory("graft-clsprop-app").toString
+      LangModel.writeClassifierIndex(a, "doc_id", "text", "pos", appended)
+      LangModel.appendClassifierIndex(b, "doc_id", "text", "pos", appended)
+      val retrained = modelOf(
+        LangModel.trainTokenClassifier(a.unionByName(b), "text", "pos"))
+      val appendEqRetrain = modelOf(
+        LangModel.indexClassifier(spark, appended)) == retrained
+      // replaying the committed batch must be a NO-OP (no epoch, no counts)
+      val epochBefore = EpochStore.currentEpoch(spark, appended)
+      LangModel.appendClassifierIndex(b, "doc_id", "text", "pos", appended)
+      val replayNoop =
+        EpochStore.currentEpoch(spark, appended) == epochBefore &&
+          modelOf(LangModel.indexClassifier(spark, appended)) == retrained
+      // daily probe against the standing counters ≡ direct scoring under
+      // the retrained model, row for row in exact integers
+      def scoredSet(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0),
+          r.getLong(r.fieldIndex("n_toks")), r.getLong(r.fieldIndex("n_oov")),
+          r.getLong(r.fieldIndex("score")))).toSet
+      val arrivals = wordCorpus(bD :+ List(0, 9, 3), 900L)
+      val probeEqDirect =
+        scoredSet(LangModel.scoreAgainstClassifierIndex(
+          arrivals, "doc_id", "text", appended)) ==
+        scoredSet(LangModel.scoreTokenClassifier(arrivals, "doc_id", "text",
+          LangModel.trainTokenClassifier(a.unionByName(b), "text", "pos")))
+      appendEqRetrain && replayNoop && probeEqDirect
+    }
+
   property("temperatureMix: per-source kept counts equal the quota formula; sets nest in target") =
     forAll(genCounts.suchThat(_.nonEmpty), Gen.oneOf(0.5, 1.0),
       Gen.choose(1L, 30L), Gen.choose(1, 4)) { (counts, alpha, target, nStrata) =>

@@ -630,6 +630,50 @@ class StreamingSpec extends SparkSpec {
     assert(table(streamed, "fsizes") == table(batched, "fsizes"))
   }
 
+  test("stream-grown classifier index equals batch appends; replay no-ops") {
+    import graft.ops.{EpochStore, LangModel}
+    val labSt = struct(
+      "doc_id" -> LongType, "text" -> StringType, "pos" -> BooleanType)
+    val streamIdx = Files.createTempDirectory("graft-clsidx-s").toString + "/idx"
+    val batchIdx = Files.createTempDirectory("graft-clsidx-b").toString + "/idx"
+    val seed = frame(labSt,
+      Row(1L, "alpha beta beta", true), Row(2L, "gamma", false))
+    LangModel.writeClassifierIndex(seed, "doc_id", "text", "pos", streamIdx)
+    LangModel.writeClassifierIndex(seed, "doc_id", "text", "pos", batchIdx)
+    val chunks = Seq(
+      Seq(Row(10L, "beta delta", false), Row(11L, "alpha", true)),
+      Seq(Row(12L, "delta delta epsilon", true)))
+    val inDir = Files.createTempDirectory("graft-clsidx-in").toString
+    chunks.foreach { rows =>
+      frame(labSt, rows: _*).coalesce(1).write.mode("append").parquet(inDir)
+      Thread.sleep(5)
+    }
+    def fold(cp: String): Unit = {
+      val q = StreamingOps.appendToClassifierIndex(
+        spark.readStream.schema(labSt).option("maxFilesPerTrigger", "1").parquet(inDir),
+        "doc_id", "text", "pos", streamIdx)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", cp).start()
+      q.awaitTermination()
+    }
+    fold(Files.createTempDirectory("graft-clsidx-cp").toString)
+    chunks.foreach(rows => LangModel.appendClassifierIndex(
+      frame(labSt, rows: _*), "doc_id", "text", "pos", batchIdx))
+    def modelOf(p: String) = {
+      val m = LangModel.indexClassifier(spark, p)
+      (m.weights.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+        m.oovWeight, m.prior)
+    }
+    assert(modelOf(streamIdx) == modelOf(batchIdx),
+      "stream-folded classifier must equal the batch-appended one")
+    // replay EVERYTHING from a fresh checkpoint: each re-delivered batch's
+    // ids are all committed, so every fold no-ops — same epoch, same model
+    val epochBefore = EpochStore.currentEpoch(spark, streamIdx)
+    fold(Files.createTempDirectory("graft-clsidx-cp2").toString)
+    assert(EpochStore.currentEpoch(spark, streamIdx) == epochBefore)
+    assert(modelOf(streamIdx) == modelOf(batchIdx))
+  }
+
   test("stream-grown token-frequency index equals batch appends; replay no-ops") {
     import graft.ops.{EpochStore, TextOps}
     val docSt = struct("doc_id" -> LongType, "text" -> StringType)
