@@ -94,6 +94,26 @@ object SparkEntry {
   private def q146IndexDir(sfDir: String) =
     s"/tmp/graft_q146_clsindex_${new java.io.File(sfDir).getName}"
 
+  private def q147ModelDir(sfDir: String) =
+    s"/tmp/graft_q147_mc_${new java.io.File(sfDir).getName}"
+
+  private def q148ModelDir(sfDir: String) =
+    s"/tmp/graft_q148_mc_${new java.io.File(sfDir).getName}"
+
+  /** Train the multiclass NB on the held-in slice, materialize the model
+    * tables under `out` (the q143 discipline — DuckDB must integer-sum
+    * the IDENTICAL quantized values), and return them re-read.
+    */
+  private def multiclassMaterialized(
+      s: SparkSession, d: String, out: String): (DataFrame, DataFrame) = {
+    val docs = Tables(s, d, "documents")
+    val model = graft.ops.LangModel.trainMulticlassClassifier(
+      docs.where(col("doc_id") % 3 =!= 0), "text", "lang")
+    model.weights.write.mode("overwrite").parquet(s"$out/weights")
+    model.classMeta.coalesce(1).write.mode("overwrite").parquet(s"$out/class_meta")
+    (s.read.parquet(s"$out/weights"), s.read.parquet(s"$out/class_meta"))
+  }
+
   /** q107's paragraph-augmented corpus (a corpus-wide shared paragraph +
     * a %7 class paragraph), shared by q107 and the q108 index lifecycle.
     */
@@ -1046,6 +1066,35 @@ object SparkEntry {
       scored.join(standing, Seq("doc_id"))
         .select(col("doc_id"), col("n_toks"), col("n_oov"),
           col("sum_cp"), col("sum_cn"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // MULTICLASS NB (trained language-ID / domain-ID, the fastText-style
+    // supervised classification every curation pipeline runs): train on
+    // the %3 slice with class = lang, score ALL docs so the held-out
+    // third exercises class-absent and fully-OOV tokens under the hash —
+    // one row per document × class, pure integer arithmetic against the
+    // mid-query-materialized long-format weight table
+    "q147_multiclass_scores" -> ((s, d) => {
+      val (w, m) = multiclassMaterialized(s, d, q147ModelDir(d))
+      graft.ops.LangModel.scoreMulticlassTables(
+        Tables(s, d, "documents"), "doc_id", "text", w, m)
+        .orderBy(col("doc_id"), col("cls"))
+    }),
+
+    // the argmax prediction over the same construction: each document's
+    // best class in (score DESC, cls ASC) order — the per-doc ranking
+    // window partitions by document, never globally
+    "q148_predict_class" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val (w, m) = multiclassMaterialized(s, d, q148ModelDir(d))
+      graft.ops.LangModel.scoreMulticlassTables(
+        Tables(s, d, "documents"), "doc_id", "text", w, m)
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("score").desc, col("cls").asc)))
+        .where(col("__rn") === 1)
+        .select(col("doc_id"), col("cls"), col("score"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2702,6 +2751,59 @@ object SparkEntry {
         |    + (SELECT prior FROM m))::BIGINT AS score
         |FROM arr LEFT JOIN cls USING (token) LEFT JOIN w USING (token)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // multiclass scoring re-derived from the materialized long-format
+    // weight table: per-class present sums + the (n_toks − n_present) ·
+    // absent_weight remainder — integer arithmetic end to end
+    "q147_multiclass_scores" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents
+        |),
+        |n AS (SELECT doc_id, count(*)::BIGINT AS n_toks FROM t GROUP BY doc_id),
+        |w AS (SELECT * FROM read_parquet('/tmp/graft_q147_mc_sf0.01/weights/*.parquet')),
+        |m AS (SELECT * FROM read_parquet('/tmp/graft_q147_mc_sf0.01/class_meta/*.parquet')),
+        |p AS (
+        |  SELECT doc_id, cls, sum(weight)::BIGINT AS wp, count(*)::BIGINT AS np
+        |  FROM t JOIN w USING (token) GROUP BY doc_id, cls
+        |)
+        |SELECT n.doc_id, m.cls, n.n_toks,
+        |  coalesce(p.np, 0)::BIGINT AS n_hit,
+        |  (m.prior + coalesce(p.wp, 0)
+        |    + (n.n_toks - coalesce(p.np, 0)) * m.absent_weight)::BIGINT AS score
+        |FROM n CROSS JOIN m
+        |LEFT JOIN p ON p.doc_id = n.doc_id AND p.cls = m.cls
+        |ORDER BY n.doc_id, m.cls""".stripMargin,
+
+    // q147's scores through the rank-1 window in (score DESC, cls ASC)
+    "q148_predict_class" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents
+        |),
+        |n AS (SELECT doc_id, count(*)::BIGINT AS n_toks FROM t GROUP BY doc_id),
+        |w AS (SELECT * FROM read_parquet('/tmp/graft_q148_mc_sf0.01/weights/*.parquet')),
+        |m AS (SELECT * FROM read_parquet('/tmp/graft_q148_mc_sf0.01/class_meta/*.parquet')),
+        |p AS (
+        |  SELECT doc_id, cls, sum(weight)::BIGINT AS wp, count(*)::BIGINT AS np
+        |  FROM t JOIN w USING (token) GROUP BY doc_id, cls
+        |),
+        |s AS (
+        |  SELECT n.doc_id, m.cls,
+        |    (m.prior + coalesce(p.wp, 0)
+        |      + (n.n_toks - coalesce(p.np, 0)) * m.absent_weight)::BIGINT AS score
+        |  FROM n CROSS JOIN m
+        |  LEFT JOIN p ON p.doc_id = n.doc_id AND p.cls = m.cls
+        |),
+        |r AS (
+        |  SELECT doc_id, cls, score,
+        |    row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
+        |  FROM s
+        |)
+        |SELECT doc_id, cls, score FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q138_bpe_word_histogram" ->
       """WITH w AS (

@@ -166,6 +166,127 @@ object LangModel {
           .as("score"))
   }
 
+  /** A trained MULTICLASS multinomial NB over whitespace tokens — the
+    * corpus-fitted form of language-ID / domain-ID (the classification
+    * task fastText-style supervised models run in curation pipelines;
+    * same public NB formulation as the binary [[TokenClassifier]],
+    * per-class). `weights` is long-format `(cls, token, weight)` with
+    * `weight = round(microNats * ln((c(cls,token)+1)/(n(cls)+V)))`;
+    * `classMeta` is `(cls, absent_weight, prior)` where `absent_weight`
+    * is the same formula at `c = 0` (one value per class covers both a
+    * vocab token unseen in THIS class and a fully-OOV token — add-one
+    * smoothing makes them identical) and `prior = round(microNats *
+    * ln((d(cls)+1)/(dAll+K)))`. A document's score under class `c` is
+    * `prior(c) + Σ_present weight + (n_toks − n_present(c)) ·
+    * absent_weight(c)` — pure integer arithmetic once the tables are
+    * quantized, so scoring and argmax prediction stay hash-oracle-able
+    * in any engine reading the same tables.
+    */
+  final case class MulticlassClassifier(
+      weights: DataFrame,
+      classMeta: DataFrame,
+      microNats: Long)
+
+  /** Train the multiclass NB. Null-class rows are excluded (an unlabeled
+    * doc trains nothing). One explode + one (cls, token)-keyed aggregate
+    * is the only pass over text; the per-class totals and priors derive
+    * from that histogram plus one tiny class-keyed doc count —
+    * `classMeta` stays a K-row frame, never collected beyond one
+    * two-long aggregate row.
+    */
+  def trainMulticlassClassifier(
+      labeled: DataFrame,
+      textCol: String,
+      classCol: String,
+      microNats: Long = 1000000L): MulticlassClassifier = {
+    val lab = labeled.where(col(classCol).isNotNull)
+      .withColumn("__cls", col(classCol).cast("string"))
+    val counts = Materialize.eager(
+      lab.select(col("__cls").as("cls"),
+        explode(TextOps.wsTokens(col(textCol))).as("token"))
+        .groupBy("cls", "token").agg(count(lit(1)).as("__c")))
+    val v = counts.select("token").distinct().count()
+    require(v > 0, "trainMulticlassClassifier: corpus has no tokens")
+    val docTotals = lab.groupBy(col("__cls").as("cls"))
+      .agg(count(lit(1)).as("__d"))
+    val t = docTotals.agg(sum("__d"), count(lit(1))).head()
+    val dAll = t.getLong(0)
+    val k = t.getLong(1)
+    val clsTotals = counts.groupBy("cls").agg(sum("__c").as("__n"))
+    val weights = counts.join(clsTotals, Seq("cls")).select(
+      col("cls"), col("token"),
+      round(log((col("__c") + lit(1)).cast("double") /
+        (col("__n") + lit(v)).cast("double")) * lit(microNats.toDouble))
+        .cast("long").as("weight"))
+    val classMeta = docTotals.join(clsTotals, Seq("cls"), "left").select(
+      col("cls"),
+      round(log(lit(1.0) /
+        (coalesce(col("__n"), lit(0L)) + lit(v)).cast("double")) *
+        lit(microNats.toDouble)).cast("long").as("absent_weight"),
+      round(log((col("__d") + lit(1)).cast("double") /
+        lit((dAll + k).toDouble)) * lit(microNats.toDouble))
+        .cast("long").as("prior"))
+    MulticlassClassifier(weights, classMeta, microNats)
+  }
+
+  /** Per-document per-class scores: `(idCol, cls, n_toks, n_hit, score)`
+    * — one row per document × class, every class present for every
+    * token-bearing document (empty docs absent, as in the binary
+    * scorer). The class expansion is a broadcast of the K-row
+    * `classMeta`; the corpus-shaped work is one token-keyed join of the
+    * exploded tokens against the long-format weight table.
+    */
+  def scoreMulticlass(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: MulticlassClassifier): DataFrame =
+    scoreMulticlassTables(df, idCol, textCol, model.weights, model.classMeta)
+
+  /** [[scoreMulticlass]] against explicit model tables — the
+    * oracle-materialization form.
+    */
+  def scoreMulticlassTables(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: DataFrame,
+      classMeta: DataFrame): DataFrame = {
+    val toks = df.select(
+      col(idCol), explode(TextOps.wsTokens(col(textCol))).as("token"))
+    val nTok = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_toks"))
+    val present = toks.join(weights, Seq("token"))
+      .groupBy(col(idCol), col("cls"))
+      .agg(sum("weight").as("__wp"), count(lit(1)).as("__np"))
+    nTok.join(broadcast(classMeta))
+      .join(present, Seq(idCol, "cls"), "left")
+      .select(
+        col(idCol), col("cls"), col("n_toks"),
+        coalesce(col("__np"), lit(0L)).as("n_hit"),
+        (col("prior") + coalesce(col("__wp"), lit(0L)) +
+          (col("n_toks") - coalesce(col("__np"), lit(0L))) *
+            col("absent_weight")).as("score"))
+  }
+
+  /** Argmax prediction: `(idCol, cls, score)` — each document's
+    * highest-scoring class, ties broken by class name ascending (a
+    * deterministic, engine-portable order). The ranking window
+    * partitions by document — no global ordering anywhere.
+    */
+  def predictClass(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      model: MulticlassClassifier): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scoreMulticlass(df, idCol, textCol, model)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("score").desc, col("cls").asc)))
+      .where(col("__rn") === 1)
+      .select(col(idCol), col("cls"), col("score"))
+  }
+
   /** An add-one-smoothed bigram language model in integer micro-nats.
     * `bigrams` is `(w1, w2, lp)` with
     * `lp = round(microNats * ln((c(w1,w2)+1)/(c1(w1)+V)))` where `c1(w1)`

@@ -121,6 +121,86 @@ class LangModelSpec extends SparkSpec {
     assert(out(12L) == (1L, lm.floorLp))
   }
 
+  private val multiSt = struct(
+    "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType)
+
+  test("trainMulticlassClassifier: exact weights, absent, prior on a hand fixture") {
+    // x: "a a b" (n=3)  y: "a c" (n=2)  z: "c c" (n=2); V=3, K=3, dAll=3
+    val df = frame(multiSt,
+      Row(1L, "a a b", "x"), Row(2L, "a c", "y"), Row(3L, "c c", "z"))
+    val model = LangModel.trainMulticlassClassifier(df, "text", "lang")
+    val w = model.weights.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(w(("x", "a")) == m(math.log(3.0 / 6)))
+    assert(w(("x", "b")) == m(math.log(2.0 / 6)))
+    assert(w(("y", "a")) == m(math.log(2.0 / 5)))
+    assert(w(("y", "c")) == m(math.log(2.0 / 5)))
+    assert(w(("z", "c")) == m(math.log(3.0 / 5)))
+    assert(w.size == 5)
+    val cm = model.classMeta.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(cm("x") == ((m(math.log(1.0 / 6)), m(math.log(2.0 / 6)))))
+    assert(cm("y") == ((m(math.log(1.0 / 5)), m(math.log(2.0 / 6)))))
+    assert(cm("z") == ((m(math.log(1.0 / 5)), m(math.log(2.0 / 6)))))
+  }
+
+  test("scoreMulticlass + predictClass: per-class integer sums, OOV tie by cls asc") {
+    val df = frame(multiSt,
+      Row(1L, "a a b", "x"), Row(2L, "a c", "y"), Row(3L, "c c", "z"))
+    val model = LangModel.trainMulticlassClassifier(df, "text", "lang")
+    val w = model.weights.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val cm = model.classMeta.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val toScore = frame(struct("doc_id" -> LongType, "text" -> StringType),
+      Row(10L, "a b"), Row(11L, "zzz"), Row(12L, ""))
+    val scores = LangModel.scoreMulticlass(toScore, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(r.fieldIndex("n_toks")), r.getLong(r.fieldIndex("n_hit")),
+          r.getLong(r.fieldIndex("score")))).toMap
+    assert(scores.keySet == Set(10L, 11L).flatMap(i =>
+      Set("x", "y", "z").map(i -> _))) // the empty doc is absent
+    assert(scores((10L, "x")) ==
+      ((2L, 2L, cm("x")._2 + w(("x", "a")) + w(("x", "b")))))
+    assert(scores((10L, "y")) ==
+      ((2L, 1L, cm("y")._2 + w(("y", "a")) + cm("y")._1)))
+    assert(scores((10L, "z")) == ((2L, 0L, cm("z")._2 + 2 * cm("z")._1)))
+    // fully-OOV doc: every class scores prior + n·absent; y and z tie at
+    // the top (same absent, same prior) — argmax must break by cls ASC
+    assert(scores((11L, "y"))._3 == scores((11L, "z"))._3)
+    val pred = LangModel.predictClass(toScore, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred(10L) == "x")
+    assert(pred(11L) == "y", "OOV tie must break by class name ascending")
+  }
+
+  test("multiclass classifier separates three token domains (train + held-out)") {
+    val vocabs = Map(
+      "aa" -> Vector("epsilon", "delta", "kappa", "sigma", "tau"),
+      "bb" -> Vector("mango", "papaya", "guava", "lychee", "durian"),
+      "cc" -> Vector("anvil", "crowbar", "piston", "gasket", "flange"))
+    def doc(vocab: Vector[String], i: Int): String =
+      (0 until 8).map(j => vocab((i + j) % vocab.size))
+        .patch(i % 9 min 8, Seq("the"), 0).mkString(" ")
+    val rows = (0 until 90).flatMap { i =>
+      vocabs.toSeq.sortBy(_._1).zipWithIndex.map { case ((cls, vocab), j) =>
+        Row(i.toLong * 3 + j, doc(vocab, i), cls)
+      }
+    }
+    val all = frame(multiSt, rows: _*)
+    val train = all.where(col("doc_id") % 5 =!= 0)
+    val model = LangModel.trainMulticlassClassifier(train, "text", "lang")
+    val Array(trainAcc, testAcc) =
+      LangModel.predictClass(all, "doc_id", "text", model)
+        .join(all.select(col("doc_id"), col("lang"),
+          (col("doc_id") % 5 === 0).as("held_out")), Seq("doc_id"))
+        .groupBy("held_out")
+        .agg(avg(when(col("cls") === col("lang"), 1.0).otherwise(0.0)))
+        .orderBy("held_out").collect().map(_.getDouble(1))
+    assert(trainAcc == 1.0, s"training accuracy $trainAcc below floor")
+    assert(testAcc == 1.0, s"held-out accuracy $testAcc below floor")
+  }
+
   test("classifier index: append ≡ retrain, replay no-op, overlap loud, compact exact") {
     import java.nio.file.Files
     val a = frame(labeledSt,
