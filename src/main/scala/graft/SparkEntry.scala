@@ -1307,6 +1307,36 @@ object SparkEntry {
         k = 3, nlist = 16, nprobe = 16)
         .orderBy(col("query_id"), col("rank"))),
 
+    // kNN classification: the held-out fifth of the embeddings classified
+    // by the majority label of their 5 nearest LABELED neighbors — the
+    // exact broadcast-quadratic baseline; every tie-break in the vote is
+    // an integer (votes, best rank, label), so the decision hashes
+    "q149_knn_classify" -> ((s, d) => {
+      val emb = embParallel(s, d)
+      graft.ops.Similarity.classifyByNeighbors(
+        emb.where(col("vec_id") % 5 =!= 0),
+        emb.where(col("vec_id") % 5 === 0),
+        "embedding", "vec_id", "label", k = 5)
+        .orderBy(col("query_id"))
+    }),
+
+    // label-error audit (the kNN-vote form of label-noise mining): every
+    // embedding's 5-NN vote — the IVF self-join at nprobe = nlist, exact
+    // on the corpus-scale exchange-by-cell plan (q114) — against its
+    // ASSIGNED label; survivors are the disagreements a curator reviews
+    "q150_label_disagreement" -> ((s, d) => {
+      val emb = embParallel(s, d)
+      val knn = graft.ops.Similarity.ivfKnnJoin(
+        emb, "embedding", "vec_id", k = 5, nlist = 16, nprobe = 16)
+      graft.ops.Similarity.labelVote(knn, emb, "vec_id", "label")
+        .join(emb.select(col("vec_id").as("query_id"),
+          col("label").as("assigned")), Seq("query_id"))
+        .where(col("label") =!= col("assigned"))
+        .select(col("query_id"), col("assigned"),
+          col("label").as("voted"), col("votes"))
+        .orderBy(col("query_id"))
+    }),
+
     // SemDeDup (Abbas et al. 2023): embedding pairs ≥ 0.35 cosine form
     // transitive clusters; min-id representative survives, everything else
     // is the audit trail. Probed at nprobe = nlist so the pair set is the
@@ -3129,6 +3159,57 @@ object SparkEntry {
         |  FROM scored)
         |SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+
+    // q113's ranking machinery + the integer-keyed majority vote
+    "q149_knn_classify" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev, label FROM embeddings),
+        |q AS (SELECT * FROM v WHERE vec_id % 5 = 0),
+        |c AS (SELECT * FROM v WHERE vec_id % 5 <> 0),
+        |ranked AS (
+        |  SELECT q.vec_id AS query_id, c.label,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.ev, c.ev) DESC, c.vec_id) AS rank
+        |  FROM q CROSS JOIN c WHERE q.vec_id <> c.vec_id
+        |),
+        |votes AS (
+        |  SELECT query_id, label, count(*)::BIGINT AS votes, min(rank) AS best
+        |  FROM ranked WHERE rank <= 5 AND label IS NOT NULL
+        |  GROUP BY query_id, label
+        |),
+        |w AS (
+        |  SELECT query_id, label, votes,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY votes DESC, best ASC, label ASC) AS rn
+        |  FROM votes
+        |)
+        |SELECT query_id, label, votes FROM w WHERE rn = 1
+        |ORDER BY query_id""".stripMargin,
+
+    // the same vote over the all-pairs self-join, kept where it
+    // disagrees with the assigned label
+    "q150_label_disagreement" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev, label FROM embeddings),
+        |ranked AS (
+        |  SELECT a.vec_id AS query_id, b.label,
+        |    row_number() OVER (PARTITION BY a.vec_id
+        |      ORDER BY list_cosine_similarity(a.ev, b.ev) DESC, b.vec_id) AS rank
+        |  FROM v a CROSS JOIN v b WHERE a.vec_id <> b.vec_id
+        |),
+        |votes AS (
+        |  SELECT query_id, label, count(*)::BIGINT AS votes, min(rank) AS best
+        |  FROM ranked WHERE rank <= 5 AND label IS NOT NULL
+        |  GROUP BY query_id, label
+        |),
+        |w AS (
+        |  SELECT query_id, label, votes,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY votes DESC, best ASC, label ASC) AS rn
+        |  FROM votes
+        |)
+        |SELECT w.query_id, v.label AS assigned, w.label AS voted, w.votes
+        |FROM w JOIN v ON v.vec_id = w.query_id
+        |WHERE w.rn = 1 AND w.label <> v.label
+        |ORDER BY w.query_id""".stripMargin,
 
     // q115's closure + a QUALIFY-style election on the derived score
     "q123_semantic_keep_best" ->

@@ -372,6 +372,62 @@ object Similarity {
       k: Int): DataFrame =
     bruteForceTopK(df, df, vecCol, idCol, k)
 
+  /** Majority-vote label propagation over a neighbor frame — the kNN
+    * classification / label-spreading step of embedding-based curation
+    * (assign a class to unlabeled items from their nearest labeled
+    * neighbors; audit existing labels by vote disagreement). Accepts any
+    * `(query_id, rank, neighbor_id, …)` frame — [[bruteForceTopK]] /
+    * [[knnJoin]] for the exact baseline, [[ivfKnnJoin]] /
+    * [[annTopKAgainstIndex]] for the corpus-scale paths — so the vote
+    * composes with whichever neighbor plan fits the data size. Returns
+    * `(query_id, label, votes)`: each query's winning label, ties broken
+    * by (votes DESC, best_rank ASC, label ASC) — the label holding the
+    * CLOSEST neighbor wins a split vote, and every tie-break key is an
+    * integer, so the vote stays hash-exact in any engine (no float
+    * cosine in the decision). Queries whose neighbors carry no label
+    * (null) on any row ignore those rows; queries with zero labeled
+    * neighbors are absent.
+    *
+    * Plan shape: one join of the (queries × k)-sized neighbor frame
+    * against the projected (id, label) side — both narrow — then a
+    * per-query window. Corpus text/vectors never enter.
+    */
+  def labelVote(
+      neighbors: DataFrame,
+      labeled: DataFrame,
+      idCol: String,
+      labelCol: String): DataFrame = {
+    val lab = labeled.select(
+      col(idCol).as("neighbor_id"), col(labelCol).as("label"))
+      .where(col("label").isNotNull)
+    val votes = neighbors.join(lab, Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"), min(col("rank")).as("__best"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("__best").asc, col("label").asc)
+    votes.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("query_id"), col("label"), col("votes"))
+  }
+
+  /** Exact kNN classification: classify each query by the majority label
+    * of its `k` nearest LABELED neighbors (cosine). The all-pairs
+    * baseline — [[bruteForceTopK]]'s broadcast-quadratic plan, viable
+    * when the labeled set broadcasts; at corpus scale compose
+    * [[labelVote]] with [[ivfKnnJoin]] or [[annTopKAgainstIndex]]
+    * instead (same vote, celled neighbor generation).
+    */
+  def classifyByNeighbors(
+      labeled: DataFrame,
+      queries: DataFrame,
+      vecCol: String,
+      idCol: String,
+      labelCol: String,
+      k: Int): DataFrame =
+    labelVote(
+      bruteForceTopK(labeled, queries, vecCol, idCol, k),
+      labeled, idCol, labelCol)
+
   /** Hard-negative mining for contrastive embedding training: for each
     * query, the top-`k` most-similar corpus items inside the cosine band
     * `[minCosine, maxCosine)` — the upper bound EXCLUDES positives and

@@ -254,6 +254,50 @@ class OpsSpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("labelVote: majority, closest-neighbor split ties, null labels ignored") {
+    val nbrSt = struct(
+      "query_id" -> LongType, "rank" -> IntegerType, "neighbor_id" -> LongType)
+    val labSt = struct("vec_id" -> LongType, "label" -> StringType)
+    // q1: A@1 B@2 B@3 A@4 C@5 — A and B tie 2-2, A holds rank 1 → A
+    // q2: B@1 A@2 A@3 n10@4 n11@5 — null-labeled neighbors ignored → A
+    // q3: only null-labeled neighbors → absent
+    val neighbors = frame(nbrSt,
+      Row(1L, 1, 100L), Row(1L, 2, 101L), Row(1L, 3, 102L),
+      Row(1L, 4, 103L), Row(1L, 5, 104L),
+      Row(2L, 1, 101L), Row(2L, 2, 100L), Row(2L, 3, 103L),
+      Row(2L, 4, 110L), Row(2L, 5, 111L),
+      Row(3L, 1, 110L), Row(3L, 2, 111L))
+    val labels = frame(labSt,
+      Row(100L, "A"), Row(101L, "B"), Row(102L, "B"),
+      Row(103L, "A"), Row(104L, "C"),
+      Row(110L, null), Row(111L, null))
+    val got = Similarity.labelVote(neighbors, labels, "vec_id", "label")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(1L -> (("A", 2L)), 2L -> (("A", 2L))))
+  }
+
+  test("classifyByNeighbors: three embedding clusters classify a held-out query each") {
+    val embSt = struct(
+      "vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
+      "label" -> StringType)
+    def v(axis: Int, jitter: Float): Seq[Float] =
+      (0 until 3).map(i => if (i == axis) 1.0f else jitter * (i + 1))
+    val labeled = frame(embSt, (0 until 3).flatMap { axis =>
+      (0 until 4).map(j =>
+        Row(axis * 10L + j, v(axis, 0.01f * (j + 1)), s"c$axis"))
+    }: _*)
+    val queries = frame(embSt,
+      Row(900L, v(0, 0.05f), null), Row(901L, v(1, 0.05f), null),
+      Row(902L, v(2, 0.05f), null))
+    val got = Similarity.classifyByNeighbors(
+      labeled, queries, "embedding", "vec_id", "label", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      900L -> (("c0", 3L)), 901L -> (("c1", 3L)), 902L -> (("c2", 3L))))
+  }
+
   test("ivf dense-cell salt: skewed corpus engages the guard, results exact") {
     // 30 of 60 vectors are an identical template — they land in ONE cell
     // with zero internal variance (the case no quantizer refinement can
