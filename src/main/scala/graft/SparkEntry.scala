@@ -100,6 +100,9 @@ object SparkEntry {
   private def q148ModelDir(sfDir: String) =
     s"/tmp/graft_q148_mc_${new java.io.File(sfDir).getName}"
 
+  private def q151LmDir(sfDir: String) =
+    s"/tmp/graft_q151_lm_${new java.io.File(sfDir).getName}"
+
   /** Train the multiclass NB on the held-in slice, materialize the model
     * tables under `out` (the q143 discipline — DuckDB must integer-sum
     * the IDENTICAL quantized values), and return them re-read.
@@ -1095,6 +1098,35 @@ object SparkEntry {
             .orderBy(col("score").desc, col("cls").asc)))
         .where(col("__rn") === 1)
         .select(col("doc_id"), col("cls"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CCNet head/middle/tail (Wenzek et al. 2020): train the bigram LM on
+    // the %3 slice, score EVERY doc's per-bigram log-likelihood, and
+    // partition the corpus into exact perplexity terciles — the nested
+    // global takes define the buckets, so the famous global partition
+    // never sorts globally. Output keeps only integer columns; the float
+    // avg only ORDERS (same IEEE division in both engines)
+    "q151_ccnet_partition" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val lm = graft.ops.LangModel.trainBigramLm(
+        docs.where(col("doc_id") % 3 =!= 0), "text")
+      val out = q151LmDir(d)
+      lm.bigrams.write.mode("overwrite").parquet(s"$out/bigrams")
+      lm.fallback.write.mode("overwrite").parquet(s"$out/fallback")
+      import s.implicits._
+      Seq(lm.floorLp).toDF("floor_lp")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
+      val floor = s.read.parquet(s"$out/meta").head().getAs[Long]("floor_lp")
+      val scored = graft.ops.Materialize.eager(
+        graft.ops.LangModel.scoreBigramTables(docs, "doc_id", "text",
+          s.read.parquet(s"$out/bigrams"), s.read.parquet(s"$out/fallback"),
+          floor)
+          .withColumn("avg_lp",
+            col("lp_sum").cast("double") / col("n_bigrams")))
+      graft.ops.Sampling.qualityPartition(
+        scored, "doc_id", "avg_lp", Seq(1.0 / 3, 2.0 / 3), nBuckets = 8)
+        .select(col("doc_id"), col("n_bigrams"), col("lp_sum"), col("bucket"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2834,6 +2866,46 @@ object SparkEntry {
         |  FROM s
         |)
         |SELECT doc_id, cls, score FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // q144's scoring against the materialized LM tables, ranked by the
+    // per-bigram average (same IEEE division both engines) through the
+    // nested-take bucket rule: rank <= round(f·n) cutoffs
+    "q151_ccnet_partition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ls
+        |  FROM documents
+        |),
+        |p AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ls)),
+        |      i -> {'w1': ls[i], 'w2': ls[i + 1]}), recursive := true)
+        |  FROM t WHERE len(ls) >= 2
+        |),
+        |b AS (SELECT w1, w2, lp AS blp
+        |      FROM read_parquet('/tmp/graft_q151_lm_sf0.01/bigrams/*.parquet')),
+        |f AS (SELECT w1, lp AS flp
+        |      FROM read_parquet('/tmp/graft_q151_lm_sf0.01/fallback/*.parquet')),
+        |m AS (SELECT floor_lp FROM read_parquet('/tmp/graft_q151_lm_sf0.01/meta/*.parquet')),
+        |s AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |    sum(coalesce(b.blp, f.flp, (SELECT floor_lp FROM m)))::BIGINT AS lp_sum
+        |  FROM p LEFT JOIN b USING (w1, w2) LEFT JOIN f USING (w1)
+        |  GROUP BY doc_id
+        |),
+        |c AS (SELECT cast(count(*) AS BIGINT) AS c FROM s),
+        |r AS (
+        |  SELECT doc_id, n_bigrams, lp_sum,
+        |    row_number() OVER (
+        |      ORDER BY (lp_sum::DOUBLE / n_bigrams) DESC NULLS LAST,
+        |        md5(cast(doc_id AS varchar)) ASC, doc_id ASC) AS rn
+        |  FROM s
+        |)
+        |SELECT doc_id, n_bigrams, lp_sum,
+        |  (CASE WHEN rn <= cast(round((1.0/3) * c) AS BIGINT) THEN 0
+        |        WHEN rn <= cast(round((2.0/3) * c) AS BIGINT) THEN 1
+        |        ELSE 2 END)::INT AS bucket
+        |FROM r, c ORDER BY doc_id""".stripMargin,
 
     "q138_bpe_word_histogram" ->
       """WITH w AS (

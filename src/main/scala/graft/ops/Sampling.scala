@@ -1395,6 +1395,50 @@ object Sampling {
       .drop(one)
   }
 
+  /** CCNet-style quality PARTITION (Wenzek et al. 2020 split the crawl
+    * into head/middle/tail by LM-perplexity terciles): label every row
+    * with its exact global quantile bucket in `(score DESC nulls last,
+    * md5(key), key)` order — bucket 0 holds the best `round(f₁·n)` rows,
+    * bucket i the rows between cutoffs i and i+1, bucket
+    * `fractions.size` the tail. Buckets are DEFINED by the nested global
+    * takes ([[takeGlobalTopFraction]] at each cutoff — kept sets nest,
+    * so membership is well-formed), which is also the plan: NO global
+    * sort anywhere, boundary-bucket-only windows per cutoff, then one
+    * narrow keys-only marker join per cutoff back onto the input.
+    *
+    * The takes evaluate `df` once per phase AND per cutoff — pass a
+    * materialized narrow `(key, score, …)` frame when the scores are
+    * expensive to derive (the [[takeTopFraction]] determinism note
+    * applies with more force here).
+    */
+  def qualityPartition(
+      df: DataFrame,
+      keyCol: String,
+      scoreCol: String,
+      fractions: Seq[Double],
+      nBuckets: Int = 64,
+      bucketCol: String = "bucket"): DataFrame = {
+    require(fractions.nonEmpty, "qualityPartition needs at least one cutoff")
+    require(fractions.forall(f => f > 0.0 && f < 1.0) &&
+      fractions.sliding(2).forall(s => s.size < 2 || s(0) < s(1)),
+      s"cutoff fractions must be strictly increasing within (0, 1): $fractions")
+    require(!df.columns.contains(bucketCol),
+      s"qualityPartition: input already has a '$bucketCol' column")
+    val marks = fractions.indices.map { i =>
+      takeGlobalTopFraction(df, keyCol, scoreCol, fractions(i), nBuckets)
+        .select(col(keyCol), lit(true).as(s"__in$i"))
+    }
+    val joined = marks.foldLeft(df)((acc, mk) =>
+      acc.join(mk, Seq(keyCol), "left"))
+    // nested kept sets: the first cutoff containing the key is its bucket
+    val bucket = fractions.indices.foldRight(lit(fractions.size): Column) {
+      (i, tail) => when(col(s"__in$i"), lit(i)) otherwise tail
+    }
+    joined
+      .withColumn(bucketCol, bucket.cast("int"))
+      .drop(fractions.indices.map(i => s"__in$i"): _*)
+  }
+
   /** Weighted corpus mix: union of sources, each downsampled to its weight
     * (1.0 = keep all). The mixing decision is content-keyed per source, so
     * the mix is stable under re-runs and independent of source ordering.

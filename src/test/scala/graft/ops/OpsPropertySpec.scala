@@ -706,6 +706,36 @@ object OpsPropertySpec extends Properties("graft.ops") {
         got == expected
     }
 
+  property("qualityPartition ≡ naive global-rank bucketing on random shapes") =
+    forAll(
+      Gen.choose(1, 30).flatMap(k => Gen.listOfN(k, Gen.choose(0, 6))),
+      Gen.oneOf(Seq(0.5), Seq(1.0 / 3, 2.0 / 3), Seq(0.2, 0.5, 0.9)),
+      Gen.oneOf(2, 4, 16)) { (scores, fractions, nBuckets) =>
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{col, md5, row_number}
+        val st = StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("score", LongType, nullable = true)))
+        val rows = scores.zipWithIndex.map { case (v, i) =>
+          Row((i + 1).toLong, if (v == 6) null else v.toLong)
+        }
+        val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), st)
+        val got = Sampling.qualityPartition(
+          df, "id", "score", fractions, nBuckets)
+          .collect().map(r => r.getLong(0) -> r.getInt(r.fieldIndex("bucket")))
+          .toMap
+        val w = Window.orderBy(col("score").desc_nulls_last,
+          md5(col("id").cast("string").cast("binary")).asc, col("id").asc)
+        val n = rows.size
+        val expected = df.withColumn("__rn", row_number().over(w))
+          .collect().map { r =>
+            val rn = r.getInt(r.fieldIndex("__rn"))
+            r.getLong(0) -> fractions.indexWhere(f => rn <= math.round(f * n))
+          }.map { case (id, b) => id -> (if (b < 0) fractions.size else b) }
+          .toMap
+        got == expected
+    }
+
   property("semanticDedupAgainstIndex ≡ cross-restricted union closure on random geometry") =
     forAll(
       Gen.choose(6, 16).flatMap(k => Gen.listOfN(k,
