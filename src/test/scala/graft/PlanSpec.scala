@@ -280,6 +280,32 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).nonEmpty)
   }
 
+  test("classifier scoring shuffles tokens and weights, never document text") {
+    val docs = Tables(spark, dir, "documents")
+    val model = ops.LangModel.trainTokenClassifier(
+      docs.withColumn("pos", col("lang") === "en"), "text", "pos")
+    val p = plan(ops.LangModel.scoreTokenClassifier(
+      docs, "doc_id", "text", model))
+    p.split("\n").filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("text#"), s"text reached a shuffle:\n$p")
+    }
+    assert("Exchange".r.findAllIn(p).nonEmpty)
+  }
+
+  test("multiclass scoring broadcasts the K-row class meta; text never shuffles") {
+    val docs = Tables(spark, dir, "documents")
+    val model = ops.LangModel.trainMulticlassClassifier(docs, "text", "lang")
+    val out = ops.LangModel.scoreMulticlass(docs, "doc_id", "text", model)
+    val p = plan(out)
+    p.split("\n").filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("text#"), s"text reached a shuffle:\n$p")
+    }
+    // the per-doc × class expansion must be the broadcast of the K-row
+    // meta, not an exchange of the doc side against it
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"class meta did not broadcast:\n$p")
+  }
+
   test("dsir selection: text never rides a shuffle; no full-band window") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     import org.apache.spark.sql.execution.window.WindowExec
