@@ -429,11 +429,17 @@ object LangModel {
   private def clsBatchIds(df: DataFrame, idCol: String): DataFrame =
     df.select(col(idCol).cast("string").as("id")).distinct()
 
-  /** One batch's per-class DOCUMENT counts, `(dp, dn)` — single row. */
+  /** One batch's per-class DOCUMENT counts, `(dp, dn)` — single row.
+    * Coalesced to 0 so an empty batch writes zeros, not nulls (the
+    * standing totals are a SUM over these rows — a null would read back
+    * as an NPE in the probe instead of the clear no-tokens error).
+    */
   private def labeledDocCounts(labeled: DataFrame, labelCol: String): DataFrame =
     labeled.agg(
-      sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("dp"),
-      sum(when(!col(labelCol).cast("boolean"), 1L).otherwise(0L)).as("dn"))
+      coalesce(sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)),
+        lit(0L)).as("dp"),
+      coalesce(sum(when(!col(labelCol).cast("boolean"), 1L).otherwise(0L)),
+        lit(0L)).as("dn"))
 
   private def clsCountsAt(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
