@@ -103,6 +103,46 @@ object SparkEntry {
   private def q151LmDir(sfDir: String) =
     s"/tmp/graft_q151_lm_${new java.io.File(sfDir).getName}"
 
+  /** Train the binary NB quality classifier on the %3 held-in slice,
+    * materialize weights + meta under `out` (the q62/q143 discipline —
+    * DuckDB must integer-sum the IDENTICAL quantized values), and return
+    * the re-read weights plus the (oovWeight, prior) constants. Shared by
+    * q143/q145/q146-adjacent blocks so the materialization layout has one
+    * definition.
+    */
+  private def binaryNbMaterialized(
+      s: SparkSession, d: String, out: String): (DataFrame, Long, Long) = {
+    val docs = Tables(s, d, "documents")
+    val model = graft.ops.LangModel.trainTokenClassifier(
+      docs.where(col("doc_id") % 3 =!= 0)
+        .withColumn("pos", col("lang") === "en"),
+      "text", "pos")
+    model.weights.write.mode("overwrite").parquet(s"$out/weights")
+    import s.implicits._
+    Seq((model.oovWeight, model.prior)).toDF("oov_weight", "prior")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
+    val meta = s.read.parquet(s"$out/meta").head()
+    (s.read.parquet(s"$out/weights"),
+      meta.getAs[Long]("oov_weight"), meta.getAs[Long]("prior"))
+  }
+
+  /** Train the bigram LM on the %3 held-in slice, materialize its tables
+    * under `out` (same discipline), and return them re-read plus the
+    * floor constant. Shared by q144/q151.
+    */
+  private def bigramLmMaterialized(
+      s: SparkSession, d: String, out: String): (DataFrame, DataFrame, Long) = {
+    val lm = graft.ops.LangModel.trainBigramLm(
+      Tables(s, d, "documents").where(col("doc_id") % 3 =!= 0), "text")
+    lm.bigrams.write.mode("overwrite").parquet(s"$out/bigrams")
+    lm.fallback.write.mode("overwrite").parquet(s"$out/fallback")
+    import s.implicits._
+    Seq(lm.floorLp).toDF("floor_lp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
+    (s.read.parquet(s"$out/bigrams"), s.read.parquet(s"$out/fallback"),
+      s.read.parquet(s"$out/meta").head().getAs[Long]("floor_lp"))
+  }
+
   /** Train the multiclass NB on the held-in slice, materialize the model
     * tables under `out` (the q143 discipline — DuckDB must integer-sum
     * the IDENTICAL quantized values), and return them re-read.
@@ -955,20 +995,9 @@ object SparkEntry {
     // mid-query (the q62 discipline) so DuckDB scores with the IDENTICAL
     // integers — scoring is pure integer join-and-sum, ulp-proof
     "q143_nb_quality_classifier" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val model = graft.ops.LangModel.trainTokenClassifier(
-        docs.where(col("doc_id") % 3 =!= 0)
-          .withColumn("pos", col("lang") === "en"),
-        "text", "pos")
-      val out = q143ModelDir(d)
-      model.weights.write.mode("overwrite").parquet(s"$out/weights")
-      import s.implicits._
-      Seq((model.oovWeight, model.prior)).toDF("oov_weight", "prior")
-        .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
-      val w = s.read.parquet(s"$out/weights")
-      val meta = s.read.parquet(s"$out/meta").head()
-      graft.ops.LangModel.scoreTokenWeights(docs, "doc_id", "text", w,
-        meta.getAs[Long]("oov_weight"), meta.getAs[Long]("prior"))
+      val (w, oov, prior) = binaryNbMaterialized(s, d, q143ModelDir(d))
+      graft.ops.LangModel.scoreTokenWeights(
+        Tables(s, d, "documents"), "doc_id", "text", w, oov, prior)
         .orderBy(col("doc_id"))
     }),
 
@@ -979,19 +1008,9 @@ object SparkEntry {
     // train-time-quantized integer micro-nat logprobs, materialized
     // mid-query so both engines integer-sum identical values
     "q144_bigram_lm_score" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val lm = graft.ops.LangModel.trainBigramLm(
-        docs.where(col("doc_id") % 3 =!= 0), "text")
-      val out = q144LmDir(d)
-      lm.bigrams.write.mode("overwrite").parquet(s"$out/bigrams")
-      lm.fallback.write.mode("overwrite").parquet(s"$out/fallback")
-      import s.implicits._
-      Seq(lm.floorLp).toDF("floor_lp")
-        .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
-      val floor = s.read.parquet(s"$out/meta").head().getAs[Long]("floor_lp")
-      graft.ops.LangModel.scoreBigramTables(docs, "doc_id", "text",
-        s.read.parquet(s"$out/bigrams"), s.read.parquet(s"$out/fallback"),
-        floor)
+      val (bigrams, fallback, floor) = bigramLmMaterialized(s, d, q144LmDir(d))
+      graft.ops.LangModel.scoreBigramTables(
+        Tables(s, d, "documents"), "doc_id", "text", bigrams, fallback, floor)
         .orderBy(col("doc_id"))
     }),
 
@@ -1002,25 +1021,13 @@ object SparkEntry {
     // pipeline with no global sort; the model dir is this query's own
     // (q143's discipline, separate dir — queries stay order-independent)
     "q145_classifier_top_quality" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val model = graft.ops.LangModel.trainTokenClassifier(
-        docs.where(col("doc_id") % 3 =!= 0)
-          .withColumn("pos", col("lang") === "en"),
-        "text", "pos")
-      val out = q145ModelDir(d)
-      model.weights.write.mode("overwrite").parquet(s"$out/weights")
-      import s.implicits._
-      Seq((model.oovWeight, model.prior)).toDF("oov_weight", "prior")
-        .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
-      val w = s.read.parquet(s"$out/weights")
-      val meta = s.read.parquet(s"$out/meta").head()
+      val (w, oov, prior) = binaryNbMaterialized(s, d, q145ModelDir(d))
       // the take evaluates its input once per phase (takeTopFraction
       // scaladoc) — materialize the expensive explode-join-agg scoring so
       // each phase reads the narrow (doc_id, score) result, not the corpus
       val scored = graft.ops.Materialize.eager(
         graft.ops.LangModel.scoreTokenWeights(
-          docs, "doc_id", "text", w,
-          meta.getAs[Long]("oov_weight"), meta.getAs[Long]("prior"))
+          Tables(s, d, "documents"), "doc_id", "text", w, oov, prior)
           .select(col("doc_id"), col("score")))
       graft.ops.Sampling.takeGlobalTopFraction(
         scored, "doc_id", "score", fraction = 0.25, nBuckets = 8)
@@ -1089,15 +1096,9 @@ object SparkEntry {
     // best class in (score DESC, cls ASC) order — the per-doc ranking
     // window partitions by document, never globally
     "q148_predict_class" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val (w, m) = multiclassMaterialized(s, d, q148ModelDir(d))
-      graft.ops.LangModel.scoreMulticlassTables(
+      graft.ops.LangModel.predictClassTables(
         Tables(s, d, "documents"), "doc_id", "text", w, m)
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(col("doc_id"))
-            .orderBy(col("score").desc, col("cls").asc)))
-        .where(col("__rn") === 1)
-        .select(col("doc_id"), col("cls"), col("score"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1108,20 +1109,11 @@ object SparkEntry {
     // never sorts globally. Output keeps only integer columns; the float
     // avg only ORDERS (same IEEE division in both engines)
     "q151_ccnet_partition" -> ((s, d) => {
-      val docs = Tables(s, d, "documents")
-      val lm = graft.ops.LangModel.trainBigramLm(
-        docs.where(col("doc_id") % 3 =!= 0), "text")
-      val out = q151LmDir(d)
-      lm.bigrams.write.mode("overwrite").parquet(s"$out/bigrams")
-      lm.fallback.write.mode("overwrite").parquet(s"$out/fallback")
-      import s.implicits._
-      Seq(lm.floorLp).toDF("floor_lp")
-        .coalesce(1).write.mode("overwrite").parquet(s"$out/meta")
-      val floor = s.read.parquet(s"$out/meta").head().getAs[Long]("floor_lp")
+      val (bigrams, fallback, floor) = bigramLmMaterialized(s, d, q151LmDir(d))
       val scored = graft.ops.Materialize.eager(
-        graft.ops.LangModel.scoreBigramTables(docs, "doc_id", "text",
-          s.read.parquet(s"$out/bigrams"), s.read.parquet(s"$out/fallback"),
-          floor)
+        graft.ops.LangModel.scoreBigramTables(
+          Tables(s, d, "documents"), "doc_id", "text",
+          bigrams, fallback, floor)
           .withColumn("avg_lp",
             col("lp_sum").cast("double") / col("n_bigrams")))
       graft.ops.Sampling.qualityPartition(

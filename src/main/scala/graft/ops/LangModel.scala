@@ -59,27 +59,26 @@ object LangModel {
 
   /** Train a binary multinomial Naive Bayes token classifier.
     *
-    * `labelCol` must be boolean-castable (true = positive class). One
-    * explode + one token-keyed aggregate builds the per-class counts;
-    * the class totals and vocabulary size are a single-row aggregate
-    * (three longs collected — bounded regardless of corpus size), and
-    * the document-count prior is a second single-row aggregate over the
-    * un-exploded frame. The weight table stays distributed — nothing
-    * vocabulary-sized ever reaches the driver.
+    * `labelCol` must be boolean-castable (true = positive class; a NULL
+    * label trains nothing — the document counts toward neither class's
+    * prior and its tokens toward neither histogram, consistently with
+    * the index lifecycle's counters). One explode + one token-keyed
+    * aggregate builds the per-class counts; the class totals and
+    * vocabulary size are a single-row aggregate (three longs collected —
+    * bounded regardless of corpus size), and the document-count prior is
+    * a second single-row aggregate over the un-exploded frame. The
+    * weight table stays distributed — nothing vocabulary-sized ever
+    * reaches the driver.
     */
   def trainTokenClassifier(
       labeled: DataFrame,
       textCol: String,
       labelCol: String,
       microNats: Long = 1000000L): TokenClassifier = {
-    val d = labeled.agg(
-      sum(when(col(labelCol).cast("boolean"), 1L).otherwise(0L)),
-      count(lit(1))).head()
-    val dPos = d.getLong(0)
-    val dAll = d.getLong(1)
+    val d = labeledDocCounts(labeled, labelCol).head()
     classifierFrom(
       labeledTokenCounts(labeled, textCol, labelCol),
-      dPos, dAll - dPos, microNats)
+      d.getLong(0), d.getLong(1), microNats)
   }
 
   /** The per-class token histogram of a labeled batch: `(token, cp, cn)`
@@ -111,10 +110,12 @@ object LangModel {
     val counts = Materialize.eager(countsRaw)
     val t = counts.agg(
       sum("cp"), sum("cn"), count(lit(1))).head()
-    val nPos = t.getLong(0)
-    val nNeg = t.getLong(1)
+    // read v (a count — never null) and gate BEFORE touching the sums,
+    // which ARE null on an empty histogram
     val v = t.getLong(2)
     require(v > 0, "classifier training: corpus has no tokens")
+    val nPos = t.getLong(0)
+    val nNeg = t.getLong(1)
     val weights = counts.select(
       col("token"),
       round(
@@ -277,9 +278,20 @@ object LangModel {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      model: MulticlassClassifier): DataFrame = {
+      model: MulticlassClassifier): DataFrame =
+    predictClassTables(df, idCol, textCol, model.weights, model.classMeta)
+
+  /** [[predictClass]] against explicit model tables — the
+    * oracle-materialization form.
+    */
+  def predictClassTables(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: DataFrame,
+      classMeta: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    scoreMulticlass(df, idCol, textCol, model)
+    scoreMulticlassTables(df, idCol, textCol, weights, classMeta)
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(idCol))
           .orderBy(col("score").desc, col("cls").asc)))
@@ -319,26 +331,39 @@ object LangModel {
       .select(idCols.map(col) :+ col("__p.w1") :+ col("__p.w2"): _*)
   }
 
-  /** Train the bigram LM: one explode + one (w1, w2)-keyed aggregate for
-    * the pair counts, a w1 rollup of THAT table for the context counts
-    * (bigram-vocabulary-sized input, not corpus-sized), and one distinct
-    * count for V. All integer counts; the only floating log is the
-    * quantized `lp` column computed here once.
+  /** Train the bigram LM in ONE pass over text: tokens explode as
+    * NULL-PADDED adjacent pairs — `(t[i], t[i+1] or null for the last
+    * token)` — so a single `(w1, w2)`-keyed aggregate yields both the
+    * bigram counts (rows with `w2` non-null) and, because every token
+    * occurrence appears as a `w1`, the vocabulary `V` as a distinct
+    * count over that small table (bigram-vocabulary-sized, never
+    * corpus-sized). The context counts are a `w1` rollup of the same
+    * table. All integer counts; the only floating log is the quantized
+    * `lp` column computed here once.
     */
   def trainBigramLm(
       df: DataFrame,
       textCol: String,
       microNats: Long = 1000000L): BigramLm = {
-    val pairs = bigramPairs(df, Seq.empty, textCol)
-    // bigram-vocab-sized and consumed by BOTH sides of the bigrams join
-    // (directly and via the ctx rollup) plus the fallback table — without
-    // materialization the corpus pair explode-aggregate runs once per
-    // consumer (the multi-consumer recompute gotcha)
-    val big = Materialize.eager(
-      pairs.groupBy("w1", "w2").agg(count(lit(1)).as("__c")))
-    val v = df.select(explode(TextOps.wsTokens(col(textCol))).as("token"))
-      .agg(count_distinct(col("token"))).head().getLong(0)
+    val padded = df
+      .select(TextOps.wsTokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= 1)
+      .select(explode(expr(
+        // the if-guard keeps the last token's lookup in bounds (ANSI
+        // element_at throws past the end); its pair pads with null
+        "transform(__t, (x, i) -> struct(x AS w1, " +
+          "if(i + 2 <= size(__t), element_at(__t, i + 2), null) AS w2))"))
+        .as("__p"))
+      .select(col("__p.w1"), col("__p.w2"))
+    // bigram-vocab-sized and consumed by V, the ctx rollup, AND both
+    // sides of the bigrams join — without materialization the corpus
+    // explode-aggregate runs once per consumer (the multi-consumer
+    // recompute gotcha)
+    val counts = Materialize.eager(
+      padded.groupBy("w1", "w2").agg(count(lit(1)).as("__c")))
+    val v = counts.select("w1").distinct().count()
     require(v > 0, "trainBigramLm: corpus has no tokens")
+    val big = counts.where(col("w2").isNotNull)
     val ctx = big.groupBy("w1").agg(sum("__c").as("__c1"))
     val bigrams = big.join(ctx, Seq("w1")).select(
       col("w1"), col("w2"),
@@ -429,6 +454,16 @@ object LangModel {
   private def clsBatchIds(df: DataFrame, idCol: String): DataFrame =
     df.select(col(idCol).cast("string").as("id")).distinct()
 
+  /** Counter folds are replay-guarded BY id — a null id can never match
+    * the committed `ids` table, so a replayed null-id batch would pass
+    * the overlap check and double-count silently. Reject it loudly (one
+    * pushdown-friendly limit-1 probe of the raw frame).
+    */
+  private def requireIdsNotNull(df: DataFrame, idCol: String, op: String): Unit =
+    require(df.where(col(idCol).isNull).limit(1).count() == 0L,
+      s"$op: null ids in '$idCol' cannot be replay-guarded (a replayed " +
+      "null-id batch would double-count its tokens) — assign ids first")
+
   /** One batch's per-class DOCUMENT counts, `(dp, dn)` — single row.
     * Coalesced to 0 so an empty batch writes zeros, not nulls (the
     * standing totals are a SUM over these rows — a null would read back
@@ -469,6 +504,7 @@ object LangModel {
       path: String,
       retainEpochs: Int = 2): Unit = {
     val spark = labeled.sparkSession
+    requireIdsNotNull(labeled, idCol, "writeClassifierIndex")
     EpochStore.withLease(spark, path) {
     val cur = EpochStore.currentEpoch(spark, path)
     if (cur.isEmpty) EpochStore.resetKeepingLease(spark, path)
@@ -517,6 +553,7 @@ object LangModel {
       retainEpochs: Int = 2): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val spark = newLabeled.sparkSession
+    requireIdsNotNull(newLabeled, idCol, "appendClassifierIndex")
     EpochStore.withLease(spark, path) {
     val curDir = resolveClassifierIndex(spark, path)
     val curEpoch = new HPath(curDir).getName

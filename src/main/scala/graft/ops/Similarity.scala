@@ -412,10 +412,12 @@ object Similarity {
 
   /** Exact kNN classification: classify each query by the majority label
     * of its `k` nearest LABELED neighbors (cosine). The all-pairs
-    * baseline — [[bruteForceTopK]]'s broadcast-quadratic plan, viable
-    * when the labeled set broadcasts; at corpus scale compose
-    * [[labelVote]] with [[ivfKnnJoin]] or [[annTopKAgainstIndex]]
-    * instead (same vote, celled neighbor generation).
+    * baseline — [[bruteForceTopK]]'s plan BROADCASTS THE QUERY BATCH and
+    * streams the labeled corpus map-side, so it is viable when the
+    * query batch is small (the labeled side may be arbitrarily large);
+    * for corpus-sized query sets compose [[labelVote]] with
+    * [[ivfKnnJoin]] or [[annTopKAgainstIndex]] instead (same vote,
+    * celled neighbor generation).
     */
   def classifyByNeighbors(
       labeled: DataFrame,

@@ -605,6 +605,17 @@ object TextOps {
       : org.apache.spark.sql.DataFrame =
     df.select(col(idCol).cast("string").as("id")).distinct()
 
+  /** Counter folds are replay-guarded BY id — a null id can never match
+    * the committed `ids` table, so a replayed null-id batch would pass
+    * the overlap check and double-count silently. Reject it loudly (one
+    * pushdown-friendly limit-1 probe of the raw frame).
+    */
+  private def requireTfIdsNotNull(
+      df: org.apache.spark.sql.DataFrame, idCol: String, op: String): Unit =
+    require(df.where(col(idCol).isNull).limit(1).count() == 0L,
+      s"$op: null ids in '$idCol' cannot be replay-guarded (a replayed " +
+      "null-id batch would double-count its tokens) — assign ids first")
+
   private def tfTotalsAt(
       spark: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
@@ -636,6 +647,7 @@ object TextOps {
       path: String,
       retainEpochs: Int = 2): Unit = {
     val spark = corpus.sparkSession
+    requireTfIdsNotNull(corpus, idCol, "writeTokenFrequencyIndex")
     EpochStore.withLease(spark, path) {
     val cur = EpochStore.currentEpoch(spark, path)
     if (cur.isEmpty) EpochStore.resetKeepingLease(spark, path)
@@ -681,6 +693,7 @@ object TextOps {
       retainEpochs: Int = 2): Unit = {
     import org.apache.hadoop.fs.{Path => HPath}
     val spark = newDocs.sparkSession
+    requireTfIdsNotNull(newDocs, idCol, "appendTokenFrequencyIndex")
     EpochStore.withLease(spark, path) {
     val curDir = resolveTokenFrequencyIndex(spark, path)
     val curEpoch = new HPath(curDir).getName

@@ -459,6 +459,16 @@ object OpsPropertySpec extends Properties("graft.ops") {
       val replayNoop =
         EpochStore.currentEpoch(spark, appended) == epochBefore &&
           modelOf(LangModel.indexClassifier(spark, appended)) == retrained
+      // a PARTIAL id overlap must fail loudly (it would double-count)
+      val overlapGuard = bD.isEmpty || {
+        val mixed = b.limit(1).unionByName(labeled(Seq(Seq(1, 2)), 900L))
+        scala.util.Try(LangModel.appendClassifierIndex(
+          mixed, "doc_id", "text", "pos", appended)).isFailure
+      }
+      // compaction preserves the derived model exactly
+      LangModel.compactClassifierIndex(spark, appended)
+      val compactKeeps =
+        modelOf(LangModel.indexClassifier(spark, appended)) == retrained
       // daily probe against the standing counters ≡ direct scoring under
       // the retrained model, row for row in exact integers
       def scoredSet(df: org.apache.spark.sql.DataFrame) =
@@ -471,7 +481,8 @@ object OpsPropertySpec extends Properties("graft.ops") {
           arrivals, "doc_id", "text", appended)) ==
         scoredSet(LangModel.scoreTokenClassifier(arrivals, "doc_id", "text",
           LangModel.trainTokenClassifier(a.unionByName(b), "text", "pos")))
-      appendEqRetrain && replayNoop && probeEqDirect
+      appendEqRetrain && replayNoop && overlapGuard && compactKeeps &&
+        probeEqDirect
     }
 
   property("temperatureMix: per-source kept counts equal the quota formula; sets nest in target") =
