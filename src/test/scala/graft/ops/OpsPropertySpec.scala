@@ -550,10 +550,18 @@ object OpsPropertySpec extends Properties("graft.ops") {
             if (keep) Some(r.getLong(0)) else None
           }
         }.toSet
-        val got = Sampling.temperatureMixTokens(
-          df, "src", "doc_id", "n_tok", alpha, target)
-          .select(col("doc_id")).collect().map(_.getLong(0)).toSet
-        got == expected
+        if (toks.sum == 0)
+          // zero-token corpus: token-share mixing is undefined and the op
+          // is contracted to fail loudly (Sampling.scala require) — the
+          // rare all-zero draw must hit that branch, not the quota math
+          scala.util.Try(Sampling.temperatureMixTokens(
+            df, "src", "doc_id", "n_tok", alpha, target).collect()).isFailure
+        else {
+          val got = Sampling.temperatureMixTokens(
+            df, "src", "doc_id", "n_tok", alpha, target)
+            .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+          got == expected
+        }
     }
 
   property("semanticDedup: full-probe pairs ≡ brute force; labels are exactly the components") =
