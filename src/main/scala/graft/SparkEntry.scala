@@ -103,6 +103,9 @@ object SparkEntry {
   private def q151LmDir(sfDir: String) =
     s"/tmp/graft_q151_lm_${new java.io.File(sfDir).getName}"
 
+  private def q152ModelDir(sfDir: String) =
+    s"/tmp/graft_q152_nb_${new java.io.File(sfDir).getName}"
+
   /** Train the binary NB quality classifier on the %3 held-in slice,
     * materialize weights + meta under `out` (the q62/q143 discipline —
     * DuckDB must integer-sum the IDENTICAL quantized values), and return
@@ -1119,6 +1122,22 @@ object SparkEntry {
       graft.ops.Sampling.qualityPartition(
         scored, "doc_id", "avg_lp", Seq(1.0 / 3, 2.0 / 3), nBuckets = 8)
         .select(col("doc_id"), col("n_bigrams"), col("lp_sum"), col("bucket"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-ROW scoring in the literal-map form — the plan a STREAMING
+    // quality filter runs (no join, no shuffle: the vocabulary ships as
+    // one map literal inside the expression). Same integers as q143's
+    // join path on token-bearing docs; token-less docs score the bare
+    // prior (there is a row to score) and null text scores null — both
+    // branches under the hash
+    "q152_nb_score_inline" -> ((s, d) => {
+      val (w, oov, prior) = binaryNbMaterialized(s, d, q152ModelDir(d))
+      val wm = graft.ops.LangModel.collectWeights(w)
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          graft.ops.LangModel.scoreColumn(col("text"), wm, oov, prior)
+            .as("score"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2898,6 +2917,30 @@ object SparkEntry {
         |        WHEN rn <= cast(round((2.0/3) * c) AS BIGINT) THEN 1
         |        ELSE 2 END)::INT AS bucket
         |FROM r, c ORDER BY doc_id""".stripMargin,
+
+    // the literal-map per-row score equals the join-and-sum on every
+    // token-bearing doc; token-less docs take the bare prior and null
+    // text stays null — the LEFT JOIN back onto documents checks both
+    "q152_nb_score_inline" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents
+        |),
+        |w AS (SELECT * FROM read_parquet('/tmp/graft_q152_nb_sf0.01/weights/*.parquet')),
+        |m AS (SELECT * FROM read_parquet('/tmp/graft_q152_nb_sf0.01/meta/*.parquet')),
+        |s AS (
+        |  SELECT doc_id,
+        |    (sum(coalesce(w.weight, (SELECT oov_weight FROM m)))
+        |      + (SELECT prior FROM m))::BIGINT AS sc
+        |  FROM t LEFT JOIN w USING (token)
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  (CASE WHEN d.text IS NULL THEN NULL
+        |        ELSE coalesce(s.sc, (SELECT prior FROM m)) END)::BIGINT AS score
+        |FROM documents d LEFT JOIN s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q138_bpe_word_histogram" ->
       """WITH w AS (

@@ -167,6 +167,43 @@ object LangModel {
           .as("score"))
   }
 
+  /** Collect a quantized `(token, weight)` table to a driver map for
+    * literal-map scoring ([[scoreColumn]]). Guarded: the map embeds
+    * every entry in the PLAN (it ships inside the task binary, not as a
+    * broadcast), so the cap fails loudly before a corpus-scale
+    * vocabulary bloats every task — raise it deliberately for a known
+    * medium vocabulary, or score by join ([[scoreTokenWeights]]) when
+    * the vocabulary is corpus-sized.
+    */
+  def collectWeights(
+      weights: DataFrame, maxVocab: Int = 250000): Map[String, Long] = {
+    val rows = weights.limit(maxVocab + 1).collect()
+    require(rows.length <= maxVocab,
+      s"collectWeights: vocabulary exceeds maxVocab = $maxVocab — " +
+      "literal-map scoring embeds every entry in the plan; raise the cap " +
+      "deliberately or score by join (scoreTokenWeights)")
+    rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  /** Per-ROW classifier score as a pure Column — `prior + Σ weight` over
+    * whitespace tokens with OOV tokens scoring `oovWeight`, the vocab
+    * shipped as one map LITERAL (no join, no shuffle, no UDF, no state).
+    * This is the STREAMING form of [[scoreTokenWeights]]: stateless, so
+    * it drops into any `withColumn` over a stream and scores arrivals in
+    * flight against the trained (or standing-index-derived) model.
+    * Identical integers to the join path on every token-bearing
+    * document; a token-LESS document scores the bare `prior` here
+    * (there is a row to score) where the join path omits it, and null
+    * text scores null.
+    */
+  def scoreColumn(
+      text: org.apache.spark.sql.Column,
+      weights: Map[String, Long],
+      oovWeight: Long,
+      prior: Long): org.apache.spark.sql.Column =
+    aggregate(TextOps.wsTokens(text), lit(prior),
+      (acc, t) => acc + coalesce(element_at(typedlit(weights), t), lit(oovWeight)))
+
   /** A trained MULTICLASS multinomial NB over whitespace tokens — the
     * corpus-fitted form of language-ID / domain-ID (the classification
     * task fastText-style supervised models run in curation pipelines;

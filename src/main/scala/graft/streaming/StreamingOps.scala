@@ -604,6 +604,26 @@ object StreamingOps {
             batch.toDF(), idCol, textCol, path, retainEpochs)
     }
 
+  /** Stateless per-row quality scoring of a stream under a trained
+    * classifier: adds `outCol` = `prior + Σ weight` (OOV tokens scoring
+    * `oovWeight`, null text null, token-less text the bare prior) via
+    * [[graft.ops.LangModel.scoreColumn]]'s literal-map form — no join,
+    * no aggregate, no state, so it composes with any downstream filter
+    * ("drop arrivals the quality model rejects") without watermarks.
+    * The weights are FIXED at query construction ([[graft.ops.LangModel
+    * .collectWeights]] of a trained or standing-index-derived table);
+    * restart the query to pick up a retrained model.
+    */
+  def scoreQualityStream(
+      newStream: DataFrame,
+      textCol: String,
+      weights: Map[String, Long],
+      oovWeight: Long,
+      prior: Long,
+      outCol: String = "quality_score"): DataFrame =
+    newStream.withColumn(outCol,
+      graft.ops.LangModel.scoreColumn(col(textCol), weights, oovWeight, prior))
+
   /** Fold each micro-batch of newly LABELED documents into the standing
     * classifier index ([[graft.ops.LangModel.writeClassifierIndex]]) —
     * the seventh lifecycle's streaming form: the quality model keeps

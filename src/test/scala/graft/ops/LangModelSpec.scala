@@ -121,6 +121,30 @@ class LangModelSpec extends SparkSpec {
     assert(out(12L) == (1L, lm.floorLp))
   }
 
+  test("scoreColumn: literal-map score ≡ join path; prior on empty; null on null") {
+    val df = frame(labeledSt,
+      Row(1L, "a a b", true), Row(2L, "a c", false))
+    val model = LangModel.trainTokenClassifier(df, "text", "pos")
+    val wm = LangModel.collectWeights(model.weights)
+    val toScore = frame(struct("doc_id" -> LongType, "text" -> StringType),
+      Row(10L, "a b zzz"), Row(11L, "   "), Row(12L, null))
+    val got = toScore.select(col("doc_id"),
+      LangModel.scoreColumn(col("text"), wm, model.oovWeight, model.prior)
+        .as("score"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val joined = LangModel.scoreTokenClassifier(toScore, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getLong(r.fieldIndex("score"))).toMap
+    assert(got(10L) == Some(joined(10L)),
+      "token-bearing doc must score identically to the join path")
+    assert(got(11L) == Some(model.prior),
+      "a token-less doc scores the bare prior in the per-row form")
+    assert(got(12L) == None, "null text scores null")
+    // the plan-size guard fails loudly past the cap
+    assertThrows[IllegalArgumentException](
+      LangModel.collectWeights(model.weights, maxVocab = 1))
+  }
+
   private val multiSt = struct(
     "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType)
 

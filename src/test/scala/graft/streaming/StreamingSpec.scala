@@ -630,6 +630,32 @@ class StreamingSpec extends SparkSpec {
     assert(table(streamed, "fsizes") == table(batched, "fsizes"))
   }
 
+  test("streaming quality scoring is stateless — stream ≡ batch per-row scores") {
+    import graft.ops.LangModel
+    val labSt = struct(
+      "doc_id" -> LongType, "text" -> StringType, "pos" -> BooleanType)
+    val model = LangModel.trainTokenClassifier(
+      frame(labSt, Row(1L, "alpha beta beta", true), Row(2L, "gamma", false)),
+      "text", "pos")
+    val wm = LangModel.collectWeights(model.weights)
+    val docSt = struct("doc_id" -> LongType, "text" -> StringType)
+    val batch = frame(docSt,
+      Row(10L, "alpha gamma zzz"), Row(11L, "   "), Row(12L, null))
+    val inDir = Files.createTempDirectory("graft-qscore-in").toString
+    batch.coalesce(1).write.mode("append").parquet(inDir)
+    val scored = StreamingOps.scoreQualityStream(
+      spark.readStream.schema(docSt).parquet(inDir),
+      "text", wm, model.oovWeight, model.prior)
+    runToCompletion(scored, "qscore_out")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("quality_score"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(rows(spark.table("qscore_out")) ==
+      rows(batch.withColumn("quality_score",
+        LangModel.scoreColumn(col("text"), wm, model.oovWeight, model.prior))))
+  }
+
   test("stream-grown classifier index equals batch appends; replay no-ops") {
     import graft.ops.{EpochStore, LangModel}
     val labSt = struct(
