@@ -106,6 +106,9 @@ object SparkEntry {
   private def q152ModelDir(sfDir: String) =
     s"/tmp/graft_q152_nb_${new java.io.File(sfDir).getName}"
 
+  private def q153ModelDir(sfDir: String) =
+    s"/tmp/graft_q153_mc_${new java.io.File(sfDir).getName}"
+
   /** Train the binary NB quality classifier on the %3 held-in slice,
     * materialize weights + meta under `out` (the q62/q143 discipline —
     * DuckDB must integer-sum the IDENTICAL quantized values), and return
@@ -1138,6 +1141,24 @@ object SparkEntry {
         .select(col("doc_id"),
           graft.ops.LangModel.scoreColumn(col("text"), wm, oov, prior)
             .as("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the multiclass argmax in the same per-row literal-map form — the
+    // STREAMING language-ID decision. Token-less docs score every class's
+    // bare prior (argmax = max-prior class, cls-asc ties), null text
+    // predicts null — all three branches under the hash
+    "q153_predict_inline" -> ((s, d) => {
+      val (w, m) = multiclassMaterialized(s, d, q153ModelDir(d))
+      val wm = graft.ops.LangModel.collectMulticlassWeights(w)
+      val classes = m.collect().toSeq.map(r => (r.getString(0),
+        wm.getOrElse(r.getString(0), Map.empty[String, Long]),
+        r.getLong(1), r.getLong(2))).sortBy(_._1)
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          graft.ops.LangModel.predictColumn(col("text"), classes).as("p"))
+        .select(col("doc_id"),
+          col("p.cls").as("cls"), col("p.score").as("score"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2941,6 +2962,43 @@ object SparkEntry {
         |        ELSE coalesce(s.sc, (SELECT prior FROM m)) END)::BIGINT AS score
         |FROM documents d LEFT JOIN s USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q147's per-class arithmetic extended to EVERY non-null-text doc
+    // (token-less docs take coalesce-0 sums = the bare prior), ranked
+    // (score DESC, cls ASC); null-text docs union in with null prediction
+    "q153_predict_inline" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS token
+        |  FROM documents
+        |),
+        |n AS (SELECT doc_id, count(*)::BIGINT AS n_toks FROM t GROUP BY doc_id),
+        |w AS (SELECT * FROM read_parquet('/tmp/graft_q153_mc_sf0.01/weights/*.parquet')),
+        |m AS (SELECT * FROM read_parquet('/tmp/graft_q153_mc_sf0.01/class_meta/*.parquet')),
+        |p AS (
+        |  SELECT doc_id, cls, sum(weight)::BIGINT AS wp, count(*)::BIGINT AS np
+        |  FROM t JOIN w USING (token) GROUP BY doc_id, cls
+        |),
+        |s AS (
+        |  SELECT d.doc_id, m.cls,
+        |    (m.prior + coalesce(p.wp, 0)
+        |      + (coalesce(n.n_toks, 0) - coalesce(p.np, 0)) * m.absent_weight)::BIGINT AS score
+        |  FROM documents d CROSS JOIN m
+        |  LEFT JOIN n ON n.doc_id = d.doc_id
+        |  LEFT JOIN p ON p.doc_id = d.doc_id AND p.cls = m.cls
+        |  WHERE d.text IS NOT NULL
+        |),
+        |r AS (
+        |  SELECT doc_id, cls, score,
+        |    row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
+        |  FROM s
+        |)
+        |SELECT doc_id, cls, score FROM r WHERE rn = 1
+        |UNION ALL
+        |SELECT doc_id, NULL::VARCHAR AS cls, NULL::BIGINT AS score
+        |FROM documents WHERE text IS NULL
+        |ORDER BY doc_id""".stripMargin,
 
     "q138_bpe_word_histogram" ->
       """WITH w AS (

@@ -204,6 +204,54 @@ object LangModel {
     aggregate(TextOps.wsTokens(text), lit(prior),
       (acc, t) => acc + coalesce(element_at(typedlit(weights), t), lit(oovWeight)))
 
+  /** [[collectWeights]] for a long-format multiclass `(cls, token,
+    * weight)` table: per-class driver maps for [[predictColumn]]. The
+    * cap applies to TOTAL entries across classes (same plan-size budget).
+    */
+  def collectMulticlassWeights(
+      weights: DataFrame,
+      maxEntries: Int = 250000): Map[String, Map[String, Long]] = {
+    val rows = weights.limit(maxEntries + 1).collect()
+    require(rows.length <= maxEntries,
+      s"collectMulticlassWeights: total entries exceed maxEntries = " +
+      s"$maxEntries — literal-map prediction embeds every entry in the " +
+      "plan; raise the cap deliberately or predict by join (predictClass)")
+    rows.groupBy(_.getString(0)).view.mapValues(
+      _.map(r => r.getString(1) -> r.getLong(2)).toMap).toMap
+  }
+
+  /** Per-ROW multiclass argmax as a pure Column — [[predictClass]]'s
+    * decision in the literal-map form (no join, no window, no state):
+    * each class scores `prior + Σ weight` with class-absent/OOV tokens
+    * at its `absent` weight ([[scoreColumn]] per class), and the winner
+    * is the (score DESC, cls ASC) head of an in-row sort over the K
+    * class structs. Returns a `struct(score, cls)` column (null for null
+    * text); a token-less document scores each class's bare prior, so the
+    * argmax is the max-prior class. This is the STREAMING form of
+    * language-ID / domain routing: stateless, so arrivals classify in
+    * flight. `classes` is `(cls, weights, absentWeight, prior)` —
+    * [[collectMulticlassWeights]] plus the collected K-row classMeta.
+    */
+  def predictColumn(
+      text: org.apache.spark.sql.Column,
+      classes: Seq[(String, Map[String, Long], Long, Long)])
+      : org.apache.spark.sql.Column = {
+    require(classes.nonEmpty, "predictColumn: no classes")
+    val scored = classes.map { case (cls, w, absent, prior) =>
+      struct(scoreColumn(text, w, absent, prior).as("score"),
+        lit(cls).as("cls"))
+    }
+    val best = element_at(
+      array_sort(array(scored: _*), (l, r) =>
+        when(l.getField("score") > r.getField("score"), -1)
+          .when(l.getField("score") < r.getField("score"), 1)
+          .when(l.getField("cls") < r.getField("cls"), -1)
+          .when(l.getField("cls") > r.getField("cls"), 1)
+          .otherwise(0)),
+      1)
+    when(text.isNotNull, best)
+  }
+
   /** A trained MULTICLASS multinomial NB over whitespace tokens — the
     * corpus-fitted form of language-ID / domain-ID (the classification
     * task fastText-style supervised models run in curation pipelines;

@@ -624,6 +624,20 @@ object StreamingOps {
     newStream.withColumn(outCol,
       graft.ops.LangModel.scoreColumn(col(textCol), weights, oovWeight, prior))
 
+  /** Stateless per-row CLASSIFICATION of a stream — language-ID / domain
+    * routing in flight: adds `outCol` = `struct(score, cls)`, the
+    * (score DESC, cls ASC) argmax over the literal-map class scores
+    * ([[graft.ops.LangModel.predictColumn]]); null text predicts null.
+    * Same fixed-at-construction contract as [[scoreQualityStream]].
+    */
+  def predictClassStream(
+      newStream: DataFrame,
+      textCol: String,
+      classes: Seq[(String, Map[String, Long], Long, Long)],
+      outCol: String = "pred"): DataFrame =
+    newStream.withColumn(outCol,
+      graft.ops.LangModel.predictColumn(col(textCol), classes))
+
   /** Fold each micro-batch of newly LABELED documents into the standing
     * classifier index ([[graft.ops.LangModel.writeClassifierIndex]]) —
     * the seventh lifecycle's streaming form: the quality model keeps

@@ -198,6 +198,35 @@ class LangModelSpec extends SparkSpec {
     assert(pred(11L) == "y", "OOV tie must break by class name ascending")
   }
 
+  test("predictColumn: per-row argmax ≡ predictClass; prior-tie on empty; null on null") {
+    val df = frame(multiSt,
+      Row(1L, "a a b", "x"), Row(2L, "a c", "y"), Row(3L, "c c", "z"))
+    val model = LangModel.trainMulticlassClassifier(df, "text", "lang")
+    val wm = LangModel.collectMulticlassWeights(model.weights)
+    val classes = model.classMeta.collect().toSeq.map(r => (r.getString(0),
+      wm.getOrElse(r.getString(0), Map.empty[String, Long]),
+      r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val toScore = frame(struct("doc_id" -> LongType, "text" -> StringType),
+      Row(10L, "a b"), Row(11L, "zzz"), Row(12L, "   "), Row(13L, null))
+    val got = toScore.select(col("doc_id"),
+      LangModel.predictColumn(col("text"), classes).as("p"))
+      .select(col("doc_id"), col("p.cls"), col("p.score"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getString(1), r.getLong(2)))))
+      .toMap
+    val joined = LangModel.predictClass(toScore, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+      .toMap
+    assert(got(10L) == Some(joined(10L)) && got(11L) == Some(joined(11L)),
+      "token-bearing docs must decide identically to the join path")
+    // token-less doc: every class scores its bare prior; priors are all
+    // equal on this fixture, so the cls-ASC tie rule must pick "x"
+    val cm = model.classMeta.collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got(12L) == Some(("x", cm("x"))))
+    assert(got(13L) == None, "null text predicts null")
+  }
+
   test("multiclass classifier separates three token domains (train + held-out)") {
     val vocabs = Map(
       "aa" -> Vector("epsilon", "delta", "kappa", "sigma", "tau"),
