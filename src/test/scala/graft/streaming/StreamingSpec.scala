@@ -656,6 +656,35 @@ class StreamingSpec extends SparkSpec {
         LangModel.scoreColumn(col("text"), wm, model.oovWeight, model.prior))))
   }
 
+  test("streaming classification is stateless — stream ≡ batch per-row argmax") {
+    import graft.ops.LangModel
+    val mSt = struct(
+      "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType)
+    val model = LangModel.trainMulticlassClassifier(
+      frame(mSt, Row(1L, "alpha beta", "aa"), Row(2L, "gamma gamma", "bb")),
+      "text", "lang")
+    val wm = LangModel.collectMulticlassWeights(model.weights)
+    val classes = model.classMeta.collect().toSeq.map(r => (r.getString(0),
+      wm.getOrElse(r.getString(0), Map.empty[String, Long]),
+      r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val docSt = struct("doc_id" -> LongType, "text" -> StringType)
+    val batch = frame(docSt,
+      Row(10L, "alpha zzz"), Row(11L, "gamma"), Row(12L, null))
+    val inDir = Files.createTempDirectory("graft-predict-in").toString
+    batch.coalesce(1).write.mode("append").parquet(inDir)
+    val routed = StreamingOps.predictClassStream(
+      spark.readStream.schema(docSt).parquet(inDir), "text", classes)
+    runToCompletion(routed, "predict_out")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("pred.cls"), col("pred.score"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getString(1), r.getLong(2)))))
+      .toMap
+    assert(rows(spark.table("predict_out")) ==
+      rows(batch.withColumn("pred",
+        LangModel.predictColumn(col("text"), classes))))
+  }
+
   test("stream-grown classifier index equals batch appends; replay no-ops") {
     import graft.ops.{EpochStore, LangModel}
     val labSt = struct(
