@@ -109,6 +109,34 @@ object SparkEntry {
   private def q153ModelDir(sfDir: String) =
     s"/tmp/graft_q153_mc_${new java.io.File(sfDir).getName}"
 
+  /** q154's blocklist: single- and multi-token phrases over the synthetic
+    * vocabulary, chosen so sf0.01 hits range from rare (1 doc) to common
+    * (hundreds) — the sorted-normalized form the oracle's VALUES list
+    * mirrors verbatim.
+    */
+  private val q154Blocklist = Seq(
+    "vector", "customer query", "slow filter", "fast table value",
+    "window merge")
+
+  /** q156's waterfill weights: two heavy sources that must saturate at
+    * sf0.01 (share ≈ 123 rows vs 25 available), one explicit exclusion,
+    * the rest at weight 1 — mirrored by the oracle's VALUES-over-range
+    * CASE.
+    */
+  private val q156Weights: Map[String, Long] =
+    (0 until 20).map(i => s"src$i" -> (i match {
+      case 0 | 1 => 40L
+      case 2 => 0L
+      case _ => 1L
+    })).toMap
+
+  /** q157's token-space weights: src3 wants ~61% of the 3000-token budget
+    * but holds ~700 tokens at sf0.01 — saturation + redistribution in
+    * token space.
+    */
+  private val q157Weights: Map[String, Long] =
+    (0 until 20).map(i => s"src$i" -> (if (i == 3) 30L else 1L)).toMap
+
   /** Train the binary NB quality classifier on the %3 held-in slice,
     * materialize weights + meta under `out` (the q62/q143 discipline —
     * DuckDB must integer-sum the IDENTICAL quantized values), and return
@@ -1159,6 +1187,67 @@ object SparkEntry {
           graft.ops.LangModel.predictColumn(col("text"), classes).as("p"))
         .select(col("doc_id"),
           col("p.cls").as("cls"), col("p.score").as("score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // C4-style phrase-blocklist screen (Raffel et al. 2020 §2.2): every
+    // doc with its count and sorted list of blocklist phrases occurring
+    // as CONSECUTIVE TOKEN sequences, case-insensitive — token-exact via
+    // the space-sentinel tokenSeqForm ("vector" never matches "vectors");
+    // a pure literal-array codegen screen, zero shuffle (PlanSpec-pinned)
+    "q154_blocklist_screen" -> ((s, d) => {
+      Tables(s, d, "documents")
+        .select(col("doc_id"),
+          graft.ops.TextOps.blocklistHits(
+            col("text"), q154Blocklist).as("__hits"))
+        .select(col("doc_id"),
+          size(col("__hits")).cast("long").as("n_blocked"),
+          array_join(col("__hits"), ",").as("blocked_phrases"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // curriculum training order (Bengio et al. 2009, short-to-long):
+    // exact global position in (length-stage ASC, md5(epoch#id), id)
+    // order with NO global sort — per-(stage, bucket) counts + driver
+    // prefix + per-group windows; the whole stage-major permutation
+    // hashes against one naive window rank
+    "q155_curriculum_order" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .withColumn("n_tok",
+          graft.ops.TextOps.tokenCount(col("text")).cast("long"))
+        .withColumn("stage",
+          least(lit(2L), (col("n_tok") / 12).cast("long")))
+      graft.ops.Sampling.curriculumShuffle(
+        docs, "doc_id", "stage", epoch = 3L)
+        .select(col("doc_id"), col("stage"), col("pos"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact integer WATERFILL row mix: budget 300 at weights 40/40/0/1…,
+    // so the two heavy sources saturate at their full 25 rows and their
+    // surplus redistributes to the weight-1 sources (floor(250/17) = 14
+    // each), weight-0 src2 is excluded — the allocation fixpoint the
+    // oracle replays as a recursive SQL closure, kept rows the md5-order
+    // per-source prefix
+    "q156_waterfill_mix" -> ((s, d) => {
+      graft.ops.Sampling.takeWaterfillMix(
+        Tables(s, d, "documents"), "source", "doc_id",
+        q156Weights, budget = 300L)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // waterfill in TOKEN space: src3 at weight 30 wants ~1836 of the 3000
+    // token budget but holds only ~700 — it saturates and the rest fills
+    // from the weight-1 sources, each keeping its md5-order prefix until
+    // its token quota with the crossing row kept
+    "q157_waterfill_tokens" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .withColumn("n_tok",
+          graft.ops.TextOps.tokenCount(col("text")).cast("long"))
+      graft.ops.Sampling.takeWaterfillTokens(
+        docs, "source", "doc_id", "n_tok", q157Weights, budget = 3000L)
+        .select(col("doc_id"), col("source"), col("n_tok"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2999,6 +3088,139 @@ object SparkEntry {
         |SELECT doc_id, NULL::VARCHAR AS cls, NULL::BIGINT AS score
         |FROM documents WHERE text IS NULL
         |ORDER BY doc_id""".stripMargin,
+
+    // naive form: normalized token-sequence string × phrase list, contains
+    // with space sentinels — the same token-exact boundary rule
+    "q154_blocklist_screen" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    ' ' || array_to_string(list_filter(
+        |      string_split_regex(lower(text), '\s+'), x -> x <> ''), ' ')
+        |      || ' ' AS norm
+        |  FROM documents
+        |), p AS (
+        |  SELECT * FROM (VALUES ('customer query'), ('fast table value'),
+        |    ('slow filter'), ('vector'), ('window merge')) AS t(phrase)
+        |), h AS (
+        |  SELECT d.doc_id, p.phrase
+        |  FROM d JOIN p ON contains(d.norm, ' ' || p.phrase || ' ')
+        |), agg AS (
+        |  SELECT doc_id, cast(count(*) AS BIGINT) AS n_blocked,
+        |    array_to_string(list(phrase ORDER BY phrase ASC), ',') AS bp
+        |  FROM h GROUP BY doc_id
+        |)
+        |SELECT doc_id,
+        |  coalesce(agg.n_blocked, 0) AS n_blocked,
+        |  coalesce(agg.bp, '') AS blocked_phrases
+        |FROM documents LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // one naive window: rank in (stage ASC, md5('3#'||id), id) order
+    "q155_curriculum_order" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    least(2, cast(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS BIGINT) // 12) AS stage
+        |  FROM documents
+        |)
+        |SELECT doc_id, stage,
+        |  row_number() OVER (
+        |    ORDER BY stage ASC, md5('3#' || cast(doc_id AS VARCHAR)) ASC,
+        |      doc_id ASC) - 1 AS pos
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // the waterfill fixpoint as a bounded recursive closure: each round
+    // re-derives remaining budget and unsaturated weight mass from the
+    // previous round's saturation flags (window sums over the iteration),
+    // a stratum saturates iff avail·W_unsat <= wt·remaining; 24 rounds
+    // overshoots the ≤ #strata convergence bound and the flags are stable
+    // at the fixpoint. Kept rows = per-source md5-order prefix of quota.
+    "q156_waterfill_mix" ->
+      """WITH RECURSIVE
+        |w AS (
+        |  SELECT 'src' || cast(i AS VARCHAR) AS source,
+        |    cast(CASE WHEN i IN (0, 1) THEN 40 WHEN i = 2 THEN 0
+        |         ELSE 1 END AS BIGINT) AS wt
+        |  FROM range(20) t(i)
+        |),
+        |base AS (
+        |  SELECT d.source, cast(count(*) AS BIGINT) AS avail, max(w.wt) AS wt
+        |  FROM documents d JOIN w USING (source) GROUP BY d.source
+        |),
+        |it AS (
+        |  SELECT 0 AS iter, source, avail, wt, false AS sat FROM base
+        |  UNION ALL
+        |  SELECT iter + 1, source, avail, wt,
+        |    sat OR (avail * (sum(CASE WHEN NOT sat THEN wt ELSE 0 END) OVER ())
+        |        <= wt * (300 - sum(CASE WHEN sat THEN avail ELSE 0 END) OVER ())
+        |      AND sum(CASE WHEN NOT sat THEN wt ELSE 0 END) OVER () > 0) AS sat
+        |  FROM it WHERE iter < 24
+        |),
+        |fin AS (SELECT * FROM it WHERE iter = 24),
+        |q AS (
+        |  SELECT source,
+        |    CASE WHEN sat THEN avail
+        |      WHEN sum(CASE WHEN NOT sat THEN wt ELSE 0 END) OVER () = 0 THEN 0
+        |      ELSE wt * (300 - sum(CASE WHEN sat THEN avail ELSE 0 END) OVER ())
+        |        // (sum(CASE WHEN NOT sat THEN wt ELSE 0 END) OVER ()) END AS quota
+        |  FROM fin
+        |),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(cast(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |  FROM documents
+        |)
+        |SELECT doc_id, source FROM r JOIN q USING (source)
+        |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
+
+    // q156's closure in TOKEN space: avail = per-source token sums, kept
+    // rows by the cum-window rule with the crossing row kept
+    "q157_waterfill_tokens" ->
+      """WITH RECURSIVE
+        |t AS (
+        |  SELECT doc_id, source,
+        |    cast(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |),
+        |w AS (
+        |  SELECT 'src' || cast(i AS VARCHAR) AS source,
+        |    cast(CASE WHEN i = 3 THEN 30 ELSE 1 END AS BIGINT) AS wt
+        |  FROM range(20) t(i)
+        |),
+        |base AS (
+        |  SELECT t.source, sum(coalesce(t.n_tok, 0))::BIGINT AS avail,
+        |    max(w.wt) AS wt
+        |  FROM t JOIN w USING (source) GROUP BY t.source
+        |),
+        |it AS (
+        |  SELECT 0 AS iter, source, avail, wt, false AS sat FROM base
+        |  UNION ALL
+        |  SELECT iter + 1, source, avail, wt,
+        |    sat OR (avail * (sum(CASE WHEN NOT sat THEN wt ELSE 0 END) OVER ())
+        |        <= wt * (3000 - sum(CASE WHEN sat THEN avail ELSE 0 END) OVER ())
+        |      AND sum(CASE WHEN NOT sat THEN wt ELSE 0 END) OVER () > 0) AS sat
+        |  FROM it WHERE iter < 24
+        |),
+        |fin AS (SELECT * FROM it WHERE iter = 24),
+        |q AS (
+        |  SELECT source,
+        |    CASE WHEN sat THEN avail
+        |      WHEN sum(CASE WHEN NOT sat THEN wt ELSE 0 END) OVER () = 0 THEN 0
+        |      ELSE wt * (3000 - sum(CASE WHEN sat THEN avail ELSE 0 END) OVER ())
+        |        // (sum(CASE WHEN NOT sat THEN wt ELSE 0 END) OVER ()) END AS quota
+        |  FROM fin
+        |),
+        |r AS (
+        |  SELECT doc_id, source, n_tok,
+        |    sum(coalesce(n_tok, 0)) OVER (PARTITION BY source
+        |      ORDER BY md5(cast(doc_id AS VARCHAR)) ASC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, source, n_tok FROM r JOIN q USING (source)
+        |WHERE cum - coalesce(n_tok, 0) < quota ORDER BY doc_id""".stripMargin,
 
     "q138_bpe_word_histogram" ->
       """WITH w AS (

@@ -586,6 +586,120 @@ object Sampling {
       nBuckets, maxClassificationRows, maxBoundaryTaskRows)._1
   }
 
+  /** Exact integer waterfill allocation: split `budget` units across
+    * strata in proportion to integer `weights`, REDISTRIBUTING the share a
+    * stratum cannot absorb (its availability `a_s` is smaller than its
+    * proportional cut) to the unsaturated strata, again proportionally —
+    * the classic waterfilling fixpoint, the allocation rule behind "hit a
+    * 1 B-token budget at these mixture ratios even when small sources run
+    * dry" (the gap [[temperatureMix]]'s `min(c, quota)` leaves open: there
+    * a saturated source just under-fills the total).
+    *
+    * All arithmetic is BigInt-exact: a stratum saturates iff
+    * `a_s · W_unsat <= w_s · remaining` (the cross-multiplied form of
+    * "its full availability fits inside its provisional share"), rounds
+    * of simultaneous saturation repeat until the fixpoint (≤ #strata
+    * passes — the saturated set of the real-valued relaxation is unique
+    * and this monotone closure reaches exactly it), and every unsaturated
+    * stratum finally gets `floor(w_s · remaining / W_unsat)`. Totals:
+    * `Σ quota = min(budget, Σ a_s)` up to the final floors (each floor
+    * loses < 1 unit). Zero-weight strata get 0 (explicit exclusion);
+    * zero-availability strata saturate at 0. Deterministic and
+    * engine-free: a pure function of the (avail, weight, budget)
+    * integers, re-derivable by any engine (the oracle replays it as a
+    * recursive SQL fixpoint).
+    */
+  def waterfillQuotas(
+      avail: Seq[(Option[Any], Long)],
+      weightOf: Option[Any] => Long,
+      budget: Long): Map[Option[Any], Long] = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val entries = avail.map { case (s, a) =>
+      require(a >= 0, s"negative availability $a for stratum $s")
+      val w = weightOf(s)
+      require(w >= 0, s"negative weight $w for stratum $s")
+      (s, BigInt(a), BigInt(w))
+    }
+    require(entries.map(_._1).distinct.length == entries.length,
+      "duplicate strata in avail")
+    var sat = Map.empty[Option[Any], BigInt]
+    var changed = true
+    while (changed) {
+      val rem = BigInt(budget) - sat.values.sum
+      val unsat = entries.filterNot(e => sat.contains(e._1))
+      val wu = unsat.map(_._3).sum
+      if (wu == 0) changed = false
+      else {
+        val newly = unsat.filter { case (_, a, w) => a * wu <= w * rem }
+        if (newly.isEmpty) changed = false
+        else sat ++= newly.map { case (s, a, _) => s -> a }
+      }
+    }
+    val rem = BigInt(budget) - sat.values.sum
+    val wu = entries.filterNot(e => sat.contains(e._1)).map(_._3).sum
+    entries.map { case (s, _, w) =>
+      s -> sat.getOrElse(s, if (wu == 0) BigInt(0) else w * rem / wu).toLong
+    }.toMap
+  }
+
+  private def waterfillLookup(
+      weights: Map[String, Long]): Option[Any] => Long = {
+    case None => 0L
+    case Some(v) =>
+      val k = v.toString
+      require(weights.contains(k),
+        s"waterfill: stratum '$k' has no weight — every non-null stratum " +
+          "needs an explicit entry (use 0 to exclude)")
+      weights(k)
+  }
+
+  /** Row-budget waterfill mix: exactly [[waterfillQuotas]]' allocation of
+    * `budget` ROWS across the values of `sourceCol` (weights keyed by the
+    * source rendered as a string; null sources are excluded at weight 0),
+    * each source keeping its quota in the engine-portable md5(key)
+    * content order. One tiny per-source count aggregate + the
+    * [[takeBudgets]] two-phase bucket-prefix machinery — the corpus never
+    * globally sorts and no source funnels into a single window task, so
+    * the mix holds at 100 TB like every take in this module.
+    */
+  def takeWaterfillMix(
+      df: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      weights: Map[String, Long],
+      budget: Long,
+      bucketHexLen: Int = 3): DataFrame = {
+    val quotas = waterfillQuotas(
+      sourceSizes(df, sourceCol, count(lit(1))),
+      waterfillLookup(weights), budget)
+    takeBudgets(df, sourceCol, keyCol, lit(1L),
+      quotas.getOrElse(_, 0L), bucketHexLen)
+  }
+
+  /** TOKEN-budget waterfill mix: the allocation of [[takeWaterfillMix]]
+    * run in token space — availabilities are per-source token sums (nulls
+    * count 0), quotas are token budgets, and each source keeps the
+    * md5-content-order prefix until its quota with the crossing row KEPT
+    * ([[takeTokenBudget]]'s rule), so every source with a positive quota
+    * keeps at least one row. "Fill 1 B tokens at these ratios, spilling
+    * dry sources' shares to the rest" as one exact, rerun-stable take.
+    */
+  def takeWaterfillTokens(
+      df: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      tokenCol: String,
+      weights: Map[String, Long],
+      budget: Long,
+      bucketHexLen: Int = 3): DataFrame = {
+    val quotas = waterfillQuotas(
+      sourceSizes(df, sourceCol,
+        sum(coalesce(col(tokenCol).cast("long"), lit(0L)))),
+      waterfillLookup(weights), budget)
+    takeBudgets(df, sourceCol, keyCol, col(tokenCol),
+      quotas.getOrElse(_, 0L), bucketHexLen)
+  }
+
   /** EXACT top-fraction quality filter per stratum — "keep the best 25%
     * of each source by score", the percentile form of quality filtering
     * (Gopher/CCNet-style): each stratum keeps its `round(fraction · c_s)`
@@ -1297,6 +1411,95 @@ object Sampling {
               "deduplicate or re-key first"))).cast("long"))
         .otherwise(col("__off") + row_number().over(w).cast("long") - 1L))
       .drop("__b", "__off")
+  }
+
+  /** Curriculum training order: every row's EXACT global position in
+    * `(stage ASC, md5(epoch # key), key)` order — the curriculum-learning
+    * recipe (Bengio et al. 2009; short-to-long, clean-to-noisy) where
+    * training visits stage 0 first, stage 1 second, …, SHUFFLED within
+    * each stage by the same engine-portable hash order [[epochShuffle]]
+    * uses, so each epoch reshuffles within stages while the stage
+    * progression stands.
+    *
+    * Same no-global-sort plan as [[epochShuffle]] with the stage as a
+    * leading group column: per-(stage, bucket) counts → driver prefix sum
+    * in (stage, bucket) order → per-group `row_number` + broadcast
+    * offsets. The driver table is #stages × 16^`bucketHexLen` rows
+    * (guarded); stages are ordinal by definition, so `stageCol` must be
+    * integral — reject floats/strings loudly rather than inherit an
+    * engine-specific collation.
+    *
+    * Null stages and null keys are rejected loudly. Duplicate keys WITHIN
+    * a stage are caught by the same in-window lag tripwire as
+    * [[epochShuffle]] (dups hash to one bucket and sort adjacent); the
+    * same key appearing in TWO stages is two distinct curriculum items
+    * and keeps deterministic positions (the stage leads the sort).
+    */
+  def curriculumShuffle(
+      df: DataFrame,
+      keyCol: String,
+      stageCol: String,
+      epoch: Long,
+      bucketHexLen: Int = 4,
+      maxClassificationRows: Int = MaxClassificationRows): DataFrame = {
+    require(bucketHexLen >= 1 && bucketHexLen <= 6,
+      s"bucketHexLen must be in [1, 6], got $bucketHexLen")
+    require(!df.columns.contains("pos"),
+      "curriculumShuffle adds a 'pos' column — rename the existing one first")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    df.schema(stageCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"curriculumShuffle: stage column '$stageCol' must be integral " +
+          s"(ordinal stages), got $t")
+    }
+    val spark = df.sparkSession
+    def hashOf(key: Column): Column =
+      md5(concat(lit(epoch.toString), lit("#"), key.cast("string"))
+        .cast("binary"))
+    val stageOf = col(stageCol).cast("long")
+    val bucketOf = substring(hashOf(col(keyCol)), 1, bucketHexLen)
+    val counts = df.select(stageOf.as("__s"), bucketOf.as("__b"))
+      .groupBy("__s", "__b").count()
+      .limit(maxClassificationRows + 1).collect()
+    require(counts.length <= maxClassificationRows,
+      s"curriculumShuffle: stages × 16^$bucketHexLen groups exceed " +
+      s"$maxClassificationRows driver rows — lower bucketHexLen or " +
+      "coarsen the stages")
+    require(counts.forall(!_.isNullAt(0)),
+      s"curriculumShuffle: null '$stageCol' stages cannot be ordered — " +
+      "assign every row a stage first")
+    require(counts.forall(!_.isNullAt(1)),
+      s"curriculumShuffle: null '$keyCol' keys cannot be ordered — " +
+      "filter or fill them first")
+    var acc = 0L
+    val offRows = counts.sortBy(r => (r.getLong(0), r.getString(1))).map { r =>
+      val o = acc
+      acc += r.getLong(2)
+      org.apache.spark.sql.Row(r.getLong(0), r.getString(1), o)
+    }.toSeq
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1),
+      StructType(Seq(
+        StructField("__s", LongType, nullable = false),
+        StructField("__b", StringType, nullable = false),
+        StructField("__off", LongType, nullable = false))))
+    val w = Window.partitionBy(col("__s"), col("__b"))
+      .orderBy(hashOf(col(keyCol)).asc, col(keyCol).asc)
+    df.withColumn("__s", stageOf)
+      .withColumn("__b", bucketOf)
+      .join(broadcast(offDf), Seq("__s", "__b"))
+      .withColumn("pos",
+        when(lag(col(keyCol), 1).over(w) === col(keyCol),
+          raise_error(concat(
+            lit(s"curriculumShuffle: duplicate '$keyCol' key "),
+            col(keyCol).cast("string"),
+            lit(s" within one '$stageCol' stage — duplicate keys have " +
+              "no deterministic order; deduplicate or re-key first")))
+            .cast("long"))
+        .otherwise(col("__off") + row_number().over(w).cast("long") - 1L))
+      .drop("__s", "__b", "__off")
   }
 
   /** Deterministic GLOBAL sample: exactly `n` rows from the whole corpus

@@ -851,4 +851,83 @@ object TextOps {
       .where(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("token"), col("score"))
   }
+
+  /** Plan-size guard for [[blocklistHits]]: the phrase list ships as a
+    * LITERAL array inside every task binary (the
+    * `LangModel.collectWeights` discipline — a literal is not a broadcast
+    * and is re-shipped with every stage that references it), so it must
+    * stay blocklist-sized. Real badword lists (C4's is ~400 entries) fit
+    * with two orders of magnitude of headroom; a corpus-derived phrase
+    * set does not belong in a literal and should go through a token-keyed
+    * join instead.
+    */
+  val MaxBlocklistEntries = 10000
+
+  /** Canonical token-sequence form of a document: lowercased whitespace
+    * tokens joined by single spaces, wrapped in one leading and one
+    * trailing space — so "phrase P occurs as a consecutive token
+    * subsequence" is EXACTLY `contains(tokenSeqForm(text), ' '+P+' ')`,
+    * with the sentinel spaces making boundary matches ("scan" vs "scans",
+    * phrase at document start/end) token-exact rather than substring-
+    * approximate. Null text stays null (concat_ws over a null array
+    * yields '' and would silently claim an empty-but-matchable document).
+    */
+  def tokenSeqForm(text: Column): Column =
+    when(text.isNull, lit(null).cast("string")).otherwise(
+      concat(lit(" "), concat_ws(" ", wsTokens(lower(text))), lit(" ")))
+
+  /** Normalize one blocklist phrase to the [[tokenSeqForm]] token
+    * convention: lowercase, whitespace runs collapsed to single spaces.
+    */
+  private def normalizePhrase(p: String): String =
+    p.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" ")
+
+  private def normalizedBlocklist(phrases: Seq[String]): Seq[String] = {
+    val norm = phrases.map(normalizePhrase).filter(_.nonEmpty).distinct.sorted
+    require(norm.nonEmpty, "blocklist is empty after normalization")
+    require(norm.length <= MaxBlocklistEntries,
+      s"blocklist has ${norm.length} entries, over $MaxBlocklistEntries — " +
+        "a list this large should be a token-keyed join, not a plan literal")
+    norm
+  }
+
+  /** C4-style phrase-blocklist screen: the sorted array of blocklist
+    * phrases occurring in the document as consecutive token sequences,
+    * case-insensitive ("List of Dirty, Naughty … Words" filtering — the
+    * screen C4/Dolma run on every document; Raffel et al. 2020 §2.2).
+    *
+    * Pure codegen'd Column — the normalized phrase list is a literal
+    * array filtered with a `contains` predicate over [[tokenSeqForm]]:
+    * zero shuffle, zero joins, no UDF, fused into the scan, trivially
+    * stream-safe (stateless). Cost is O(|phrases| · doc length) per row
+    * — embarrassingly parallel and the standard trade for blocklist-sized
+    * P (hundreds); [[MaxBlocklistEntries]] keeps the literal honest.
+    * Matching is token-exact: "scan" never matches inside "scans", and
+    * multi-token phrases match only when their tokens are adjacent in
+    * document order. Null text yields an empty hit array (the filter
+    * predicate is null, so every phrase is dropped).
+    */
+  def blocklistHits(text: Column, phrases: Seq[String]): Column = {
+    val norm = normalizedBlocklist(phrases)
+    val doc = tokenSeqForm(text)
+    filter(
+      typedlit(norm),
+      p => doc.contains(concat(lit(" "), p, lit(" "))))
+  }
+
+  /** True iff any blocklist phrase occurs in the document ([[blocklistHits]]
+    * non-empty). Null text is NOT blocked — a missing document is a schema
+    * problem, not a content violation; screen nulls separately.
+    */
+  def blockedByPhrase(text: Column, phrases: Seq[String]): Column =
+    size(blocklistHits(text, phrases)) > 0
+
+  /** Drop every document containing a blocklist phrase — the C4 screen as
+    * a corpus filter. Null-text rows are KEPT (see [[blockedByPhrase]]).
+    */
+  def filterBlocklisted(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      phrases: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.where(!blockedByPhrase(col(textCol), phrases))
 }

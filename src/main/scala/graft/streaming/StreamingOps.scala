@@ -638,6 +638,20 @@ object StreamingOps {
     newStream.withColumn(outCol,
       graft.ops.LangModel.predictColumn(col(textCol), classes))
 
+  /** Stateless C4-style phrase-blocklist screen over a stream: drops every
+    * arrival containing a blocklist phrase as a consecutive token sequence
+    * ([[graft.ops.TextOps.filterBlocklisted]]'s rule — case-insensitive,
+    * token-exact, null-text rows kept). The phrase list ships as a plan
+    * literal, so the screen is pure per-row codegen — no join, no state,
+    * no watermark; restart the query to pick up an edited list.
+    */
+  def screenBlocklistStream(
+      newStream: DataFrame,
+      textCol: String,
+      phrases: Seq[String]): DataFrame =
+    newStream.where(
+      !graft.ops.TextOps.blockedByPhrase(col(textCol), phrases))
+
   /** Fold each micro-batch of newly LABELED documents into the standing
     * classifier index ([[graft.ops.LangModel.writeClassifierIndex]]) —
     * the seventh lifecycle's streaming form: the quality model keeps

@@ -120,6 +120,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate explode"), s"expected a generator:\n$p")
   }
 
+  test("blocklist screen is a fused literal-array filter — zero exchanges") {
+    val docs = Tables(spark, dir, "documents")
+    val p = plan(ops.TextOps.filterBlocklisted(
+      docs, "text", Seq("vector", "customer query")))
+    assert(!p.contains("Exchange"), s"blocklist screen must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"blocklist screen must not join:\n$p")
+  }
+
   test("concat-chunk packing plan shuffles exactly once (the group window)") {
     val p = plan(ops.Packing.concatChunkPlan(
       Tables(spark, dir, "documents"), "doc_id", "text", capacity = 256, nGroups = 8))
@@ -401,6 +409,21 @@ class PlanSpec extends SparkSpec {
       .queryExecution.sparkPlan
     assert(exec.collectFirst { case j: BroadcastHashJoinExec => j }.isDefined,
       s"offsets must broadcast:\n$exec")
+  }
+
+  test("curriculum order: (stage, bucket)-keyed window, never a global sort") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("stage", (col("doc_id") % 3).cast("int"))
+    val out = ops.Sampling.curriculumShuffle(docs, "doc_id", "stage", epoch = 3L)
+    val p = plan(out)
+    assert(!p.contains("SinglePartition"),
+      s"curriculum order collapsed to one partition:\n$p")
+    assert(p.contains("Exchange hashpartitioning(__s"),
+      s"expected the (stage, bucket)-keyed window exchange:\n$p")
+    assert(out.queryExecution.sparkPlan.collectFirst {
+      case j: BroadcastHashJoinExec => j }.isDefined,
+      s"offsets must broadcast:\n${out.queryExecution.sparkPlan}")
   }
 
   test("epoch-order materialization stays bucket-parallel — never the naive global sort") {

@@ -835,6 +835,31 @@ object OpsPropertySpec extends Properties("graft.ops") {
         got == naive && sample == takeNaive
     }
 
+  property("curriculumShuffle ≡ the naive stage-major global rank across widths") =
+    forAll(
+      Gen.choose(5, 60).flatMap(k =>
+        Gen.listOfN(k, Gen.zip(Gen.choose(1L, 100000L), Gen.choose(0, 3)))
+          .map(_.distinctBy(_._1))),
+      Gen.choose(1L, 50L), Gen.choose(1, 3)) { (rows, epoch, hexLen) =>
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val st = StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("stage", IntegerType, nullable = false)))
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            rows.map { case (i, s) => org.apache.spark.sql.Row(i, s) }, 2), st)
+        val got = Sampling.curriculumShuffle(
+          df, "id", "stage", epoch, bucketHexLen = hexLen)
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+        val naive = df.withColumn("pos", row_number().over(Window.orderBy(
+            col("stage").cast("long").asc,
+            md5(concat(lit(epoch.toString), lit("#"), col("id").cast("string"))
+              .cast("binary")).asc, col("id").asc)).cast("long") - 1L)
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+        got == naive
+    }
+
   property("daily SemDeDup loop: each day's audit ≡ the closure against the GROWN standing set") =
     forAll(
       Gen.choose(9, 18).flatMap(k => Gen.listOfN(k,

@@ -1177,6 +1177,129 @@ class OpsSpec extends SparkSpec {
     assert(messages(de).contains("duplicate"))
   }
 
+  test("curriculumShuffle: stage-major exact permutation, shuffled within stages") {
+    val st = struct("doc_id" -> LongType, "stage" -> IntegerType)
+    val df = frame(st, (1L to 120L).map(i => Row(i, (i % 3).toInt)): _*)
+    val got = Sampling.curriculumShuffle(df, "doc_id", "stage", epoch = 5L)
+      .select("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // positions are exactly 0..n-1, and equal the naive stage-major rank
+    assert(got.map(_._2).sorted.toSeq == (0L until 120L))
+    import org.apache.spark.sql.expressions.Window
+    val naive = df.withColumn("pos",
+      row_number().over(Window.orderBy(
+        col("stage").cast("long").asc,
+        md5(concat(lit("5"), lit("#"), col("doc_id").cast("string"))
+          .cast("binary")).asc, col("doc_id").asc)).cast("long") - 1L)
+      .select("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.toSet == naive)
+    // every stage-0 position precedes every stage-1 position, etc.
+    val byStage = got.toMap
+    val maxByStage = (0 to 2).map(s =>
+      (1L to 120L).filter(_ % 3 == s).map(byStage).max)
+    val minByStage = (0 to 2).map(s =>
+      (1L to 120L).filter(_ % 3 == s).map(byStage).min)
+    assert(maxByStage(0) < minByStage(1) && maxByStage(1) < minByStage(2))
+    // null stage, null key, non-integral stage, within-stage dup: loud
+    val withNullStage = frame(st, Row(1L, 0), Row(2L, null))
+    val e1 = intercept[IllegalArgumentException] {
+      Sampling.curriculumShuffle(withNullStage, "doc_id", "stage", 1L)
+    }
+    assert(e1.getMessage.contains("null"))
+    val stStr = struct("doc_id" -> LongType, "stage" -> StringType)
+    val e2 = intercept[IllegalArgumentException] {
+      Sampling.curriculumShuffle(
+        frame(stStr, Row(1L, "a")), "doc_id", "stage", 1L)
+    }
+    assert(e2.getMessage.contains("integral"))
+    val withDup = frame(st, Row(1L, 0), Row(1L, 0), Row(2L, 1))
+    val de = intercept[Exception] {
+      Sampling.curriculumShuffle(withDup, "doc_id", "stage", 1L).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + messages(t.getCause)
+    assert(messages(de).contains("duplicate"))
+    // the SAME key in two different stages is two items, both positioned
+    val crossStage = frame(st, Row(1L, 0), Row(1L, 1), Row(2L, 0))
+    val cs = Sampling.curriculumShuffle(crossStage, "doc_id", "stage", 1L)
+      .select("pos").collect().map(_.getLong(0)).sorted.toSeq
+    assert(cs == Seq(0L, 1L, 2L))
+  }
+
+  test("waterfillQuotas: exact fixpoint — saturation, redistribution, exclusion") {
+    def k(s: String): Option[Any] = Some(s)
+    // hand-computed: B=100, weights a:5 b:3 c:2, avail a:10 b:100 c:100.
+    // round 1: a's share 50 > 10 → saturates. rem=90, wu=5:
+    // b: floor(3*90/5)=54, c: floor(2*90/5)=36. total 10+54+36=100.
+    val q1 = Sampling.waterfillQuotas(
+      Seq(k("a") -> 10L, k("b") -> 100L, k("c") -> 100L),
+      Map(k("a") -> 5L, k("b") -> 3L, k("c") -> 2L), 100L)
+    assert(q1 == Map(k("a") -> 10L, k("b") -> 54L, k("c") -> 36L))
+    // cascading saturation: B=100, uniform weights, avail 5/20/200:
+    // round 1: shares 33 — a saturates (5). round 2: rem=95, shares 47 —
+    // b saturates (20). round 3: rem=75 all to c: 75 < 200.
+    val q2 = Sampling.waterfillQuotas(
+      Seq(k("a") -> 5L, k("b") -> 20L, k("c") -> 200L),
+      Map(k("a") -> 1L, k("b") -> 1L, k("c") -> 1L), 100L)
+    assert(q2 == Map(k("a") -> 5L, k("b") -> 20L, k("c") -> 75L))
+    // budget exceeds total availability: everyone saturates
+    val q3 = Sampling.waterfillQuotas(
+      Seq(k("a") -> 5L, k("b") -> 7L),
+      Map(k("a") -> 1L, k("b") -> 9L), 1000L)
+    assert(q3 == Map(k("a") -> 5L, k("b") -> 7L))
+    // zero weight excludes; zero avail saturates at 0; all-zero weights → 0
+    val q4 = Sampling.waterfillQuotas(
+      Seq(k("a") -> 50L, k("b") -> 50L, k("c") -> 0L),
+      Map(k("a") -> 0L, k("b") -> 1L, k("c") -> 1L), 60L)
+    assert(q4 == Map(k("a") -> 0L, k("b") -> 50L, k("c") -> 0L))
+    val q5 = Sampling.waterfillQuotas(
+      Seq(k("a") -> 50L), Map(k("a") -> 0L), 60L)
+    assert(q5 == Map(k("a") -> 0L))
+  }
+
+  test("takeWaterfillMix: kept rows are each source's md5-order quota prefix") {
+    val st = struct("id" -> LongType, "src" -> StringType)
+    val df = frame(st,
+      ((1L to 10L).map(i => Row(i, "a")) ++
+       (11L to 40L).map(i => Row(i, "b")) ++
+       (41L to 45L).map(i => Row(i, null))): _*)
+    // B=20, weights a:3 b:1 → a's share 15 > 10 → saturates; b gets 10.
+    val got = Sampling.takeWaterfillMix(
+      df, "src", "id", Map("a" -> 3L, "b" -> 1L), budget = 20L)
+      .select("id", "src").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.count(_._2 == "a") == 10)
+    assert(got.count(_._2 == "b") == 10)
+    assert(!got.exists(_._2 == null), "null sources are excluded")
+    // b's kept ids = the md5-order prefix of its 30 rows
+    import org.apache.spark.sql.expressions.Window
+    val expectB = df.where(col("src") === "b")
+      .withColumn("rn", row_number().over(Window.partitionBy(col("src"))
+        .orderBy(md5(col("id").cast("string").cast("binary")).asc, col("id").asc)))
+      .where(col("rn") <= 10).select("id").collect().map(_.getLong(0)).toSet
+    assert(got.filter(_._2 == "b").map(_._1).toSet == expectB)
+    // a stratum with no weight entry is a loud contract error
+    val e = intercept[IllegalArgumentException] {
+      Sampling.takeWaterfillMix(df, "src", "id", Map("a" -> 1L), 5L)
+    }
+    assert(e.getMessage.contains("no weight"))
+  }
+
+  test("takeWaterfillTokens: token-space allocation, crossing row kept") {
+    val st = struct("id" -> LongType, "src" -> StringType, "n" -> LongType)
+    val df = frame(st,
+      ((1L to 4L).map(i => Row(i, "a", 5L)) ++          // a: 20 tokens
+       (11L to 30L).map(i => Row(i, "b", 10L))): _*)    // b: 200 tokens
+    // B=100 uniform: a's share 50 > 20 → saturates (20); b quota 80 →
+    // md5-prefix until cum-n < 80, crossing row kept
+    val got = Sampling.takeWaterfillTokens(
+      df, "src", "id", "n", Map("a" -> 1L, "b" -> 1L), budget = 100L)
+      .select("id", "src").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.count(_._2 == "a") == 4, "saturated source keeps all rows")
+    assert(got.count(_._2 == "b") == 8, "80-token quota = 8 ten-token rows")
+  }
+
   test("takeGlobal: the md5-order corpus prefix, nested across sizes") {
     val df = docs((1L to 60L).map(i => i -> s"doc $i"): _*)
     def take(n: Long) = Sampling.takeGlobal(df, "doc_id", n)
@@ -2898,5 +3021,51 @@ class OpsSpec extends SparkSpec {
       Sink.writeShards(sdf.where(lit(false)), sdir + "3", "url", nShards = 8)
     }
     assert(err.getMessage.contains("empty corpus"))
+  }
+
+  test("blocklistHits: token-exact, case-insensitive, whitespace-run-safe") {
+    val phrases = Seq("Vector", "slow  FILTER", "customer query")
+    val df = docs(
+      1L -> "the VECTOR is here",            // case-insensitive single token
+      2L -> "vectors are not a match",       // substring must NOT match
+      3L -> "slow\n\tfilter across lines",   // phrase over a whitespace run
+      4L -> "slow big filter",               // tokens present, not adjacent
+      5L -> "customer query",                // phrase = whole doc (boundaries)
+      6L -> "ends with customer query",      // phrase at document end
+      7L -> "vector slow filter combo",      // two hits, sorted output
+      8L -> null)                            // null text: no hits
+    val out = df.select(col("doc_id"),
+        TextOps.blocklistHits(col("text"), phrases).as("h"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("vector"))
+    assert(out(2L) == Seq.empty)
+    assert(out(3L) == Seq("slow filter"))
+    assert(out(4L) == Seq.empty)
+    assert(out(5L) == Seq("customer query"))
+    assert(out(6L) == Seq("customer query"))
+    assert(out(7L) == Seq("slow filter", "vector")) // sorted, normalized
+    assert(out(8L) == Seq.empty)
+  }
+
+  test("filterBlocklisted drops hit docs, keeps null text; list guards") {
+    val df = docs(1L -> "clean doc", 2L -> "has vector inside", 3L -> null)
+    val kept = TextOps.filterBlocklisted(df, "text", Seq("vector"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+    // duplicate + differently-cased entries collapse to one normalized form
+    val hits = df.select(TextOps.blocklistHits(col("text"),
+        Seq("VECTOR", "vector", " vector ")).as("h"))
+      .agg(max(size(col("h")))).collect()(0).getInt(0)
+    assert(hits == 1)
+    val e1 = intercept[IllegalArgumentException] {
+      TextOps.blocklistHits(col("text"), Seq("  ", ""))
+    }
+    assert(e1.getMessage.contains("empty"))
+    val e2 = intercept[IllegalArgumentException] {
+      TextOps.blocklistHits(col("text"),
+        (1 to TextOps.MaxBlocklistEntries + 1).map("p" + _))
+    }
+    assert(e2.getMessage.contains("over"))
   }
 }

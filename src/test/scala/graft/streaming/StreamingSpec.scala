@@ -656,6 +656,28 @@ class StreamingSpec extends SparkSpec {
         LangModel.scoreColumn(col("text"), wm, model.oovWeight, model.prior))))
   }
 
+  test("streaming blocklist screen is stateless — stream ≡ batch filter") {
+    val docSt = struct("doc_id" -> LongType, "text" -> StringType)
+    val batch = frame(docSt,
+      Row(1L, "clean words only"),
+      Row(2L, "has a VECTOR token"),     // blocked, case-insensitive
+      Row(3L, "slow\nfilter spans ws"),  // blocked multi-token phrase
+      Row(4L, "slower filtering"),       // substrings don't block
+      Row(5L, null))                     // null text kept
+    val inDir = Files.createTempDirectory("graft-blk-in").toString
+    batch.coalesce(1).write.mode("append").parquet(inDir)
+    val screened = StreamingOps.screenBlocklistStream(
+      spark.readStream.schema(docSt).parquet(inDir),
+      "text", Seq("vector", "slow filter"))
+    runToCompletion(screened, "blk_out")
+    val streamed = spark.table("blk_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batched = graft.ops.TextOps
+      .filterBlocklisted(batch, "text", Seq("vector", "slow filter"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batched && streamed == Set(1L, 4L, 5L))
+  }
+
   test("streaming classification is stateless — stream ≡ batch per-row argmax") {
     import graft.ops.LangModel
     val mSt = struct(
