@@ -1251,6 +1251,42 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // LEAKAGE-SAFE split: docs sharing a boilerplate suffix paragraph
+    // (the q107 augmented corpus) pair to their class minimum, the
+    // closure runs through dedupClusters, and the train/val/test nibble
+    // hashes the CLUSTER rep — near-twins can never straddle the split.
+    // The oracle replays the construction (% 7 classes) + the rep-keyed
+    // nibble rule
+    "q158_leakage_safe_split" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val aug = docsWithParagraphs(s, d)
+      val fp = aug.withColumn("__f",
+        element_at(split(col("t"), "\n\n"), -1))
+      val pairs = fp
+        .withColumn("__m",
+          min(col("doc_id")).over(Window.partitionBy(col("__f"))))
+        .where(col("doc_id") =!= col("__m"))
+        .select(col("__m").as("id_a"), col("doc_id").as("id_b"))
+      graft.ops.Sampling.leakageSafeSplit(
+        aug.select("doc_id"), "doc_id", pairs)
+        .select(col("doc_id"), col("rep"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SIZE-balanced sharding: contiguous ~500-token slices of the corpus
+    // in md5 content order, the global cumsum via bucket-prefix counts —
+    // no global sort (PlanSpec-pinned); the whole layout hashes against
+    // the naive window-cumsum floor rule
+    "q159_sized_shards" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .withColumn("n_tok",
+          graft.ops.TextOps.tokenCount(col("text")).cast("long"))
+      graft.ops.Sink.sizedShardAssignment(
+        docs, "doc_id", "n_tok", targetWeight = 500L)
+        .select(col("doc_id"), col("n_tok"), col("shard"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q138_bpe_word_histogram" -> ((s, d) => {
       graft.ops.TextOps.preTokenHistogram(Tables(s, d, "documents"), "text")
         .select(col("word"), col("n"))
@@ -3221,6 +3257,44 @@ object SparkEntry {
         |)
         |SELECT doc_id, source, n_tok FROM r JOIN q USING (source)
         |WHERE cum - coalesce(n_tok, 0) < quota ORDER BY doc_id""".stripMargin,
+
+    // clusters = the % 7 suffix-paragraph classes by construction; rep =
+    // class min; split = md5(rep-as-string) first nibble at 12/2/2
+    "q158_leakage_safe_split" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents WHERE text IS NOT NULL
+        |), c AS (
+        |  SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY doc_id % 7) AS rep
+        |  FROM d
+        |)
+        |SELECT doc_id, rep,
+        |  CASE
+        |    WHEN strpos('0123456789ab',
+        |      substr(md5(cast(rep AS VARCHAR)), 1, 1)) > 0 THEN 'train'
+        |    WHEN strpos('cd',
+        |      substr(md5(cast(rep AS VARCHAR)), 1, 1)) > 0 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the naive form: one global cumsum window in (md5(id), id) order,
+    // shard = floor(cum_before / 500)
+    "q159_sized_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    cast(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, n_tok,
+        |    sum(coalesce(n_tok, 0)) OVER (
+        |      ORDER BY md5(cast(doc_id AS VARCHAR)) ASC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tok,
+        |  cast((cum - coalesce(n_tok, 0)) // 500 AS BIGINT) AS shard
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q138_bpe_word_histogram" ->
       """WITH w AS (

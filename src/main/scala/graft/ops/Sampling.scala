@@ -36,6 +36,45 @@ object Sampling {
     df.withColumn(splitCol, assignment)
   }
 
+  /** LEAKAGE-SAFE train/val/test split: [[md5Split]] keyed on the
+    * duplicate-CLUSTER representative instead of the row itself, so a
+    * near-duplicate pair can never straddle the split boundary — the
+    * classic eval-leakage hole (a test doc whose near-twin sits in train
+    * scores as memorization; Lee et al. 2021 "Deduplicating Training Data
+    * Makes Language Models Better" §6 measures exactly this) closed at
+    * the split, not by deletion.
+    *
+    * `pairs` is any duplicate-pair frame with endpoint columns
+    * `(id_a, id_b)` — the universal currency of the dedup family
+    * (minhash, containment, semantic, exact pairs all emit it). The
+    * transitive closure runs through [[Dedup.dedupClusters]] (star
+    * rounds at scale, the bounded driver union-find on small integral-id
+    * graphs), each row joins its min-id representative (unpaired rows
+    * represent themselves), and the split nibble hashes the rep RENDERED
+    * AS A STRING — engine-portable (`md5(cast(rep AS VARCHAR))`), unlike
+    * the raw binary cast of an integral column. Same-cluster rows land
+    * in the same split BY CONSTRUCTION; split shares hold at cluster
+    * granularity (a giant cluster moves whole — that is the point).
+    * Output: the input columns + `rep` + `splitCol`.
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      splits: Seq[(String, Int)] = Seq("train" -> 12, "val" -> 2, "test" -> 2),
+      splitCol: String = "split"): DataFrame = {
+    require(!df.columns.contains("rep"),
+      "leakageSafeSplit adds a 'rep' column — rename the existing one first")
+    val clusters = Dedup.dedupClusters(
+      df.select(col(idCol)), idCol, pairs)
+      .withColumnRenamed("id", "__lsid")
+    val keyed = df
+      .join(clusters, col(idCol) === col("__lsid"))
+      .drop("__lsid")
+      .withColumn("__repkey", col("rep").cast("string"))
+    md5Split(keyed, "__repkey", splits, splitCol).drop("__repkey")
+  }
+
   /** Per-stratum Bernoulli sampling (e.g. downsample one language or source
     * to rebalance a corpus): content-keyed via xxhash64(key, stratum) so the
     * decision is per-row deterministic. Rows in strata missing from

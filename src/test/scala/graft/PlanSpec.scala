@@ -426,6 +426,21 @@ class PlanSpec extends SparkSpec {
       s"offsets must broadcast:\n${out.queryExecution.sparkPlan}")
   }
 
+  test("sized shards: bucket-keyed cumsum window + broadcast offsets, no global sort") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("n_tok", ops.TextOps.tokenCount(col("text")).cast("long"))
+    val out = ops.Sink.sizedShardAssignment(docs, "doc_id", "n_tok", 500L)
+    val p = plan(out)
+    assert(!p.contains("SinglePartition"),
+      s"sized sharding collapsed to one partition:\n$p")
+    assert(p.contains("Exchange hashpartitioning(__b"),
+      s"expected the bucket-keyed cumsum exchange:\n$p")
+    assert(out.queryExecution.sparkPlan.collectFirst {
+      case j: BroadcastHashJoinExec => j }.isDefined,
+      s"offsets must broadcast:\n${out.queryExecution.sparkPlan}")
+  }
+
   test("epoch-order materialization stays bucket-parallel — never the naive global sort") {
     // the composed path (epochShuffle → stride groups → capacity bins) is
     // semantically orderBy(pos) + one running window; the plan must

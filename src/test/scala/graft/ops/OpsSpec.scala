@@ -1300,6 +1300,96 @@ class OpsSpec extends SparkSpec {
     assert(got.count(_._2 == "b") == 8, "80-token quota = 8 ten-token rows")
   }
 
+  test("leakageSafeSplit: clusters move whole, reps are closure minima") {
+    val st = struct("doc_id" -> LongType)
+    val df = frame(st, (1L to 12L).map(Row(_)): _*)
+    // chain 1-2, 2-3 (transitive), pair 5-9, isolated rest
+    val pst = struct("id_a" -> LongType, "id_b" -> LongType)
+    val pairs = frame(pst, Row(1L, 2L), Row(2L, 3L), Row(9L, 5L))
+    val out = Sampling.leakageSafeSplit(df, "doc_id", pairs)
+      .select("doc_id", "rep", "split").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L && out(3L)._1 == 1L)
+    assert(out(5L)._1 == 5L && out(9L)._1 == 5L)
+    assert(out(7L)._1 == 7L, "unpaired rows represent themselves")
+    // same cluster ⇒ same split, and the split is the rep's md5 nibble
+    assert(Set(out(1L)._2, out(2L)._2, out(3L)._2).size == 1)
+    assert(out(5L)._2 == out(9L)._2)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def expected(rep: Long): String = {
+      val nib = md.digest(rep.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.charAt(0)
+      if ("0123456789ab".contains(nib)) "train"
+      else if ("cd".contains(nib)) "val" else "test"
+    }
+    out.foreach { case (_, (rep, split)) => assert(split == expected(rep)) }
+  }
+
+  test("sizedShardAssignment ≡ the naive content-order cumsum floor rule") {
+    val st = struct("id" -> LongType, "w" -> LongType)
+    val rows = (1L to 60L).map(i =>
+      Row(i, if (i == 7L) 95L else if (i % 5 == 0) null else (i % 13) + 1L))
+    val df = frame(st, rows: _*)
+    val got = Sink.sizedShardAssignment(df, "id", "w", targetWeight = 20L)
+      .select("id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver recompute: sort by (md5(id), id), cum floor rule
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(i: Long) =
+      md.digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ordered = rows.map(r => (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1)))
+      .sortBy { case (i, _) => (hex(i), i) }
+    var cum = 0L
+    val naive = ordered.map { case (i, w) =>
+      val s = cum / 20L; cum += w; i -> s
+    }.toMap
+    assert(got == naive)
+    // the 95-weight doc (target 20) spans ≥ 4 shard numbers: the next doc
+    // in content order jumps past its span — shard numbers are monotone
+    // but deliberately not contiguous around oversized rows
+    val idx7 = ordered.indexWhere(_._1 == 7L)
+    if (idx7 < ordered.length - 1)
+      assert(got(ordered(idx7 + 1)._1) >= got(7L) + 4)
+    // negative weights, null ids, duplicate ids: loud
+    val neg = frame(st, Row(1L, -3L))
+    val e1 = intercept[IllegalArgumentException] {
+      Sink.sizedShardAssignment(neg, "id", "w", 10L)
+    }
+    assert(e1.getMessage.contains("negative"))
+    val nid = frame(st, Row(null, 3L), Row(1L, 2L))
+    val e2 = intercept[IllegalArgumentException] {
+      Sink.sizedShardAssignment(nid, "id", "w", 10L)
+    }
+    assert(e2.getMessage.contains("null"))
+    val dup = frame(st, Row(1L, 3L), Row(1L, 2L))
+    val e3 = intercept[Exception] {
+      Sink.sizedShardAssignment(dup, "id", "w", 10L).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + messages(t.getCause)
+    assert(messages(e3).contains("duplicate"))
+  }
+
+  test("writeSizedShards: shard dirs match the assignment, read-back intact") {
+    val st = struct("id" -> LongType, "w" -> LongType)
+    val df = frame(st, (1L to 40L).map(i => Row(i, (i % 7) + 1L)): _*)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sized").toString + "/corpus"
+    Sink.writeSizedShards(df, dir, "id", "w", targetWeight = 25L)
+    val back = spark.read.parquet(dir)
+      .select(col("id"), col("shard").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Sink.sizedShardAssignment(df, "id", "w", 25L)
+      .select("id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(back == expect)
+    val e = intercept[IllegalArgumentException] {
+      Sink.writeSizedShards(df.where(lit(false)), dir + "2", "id", "w", 25L)
+    }
+    assert(e.getMessage.contains("empty corpus"))
+  }
+
   test("takeGlobal: the md5-order corpus prefix, nested across sizes") {
     val df = docs((1L to 60L).map(i => i -> s"doc $i"): _*)
     def take(n: Long) = Sampling.takeGlobal(df, "doc_id", n)
