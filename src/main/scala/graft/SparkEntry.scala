@@ -137,6 +137,13 @@ object SparkEntry {
   private val q157Weights: Map[String, Long] =
     (0 until 20).map(i => s"src$i" -> (if (i == 3) 30L else 1L)).toMap
 
+  /** q160's pipeline weights: over the blocklist SURVIVORS (2-9 rows per
+    * source at sf0.01) the weight-20 source saturates immediately and the
+    * redistribution cascades through several rounds of weight-1 sources.
+    */
+  private val q160Weights: Map[String, Long] =
+    (0 until 20).map(i => s"src$i" -> (if (i == 0) 20L else 1L)).toMap
+
   /** Train the binary NB quality classifier on the %3 held-in slice,
     * materialize weights + meta under `out` (the q62/q143 discipline —
     * DuckDB must integer-sum the IDENTICAL quantized values), and return
@@ -1284,6 +1291,21 @@ object SparkEntry {
       graft.ops.Sink.sizedShardAssignment(
         docs, "doc_id", "n_tok", targetWeight = 500L)
         .select(col("doc_id"), col("n_tok"), col("shard"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // end-to-end curation composition under ONE hash: the C4 blocklist
+    // screen feeds the waterfill mixer — survivor availabilities are
+    // DATA-dependent (2-9 per source at sf0.01), the weight-20 source
+    // saturates at 3 and its surplus cascades several fixpoint rounds
+    // through the weight-1 sources; the oracle replays screen + closure
+    // + rank prefix over the same filtered corpus
+    "q160_curation_pipeline" -> ((s, d) => {
+      val clean = graft.ops.TextOps.filterBlocklisted(
+        Tables(s, d, "documents"), "text", q154Blocklist)
+      graft.ops.Sampling.takeWaterfillMix(
+        clean, "source", "doc_id", q160Weights, budget = 80L)
+        .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3295,6 +3317,61 @@ object SparkEntry {
         |SELECT doc_id, n_tok,
         |  cast((cum - coalesce(n_tok, 0)) // 500 AS BIGINT) AS shard
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // q154's screen as a NOT EXISTS filter + q156's recursive waterfill
+    // closure + the per-source md5-order rank prefix, all over the same
+    // filtered corpus
+    "q160_curation_pipeline" ->
+      """WITH RECURSIVE
+        |n AS (
+        |  SELECT doc_id, source,
+        |    ' ' || array_to_string(list_filter(
+        |      string_split_regex(lower(text), '\s+'), x -> x <> ''), ' ')
+        |      || ' ' AS norm
+        |  FROM documents
+        |), p AS (
+        |  SELECT * FROM (VALUES ('customer query'), ('fast table value'),
+        |    ('slow filter'), ('vector'), ('window merge')) AS t(phrase)
+        |), surv AS (
+        |  SELECT doc_id, source FROM n
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM p WHERE contains(n.norm, ' ' || p.phrase || ' '))
+        |),
+        |w AS (
+        |  SELECT 'src' || cast(i AS VARCHAR) AS source,
+        |    cast(CASE WHEN i = 0 THEN 20 ELSE 1 END AS BIGINT) AS wt
+        |  FROM range(20) t(i)
+        |),
+        |base AS (
+        |  SELECT s.source, cast(count(*) AS BIGINT) AS avail, max(w.wt) AS wt
+        |  FROM surv s JOIN w USING (source) GROUP BY s.source
+        |),
+        |it AS (
+        |  SELECT 0 AS iter, source, avail, wt, false AS sat FROM base
+        |  UNION ALL
+        |  SELECT iter + 1, source, avail, wt,
+        |    sat OR (avail * (sum(CASE WHEN NOT sat THEN wt ELSE 0 END) OVER ())
+        |        <= wt * (80 - sum(CASE WHEN sat THEN avail ELSE 0 END) OVER ())
+        |      AND sum(CASE WHEN NOT sat THEN wt ELSE 0 END) OVER () > 0) AS sat
+        |  FROM it WHERE iter < 24
+        |),
+        |fin AS (SELECT * FROM it WHERE iter = 24),
+        |q AS (
+        |  SELECT source,
+        |    CASE WHEN sat THEN avail
+        |      WHEN sum(CASE WHEN NOT sat THEN wt ELSE 0 END) OVER () = 0 THEN 0
+        |      ELSE wt * (80 - sum(CASE WHEN sat THEN avail ELSE 0 END) OVER ())
+        |        // (sum(CASE WHEN NOT sat THEN wt ELSE 0 END) OVER ()) END AS quota
+        |  FROM fin
+        |),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(cast(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |  FROM surv
+        |)
+        |SELECT doc_id, source FROM r JOIN q USING (source)
+        |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
 
     "q138_bpe_word_histogram" ->
       """WITH w AS (
