@@ -1309,6 +1309,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // THREE-epoch training schedule in one frame: each doc three times
+    // at (epoch, pos), pos = epoch-local exact rank + epoch·N — ordering
+    // by pos replays the whole run; every epoch an independent md5
+    // permutation, no global sort in any arm
+    "q161_multi_epoch_order" -> ((s, d) => {
+      graft.ops.Sampling.multiEpochOrder(
+        Tables(s, d, "documents"), "doc_id", nEpochs = 3, startEpoch = 5L)
+        .select(col("doc_id"), col("epoch"), col("pos"))
+        .orderBy(col("pos"))
+    }),
+
     "q138_bpe_word_histogram" -> ((s, d) => {
       graft.ops.TextOps.preTokenHistogram(Tables(s, d, "documents"), "text")
         .select(col("word"), col("n"))
@@ -3372,6 +3383,21 @@ object SparkEntry {
         |)
         |SELECT doc_id, source FROM r JOIN q USING (source)
         |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
+
+    // three epoch arms, each the q135 naive rank + epoch-index offset
+    "q161_multi_epoch_order" ->
+      """WITH n AS (SELECT cast(count(*) AS BIGINT) AS n FROM documents),
+        |e AS (SELECT cast(i AS BIGINT) AS idx, cast(5 + i AS BIGINT) AS epoch
+        |      FROM range(3) t(i)),
+        |r AS (
+        |  SELECT d.doc_id, e.epoch,
+        |    row_number() OVER (PARTITION BY e.epoch
+        |      ORDER BY md5(cast(e.epoch AS VARCHAR) || '#'
+        |        || cast(d.doc_id AS VARCHAR)) ASC, d.doc_id ASC) - 1
+        |      + e.idx * n.n AS pos
+        |  FROM documents d CROSS JOIN e CROSS JOIN n
+        |)
+        |SELECT doc_id, epoch, pos FROM r ORDER BY pos""".stripMargin,
 
     "q138_bpe_word_histogram" ->
       """WITH w AS (

@@ -1452,6 +1452,40 @@ object Sampling {
       .drop("__b", "__off")
   }
 
+  /** Multi-epoch training schedule: epochs `startEpoch ..
+    * startEpoch+nEpochs-1` concatenated into ONE frame — each row appears
+    * `nEpochs` times tagged `(epoch, pos)`, where `pos` is the row's
+    * [[epochShuffle]] position within its epoch OFFSET by `epochIndex ·
+    * N`, so ordering the whole frame by `pos` replays the exact
+    * multi-epoch run order (every epoch an independent engine-portable
+    * permutation, uncorrelated across epochs — the "reshuffle each
+    * epoch" every training loop wants, materialized).
+    *
+    * Plan: one count + `nEpochs` independent epochShuffle plans unioned —
+    * each epoch's permutation is genuinely different work, so the cost is
+    * inherently nEpochs passes; persist the input first if it is not
+    * file-backed (each arm scans it). No global sort anywhere
+    * ([[epochShuffle]]'s bucket machinery per arm).
+    */
+  def multiEpochOrder(
+      df: DataFrame,
+      keyCol: String,
+      nEpochs: Int,
+      startEpoch: Long = 0L,
+      bucketHexLen: Int = 4): DataFrame = {
+    require(nEpochs >= 1 && nEpochs <= 1000,
+      s"nEpochs must be in [1, 1000], got $nEpochs")
+    require(!df.columns.contains("epoch"),
+      "multiEpochOrder adds an 'epoch' column — rename the existing one first")
+    val n = df.count()
+    (0 until nEpochs).map { i =>
+      val e = startEpoch + i
+      epochShuffle(df, keyCol, e, bucketHexLen)
+        .withColumn("epoch", lit(e))
+        .withColumn("pos", col("pos") + lit(i.toLong * n))
+    }.reduce(_ unionByName _)
+  }
+
   /** Curriculum training order: every row's EXACT global position in
     * `(stage ASC, md5(epoch # key), key)` order — the curriculum-learning
     * recipe (Bengio et al. 2009; short-to-long, clean-to-noisy) where

@@ -1177,6 +1177,31 @@ class OpsSpec extends SparkSpec {
     assert(messages(de).contains("duplicate"))
   }
 
+  test("multiEpochOrder: nEpochs stacked permutations, per-epoch ≡ epochShuffle") {
+    val df = docs((1L to 50L).map(i => i -> s"doc $i"): _*)
+    val out = Sampling.multiEpochOrder(df, "doc_id", nEpochs = 3, startEpoch = 5L)
+      .select("doc_id", "epoch", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 150)
+    // positions are exactly 0..3N-1, epochs occupy contiguous blocks
+    assert(out.map(_._3).sorted.toSeq == (0L until 150L))
+    (0 until 3).foreach { i =>
+      val arm = out.filter(_._2 == 5L + i)
+      assert(arm.length == 50)
+      assert(arm.map(_._3).forall(p => p >= i * 50L && p < (i + 1) * 50L))
+      // the arm's LOCAL order is exactly epochShuffle at that epoch
+      val local = arm.map(t => t._1 -> (t._3 - i * 50L)).toMap
+      val expect = Sampling.epochShuffle(df, "doc_id", 5L + i)
+        .select("doc_id", "pos").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == expect)
+    }
+    // different epochs are different permutations
+    val a5 = out.filter(_._2 == 5L).sortBy(_._3).map(_._1).toSeq
+    val a6 = out.filter(_._2 == 6L).sortBy(_._3).map(_._1).toSeq
+    assert(a5 != a6)
+  }
+
   test("curriculumShuffle: stage-major exact permutation, shuffled within stages") {
     val st = struct("doc_id" -> LongType, "stage" -> IntegerType)
     val df = frame(st, (1L to 120L).map(i => Row(i, (i % 3).toInt)): _*)
