@@ -82,6 +82,9 @@ object SparkEntry {
   private def q142ShardDir(sfDir: String) =
     s"/tmp/graft_q142_epochshards_${new java.io.File(sfDir).getName}"
 
+  private def q162ShardDir(sfDir: String) =
+    s"/tmp/graft_q162_sizedshards_${new java.io.File(sfDir).getName}"
+
   private def q143ModelDir(sfDir: String) =
     s"/tmp/graft_q143_nb_${new java.io.File(sfDir).getName}"
 
@@ -1318,6 +1321,27 @@ object SparkEntry {
         Tables(s, d, "documents"), "doc_id", nEpochs = 3, startEpoch = 5L)
         .select(col("doc_id"), col("epoch"), col("pos"))
         .orderBy(col("pos"))
+    }),
+
+    // sized-shard LOG lifecycle under ONE hash (the q97 discipline):
+    // build on the even docs, append the odd docs continuing the standing
+    // cumsum exactly (tail shard fills first, standing files untouched),
+    // read the whole layout back FROM the written files
+    "q162_sized_shard_append" -> ((s, d) => {
+      val out = q162ShardDir(d)
+      val docs = Tables(s, d, "documents")
+        .withColumn("n_tok",
+          graft.ops.TextOps.tokenCount(col("text")).cast("long"))
+        .select("doc_id", "n_tok")
+      graft.ops.Sink.writeSizedShards(
+        docs.where(col("doc_id") % 2 === 0), out, "doc_id", "n_tok",
+        targetWeight = 500L, overwrite = true)
+      graft.ops.Sink.appendSizedShards(
+        docs.where(col("doc_id") % 2 === 1), out, "doc_id", "n_tok",
+        targetWeight = 500L)
+      s.read.parquet(out)
+        .select(col("doc_id"), col("shard").cast("long").as("shard"))
+        .orderBy(col("doc_id"))
     }),
 
     "q138_bpe_word_histogram" -> ((s, d) => {
@@ -3398,6 +3422,39 @@ object SparkEntry {
         |  FROM documents d CROSS JOIN e CROSS JOIN n
         |)
         |SELECT doc_id, epoch, pos FROM r ORDER BY pos""".stripMargin,
+
+    // even docs: the q159 cumsum rule; odd docs: the same rule offset by
+    // the standing (even) total — the log-append contract
+    "q162_sized_shard_append" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    cast(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), ev AS (
+        |  SELECT doc_id, n_tok,
+        |    sum(coalesce(n_tok, 0)) OVER (
+        |      ORDER BY md5(cast(doc_id AS VARCHAR)) ASC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t WHERE doc_id % 2 = 0
+        |), tot AS (
+        |  SELECT cast(sum(coalesce(n_tok, 0)) AS BIGINT) AS tot
+        |  FROM t WHERE doc_id % 2 = 0
+        |), od AS (
+        |  SELECT doc_id, n_tok,
+        |    sum(coalesce(n_tok, 0)) OVER (
+        |      ORDER BY md5(cast(doc_id AS VARCHAR)) ASC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t WHERE doc_id % 2 = 1
+        |)
+        |SELECT doc_id,
+        |  cast((cum - coalesce(n_tok, 0)) // 500 AS BIGINT) AS shard
+        |FROM ev
+        |UNION ALL
+        |SELECT doc_id,
+        |  cast((tot.tot + cum - coalesce(n_tok, 0)) // 500 AS BIGINT) AS shard
+        |FROM od, tot
+        |ORDER BY doc_id""".stripMargin,
 
     "q138_bpe_word_histogram" ->
       """WITH w AS (

@@ -112,6 +112,9 @@ object Sink {
     * `targetWeight` occupies its own shard and the next shard index
     * jumps — shard numbers are monotone in content order but not
     * necessarily contiguous.
+    *
+    * `baseOffset` shifts the whole cumsum (shard = floor((baseOffset +
+    * cum_before) / target)) — the [[appendSizedShards]] log-append hook.
     */
   def sizedShardAssignment(
       df: DataFrame,
@@ -119,8 +122,10 @@ object Sink {
       weightCol: String,
       targetWeight: Long,
       bucketHexLen: Int = 4,
-      maxClassificationRows: Int = 2000000): DataFrame = {
+      maxClassificationRows: Int = 2000000,
+      baseOffset: Long = 0L): DataFrame = {
     require(targetWeight >= 1, s"targetWeight must be >= 1, got $targetWeight")
+    require(baseOffset >= 0L, s"baseOffset must be >= 0, got $baseOffset")
     require(bucketHexLen >= 1 && bucketHexLen <= 6,
       s"bucketHexLen must be in [1, 6], got $bucketHexLen")
     require(!df.columns.contains("shard"),
@@ -143,7 +148,7 @@ object Sink {
     require(counts.forall(r => r.isNullAt(2) || r.getLong(2) >= 0L),
       s"sizedShardAssignment: negative '$weightCol' weights — a size " +
       "cannot be negative; fix the weight column")
-    var acc = 0L
+    var acc = baseOffset
     val offRows = counts.sortBy(_.getString(0)).map { r =>
       val o = acc
       acc += r.getLong(1)
@@ -197,6 +202,59 @@ object Sink {
       .mode(if (overwrite) "overwrite" else "errorifexists")
       .partitionBy("shard")
       .parquet(path)
+  }
+
+  /** Log-APPEND to a [[writeSizedShards]] corpus: the batch continues the
+    * standing cumsum exactly — every new row gets `shard =
+    * floor((standingTotal + batchCumBefore) / target)` in the batch's own
+    * md5 content order, so the under-full tail shard fills first and the
+    * standing FILES are never rewritten (new rows land as new files, in
+    * the tail shard's directory when they fit there). This is a LOG
+    * discipline, deliberately not the global md5 rebuild: a rebuild would
+    * interleave the batch into every standing shard; an append only ever
+    * grows the tail. Per-batch order is engine-portable; the cross-batch
+    * order is arrival order, which is the point of a log.
+    *
+    * `checkIds = true` (default) scans the standing corpus's id column
+    * once and fails loudly on any id collision — an id appended twice
+    * would silently duplicate training data; pass `false` only when the
+    * caller already guards ids (e.g. the batch went through a dedup index
+    * probe). Not transactional: a crash mid-write can leave a partial
+    * batch — re-run with the same batch after `checkIds` tells you
+    * whether any of it committed.
+    */
+  def appendSizedShards(
+      df: DataFrame,
+      path: String,
+      idCol: String,
+      weightCol: String,
+      targetWeight: Long,
+      checkIds: Boolean = true): Unit = {
+    require(!df.isEmpty,
+      s"appendSizedShards: empty batch for $path — nothing to append")
+    val spark = df.sparkSession
+    val standing = spark.read.parquet(path)
+    require(standing.columns.contains(idCol) &&
+      standing.columns.contains(weightCol),
+      s"appendSizedShards: standing corpus at $path lacks " +
+        s"'$idCol'/'$weightCol' — was it written by writeSizedShards?")
+    if (checkIds) {
+      val clash = standing.select(col(idCol))
+        .join(df.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        s"appendSizedShards: batch re-appends ids already in $path — " +
+          "deduplicate the batch (or pass checkIds = false if upstream " +
+          "already guards ids)")
+    }
+    val standingTotal = standing
+      .agg(sum(coalesce(col(weightCol).cast("long"), lit(0L))))
+      .collect()(0).getLong(0)
+    sizedShardAssignment(df, idCol, weightCol, targetWeight,
+      baseOffset = standingTotal)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .write.mode("append").partitionBy("shard").parquet(path)
   }
 
   /** Per-shard manifest of a [[writeShards]] output, recomputed FROM the

@@ -638,6 +638,29 @@ object StreamingOps {
     newStream.withColumn(outCol,
       graft.ops.LangModel.predictColumn(col(textCol), classes))
 
+  /** Fold each micro-batch onto a standing [[graft.ops.Sink
+    * .writeSizedShards]] corpus as a size-balanced LOG append: every
+    * batch continues the standing cumsum exactly (tail shard fills
+    * first, standing files never rewritten), so a long-running ingest
+    * stream keeps emitting ~target-weight output files. The id-collision
+    * guard stays ON — it is also the replay guard: a replayed batch
+    * fails loudly instead of silently duplicating rows (this sink is a
+    * log, not an idempotent fold; pair it with an upstream dedup screen
+    * when at-least-once delivery is possible).
+    */
+  def appendSizedShardsStream(
+      newStream: DataFrame,
+      path: String,
+      idCol: String,
+      weightCol: String,
+      targetWeight: Long): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    newStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.Sink.appendSizedShards(
+            batch.toDF(), path, idCol, weightCol, targetWeight)
+    }
+
   /** Stateless C4-style phrase-blocklist screen over a stream: drops every
     * arrival containing a blocklist phrase as a consecutive token sequence
     * ([[graft.ops.TextOps.filterBlocklisted]]'s rule — case-insensitive,

@@ -1415,6 +1415,41 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("empty corpus"))
   }
 
+  test("appendSizedShards: log append continues the cumsum, tail fills, ids guarded") {
+    val st = struct("id" -> LongType, "w" -> LongType)
+    val a = frame(st, (1L to 20L).map(i => Row(i, 7L)): _*)       // 140 total
+    val b = frame(st, (21L to 30L).map(i => Row(i, 9L)): _*)      // +90
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sizedapp").toString + "/corpus"
+    Sink.writeSizedShards(a, dir, "id", "w", targetWeight = 50L)
+    val before = spark.read.parquet(dir)
+      .select(col("id"), col("shard").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Sink.appendSizedShards(b, dir, "id", "w", targetWeight = 50L)
+    val after = spark.read.parquet(dir)
+      .select(col("id"), col("shard").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // standing rows keep their shards byte-for-byte
+    assert(before.forall { case (i, s) => after(i) == s })
+    // appended rows follow the offset rule: shard = (140 + cumBefore) / 50
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(i: Long) =
+      md.digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var cum = 140L
+    val expectB = (21L to 30L).map(i => i -> 9L)
+      .sortBy { case (i, _) => (hex(i), i) }
+      .map { case (i, w) => val s = cum / 50L; cum += w; i -> s }.toMap
+    expectB.foreach { case (i, s) => assert(after(i) == s) }
+    // the first appended doc fills the under-full standing tail shard
+    // (140 div 50 = shard 2, the standing tail)
+    assert(expectB.values.min == 2L)
+    // replaying an id fails loudly; checkIds = false skips the guard
+    val e = intercept[IllegalArgumentException] {
+      Sink.appendSizedShards(b.limit(1), dir, "id", "w", 50L)
+    }
+    assert(e.getMessage.contains("re-appends"))
+  }
+
   test("takeGlobal: the md5-order corpus prefix, nested across sizes") {
     val df = docs((1L to 60L).map(i => i -> s"doc $i"): _*)
     def take(n: Long) = Sampling.takeGlobal(df, "doc_id", n)

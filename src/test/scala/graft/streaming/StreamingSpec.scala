@@ -678,6 +678,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batched && streamed == Set(1L, 4L, 5L))
   }
 
+  test("streaming sized-shard log append ≡ sequential batch appends; replay is loud") {
+    val st = struct("id" -> LongType, "w" -> LongType)
+    val base = frame(st, (1L to 12L).map(i => Row(i, 5L)): _*)
+    val b1 = (13L to 18L).map(i => Row(i, 4L))
+    val b2 = (19L to 24L).map(i => Row(i, 6L))
+    // streamed corpus
+    val sDir = Files.createTempDirectory("graft-szs-s").toString + "/c"
+    graft.ops.Sink.writeSizedShards(base, sDir, "id", "w", 20L)
+    val inDir = Files.createTempDirectory("graft-szs-in").toString
+    Seq(b1, b2).foreach { rows =>
+      frame(st, rows: _*).coalesce(1).write.mode("append").parquet(inDir)
+      Thread.sleep(5)
+    }
+    val q = graft.streaming.StreamingOps.appendSizedShardsStream(
+      spark.readStream.schema(st).option("maxFilesPerTrigger", "1").parquet(inDir),
+      sDir, "id", "w", targetWeight = 20L)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-szs-ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // batch twin
+    val bDir = Files.createTempDirectory("graft-szs-b").toString + "/c"
+    graft.ops.Sink.writeSizedShards(base, bDir, "id", "w", 20L)
+    graft.ops.Sink.appendSizedShards(frame(st, b1: _*), bDir, "id", "w", 20L)
+    graft.ops.Sink.appendSizedShards(frame(st, b2: _*), bDir, "id", "w", 20L)
+    def layout(p: String) = spark.read.parquet(p)
+      .select(col("id"), col("shard").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(layout(sDir) == layout(bDir))
+    // a fresh-checkpoint replay of the SAME input re-appends ids → loud
+    val q2 = graft.streaming.StreamingOps.appendSizedShardsStream(
+      spark.readStream.schema(st).option("maxFilesPerTrigger", "1").parquet(inDir),
+      sDir, "id", "w", targetWeight = 20L)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-szs-ck2").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    val err = intercept[Exception] { q2.awaitTermination(120000) }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.getMessage + messages(t.getCause)
+    assert(messages(err).contains("re-appends"))
+  }
+
   test("streaming classification is stateless — stream ≡ batch per-row argmax") {
     import graft.ops.LangModel
     val mSt = struct(
