@@ -1193,16 +1193,24 @@ object Dedup {
         case _ => false
       }
     }
+    // One persisted normalized pair frame feeds BOTH the fast-path probe
+    // and the propagation rounds' edge build — without it, an over-cap
+    // graph would execute the (potentially expensive) pair-generation
+    // lineage twice: once for the probe's bounded collect, again for the
+    // rounds (the dedupClustersStar discipline at Dedup.scala:1352-1372).
+    val normPairs = pairs.select(col("id_a"), col("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+      .persist()
     if (integralIdsFast && maxDriverEdges > 0) {
-      val probe = pairs.select(col("id_a"), col("id_b"))
-        .where(col("id_a") =!= col("id_b"))
-      driverClosureLabels(nodes, idCol, probe, maxDriverEdges) match {
-        case Some(labels) => return labels
+      driverClosureLabels(nodes, idCol, normPairs, maxDriverEdges) match {
+        case Some(labels) =>
+          normPairs.unpersist()
+          return labels
         case None => // over cap — run the propagation rounds below
       }
     }
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val edges = normPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(normPairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("rep")).persist()
     // Min-label propagation is MONOTONE: a node's rep only ever decreases,
@@ -1256,6 +1264,7 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
+    normPairs.unpersist()
     if (!converged) {
       labels.unpersist()
       throw new IllegalStateException(

@@ -168,6 +168,27 @@ private[graft] object EpochStore {
   /** Bloom capacity for a corpus of `n` ids: 4× headroom for future
     * appends, clamped to keep the probe-side plan literal small.
     */
+  /** Canonical batch id frame for counter-lifecycle replay guards: one
+    * row per distinct doc id, in the string form the index's `ids` table
+    * and bloom hash. Shared by the token-frequency and classifier
+    * lifecycles so the guard's shape has ONE definition.
+    */
+  def counterBatchIds(df: DataFrame, idCol: String): DataFrame =
+    df.select(org.apache.spark.sql.functions.col(idCol)
+      .cast("string").as("id")).distinct()
+
+  /** Counter folds are replay-guarded BY id — a null id can never match
+    * the committed `ids` table, so a replayed null-id batch would pass
+    * the overlap check and double-count silently. Reject it loudly (one
+    * pushdown-friendly limit-1 probe of the raw frame).
+    */
+  def requireCounterIdsNotNull(
+      df: DataFrame, idCol: String, op: String): Unit =
+    require(df.where(org.apache.spark.sql.functions.col(idCol).isNull)
+      .limit(1).count() == 0L,
+      s"$op: null ids in '$idCol' cannot be replay-guarded (a replayed " +
+      "null-id batch would double-count its tokens) — assign ids first")
+
   def idBloomItems(n: Long): Long =
     math.min(IdBloomMaxItems, math.max(IdBloomMinItems, 4L * n))
 

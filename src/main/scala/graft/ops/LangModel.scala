@@ -536,18 +536,13 @@ object LangModel {
     dir
   }
 
+  // shared counter-lifecycle helpers — one definition for both counter
+  // indexes ([[EpochStore.counterBatchIds]] / requireCounterIdsNotNull)
   private def clsBatchIds(df: DataFrame, idCol: String): DataFrame =
-    df.select(col(idCol).cast("string").as("id")).distinct()
+    EpochStore.counterBatchIds(df, idCol)
 
-  /** Counter folds are replay-guarded BY id — a null id can never match
-    * the committed `ids` table, so a replayed null-id batch would pass
-    * the overlap check and double-count silently. Reject it loudly (one
-    * pushdown-friendly limit-1 probe of the raw frame).
-    */
   private def requireIdsNotNull(df: DataFrame, idCol: String, op: String): Unit =
-    require(df.where(col(idCol).isNull).limit(1).count() == 0L,
-      s"$op: null ids in '$idCol' cannot be replay-guarded (a replayed " +
-      "null-id batch would double-count its tokens) — assign ids first")
+    EpochStore.requireCounterIdsNotNull(df, idCol, op)
 
   /** One batch's per-class DOCUMENT counts, `(dp, dn)` — single row.
     * Coalesced to 0 so an empty batch writes zeros, not nulls (the

@@ -794,6 +794,16 @@ object Sampling {
     * non-file-backed frame before calling, or the exact-kept-set
     * guarantee rests on the frame being deterministic.
     *
+    * STRATA-CARDINALITY contract (tightened in round 12): phase 0's
+    * stats rows each carry an (nBuckets−1)-double quantile array, so the
+    * strata cap is byte-honest — `max(1024, maxClassificationRows /
+    * nBuckets)` distinct strata (≈31k at the default 64 buckets, 1024 at
+    * 4096), not the flat `maxClassificationRows` of round 11. A
+    * higher-cardinality stratum column (e.g. raw URL domains) now fails
+    * loudly where it previously risked a tens-of-GB driver collect —
+    * aggregate to a coarser stratum, or raise `maxClassificationRows`
+    * deliberately if the driver heap is provisioned for it.
+    *
     * [[takeTopFractionWithStats]] additionally returns per-stratum
     * boundary/tie skew telemetry.
     */

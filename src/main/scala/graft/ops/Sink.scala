@@ -122,7 +122,7 @@ object Sink {
       weightCol: String,
       targetWeight: Long,
       bucketHexLen: Int = 4,
-      maxClassificationRows: Int = 2000000,
+      maxClassificationRows: Int = Sampling.MaxClassificationRows,
       baseOffset: Long = 0L): DataFrame = {
     require(targetWeight >= 1, s"targetWeight must be >= 1, got $targetWeight")
     require(baseOffset >= 0L, s"baseOffset must be >= 0, got $baseOffset")

@@ -598,23 +598,18 @@ object TextOps {
     dir
   }
 
-  /** Canonical batch id frame: one row per distinct doc id, in the
-    * string form the index's `ids` table and bloom hash.
+  /** Canonical batch id frame / null-id replay guard — the shared
+    * counter-lifecycle helpers ([[EpochStore.counterBatchIds]] /
+    * [[EpochStore.requireCounterIdsNotNull]]), aliased so call sites read
+    * at the module's altitude.
     */
   private def tfBatchIds(df: org.apache.spark.sql.DataFrame, idCol: String)
       : org.apache.spark.sql.DataFrame =
-    df.select(col(idCol).cast("string").as("id")).distinct()
+    EpochStore.counterBatchIds(df, idCol)
 
-  /** Counter folds are replay-guarded BY id — a null id can never match
-    * the committed `ids` table, so a replayed null-id batch would pass
-    * the overlap check and double-count silently. Reject it loudly (one
-    * pushdown-friendly limit-1 probe of the raw frame).
-    */
   private def requireTfIdsNotNull(
       df: org.apache.spark.sql.DataFrame, idCol: String, op: String): Unit =
-    require(df.where(col(idCol).isNull).limit(1).count() == 0L,
-      s"$op: null ids in '$idCol' cannot be replay-guarded (a replayed " +
-      "null-id batch would double-count its tokens) — assign ids first")
+    EpochStore.requireCounterIdsNotNull(df, idCol, op)
 
   private def tfTotalsAt(
       spark: org.apache.spark.sql.SparkSession, dir: String)
