@@ -1344,6 +1344,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the Gopher heuristic rule bundle (Rae et al. 2021 A1.1): all seven
+    // per-doc verdicts + the conjunction, every ratio a cross-multiplied
+    // integer comparison so the booleans hash bit-exact cross-engine
+    "q163_gopher_rules" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val rules = graft.ops.TextOps.gopherColumns(col("text"))
+        .map { case (n, c) => c.as(n) }
+      docs.select(
+        (col("doc_id") +: rules :+
+          graft.ops.TextOps.gopherPass(col("text")).as("pass")): _*)
+        .orderBy(col("doc_id"))
+    }),
+
     "q138_bpe_word_histogram" -> ((s, d) => {
       graft.ops.TextOps.preTokenHistogram(Tables(s, d, "documents"), "text")
         .select(col("word"), col("n"))
@@ -3455,6 +3468,43 @@ object SparkEntry {
         |  cast((tot.tot + cum - coalesce(n_tok, 0)) // 500 AS BIGINT) AS shard
         |FROM od, tot
         |ORDER BY doc_id""".stripMargin,
+
+    // the same cross-multiplied integer rules in DuckDB list/regex form
+    "q163_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w,
+        |    list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS l
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, text,
+        |    cast(len(w) AS BIGINT) AS nw,
+        |    cast(coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT) AS sumlen,
+        |    cast(len(regexp_extract_all(text, '#|…|\.\.\.')) AS BIGINT) AS nsym,
+        |    cast(len(l) AS BIGINT) AS nl,
+        |    cast(len(list_filter(l, x -> regexp_matches(trim(x), '^[•\-\*]'))) AS BIGINT) AS nbul,
+        |    cast(len(list_filter(l, x -> regexp_matches(trim(x), '(…|\.\.\.)$'))) AS BIGINT) AS nell,
+        |    cast(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS nalpha,
+        |    cast(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(w, s))) AS BIGINT) AS nstop
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |  nw >= 50 AND nw <= 100000 AS r_word_count,
+        |  nw > 0 AND sumlen >= nw * 3 AND sumlen <= nw * 10 AS r_mean_word_len,
+        |  nsym * 10 <= nw AS r_symbol_ratio,
+        |  nbul * 10 <= nl * 9 AS r_bullet_lines,
+        |  nell * 10 <= nl * 3 AS r_ellipsis_lines,
+        |  nalpha * 5 >= nw * 4 AS r_alpha_words,
+        |  CASE WHEN text IS NULL THEN NULL ELSE nstop >= 2 END AS r_stopwords,
+        |  (nw >= 50 AND nw <= 100000)
+        |    AND (nw > 0 AND sumlen >= nw * 3 AND sumlen <= nw * 10)
+        |    AND (nsym * 10 <= nw)
+        |    AND (nbul * 10 <= nl * 9)
+        |    AND (nell * 10 <= nl * 3)
+        |    AND (nalpha * 5 >= nw * 4)
+        |    AND (CASE WHEN text IS NULL THEN NULL ELSE nstop >= 2 END) AS pass
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q138_bpe_word_histogram" ->
       """WITH w AS (

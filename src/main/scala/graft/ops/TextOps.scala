@@ -181,6 +181,66 @@ object TextOps {
         length(regexp_replace(text, "\\s", "")).cast("double") / nTok.cast("double"))
   }
 
+  /** The Gopher rule stopword list (Rae et al. 2021, A1.1: a document
+    * must contain at least two of these to look like running English).
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher/MassiveWeb quality-rule bundle (Rae et al. 2021, Appendix
+    * A1.1) as named per-document booleans — the published heuristic
+    * filter suite most curation pipelines start from. Every ratio rule is
+    * stated as a CROSS-MULTIPLIED integer comparison (`3·n ≤ Σlen ≤
+    * 10·n`, never a float division), so the verdicts are bit-exact in any
+    * engine and hash-oracle-able; all pure codegen'd Columns — zero
+    * shuffle, one fused pass. Null text propagates null verdicts (a
+    * missing document is a schema problem, not a quality verdict).
+    *
+    * Rules (word = whitespace token, line = newline-split segment):
+    *   - `r_word_count`: 50 ≤ words ≤ 100 000
+    *   - `r_mean_word_len`: mean word length in [3, 10]
+    *   - `r_symbol_ratio`: (# '#' + '…' + '...') ≤ 0.1 · words
+    *   - `r_bullet_lines`: ≤ 90% of lines start with a bullet (•, -, *)
+    *   - `r_ellipsis_lines`: ≤ 30% of lines end with an ellipsis
+    *   - `r_alpha_words`: ≥ 80% of words contain a letter
+    *   - `r_stopwords`: ≥ 2 distinct [[GopherStopwords]] present
+    */
+  def gopherColumns(text: Column): Seq[(String, Column)] = {
+    val words = wsTokens(text)
+    val nW = size(words).cast("long")
+    val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+    // '...' counted via the 3-dot run FIRST so one literal ellipsis char
+    // and one three-dot run each count once
+    val nSym = (size(regexp_extract_all(text, lit("#|…|\\.\\.\\."), lit(0))))
+      .cast("long")
+    val lines = filter(split(text, "\n"), l => trim(l) =!= "")
+    val nL = size(lines).cast("long")
+    val nBullet = size(filter(lines,
+      l => trim(l).rlike("^[•\\-\\*]"))).cast("long")
+    val nEllipsis = size(filter(lines,
+      l => trim(l).rlike("(…|\\.\\.\\.)$"))).cast("long")
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
+    val nStop = size(filter(typedlit(GopherStopwords),
+      s => array_contains(words, s))).cast("long")
+    Seq(
+      "r_word_count" -> (nW >= 50L && nW <= 100000L),
+      "r_mean_word_len" -> (nW > 0L && sumLen >= nW * 3L && sumLen <= nW * 10L),
+      "r_symbol_ratio" -> (nSym * 10L <= nW),
+      "r_bullet_lines" -> (nBullet * 10L <= nL * 9L),
+      "r_ellipsis_lines" -> (nEllipsis * 10L <= nL * 3L),
+      "r_alpha_words" -> (nAlpha * 5L >= nW * 4L),
+      // the stopword filter runs over the LITERAL list, so a null doc
+      // would yield 0 hits (false) instead of null — wrap explicitly
+      "r_stopwords" -> when(text.isNull, lit(null).cast("boolean"))
+        .otherwise(nStop >= 2L))
+  }
+
+  /** Conjunction of every [[gopherColumns]] rule — the document survives
+    * the full Gopher heuristic screen. Null text yields null.
+    */
+  def gopherPass(text: Column): Column =
+    gopherColumns(text).map(_._2).reduce(_ && _)
+
   /** Per-language marker words for the rule-based language ID. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to", "is"),

@@ -3173,6 +3173,43 @@ class OpsSpec extends SparkSpec {
     assert(err.getMessage.contains("empty corpus"))
   }
 
+  test("gopherColumns: each rule trips on its crafted violation, clean doc passes") {
+    val goodWords = (1 to 35).map(i => s"word$i").mkString(" ")
+    val clean = s"the quick brown fox jumps with vigor over lazy dogs $goodWords " +
+      "and then repeats the entire performance again with obvious delight today"
+    val df = docs(
+      1L -> clean,                                        // passes everything
+      2L -> "the short with doc",                         // < 50 words
+      3L -> ("a " * 60).trim,                             // mean word len < 3
+      4L -> (clean + " " + ("# " * 12)).trim,             // symbol ratio > 0.1
+      5L -> (1 to 6).map(i => s"• bullet line $i").mkString("\n"),        // bullets
+      6L -> (1 to 5).map(i => s"line number $i trails off...").mkString("\n"),
+      7L -> ((1 to 60).map(_.toString).mkString(" ") + " the of"),        // digits
+      8L -> clean.replace("the", "xxx").replace("with", "yyy")
+        .replace("and", "zzz"),                           // no stopwords
+      9L -> null)
+    val rules = TextOps.gopherColumns(col("text"))
+    val out = df.select(
+      (col("doc_id") +: rules.map { case (n, c) => c.as(n) } :+
+        TextOps.gopherPass(col("text")).as("pass")): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def b(id: Long, name: String): Any = {
+      val r = out(id)
+      val i = r.schema.fieldIndex(name)
+      if (r.isNullAt(i)) null else r.getBoolean(i)
+    }
+    assert(b(1L, "pass") == true, s"clean doc must pass: ${out(1L)}")
+    assert(b(2L, "r_word_count") == false && b(2L, "pass") == false)
+    assert(b(3L, "r_mean_word_len") == false)
+    assert(b(4L, "r_symbol_ratio") == false)
+    assert(b(5L, "r_bullet_lines") == false)
+    assert(b(6L, "r_ellipsis_lines") == false)
+    assert(b(7L, "r_alpha_words") == false)
+    assert(b(8L, "r_stopwords") == false && b(8L, "pass") == false)
+    assert(b(9L, "r_word_count") == null && b(9L, "r_stopwords") == null &&
+      b(9L, "pass") == null, "null text yields null verdicts")
+  }
+
   test("blocklistHits: token-exact, case-insensitive, whitespace-run-safe") {
     val phrases = Seq("Vector", "slow  FILTER", "customer query")
     val df = docs(
