@@ -1357,6 +1357,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // C4 line filter + page verdicts (Raffel et al. 2020 §2.2) over a
+    // deterministically line-augmented corpus: the word-salad base line
+    // drops (no terminal punctuation), the planted sentence lines keep,
+    // %5 docs plant "lorem ipsum", %7 docs plant a brace, and only %35
+    // docs reach the 3-sentence floor — cleaned text + all verdicts hash
+    "q164_c4_line_filter" -> ((s, d) => {
+      val aug = Tables(s, d, "documents").withColumn("t",
+        concat(col("text"),
+          lit("\nThis is a proper sentence with seven words."),
+          when(col("doc_id") % 5 === 0,
+            lit("\nLorem ipsum dolor sit amet here today.")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nThe config is { nested } here okay.")).otherwise(lit(""))))
+      val verdicts = graft.ops.TextOps.c4Columns(col("t"))
+        .map { case (n, c) => c.as(n) }
+      aug.select(
+        (col("doc_id") +: verdicts :+
+          graft.ops.TextOps.c4CleanLines(col("t")).as("cleaned")): _*)
+        .orderBy(col("doc_id"))
+    }),
+
     "q138_bpe_word_histogram" -> ((s, d) => {
       graft.ops.TextOps.preTokenHistogram(Tables(s, d, "documents"), "text")
         .select(col("word"), col("n"))
@@ -3505,6 +3526,32 @@ object SparkEntry {
         |    AND (nalpha * 5 >= nw * 4)
         |    AND (CASE WHEN text IS NULL THEN NULL ELSE nstop >= 2 END) AS pass
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // the same augmentation + line rule in DuckDB list form
+    "q164_c4_line_filter" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'This is a proper sentence with seven words.'
+        |      || CASE WHEN doc_id % 5 = 0
+        |           THEN chr(10) || 'Lorem ipsum dolor sit amet here today.'
+        |           ELSE '' END
+        |      || CASE WHEN doc_id % 7 = 0
+        |           THEN chr(10) || 'The config is { nested } here okay.'
+        |           ELSE '' END AS t
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, t,
+        |    list_filter(string_split(t, chr(10)), x ->
+        |      len(list_filter(string_split_regex(x, '\s+'), y -> y <> '')) >= 5
+        |      AND regexp_matches(trim(x), '[.!?]["”]?$')) AS kept
+        |  FROM a
+        |)
+        |SELECT doc_id,
+        |  contains(lower(t), 'lorem ipsum') AS has_lorem,
+        |  contains(t, '{') AS has_brace,
+        |  len(kept) >= 3 AS enough_sentences,
+        |  array_to_string(kept, chr(10)) AS cleaned
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "q138_bpe_word_histogram" ->
       """WITH w AS (

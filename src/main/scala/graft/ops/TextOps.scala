@@ -241,6 +241,36 @@ object TextOps {
   def gopherPass(text: Column): Column =
     gopherColumns(text).map(_._2).reduce(_ && _)
 
+  /** C4 page-level verdicts (Raffel et al. 2020 §2.2): pages containing
+    * "lorem ipsum", a curly brace (code), or fewer than `minSentences`
+    * kept lines are dropped wholesale by the C4 recipe. Pure codegen
+    * booleans; null text propagates null.
+    */
+  def c4Columns(text: Column, minSentences: Int = 3): Seq[(String, Column)] = Seq(
+    "has_lorem" -> lower(text).contains("lorem ipsum"),
+    "has_brace" -> text.contains("{"),
+    "enough_sentences" ->
+      (size(c4KeptLines(text)) >= minSentences))
+
+  /** The lines C4's line filter KEEPS: at least `minWords` whitespace
+    * words AND trimmed text ending in terminal punctuation (. ! ? or a
+    * closing double quote after one) — the famous "keep only sentences"
+    * heuristic that strips nav menus, buttons, and list fragments.
+    */
+  def c4KeptLines(text: Column, minWords: Int = 5): Column =
+    filter(split(text, "\n"), l =>
+      size(filter(split(l, "\\s+"), t => t =!= "")) >= minWords &&
+        trim(l).rlike("[.!?][\"”]?$"))
+
+  /** C4 line-level cleaning: the document rebuilt from [[c4KeptLines]]
+    * (newline-joined; a page with no kept lines becomes the empty
+    * string, which the page filter's `enough_sentences` then drops).
+    * Null text stays null.
+    */
+  def c4CleanLines(text: Column, minWords: Int = 5): Column =
+    when(text.isNull, lit(null).cast("string"))
+      .otherwise(concat_ws("\n", c4KeptLines(text, minWords)))
+
   /** Per-language marker words for the rule-based language ID. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to", "is"),

@@ -3210,6 +3210,37 @@ class OpsSpec extends SparkSpec {
       b(9L, "pass") == null, "null text yields null verdicts")
   }
 
+  test("c4 line filter: sentences keep, fragments drop, page verdicts fire") {
+    val df = docs(
+      1L -> ("Click here\nThis sentence has the required words today.\n" +
+        "Menu\nAnother proper sentence sits right here now!\n" +
+        "He said “it ends with a quote.”\nshort one."),
+      2L -> "lorem IPSUM dolor\nfunction f() { return 1 }",
+      3L -> null)
+    val cols = Seq(col("doc_id"), TextOps.c4CleanLines(col("text")).as("c")) ++
+      TextOps.c4Columns(col("text")).map { case (n, cc) => cc.as(n) }
+    val out = df.select(cols: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: three kept lines — the two sentences + the quote-terminated
+    // one; "Click here"/"Menu" (too few words) and "short one." drop
+    val kept1 = out(1L).getString(1).split("\n").toSeq
+    assert(kept1 == Seq(
+      "This sentence has the required words today.",
+      "Another proper sentence sits right here now!",
+      "He said “it ends with a quote.”"))
+    assert(out(1L).getAs[Boolean]("enough_sentences"))
+    assert(!out(1L).getAs[Boolean]("has_lorem") &&
+      !out(1L).getAs[Boolean]("has_brace"))
+    // doc 2: both page verdicts fire, nothing keeps
+    assert(out(2L).getAs[Boolean]("has_lorem"))
+    assert(out(2L).getAs[Boolean]("has_brace"))
+    assert(!out(2L).getAs[Boolean]("enough_sentences"))
+    assert(out(2L).getString(1) == "")
+    // null text: null verdicts, null cleaned
+    assert(out(3L).isNullAt(1))
+    assert(out(3L).isNullAt(out(3L).schema.fieldIndex("has_lorem")))
+  }
+
   test("blocklistHits: token-exact, case-insensitive, whitespace-run-safe") {
     val phrases = Seq("Vector", "slow  FILTER", "customer query")
     val df = docs(
