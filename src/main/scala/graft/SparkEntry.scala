@@ -1378,6 +1378,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // cross-source duplication audit: q117's containment pairs labeled by
+    // source (planted derivatives get source 'derived'), counted per
+    // unordered source cell — "which sources duplicate each other"
+    "q165_cross_source_matrix" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val deriv = docs
+        .where(col("doc_id") % 11 === 0 && col("text").isNotNull)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(graft.ops.TextOps.wsTokens(col("text")), 1, 30), " ")
+            .as("text"),
+          lit("derived").as("source"))
+      val corpus = docs.unionByName(deriv)
+      val pairs = graft.ops.Decontam.containmentPairs(
+        corpus.select("doc_id", "text"), "doc_id", "text",
+        n = 5, minContainment = 0.5, maxDf = 50)
+      graft.ops.Dedup.crossSourceDupMatrix(
+        pairs, corpus.select("doc_id", "source"), "doc_id", "source")
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     "q138_bpe_word_histogram" -> ((s, d) => {
       graft.ops.TextOps.preTokenHistogram(Tables(s, d, "documents"), "text")
         .select(col("word"), col("n"))
@@ -3552,6 +3573,52 @@ object SparkEntry {
         |  len(kept) >= 3 AS enough_sentences,
         |  array_to_string(kept, chr(10)) AS cleaned
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // q117's pair derivation + source labels + the unordered-cell count
+    "q165_cross_source_matrix" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    array_to_string(list_filter(string_split_regex(text, '\s+'),
+        |                                x -> x <> '')[1:30], ' ')
+        |  FROM documents WHERE doc_id % 11 = 0 AND text IS NOT NULL
+        |), lab AS (
+        |  SELECT doc_id, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, 'derived'
+        |  FROM documents WHERE doc_id % 11 = 0 AND text IS NOT NULL
+        |), toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+        |  FROM docs WHERE text IS NOT NULL
+        |), pg AS (
+        |  SELECT DISTINCT doc_id, substr(md5(array_to_string(l[i:i+4], ' ')), 1, 16) AS g
+        |  FROM toks, unnest(range(1, len(l)-5+2)) AS t(i)
+        |  WHERE len(l) >= 5
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS ng FROM pg GROUP BY doc_id
+        |), gc AS (
+        |  SELECT g FROM pg GROUP BY g HAVING count(*) BETWEEN 2 AND 50
+        |), kept AS (
+        |  SELECT doc_id, g FROM pg JOIN gc USING (g)
+        |), shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS sh
+        |  FROM kept a JOIN kept b USING (g)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), prs AS (
+        |  SELECT id_a, id_b FROM shared
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE cast(sh AS double) / cast(least(sa.ng, sb.ng) AS double) >= 0.5
+        |)
+        |SELECT least(la.source, lb.source) AS src_a,
+        |  greatest(la.source, lb.source) AS src_b,
+        |  cast(count(*) AS BIGINT) AS n_pairs
+        |FROM prs
+        |JOIN lab la ON la.doc_id = prs.id_a
+        |JOIN lab lb ON lb.doc_id = prs.id_b
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
 
     "q138_bpe_word_histogram" ->
       """WITH w AS (

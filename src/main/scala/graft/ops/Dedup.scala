@@ -1488,4 +1488,36 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Cross-source duplication matrix — the audit run before any dedup
+    * decision ("how much does Common Crawl duplicate Wikipedia?"): for
+    * ANY duplicate-pair frame `(id_a, id_b)` (minhash, containment,
+    * semantic, exact — the family's shared currency) and an `(id, source)`
+    * label frame, the pair count per UNORDERED source cell —
+    * `(least(sa, sb), greatest(sa, sb))`, so CC×Wiki and Wiki×CC
+    * aggregate to one row and the diagonal counts within-source dups.
+    * Two narrow id-keyed joins + one tiny aggregate; pairs with an
+    * unlabeled endpoint surface under a null source rather than
+    * disappearing (an audit must not silently drop mass).
+    */
+  def crossSourceDupMatrix(
+      pairs: DataFrame,
+      labels: DataFrame,
+      idCol: String,
+      srcCol: String): DataFrame = {
+    val la = labels.select(col(idCol).as("id_a"), col(srcCol).as("__sa"))
+    val lb = labels.select(col(idCol).as("id_b"), col(srcCol).as("__sb"))
+    // canonical unordered cell with null ORDERED FIRST — `least` would
+    // skip a null endpoint and silently fold the pair into the diagonal
+    val aFirst = col("__sa").isNull ||
+      (col("__sb").isNotNull && col("__sa") <= col("__sb"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(la, Seq("id_a"), "left")
+      .join(lb, Seq("id_b"), "left")
+      .select(
+        when(aFirst, col("__sa")).otherwise(col("__sb")).as("src_a"),
+        when(aFirst, col("__sb")).otherwise(col("__sa")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

@@ -1325,6 +1325,28 @@ class OpsSpec extends SparkSpec {
     assert(got.count(_._2 == "b") == 8, "80-token quota = 8 ten-token rows")
   }
 
+  test("crossSourceDupMatrix: unordered cells, diagonal, null labels surface first") {
+    val pst = struct("id_a" -> LongType, "id_b" -> LongType)
+    val pairs = frame(pst,
+      Row(1L, 2L),   // wiki × cc (reversed label order)
+      Row(2L, 3L),   // cc × wiki
+      Row(1L, 3L),   // wiki × wiki (diagonal)
+      Row(4L, 1L),   // unlabeled × wiki
+      Row(5L, 6L))   // both unlabeled
+    val lst = struct("id" -> LongType, "src" -> StringType)
+    val labels = frame(lst,
+      Row(1L, "wiki"), Row(2L, "cc"), Row(3L, "wiki"))
+    val out = Dedup.crossSourceDupMatrix(pairs, labels, "id", "src")
+      .collect().map(r => (
+        if (r.isNullAt(0)) null else r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("cc", "wiki") -> 2L,
+      ("wiki", "wiki") -> 1L,
+      (null, "wiki") -> 1L,
+      (null, null) -> 1L))
+  }
+
   test("leakageSafeSplit: clusters move whole, reps are closure minima") {
     val st = struct("doc_id" -> LongType)
     val df = frame(st, (1L to 12L).map(Row(_)): _*)
