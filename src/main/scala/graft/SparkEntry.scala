@@ -1399,6 +1399,28 @@ object SparkEntry {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // the leakage-safety PROOF under the hash: q158's suffix-paragraph
+    // pairs audited against its own leakage-safe split via the duplicate
+    // matrix — every pair must land on the diagonal (same split both
+    // endpoints); the oracle derives the same cells from the % 7
+    // construction, so a single straddling pair would hash-mismatch
+    "q166_split_leakage_audit" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val aug = docsWithParagraphs(s, d)
+      val fp = aug.withColumn("__f",
+        element_at(split(col("t"), "\n\n"), -1))
+      val pairs = fp
+        .withColumn("__m",
+          min(col("doc_id")).over(Window.partitionBy(col("__f"))))
+        .where(col("doc_id") =!= col("__m"))
+        .select(col("__m").as("id_a"), col("doc_id").as("id_b"))
+      val assigned = graft.ops.Sampling.leakageSafeSplit(
+        aug.select("doc_id"), "doc_id", pairs)
+      graft.ops.Dedup.crossSourceDupMatrix(
+        pairs, assigned.select(col("doc_id"), col("split")), "doc_id", "split")
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     "q138_bpe_word_histogram" -> ((s, d) => {
       graft.ops.TextOps.preTokenHistogram(Tables(s, d, "documents"), "text")
         .select(col("word"), col("n"))
@@ -3618,6 +3640,35 @@ object SparkEntry {
         |FROM prs
         |JOIN lab la ON la.doc_id = prs.id_a
         |JOIN lab lb ON lb.doc_id = prs.id_b
+        |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    // pairs = each doc to its % 7 class minimum; both endpoints share the
+    // class rep, so both get the rep-nibble split — all mass diagonal
+    "q166_split_leakage_audit" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents WHERE text IS NOT NULL
+        |), c AS (
+        |  SELECT doc_id,
+        |    min(doc_id) OVER (PARTITION BY doc_id % 7) AS rep
+        |  FROM d
+        |), p AS (
+        |  SELECT rep AS id_a, doc_id AS id_b FROM c WHERE doc_id <> rep
+        |), s AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN strpos('0123456789ab',
+        |        substr(md5(cast(rep AS VARCHAR)), 1, 1)) > 0 THEN 'train'
+        |      WHEN strpos('cd',
+        |        substr(md5(cast(rep AS VARCHAR)), 1, 1)) > 0 THEN 'val'
+        |      ELSE 'test' END AS split
+        |  FROM c
+        |)
+        |SELECT least(sa.split, sb.split) AS src_a,
+        |  greatest(sa.split, sb.split) AS src_b,
+        |  cast(count(*) AS BIGINT) AS n_pairs
+        |FROM p
+        |JOIN s sa ON sa.doc_id = p.id_a
+        |JOIN s sb ON sb.doc_id = p.id_b
         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
 
     "q138_bpe_word_histogram" ->

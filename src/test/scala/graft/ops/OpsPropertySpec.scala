@@ -835,6 +835,49 @@ object OpsPropertySpec extends Properties("graft.ops") {
         got == naive && sample == takeNaive
     }
 
+  property("waterfillQuotas: fixpoint invariants and saturation-order independence") =
+    forAll(
+      Gen.choose(1, 8).flatMap(k => Gen.listOfN(k,
+        Gen.zip(Gen.choose(0L, 500L), Gen.choose(0L, 10L)))),
+      Gen.choose(0L, 2000L)) { (entries, budget) =>
+        val avail = entries.zipWithIndex.map { case ((a, _), i) =>
+          (Some(s"s$i"): Option[Any]) -> a }
+        val wts = entries.zipWithIndex.map { case ((_, w), i) =>
+          (Some(s"s$i"): Option[Any]) -> w }.toMap
+        val q = Sampling.waterfillQuotas(avail, wts, budget)
+        val totalAvail = avail.map(_._2).sum
+        // bounds: never over availability, never over budget, zero weight → 0
+        val bounds = avail.forall { case (s, a) => q(s) >= 0L && q(s) <= a } &&
+          q.values.sum <= math.min(budget, totalAvail) &&
+          wts.forall { case (s, w) => w != 0L || !avail.toMap.contains(s) ||
+            q(s) == 0L }
+        // ORDER INDEPENDENCE: saturating one stratum at a time (first by
+        // name order each pass) reaches the identical fixpoint as the
+        // batch closure
+        var sat = Map.empty[Option[Any], BigInt]
+        var changed = true
+        while (changed) {
+          val rem = BigInt(budget) - sat.values.sum
+          val unsat = avail.filterNot(e => sat.contains(e._1))
+          val wu = unsat.map(e => BigInt(wts(e._1))).sum
+          val hit =
+            if (wu == 0) None
+            else unsat.find { case (s, a) => BigInt(a) * wu <= BigInt(wts(s)) * rem }
+          hit match {
+            case Some((s, a)) => sat += s -> BigInt(a)
+            case None => changed = false
+          }
+        }
+        val rem = BigInt(budget) - sat.values.sum
+        val wu = avail.filterNot(e => sat.contains(e._1))
+          .map(e => BigInt(wts(e._1))).sum
+        val seq = avail.map { case (s, _) =>
+          s -> sat.getOrElse(s,
+            if (wu == 0) BigInt(0) else BigInt(wts(s)) * rem / wu).toLong
+        }.toMap
+        bounds && q == seq
+    }
+
   property("curriculumShuffle ≡ the naive stage-major global rank across widths") =
     forAll(
       Gen.choose(5, 60).flatMap(k =>
