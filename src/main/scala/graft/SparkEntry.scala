@@ -1335,10 +1335,10 @@ object SparkEntry {
         .select("doc_id", "n_tok")
       graft.ops.Sink.writeSizedShards(
         docs.where(col("doc_id") % 2 === 0), out, "doc_id", "n_tok",
-        targetWeight = 500L, overwrite = true)
+        targetWeight = 3000L, overwrite = true)
       graft.ops.Sink.appendSizedShards(
         docs.where(col("doc_id") % 2 === 1), out, "doc_id", "n_tok",
-        targetWeight = 500L)
+        targetWeight = 3000L)
       s.read.parquet(out)
         .select(col("doc_id"), col("shard").cast("long").as("shard"))
         .orderBy(col("doc_id"))
@@ -3525,11 +3525,11 @@ object SparkEntry {
         |  FROM t WHERE doc_id % 2 = 1
         |)
         |SELECT doc_id,
-        |  cast((cum - coalesce(n_tok, 0)) // 500 AS BIGINT) AS shard
+        |  cast((cum - coalesce(n_tok, 0)) // 3000 AS BIGINT) AS shard
         |FROM ev
         |UNION ALL
         |SELECT doc_id,
-        |  cast((tot.tot + cum - coalesce(n_tok, 0)) // 500 AS BIGINT) AS shard
+        |  cast((tot.tot + cum - coalesce(n_tok, 0)) // 3000 AS BIGINT) AS shard
         |FROM od, tot
         |ORDER BY doc_id""".stripMargin,
 
