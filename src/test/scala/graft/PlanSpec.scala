@@ -426,6 +426,18 @@ class PlanSpec extends SparkSpec {
       s"offsets must broadcast:\n${out.queryExecution.sparkPlan}")
   }
 
+  test("waterfill mix rides the two-phase take: no global sort, no corpus self-join") {
+    val docs = Tables(spark, dir, "documents")
+    val weights = (0 until 20).map(i => s"src$i" -> 1L).toMap
+    val out = ops.Sampling.takeWaterfillMix(
+      docs, "source", "doc_id", weights, budget = 100L)
+    val p = plan(out)
+    assert(!p.contains("SinglePartition"),
+      s"waterfill mix collapsed to one partition:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"membership must attach via broadcast, never a corpus merge join:\n$p")
+  }
+
   test("sized shards: bucket-keyed cumsum window + broadcast offsets, no global sort") {
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val docs = Tables(spark, dir, "documents")
