@@ -1421,6 +1421,30 @@ object SparkEntry {
         .orderBy(col("src_a"), col("src_b"))
     }),
 
+    // URL-canonical dedup (the Common Crawl first pass): synthesized URLs
+    // differing only in scheme case, www, trailing slash, utm params and
+    // fragments collapse to one canonical key (5 docs per key; %50 docs
+    // keep a REAL param and stay distinct), keep-min per key. The oracle
+    // derives the canonical key independently from the construction
+    "q167_url_dedup" -> ((s, d) => {
+      val docs = Tables(s, d, "documents").select(col("doc_id"))
+        .withColumn("url", concat(
+          lit("HTTPS://www.Example"), (col("doc_id") % 20).cast("string"),
+          lit(".com/Page/"), (col("doc_id") % 5).cast("string"),
+          when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+          lit("?utm_campaign=c"), col("doc_id").cast("string"),
+          lit("&utm_source=s"), col("doc_id").cast("string"),
+          when(col("doc_id") % 50 === 3, lit("&page=2")).otherwise(lit("")),
+          lit("#f"), col("doc_id").cast("string")))
+        .withColumn("url_norm",
+          graft.ops.TextOps.normalizeUrl(col("url")))
+      val kept = graft.ops.Dedup.exactKeepMin(docs, "url_norm", "doc_id")
+        .select(col("doc_id"))
+      docs.join(kept, Seq("doc_id"))
+        .select(col("doc_id"), col("url_norm"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q138_bpe_word_histogram" -> ((s, d) => {
       graft.ops.TextOps.preTokenHistogram(Tables(s, d, "documents"), "text")
         .select(col("word"), col("n"))
@@ -3670,6 +3694,22 @@ object SparkEntry {
         |JOIN s sa ON sa.doc_id = p.id_a
         |JOIN s sb ON sb.doc_id = p.id_b
         |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
+
+    // independent canonical-key derivation straight from the construction
+    "q167_url_dedup" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    'example' || cast(doc_id % 20 AS VARCHAR) || '.com/Page/' ||
+        |    cast(doc_id % 5 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 50 = 3 THEN '?page=2' ELSE '' END AS url_norm
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, url_norm,
+        |    min(doc_id) OVER (PARTITION BY url_norm) AS m
+        |  FROM n
+        |)
+        |SELECT doc_id, url_norm FROM k WHERE doc_id = m
+        |ORDER BY doc_id""".stripMargin,
 
     "q138_bpe_word_histogram" ->
       """WITH w AS (

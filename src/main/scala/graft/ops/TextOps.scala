@@ -405,6 +405,35 @@ object TextOps {
   def urlCount(text: Column): Column =
     size(regexp_extract_all(text, lit(UrlPattern), lit(0))).cast("bigint")
 
+  /** URL canonicalization — the first-pass key of web-corpus dedup
+    * (Common Crawl pipelines dedup by canonical URL before any content
+    * hash): strip the fragment, the scheme, a leading `www.`, and
+    * `utm_*` tracking parameters; lowercase the HOST (paths stay
+    * case-sensitive); drop trailing slashes. Query parameters keep their
+    * arrival order (reordering is a semantic change some sites depend
+    * on); the param filter is a real split-filter-rejoin, not a regex
+    * chain, so consecutive tracking params all drop in one pass. Pure
+    * codegen Column; null stays null.
+    */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(trim(url), "#.*$", "")
+    val noScheme = regexp_replace(noFrag, "(?i)^https?://", "")
+    val noWww = regexp_replace(noScheme, "(?i)^www\\.", "")
+    val host = regexp_extract(noWww, "^[^/?]*", 0)
+    val rest = substring(noWww, length(host) + 1, lit(1000000))
+    val u = concat(lower(host), rest)
+    // trailing-slash strip applies to the PATH, before the query
+    // reattaches (a slash inside a param value is content, not layout)
+    val base = regexp_replace(regexp_replace(u, "\\?.*$", ""), "/+$", "")
+    val query = when(u.contains("?"),
+      regexp_replace(u, "^[^?]*\\?", "")).otherwise(lit(""))
+    val params = filter(split(query, "&"),
+      p => !p.startsWith("utm_") && p =!= "")
+    val withQ = when(size(params) > 0,
+      concat(base, lit("?"), array_join(params, "&"))).otherwise(base)
+    when(url.isNull, lit(null).cast("string")).otherwise(withQ)
+  }
+
   /** Corpus-wide domain statistics: for every domain, how many documents
     * mention it and how many URL occurrences point at it — the standard
     * input to per-domain corpus mixing and blocklist filtering. One

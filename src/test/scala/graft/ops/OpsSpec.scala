@@ -3195,6 +3195,29 @@ class OpsSpec extends SparkSpec {
     assert(err.getMessage.contains("empty corpus"))
   }
 
+  test("normalizeUrl: canonical web keys — scheme/www/fragment/utm/slash/host case") {
+    val st = struct("id" -> LongType, "u" -> StringType)
+    val cases = Seq(
+      "HTTPS://WWW.Example.COM/Path/" -> "example.com/Path",
+      "http://example.com/Path#section-2" -> "example.com/Path",
+      "example.com/a?utm_source=x&utm_medium=y" -> "example.com/a",
+      "https://example.com/a?utm_a=1&b=2&utm_c=3&d=4" -> "example.com/a?b=2&d=4",
+      "https://example.com/a?z=1&a=2" -> "example.com/a?z=1&a=2", // order kept
+      "https://example.com/p?v=/x/" -> "example.com/p?v=/x/",     // param slash kept
+      "www.example.com" -> "example.com",
+      "https://Example.com:8080/A" -> "example.com:8080/A")
+    val df = frame(st,
+      (cases.zipWithIndex.map { case ((in, _), i) => Row(i.toLong, in) } :+
+        Row(99L, null)): _*)
+    val out = df.select(col("id"), TextOps.normalizeUrl(col("u")).as("n"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(out(i.toLong) == want, s"$in -> ${out(i.toLong)}, want $want")
+    }
+    assert(out(99L) == null)
+  }
+
   test("gopherColumns: each rule trips on its crafted violation, clean doc passes") {
     val goodWords = (1 to 35).map(i => s"word$i").mkString(" ")
     val clean = s"the quick brown fox jumps with vigor over lazy dogs $goodWords " +
