@@ -1505,6 +1505,14 @@ object Dedup {
       labels: DataFrame,
       idCol: String,
       srcCol: String): DataFrame = {
+    // duplicate label ids would FAN OUT the joins and inflate n_pairs —
+    // the audit would report mass that does not exist. One bounded probe
+    // (an aggregate + limit-1) keeps the audit honest; an audit input is
+    // read once, so the extra pass is proportionate.
+    require(labels.groupBy(col(idCol)).count()
+      .where(col("count") > 1).limit(1).count() == 0L,
+      s"crossSourceDupMatrix: duplicate '$idCol' ids in the label frame " +
+        "would inflate pair counts — deduplicate labels first")
     val la = labels.select(col(idCol).as("id_a"), col(srcCol).as("__sa"))
     val lb = labels.select(col(idCol).as("id_b"), col(srcCol).as("__sb"))
     // canonical unordered cell with null ORDERED FIRST — `least` would

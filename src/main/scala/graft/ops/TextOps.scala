@@ -21,6 +21,11 @@ object TextOps {
     */
   def wsTokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= "")
+  // Cross-engine caveat: Java's \s includes vertical tab (\x0B), RE2's
+  // does not — a corpus carrying raw \x0B would tokenize differently in
+  // the DuckDB oracles. [[normalizeText]]'s control-char strip removes
+  // \x0B, so normalized corpora are safe; the driver testdata carries
+  // none.
 
   /** Raw whitespace split, NO empty-token filter — for the native kernel
     * call sites only: the kernels' `compact` drops null and "" elements
@@ -209,16 +214,20 @@ object TextOps {
     val words = wsTokens(text)
     val nW = size(words).cast("long")
     val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
-    // '...' counted via the 3-dot run FIRST so one literal ellipsis char
-    // and one three-dot run each count once
+    // the three alternatives start with distinct characters, so the
+    // alternation order cannot change what matches; each '#', ellipsis
+    // char, or three-dot run counts once
     val nSym = (size(regexp_extract_all(text, lit("#|…|\\.\\.\\."), lit(0))))
       .cast("long")
     val lines = filter(split(text, "\n"), l => trim(l) =!= "")
     val nL = size(lines).cast("long")
     val nBullet = size(filter(lines,
       l => trim(l).rlike("^[•\\-\\*]"))).cast("long")
+    // \z, not $: Java's $ matches BEFORE a final line terminator (a CRLF
+    // corpus would keep '...\r' lines the RE2 oracle drops); \z is
+    // end-of-text in both engines
     val nEllipsis = size(filter(lines,
-      l => trim(l).rlike("(…|\\.\\.\\.)$"))).cast("long")
+      l => trim(l).rlike("(…|\\.\\.\\.)\\z"))).cast("long")
     val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long")
     val nStop = size(filter(typedlit(GopherStopwords),
       s => array_contains(words, s))).cast("long")
@@ -260,7 +269,9 @@ object TextOps {
   def c4KeptLines(text: Column, minWords: Int = 5): Column =
     filter(split(text, "\n"), l =>
       size(filter(split(l, "\\s+"), t => t =!= "")) >= minWords &&
-        trim(l).rlike("[.!?][\"”]?$"))
+        // \z, not $ — Java's $ would match before a CRLF line's trailing
+        // \r and diverge from the RE2 oracle (end-of-text only)
+        trim(l).rlike("[.!?][\"”]?\\z"))
 
   /** C4 line-level cleaning: the document rebuilt from [[c4KeptLines]]
     * (newline-joined; a page with no kept lines becomes the empty
@@ -428,7 +439,7 @@ object TextOps {
     val query = when(u.contains("?"),
       regexp_replace(u, "^[^?]*\\?", "")).otherwise(lit(""))
     val params = filter(split(query, "&"),
-      p => !p.startsWith("utm_") && p =!= "")
+      p => !lower(p).startsWith("utm_") && p =!= "")
     val withQ = when(size(params) > 0,
       concat(base, lit("?"), array_join(params, "&"))).otherwise(base)
     when(url.isNull, lit(null).cast("string")).otherwise(withQ)
