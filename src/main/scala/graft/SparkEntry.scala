@@ -1445,6 +1445,41 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // per-source curation report: the corpus dashboard a pipeline prints
+    // before choosing mixture weights — docs, token mass, Gopher-screen
+    // pass rates (three representative rules + the conjunction) per
+    // source, all exact integers under the hash
+    "q168_source_quality_report" -> ((s, d) => {
+      val rules = graft.ops.TextOps.gopherColumns(col("text")).toMap
+      Tables(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(graft.ops.TextOps.tokenCount(col("text")).cast("long"))
+            .as("n_tokens"),
+          sum(when(rules("r_mean_word_len"), 1L).otherwise(0L))
+            .as("n_mean_len_ok"),
+          sum(when(rules("r_alpha_words"), 1L).otherwise(0L))
+            .as("n_alpha_ok"),
+          sum(when(rules("r_stopwords"), 1L).otherwise(0L))
+            .as("n_stopwords_ok"),
+          sum(when(graft.ops.TextOps.gopherPass(col("text")), 1L)
+            .otherwise(0L)).as("n_pass"))
+        .orderBy(col("source"))
+    }),
+
+    // per-SOURCE signature vocabulary: topTermsPerDoc is key-generic, so
+    // at source granularity tf counts a term's occurrences across the
+    // whole source and df counts the SOURCES containing it — the tf/df
+    // ranking surfaces what makes each source distinctive
+    "q169_source_signature_terms" -> ((s, d) => {
+      graft.ops.TextOps.topTermsPerDoc(
+        Tables(s, d, "documents"), "source", "text", k = 5)
+        .select(col("doc_id").as("source"), col("rank"), col("token"),
+          col("score"))
+        .orderBy(col("source"), col("rank"))
+    }),
+
     "q138_bpe_word_histogram" -> ((s, d) => {
       graft.ops.TextOps.preTokenHistogram(Tables(s, d, "documents"), "text")
         .select(col("word"), col("n"))
@@ -3710,6 +3745,70 @@ object SparkEntry {
         |)
         |SELECT doc_id, url_norm FROM k WHERE doc_id = m
         |ORDER BY doc_id""".stripMargin,
+
+    // q163's integer signals aggregated per source
+    "q168_source_quality_report" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w,
+        |    list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS l
+        |  FROM documents
+        |), m AS (
+        |  SELECT source, text,
+        |    cast(len(w) AS BIGINT) AS nw,
+        |    cast(coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT) AS sumlen,
+        |    cast(len(regexp_extract_all(text, '#|…|\.\.\.')) AS BIGINT) AS nsym,
+        |    cast(len(l) AS BIGINT) AS nl,
+        |    cast(len(list_filter(l, x -> regexp_matches(trim(x), '^[•\-\*]'))) AS BIGINT) AS nbul,
+        |    cast(len(list_filter(l, x -> regexp_matches(trim(x), '(…|\.\.\.)$'))) AS BIGINT) AS nell,
+        |    cast(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS nalpha,
+        |    cast(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(w, s))) AS BIGINT) AS nstop
+        |  FROM t
+        |)
+        |SELECT source,
+        |  cast(count(*) AS BIGINT) AS n_docs,
+        |  cast(sum(nw) AS BIGINT) AS n_tokens,
+        |  cast(sum(CASE WHEN nw > 0 AND sumlen >= nw * 3 AND sumlen <= nw * 10
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_mean_len_ok,
+        |  cast(sum(CASE WHEN nalpha * 5 >= nw * 4 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_alpha_ok,
+        |  cast(sum(CASE WHEN text IS NOT NULL AND nstop >= 2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords_ok,
+        |  cast(sum(CASE WHEN (nw >= 50 AND nw <= 100000)
+        |    AND (nw > 0 AND sumlen >= nw * 3 AND sumlen <= nw * 10)
+        |    AND (nsym * 10 <= nw)
+        |    AND (nbul * 10 <= nl * 9)
+        |    AND (nell * 10 <= nl * 3)
+        |    AND (nalpha * 5 >= nw * 4)
+        |    AND (text IS NOT NULL AND nstop >= 2)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    // tf per (source, token), df = sources containing the token, rank by
+    // exact tf/df with the token tie-break
+    "q169_source_signature_terms" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |      AS token
+        |  FROM documents
+        |), tf AS (
+        |  SELECT source, token, cast(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY source, token
+        |), df AS (
+        |  SELECT token, cast(count(*) AS BIGINT) AS df
+        |  FROM (SELECT DISTINCT source, token FROM tok) GROUP BY token
+        |), r AS (
+        |  SELECT source, token,
+        |    cast(tf AS DOUBLE) / cast(df AS DOUBLE) AS score,
+        |    cast(row_number() OVER (PARTITION BY source
+        |      ORDER BY cast(tf AS DOUBLE) / cast(df AS DOUBLE) DESC,
+        |        token ASC) AS INT) AS rank
+        |  FROM tf JOIN df USING (token)
+        |)
+        |SELECT source, rank, token, score FROM r WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin,
 
     "q138_bpe_word_histogram" ->
       """WITH w AS (
