@@ -149,6 +149,18 @@ object Bench {
       s""","tie_share":${fmt(tie)},"bnd_share":${fmt(bnd)}"""
     }.getOrElse("")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$gateCompact"queries":$qsCompact$failedCompact$toptakeCompact,"sf":"${new java.io.File(sfDir).getName}"}""")
+    // The consumer keeps only the last 2000 chars of stdout and parses a
+    // complete JSON line out of that window. At 169 queries even the
+    // compact per-query line passes 2000 chars and loses its HEAD
+    // (metric/value/gate64) to the clip — round 12's record came back
+    // "parsed": null. So the VERY LAST line is a fixed-size summary with
+    // NO per-query map: total + gate64 + telemetry + the 8 slowest
+    // queries (bounded, ~300 chars at any query count). Per-query data
+    // lives in the compact line above and the full-precision /tmp file.
+    val slowest = results.toSeq.sortBy(-_._2).take(8)
+      .map { case (k, v) => "\"" + short(k) + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$gateCompact"n_queries":${results.size},"slowest":$slowest$failedCompact$toptakeCompact,"sf":"${new java.io.File(sfDir).getName}"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -1226,7 +1226,7 @@ object SparkEntry {
         .withColumn("n_tok",
           graft.ops.TextOps.tokenCount(col("text")).cast("long"))
         .withColumn("stage",
-          least(lit(2L), (col("n_tok") / 12).cast("long")))
+          least(lit(2L), expr("n_tok div 12")))
       graft.ops.Sampling.curriculumShuffle(
         docs, "doc_id", "stage", epoch = 3L)
         .select(col("doc_id"), col("stage"), col("pos"))
@@ -1272,9 +1272,12 @@ object SparkEntry {
       val aug = docsWithParagraphs(s, d)
       val fp = aug.withColumn("__f",
         element_at(split(col("t"), "\n\n"), -1))
+      // window keyed on md5(__f), not the raw paragraph: the exchange
+      // carries 32-byte digests instead of full paragraph text — the same
+      // discipline every production op in Dedup applies before a shuffle
       val pairs = fp
         .withColumn("__m",
-          min(col("doc_id")).over(Window.partitionBy(col("__f"))))
+          min(col("doc_id")).over(Window.partitionBy(md5(col("__f")))))
         .where(col("doc_id") =!= col("__m"))
         .select(col("__m").as("id_a"), col("doc_id").as("id_b"))
       graft.ops.Sampling.leakageSafeSplit(
@@ -1409,9 +1412,10 @@ object SparkEntry {
       val aug = docsWithParagraphs(s, d)
       val fp = aug.withColumn("__f",
         element_at(split(col("t"), "\n\n"), -1))
+      // md5 window key — same 16-byte-exchange discipline as q158
       val pairs = fp
         .withColumn("__m",
-          min(col("doc_id")).over(Window.partitionBy(col("__f"))))
+          min(col("doc_id")).over(Window.partitionBy(md5(col("__f")))))
         .where(col("doc_id") =!= col("__m"))
         .select(col("__m").as("id_a"), col("doc_id").as("id_b"))
       val assigned = graft.ops.Sampling.leakageSafeSplit(

@@ -1201,18 +1201,23 @@ object Dedup {
     val normPairs = pairs.select(col("id_a"), col("id_b"))
       .where(col("id_a") =!= col("id_b"))
       .persist()
+    // try/finally on every persist: a failure inside the fast-path probe,
+    // a propagation-round job, or the non-convergence throw must not leave
+    // normPairs/edges/labels cached for the rest of the session.
+    var edges: DataFrame = null
+    var labels: DataFrame = null
+    try {
     if (integralIdsFast && maxDriverEdges > 0) {
       driverClosureLabels(nodes, idCol, normPairs, maxDriverEdges) match {
-        case Some(labels) =>
-          normPairs.unpersist()
-          return labels
+        case Some(fastLabels) =>
+          return fastLabels
         case None => // over cap — run the propagation rounds below
       }
     }
-    val edges = normPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    edges = normPairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(normPairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("rep")).persist()
+    labels = nodes.select(col(idCol).as("id"), col(idCol).as("rep")).persist()
     // Min-label propagation is MONOTONE: a node's rep only ever decreases,
     // so for integral ids the exact (decimal, overflow-free) sum of reps
     // strictly decreases every round until the fixpoint — equal consecutive
@@ -1263,10 +1268,7 @@ object Dedup {
       labels = next
       i += 1
     }
-    edges.unpersist()
-    normPairs.unpersist()
     if (!converged) {
-      labels.unpersist()
       throw new IllegalStateException(
         s"dedupClusters did not converge within $maxIters iterations — " +
           "a component's diameter exceeds the bound; raise maxIters")
@@ -1277,9 +1279,12 @@ object Dedup {
     // returned fixpoint. Reliable checkpoint when a checkpoint dir is set
     // (executor loss must not lose the dedup labels mid-pipeline); local
     // checkpoint otherwise, GC-cleaned with the frame.
-    val out = Materialize.eager(labels)
-    labels.unpersist()
-    out
+    Materialize.eager(labels)
+    } finally {
+      normPairs.unpersist()
+      if (edges != null) edges.unpersist()
+      if (labels != null) labels.unpersist()
+    }
   }
 
   /** Connected components by alternating large-star / small-star

@@ -165,9 +165,6 @@ private[graft] object EpochStore {
                                        // under task-binary warning size
   val IdBloomFpp: Double = 0.01
 
-  /** Bloom capacity for a corpus of `n` ids: 4× headroom for future
-    * appends, clamped to keep the probe-side plan literal small.
-    */
   /** Canonical batch id frame for counter-lifecycle replay guards: one
     * row per distinct doc id, in the string form the index's `ids` table
     * and bloom hash. Shared by the token-frequency and classifier
@@ -189,6 +186,9 @@ private[graft] object EpochStore {
       s"$op: null ids in '$idCol' cannot be replay-guarded (a replayed " +
       "null-id batch would double-count its tokens) — assign ids first")
 
+  /** Bloom capacity for a corpus of `n` ids: 4× headroom for future
+    * appends, clamped to keep the probe-side plan literal small.
+    */
   def idBloomItems(n: Long): Long =
     math.min(IdBloomMaxItems, math.max(IdBloomMinItems, 4L * n))
 

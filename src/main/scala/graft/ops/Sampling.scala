@@ -65,6 +65,19 @@ object Sampling {
       splitCol: String = "split"): DataFrame = {
     require(!df.columns.contains("rep"),
       "leakageSafeSplit adds a 'rep' column — rename the existing one first")
+    // Fail-loud key guards (the epochShuffle/sizedShardAssignment
+    // discipline): the inner join below would silently DROP null-id rows
+    // from every split, and k duplicate ids would fan out k× against
+    // their label rows — both corrupt split shares without an error.
+    // Ids-only probes: a pushdown-friendly limit-1 null scan and one
+    // id-column aggregate, trivial next to the closure itself.
+    require(df.where(col(idCol).isNull).limit(1).count() == 0L,
+      s"leakageSafeSplit: null ids in '$idCol' would vanish from every " +
+        "split at the cluster join — assign ids first")
+    require(df.groupBy(col(idCol)).count()
+      .where(col("count") > 1L).limit(1).count() == 0L,
+      s"leakageSafeSplit: duplicate ids in '$idCol' fan out against the " +
+        "cluster labels and corrupt split shares — deduplicate ids first")
     val clusters = Dedup.dedupClusters(
       df.select(col(idCol)), idCol, pairs)
       .withColumnRenamed("id", "__lsid")

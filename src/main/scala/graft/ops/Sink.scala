@@ -184,6 +184,14 @@ object Sink {
     * [[sizedShardAssignment]] of `weightCol` (≈ `targetWeight` weight per
     * shard directory), one file per shard, id-sorted within. Same
     * empty-corpus and existing-path guards as [[writeShards]].
+    *
+    * Also writes the log META sidecar (`_log_meta/state` — hidden from
+    * the parquet reader by the `_` prefix): the running weight total, the
+    * read-back column names, and an id bloom over every committed id, so
+    * [[appendSizedShards]] is O(batch) instead of re-scanning the
+    * standing corpus on every append. Meta is written AFTER the data
+    * (build order): a crash between the two leaves a corpus without meta,
+    * which the next append upgrades by one documented O(corpus) rederive.
     */
   def writeSizedShards(
       df: DataFrame,
@@ -202,7 +210,55 @@ object Sink {
       .mode(if (overwrite) "overwrite" else "errorifexists")
       .partitionBy("shard")
       .parquet(path)
+    val total = batchWeightTotal(df, weightCol)
+    val items = EpochStore.idBloomItems(df.count())
+    val bloom = EpochStore.buildIdBloom(
+      df.select(col(idCol)), idCol, items, EpochStore.IdBloomFpp)
+    writeLogMeta(df.sparkSession, path, total,
+      df.columns.toSeq :+ "shard", items, EpochStore.IdBloomFpp, bloom)
   }
+
+  // ---- sized-shard log meta sidecar ----
+  //
+  // One parquet row under <path>/_log_meta/state: (total, columns,
+  // expected_items, fpp, bloom). The `_` prefix hides the dir from
+  // spark.read.parquet(path), so readers see only the shard layout. The
+  // bloom covers every id ever committed; it has no false negatives, so
+  // zero batch hits PROVES id-disjointness and a clean append touches NO
+  // standing data at all — the same O(1)-guard discipline as the seven
+  // EpochStore index lifecycles.
+
+  private def logMetaStateDir(path: String): String = s"$path/_log_meta/state"
+
+  private def writeLogMeta(
+      spark: SparkSession, path: String, total: Long, columns: Seq[String],
+      items: Long, fpp: Double, bloom: Array[Byte]): Unit = {
+    import spark.implicits._
+    Seq((total, columns, items, fpp, bloom))
+      .toDF("total", "columns", "expected_items", "fpp", "bloom")
+      .coalesce(1).write.mode("overwrite").parquet(logMetaStateDir(path))
+  }
+
+  /** (total, columns, items, fpp, bloom) of the log meta, or None on a
+    * corpus written before meta existed (or whose meta write crashed) —
+    * the append then falls back to deriving both from the standing data
+    * and upgrades the corpus with a fresh meta.
+    */
+  private def readLogMeta(
+      spark: SparkSession, path: String): Option[(Long, Seq[String], Long, Double, Array[Byte])] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val p = logMetaStateDir(path)
+    if (!EpochStore.hadoopFs(spark, p).exists(new HPath(p))) None
+    else {
+      val r = spark.read.parquet(p).head()
+      Some((r.getLong(0), r.getSeq[String](1), r.getLong(2),
+        r.getDouble(3), r.getAs[Array[Byte]](4)))
+    }
+  }
+
+  private def batchWeightTotal(df: DataFrame, weightCol: String): Long =
+    df.agg(sum(coalesce(col(weightCol).cast("long"), lit(0L))))
+      .collect()(0).getLong(0)
 
   /** Log-APPEND to a [[writeSizedShards]] corpus: the batch continues the
     * standing cumsum exactly — every new row gets `shard =
@@ -215,13 +271,28 @@ object Sink {
     * grows the tail. Per-batch order is engine-portable; the cross-batch
     * order is arrival order, which is the point of a log.
     *
-    * `checkIds = true` (default) scans the standing corpus's id column
-    * once and fails loudly on any id collision — an id appended twice
-    * would silently duplicate training data; pass `false` only when the
-    * caller already guards ids (e.g. the batch went through a dedup index
-    * probe). Not transactional: a crash mid-write can leave a partial
-    * batch — re-run with the same batch after `checkIds` tells you
-    * whether any of it committed.
+    * `checkIds = true` (default) fails loudly on any id collision — an id
+    * appended twice would silently duplicate training data. On a corpus
+    * with log meta the guard is the id BLOOM pre-screen: zero batch hits
+    * proves disjointness (no false negatives) and NO standing data is
+    * touched; only a hit (a true dup or an fpp false positive) pays the
+    * exact semi-join against the standing id column. Pass `false` only
+    * when the caller already guards ids (e.g. the batch went through a
+    * dedup index probe). The running total likewise comes from meta, so a
+    * CLEAN append is O(batch): meta (one row) + batch jobs + data write.
+    * A pre-meta corpus (or one whose meta write crashed) pays one
+    * documented O(corpus) rederive and is upgraded in place.
+    *
+    * Runs under the single-writer lease (`_log_meta/lease`): appends are
+    * a meta read-modify-write, so two concurrent appenders would both
+    * derive from the same total and overlap. Commit order is META FIRST,
+    * then data — a crash between the two overstates the total (the next
+    * append leaves a shard-number gap, explicitly allowed) and leaves the
+    * bloom a superset (extra exact-join fallbacks, never a missed dup);
+    * the reverse order could under-record committed ids and let a replay
+    * double-append silently. Re-running a batch whose data write crashed
+    * re-counts its weight (another gap), never duplicates ids — the
+    * exact join sees whatever portion committed and fails loudly on it.
     */
   def appendSizedShards(
       df: DataFrame,
@@ -233,28 +304,63 @@ object Sink {
     require(!df.isEmpty,
       s"appendSizedShards: empty batch for $path — nothing to append")
     val spark = df.sparkSession
-    val standing = spark.read.parquet(path)
-    require(standing.columns.contains(idCol) &&
-      standing.columns.contains(weightCol),
-      s"appendSizedShards: standing corpus at $path lacks " +
-        s"'$idCol'/'$weightCol' — was it written by writeSizedShards?")
-    if (checkIds) {
-      val clash = standing.select(col(idCol))
-        .join(df.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
-        .limit(1).count()
-      require(clash == 0L,
+    EpochStore.withLease(spark, s"$path/_log_meta") {
+      def failDup(): Nothing = throw new IllegalArgumentException(
         s"appendSizedShards: batch re-appends ids already in $path — " +
           "deduplicate the batch (or pass checkIds = false if upstream " +
           "already guards ids)")
+      def exactClash(standing: DataFrame): Boolean =
+        standing.select(col(idCol))
+          .join(df.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+          .limit(1).count() > 0L
+      val (standingTotal, items, fpp, standingBloom) = readLogMeta(spark, path) match {
+        case Some((total, cols, items, fpp, bloom)) =>
+          require(cols.contains(idCol) && cols.contains(weightCol),
+            s"appendSizedShards: standing corpus at $path lacks " +
+              s"'$idCol'/'$weightCol' — was it written by writeSizedShards?")
+          if (checkIds) {
+            val hit = !df.where(Decontam.bloomMightContainKey(
+              bloom, col(idCol).cast("string"))).isEmpty
+            if (hit && exactClash(spark.read.parquet(path))) failDup()
+          }
+          (total, items, fpp, bloom)
+        case None =>
+          // pre-meta corpus (or crashed meta write): ONE O(corpus)
+          // rederive of total + bloom from the standing data, after which
+          // this corpus appends O(batch) like a fresh one
+          val standing = spark.read.parquet(path)
+          require(standing.columns.contains(idCol) &&
+            standing.columns.contains(weightCol),
+            s"appendSizedShards: standing corpus at $path lacks " +
+              s"'$idCol'/'$weightCol' — was it written by writeSizedShards?")
+          if (checkIds && exactClash(standing)) failDup()
+          val ids = standing.select(col(idCol))
+          val items = EpochStore.idBloomItems(ids.count())
+          (batchWeightTotal(standing, weightCol), items,
+            EpochStore.IdBloomFpp,
+            EpochStore.buildIdBloom(ids, idCol, items, EpochStore.IdBloomFpp))
+      }
+      // assignment FIRST: its eager phase-0 collect validates null ids
+      // and negative weights, so an invalid batch fails before the meta
+      // commit below records anything durable. In-batch duplicate ids get
+      // the same pre-meta treatment (the assignment's own lag tripwire
+      // only fires during the data write, which is post-meta).
+      val assigned = sizedShardAssignment(df, idCol, weightCol, targetWeight,
+        baseOffset = standingTotal)
+      val batchIds = df.select(col(idCol))
+      require(batchIds.count() == batchIds.distinct().count(),
+        s"appendSizedShards: duplicate ids within the batch have no " +
+          "deterministic placement — deduplicate or re-key first")
+      val mergedBloom = EpochStore.mergeIdBlooms(standingBloom,
+        EpochStore.buildIdBloom(batchIds, idCol, items, fpp))
+      writeLogMeta(spark, path,
+        standingTotal + batchWeightTotal(df, weightCol),
+        df.columns.toSeq :+ "shard", items, fpp, mergedBloom)
+      assigned
+        .repartition(col("shard"))
+        .sortWithinPartitions(col("shard"), col(idCol))
+        .write.mode("append").partitionBy("shard").parquet(path)
     }
-    val standingTotal = standing
-      .agg(sum(coalesce(col(weightCol).cast("long"), lit(0L))))
-      .collect()(0).getLong(0)
-    sizedShardAssignment(df, idCol, weightCol, targetWeight,
-      baseOffset = standingTotal)
-      .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col(idCol))
-      .write.mode("append").partitionBy("shard").parquet(path)
   }
 
   /** Per-shard manifest of a [[writeShards]] output, recomputed FROM the

@@ -1472,6 +1472,97 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("re-appends"))
   }
 
+  test("appendSizedShards: clean append is O(batch) — touches NO standing data") {
+    val st = struct("id" -> LongType, "w" -> LongType)
+    val a = frame(st, (1L to 20L).map(i => Row(i, 7L)): _*)       // 140 total
+    val b = frame(st, (21L to 30L).map(i => Row(i, 9L)): _*)      // +90
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sizedmeta").toString + "/corpus"
+    Sink.writeSizedShards(a, dir, "id", "w", targetWeight = 50L)
+    // The proof is filesystem-level, stronger than a plan assertion:
+    // MOVE every standing shard dir away. A clean append (meta total +
+    // zero bloom hits) must still succeed — any read of standing data
+    // (schema probe, id scan, weight re-aggregate) would fail loudly on
+    // the missing files.
+    val root = new java.io.File(dir)
+    val hidden = java.nio.file.Files.createTempDirectory("graft_sizedhid")
+    val shardDirs = root.listFiles().filter(_.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { f =>
+      java.nio.file.Files.move(f.toPath, hidden.resolve(f.getName))
+    }
+    Sink.appendSizedShards(b, dir, "id", "w", targetWeight = 50L)
+    // restore the standing dirs next to the appended files — merging any
+    // shard dir the append also wrote into (the tail shard fills first)
+    hidden.toFile.listFiles().foreach { f =>
+      val tgt = new java.io.File(root, f.getName)
+      if (!tgt.exists()) java.nio.file.Files.move(f.toPath, tgt.toPath)
+      else f.listFiles().foreach { part =>
+        java.nio.file.Files.move(part.toPath,
+          tgt.toPath.resolve(part.getName))
+      }
+    }
+    // the merged layout is byte-identical to an undisturbed build+append
+    val after = spark.read.parquet(dir)
+      .select(col("id"), col("shard").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_sizedmeta2").toString + "/corpus"
+    Sink.writeSizedShards(a, dir2, "id", "w", 50L)
+    Sink.appendSizedShards(b, dir2, "id", "w", 50L)
+    val expect = spark.read.parquet(dir2)
+      .select(col("id"), col("shard").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == expect)
+    // the replay guard stays loud THROUGH the bloom: a replayed id hits
+    // the bloom, falls back to the exact join, and fails
+    val e = intercept[IllegalArgumentException] {
+      Sink.appendSizedShards(b.limit(1), dir, "id", "w", 50L)
+    }
+    assert(e.getMessage.contains("re-appends"))
+    // in-batch duplicate ids fail BEFORE the meta commit
+    val dup = frame(st, Row(77L, 1L), Row(77L, 1L))
+    val e2 = intercept[IllegalArgumentException] {
+      Sink.appendSizedShards(dup, dir, "id", "w", 50L)
+    }
+    assert(e2.getMessage.contains("duplicate ids within the batch"))
+  }
+
+  test("appendSizedShards: pre-meta corpus upgrades in place") {
+    val st = struct("id" -> LongType, "w" -> LongType)
+    val a = frame(st, (1L to 20L).map(i => Row(i, 7L)): _*)
+    val b = frame(st, (21L to 30L).map(i => Row(i, 9L)): _*)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sizedpre").toString + "/corpus"
+    Sink.writeSizedShards(a, dir, "id", "w", targetWeight = 50L)
+    // simulate a pre-meta corpus (or a crashed meta write)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(dir, "_log_meta"))
+    // the append pays the documented O(corpus) rederive — and must land
+    // on the SAME layout as the meta'd path (baseOffset 140 from data)
+    Sink.appendSizedShards(b, dir, "id", "w", targetWeight = 50L)
+    assert(new java.io.File(dir, "_log_meta/state").exists())
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(i: Long) =
+      md.digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var cum = 140L
+    val expectB = (21L to 30L).map(i => i -> 9L)
+      .sortBy { case (i, _) => (hex(i), i) }
+      .map { case (i, w) => val s = cum / 50L; cum += w; i -> s }.toMap
+    val after = spark.read.parquet(dir)
+      .select(col("id"), col("shard").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    expectB.foreach { case (i, s) => assert(after(i) == s) }
+    // replay guard works on the upgraded corpus too (now through meta)
+    val e = intercept[IllegalArgumentException] {
+      Sink.appendSizedShards(b.limit(1), dir, "id", "w", 50L)
+    }
+    assert(e.getMessage.contains("re-appends"))
+  }
+
   test("takeGlobal: the md5-order corpus prefix, nested across sizes") {
     val df = docs((1L to 60L).map(i => i -> s"doc $i"): _*)
     def take(n: Long) = Sampling.takeGlobal(df, "doc_id", n)
