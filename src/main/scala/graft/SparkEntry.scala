@@ -212,6 +212,38 @@ object SparkEntry {
         lit("shared boilerplate paragraph"), lit("\n\n"),
         concat(lit("para-"), (col("doc_id") % 7).cast("string"))).as("t"))
 
+  /** Deterministically synthesized raw-HTML corpus for the extraction
+    * queries (q170/q171): every page carries head noise (comment,
+    * braced style/script, title), a short heading, a nav link bar, the
+    * document's own text in a paragraph, a stopword-rich prose
+    * paragraph, an entity-encoded paragraph on %5 docs, a lorem-ipsum
+    * paragraph on %7 docs (trips the downstream C4 page rule), a short
+    * fragment, and a link-heavy footer. Null-text docs yield null html
+    * (concat propagates), exercising the extractors' null path.
+    */
+  private def htmlDocs(s: SparkSession, d: String) =
+    docsParallel(s, d).select(
+      col("doc_id"),
+      concat(
+        lit("<html><!-- header comment --><head><style>body { color: red }" +
+          "</style><script>if (x < 2) { y = 3; }</script><title>Doc</title>" +
+          "</head><body><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit(" heading</h1><div class=\"nav\"><a href=\"/\">Home</a> " +
+          "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a>" +
+          "</div><p>"),
+        col("text"),
+        lit("</p><p>The point of the note is that it is written for the " +
+          "reader and it is kept in the set.</p>"),
+        when(col("doc_id") % 5 === 0,
+          lit("<p>Read the docs &amp; see &lt;tags&gt; in the text of it " +
+            "okay.</p>")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("<p>lorem ipsum dolor sit amet the words go on in the line " +
+            "of it.</p>")).otherwise(lit("")),
+        lit("<p>Short bit</p><footer><a href=\"/legal\">Legal notice terms " +
+          "page</a> fine print</footer></body></html>")).as("html"))
+
   /** Bench-only phase breakdown of the index-lifecycle queries (q97, q99):
     * each lifecycle stage timed on its own, so the per-job scheduling
     * floor of the build/append writes (11 sequential parquet writes +
@@ -1482,6 +1514,36 @@ object SparkEntry {
         .select(col("doc_id").as("source"), col("rank"), col("token"),
           col("score"))
         .orderBy(col("source"), col("rank"))
+    }),
+
+    // HTML → text extraction, per-block verdict table (jusText /
+    // trafilatura heuristics, Pomikálek 2011 — the step before EVERY
+    // text screen): markup stripped twice for the anchor accounting,
+    // each block classified by length / link density / stopword density,
+    // every ratio a cross-multiplied integer; the whole table hashes
+    // against a DuckDB oracle replaying the same regex strip chain
+    "q170_html_blocks" -> ((s, d) => {
+      htmlDocs(s, d)
+        .select(col("doc_id"),
+          explode(graft.ops.TextOps.htmlBlockMetrics(col("html"))).as("b"))
+        .select(col("doc_id"), col("b.block_id"),
+          col("b.text").as("block_text"), col("b.n_chars"),
+          col("b.anchor_chars"), col("b.n_words"), col("b.stop_hits"),
+          col("b.len_ok"), col("b.link_ok"), col("b.stop_ok"), col("b.good"))
+        .orderBy(col("doc_id"), col("block_id"))
+    }),
+
+    // the crawl chain composed end-to-end: raw HTML → main-text
+    // extraction (good blocks only) → C4 page verdicts + line filter
+    // over the EXTRACTED text — the stage q164 assumed now feeds it;
+    // head braces/lorem must NOT leak (they live in stripped script /
+    // dropped nav), while the %7 planted lorem paragraph must
+    "q171_html_pipeline" -> ((s, d) => {
+      htmlDocs(s, d)
+        .select(col("doc_id"),
+          graft.ops.TextOps.htmlExtractC4(col("html")).as("r"))
+        .select(col("doc_id"), col("r.*"))
+        .orderBy(col("doc_id"))
     }),
 
     "q138_bpe_word_histogram" -> ((s, d) => {
@@ -3813,6 +3875,191 @@ object SparkEntry {
         |)
         |SELECT source, rank, token, score FROM r WHERE rank <= 5
         |ORDER BY source, rank""".stripMargin,
+
+    // the same double-strip chain as TextOps.htmlBlockMetrics: comments/
+    // script/style/title out, anchors dropped in the second variant,
+    // block tags → newline, other tags → space, fixed entity set, then
+    // the positional zip of the two block lists (DuckDB zips parallel
+    // unnests) gives each block's anchor share as a length difference
+    "q170_html_blocks" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><!-- header comment --><head><style>body { color: red }'
+        |    || '</style><script>if (x < 2) { y = 3; }</script><title>Doc'
+        |    || '</title></head><body><h1>Doc ' || cast(doc_id AS VARCHAR)
+        |    || ' heading</h1><div class="nav"><a href="/">Home</a> '
+        |    || '<a href="/about">About</a> <a href="/contact">Contact</a>'
+        |    || '</div><p>' || text
+        |    || '</p><p>The point of the note is that it is written for the '
+        |    || 'reader and it is kept in the set.</p>'
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN '<p>Read the docs &amp; see &lt;tags&gt; in the text of it okay.</p>'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN '<p>lorem ipsum dolor sit amet the words go on in the line of it.</p>'
+        |         ELSE '' END
+        |    || '<p>Short bit</p><footer><a href="/legal">Legal notice terms '
+        |    || 'page</a> fine print</footer></body></html>' AS html
+        |  FROM documents
+        |), pre AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(html,
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '(?is)<script(\s[^>]*)?>.*?</script>', ' ', 'g'),
+        |      '(?is)<style(\s[^>]*)?>.*?</style>', ' ', 'g'),
+        |      '(?is)<title(\s[^>]*)?>.*?</title>', ' ', 'g') AS pre
+        |  FROM h
+        |), two AS (
+        |  SELECT doc_id, pre AS pa,
+        |    regexp_replace(pre, '(?is)<a(\s[^>]*)?>.*?</a>', '', 'g') AS pb
+        |  FROM pre
+        |), strip AS (
+        |  SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(pa,
+        |        '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|td|th|blockquote|section|article|header|footer|nav)(\s[^>]*)?/?>',
+        |        chr(10), 'g'), '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&') AS sa,
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(pb,
+        |        '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|td|th|blockquote|section|article|header|footer|nav)(\s[^>]*)?/?>',
+        |        chr(10), 'g'), '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&') AS sb
+        |  FROM two
+        |), z AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(sa, chr(10))) AS a,
+        |    unnest(string_split(sb, chr(10))) AS b,
+        |    unnest(generate_series(1, len(string_split(sa, chr(10))))) AS block_id
+        |  FROM strip
+        |), m AS (
+        |  SELECT doc_id, cast(block_id AS BIGINT) AS block_id,
+        |    trim(regexp_replace(a, '\s+', ' ', 'g')) AS block_text,
+        |    cast(length(regexp_replace(a, '\s+', '', 'g')) AS BIGINT) AS n_chars,
+        |    cast(greatest(length(regexp_replace(a, '\s+', '', 'g'))
+        |      - length(regexp_replace(b, '\s+', '', 'g')), 0) AS BIGINT)
+        |      AS anchor_chars,
+        |    cast(len(list_filter(
+        |      string_split(trim(regexp_replace(a, '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '')) AS BIGINT) AS n_words,
+        |    cast(len(list_filter(
+        |      string_split(trim(regexp_replace(a, '\s+', ' ', 'g')), ' '),
+        |      x -> list_contains(
+        |        ['the','of','and','a','to','in','is','it','that','for'],
+        |        regexp_replace(lower(x), '[^a-z]', '', 'g')))) AS BIGINT)
+        |      AS stop_hits
+        |  FROM z
+        |)
+        |SELECT doc_id, block_id, block_text, n_chars, anchor_chars, n_words,
+        |  stop_hits,
+        |  n_chars >= 20 AS len_ok,
+        |  anchor_chars * 5 <= n_chars AS link_ok,
+        |  stop_hits * 10 >= n_words * 3 AS stop_ok,
+        |  (n_chars >= 20 AND anchor_chars * 5 <= n_chars
+        |    AND stop_hits * 10 >= n_words * 3) AS good
+        |FROM m WHERE n_chars > 0
+        |ORDER BY doc_id, block_id""".stripMargin,
+
+    // q170's block table regrouped: good blocks joined in block order =
+    // the extracted text, then q164's C4 page verdicts + line filter
+    // over it; null html (null-text docs) keeps null fields through the
+    // left join
+    "q171_html_pipeline" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><!-- header comment --><head><style>body { color: red }'
+        |    || '</style><script>if (x < 2) { y = 3; }</script><title>Doc'
+        |    || '</title></head><body><h1>Doc ' || cast(doc_id AS VARCHAR)
+        |    || ' heading</h1><div class="nav"><a href="/">Home</a> '
+        |    || '<a href="/about">About</a> <a href="/contact">Contact</a>'
+        |    || '</div><p>' || text
+        |    || '</p><p>The point of the note is that it is written for the '
+        |    || 'reader and it is kept in the set.</p>'
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN '<p>Read the docs &amp; see &lt;tags&gt; in the text of it okay.</p>'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN '<p>lorem ipsum dolor sit amet the words go on in the line of it.</p>'
+        |         ELSE '' END
+        |    || '<p>Short bit</p><footer><a href="/legal">Legal notice terms '
+        |    || 'page</a> fine print</footer></body></html>' AS html
+        |  FROM documents
+        |), pre AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(html,
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '(?is)<script(\s[^>]*)?>.*?</script>', ' ', 'g'),
+        |      '(?is)<style(\s[^>]*)?>.*?</style>', ' ', 'g'),
+        |      '(?is)<title(\s[^>]*)?>.*?</title>', ' ', 'g') AS pre
+        |  FROM h
+        |), two AS (
+        |  SELECT doc_id, pre AS pa,
+        |    regexp_replace(pre, '(?is)<a(\s[^>]*)?>.*?</a>', '', 'g') AS pb
+        |  FROM pre
+        |), strip AS (
+        |  SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(pa,
+        |        '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|td|th|blockquote|section|article|header|footer|nav)(\s[^>]*)?/?>',
+        |        chr(10), 'g'), '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&') AS sa,
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(pb,
+        |        '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|td|th|blockquote|section|article|header|footer|nav)(\s[^>]*)?/?>',
+        |        chr(10), 'g'), '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&') AS sb
+        |  FROM two
+        |), z AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(sa, chr(10))) AS a,
+        |    unnest(string_split(sb, chr(10))) AS b,
+        |    unnest(generate_series(1, len(string_split(sa, chr(10))))) AS block_id
+        |  FROM strip
+        |), m AS (
+        |  SELECT doc_id, block_id,
+        |    trim(regexp_replace(a, '\s+', ' ', 'g')) AS block_text,
+        |    length(regexp_replace(a, '\s+', '', 'g')) AS n_chars,
+        |    greatest(length(regexp_replace(a, '\s+', '', 'g'))
+        |      - length(regexp_replace(b, '\s+', '', 'g')), 0) AS anchor_chars,
+        |    len(list_filter(
+        |      string_split(trim(regexp_replace(a, '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '')) AS n_words,
+        |    len(list_filter(
+        |      string_split(trim(regexp_replace(a, '\s+', ' ', 'g')), ' '),
+        |      x -> list_contains(
+        |        ['the','of','and','a','to','in','is','it','that','for'],
+        |        regexp_replace(lower(x), '[^a-z]', '', 'g')))) AS stop_hits
+        |  FROM z
+        |), g AS (
+        |  SELECT doc_id,
+        |    array_to_string(list(block_text ORDER BY block_id), chr(10)) AS ext
+        |  FROM m
+        |  WHERE n_chars > 0 AND n_chars >= 20 AND anchor_chars * 5 <= n_chars
+        |    AND stop_hits * 10 >= n_words * 3
+        |  GROUP BY doc_id
+        |), e AS (
+        |  SELECT h.doc_id,
+        |    CASE WHEN h.html IS NULL THEN NULL
+        |         ELSE coalesce(g.ext, '') END AS extracted
+        |  FROM h LEFT JOIN g ON g.doc_id = h.doc_id
+        |), k AS (
+        |  SELECT doc_id, extracted,
+        |    list_filter(string_split(extracted, chr(10)), x ->
+        |      len(list_filter(string_split_regex(x, '\s+'), y -> y <> '')) >= 5
+        |      AND regexp_matches(trim(x), '[.!?]["”]?$')) AS kept
+        |  FROM e
+        |)
+        |SELECT doc_id, extracted,
+        |  contains(lower(extracted), 'lorem ipsum') AS has_lorem,
+        |  contains(extracted, '{') AS has_brace,
+        |  len(kept) >= 3 AS enough_sentences,
+        |  CASE WHEN extracted IS NULL THEN NULL
+        |       ELSE array_to_string(kept, chr(10)) END AS c4_cleaned
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "q138_bpe_word_histogram" ->
       """WITH w AS (

@@ -1055,4 +1055,149 @@ object TextOps {
       textCol: String,
       phrases: Seq[String]): org.apache.spark.sql.DataFrame =
     df.where(!blockedByPhrase(col(textCol), phrases))
+
+  // ---- HTML → text extraction (the step BEFORE every text screen) ----
+  //
+  // A crawl pipeline's first transform: strip markup and classify text
+  // blocks by density heuristics (jusText, Pomikálek 2011; trafilatura,
+  // Barbaresi 2021 — both public), so only running prose reaches the C4
+  // line filter / Gopher rules / blocklist chain. Everything here is pure
+  // codegen'd Columns — zero shuffle, one pass, fused into the scan — and
+  // every ratio rule a cross-multiplied integer comparison so the
+  // verdicts hash bit-exact against a SQL oracle.
+  //
+  // Anchor-text accounting WITHOUT an HTML parser: the markup is stripped
+  // twice — once keeping anchor CONTENT (`<a>` tags removed like any
+  // tag), once dropping `<a …>…</a>` wholesale — and since anchors are
+  // inline (never spanning a block tag in valid HTML), the two block
+  // lists align positionally; a block's anchor share is the difference of
+  // the two variants' whitespace-free lengths. Exact, regex-only, and
+  // reproducible in any engine.
+
+  /** Stopword list for the block classifier (jusText's stopword-density
+    * signal; a tiny high-frequency English set — swap per language).
+    */
+  val HtmlStopwords: Seq[String] =
+    Seq("the", "of", "and", "a", "to", "in", "is", "it", "that", "for")
+
+  /** Block classifier thresholds: minimum whitespace-free chars for a
+    * block to be prose (jusText `length_low` analogue, scaled for the
+    * short synthetic fixtures), maximum link density 1/5 (jusText's 0.2),
+    * minimum stopword density 3/10 (jusText's ~0.30).
+    */
+  val HtmlMinBlockChars = 20L
+
+  /** Comments, script/style/title elements (content and all) removed —
+    * the parts of a page that are never text. Runs BEFORE tag stripping
+    * so `{ code }` inside a script can't leak into the text and trip the
+    * C4 brace rule downstream.
+    */
+  private def htmlPreStrip(html: Column): Column =
+    Seq("(?s)<!--.*?-->",
+      "(?is)<script(\\s[^>]*)?>.*?</script>",
+      "(?is)<style(\\s[^>]*)?>.*?</style>",
+      "(?is)<title(\\s[^>]*)?>.*?</title>")
+      .foldLeft(html)((acc, p) => regexp_replace(acc, p, " "))
+
+  /** Block-level tags become newlines (block boundaries), every other tag
+    * a space, then the fixed entity set decodes. `&amp;` decodes LAST so
+    * `&amp;lt;` yields the literal text `&lt;` (standard single-pass
+    * entity semantics). The tag-name alternation requires `>`, `/>`, or
+    * whitespace+attrs after the name, so `<particular>` can never match
+    * the `p` rule.
+    */
+  private def htmlToRawBlocks(preStripped: Column): Column = {
+    val blockTags = "(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|td|th|" +
+      "blockquote|section|article|header|footer|nav)(\\s[^>]*)?/?>"
+    val untagged = regexp_replace(
+      regexp_replace(preStripped, blockTags, "\n"), "<[^>]*>", " ")
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(untagged) { case (acc, (k, v)) => replace(acc, lit(k), lit(v)) }
+  }
+
+  /** Per-block metrics + verdicts for a raw HTML document: an array of
+    * structs `(block_id, text, n_chars, anchor_chars, n_words, stop_hits,
+    * len_ok, link_ok, stop_ok, good)`, one per non-empty text block.
+    * `block_id` is the block's position in the RAW block list (before the
+    * empty-block filter), `text` the whitespace-collapsed block,
+    * `n_chars` its whitespace-free length, `anchor_chars` the portion
+    * inside `<a>` elements. Verdicts (all exact integer comparisons):
+    * `len_ok` = n_chars ≥ [[HtmlMinBlockChars]]; `link_ok` = 5 ·
+    * anchor_chars ≤ n_chars; `stop_ok` = 10 · stop_hits ≥ 3 · n_words;
+    * `good` their conjunction — nav menus and link farms fail `link_ok`,
+    * word-salad fails `stop_ok`, fragments fail `len_ok`. Null html
+    * propagates a null array.
+    */
+  def htmlBlockMetrics(html: Column): Column =
+    // let-bind the stripped variants (Dedup.bind): HOF lambdas re-evaluate
+    // captured subexpressions PER ELEMENT, so without the binds every
+    // block would re-run the whole regex-strip chain over the full page
+    Dedup.bind(htmlPreStrip(html)) { pre =>
+      Dedup.bind(array(
+        split(htmlToRawBlocks(pre), "\n"),
+        split(htmlToRawBlocks(
+          regexp_replace(pre, "(?is)<a(\\s[^>]*)?>.*?</a>", "")), "\n"))) { pair =>
+        htmlMetricsOf(element_at(pair, 1), element_at(pair, 2))
+      }
+    }
+
+  private def htmlMetricsOf(withAnchors: Column, noAnchors: Column): Column = {
+    val metrics = transform(sequence(lit(1), size(withAnchors)), i => {
+      val a = element_at(withAnchors, i)
+      val b = element_at(noAnchors, i)
+      val nsA = length(regexp_replace(a, "\\s+", "")).cast("long")
+      val nsB = length(regexp_replace(b, "\\s+", "")).cast("long")
+      val text = trim(regexp_replace(a, "\\s+", " "))
+      val words = filter(split(text, " "), w => w =!= "")
+      val nWords = size(words).cast("long")
+      val stopHits = size(filter(words, w =>
+        array_contains(typedlit(HtmlStopwords),
+          regexp_replace(lower(w), "[^a-z]", "")))).cast("long")
+      val anchor = greatest(nsA - nsB, lit(0L))
+      val lenOk = nsA >= HtmlMinBlockChars
+      val linkOk = anchor * 5L <= nsA
+      val stopOk = stopHits * 10L >= nWords * 3L
+      struct(
+        i.cast("long").as("block_id"),
+        text.as("text"),
+        nsA.as("n_chars"),
+        anchor.as("anchor_chars"),
+        nWords.as("n_words"),
+        stopHits.as("stop_hits"),
+        lenOk.as("len_ok"),
+        linkOk.as("link_ok"),
+        stopOk.as("stop_ok"),
+        (lenOk && linkOk && stopOk).as("good"))
+    })
+    filter(metrics, m => m.getField("n_chars") > 0L)
+  }
+
+  /** The page's main text: [[htmlBlockMetrics]]' `good` blocks joined
+    * with newlines — the cleaned document the downstream screens (C4
+    * lines, Gopher, blocklist, dedup) consume. A page with no good block
+    * becomes the empty string (the C4 `enough_sentences` page rule then
+    * drops it). Null html stays null.
+    */
+  def htmlExtractText(html: Column): Column =
+    when(html.isNull, lit(null).cast("string"))
+      .otherwise(concat_ws("\n",
+        transform(filter(htmlBlockMetrics(html), m => m.getField("good")),
+          m => m.getField("text"))))
+
+  /** The crawl pipeline's first two stages in ONE evaluation: extraction
+    * + the C4 page screen over the extracted text, as a struct
+    * `(extracted, has_lorem, has_brace, enough_sentences, c4_cleaned)`.
+    * The extraction is let-bound (`Dedup.bind`) so the strip chain runs
+    * once per page — naively composing [[htmlExtractText]] into each C4
+    * column would re-run it per verdict after CollapseProject inlines the
+    * projection. Null html propagates null fields.
+    */
+  def htmlExtractC4(html: Column, minSentences: Int = 3): Column =
+    Dedup.bind(htmlExtractText(html)) { e =>
+      struct(
+        (e.as("extracted") +:
+          c4Columns(e, minSentences).map { case (n, c) => c.as(n) } :+
+          c4CleanLines(e).as("c4_cleaned")): _*)
+    }
 }

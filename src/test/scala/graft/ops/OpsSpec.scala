@@ -3422,4 +3422,52 @@ class OpsSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("over"))
   }
+
+  test("htmlBlockMetrics: strip, anchor density, stopwords — hand-computed") {
+    val html =
+      """<html><!-- c --><head><style>p { x }</style>""" +
+        """<script>if (1 < 2) { }</script><title>T</title></head>""" +
+        """<body><h1>Doc 5 title</h1>""" +
+        """<div class="nav"><a href="/">Home</a> <a href="/a">About</a></div>""" +
+        """<p>The point of the test is that it is good.</p>""" +
+        """<p>Read the docs &amp; see &lt;tags&gt; in the text of it okay.</p>""" +
+        """</body></html>"""
+    val df = docs(1L -> html)
+    val out = df.select(explode(TextOps.htmlBlockMetrics(col("text"))).as("b"))
+      .select("b.*").orderBy("block_id").collect()
+    // blocks: h1 title (too short, no stopwords), nav (pure links),
+    // prose (good), entity prose (good — decoded)
+    assert(out.length == 4)
+    val byText = out.map(r => r.getString(1) -> r).toMap
+    val h1 = byText("Doc 5 title")
+    assert(h1.getLong(2) == 9L && h1.getLong(3) == 0L)       // n_chars, anchor
+    assert(!h1.getBoolean(6) && h1.getBoolean(7))            // len_ok, link_ok
+    assert(!h1.getBoolean(9))                                // good
+    val nav = byText("Home About")
+    assert(nav.getLong(2) == 9L && nav.getLong(3) == 9L)     // all anchor text
+    assert(!nav.getBoolean(7) && !nav.getBoolean(9))         // link_ok, good
+    val prose = byText("The point of the test is that it is good.")
+    assert(prose.getLong(2) == 32L && prose.getLong(3) == 0L)
+    assert(prose.getLong(4) == 10L && prose.getLong(5) == 7L) // words, stops
+    assert(prose.getBoolean(6) && prose.getBoolean(7) &&
+      prose.getBoolean(8) && prose.getBoolean(9))
+    // entities decoded: &amp;→&, &lt;/&gt;→<>; "the","in","the","of" stop
+    val ent = byText("Read the docs & see <tags> in the text of it okay.")
+    assert(ent.getBoolean(9))
+    // extraction keeps exactly the good blocks, newline-joined
+    val clean = df.select(TextOps.htmlExtractText(col("text")))
+      .collect()(0).getString(0)
+    assert(clean ==
+      "The point of the test is that it is good.\n" +
+        "Read the docs & see <tags> in the text of it okay.")
+    // null html: null metrics and null extraction
+    val n = docs(2L -> null).select(
+      TextOps.htmlBlockMetrics(col("text")).as("m"),
+      TextOps.htmlExtractText(col("text")).as("t")).collect()(0)
+    assert(n.isNullAt(0) && n.isNullAt(1))
+    // <particular> is NOT a block tag (the <p rule requires a boundary)
+    val p = docs(3L -> "<particular>words</particular> the text of it is all good here okay")
+      .select(size(TextOps.htmlBlockMetrics(col("text")))).collect()(0).getInt(0)
+    assert(p == 1)
+  }
 }
