@@ -201,6 +201,36 @@ object SparkEntry {
     (s.read.parquet(s"$out/weights"), s.read.parquet(s"$out/class_meta"))
   }
 
+  private def q172ModelDir(sfDir: String) =
+    s"/tmp/graft_q172_mc_${new java.io.File(sfDir).getName}"
+
+  /** Mixed-script corpus for the char-n-gram language-ID (q172): every
+    * doc gets a per-lang script tail — zh a WHITESPACE-FREE CJK run
+    * glued to the last word (the case token language-ID cannot see: the
+    * whole run plus its neighbor is ONE "word", unique per context),
+    * the Latin langs diacritic-bearing stopword tails (also exercising
+    * code-point vs byte indexing cross-engine).
+    */
+  private def scriptAugDocs(s: SparkSession, d: String) =
+    docsParallel(s, d).where(col("text").isNotNull).select(
+      col("doc_id"), col("lang"),
+      concat(col("text"),
+        when(col("lang") === "zh", lit("数据系统的处理与分析测试"))
+          .when(col("lang") === "de", lit(" über die straße größe müssen schön"))
+          .when(col("lang") === "es", lit(" el niño señor años español según"))
+          .when(col("lang") === "fr", lit(" être déjà français où ça même"))
+          .otherwise(lit(" the quick brown fox jumps over the lazy dog")))
+        .as("t"))
+
+  private def charNgramMaterialized(
+      s: SparkSession, d: String, out: String): (DataFrame, DataFrame) = {
+    val model = graft.ops.LangModel.trainMulticlassClassifierChars(
+      scriptAugDocs(s, d).where(col("doc_id") % 3 =!= 0), "t", "lang", n = 3)
+    model.weights.write.mode("overwrite").parquet(s"$out/weights")
+    model.classMeta.coalesce(1).write.mode("overwrite").parquet(s"$out/class_meta")
+    (s.read.parquet(s"$out/weights"), s.read.parquet(s"$out/class_meta"))
+  }
+
   /** q107's paragraph-augmented corpus (a corpus-wide shared paragraph +
     * a %7 class paragraph), shared by q107 and the q108 index lifecycle.
     */
@@ -1175,6 +1205,19 @@ object SparkEntry {
       val (w, m) = multiclassMaterialized(s, d, q148ModelDir(d))
       graft.ops.LangModel.predictClassTables(
         Tables(s, d, "documents"), "doc_id", "text", w, m)
+        .orderBy(col("doc_id"))
+    }),
+
+    // CHAR-N-GRAM language-ID (the fastText subword trick): q148's
+    // argmax over a model trained on character trigrams of the
+    // mixed-script corpus — the zh docs carry a whitespace-free CJK run
+    // the token path can only see as one OOV word, while its character
+    // windows are the script's signature. Exact integer scoring; the
+    // oracle re-derives the trigrams code-point by code-point
+    "q172_charngram_langid" -> ((s, d) => {
+      val (w, m) = charNgramMaterialized(s, d, q172ModelDir(d))
+      graft.ops.LangModel.predictClassCharsTables(
+        scriptAugDocs(s, d), "doc_id", "t", 3, w, m)
         .orderBy(col("doc_id"))
     }),
 
@@ -3267,6 +3310,48 @@ object SparkEntry {
         |p AS (
         |  SELECT doc_id, cls, sum(weight)::BIGINT AS wp, count(*)::BIGINT AS np
         |  FROM t JOIN w USING (token) GROUP BY doc_id, cls
+        |),
+        |s AS (
+        |  SELECT n.doc_id, m.cls,
+        |    (m.prior + coalesce(p.wp, 0)
+        |      + (n.n_toks - coalesce(p.np, 0)) * m.absent_weight)::BIGINT AS score
+        |  FROM n CROSS JOIN m
+        |  LEFT JOIN p ON p.doc_id = n.doc_id AND p.cls = m.cls
+        |),
+        |r AS (
+        |  SELECT doc_id, cls, score,
+        |    row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
+        |  FROM s
+        |)
+        |SELECT doc_id, cls, score FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // q148's scoring/argmax replayed over character TRIGRAMS of the
+    // script-augmented corpus: substr code-point windows (DuckDB range is
+    // stop-exclusive: i ∈ [1, len-2] ⇒ len-2 trigrams, matching the
+    // kernel's len-n+1)
+    "q172_charngram_langid" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || CASE lang
+        |      WHEN 'zh' THEN '数据系统的处理与分析测试'
+        |      WHEN 'de' THEN ' über die straße größe müssen schön'
+        |      WHEN 'es' THEN ' el niño señor años español según'
+        |      WHEN 'fr' THEN ' être déjà français où ça même'
+        |      ELSE ' the quick brown fox jumps over the lazy dog' END AS t
+        |  FROM documents WHERE text IS NOT NULL
+        |), tk AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, length(t) - 1),
+        |      i -> substr(t, cast(i AS INT), 3))) AS token
+        |  FROM aug
+        |),
+        |n AS (SELECT doc_id, count(*)::BIGINT AS n_toks FROM tk GROUP BY doc_id),
+        |w AS (SELECT * FROM read_parquet('/tmp/graft_q172_mc_sf0.01/weights/*.parquet')),
+        |m AS (SELECT * FROM read_parquet('/tmp/graft_q172_mc_sf0.01/class_meta/*.parquet')),
+        |p AS (
+        |  SELECT doc_id, cls, sum(weight)::BIGINT AS wp, count(*)::BIGINT AS np
+        |  FROM tk JOIN w USING (token) GROUP BY doc_id, cls
         |),
         |s AS (
         |  SELECT n.doc_id, m.cls,

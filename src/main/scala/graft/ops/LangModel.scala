@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-trained scoring models for training-data curation: a multinomial
@@ -284,12 +284,41 @@ object LangModel {
       labeled: DataFrame,
       textCol: String,
       classCol: String,
-      microNats: Long = 1000000L): MulticlassClassifier = {
+      microNats: Long = 1000000L): MulticlassClassifier =
+    trainMulticlassTok(labeled, textCol, classCol, microNats,
+      TextOps.wsTokens)
+
+  /** [[trainMulticlassClassifier]] over character `n`-grams instead of
+    * whitespace tokens — the fastText subword trick (Joulin et al. 2016,
+    * public) that makes language-ID robust to WHITESPACE-FREE scripts:
+    * a CJK/Thai sentence tokenizes to one giant "word" the token model
+    * can only treat as OOV, while its character windows are the script's
+    * signature. N-grams come from the native [[Dedup.charNgrams]] kernel
+    * (code-point windows, spaces included — word-boundary context is
+    * signal); same integer quantization, so scoring stays hash-exact.
+    * The token path remains the default for space-delimited corpora
+    * (fewer, more discriminative features).
+    */
+  def trainMulticlassClassifierChars(
+      labeled: DataFrame,
+      textCol: String,
+      classCol: String,
+      n: Int = 3,
+      microNats: Long = 1000000L): MulticlassClassifier =
+    trainMulticlassTok(labeled, textCol, classCol, microNats,
+      Dedup.charNgrams(_, n))
+
+  private def trainMulticlassTok(
+      labeled: DataFrame,
+      textCol: String,
+      classCol: String,
+      microNats: Long,
+      tokensOf: Column => Column): MulticlassClassifier = {
     val lab = labeled.where(col(classCol).isNotNull)
       .withColumn("__cls", col(classCol).cast("string"))
     val counts = Materialize.eager(
       lab.select(col("__cls").as("cls"),
-        explode(TextOps.wsTokens(col(textCol))).as("token"))
+        explode(tokensOf(col(textCol))).as("token"))
         .groupBy("cls", "token").agg(count(lit(1)).as("__c")))
     val v = counts.select("token").distinct().count()
     require(v > 0, "trainMulticlassClassifier: corpus has no tokens")
@@ -337,9 +366,32 @@ object LangModel {
       idCol: String,
       textCol: String,
       weights: DataFrame,
-      classMeta: DataFrame): DataFrame = {
+      classMeta: DataFrame): DataFrame =
+    scoreMulticlassTok(df, idCol, textCol, weights, classMeta,
+      TextOps.wsTokens)
+
+  /** [[scoreMulticlassTables]] over character `n`-grams — the scoring
+    * side of [[trainMulticlassClassifierChars]] (use the same `n`).
+    */
+  def scoreMulticlassCharsTables(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      weights: DataFrame,
+      classMeta: DataFrame): DataFrame =
+    scoreMulticlassTok(df, idCol, textCol, weights, classMeta,
+      Dedup.charNgrams(_, n))
+
+  private def scoreMulticlassTok(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weights: DataFrame,
+      classMeta: DataFrame,
+      tokensOf: Column => Column): DataFrame = {
     val toks = df.select(
-      col(idCol), explode(TextOps.wsTokens(col(textCol))).as("token"))
+      col(idCol), explode(tokensOf(col(textCol))).as("token"))
     val nTok = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_toks"))
     val present = toks.join(weights, Seq("token"))
       .groupBy(col(idCol), col("cls"))
@@ -374,9 +426,26 @@ object LangModel {
       idCol: String,
       textCol: String,
       weights: DataFrame,
-      classMeta: DataFrame): DataFrame = {
+      classMeta: DataFrame): DataFrame =
+    argmaxClass(idCol,
+      scoreMulticlassTables(df, idCol, textCol, weights, classMeta))
+
+  /** [[predictClassTables]] over character `n`-grams — argmax prediction
+    * for the char-n-gram classifier (same `n` as training).
+    */
+  def predictClassCharsTables(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      weights: DataFrame,
+      classMeta: DataFrame): DataFrame =
+    argmaxClass(idCol,
+      scoreMulticlassCharsTables(df, idCol, textCol, n, weights, classMeta))
+
+  private def argmaxClass(idCol: String, scored: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    scoreMulticlassTables(df, idCol, textCol, weights, classMeta)
+    scored
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(idCol))
           .orderBy(col("score").desc, col("cls").asc)))

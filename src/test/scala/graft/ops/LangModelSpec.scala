@@ -198,6 +198,50 @@ class LangModelSpec extends SparkSpec {
     assert(pred(11L) == "y", "OOV tie must break by class name ascending")
   }
 
+  test("char-n-gram multiclass: trigram weights exact; whitespace-free script classified") {
+    // bigram (n=2) hand fixture: class x trains "ab" → grams {ab}? no —
+    // charNgrams("ab", 2) = ["ab"]; "abc" = ["ab","bc"]. Train:
+    //   x: "abc"  → grams ab, bc            (n(x)=2)
+    //   y: "xy"   → grams xy                (n(y)=1)
+    // V = 3 (ab, bc, xy), K = 2, dAll = 2
+    val df = frame(multiSt, Row(1L, "abc", "x"), Row(2L, "xy", "y"))
+    val model = LangModel.trainMulticlassClassifierChars(df, "text", "lang", n = 2)
+    val w = model.weights.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(w(("x", "ab")) == m(math.log(2.0 / 5)))
+    assert(w(("x", "bc")) == m(math.log(2.0 / 5)))
+    assert(w(("y", "xy")) == m(math.log(2.0 / 4)))
+    assert(w.size == 3)
+    // the motivating case: a WHITESPACE-FREE doc is one token to the word
+    // path (pure OOV — scores collapse to prior + n·absent for every
+    // class), but its character windows hit the right class's grams
+    val zhLike = frame(multiSt,
+      Row(1L, "the data test ran", "en"), Row(2L, "数据系统测试", "zh"),
+      Row(3L, "the test set ran on", "en"), Row(4L, "系统分析数据", "zh"))
+    val cm = LangModel.trainMulticlassClassifierChars(zhLike, "text", "lang", n = 2)
+    val toScore = frame(struct("doc_id" -> LongType, "text" -> StringType),
+      Row(10L, "测试数据"), Row(11L, "the data set"))
+    val pred = LangModel.predictClassCharsTables(
+      toScore, "doc_id", "text", 2, cm.weights, cm.classMeta)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred(10L) == "zh")
+    assert(pred(11L) == "en")
+    // the TOKEN model on the same training data cannot separate the
+    // whitespace-free doc: "测试数据" is one never-seen word, so every
+    // class scores prior + absent and the tie breaks alphabetically
+    val tok = LangModel.trainMulticlassClassifier(zhLike, "text", "lang")
+    val tokScores = LangModel.scoreMulticlass(
+      frame(struct("doc_id" -> LongType, "text" -> StringType),
+        Row(10L, "测试数据")), "doc_id", "text", tok)
+      .collect().map(r => r.getString(1) -> r.getLong(r.fieldIndex("n_hit"))).toMap
+    assert(tokScores.values.forall(_ == 0L), "token path must be fully OOV here")
+    // doc shorter than n yields no grams → absent from char scoring
+    val short = LangModel.scoreMulticlassCharsTables(
+      frame(struct("doc_id" -> LongType, "text" -> StringType), Row(20L, "q")),
+      "doc_id", "text", 2, cm.weights, cm.classMeta).count()
+    assert(short == 0L)
+  }
+
   test("predictColumn: per-row argmax ≡ predictClass; prior-tie on empty; null on null") {
     val df = frame(multiSt,
       Row(1L, "a a b", "x"), Row(2L, "a c", "y"), Row(3L, "c c", "z"))
