@@ -675,6 +675,63 @@ object StreamingOps {
     newStream.where(
       !graft.ops.TextOps.blockedByPhrase(col(textCol), phrases))
 
+  /** The end-to-end curation composition as a stream — the streaming
+    * twin of the batch screen→waterfill chain (q160): each micro-batch
+    * is (1) SCREENED against the phrase blocklist (stateless per-row
+    * codegen, each document screened exactly once on arrival), (2) its
+    * survivors appended to the `stagingPath` parquet corpus, and (3)
+    * every `remixEvery` batches the standing survivors are RE-MIXED with
+    * the exact waterfill allocation into a fresh `mixPath` snapshot.
+    * After the stream drains, the snapshot equals the batch chain run
+    * over everything that arrived — the mix is a pure function of the
+    * accumulated survivor set (exact BigInt quotas + md5-order per-source
+    * prefixes, no arrival-order dependence).
+    *
+    * The re-mix is deliberately a SNAPSHOT recompute, not an incremental
+    * fold: a waterfill is a global allocation (one source's surplus
+    * spills to the others), so any new arrival can move every quota —
+    * there is no per-row incremental form. It reads only (source, key)
+    * — never text — so the periodic pass stays narrow at corpus scale;
+    * size `remixEvery` to taste (a daily re-mix over 100 TB of ids is
+    * one aggregate + K-source driver fixpoint + one semi-join take).
+    * Screening is never repeated: standing survivors re-enter only the
+    * mix, not the blocklist.
+    *
+    * At-least-once caveat (same as [[appendSizedShardsStream]]): a
+    * replayed batch would re-append its survivors to staging — pair with
+    * an upstream dedup screen, or stage into an id-guarded sized-shard
+    * log, when the source can replay.
+    */
+  def curationMixStream(
+      newStream: DataFrame,
+      textCol: String,
+      idCol: String,
+      sourceCol: String,
+      phrases: Seq[String],
+      weights: Map[String, Long],
+      budget: Long,
+      stagingPath: String,
+      mixPath: String,
+      remixEvery: Int = 1): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(remixEvery >= 1, s"remixEvery must be >= 1, got $remixEvery")
+    newStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val survivors = graft.ops.TextOps.filterBlocklisted(
+          batch.toDF(), textCol, phrases)
+        if (!survivors.isEmpty)
+          survivors.write.mode("append").parquet(stagingPath)
+        if (batchId % remixEvery == 0) {
+          val spark = batch.sparkSession
+          val fs = graft.ops.EpochStore.hadoopFs(spark, stagingPath)
+          if (fs.exists(new org.apache.hadoop.fs.Path(stagingPath)))
+            graft.ops.Sampling.takeWaterfillMix(
+              spark.read.parquet(stagingPath), sourceCol, idCol,
+              weights, budget)
+              .write.mode("overwrite").parquet(mixPath)
+        }
+    }
+  }
+
   /** Fold each micro-batch of newly LABELED documents into the standing
     * classifier index ([[graft.ops.LangModel.writeClassifierIndex]]) —
     * the seventh lifecycle's streaming form: the quality model keeps

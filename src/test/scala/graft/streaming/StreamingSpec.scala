@@ -678,6 +678,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batched && streamed == Set(1L, 4L, 5L))
   }
 
+  test("streaming curation composition: screen → staged survivors → re-mix ≡ batch chain") {
+    val st = struct(
+      "doc_id" -> LongType, "text" -> StringType, "source" -> StringType)
+    // three sources; srcA over-weighted so its surplus spills; planted
+    // blocklist hits in every micro-batch
+    def rowsOf(ids: Range) = ids.map { i =>
+      val src = s"src${i % 3}"
+      val text = if (i % 4 == 0) s"doc $i has a vector inside"
+        else s"clean document number $i words"
+      Row(i.toLong, text, src)
+    }
+    val all = rowsOf(1 to 30)
+    val inDir = Files.createTempDirectory("graft-cur-in").toString
+    Seq(all.slice(0, 10), all.slice(10, 20), all.slice(20, 30)).foreach { rs =>
+      frame(st, rs: _*).coalesce(1).write.mode("append").parquet(inDir)
+      Thread.sleep(5)
+    }
+    val staging = Files.createTempDirectory("graft-cur-st").toString + "/staging"
+    val mix = Files.createTempDirectory("graft-cur-mx").toString + "/mix"
+    val weights = Map("src0" -> 10L, "src1" -> 1L, "src2" -> 1L)
+    val q = StreamingOps.curationMixStream(
+      spark.readStream.schema(st).option("maxFilesPerTrigger", "1").parquet(inDir),
+      "text", "doc_id", "source", Seq("vector"), weights, budget = 12L,
+      staging, mix)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cur-ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // the drained snapshot ≡ the batch chain over everything that arrived
+    val streamed = spark.read.parquet(mix)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batchChain = graft.ops.Sampling.takeWaterfillMix(
+      graft.ops.TextOps.filterBlocklisted(frame(st, all: _*), "text", Seq("vector")),
+      "source", "doc_id", weights, budget = 12L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batchChain)
+    assert(streamed.size == 12)
+    // no blocked doc survived the screen into staging
+    val staged = spark.read.parquet(staging)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(staged == (1 to 30).filterNot(_ % 4 == 0).map(_.toLong).toSet)
+  }
+
   test("streaming sized-shard log append ≡ sequential batch appends; replay is loud") {
     val st = struct("id" -> LongType, "w" -> LongType)
     val base = frame(st, (1L to 12L).map(i => Row(i, 5L)): _*)
