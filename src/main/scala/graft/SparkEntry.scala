@@ -1589,6 +1589,50 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // SITE-level boilerplate strip (the cross-PAGE chrome signal a
+    // single-page extractor can't see): every source plants a per-source
+    // footer paragraph — repeated across the source's docs, stripped
+    // from ALL of them (no keep-first); the %97 syndicated paragraph's
+    // fate is whatever the same ≥2-docs-per-domain rule decides at this
+    // scale, recomputed identically by the oracle
+    "q173_boilerplate_strip" -> ((s, d) => {
+      val docs = docsParallel(s, d).select(
+        col("doc_id"), col("source"),
+        concat(col("text"), lit("\n\nfooter for "), col("source"),
+          when(col("doc_id") % 97 === 0, lit("\n\nsyndicated quote para"))
+            .otherwise(lit(""))).as("t"))
+      graft.ops.Dedup.stripBoilerplateParagraphs(
+        docs, "source", "doc_id", "t")
+        .select(col("doc_id"), col("cleaned"), col("n_paras"),
+          col("n_kept_paras"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // URL DOMAIN blocklist screen (the C4/Dolma first gate — drop whole
+    // domains before reading a byte): synthesized hosts exercise exact /
+    // subdomain / www / port / userinfo matches and the substring +
+    // TLD-prefix NON-matches; host + verdict hash against the same
+    // string pipeline in DuckDB
+    "q174_domain_screen" -> ((s, d) => {
+      val blockedDomains = Seq("badsite.com", "ads.example.org")
+      val docs = Tables(s, d, "documents").select(col("doc_id"))
+        .withColumn("url",
+          when(col("doc_id") % 5 === 0,
+            concat(lit("https://spam"), (col("doc_id") % 3).cast("string"),
+              lit(".badsite.com/p/"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 5 === 1, lit("https://WWW.BadSite.com/x"))
+          .when(col("doc_id") % 5 === 2, lit("https://notbadsite.com/x"))
+          .when(col("doc_id") % 5 === 3,
+            lit("https://user@ads.example.org:8080/track"))
+          .otherwise(concat(lit("http://ok"),
+            (col("doc_id") % 7).cast("string"), lit(".org/y"))))
+      docs.select(col("doc_id"),
+          graft.ops.TextOps.urlHost(col("url")).as("host"),
+          graft.ops.TextOps.urlDomainBlocked(col("url"), blockedDomains)
+            .as("blocked"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q138_bpe_word_histogram" -> ((s, d) => {
       graft.ops.TextOps.preTokenHistogram(Tables(s, d, "documents"), "text")
         .select(col("word"), col("n"))
@@ -4145,6 +4189,82 @@ object SparkEntry {
         |  CASE WHEN extracted IS NULL THEN NULL
         |       ELSE array_to_string(kept, chr(10)) END AS c4_cleaned
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // per-(domain, paragraph) distinct-doc counts decide boilerplate;
+    // the oracle groups by the paragraph TEXT (same classes as the md5
+    // the Spark side shuffles) and rebuilds docs positionally
+    "q173_boilerplate_strip" ->
+      """WITH d AS (
+        |  SELECT doc_id, source AS dom,
+        |    text || chr(10) || chr(10) || 'footer for ' || source
+        |      || CASE WHEN doc_id % 97 = 0
+        |           THEN chr(10) || chr(10) || 'syndicated quote para'
+        |           ELSE '' END AS t
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, dom,
+        |    unnest(string_split_regex(t, '(?:\r?\n){2,}')) AS para,
+        |    unnest(generate_series(0,
+        |      len(string_split_regex(t, '(?:\r?\n){2,}')) - 1)) AS pos
+        |  FROM d WHERE t IS NOT NULL
+        |), b AS (
+        |  SELECT dom, para FROM p
+        |  GROUP BY dom, para HAVING count(DISTINCT doc_id) >= 2
+        |), k AS (
+        |  SELECT p.doc_id, p.pos, p.para
+        |  FROM p LEFT JOIN b ON b.dom = p.dom AND b.para = p.para
+        |  WHERE b.para IS NULL
+        |), r AS (
+        |  SELECT doc_id,
+        |    array_to_string(list(para ORDER BY pos), chr(10) || chr(10))
+        |      AS cleaned,
+        |    cast(count(*) AS BIGINT) AS n_kept
+        |  FROM k GROUP BY doc_id
+        |), np AS (
+        |  SELECT doc_id,
+        |    cast(len(string_split_regex(t, '(?:\r?\n){2,}')) AS BIGINT)
+        |      AS n_paras
+        |  FROM d WHERE t IS NOT NULL
+        |)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.t IS NULL THEN NULL
+        |       ELSE coalesce(r.cleaned, '') END AS cleaned,
+        |  coalesce(np.n_paras, 0) AS n_paras,
+        |  coalesce(r.n_kept, 0) AS n_kept_paras
+        |FROM d
+        |LEFT JOIN r ON r.doc_id = d.doc_id
+        |LEFT JOIN np ON np.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // the same host pipeline (scheme → userinfo → port strip, lowercase)
+    // + exact-or-dot-suffix domain match
+    "q174_domain_screen" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN doc_id % 5 = 0 THEN 'https://spam'
+        |        || cast(doc_id % 3 AS VARCHAR) || '.badsite.com/p/'
+        |        || cast(doc_id AS VARCHAR)
+        |      WHEN doc_id % 5 = 1 THEN 'https://WWW.BadSite.com/x'
+        |      WHEN doc_id % 5 = 2 THEN 'https://notbadsite.com/x'
+        |      WHEN doc_id % 5 = 3 THEN 'https://user@ads.example.org:8080/track'
+        |      ELSE 'http://ok' || cast(doc_id % 7 AS VARCHAR) || '.org/y'
+        |    END AS url
+        |  FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(
+        |      regexp_replace(
+        |        regexp_replace(trim(url), '(?i)^https?://', ''),
+        |        '^[^/?#@]*@', ''),
+        |      '^[^/?#:]*')) AS host
+        |  FROM d
+        |)
+        |SELECT doc_id, host,
+        |  (host = 'badsite.com' OR ends_with(host, '.badsite.com')
+        |    OR host = 'ads.example.org' OR ends_with(host, '.ads.example.org'))
+        |    AS blocked
+        |FROM h ORDER BY doc_id""".stripMargin,
 
     "q138_bpe_word_histogram" ->
       """WITH w AS (

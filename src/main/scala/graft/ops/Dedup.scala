@@ -138,6 +138,56 @@ object Dedup {
     attachKeptParagraphs(corpus, keepPos, idCol, textCol)
   }
 
+  /** SITE-level boilerplate removal — the complement of
+    * [[dedupParagraphs]] for the "same nav/footer on every page of a
+    * site" problem that survives per-page HTML extraction (the
+    * cross-PAGE signal jusText/trafilatura-class extractors cannot see
+    * from one page): a paragraph occurring in at least `minDocs`
+    * DISTINCT documents of the SAME `domainCol` group is boilerplate and
+    * is removed from EVERY document — including the first copy; unlike
+    * dedup's keep-first election, site chrome has no copy worth keeping.
+    * Cross-domain repeats are untouched (a quote syndicated across sites
+    * is content, not chrome — run corpus-wide [[dedupParagraphs]] after
+    * this for those). Null domains form one "unknown site" group. Output
+    * shape matches [[dedupParagraphs]] (`cleaned`, `n_paras`,
+    * `n_kept_paras`).
+    *
+    * Plan shape for 100 TB: the verdict moves only (domain, 16-byte
+    * hash, id, pos) through one (domain, hash)-keyed aggregate; the
+    * boilerplate set is chrome-sized and joins back anti on the same
+    * keys; paragraph text never shuffles except the final per-doc attach
+    * of the surviving position arrays.
+    */
+  def stripBoilerplateParagraphs(
+      corpus: DataFrame,
+      domainCol: String,
+      idCol: String,
+      textCol: String,
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2,
+      s"minDocs must be >= 2 (1 would strip every paragraph), got $minDocs")
+    val occ = corpus.select(
+        col(domainCol).as("__dom"), col(idCol),
+        posexplode(split(col(textCol), ParaSep)).as(Seq("__pos", "__para")))
+      .select(col("__dom"), col(idCol), col("__pos"),
+        md5(col("__para").cast("binary")).as("__h"))
+    // boiler derives FROM occ — rename its keys so the anti-join
+    // condition can't resolve both sides to the same attribute (the
+    // self-join trap: '__h == __h' is trivially true and drops all)
+    val boiler = occ.groupBy(col("__dom"), col("__h"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .where(col("__nd") >= minDocs)
+      .select(col("__dom").as("__bdom"), col("__h").as("__bh"))
+    // null-safe domain key: a null domain must match the boilerplate rows
+    // it produced (plain === would drop the whole unknown-site group)
+    val keepPos = occ.join(boiler,
+        col("__dom") <=> col("__bdom") && col("__h") === col("__bh"),
+        "left_anti")
+      .groupBy(col(idCol))
+      .agg(collect_list(col("__pos")).as("__keep"))
+    attachKeptParagraphs(corpus, keepPos, idCol, textCol)
+  }
+
   /** Blank-line paragraph separator shared by every paragraph op —
     * tolerates Windows CRLF line endings (a real crawl mixes both), and
     * the non-capturing group splits identically under Java regex and RE2,

@@ -1056,6 +1056,49 @@ object TextOps {
       phrases: Seq[String]): org.apache.spark.sql.DataFrame =
     df.where(!blockedByPhrase(col(textCol), phrases))
 
+  /** The URL's host, canonicalized for domain screening: scheme and
+    * userinfo stripped, lowercased, port dropped. A bare string without a
+    * scheme is treated as starting at its host (the [[normalizeUrl]]
+    * convention). Null stays null.
+    */
+  def urlHost(url: Column): Column = {
+    val noScheme = regexp_replace(trim(url), "(?i)^https?://", "")
+    val noUser = regexp_replace(noScheme, "^[^/?#@]*@", "")
+    lower(regexp_extract(noUser, "^[^/?#:]*", 0))
+  }
+
+  /** URL domain-blocklist screen (the C4/Dolma companion to the phrase
+    * blocklist — crawl pipelines drop whole domains before reading a
+    * byte of content): true iff [[urlHost]] IS a blocked domain or a
+    * SUBDOMAIN of one (`news.example.com` matches `example.com`; a
+    * `www.` host matches its bare domain by the same suffix rule —
+    * substring matches like `notexample.com` never do). Pure codegen
+    * over a normalized literal list, zero shuffle, stream-safe; same
+    * [[MaxBlocklistEntries]] bound as the phrase screen. Null url is NOT
+    * blocked — screen nulls separately.
+    */
+  def urlDomainBlocked(url: Column, domains: Seq[String]): Column = {
+    val norm = domains.map(_.trim.toLowerCase.stripPrefix("www."))
+      .filter(_.nonEmpty).distinct.sorted
+    require(norm.nonEmpty, "domain blocklist is empty after normalization")
+    require(norm.length <= MaxBlocklistEntries,
+      s"domain blocklist has ${norm.length} entries, over " +
+        s"$MaxBlocklistEntries — a list this large should be a " +
+        "host-keyed join, not a plan literal")
+    val host = urlHost(url)
+    size(filter(typedlit(norm),
+      d => host === d || host.endsWith(concat(lit("."), d)))) > 0
+  }
+
+  /** Drop every row whose `urlCol` hits the domain blocklist. Null-url
+    * rows are KEPT (see [[urlDomainBlocked]]).
+    */
+  def filterBlockedDomains(
+      df: org.apache.spark.sql.DataFrame,
+      urlCol: String,
+      domains: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.where(!urlDomainBlocked(col(urlCol), domains))
+
   // ---- HTML → text extraction (the step BEFORE every text screen) ----
   //
   // A crawl pipeline's first transform: strip markup and classify text

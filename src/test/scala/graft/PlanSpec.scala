@@ -128,6 +128,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"blocklist screen must not join:\n$p")
   }
 
+  test("html extraction is fused per-row codegen — zero exchanges, no join") {
+    val docs = Tables(spark, dir, "documents")
+    val p = plan(docs.select(col("doc_id"),
+      ops.TextOps.htmlExtractC4(col("text")).as("r")))
+    assert(!p.contains("Exchange"), s"html extraction must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"html extraction must not join:\n$p")
+    // the block-metrics explode form is a fused generator, also exchange-free
+    val pb = plan(docs.select(col("doc_id"),
+      explode(ops.TextOps.htmlBlockMetrics(col("text"))).as("b")))
+    assert(!pb.contains("Exchange"), s"block metrics must not shuffle:\n$pb")
+  }
+
   test("concat-chunk packing plan shuffles exactly once (the group window)") {
     val p = plan(ops.Packing.concatChunkPlan(
       Tables(spark, dir, "documents"), "doc_id", "text", capacity = 256, nGroups = 8))

@@ -3423,6 +3423,78 @@ class OpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("over"))
   }
 
+  test("stripBoilerplateParagraphs: site chrome removed everywhere, cross-domain kept") {
+    val st = struct(
+      "doc_id" -> LongType, "dom" -> StringType, "text" -> StringType)
+    val df = frame(st,
+      Row(1L, "a.com", "unique one\n\nshared footer A\n\nsyndicated quote"),
+      Row(2L, "a.com", "unique two\n\nshared footer A"),
+      Row(3L, "b.com", "unique three\n\nsyndicated quote"),
+      Row(4L, "b.com", "unique four"),
+      Row(5L, null, "null-dom one\n\nnull-dom chrome"),
+      Row(6L, null, "null-dom chrome\n\nnull-dom two"),
+      Row(7L, "c.com", null))
+    val out = Dedup.stripBoilerplateParagraphs(df, "dom", "doc_id", "text")
+      .select("doc_id", "cleaned", "n_paras", "n_kept_paras").collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) null else r.getString(1)),
+          r.getLong(2), r.getLong(3))).toMap
+    // footer A repeats in 2 docs of a.com → stripped from BOTH (no
+    // keep-first); the syndicated quote appears once per domain → kept
+    assert(out(1L) == (("unique one\n\nsyndicated quote", 3L, 2L)))
+    assert(out(2L) == (("unique two", 2L, 1L)))
+    assert(out(3L) == (("unique three\n\nsyndicated quote", 2L, 2L)))
+    assert(out(4L) == (("unique four", 1L, 1L)))
+    // null domains form one group — their shared chrome strips too
+    assert(out(5L) == (("null-dom one", 2L, 1L)))
+    assert(out(6L) == (("null-dom two", 2L, 1L)))
+    // null text stays null
+    assert(out(7L) == ((null, 0L, 0L)))
+    // minDocs raises the bar: at 3 nothing in this corpus is boilerplate
+    val at3 = Dedup.stripBoilerplateParagraphs(df, "dom", "doc_id", "text", minDocs = 3)
+      .agg(sum(col("n_paras") - col("n_kept_paras"))).collect()(0).getLong(0)
+    assert(at3 == 0L)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.stripBoilerplateParagraphs(df, "dom", "doc_id", "text", minDocs = 1)
+    }
+    assert(e.getMessage.contains(">= 2"))
+  }
+
+  test("urlDomainBlocked: exact host, subdomain, www, port; substrings never match") {
+    val st = struct("id" -> LongType, "url" -> StringType)
+    val df = frame(st,
+      Row(1L, "https://example.com/page"),          // exact
+      Row(2L, "http://news.example.com/a?b=1"),     // subdomain
+      Row(3L, "https://WWW.Example.com/"),          // www + case
+      Row(4L, "https://example.com:8080/x"),        // port
+      Row(5L, "https://notexample.com/x"),          // substring must NOT match
+      Row(6L, "https://example.community/x"),       // TLD prefix must NOT match
+      Row(7L, "https://user@example.com/x"),        // userinfo
+      Row(8L, "example.com/bare"),                  // schemeless
+      Row(9L, "https://other.org/x"),
+      Row(10L, null))                               // null kept
+    val blocked = df.select(col("id"),
+        TextOps.urlDomainBlocked(col("url"), Seq("Example.com", "www.dup.com")).as("b"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else Boolean.box(r.getBoolean(1)))).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 7L, 8L).forall(blocked(_) == true))
+    // null url: the literal-array filter drops every element under a null
+    // predicate → empty hits → NOT blocked (false, not null)
+    assert(Seq(5L, 6L, 9L, 10L).forall(blocked(_) == false))
+    val kept = TextOps.filterBlockedDomains(df, "url", Seq("example.com"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(5L, 6L, 9L, 10L))
+    // the www-stripped blocklist entry blocks the bare domain too
+    val dup = frame(st, Row(1L, "https://dup.com/x"), Row(2L, "https://a.dup.com/x"))
+      .select(TextOps.urlDomainBlocked(col("url"), Seq("www.dup.com")).as("b"))
+      .collect().map(_.getBoolean(0))
+    assert(dup.forall(identity))
+    val e = intercept[IllegalArgumentException] {
+      TextOps.urlDomainBlocked(col("url"), Seq("  ", ""))
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
   test("htmlBlockMetrics: strip, anchor density, stopwords — hand-computed") {
     val html =
       """<html><!-- c --><head><style>p { x }</style>""" +
