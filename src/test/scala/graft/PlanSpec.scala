@@ -279,6 +279,20 @@ class PlanSpec extends SparkSpec {
       s"bloom filter should be BELOW the join (printed after it top-down):\n$p")
   }
 
+  test("boilerplate strip shuffles (domain, hash, id, pos), never paragraph text") {
+    val docs = Tables(spark, dir, "documents")
+    val p = plan(ops.Dedup.stripBoilerplateParagraphs(
+      docs, "source", "doc_id", "text"))
+    // the per-paragraph verdict pipeline must project paragraphs down to
+    // md5 hashes before every shuffle; full text rides only the final
+    // per-doc attach of the surviving position arrays (a broadcast-able
+    // id-keyed join input, not an exchange)
+    p.split("\n").filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("__para#"), s"paragraph text reached a shuffle:\n$p")
+    }
+    assert("Exchange".r.findAllIn(p).nonEmpty)
+  }
+
   test("repeated-gram mining shuffles gram keys, never document text") {
     val p = plan(ops.Decontam.repeatedGramReport(
       Tables(spark, dir, "documents"), "doc_id", "text", n = 5))
