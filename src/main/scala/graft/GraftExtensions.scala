@@ -44,6 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity(args, 2, "hashed_shingle_set")
         HashedShingleSet(args(0), intArg(args(1), "k"))
       })
+    register(ext, "element_counts",
+      "occurrence-count map of a string array (element -> count)",
+      args => { arity(args, 1, "element_counts"); ElementCounts(args(0)) })
     register(ext, "jaccard_sorted",
       "exact Jaccard of two sorted-distinct bigint arrays",
       args => { arity(args, 2, "jaccard_sorted"); JaccardSorted(args(0), args(1)) })

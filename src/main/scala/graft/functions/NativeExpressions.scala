@@ -74,6 +74,16 @@ object native {
     */
   def hyperplaneBucket(vec: Column, planes: Int, offset: Int = 0): Column =
     GraftBridge.column(HyperplaneBucket(GraftBridge.expression(vec), planes, offset))
+
+  /** Per-row occurrence counts of a string array as a map (element →
+    * count, first-encounter key order; null elements skipped). The
+    * per-row combine for token/gram scoring: exploding the MAP moves one
+    * row per DISTINCT (doc, token) into the downstream join with NO
+    * added exchange — a shuffle-stage pre-aggregate would pay a full
+    * extra exchange for the same reduction.
+    */
+  def elementCounts(arr: Column): Column =
+    GraftBridge.column(ElementCounts(GraftBridge.expression(arr)))
 }
 
 /** Fused shingle→minhash→band kernel. One pass over the shingles; for each
@@ -358,6 +368,60 @@ case class HyperplaneBucket(child: Expression, planes: Int, offset: Int = 0)
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
     copy(child = newChild)
+}
+
+/** Occurrence-count map of a string array — the [[ElementCounts]] kernel.
+  * LinkedHashMap keeps first-encounter order, so the map (and anything
+  * exploded from it) is a deterministic function of the array.
+  */
+case class ElementCounts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${t.sql}")
+  }
+  override def dataType: DataType =
+    MapType(StringType, LongType, valueContainsNull = false)
+  override def prettyName: String = "element_counts"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GramUtil.elementCounts(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramUtil.elementCounts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ElementCounts =
+    copy(child = newChild)
+}
+
+object GramUtil {
+  def elementCounts(arr: ArrayData): org.apache.spark.sql.catalyst.util.MapData = {
+    val n = arr.numElements()
+    val m = new java.util.LinkedHashMap[UTF8String, java.lang.Long](n * 2)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val k = arr.getUTF8String(i)
+        val prev = m.get(k)
+        m.put(k, java.lang.Long.valueOf(
+          if (prev == null) 1L else prev.longValue() + 1L))
+      }
+      i += 1
+    }
+    val keys = new Array[AnyRef](m.size)
+    val vals = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = e.getKey
+      vals(j) = e.getValue.longValue()
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      new GenericArrayData(keys), new GenericArrayData(vals))
+  }
 }
 
 object TextUtil {

@@ -3423,6 +3423,37 @@ class OpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("over"))
   }
 
+  test("elementCounts kernel: per-row histogram, null elements skipped, SQL form") {
+    val st = struct("id" -> LongType, "toks" -> ArrayType(StringType))
+    val df = frame(st,
+      Row(1L, Seq("a", "b", "a", "a", null, "b")),
+      Row(2L, Seq.empty[String]),
+      Row(3L, null))
+    val m = df.select(col("id"),
+        graft.functions.native.elementCounts(col("toks")).as("m"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getMap[String, Long](1))).toMap
+    assert(m(1L) == Map("a" -> 3L, "b" -> 2L))
+    assert(m(2L) == Map.empty[String, Long])
+    assert(m(3L) == null)
+    // exploding the map ≡ the explode-then-group form, with no aggregate
+    val viaKernel = df.select(col("id"),
+        explode(graft.functions.native.elementCounts(col("toks")))
+          .as(Seq("t", "c")))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val viaGroup = df.select(col("id"), explode(col("toks")).as("t"))
+      .where(col("t").isNotNull)
+      .groupBy("id", "t").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(viaKernel == viaGroup)
+    // registered SQL form
+    df.createOrReplaceTempView("ec_docs")
+    val sql = spark.sql(
+      "SELECT id, element_counts(toks) AS m FROM ec_docs WHERE id = 1")
+      .collect()(0).getMap[String, Long](1)
+    assert(sql == Map("a" -> 3L, "b" -> 2L))
+  }
+
   test("stripBoilerplateParagraphs: site chrome removed everywhere, cross-domain kept") {
     val st = struct(
       "doc_id" -> LongType, "dom" -> StringType, "text" -> StringType)
