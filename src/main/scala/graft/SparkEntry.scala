@@ -1608,6 +1608,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // SEQUENTIAL screen funnel (the C4-paper Table-1 shape: how much
+    // each successive filter removes): per-source n_docs → after gopher
+    // → after C4 page rules → after blocklist, exact integers over the
+    // q164-augmented corpus so every stage has real casualties; the
+    // monotone survival counts hash against the combined q168/q164/q160
+    // oracle machinery
+    "q175_curation_funnel" -> ((s, d) => {
+      val aug = Tables(s, d, "documents").withColumn("t",
+        concat(col("text"),
+          lit("\nThis is a proper sentence with seven words."),
+          lit("\nHere is another proper sentence for the page."),
+          lit("\nA third proper sentence closes the page here."),
+          when(col("doc_id") % 5 === 0,
+            lit("\nLorem ipsum dolor sit amet here today.")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nThe config is { nested } here okay.")).otherwise(lit(""))))
+      graft.ops.TextOps.curationFunnel(aug, "source", "t", q154Blocklist)
+        .orderBy(col("source"))
+    }),
+
     // URL DOMAIN blocklist screen (the C4/Dolma first gate — drop whole
     // domains before reading a byte): synthesized hosts exercise exact /
     // subdomain / www / port / userinfo matches and the substring +
@@ -4235,6 +4255,69 @@ object SparkEntry {
         |LEFT JOIN r ON r.doc_id = d.doc_id
         |LEFT JOIN np ON np.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q168's gopher integers + q164's kept-lines/page verdicts + q160's
+    // padded-token blocklist form, conjoined sequentially per source
+    "q175_curation_funnel" ->
+      """WITH a AS (
+        |  SELECT doc_id, source,
+        |    text || chr(10) || 'This is a proper sentence with seven words.'
+        |      || chr(10) || 'Here is another proper sentence for the page.'
+        |      || chr(10) || 'A third proper sentence closes the page here.'
+        |      || CASE WHEN doc_id % 5 = 0
+        |           THEN chr(10) || 'Lorem ipsum dolor sit amet here today.'
+        |           ELSE '' END
+        |      || CASE WHEN doc_id % 7 = 0
+        |           THEN chr(10) || 'The config is { nested } here okay.'
+        |           ELSE '' END AS t
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT source, t,
+        |    list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS w,
+        |    list_filter(string_split(t, chr(10)), x -> trim(x) <> '') AS l
+        |  FROM a
+        |), m AS (
+        |  SELECT source, t,
+        |    cast(len(w) AS BIGINT) AS nw,
+        |    cast(coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT) AS sumlen,
+        |    cast(len(regexp_extract_all(t, '#|…|\.\.\.')) AS BIGINT) AS nsym,
+        |    cast(len(l) AS BIGINT) AS nl,
+        |    cast(len(list_filter(l, x -> regexp_matches(trim(x), '^[•\-\*]'))) AS BIGINT) AS nbul,
+        |    cast(len(list_filter(l, x -> regexp_matches(trim(x), '(…|\.\.\.)$'))) AS BIGINT) AS nell,
+        |    cast(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS nalpha,
+        |    cast(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(w, s))) AS BIGINT) AS nstop,
+        |    len(list_filter(string_split(t, chr(10)), x ->
+        |      len(list_filter(string_split_regex(x, '\s+'), y -> y <> '')) >= 5
+        |      AND regexp_matches(trim(x), '[.!?]["”]?$'))) AS nkept,
+        |    contains(lower(t), 'lorem ipsum') AS lorem,
+        |    contains(t, '{') AS brace,
+        |    ' ' || array_to_string(list_filter(
+        |      string_split_regex(lower(t), '\s+'), x -> x <> ''), ' ')
+        |      || ' ' AS norm
+        |  FROM s1
+        |), v AS (
+        |  SELECT source, t IS NULL AS tnull,
+        |    (t IS NOT NULL AND nw >= 50 AND nw <= 100000
+        |      AND nw > 0 AND sumlen >= nw * 3 AND sumlen <= nw * 10
+        |      AND nsym * 10 <= nw AND nbul * 10 <= nl * 9
+        |      AND nell * 10 <= nl * 3 AND nalpha * 5 >= nw * 4
+        |      AND nstop >= 2) AS g,
+        |    (t IS NOT NULL AND NOT lorem AND NOT brace AND nkept >= 3) AS c,
+        |    (t IS NULL OR NOT (contains(norm, ' vector ')
+        |      OR contains(norm, ' customer query ')
+        |      OR contains(norm, ' slow filter ')
+        |      OR contains(norm, ' fast table value ')
+        |      OR contains(norm, ' window merge '))) AS b
+        |  FROM m
+        |)
+        |SELECT source,
+        |  cast(count(*) AS BIGINT) AS n_docs,
+        |  cast(sum(CASE WHEN tnull THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  cast(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_after_gopher,
+        |  cast(sum(CASE WHEN g AND c THEN 1 ELSE 0 END) AS BIGINT) AS n_after_c4,
+        |  cast(sum(CASE WHEN g AND c AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_after_all
+        |FROM v GROUP BY source ORDER BY source""".stripMargin,
 
     // the same host pipeline (scheme → userinfo → port strip, lowercase)
     // + exact-or-dot-suffix domain match

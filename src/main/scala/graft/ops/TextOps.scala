@@ -282,6 +282,59 @@ object TextOps {
     when(text.isNull, lit(null).cast("string"))
       .otherwise(concat_ws("\n", c4KeptLines(text, minWords)))
 
+  /** C4 page-level PASS — the conjunction of [[c4Columns]]: no "lorem
+    * ipsum", no brace, at least `minSentences` kept lines. Null text
+    * yields null.
+    */
+  def c4PagePass(text: Column, minSentences: Int = 3): Column = {
+    val v = c4Columns(text, minSentences).toMap
+    !v("has_lorem") && !v("has_brace") && v("enough_sentences")
+  }
+
+  /** First FAILING stage of the standard screen chain, in pipeline order
+    * — 'gopher' → 'c4' → 'blocklist', 'pass' when all three hold, null
+    * on null text. The per-document diagnosis column curation dashboards
+    * key on ("why did this doc drop?").
+    */
+  def curationFirstFail(
+      text: Column, phrases: Seq[String], minSentences: Int = 3): Column =
+    when(text.isNull, lit(null).cast("string"))
+      .when(!gopherPass(text), "gopher")
+      .when(!c4PagePass(text, minSentences), "c4")
+      .when(blockedByPhrase(text, phrases), "blocklist")
+      .otherwise("pass")
+
+  /** Per-stratum SEQUENTIAL screen funnel — the drop-accounting table
+    * every curation paper publishes (C4's Table 1 shape: how much does
+    * each successive filter remove): `n_docs`, `n_null`, then the
+    * monotone survival counts `n_after_gopher` ≥ `n_after_c4` ≥
+    * `n_after_all` (gopher → C4 page rules → phrase blocklist, each
+    * conjoined with the stages before it). All exact integer counts from
+    * ONE pass over the scan — the verdicts are pure codegen Columns, the
+    * only shuffle is the K-strata aggregate. Null-text docs count in
+    * `n_docs`/`n_null` and survive nothing.
+    */
+  def curationFunnel(
+      df: org.apache.spark.sql.DataFrame,
+      stratumCol: String,
+      textCol: String,
+      phrases: Seq[String],
+      minSentences: Int = 3): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val g = gopherPass(t)
+    val c = c4PagePass(t, minSentences)
+    val b = !blockedByPhrase(t, phrases)
+    def n(cond: Column) =
+      sum(when(coalesce(cond, lit(false)), 1L).otherwise(0L))
+    df.groupBy(col(stratumCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        n(t.isNull).as("n_null"),
+        n(g).as("n_after_gopher"),
+        n(g && c).as("n_after_c4"),
+        n(g && c && b).as("n_after_all"))
+  }
+
   /** Per-language marker words for the rule-based language ID. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to", "is"),

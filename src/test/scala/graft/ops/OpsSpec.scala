@@ -3423,6 +3423,38 @@ class OpsSpec extends SparkSpec {
     assert(e2.getMessage.contains("over"))
   }
 
+  test("curationFunnel: sequential survival counts + first_fail diagnosis") {
+    val st = struct(
+      "doc_id" -> LongType, "src" -> StringType, "text" -> StringType)
+    // a gopher-passing base: 56 words incl. >= 2 stopwords, 3 proper
+    // sentence lines for the C4 floor
+    val base = ("the data and with that have to be " * 7).trim +
+      "\nThis is a proper sentence with seven words." +
+      "\nHere is another proper sentence for the page." +
+      "\nA third proper sentence closes the page here."
+    val df = frame(st,
+      Row(1L, "a", base),                                  // passes all
+      Row(2L, "a", "tiny doc"),                            // fails gopher (word count)
+      Row(3L, "a", base + "\nlorem ipsum here"),           // fails c4 (lorem)
+      Row(4L, "a",                                         // fails blocklist
+        base + "\nThe vector is in the data pipeline today."),
+      Row(5L, "a", null),                                  // null
+      Row(6L, "b", base + "\nhas a { brace } line okay.")) // fails c4 (brace)
+    val ff = df.select(col("doc_id"),
+        TextOps.curationFirstFail(col("text"), Seq("vector")).as("f"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(ff == Map(1L -> "pass", 2L -> "gopher", 3L -> "c4",
+      4L -> "blocklist", 5L -> null, 6L -> "c4"))
+    val fun = TextOps.curationFunnel(df, "src", "text", Seq("vector"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    // src a: 5 docs, 1 null; gopher keeps 1/3/4; c4 keeps 1/4; all keeps 1
+    assert(fun("a") == ((5L, 1L, 3L, 2L, 1L)))
+    assert(fun("b") == ((1L, 0L, 1L, 0L, 0L)))
+  }
+
   test("elementCounts kernel: per-row histogram, null elements skipped, SQL form") {
     val st = struct("id" -> LongType, "toks" -> ArrayType(StringType))
     val df = frame(st,
