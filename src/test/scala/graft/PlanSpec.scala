@@ -338,6 +338,17 @@ class PlanSpec extends SparkSpec {
     // meta, not an exchange of the doc side against it
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       s"class meta did not broadcast:\n$p")
+    // the char-n-gram path: element_counts combines grams IN the row, so
+    // text never shuffles there either and the gram explode feeds the
+    // weight join directly — no aggregate between generator and join
+    val cm = ops.LangModel.trainMulticlassClassifierChars(docs, "text", "lang", n = 3)
+    val pc = plan(ops.LangModel.scoreMulticlassCharsTables(
+      docs, "doc_id", "text", 3, cm.weights, cm.classMeta))
+    pc.split("\n").filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("text#"), s"text reached a shuffle (char path):\n$pc")
+    }
+    assert(pc.contains("element_counts"),
+      s"expected the element_counts kernel in the char scoring plan:\n$pc")
   }
 
   test("dsir selection: text never rides a shuffle; no full-band window") {

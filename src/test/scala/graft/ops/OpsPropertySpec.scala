@@ -34,6 +34,27 @@ object OpsPropertySpec extends Properties("graft.ops") {
   private val genCounts: Gen[List[Int]] =
     Gen.choose(0, 20).flatMap(k => Gen.listOfN(k, Gen.choose(0, 12)))
 
+  property("elementCounts explode equals the explode-then-group computation") =
+    forAll(Gen.listOf(Gen.listOf(
+      Gen.oneOf(Gen.oneOf("a", "b", "ab", "ba", ""), Gen.const(null: String))))) { arrays =>
+      val st = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("toks", ArrayType(StringType, containsNull = true))))
+      val rows = arrays.zipWithIndex.map { case (a, i) => Row(i.toLong, a) }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), st)
+      import org.apache.spark.sql.functions._
+      val viaKernel = df.select(col("id"),
+          explode(graft.functions.native.elementCounts(col("toks")))
+            .as(Seq("t", "c")))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val naive = arrays.zipWithIndex.flatMap { case (a, i) =>
+        a.filter(_ != null).groupBy(identity).map { case (t, occ) =>
+          (i.toLong, t) -> occ.size.toLong }
+      }.toMap
+      viaKernel == naive
+    }
+
   property("materializeBins rebuilds each group exactly at capacity boundaries") =
     forAll(genCounts, Gen.choose(1L, 20L), Gen.choose(1, 8)) { (counts, cap, ng) =>
       val df = corpus(counts)
