@@ -1628,6 +1628,46 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // the FULL Gopher repetition bundle (Rae et al. 2021 A1.1 Table A1 —
+    // all thirteen signals + the cross-multiplied integer verdict) over a
+    // corpus with planted repetition: %4 docs gain a repeated paragraph
+    // (dup_para/dup_line trip), %5 docs a repeated 6-token run (dup-5/6
+    // -gram trip); every frac is an exact-integer double division so the
+    // whole report hashes against DuckDB's list-form replay
+    "q176_gopher_repetition" -> ((s, d) => {
+      val aug = Tables(s, d, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            lit("\n\nRepeat block alpha beta.\n\nRepeat block alpha beta."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("\nzq wq rq sq tq uq zq wq rq sq tq uq"))
+            .otherwise(lit(""))).as("text"))
+      graft.ops.TextOps.gopherRepetitionReport(aug, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // cluster-based prototype pruning (Sorscher et al. 2022 SSL
+    // prototypes / Tirumala et al. 2023 D4): integer-exact k-center
+    // cells over the int8-quantized embeddings, per-cell prototypicality
+    // = exact integer dot against the cell's code sum, drop the top 25%
+    // most prototypical of every cell — cell, score, and the kept/dropped
+    // verdict all hash against DuckDB's list-arithmetic replay
+    "q177_prototype_prune" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val withCell = graft.ops.Similarity.integerCellAssign(
+        emb, "embedding", "vec_id", k = 8)
+      val scores = graft.ops.Similarity.prototypeScores(
+        withCell, "cell", "embedding", "vec_id")
+      val kept = graft.ops.Similarity.prototypePrune(
+        withCell, "cell", "embedding", "vec_id", dropFraction = 0.25)
+        .select(col("vec_id"), lit(true).as("kept"))
+      scores.join(kept, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"), col("proto"),
+          coalesce(col("kept"), lit(false)).as("kept"))
+        .orderBy(col("vec_id"))
+    }),
+
     // URL DOMAIN blocklist screen (the C4/Dolma first gate — drop whole
     // domains before reading a byte): synthesized hosts exercise exact /
     // subdomain / www / port / userinfo matches and the substring +
@@ -4318,6 +4358,178 @@ object SparkEntry {
         |  cast(sum(CASE WHEN g AND c THEN 1 ELSE 0 END) AS BIGINT) AS n_after_c4,
         |  cast(sum(CASE WHEN g AND c AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_after_all
         |FROM v GROUP BY source ORDER BY source""".stripMargin,
+
+    // the thirteen-signal repetition replay in DuckDB list form: same
+    // augmentation, same md5 tie-break, same covered-position union for
+    // the dup-n-gram char fractions
+    "q176_gopher_repetition" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 4 = 0
+        |        THEN chr(10) || chr(10) || 'Repeat block alpha beta.'
+        |          || chr(10) || chr(10) || 'Repeat block alpha beta.'
+        |        ELSE '' END
+        |      || CASE WHEN doc_id % 5 = 0
+        |        THEN chr(10) || 'zq wq rq sq tq uq zq wq rq sq tq uq'
+        |        ELSE '' END AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, t,
+        |    list_filter(string_split(t, chr(10)), x -> trim(x) <> '') AS ls,
+        |    list_filter(string_split_regex(t, '\n{2,}'), x -> trim(x) <> '') AS ps,
+        |    list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS w,
+        |    cast(coalesce(list_sum(list_transform(
+        |      list_filter(string_split_regex(t, '\s+'), x -> x <> ''),
+        |      x -> len(x))), 0) AS BIGINT) AS nc
+        |  FROM a
+        |), g AS (
+        |  SELECT doc_id, tn.n, ti.i AS pos,
+        |    array_to_string(w[ti.i:ti.i+tn.n-1], ' ') AS gram
+        |  FROM c
+        |  CROSS JOIN (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n) tn,
+        |    unnest(range(1, len(c.w) - tn.n + 2)) AS ti(i)
+        |), gc AS (
+        |  SELECT doc_id, n, gram, count(*) AS cnt,
+        |    cast(len(gram) - (n - 1) AS BIGINT) AS glen
+        |  FROM g GROUP BY doc_id, n, gram
+        |), topr AS (
+        |  SELECT doc_id, n, cnt * glen AS chars,
+        |    row_number() OVER (PARTITION BY doc_id, n
+        |      ORDER BY cnt DESC, glen DESC, md5(gram) DESC) AS rk
+        |  FROM gc WHERE n <= 4
+        |), tops AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN n = 2 THEN chars END) AS t2,
+        |    max(CASE WHEN n = 3 THEN chars END) AS t3,
+        |    max(CASE WHEN n = 4 THEN chars END) AS t4
+        |  FROM topr WHERE rk = 1 GROUP BY doc_id
+        |), dpos AS (
+        |  SELECT DISTINCT g.doc_id, g.n, ti2.idx
+        |  FROM g JOIN gc ON gc.doc_id = g.doc_id AND gc.n = g.n
+        |    AND gc.gram = g.gram,
+        |    unnest(range(g.pos, g.pos + g.n)) AS ti2(idx)
+        |  WHERE gc.cnt >= 2 AND g.n >= 5
+        |), dchar AS (
+        |  SELECT d.doc_id, d.n, cast(sum(len(c.w[d.idx])) AS BIGINT) AS dc
+        |  FROM dpos d JOIN c ON c.doc_id = d.doc_id
+        |  GROUP BY d.doc_id, d.n
+        |), dups AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN n = 5 THEN dc END) AS d5,
+        |    max(CASE WHEN n = 6 THEN dc END) AS d6,
+        |    max(CASE WHEN n = 7 THEN dc END) AS d7,
+        |    max(CASE WHEN n = 8 THEN dc END) AS d8,
+        |    max(CASE WHEN n = 9 THEN dc END) AS d9,
+        |    max(CASE WHEN n = 10 THEN dc END) AS d10
+        |  FROM dchar GROUP BY doc_id
+        |), m AS (
+        |  SELECT c.doc_id, c.t IS NULL AS tnull, c.nc,
+        |    cast(len(ls) AS BIGINT) AS lnn,
+        |    cast(len(list_distinct(ls)) AS BIGINT) AS lnd,
+        |    cast(coalesce(list_sum(list_transform(ls, x -> len(x))), 0) AS BIGINT) AS lc,
+        |    cast(coalesce(list_sum(list_transform(list_distinct(ls), x -> len(x))), 0) AS BIGINT) AS lcd,
+        |    cast(len(ps) AS BIGINT) AS pan,
+        |    cast(len(list_distinct(ps)) AS BIGINT) AS pad,
+        |    cast(coalesce(list_sum(list_transform(ps, x -> len(x))), 0) AS BIGINT) AS pc,
+        |    cast(coalesce(list_sum(list_transform(list_distinct(ps), x -> len(x))), 0) AS BIGINT) AS pcd,
+        |    coalesce(t2, 0) AS t2, coalesce(t3, 0) AS t3, coalesce(t4, 0) AS t4,
+        |    coalesce(d5, 0) AS d5, coalesce(d6, 0) AS d6, coalesce(d7, 0) AS d7,
+        |    coalesce(d8, 0) AS d8, coalesce(d9, 0) AS d9, coalesce(d10, 0) AS d10
+        |  FROM c
+        |  LEFT JOIN tops ON tops.doc_id = c.doc_id
+        |  LEFT JOIN dups ON dups.doc_id = c.doc_id
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN tnull THEN NULL WHEN lnn = 0 THEN 0.0
+        |    ELSE cast(lnn - lnd AS DOUBLE) / cast(lnn AS DOUBLE) END AS dup_line_frac,
+        |  CASE WHEN tnull THEN NULL WHEN lc = 0 THEN 0.0
+        |    ELSE cast(lc - lcd AS DOUBLE) / cast(lc AS DOUBLE) END AS dup_line_char_frac,
+        |  CASE WHEN tnull THEN NULL WHEN pan = 0 THEN 0.0
+        |    ELSE cast(pan - pad AS DOUBLE) / cast(pan AS DOUBLE) END AS dup_para_frac,
+        |  CASE WHEN tnull THEN NULL WHEN pc = 0 THEN 0.0
+        |    ELSE cast(pc - pcd AS DOUBLE) / cast(pc AS DOUBLE) END AS dup_para_char_frac,
+        |  CASE WHEN tnull THEN NULL WHEN nc = 0 THEN 0.0
+        |    ELSE cast(t2 AS DOUBLE) / cast(nc AS DOUBLE) END AS top_2gram_char_frac,
+        |  CASE WHEN tnull THEN NULL WHEN nc = 0 THEN 0.0
+        |    ELSE cast(t3 AS DOUBLE) / cast(nc AS DOUBLE) END AS top_3gram_char_frac,
+        |  CASE WHEN tnull THEN NULL WHEN nc = 0 THEN 0.0
+        |    ELSE cast(t4 AS DOUBLE) / cast(nc AS DOUBLE) END AS top_4gram_char_frac,
+        |  CASE WHEN tnull THEN NULL WHEN nc = 0 THEN 0.0
+        |    ELSE cast(d5 AS DOUBLE) / cast(nc AS DOUBLE) END AS dup_5gram_char_frac,
+        |  CASE WHEN tnull THEN NULL WHEN nc = 0 THEN 0.0
+        |    ELSE cast(d6 AS DOUBLE) / cast(nc AS DOUBLE) END AS dup_6gram_char_frac,
+        |  CASE WHEN tnull THEN NULL WHEN nc = 0 THEN 0.0
+        |    ELSE cast(d7 AS DOUBLE) / cast(nc AS DOUBLE) END AS dup_7gram_char_frac,
+        |  CASE WHEN tnull THEN NULL WHEN nc = 0 THEN 0.0
+        |    ELSE cast(d8 AS DOUBLE) / cast(nc AS DOUBLE) END AS dup_8gram_char_frac,
+        |  CASE WHEN tnull THEN NULL WHEN nc = 0 THEN 0.0
+        |    ELSE cast(d9 AS DOUBLE) / cast(nc AS DOUBLE) END AS dup_9gram_char_frac,
+        |  CASE WHEN tnull THEN NULL WHEN nc = 0 THEN 0.0
+        |    ELSE cast(d10 AS DOUBLE) / cast(nc AS DOUBLE) END AS dup_10gram_char_frac,
+        |  CASE WHEN tnull THEN NULL ELSE
+        |    (lnn - lnd) * 10 <= lnn * 3 AND (lc - lcd) * 5 <= lc
+        |    AND (pan - pad) * 10 <= pan * 3 AND (pc - pcd) * 5 <= pc
+        |    AND t2 * 5 <= nc AND t3 * 50 <= nc * 9 AND t4 * 25 <= nc * 4
+        |    AND d5 * 20 <= nc * 3 AND d6 * 50 <= nc * 7
+        |    AND d7 * 100 <= nc * 13 AND d8 * 25 <= nc * 3
+        |    AND d9 * 100 <= nc * 11 AND d10 * 10 <= nc
+        |  END AS rep_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // int8 quantization → md5-order seed election → integer-dot argmax
+    // cells → cell code sums → per-cell (proto DESC, md5, id) rank with
+    // the round(f·n) keep rule, all in DuckDB list arithmetic
+    "q177_prototype_prune" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x))) AS ma
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN ma = 0 THEN list_transform(embedding, x -> cast(0 AS BIGINT))
+        |      ELSE list_transform(embedding, x ->
+        |        cast(round(cast(x AS DOUBLE) * 127.0 / cast(ma AS DOUBLE)) AS BIGINT))
+        |    END AS qv
+        |  FROM e
+        |), sd AS (
+        |  SELECT vec_id AS seed, qv AS sv FROM q
+        |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT 8
+        |), asn0 AS (
+        |  SELECT q.vec_id, sd.seed,
+        |    list_sum(list_transform(range(1, len(q.qv) + 1),
+        |      i -> q.qv[i] * sd.sv[i])) AS dot
+        |  FROM q CROSS JOIN sd
+        |), asn AS (
+        |  SELECT vec_id, seed,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dot DESC, seed ASC) AS rn
+        |  FROM asn0
+        |), cells AS (
+        |  SELECT vec_id, seed AS cell FROM asn WHERE rn = 1
+        |), csum AS (
+        |  SELECT cells.cell, tp.p, sum(q.qv[tp.p]) AS s
+        |  FROM q JOIN cells USING (vec_id),
+        |    unnest(range(1, len(q.qv) + 1)) AS tp(p)
+        |  GROUP BY cells.cell, tp.p
+        |), csv AS (
+        |  SELECT cell, list(s ORDER BY p) AS sv FROM csum GROUP BY cell
+        |), pr AS (
+        |  SELECT q.vec_id, cells.cell,
+        |    cast(list_sum(list_transform(range(1, len(q.qv) + 1),
+        |      i -> q.qv[i] * csv.sv[i])) AS BIGINT) AS proto
+        |  FROM q JOIN cells USING (vec_id) JOIN csv USING (cell)
+        |), cnt AS (
+        |  SELECT cell, cast(count(*) AS BIGINT) AS c FROM pr GROUP BY cell
+        |), rk AS (
+        |  SELECT vec_id, cell, proto,
+        |    row_number() OVER (PARTITION BY cell
+        |      ORDER BY proto DESC NULLS LAST,
+        |        md5(cast(vec_id AS VARCHAR)) ASC, vec_id ASC) AS rn
+        |  FROM pr
+        |)
+        |SELECT vec_id, cell, proto,
+        |  rn > cast(round(0.25 * c) AS BIGINT) AS kept
+        |FROM rk JOIN cnt USING (cell) ORDER BY vec_id""".stripMargin,
 
     // the same host pipeline (scheme → userinfo → port strip, lowercase)
     // + exact-or-dot-suffix domain match

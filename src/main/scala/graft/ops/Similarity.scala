@@ -122,12 +122,21 @@ object Similarity {
     df.withColumn("scale",
       when(v.isNull, lit(null).cast("float"))
         .otherwise((coalesce(maxabs, lit(0.0)) / 127.0).cast("float")))
-      .withColumn(s"${vecCol}_q",
-        when(v.isNull, lit(null).cast("array<tinyint>"))
-          .otherwise(when(coalesce(maxabs, lit(0.0)) === 0.0,
-            transform(v, _ => lit(0).cast("tinyint")))
-            .otherwise(transform(v,
-              x => round(x * 127.0 / maxabs).cast("tinyint")))))
+      .withColumn(s"${vecCol}_q", int8Codes(v))
+  }
+
+  /** The int8 code array behind [[quantizeInt8]], as a reusable Column —
+    * ONE definition of the quantization rule so every integer-exact
+    * consumer (storage, cell assignment, prototype scoring) and the
+    * DuckDB oracle replay agree bit-for-bit.
+    */
+  def int8Codes(v: Column): Column = {
+    val maxabs = array_max(transform(v, x => abs(x)))
+    when(v.isNull, lit(null).cast("array<tinyint>"))
+      .otherwise(when(coalesce(maxabs, lit(0.0)) === 0.0,
+        transform(v, _ => lit(0).cast("tinyint")))
+        .otherwise(transform(v,
+          x => round(x * 127.0 / maxabs).cast("tinyint"))))
   }
 
   /** Inverse of [[quantizeInt8]]: `v ≈ scale · q`, reconstructed as
@@ -1252,6 +1261,132 @@ object Similarity {
     Sampling.takePerStratum(
       corpus.withColumn("cell", idx.nearestCell(col(vecCol))),
       "cell", idCol, nPerCell)
+  }
+
+  /** Deterministic integer-exact k-center cell assignment — the
+    * engine-portable twin of the float-IVF `trainCentroids` path for
+    * pipelines whose downstream decisions must replay bit-exact: seeds
+    * are the first `k` rows in `(md5(id), id)` content order, every
+    * vector is int8-quantized ([[int8Codes]]), and its cell is the seed
+    * with the highest EXACT integer dot product (ties to the lowest seed
+    * id; a null/zero vector has all-null/zero dots and lands in the
+    * lowest seed's cell by the same rule). Ids must be integral (the
+    * seed tie-break orders them numerically, the [[Dedup]]
+    * driver-fast-path discipline). Adds `cell` (the winning seed's id)
+    * to the input's columns.
+    *
+    * Plan shape for 100 TB: seed election is one k-row
+    * TakeOrderedAndProject collect (the IVF-centroid discipline — k·dim
+    * int8 literals ride the plan), and assignment is PURE per-row
+    * codegen: the row quantizes ONCE (let-bound — HOF lambdas re-evaluate
+    * captured subtrees per element) and folds a strict-greater argmax
+    * over the k seed literals. Zero shuffles, zero joins; composes onto
+    * a stream unchanged.
+    */
+  def integerCellAssign(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(!df.columns.contains("cell"),
+      "integerCellAssign adds a 'cell' column — rename the existing one first")
+    val seeds = quantizeInt8(df.select(col(idCol), col(vecCol)), vecCol)
+      .select(col(idCol), col(s"${vecCol}_q"))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .limit(k)
+      .collect()
+      .map(r => (r.get(0), if (r.isNullAt(1)) null else r.getSeq[Byte](1)))
+    if (seeds.isEmpty) return df.withColumn("cell", lit(null))
+    // linear-size argmax: sort (dot, -seed, seed) structs ascending and
+    // take the last — highest dot wins, ties to the LOWEST seed id, and
+    // all-null dots (null vector) fall through to the lowest seed. A
+    // when-chain fold here would duplicate the candidate subtrees 2^k
+    // times into the task binary.
+    val cell = Dedup.bind(int8Codes(col(vecCol))) { qv =>
+      val cand = seeds.map { case (sid, codes) =>
+        val dot =
+          if (codes == null) lit(null).cast("long")
+          else aggregate(
+            zip_with(qv, typedlit(codes.toSeq),
+              (a, b) => a.cast("long") * b.cast("long")),
+            lit(0L), (acc, x) => acc + x)
+        struct(dot.as("d"),
+          lit(-sid.asInstanceOf[Number].longValue).as("ns"),
+          lit(sid).as("s"))
+      }
+      element_at(array_sort(array(cand: _*)), -1)("s")
+    }
+    df.withColumn("cell", cell)
+  }
+
+  /** Per-row prototypicality score for cluster-based data pruning
+    * (Sorscher et al. 2022 "Beyond neural scaling laws" SSL prototypes;
+    * Tirumala et al. 2023 D4): how close a vector sits to its cluster's
+    * center, as the EXACT integer dot product between the row's int8
+    * codes and its cell's element-wise CODE SUM. Within a cell the sum
+    * vector is the centroid times a constant, so ranking by this integer
+    * is the centroid-cosine rank for normalized embeddings — with no
+    * float in the decision, it hashes bit-exact cross-engine (the
+    * learned-filter quantization discipline applied to geometry).
+    * Returns `(idCol, cellCol, proto)`; null vectors score null.
+    *
+    * Exactness bound: `|proto| ≤ dim · 127² · n_cell` must stay below
+    * 2⁵³ for the downstream take's double comparison — at dim 1024
+    * that is ~5×10⁸ vectors per cell; size `k` so cells stay under it.
+    *
+    * Plan shape for 100 TB: the cell sums are ONE map-side-combining
+    * (cell, pos) aggregate (per-split partial collapse to k·dim rows)
+    * reassembled into k arrays, broadcast back, and the score is pure
+    * per-row HOF arithmetic — embeddings never shuffle.
+    */
+  def prototypeScores(
+      df: DataFrame,
+      cellCol: String,
+      vecCol: String,
+      idCol: String): DataFrame = {
+    val q = quantizeInt8(
+      df.select(col(idCol), col(cellCol), col(vecCol)), vecCol)
+      .select(col(idCol), col(cellCol), col(s"${vecCol}_q").as("__qv"))
+    val sums = q
+      .select(col(cellCol), posexplode(col("__qv")).as(Seq("__p", "__x")))
+      .groupBy(col(cellCol), col("__p"))
+      .agg(sum(col("__x").cast("long")).as("__s"))
+      .groupBy(col(cellCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__p"), col("__s")))),
+        e => e("__s")).as("__sv"))
+    q.join(broadcast(sums), Seq(cellCol))
+      .select(col(idCol), col(cellCol),
+        aggregate(
+          zip_with(col("__qv"), col("__sv"), (a, b) => a.cast("long") * b),
+          lit(0L), (acc, x) => acc + x).as("proto"))
+  }
+
+  /** Cluster-based corpus pruning (SSL prototypes / D4): drop the
+    * `dropFraction` MOST PROTOTYPICAL rows of every cell — the
+    * redundant, easiest examples nearest the cluster center — and keep
+    * the rest. The published recipe behind "prune 20% of the corpus
+    * with no quality loss": semantic dedup removes near-copies, this
+    * removes the dense middle. The drop set is
+    * [[Sampling.takeTopFraction]] over [[prototypeScores]] (per-cell
+    * exact `(proto DESC, md5(id), id)` order, two-phase take — no
+    * per-cell global sort), subtracted with one id-keyed anti join.
+    * Null-vector rows score null, rank last, and always survive.
+    */
+  def prototypePrune(
+      df: DataFrame,
+      cellCol: String,
+      vecCol: String,
+      idCol: String,
+      dropFraction: Double): DataFrame = {
+    require(dropFraction > 0.0 && dropFraction < 1.0,
+      s"dropFraction must be in (0, 1), got $dropFraction")
+    val dropped = Sampling.takeTopFraction(
+      prototypeScores(df, cellCol, vecCol, idCol),
+      cellCol, idCol, "proto", dropFraction)
+      .select(col(idCol))
+    df.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** All neighbors with cosine ≥ `floor` from a persisted ANN index — the

@@ -594,6 +594,179 @@ object TextOps {
           .as("top_bigram_char_frac")): _*)
   }
 
+  /** The FULL Gopher repetition bundle (Rae et al. 2021, appendix A1.1,
+    * Table A1 — all thirteen published repetition signals plus the
+    * conjunction verdict). [[repetitionColumns]]/[[repetitionReport]]
+    * cover the line pair and the top-bigram signal; this op adds the
+    * rest, in the exact published set every open replication (Dolma,
+    * RefinedWeb, FineWeb) screens on:
+    *
+    *   - `dup_line_frac` / `dup_line_char_frac` — repeated non-blank
+    *     lines (count and character share);
+    *   - `dup_para_frac` / `dup_para_char_frac` — repeated paragraphs
+    *     (blank-line-delimited runs, `\n{2,}`);
+    *   - `top_{2,3,4}gram_char_frac` — characters claimed by the single
+    *     most frequent word n-gram (occurrences × n-gram token chars /
+    *     non-whitespace chars);
+    *   - `dup_{5..10}gram_char_frac` — characters covered by ANY word
+    *     n-gram occurring more than once, overlap-aware: covered token
+    *     POSITIONS are unioned before summing their lengths, so
+    *     overlapping duplicate windows never double-count a character;
+    *   - `rep_pass` — the paper's thresholds (0.30/0.30/0.20/0.20 for
+    *     lines/paragraphs, 0.20/0.18/0.16 for top n-grams, 0.15 down to
+    *     0.10 for dup n-grams), every comparison a cross-multiplied
+    *     INTEGER inequality (e.g. `dup_line_frac ≤ 0.30` is
+    *     `10·(nL−nD) ≤ 3·nL`), so the verdict hashes bit-exact in any
+    *     engine. Null text → all signals and the verdict null; a
+    *     token-less document passes trivially (every count is 0).
+    *
+    * Plan shape for 100 TB: the line/paragraph signals are pure array
+    * HOFs fused into the scan. The n-gram signals are ONE generator —
+    * per row, every n ∈ {2..10} window as `(n, pos, md5(gram), glen)` —
+    * into one (doc, n, md5) aggregate: gram TEXT never shuffles, only its
+    * 16-byte hash (the [[Dedup.stripBoilerplateParagraphs]] discipline;
+    * equality via md5 is exact up to cryptographic collision). The top
+    * path reduces that aggregate to a per-(doc, n) `max(struct(c, glen,
+    * h))` winner (deterministic tie-break: highest count, longest gram,
+    * lexicographically last hash); the dup path explodes the ≥2-count
+    * groups' positions into covered token indices, distincts them
+    * (integers only), and sums token lengths via one doc-keyed join
+    * against the per-doc length array. No corpus-sized window, collect,
+    * or broadcast anywhere; per-(doc, gram) position lists are bounded by
+    * the doc's own token count.
+    */
+  def gopherRepetitionReport(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{count => fcount}
+    val topNs = Seq(2, 3, 4)
+    val dupNs = Seq(5, 6, 7, 8, 9, 10)
+    val text = col(textCol)
+    val toks = wsTokens(text)
+
+    // exact integer counts behind the four line/paragraph fractions
+    def dupCounts(items: Column, p: String): Seq[(String, Column)] = {
+      val d = array_distinct(items)
+      def chars(arr: Column): Column =
+        aggregate(arr, lit(0L), (acc, l) => acc + length(l).cast("long"))
+      Seq(s"__${p}_n" -> size(items).cast("long"),
+        s"__${p}_nd" -> size(d).cast("long"),
+        s"__${p}_c" -> chars(items),
+        s"__${p}_cd" -> chars(d))
+    }
+    val lines = filter(split(text, "\n"), l => trim(l) =!= "")
+    val paras = filter(split(text, "\\n{2,}"), p => trim(p) =!= "")
+    val intCols = dupCounts(lines, "ln") ++ dupCounts(paras, "pa")
+
+    val lens = transform(toks, t => length(t).cast("long"))
+    // non-whitespace chars = Σ token lengths (tokens are the non-ws runs)
+    val nc = aggregate(lens, lit(0L), (a, l) => a + l)
+
+    // one generator: every n's windows as (n, pos, md5(gram), glen).
+    // glen = gram chars minus the n−1 joining spaces = the tokens' own
+    // characters, the same convention as repetitionReport's bigram.
+    val gramArr = flatten(array((topNs ++ dupNs).map { n =>
+      val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))
+      when(size(toks) >= n,
+        transform(grams, (g, i) => struct(
+          lit(n).as("n"), (i + 1).as("pos"),
+          md5(g.cast("binary")).as("h"),
+          (length(g) - (n - 1)).cast("long").as("glen"))))
+        .otherwise(array())
+    }: _*))
+
+    val base = df.select(
+      (Seq(col(idCol).as("doc_id"), text.isNull.as("__nul"),
+        lens.as("__lens"), coalesce(nc, lit(0L)).as("__nc"),
+        gramArr.as("__grams")) ++
+        intCols.map { case (n, c) => c.as(n) }): _*)
+
+    val ex = base
+      .select(col("doc_id"), explode(col("__grams")).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.h").as("h"),
+        col("g.pos").as("pos"), col("g.glen").as("glen"))
+    // positions only matter on the dup path — skip collecting them for
+    // the top ns (collect_list drops nulls)
+    val grouped = ex.groupBy(col("doc_id"), col("n"), col("h"))
+      .agg(fcount(lit(1)).as("c"), max(col("glen")).as("glen"),
+        collect_list(when(col("n") >= dupNs.head, col("pos"))).as("ps"))
+
+    val top = grouped.where(col("n").isin(topNs: _*))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(max(struct(col("c"), col("glen"), col("h"))).as("t"))
+      .groupBy(col("doc_id"))
+      .pivot("n", topNs)
+      .agg(first(col("t.c") * col("t.glen")))
+    val topP = topNs.foldLeft(top) { (d, n) =>
+      d.withColumnRenamed(n.toString, s"__top$n")
+    }
+
+    val dup = grouped
+      .where(col("n") >= dupNs.head && col("c") >= 2)
+      .select(col("doc_id"), col("n"), explode(col("ps")).as("pos"))
+      .select(col("doc_id"), col("n"),
+        explode(sequence(col("pos"), col("pos") + col("n") - 1)).as("idx"))
+      .distinct()
+      .groupBy(col("doc_id"), col("n"))
+      .agg(collect_list(col("idx")).as("__idxs"))
+      .join(base.select(col("doc_id"), col("__lens")), Seq("doc_id"))
+      .select(col("doc_id"), col("n"),
+        aggregate(col("__idxs"), lit(0L),
+          (a, i) => a + element_at(col("__lens"), i)).as("dc"))
+      .groupBy(col("doc_id"))
+      .pivot("n", dupNs)
+      .agg(first(col("dc")))
+    val dupP = dupNs.foldLeft(dup) { (d, n) =>
+      d.withColumnRenamed(n.toString, s"__dup$n")
+    }
+
+    val joined = base.drop("__grams", "__lens")
+      .join(topP, Seq("doc_id"), "left")
+      .join(dupP, Seq("doc_id"), "left")
+
+    def nn(name: String) = coalesce(col(name), lit(0L))
+    def frac(num: Column, den: Column): Column =
+      when(col("__nul"), lit(null).cast("double"))
+        .otherwise(when(den === 0L, lit(0.0))
+          .otherwise(num.cast("double") / den.cast("double")))
+    def dupFracs(p: String, out: String) = Seq(
+      s"dup_${out}_frac" ->
+        frac(col(s"__${p}_n") - col(s"__${p}_nd"), col(s"__${p}_n")),
+      s"dup_${out}_char_frac" ->
+        frac(col(s"__${p}_c") - col(s"__${p}_cd"), col(s"__${p}_c")))
+    val fracCols =
+      dupFracs("ln", "line") ++ dupFracs("pa", "para") ++
+        topNs.map(n => s"top_${n}gram_char_frac" ->
+          frac(nn(s"__top$n"), col("__nc"))) ++
+        dupNs.map(n => s"dup_${n}gram_char_frac" ->
+          frac(nn(s"__dup$n"), col("__nc")))
+
+    // the paper's drop thresholds, cross-multiplied to exact integers:
+    // lines/paras 0.30 (count) and 0.20 (chars); top 2/3/4-gram 0.20 /
+    // 0.18 / 0.16; dup 5..10-gram 0.15 / 0.14 / 0.13 / 0.12 / 0.11 / 0.10
+    def ruleCnt(p: String) =
+      (col(s"__${p}_n") - col(s"__${p}_nd")) * 10L <= col(s"__${p}_n") * 3L
+    def ruleChr(p: String) =
+      (col(s"__${p}_c") - col(s"__${p}_cd")) * 5L <= col(s"__${p}_c")
+    val topRules = Seq(2 -> (5L, 1L), 3 -> (50L, 9L), 4 -> (25L, 4L)).map {
+      case (n, (a, b)) => nn(s"__top$n") * a <= col("__nc") * b
+    }
+    val dupRules = Seq(5 -> (20L, 3L), 6 -> (50L, 7L), 7 -> (100L, 13L),
+      8 -> (25L, 3L), 9 -> (100L, 11L), 10 -> (10L, 1L)).map {
+      case (n, (a, b)) => nn(s"__dup$n") * a <= col("__nc") * b
+    }
+    val pass = (Seq(ruleCnt("ln"), ruleChr("ln"), ruleCnt("pa"),
+      ruleChr("pa")) ++ topRules ++ dupRules).reduce(_ && _)
+
+    joined.select(
+      (col("doc_id") +:
+        fracCols.map { case (n, c) => c.as(n) }) :+
+        when(col("__nul"), lit(null).cast("boolean")).otherwise(pass)
+          .as("rep_pass"): _*)
+  }
+
   /** Keep rows at or above the `p`-quantile of `metricCol` — the classic
     * "drop the bottom quartile by quality score" corpus-cleaning step.
     * The threshold is ONE exact-percentile aggregate collected driver-side

@@ -304,6 +304,45 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).nonEmpty)
   }
 
+  test("full repetition bundle shuffles gram hashes, never document text") {
+    val p = plan(ops.TextOps.gopherRepetitionReport(
+      Tables(spark, dir, "documents"), "doc_id", "text"))
+    // every n-gram is md5-hashed INSIDE the row before the explode — the
+    // (doc, n, hash) aggregate and the covered-position distinct move
+    // 16-byte keys and integers, never text or gram strings
+    p.split("\n").filter(_.contains("Exchange")).foreach { line =>
+      assert(!line.contains("text#"), s"text reached a shuffle:\n$p")
+    }
+    assert("Exchange".r.findAllIn(p).nonEmpty)
+  }
+
+  test("integer cell assign is pure per-row codegen — zero exchanges") {
+    val emb = Tables(spark, dir, "embeddings")
+    val p = plan(ops.Similarity.integerCellAssign(
+      emb, "embedding", "vec_id", k = 4))
+    // seeds are collected at build time (k rows); the returned plan is
+    // scan + project, so the assignment composes onto a stream unchanged
+    assert(!p.contains("Exchange"), s"cell assign planned a shuffle:\n$p")
+  }
+
+  test("prototype scoring broadcasts cell sums; embeddings never shuffle") {
+    val emb = Tables(spark, dir, "embeddings")
+    val p = plan(ops.Similarity.prototypeScores(
+      ops.Similarity.integerCellAssign(emb, "embedding", "vec_id", k = 4),
+      "cell", "embedding", "vec_id"))
+    // the only hash exchange is the (cell, pos) partial-sum aggregate —
+    // int rows; the k-row sum table comes back as a broadcast, so the
+    // quantized codes stay in their scan partition
+    p.split("\n")
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast"))
+      .foreach { line =>
+        assert(!line.contains("embedding#") && !line.contains("__qv#"),
+          s"embeddings reached a shuffle:\n$p")
+      }
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"cell sums did not broadcast:\n$p")
+  }
+
   test("contrast score shuffles tokens and counters, never document text") {
     val docs = Tables(spark, dir, "documents")
     val p = plan(ops.TextOps.contrastScore(

@@ -254,6 +254,41 @@ class OpsSpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("prototype pruning: integer cells, exact scores, per-cell drop") {
+    // maxabs 127 everywhere → int8 codes ARE the components; md5 order of
+    // ids 1..6,8 starts (6, 4, …) → seeds 6 = [-127,0] and 4 = [13,127]
+    val vecs = frame(
+      struct("vec_id" -> LongType, "embedding" -> ArrayType(FloatType)),
+      Row(1L, Seq(-127.0f, 13.0f)),
+      Row(2L, Seq(-127.0f, 26.0f)),
+      Row(3L, Seq(0.0f, 127.0f)),
+      Row(4L, Seq(13.0f, 127.0f)),
+      Row(5L, Seq(26.0f, 127.0f)),
+      Row(6L, Seq(-127.0f, 0.0f)),
+      Row(8L, null)) // null vector: lowest-seed cell, null score, survives
+    val withCell = Similarity.integerCellAssign(vecs, "embedding", "vec_id", 2)
+    val cells = withCell.select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells == Map(1L -> 6L, 2L -> 6L, 3L -> 4L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 8L -> 4L))
+    // cell 6 sum [-381, 39]; cell 4 sum [39, 381] — hand-computed dots
+    val protos = Similarity.prototypeScores(
+      withCell, "cell", "embedding", "vec_id")
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    assert(protos == Map(
+      1L -> Some(48894L), 2L -> Some(49401L), 6L -> Some(48387L),
+      3L -> Some(48387L), 4L -> Some(48894L), 5L -> Some(49401L),
+      8L -> None))
+    // drop 0.4: cell 6 (3 rows) drops its top-1 (id 2); cell 4 (4 rows,
+    // null last) drops its top-2 (ids 5, 4); the null-vec row survives
+    val kept = Similarity.prototypePrune(
+      withCell, "cell", "embedding", "vec_id", 0.4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 6L, 8L))
+  }
+
   test("labelVote: majority, closest-neighbor split ties, null labels ignored") {
     val nbrSt = struct(
       "query_id" -> LongType, "rank" -> IntegerType, "neighbor_id" -> LongType)
@@ -475,6 +510,44 @@ class OpsSpec extends SparkSpec {
       .head()
     // "x y" and "y z" both ×1 → winner "y z"; 2 bigram chars of 3 non-ws
     assert(tie.getDouble(3) == 1.0 * 2.0 / 3.0)
+  }
+
+  test("gopherRepetitionReport: all thirteen signals hand-computed") {
+    val df = frame(struct("doc_id" -> LongType, "text" -> StringType),
+      // 30 distinct 3-char tokens: every n-gram unique → top-n = 3n/90,
+      // all dup signals 0, every threshold met → rep_pass
+      Row(1L, (1 to 30).map(i => f"t$i%02d").mkString(" ")),
+      // repeated line "a b": dup_line 1/3 and 3/7; tokens a b a b c →
+      // top2 "a b"×2 = 4/5, top3 3/5 (all ×1, glen 3), top4 4/5
+      Row(2L, "a b\na b\nc"),
+      // repeated 5-gram covers every token → dup5 = 1.0; 6..10 distinct
+      Row(3L, "p q r s t p q r s t"),
+      // repeated paragraph: dup_para 1/3 and 14/34; line split sees the
+      // same three (blank lines trimmed) → dup_line identical
+      Row(4L, "Para one here.\n\nPara one here.\n\nOther."),
+      Row(5L, null),
+      Row(6L, ""))
+    val out = TextOps.gopherRepetitionReport(df, "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+    def fracs(r: Row): Seq[Double] =
+      (1 to 13).map(i => if (r.isNullAt(i)) Double.NaN else r.getDouble(i))
+    // (dupL, dupLc, dupP, dupPc, top2, top3, top4, dup5..dup10)
+    assert(fracs(out(0)) == Seq(0.0, 0.0, 0.0, 0.0,
+      6.0 / 90, 9.0 / 90, 12.0 / 90, 0, 0, 0, 0, 0, 0))
+    assert(out(0).getBoolean(14))
+    assert(fracs(out(1)) == Seq(1.0 / 3, 3.0 / 7, 0.0, 0.0,
+      4.0 / 5, 3.0 / 5, 4.0 / 5, 0, 0, 0, 0, 0, 0))
+    assert(!out(1).getBoolean(14)) // dup_line_frac 1/3 > 0.30
+    assert(fracs(out(2)) == Seq(0.0, 0.0, 0.0, 0.0,
+      4.0 / 10, 6.0 / 10, 8.0 / 10, 1.0, 0, 0, 0, 0, 0))
+    assert(!out(2).getBoolean(14)) // dup5 covers every token
+    // top2 tie at c=2 picks the longer gram "one here." (glen 8) → 16/30;
+    // top4/5 all ×1 pick the longest glen (18, 23)
+    assert(fracs(out(3)) == Seq(1.0 / 3, 14.0 / 34, 1.0 / 3, 14.0 / 34,
+      16.0 / 30, 24.0 / 30, 18.0 / 30, 0, 0, 0, 0, 0, 0))
+    assert(!out(3).getBoolean(14))
+    assert((1 to 14).forall(out(4).isNullAt)) // null text → all null
+    assert(fracs(out(5)) == Seq.fill(13)(0.0) && out(5).getBoolean(14))
   }
 
   test("termFrequencies counts corpus-wide tokens") {
