@@ -1668,6 +1668,21 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // UniMax language sampling (Chung et al. 2023): uniform budget across
+    // q128's skewed domains with a 2-epoch cap — at sf0.01 the nine
+    // small domains saturate at exactly two full copies while the big
+    // src1 domain takes the md5-order remainder, so the saturation
+    // cascade, the epoch cap, AND the partial take all land under the
+    // hash (the BigInt fixpoint replayed as a 24-round recursive CTE)
+    "q178_unimax" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+        .select(col("doc_id"), substring(col("source"), 1, 4).as("domain"))
+      graft.ops.Sampling.takeUniMax(docs, "domain", "doc_id",
+        budget = 600L, maxEpochs = 2L)
+        .select(col("doc_id"), col("domain"), col("copy"))
+        .orderBy(col("doc_id"), col("copy"))
+    }),
+
     // URL DOMAIN blocklist screen (the C4/Dolma first gate — drop whole
     // domains before reading a byte): synthesized hosts exercise exact /
     // subdomain / www / port / userinfo matches and the substring +
@@ -4530,6 +4545,55 @@ object SparkEntry {
         |SELECT vec_id, cell, proto,
         |  rn > cast(round(0.25 * c) AS BIGINT) AS kept
         |FROM rk JOIN cnt USING (cell) ORDER BY vec_id""".stripMargin,
+
+    // the equal-weight waterfill closure over 2·count availabilities +
+    // q128's div/mod copy split
+    "q178_unimax" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, substr(source, 1, 4) AS domain FROM documents),
+        |base AS (
+        |  SELECT domain, cast(count(*) AS BIGINT) AS c,
+        |    cast(2 * count(*) AS BIGINT) AS avail
+        |  FROM d GROUP BY domain
+        |),
+        |it AS (
+        |  SELECT 0 AS iter, domain, c, avail, false AS sat FROM base
+        |  UNION ALL
+        |  SELECT iter + 1, domain, c, avail,
+        |    sat OR (avail * (sum(CASE WHEN NOT sat THEN 1 ELSE 0 END) OVER ())
+        |        <= 600 - sum(CASE WHEN sat THEN avail ELSE 0 END) OVER ()
+        |      AND sum(CASE WHEN NOT sat THEN 1 ELSE 0 END) OVER () > 0) AS sat
+        |  FROM it WHERE iter < 24
+        |),
+        |fin AS (SELECT * FROM it WHERE iter = 24),
+        |q AS (
+        |  SELECT domain, c,
+        |    CASE WHEN sat THEN avail
+        |      WHEN sum(CASE WHEN NOT sat THEN 1 ELSE 0 END) OVER () = 0 THEN 0
+        |      ELSE (600 - sum(CASE WHEN sat THEN avail ELSE 0 END) OVER ())
+        |        // (sum(CASE WHEN NOT sat THEN 1 ELSE 0 END) OVER ()) END AS quota
+        |  FROM fin
+        |),
+        |k AS (SELECT domain, c, cast(quota // c AS BIGINT) AS kf,
+        |      cast(quota % c AS BIGINT) AS rem FROM q),
+        |fullc AS (
+        |  SELECT d.doc_id, d.domain, unnest(range(k.kf)) AS copy
+        |  FROM d JOIN k USING (domain)
+        |),
+        |r AS (
+        |  SELECT doc_id, domain,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY md5(cast(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |  FROM d
+        |),
+        |part AS (
+        |  SELECT r.doc_id, r.domain, k.kf AS copy
+        |  FROM r JOIN k USING (domain) WHERE r.rn <= k.rem
+        |)
+        |SELECT doc_id, domain, cast(copy AS BIGINT) AS copy FROM fullc
+        |UNION ALL
+        |SELECT doc_id, domain, cast(copy AS BIGINT) AS copy FROM part
+        |ORDER BY doc_id, copy""".stripMargin,
 
     // the same host pipeline (scheme → userinfo → port strip, lowercase)
     // + exact-or-dot-suffix domain match

@@ -525,6 +525,22 @@ object Sampling {
         s"$k times (> maxRepeat $maxRepeat) — a degenerate mix for this " +
         "alpha/target; raise maxRepeat only if that is intended")
     }
+    repeatedTake(df, sourceCol, keyCol, split, bucketHexLen)
+  }
+
+  /** WITH-REPLACEMENT selection shared by [[temperatureMixRepeat]] and
+    * [[takeUniMax]]: each source emits `kf` full copies of every row
+    * (per-row generator, zero shuffle) plus the md5-content-order prefix
+    * of `rem` rows as the last partial copy (the two-phase take), with a
+    * 0-based `copy` index. `split` = (source, kf, rem).
+    */
+  private def repeatedTake(
+      df: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      split: Seq[(Option[Any], Long, Long)],
+      bucketHexLen: Int): DataFrame = {
+    val spark = df.sparkSession
     // per-source copy factor via a tiny BROADCAST lookup (a per-source
     // when-chain would deepen the expression tree linearly in source
     // count and fall out of codegen at 1000s of sources)
@@ -551,6 +567,48 @@ object Sampling {
       .withColumn("copy", coalesce(col("__kf"), lit(0L)))
       .drop("__ks", "__kf")
     fullCopies.unionByName(partial)
+  }
+
+  /** UniMax language sampling (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): spread a row budget UNIFORMLY across sources, capped
+    * at `maxEpochs` passes over any source's own data, redistributing a
+    * saturated source's leftover uniformly among the rest. The published
+    * algorithm IS [[waterfillQuotas]] at EQUAL weights over
+    * availabilities `maxEpochs · c_s` (the same BigInt-exact fixpoint),
+    * and selection is with replacement ([[repeatedTake]]): a source whose
+    * quota exceeds one epoch repeats — `quota div c` full copies plus the
+    * md5-content-order prefix of `quota mod c` rows, 0-based `copy`
+    * index, so tail languages run multiple epochs while head languages
+    * subsample, never more than `maxEpochs` passes. Null sources are
+    * excluded (weight 0). If the budget exceeds `maxEpochs` times the
+    * corpus, every source saturates at exactly `maxEpochs` full copies —
+    * the cap binds, matching the paper.
+    *
+    * Plan shape: one tiny per-source count aggregate, the driver
+    * fixpoint, then a zero-shuffle copy generator + one two-phase take —
+    * identical scale character to [[temperatureMixRepeat]].
+    */
+  def takeUniMax(
+      df: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      budget: Long,
+      maxEpochs: Long,
+      bucketHexLen: Int = 3): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    require(!df.columns.contains("copy"),
+      "takeUniMax adds a 'copy' column — rename the existing one first")
+    val counts = sourceSizes(df, sourceCol, count(lit(1)))
+    val avail = counts.map { case (s, c) => (s, maxEpochs * c) }
+    val quotas = waterfillQuotas(
+      avail, s => if (s.isEmpty) 0L else 1L, budget)
+    val split = counts.map { case (s, c) =>
+      val q = quotas.getOrElse(s, 0L)
+      (s, q / c, q % c)
+    }
+    repeatedTake(df, sourceCol, keyCol, split, bucketHexLen)
   }
 
   /** [[temperatureMix]] in TOKEN space — the form the mT5/XLM-R recipe is

@@ -55,6 +55,96 @@ object OpsPropertySpec extends Properties("graft.ops") {
       viaKernel == naive
     }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Spark's `trim` strips ASCII spaces only — replicate that, not
+    * Scala's all-control-chars `.trim`.
+    */
+  private def sparkTrim(s: String): String =
+    s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+
+  /** Naive per-doc recompute of all 13 Gopher repetition signals + the
+    * verdict, mirroring gopherRepetitionReport's documented rules.
+    */
+  private def naiveRep(text: String): (Seq[Double], Boolean) = {
+    val lines = text.split("\n", -1).toSeq.filter(l => sparkTrim(l).nonEmpty)
+    val paras = text.split("\\n{2,}", -1).toSeq.filter(p => sparkTrim(p).nonEmpty)
+    val toks = text.split("\\s+", -1).toSeq.filter(_.nonEmpty)
+    val nc = toks.map(_.length.toLong).sum
+    def dupPair(items: Seq[String]): (Double, Double) = {
+      val d = items.distinct
+      val n = items.size.toDouble; val nd = d.size.toDouble
+      val c = items.map(_.length).sum.toDouble
+      val cd = d.map(_.length).sum.toDouble
+      (if (n == 0) 0.0 else (n - nd) / n,
+        if (c == 0) 0.0 else (c - cd) / c)
+    }
+    def grams(n: Int): Seq[String] =
+      if (toks.size < n) Seq.empty
+      else toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+    val tops = Seq(2, 3, 4).map { n =>
+      val g = grams(n)
+      if (g.isEmpty) 0L
+      else {
+        val counts = g.groupBy(identity).map { case (k, v) => (k, v.size) }
+        val (win, c) = counts.maxBy { case (k, cc) =>
+          (cc, k.length - (n - 1), md5hex(k)) }
+        c.toLong * (win.length - (n - 1))
+      }
+    }
+    val dups = (5 to 10).map { n =>
+      val g = grams(n)
+      val counts = g.groupBy(identity).map { case (k, v) => (k, v.size) }
+      val cov = scala.collection.mutable.Set[Int]()
+      g.zipWithIndex.foreach { case (gr, i) =>
+        if (counts(gr) >= 2) (i until i + n).foreach(cov += _)
+      }
+      cov.toSeq.map(idx => toks(idx).length.toLong).sum
+    }
+    def frac(x: Long) = if (nc == 0L) 0.0 else x.toDouble / nc.toDouble
+    val (dlf, dlcf) = dupPair(lines)
+    val (dpf, dpcf) = dupPair(paras)
+    val fracs = Seq(dlf, dlcf, dpf, dpcf) ++ tops.map(frac) ++ dups.map(frac)
+    val lN = lines.size.toLong; val lD = lines.distinct.size.toLong
+    val lC = lines.map(_.length.toLong).sum
+    val lCD = lines.distinct.map(_.length.toLong).sum
+    val pN = paras.size.toLong; val pD = paras.distinct.size.toLong
+    val pC = paras.map(_.length.toLong).sum
+    val pCD = paras.distinct.map(_.length.toLong).sum
+    val topOk = Seq((5L, 1L), (50L, 9L), (25L, 4L)).zip(tops).forall {
+      case ((a, b), t) => t * a <= nc * b }
+    val dupOk = Seq((20L, 3L), (50L, 7L), (100L, 13L), (25L, 3L),
+      (100L, 11L), (10L, 1L)).zip(dups).forall {
+      case ((a, b), dv) => dv * a <= nc * b }
+    val pass = (lN - lD) * 10 <= lN * 3 && (lC - lCD) * 5 <= lC &&
+      (pN - pD) * 10 <= pN * 3 && (pC - pCD) * 5 <= pC && topOk && dupOk
+    (fracs, pass)
+  }
+
+  private val genRepDoc: Gen[String] = for {
+    k <- Gen.choose(1, 18)
+    toks <- Gen.listOfN(k, Gen.oneOf("a", "b", "ab", "c", "dd"))
+    seps <- Gen.listOfN(k, Gen.frequency(6 -> Gen.const(" "),
+      2 -> Gen.const("\n"), 1 -> Gen.const("\n\n")))
+  } yield toks.zip(seps).map { case (t, s) => t + s }.mkString
+
+  property("gopherRepetitionReport equals the naive per-doc recompute") =
+    forAll(Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, genRepDoc))) { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => Row((i + 1).toLong, t) }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), docSt)
+      val got = TextOps.gopherRepetitionReport(df, "doc_id", "text")
+        .collect()
+        .map(r => r.getLong(0) ->
+          (((1 to 13).map(r.getDouble): Seq[Double]), r.getBoolean(14)))
+        .toMap
+      val want = texts.zipWithIndex.map { case (t, i) =>
+        (i + 1).toLong -> naiveRep(t) }.toMap
+      got == want
+    }
+
   property("materializeBins rebuilds each group exactly at capacity boundaries") =
     forAll(genCounts, Gen.choose(1L, 20L), Gen.choose(1, 8)) { (counts, cap, ng) =>
       val df = corpus(counts)

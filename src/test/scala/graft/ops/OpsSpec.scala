@@ -1916,6 +1916,39 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("maxRepeat"))
   }
 
+  test("takeUniMax: uniform budget with epoch cap, saturation cascade, repeats") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val st = struct("doc_id" -> LongType, "source" -> StringType)
+    val df = frame(st,
+      (1L to 6L).map(i => Row(i, "A")) ++
+        Seq(Row(11L, "B"), Row(12L, "B"), Row(21L, "C"), Row(31L, null)): _*)
+    // avail at 3 epochs: A 18, B 6, C 3; budget 9 uniform → C saturates
+    // at 3, A and B take 3 each of the remaining 6
+    val out = Sampling.takeUniMax(df, "source", "doc_id",
+      budget = 9L, maxEpochs = 3L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.length == 9)
+    assert(!out.exists(_._2 == null)) // null source excluded
+    // C (1 row, quota 3): three full copies
+    assert(out.filter(_._2 == "C").map(_._3).sorted.toSeq == Seq(0L, 1L, 2L))
+    // B (2 rows, quota 3): one full copy + the md5-first row as copy 1
+    val b = out.filter(_._2 == "B")
+    assert(b.filter(_._3 == 0L).map(_._1).toSet == Set(11L, 12L))
+    assert(b.filter(_._3 == 1L).map(_._1).toSeq ==
+      Seq(Seq(11L, 12L).minBy(i => md5hex(i.toString))))
+    // A (6 rows, quota 3): md5-content-order prefix, no repeats
+    val a = out.filter(_._2 == "A")
+    assert(a.forall(_._3 == 0L))
+    assert(a.map(_._1).toSet ==
+      (1L to 6L).sortBy(i => (md5hex(i.toString), i)).take(3).toSet)
+    // budget beyond the cap: every source saturates at exactly maxEpochs
+    val capped = Sampling.takeUniMax(df, "source", "doc_id", 100L, 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(capped.length == 18)
+    assert(capped.groupBy(_._1).forall(_._2.length == 2))
+  }
+
   test("temperatureMix: alpha=1 proportional, alpha=0.5 flattens, quotas capped") {
     // skewed two-source corpus: 'a' 8 rows, 'b' 2 rows; target 5
     val df = docs((1L to 10L).map(i => i -> s"mix doc body $i"): _*)
