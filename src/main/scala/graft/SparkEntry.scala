@@ -1654,7 +1654,7 @@ object SparkEntry {
     // most prototypical of every cell — cell, score, and the kept/dropped
     // verdict all hash against DuckDB's list-arithmetic replay
     "q177_prototype_prune" -> ((s, d) => {
-      val emb = Tables(s, d, "embeddings")
+      val emb = embParallel(s, d)
       val withCell = graft.ops.Similarity.integerCellAssign(
         emb, "embedding", "vec_id", k = 8)
       val scores = graft.ops.Similarity.prototypeScores(

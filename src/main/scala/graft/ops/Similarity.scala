@@ -130,14 +130,16 @@ object Similarity {
     * consumer (storage, cell assignment, prototype scoring) and the
     * DuckDB oracle replay agree bit-for-bit.
     */
-  def int8Codes(v: Column): Column = {
-    val maxabs = array_max(transform(v, x => abs(x)))
-    when(v.isNull, lit(null).cast("array<tinyint>"))
-      .otherwise(when(coalesce(maxabs, lit(0.0)) === 0.0,
-        transform(v, _ => lit(0).cast("tinyint")))
-        .otherwise(transform(v,
-          x => round(x * 127.0 / maxabs).cast("tinyint"))))
-  }
+  def int8Codes(v: Column): Column =
+    // maxabs is LET-BOUND: captured inside the transform lambda it would
+    // re-evaluate its own array_max per element — O(dim²) per row
+    Dedup.bind(array_max(transform(v, x => abs(x)))) { maxabs =>
+      when(v.isNull, lit(null).cast("array<tinyint>"))
+        .otherwise(when(coalesce(maxabs, lit(0.0)) === 0.0,
+          transform(v, _ => lit(0).cast("tinyint")))
+          .otherwise(transform(v,
+            x => round(x * 127.0 / maxabs).cast("tinyint"))))
+    }
 
   /** Inverse of [[quantizeInt8]]: `v ≈ scale · q`, reconstructed as
     * float. Null codes stay null.
@@ -1382,8 +1384,11 @@ object Similarity {
       dropFraction: Double): DataFrame = {
     require(dropFraction > 0.0 && dropFraction < 1.0,
       s"dropFraction must be in (0, 1), got $dropFraction")
+    // the take evaluates its input once per phase — materialize the
+    // (id, cell, proto) ledger (narrow rows) so the quantize + cell-sum
+    // pipeline runs once (reliable checkpoint on a cluster, local here)
     val dropped = Sampling.takeTopFraction(
-      prototypeScores(df, cellCol, vecCol, idCol),
+      Materialize.eager(prototypeScores(df, cellCol, vecCol, idCol)),
       cellCol, idCol, "proto", dropFraction)
       .select(col(idCol))
     df.join(dropped, Seq(idCol), "left_anti")

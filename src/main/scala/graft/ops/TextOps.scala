@@ -665,17 +665,21 @@ object TextOps {
 
     // one generator: every n's windows as (n, pos, md5(gram), glen).
     // glen = gram chars minus the n−1 joining spaces = the tokens' own
-    // characters, the same convention as repetitionReport's bigram.
-    val gramArr = flatten(array((topNs ++ dupNs).map { n =>
-      val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))
-      when(size(toks) >= n,
-        transform(grams, (g, i) => struct(
-          lit(n).as("n"), (i + 1).as("pos"),
-          md5(g.cast("binary")).as("h"),
-          (length(g) - (n - 1)).cast("long").as("glen"))))
-        .otherwise(array())
-    }: _*))
+    // characters, the same convention as repetitionReport's bigram. The
+    // token array is LET-BOUND: captured inside the position lambda it
+    // would re-tokenize the document per gram — O(k²) on long documents.
+    val gramArr = Dedup.bind(toks) { t =>
+      flatten(array((topNs ++ dupNs).map { n =>
+        val grams = transform(sequence(lit(1), size(t) - (n - 1)),
+          i => concat_ws(" ", slice(t, i, lit(n))))
+        when(size(t) >= n,
+          transform(grams, (g, i) => struct(
+            lit(n).as("n"), (i + 1).as("pos"),
+            md5(g.cast("binary")).as("h"),
+            (length(g) - (n - 1)).cast("long").as("glen"))))
+          .otherwise(array())
+      }: _*))
+    }
 
     val base = df.select(
       (Seq(col(idCol).as("doc_id"), text.isNull.as("__nul"),
