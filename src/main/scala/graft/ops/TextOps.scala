@@ -594,6 +594,35 @@ object TextOps {
           .as("top_bigram_char_frac")): _*)
   }
 
+  /** The four LINE/PARAGRAPH repetition rules as ONE pure codegen
+    * verdict Column — the stream-safe subset of
+    * [[gopherRepetitionReport]] (the n-gram signals need a per-document
+    * aggregate; these four are row-local array HOFs, so the screen runs
+    * on a stream with no watermark, no join, no state): true iff
+    * `dup_line_frac ≤ 0.30`, `dup_line_char_frac ≤ 0.20`,
+    * `dup_para_frac ≤ 0.30`, `dup_para_char_frac ≤ 0.20`, every
+    * comparison a cross-multiplied integer so the verdict hashes
+    * bit-exact. Null text → null; a line-less document passes trivially.
+    * Both arrays are let-bound (four consumers each — size, distinct,
+    * two char sums — would otherwise re-split the text per use).
+    */
+  def repetitionQuickPass(text: Column): Column = {
+    def ok(items: Column): Column =
+      Dedup.bind(items) { it =>
+        Dedup.bind(array_distinct(it)) { d =>
+          def chars(arr: Column): Column =
+            aggregate(arr, lit(0L), (a, l) => a + length(l).cast("long"))
+          val n = size(it).cast("long"); val nd = size(d).cast("long")
+          val c = chars(it); val cd = chars(d)
+          ((n - nd) * 10L <= n * 3L) && ((c - cd) * 5L <= c)
+        }
+      }
+    when(text.isNull, lit(null).cast("boolean"))
+      .otherwise(
+        ok(filter(split(text, "\n"), l => trim(l) =!= "")) &&
+          ok(filter(split(text, "\\n{2,}"), p => trim(p) =!= "")))
+  }
+
   /** The FULL Gopher repetition bundle (Rae et al. 2021, appendix A1.1,
     * Table A1 — all thirteen published repetition signals plus the
     * conjunction verdict). [[repetitionColumns]]/[[repetitionReport]]

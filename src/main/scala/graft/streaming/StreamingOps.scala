@@ -675,6 +675,18 @@ object StreamingOps {
     newStream.where(
       !graft.ops.TextOps.blockedByPhrase(col(textCol), phrases))
 
+  /** In-flight repetition screen: keep arrivals passing the four
+    * row-local line/paragraph repetition rules
+    * ([[graft.ops.TextOps.repetitionQuickPass]] — the stream-safe subset
+    * of the Gopher repetition bundle). Stateless pure codegen like the
+    * blocklist screen; null-text rows are dropped (a null verdict is not
+    * a pass), matching the batch `where` semantics exactly.
+    */
+  def screenRepetitionStream(
+      newStream: DataFrame,
+      textCol: String): DataFrame =
+    newStream.where(graft.ops.TextOps.repetitionQuickPass(col(textCol)))
+
   /** The end-to-end curation composition as a stream — the streaming
     * twin of the batch screen→waterfill chain (q160): each micro-batch
     * is (1) SCREENED against the phrase blocklist (stateless per-row

@@ -550,6 +550,29 @@ class OpsSpec extends SparkSpec {
     assert(fracs(out(5)) == Seq.fill(13)(0.0) && out(5).getBoolean(14))
   }
 
+  test("repetitionQuickPass: the four row-local rules as one verdict") {
+    val df = frame(struct("doc_id" -> LongType, "text" -> StringType),
+      Row(1L, "clean first line\nand a second one\n\nnew paragraph"),
+      Row(2L, "a b\na b\nc"),                  // dup_line 1/3 > 0.30
+      Row(3L, "Para one here.\n\nPara one here.\n\nOther."), // dup_para
+      // one dup line of 8 (1/8 ≤ 0.30) but its chars are 10 of 26
+      // (> 0.20) — the char rule trips alone
+      Row(4L, "xxxxxxxxxx\nxxxxxxxxxx\na\nb\nc\nd\ne\nf"),
+      Row(5L, null),
+      Row(6L, ""))
+    val out = df.select(col("doc_id"),
+        TextOps.repetitionQuickPass(col("text")).as("p"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => if (r.isNullAt(1)) None else Some(r.getBoolean(1)))
+    assert(out.toSeq == Seq(Some(true), Some(false), Some(false),
+      Some(false), None, Some(true)))
+    // agrees with the full bundle's line/para share of rep_pass on the
+    // n-gram-clean docs (doc 4 has no dup n-grams, so rep_pass == quick)
+    val full = TextOps.gopherRepetitionReport(
+      df.where(col("doc_id") === 4L), "doc_id", "text").head()
+    assert(!full.getBoolean(14))
+  }
+
   test("termFrequencies counts corpus-wide tokens") {
     val df = docs(1L -> "a b a", 2L -> "b c")
     val out = TextOps.termFrequencies(df, "text")

@@ -678,6 +678,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batched && streamed == Set(1L, 4L, 5L))
   }
 
+  test("streaming repetition screen is stateless — stream ≡ batch filter") {
+    val docSt = struct("doc_id" -> LongType, "text" -> StringType)
+    val batch = frame(docSt,
+      Row(1L, "clean first line\nand a second one"),
+      Row(2L, "a b\na b\nc"),                              // dup lines
+      Row(3L, "Para one here.\n\nPara one here.\n\nOther."), // dup paras
+      Row(4L, null),                                       // null → drop
+      Row(5L, "wholly fine text"))
+    val inDir = Files.createTempDirectory("graft-rep-in").toString
+    batch.coalesce(1).write.mode("append").parquet(inDir)
+    val screened = StreamingOps.screenRepetitionStream(
+      spark.readStream.schema(docSt).parquet(inDir), "text")
+    runToCompletion(screened, "rep_out")
+    val streamed = spark.table("rep_out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batched = batch
+      .where(graft.ops.TextOps.repetitionQuickPass(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batched && streamed == Set(1L, 5L))
+  }
+
   test("streaming curation composition: screen → staged survivors → re-mix ≡ batch chain") {
     val st = struct(
       "doc_id" -> LongType, "text" -> StringType, "source" -> StringType)
