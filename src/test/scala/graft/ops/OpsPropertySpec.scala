@@ -179,6 +179,61 @@ object OpsPropertySpec extends Properties("graft.ops") {
         }
     }
 
+  property("prototype prune ≡ naive cells/scores/drop on integer geometry") =
+    // ±127-valued float vectors make int8 quantization the identity, so
+    // the whole chain (seed election, argmax cells, cell sums, scores,
+    // per-cell round(f·n) drop) replays exactly in driver Scala
+    forAll(
+      Gen.choose(2, 4).flatMap(dim =>
+        Gen.choose(3, 10).flatMap(n => Gen.listOfN(n,
+          Gen.listOfN(dim, Gen.oneOf(-127, -63, 0, 63, 127))))),
+      Gen.choose(1, 3),
+      Gen.oneOf(0.25, 0.5)) { (vecs, k, f) =>
+      val st = StructType(Seq(
+        StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType), nullable = true)))
+      val rows = vecs.zipWithIndex.map { case (v, i) =>
+        Row((i + 1).toLong, v.map(_.toFloat)) }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), st)
+      val ids = (1 to vecs.length).map(_.toLong)
+      // replay the quantization: for this value set x·127/maxabs is an
+      // exact integer, so codes = the scaled values
+      def q8(v: Seq[Long]): Seq[Long] = {
+        val ma = v.map(math.abs).max
+        if (ma == 0) v.map(_ => 0L) else v.map(x => x * 127 / ma)
+      }
+      val byId = ids.zip(vecs.map(v => q8(v.map(_.toLong)))).toMap
+      val seeds = ids.sortBy(i => (md5hex(i.toString), i)).take(k)
+      def dot(a: Seq[Long], b: Seq[Long]) = a.zip(b).map(t => t._1 * t._2).sum
+      // ascending fold + strict > = ties to the lowest seed id
+      val cellOf = ids.map { i =>
+        i -> seeds.sorted.map(s => (dot(byId(i), byId(s)), s))
+          .reduceLeft((x, y) => if (y._1 > x._1) y else x)._2
+      }.toMap
+      val sums = cellOf.values.toSeq.distinct.map { c =>
+        c -> ids.filter(cellOf(_) == c).map(byId)
+          .transpose.map(_.sum)
+      }.toMap
+      val proto = ids.map(i => i -> dot(byId(i), sums(cellOf(i)))).toMap
+      val dropped = cellOf.values.toSeq.distinct.flatMap { c =>
+        val members = ids.filter(cellOf(_) == c)
+          .sortBy(i => (-proto(i), md5hex(i.toString), i))
+        members.take(math.round(f * members.length).toInt)
+      }.toSet
+      val withCell = Similarity.integerCellAssign(df, "embedding", "vec_id", k)
+      val gotCells = withCell.select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gotProto = Similarity.prototypeScores(
+        withCell, "cell", "embedding", "vec_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val gotKept = Similarity.prototypePrune(
+        withCell, "cell", "embedding", "vec_id", f)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      gotCells == cellOf && gotProto == proto &&
+        gotKept == (ids.toSet -- dropped)
+    }
+
   property("md5WeightedMix keep-set grows monotonically with weight") =
     forAll(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) { (a, b) =>
       val (w1, w2) = (math.min(a, b), math.max(a, b))
