@@ -1290,22 +1290,46 @@ object Similarity {
       vecCol: String,
       idCol: String,
       k: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
     require(!df.columns.contains("cell"),
       "integerCellAssign adds a 'cell' column — rename the existing one first")
-    val seeds = quantizeInt8(df.select(col(idCol), col(vecCol)), vecCol)
+    val seeds = collectCellSeeds(df, vecCol, idCol, k)
+    if (seeds.isEmpty) return df.withColumn("cell", lit(null))
+    df.withColumn("cell", integerCellColumn(col(vecCol), seeds))
+  }
+
+  /** The k seed (id, int8 codes) pairs behind [[integerCellAssign]]:
+    * first k rows in `(md5(id), id)` content order — a bounded k-row
+    * collect (the IVF-centroid discipline), reusable as the FROZEN
+    * quantizer for streaming assignment.
+    */
+  def collectCellSeeds(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int): Seq[(Any, Seq[Byte])] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    quantizeInt8(df.select(col(idCol), col(vecCol)), vecCol)
       .select(col(idCol), col(s"${vecCol}_q"))
       .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
       .limit(k)
       .collect()
-      .map(r => (r.get(0), if (r.isNullAt(1)) null else r.getSeq[Byte](1)))
-    if (seeds.isEmpty) return df.withColumn("cell", lit(null))
+      .map(r => (r.get(0),
+        if (r.isNullAt(1)) null else r.getSeq[Byte](1))).toSeq
+  }
+
+  /** [[integerCellAssign]]'s decision as a pure Column over literal
+    * seeds — zero shuffle, zero state, so it runs unchanged on a
+    * Structured Streaming frame (in-flight cell routing for arrivals
+    * against a frozen quantizer).
+    */
+  def integerCellColumn(vec: Column, seeds: Seq[(Any, Seq[Byte])]): Column = {
+    require(seeds.nonEmpty, "integerCellColumn needs at least one seed")
     // linear-size argmax: sort (dot, -seed, seed) structs ascending and
     // take the last — highest dot wins, ties to the LOWEST seed id, and
     // all-null dots (null vector) fall through to the lowest seed. A
     // when-chain fold here would duplicate the candidate subtrees 2^k
     // times into the task binary.
-    val cell = Dedup.bind(int8Codes(col(vecCol))) { qv =>
+    Dedup.bind(int8Codes(vec)) { qv =>
       val cand = seeds.map { case (sid, codes) =>
         val dot =
           if (codes == null) lit(null).cast("long")
@@ -1319,7 +1343,6 @@ object Similarity {
       }
       element_at(array_sort(array(cand: _*)), -1)("s")
     }
-    df.withColumn("cell", cell)
   }
 
   /** Per-row prototypicality score for cluster-based data pruning
@@ -1350,19 +1373,61 @@ object Similarity {
     val q = quantizeInt8(
       df.select(col(idCol), col(cellCol), col(vecCol)), vecCol)
       .select(col(idCol), col(cellCol), col(s"${vecCol}_q").as("__qv"))
-    val sums = q
-      .select(col(cellCol), posexplode(col("__qv")).as(Seq("__p", "__x")))
+    q.join(broadcast(cellSumFrame(q, cellCol)), Seq(cellCol))
+      .select(col(idCol), col(cellCol),
+        aggregate(
+          zip_with(col("__qv"), col("__sv"), (a, b) => a.cast("long") * b),
+          lit(0L), (acc, x) => acc + x).as("proto"))
+  }
+
+  /** One map-side-combining (cell, pos) aggregate reassembled into the
+    * per-cell element-wise code-sum arrays — the shared sums subplan of
+    * [[prototypeScores]] / [[collectCellSums]]. Input: (…, cellCol,
+    * `__qv`).
+    */
+  private def cellSumFrame(q: DataFrame, cellCol: String): DataFrame =
+    q.select(col(cellCol), posexplode(col("__qv")).as(Seq("__p", "__x")))
       .groupBy(col(cellCol), col("__p"))
       .agg(sum(col("__x").cast("long")).as("__s"))
       .groupBy(col(cellCol))
       .agg(transform(
         array_sort(collect_list(struct(col("__p"), col("__s")))),
         e => e("__s")).as("__sv"))
-    q.join(broadcast(sums), Seq(cellCol))
-      .select(col(idCol), col(cellCol),
-        aggregate(
-          zip_with(col("__qv"), col("__sv"), (a, b) => a.cast("long") * b),
-          lit(0L), (acc, x) => acc + x).as("proto"))
+
+  /** The per-cell code-sum vectors collected driver-side (k rows — the
+    * streaming learned filters' literal-table discipline): the FROZEN
+    * prototype table for in-flight scoring via
+    * [[prototypeScoreColumn]].
+    */
+  def collectCellSums(
+      df: DataFrame,
+      cellCol: String,
+      vecCol: String): Seq[(Any, Seq[Long])] = {
+    val q = quantizeInt8(df.select(col(cellCol), col(vecCol)), vecCol)
+      .select(col(cellCol), col(s"${vecCol}_q").as("__qv"))
+    cellSumFrame(q, cellCol).collect()
+      .map(r => (r.get(0), r.getSeq[Long](1))).toSeq
+  }
+
+  /** [[prototypeScores]]' score as a pure Column against a frozen
+    * [[collectCellSums]] table riding the plan as one literal map keyed
+    * by the cell's string form — no join, no shuffle, no state, so a
+    * stream scores arrivals row-by-row (compose with
+    * [[integerCellColumn]] for the full in-flight assign → score chain).
+    * A null vector, a null cell, or a cell absent from the frozen table
+    * scores null (the batch path's inner join drops the last case —
+    * streaming keeps the row and flags it with the null).
+    */
+  def prototypeScoreColumn(
+      vec: Column,
+      cell: Column,
+      sums: Seq[(Any, Seq[Long])]): Column = {
+    require(sums.nonEmpty, "prototypeScoreColumn needs at least one cell sum")
+    val m = typedlit(sums.map { case (c, s) => c.toString -> s }.toMap)
+    aggregate(
+      zip_with(int8Codes(vec), element_at(m, cell.cast("string")),
+        (a, b) => a.cast("long") * b),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Cluster-based corpus pruning (SSL prototypes / D4): drop the

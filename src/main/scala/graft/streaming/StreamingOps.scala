@@ -687,6 +687,29 @@ object StreamingOps {
       textCol: String): DataFrame =
     newStream.where(graft.ops.TextOps.repetitionQuickPass(col(textCol)))
 
+  /** In-flight prototype routing + scoring: each arriving embedding
+    * assigns to its cell under the FROZEN integer quantizer
+    * ([[graft.ops.Similarity.collectCellSeeds]]) and scores against the
+    * FROZEN cell code sums ([[graft.ops.Similarity.collectCellSums]]) —
+    * the streaming twin of `integerCellAssign` → `prototypeScores`. Both
+    * decisions are pure literal-table Columns (no join, no watermark, no
+    * state), so a live embedding stream gets the same
+    * prototypicality-routing a batch D4 pass computes; an arrival whose
+    * cell is absent from the frozen sums scores null (flagged, not
+    * dropped). Adds `cell` and `proto`.
+    */
+  def prototypeScoreStream(
+      newStream: DataFrame,
+      vecCol: String,
+      seeds: Seq[(Any, Seq[Byte])],
+      sums: Seq[(Any, Seq[Long])]): DataFrame =
+    newStream
+      .withColumn("cell",
+        graft.ops.Similarity.integerCellColumn(col(vecCol), seeds))
+      .withColumn("proto",
+        graft.ops.Similarity.prototypeScoreColumn(
+          col(vecCol), col("cell"), sums))
+
   /** The end-to-end curation composition as a stream — the streaming
     * twin of the batch screen→waterfill chain (q160): each micro-batch
     * is (1) SCREENED against the phrase blocklist (stateless per-row

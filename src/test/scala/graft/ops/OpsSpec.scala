@@ -289,6 +289,31 @@ class OpsSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 6L, 8L))
   }
 
+  test("prototypeScoreColumn: frozen literal table ≡ the batch join path") {
+    val vecs = frame(
+      struct("vec_id" -> LongType, "embedding" -> ArrayType(FloatType)),
+      Row(1L, Seq(-127.0f, 13.0f)), Row(2L, Seq(-127.0f, 26.0f)),
+      Row(3L, Seq(0.0f, 127.0f)), Row(4L, Seq(13.0f, 127.0f)),
+      Row(5L, Seq(26.0f, 127.0f)), Row(6L, Seq(-127.0f, 0.0f)))
+    val withCell = Similarity.integerCellAssign(vecs, "embedding", "vec_id", 2)
+    val sums = Similarity.collectCellSums(withCell, "cell", "embedding")
+    val viaColumn = withCell.select(col("vec_id"),
+        Similarity.prototypeScoreColumn(
+          col("embedding"), col("cell"), sums).as("proto"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaJoin = Similarity.prototypeScores(
+        withCell, "cell", "embedding", "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(viaColumn == viaJoin)
+    // a cell absent from the frozen table scores null instead of joining away
+    val ghost = frame(
+      struct("vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
+        "cell" -> LongType),
+      Row(9L, Seq(1.0f, 2.0f), 999L))
+    assert(ghost.select(Similarity.prototypeScoreColumn(
+      col("embedding"), col("cell"), sums)).head().isNullAt(0))
+  }
+
   test("labelVote: majority, closest-neighbor split ties, null labels ignored") {
     val nbrSt = struct(
       "query_id" -> LongType, "rank" -> IntegerType, "neighbor_id" -> LongType)

@@ -699,6 +699,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batched && streamed == Set(1L, 5L))
   }
 
+  test("streaming prototype routing+scoring ≡ the frozen-table batch columns") {
+    import graft.ops.Similarity
+    val embSt = struct("vec_id" -> LongType, "embedding" -> ArrayType(FloatType))
+    val corpus = frame(embSt,
+      Row(1L, Seq(-127.0f, 13.0f)), Row(2L, Seq(-127.0f, 26.0f)),
+      Row(3L, Seq(0.0f, 127.0f)), Row(4L, Seq(13.0f, 127.0f)),
+      Row(5L, Seq(26.0f, 127.0f)), Row(6L, Seq(-127.0f, 0.0f)))
+    val seeds = Similarity.collectCellSeeds(corpus, "embedding", "vec_id", 2)
+    val sums = Similarity.collectCellSums(
+      Similarity.integerCellAssign(corpus, "embedding", "vec_id", 2),
+      "cell", "embedding")
+    val arrivals = frame(embSt,
+      Row(40L, Seq(-127.0f, 1.0f)),  // routes with the corpus's cell 6
+      Row(41L, Seq(5.0f, 127.0f)),   // routes with cell 4
+      Row(42L, null))                // null vector → lowest seed, null proto
+    val inDir = Files.createTempDirectory("graft-proto-in").toString
+    arrivals.coalesce(1).write.mode("append").parquet(inDir)
+    val scored = StreamingOps.prototypeScoreStream(
+      spark.readStream.schema(embSt).parquet(inDir), "embedding", seeds, sums)
+    runToCompletion(scored, "proto_out")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "cell", "proto").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    val streamed = rows(spark.table("proto_out"))
+    val batched = rows(arrivals
+      .withColumn("cell", Similarity.integerCellColumn(col("embedding"), seeds))
+      .withColumn("proto", Similarity.prototypeScoreColumn(
+        col("embedding"), col("cell"), sums)))
+    assert(streamed == batched)
+    assert(streamed(40L)._1 == 6L && streamed(41L)._1 == 4L)
+    assert(streamed(42L)._2.isEmpty)
+  }
+
   test("streaming curation composition: screen → staged survivors → re-mix ≡ batch chain") {
     val st = struct(
       "doc_id" -> LongType, "text" -> StringType, "source" -> StringType)
