@@ -1628,6 +1628,27 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // q175's funnel with the repetition stage wired in (gopher →
+    // repetition → C4 → blocklist): %6 docs additionally plant a
+    // DUPLICATED paragraph pair so the new stage has real casualties —
+    // dup_para_frac 1/3 > 0.30 trips the quick rule
+    "q179_curation_funnel_full" -> ((s, d) => {
+      val aug = Tables(s, d, "documents").withColumn("t",
+        concat(col("text"),
+          lit("\nThis is a proper sentence with seven words."),
+          lit("\nHere is another proper sentence for the page."),
+          lit("\nA third proper sentence closes the page here."),
+          when(col("doc_id") % 5 === 0,
+            lit("\nLorem ipsum dolor sit amet here today.")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nThe config is { nested } here okay.")).otherwise(lit("")),
+          when(col("doc_id") % 6 === 1,
+            lit("\n\nZq repeated paragraph.\n\nZq repeated paragraph."))
+            .otherwise(lit(""))))
+      graft.ops.TextOps.curationFunnelFull(aug, "source", "t", q154Blocklist)
+        .orderBy(col("source"))
+    }),
+
     // the FULL Gopher repetition bundle (Rae et al. 2021 A1.1 Table A1 —
     // all thirteen signals + the cross-multiplied integer verdict) over a
     // corpus with planted repetition: %4 docs gain a repeated paragraph
@@ -4372,6 +4393,85 @@ object SparkEntry {
         |  cast(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_after_gopher,
         |  cast(sum(CASE WHEN g AND c THEN 1 ELSE 0 END) AS BIGINT) AS n_after_c4,
         |  cast(sum(CASE WHEN g AND c AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_after_all
+        |FROM v GROUP BY source ORDER BY source""".stripMargin,
+
+    // q175's oracle + the %6 duplicated-paragraph plant + the four
+    // line/para repetition integer rules as the new funnel stage
+    "q179_curation_funnel_full" ->
+      """WITH a AS (
+        |  SELECT doc_id, source,
+        |    text || chr(10) || 'This is a proper sentence with seven words.'
+        |      || chr(10) || 'Here is another proper sentence for the page.'
+        |      || chr(10) || 'A third proper sentence closes the page here.'
+        |      || CASE WHEN doc_id % 5 = 0
+        |           THEN chr(10) || 'Lorem ipsum dolor sit amet here today.'
+        |           ELSE '' END
+        |      || CASE WHEN doc_id % 7 = 0
+        |           THEN chr(10) || 'The config is { nested } here okay.'
+        |           ELSE '' END
+        |      || CASE WHEN doc_id % 6 = 1
+        |           THEN chr(10) || chr(10) || 'Zq repeated paragraph.'
+        |             || chr(10) || chr(10) || 'Zq repeated paragraph.'
+        |           ELSE '' END AS t
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT source, t,
+        |    list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS w,
+        |    list_filter(string_split(t, chr(10)), x -> trim(x) <> '') AS l,
+        |    list_filter(string_split_regex(t, '\n{2,}'), x -> trim(x) <> '') AS ps
+        |  FROM a
+        |), m AS (
+        |  SELECT source, t,
+        |    cast(len(w) AS BIGINT) AS nw,
+        |    cast(coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT) AS sumlen,
+        |    cast(len(regexp_extract_all(t, '#|…|\.\.\.')) AS BIGINT) AS nsym,
+        |    cast(len(l) AS BIGINT) AS nl,
+        |    cast(len(list_filter(l, x -> regexp_matches(trim(x), '^[•\-\*]'))) AS BIGINT) AS nbul,
+        |    cast(len(list_filter(l, x -> regexp_matches(trim(x), '(…|\.\.\.)$'))) AS BIGINT) AS nell,
+        |    cast(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS nalpha,
+        |    cast(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(w, s))) AS BIGINT) AS nstop,
+        |    cast(len(list_distinct(l)) AS BIGINT) AS lnd,
+        |    cast(coalesce(list_sum(list_transform(l, x -> len(x))), 0) AS BIGINT) AS lc,
+        |    cast(coalesce(list_sum(list_transform(list_distinct(l), x -> len(x))), 0) AS BIGINT) AS lcd,
+        |    cast(len(ps) AS BIGINT) AS pan,
+        |    cast(len(list_distinct(ps)) AS BIGINT) AS pad,
+        |    cast(coalesce(list_sum(list_transform(ps, x -> len(x))), 0) AS BIGINT) AS pc,
+        |    cast(coalesce(list_sum(list_transform(list_distinct(ps), x -> len(x))), 0) AS BIGINT) AS pcd,
+        |    len(list_filter(string_split(t, chr(10)), x ->
+        |      len(list_filter(string_split_regex(x, '\s+'), y -> y <> '')) >= 5
+        |      AND regexp_matches(trim(x), '[.!?]["”]?$'))) AS nkept,
+        |    contains(lower(t), 'lorem ipsum') AS lorem,
+        |    contains(t, '{') AS brace,
+        |    ' ' || array_to_string(list_filter(
+        |      string_split_regex(lower(t), '\s+'), x -> x <> ''), ' ')
+        |      || ' ' AS norm
+        |  FROM s1
+        |), v AS (
+        |  SELECT source, t IS NULL AS tnull,
+        |    (t IS NOT NULL AND nw >= 50 AND nw <= 100000
+        |      AND nw > 0 AND sumlen >= nw * 3 AND sumlen <= nw * 10
+        |      AND nsym * 10 <= nw AND nbul * 10 <= nl * 9
+        |      AND nell * 10 <= nl * 3 AND nalpha * 5 >= nw * 4
+        |      AND nstop >= 2) AS g,
+        |    (t IS NOT NULL
+        |      AND (nl - lnd) * 10 <= nl * 3 AND (lc - lcd) * 5 <= lc
+        |      AND (pan - pad) * 10 <= pan * 3 AND (pc - pcd) * 5 <= pc) AS r,
+        |    (t IS NOT NULL AND NOT lorem AND NOT brace AND nkept >= 3) AS c,
+        |    (t IS NULL OR NOT (contains(norm, ' vector ')
+        |      OR contains(norm, ' customer query ')
+        |      OR contains(norm, ' slow filter ')
+        |      OR contains(norm, ' fast table value ')
+        |      OR contains(norm, ' window merge '))) AS b
+        |  FROM m
+        |)
+        |SELECT source,
+        |  cast(count(*) AS BIGINT) AS n_docs,
+        |  cast(sum(CASE WHEN tnull THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  cast(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n_after_gopher,
+        |  cast(sum(CASE WHEN g AND r THEN 1 ELSE 0 END) AS BIGINT) AS n_after_repetition,
+        |  cast(sum(CASE WHEN g AND r AND c THEN 1 ELSE 0 END) AS BIGINT) AS n_after_c4,
+        |  cast(sum(CASE WHEN g AND r AND c AND b THEN 1 ELSE 0 END) AS BIGINT) AS n_after_all
         |FROM v GROUP BY source ORDER BY source""".stripMargin,
 
     // the thirteen-signal repetition replay in DuckDB list form: same

@@ -1402,11 +1402,19 @@ object Similarity {
   def collectCellSums(
       df: DataFrame,
       cellCol: String,
-      vecCol: String): Seq[(Any, Seq[Long])] = {
+      vecCol: String,
+      maxCells: Int = 4096): Seq[(Any, Seq[Long])] = {
     val q = quantizeInt8(df.select(col(cellCol), col(vecCol)), vecCol)
       .select(col(cellCol), col(s"${vecCol}_q").as("__qv"))
-    cellSumFrame(q, cellCol).collect()
-      .map(r => (r.get(0), r.getSeq[Long](1))).toSeq
+    // loud literal-table cap (the collectWeights discipline): the sums
+    // ride the plan as a literal map, so a high-cardinality cell column
+    // must fail here, not silently bloat every task binary
+    val rows = cellSumFrame(q, cellCol).limit(maxCells + 1).collect()
+    require(rows.length <= maxCells,
+      s"collectCellSums: more than $maxCells distinct cells — a literal " +
+        "prototype table at that cardinality would bloat the plan; use " +
+        "the prototypeScores join path or raise maxCells deliberately")
+    rows.map(r => (r.get(0), r.getSeq[Long](1))).toSeq
   }
 
   /** [[prototypeScores]]' score as a pure Column against a frozen

@@ -335,6 +335,38 @@ object TextOps {
         n(g && c && b).as("n_after_all"))
   }
 
+  /** [[curationFunnel]] with the row-local repetition screen as a second
+    * stage — gopher → repetition → C4 page rules → phrase blocklist, the
+    * order the published pipelines apply them (Gopher's quality rules
+    * and repetition rules gate before content screens). The repetition
+    * stage is [[repetitionQuickPass]] (the four line/paragraph rules —
+    * pure codegen like every other stage, so the funnel stays ONE scan
+    * pass with only the K-strata aggregate shuffling). Adds
+    * `n_after_repetition` between `n_after_gopher` and `n_after_c4`.
+    */
+  def curationFunnelFull(
+      df: org.apache.spark.sql.DataFrame,
+      stratumCol: String,
+      textCol: String,
+      phrases: Seq[String],
+      minSentences: Int = 3): org.apache.spark.sql.DataFrame = {
+    val t = col(textCol)
+    val g = gopherPass(t)
+    val r = repetitionQuickPass(t)
+    val c = c4PagePass(t, minSentences)
+    val b = !blockedByPhrase(t, phrases)
+    def n(cond: Column) =
+      sum(when(coalesce(cond, lit(false)), 1L).otherwise(0L))
+    df.groupBy(col(stratumCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        n(t.isNull).as("n_null"),
+        n(g).as("n_after_gopher"),
+        n(g && r).as("n_after_repetition"),
+        n(g && r && c).as("n_after_c4"),
+        n(g && r && c && b).as("n_after_all"))
+  }
+
   /** Per-language marker words for the rule-based language ID. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to", "is"),

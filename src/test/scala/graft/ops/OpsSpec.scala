@@ -312,6 +312,11 @@ class OpsSpec extends SparkSpec {
       Row(9L, Seq(1.0f, 2.0f), 999L))
     assert(ghost.select(Similarity.prototypeScoreColumn(
       col("embedding"), col("cell"), sums)).head().isNullAt(0))
+    // the literal-table cap fails loudly on too many distinct cells
+    val e = intercept[IllegalArgumentException] {
+      Similarity.collectCellSums(withCell, "cell", "embedding", maxCells = 1)
+    }
+    assert(e.getMessage.contains("maxCells"))
   }
 
   test("labelVote: majority, closest-neighbor split ties, null labels ignored") {
@@ -3607,6 +3612,27 @@ class OpsSpec extends SparkSpec {
     // src a: 5 docs, 1 null; gopher keeps 1/3/4; c4 keeps 1/4; all keeps 1
     assert(fun("a") == ((5L, 1L, 3L, 2L, 1L)))
     assert(fun("b") == ((1L, 0L, 1L, 0L, 0L)))
+  }
+
+  test("curationFunnelFull: the repetition stage sits between gopher and c4") {
+    val st = struct(
+      "doc_id" -> LongType, "src" -> StringType, "text" -> StringType)
+    val base = ("the data and with that have to be " * 7).trim +
+      "\nThis is a proper sentence with seven words." +
+      "\nHere is another proper sentence for the page." +
+      "\nA third proper sentence closes the page here."
+    val df = frame(st,
+      Row(1L, "a", base),                                   // passes all
+      // gopher-clean but a duplicated paragraph pair: dup_para 2/3 of 3
+      // paragraphs → the repetition stage drops it
+      Row(2L, "a", base + "\n\nZq repeated para.\n\nZq repeated para."),
+      Row(3L, "a", base + "\nlorem ipsum here"),            // drops at c4
+      Row(4L, "a", "tiny doc"),                             // drops at gopher
+      Row(5L, "a", null))
+    val fun = TextOps.curationFunnelFull(df, "src", "text", Seq("vector"))
+      .head()
+    assert((fun.getLong(1), fun.getLong(2), fun.getLong(3), fun.getLong(4),
+      fun.getLong(5), fun.getLong(6)) == ((5L, 1L, 3L, 2L, 1L, 1L)))
   }
 
   test("elementCounts kernel: per-row histogram, null elements skipped, SQL form") {
