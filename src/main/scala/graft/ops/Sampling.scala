@@ -583,7 +583,10 @@ object Sampling {
     * subsample, never more than `maxEpochs` passes. Null sources are
     * excluded (weight 0). If the budget exceeds `maxEpochs` times the
     * corpus, every source saturates at exactly `maxEpochs` full copies —
-    * the cap binds, matching the paper.
+    * the cap binds, matching the paper. Unsaturated shares are FLOOR
+    * divisions (the fixpoint's exact-integer rule), so up to
+    * `#unsaturated − 1` rows of the budget stay unallocated rather than
+    * being assigned by a tie-break the paper doesn't define.
     *
     * Plan shape: one tiny per-source count aggregate, the driver
     * fixpoint, then a zero-shuffle copy generator + one two-phase take —

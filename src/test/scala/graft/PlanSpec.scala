@@ -343,6 +343,21 @@ class PlanSpec extends SparkSpec {
       s"cell sums did not broadcast:\n$p")
   }
 
+  test("unimax repeat-take: full copies are a generator; no global sort") {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), substring(col("source"), 1, 4).as("domain"))
+    val p = plan(ops.Sampling.takeUniMax(
+      docs, "domain", "doc_id", budget = 600L, maxEpochs = 2L))
+    // the full-copy arm multiplies rows with a per-row sequence explode
+    // (no shuffle); the partial arm rides the bucket-prefix take — no
+    // arm may collapse the corpus into one partition
+    assert(p.contains("Generate explode"), s"no copy generator:\n$p")
+    assert(!p.contains("SinglePartition"), s"single-partition stage:\n$p")
+    assert(!p.split("\n").exists(l =>
+      l.contains("Sort [") && l.contains("global=true")),
+      s"global sort in the mix:\n$p")
+  }
+
   test("contrast score shuffles tokens and counters, never document text") {
     val docs = Tables(spark, dir, "documents")
     val p = plan(ops.TextOps.contrastScore(

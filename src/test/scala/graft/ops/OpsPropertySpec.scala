@@ -234,6 +234,46 @@ object OpsPropertySpec extends Properties("graft.ops") {
         gotKept == (ids.toSet -- dropped)
     }
 
+  property("takeUniMax: realizes the equal-weight waterfill quotas exactly") =
+    forAll(
+      Gen.choose(1, 5).flatMap(k => Gen.listOfN(k, Gen.choose(1, 8))),
+      Gen.choose(1L, 60L),
+      Gen.choose(1L, 4L)) { (sizes0, budget0, epochs0) =>
+      // normalize: ScalaCheck shrinking ignores generator bounds
+      val sizes = sizes0.map(n => math.max(1, math.min(8, n)))
+      val budget = math.max(1L, math.min(60L, budget0))
+      val epochs = math.max(1L, math.min(4L, epochs0))
+      val st = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("src", StringType, nullable = true)))
+      var next = 0L
+      val rows = sizes.zipWithIndex.flatMap { case (n, i) =>
+        (1 to n).map { _ => next += 1; Row(next, s"s$i") }
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 2), st)
+      val out = Sampling.takeUniMax(df, "src", "doc_id", budget, epochs)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      // the contract: selection realizes EXACTLY the equal-weight
+      // waterfill quotas over maxEpochs-scaled availabilities (the
+      // fixpoint may leave up to #unsat−1 rows of budget unallocated —
+      // floor shares, the q156 oracle's own rule)
+      val quotas = Sampling.waterfillQuotas(
+        sizes.zipWithIndex.map { case (n, i) =>
+          (Some(s"s$i"): Option[Any]) -> epochs * n.toLong },
+        s => if (s.isEmpty) 0L else 1L, budget)
+      val bySrc = out.groupBy(_._2)
+      sizes.indices.forall { i =>
+        val q = quotas(Some(s"s$i"))
+        val c = sizes(i).toLong
+        val ms = bySrc.getOrElse(s"s$i", Array.empty)
+        ms.length == q &&
+          // q div c full copies each carrying every row, md5 prefix rest
+          (0L until q / c).forall(k => ms.count(_._3 == k) == c) &&
+          ms.count(_._3 == q / c) == q % c
+      } && out.forall(_._3 < epochs)
+    }
+
   property("md5WeightedMix keep-set grows monotonically with weight") =
     forAll(Gen.choose(0.0, 1.0), Gen.choose(0.0, 1.0)) { (a, b) =>
       val (w1, w2) = (math.min(a, b), math.max(a, b))
