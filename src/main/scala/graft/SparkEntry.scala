@@ -1689,6 +1689,30 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // corpus MAP (the "what is in my corpus" report every curation run
+    // opens with — Atlas-style cluster cards): embedding-space cells from
+    // the integer-exact k-center assign, each cell summarized by its doc
+    // count + its five signature terms under q169's exact tf/df rank —
+    // pure composition of q177's cells and q53/q169's vocabulary
+    // machinery, the whole card table under one hash
+    "q180_corpus_map" -> ((s, d) => {
+      val cells = graft.ops.Similarity.integerCellAssign(
+        Tables(s, d, "embeddings"), "embedding", "vec_id", k = 6)
+        .select(col("vec_id").as("doc_id"), col("cell"))
+      val docs = Tables(s, d, "documents").select(col("doc_id"), col("text"))
+        .join(cells, Seq("doc_id"))
+      val terms = graft.ops.TextOps.topTermsPerDoc(
+        docs.select(col("cell"), col("text")), "cell", "text", k = 5)
+        .select(col("doc_id").as("cell"), col("rank"), col("token"),
+          col("score"))
+      val sizes = docs.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_docs"))
+      terms.join(sizes, Seq("cell"))
+        .select(col("cell"), col("n_docs"), col("rank"), col("token"),
+          col("score"))
+        .orderBy(col("cell"), col("rank"))
+    }),
+
     // UniMax language sampling (Chung et al. 2023): uniform budget across
     // q128's skewed domains with a 2-epoch cap — at sf0.01 the nine
     // small domains saturate at exactly two full copies while the big
@@ -4645,6 +4669,63 @@ object SparkEntry {
         |SELECT vec_id, cell, proto,
         |  rn > cast(round(0.25 * c) AS BIGINT) AS kept
         |FROM rk JOIN cnt USING (cell) ORDER BY vec_id""".stripMargin,
+
+    // q177's quantize → seed → argmax cells at k=6 + q169's tf/df
+    // signature rank at cell granularity + the per-cell doc count
+    "q180_corpus_map" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(x))) AS ma
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN ma = 0 THEN list_transform(embedding, x -> cast(0 AS BIGINT))
+        |      ELSE list_transform(embedding, x ->
+        |        cast(round(cast(x AS DOUBLE) * 127.0 / cast(ma AS DOUBLE)) AS BIGINT))
+        |    END AS qv
+        |  FROM e
+        |), sd AS (
+        |  SELECT vec_id AS seed, qv AS sv FROM q
+        |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT 6
+        |), asn0 AS (
+        |  SELECT q.vec_id, sd.seed,
+        |    list_sum(list_transform(range(1, len(q.qv) + 1),
+        |      i -> q.qv[i] * sd.sv[i])) AS dot
+        |  FROM q CROSS JOIN sd
+        |), asn AS (
+        |  SELECT vec_id, seed,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dot DESC, seed ASC) AS rn
+        |  FROM asn0
+        |), cells AS (
+        |  SELECT vec_id, seed AS cell FROM asn WHERE rn = 1
+        |), d AS (
+        |  SELECT c.cell, doc.text
+        |  FROM cells c JOIN documents doc ON doc.doc_id = c.vec_id
+        |), tok AS (
+        |  SELECT cell,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+        |      AS token
+        |  FROM d
+        |), tf AS (
+        |  SELECT cell, token, cast(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY cell, token
+        |), dfq AS (
+        |  SELECT token, cast(count(*) AS BIGINT) AS df
+        |  FROM (SELECT DISTINCT cell, token FROM tok) GROUP BY token
+        |), r AS (
+        |  SELECT cell, token,
+        |    cast(tf AS DOUBLE) / cast(df AS DOUBLE) AS score,
+        |    cast(row_number() OVER (PARTITION BY cell
+        |      ORDER BY cast(tf AS DOUBLE) / cast(df AS DOUBLE) DESC,
+        |        token ASC) AS INT) AS rank
+        |  FROM tf JOIN dfq USING (token)
+        |), sz AS (
+        |  SELECT cell, cast(count(*) AS BIGINT) AS n_docs FROM d GROUP BY cell
+        |)
+        |SELECT r.cell, sz.n_docs, r.rank, r.token, r.score
+        |FROM r JOIN sz USING (cell)
+        |WHERE rank <= 5 ORDER BY cell, rank""".stripMargin,
 
     // the equal-weight waterfill closure over 2·count availabilities +
     // q128's div/mod copy split
