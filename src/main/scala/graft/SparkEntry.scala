@@ -1678,14 +1678,18 @@ object SparkEntry {
       val emb = embParallel(s, d)
       val withCell = graft.ops.Similarity.integerCellAssign(
         emb, "embedding", "vec_id", k = 8)
-      val scores = graft.ops.Similarity.prototypeScores(
-        withCell, "cell", "embedding", "vec_id")
-      val kept = graft.ops.Similarity.prototypePrune(
-        withCell, "cell", "embedding", "vec_id", dropFraction = 0.25)
-        .select(col("vec_id"), lit(true).as("kept"))
-      scores.join(kept, Seq("vec_id"), "left")
+      // score ONCE, materialized; the drop set derives from the same
+      // ledger (prototypePrune's own internal shape, shared here so the
+      // quantize + cell-sum pipeline doesn't run twice for scores + kept)
+      val scores = graft.ops.Materialize.eager(
+        graft.ops.Similarity.prototypeScores(
+          withCell, "cell", "embedding", "vec_id"))
+      val dropped = graft.ops.Similarity.prototypeDropIds(
+        scores, "cell", "vec_id", dropFraction = 0.25)
+        .withColumn("kept", lit(false))
+      scores.join(dropped, Seq("vec_id"), "left")
         .select(col("vec_id"), col("cell"), col("proto"),
-          coalesce(col("kept"), lit(false)).as("kept"))
+          coalesce(col("kept"), lit(true)).as("kept"))
         .orderBy(col("vec_id"))
     }),
 
@@ -4658,7 +4662,8 @@ object SparkEntry {
         |      i -> q.qv[i] * csv.sv[i])) AS BIGINT) AS proto
         |  FROM q JOIN cells USING (vec_id) JOIN csv USING (cell)
         |), cnt AS (
-        |  SELECT cell, cast(count(*) AS BIGINT) AS c FROM pr GROUP BY cell
+        |  SELECT cell, cast(count(*) AS BIGINT) AS c FROM pr
+        |  WHERE proto IS NOT NULL GROUP BY cell
         |), rk AS (
         |  SELECT vec_id, cell, proto,
         |    row_number() OVER (PARTITION BY cell
@@ -4667,8 +4672,8 @@ object SparkEntry {
         |  FROM pr
         |)
         |SELECT vec_id, cell, proto,
-        |  rn > cast(round(0.25 * c) AS BIGINT) AS kept
-        |FROM rk JOIN cnt USING (cell) ORDER BY vec_id""".stripMargin,
+        |  rn > cast(round(0.25 * coalesce(c, 0)) AS BIGINT) AS kept
+        |FROM rk LEFT JOIN cnt USING (cell) ORDER BY vec_id""".stripMargin,
 
     // q177's quantize → seed → argmax cells at k=6 + q169's tf/df
     // signature rank at cell granularity + the per-cell doc count
@@ -4735,7 +4740,7 @@ object SparkEntry {
         |base AS (
         |  SELECT domain, cast(count(*) AS BIGINT) AS c,
         |    cast(2 * count(*) AS BIGINT) AS avail
-        |  FROM d GROUP BY domain
+        |  FROM d WHERE domain IS NOT NULL GROUP BY domain
         |),
         |it AS (
         |  SELECT 0 AS iter, domain, c, avail, false AS sat FROM base

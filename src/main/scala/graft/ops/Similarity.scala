@@ -1336,9 +1336,14 @@ object Similarity {
           else aggregate(
             zip_with(qv, typedlit(codes.toSeq),
               (a, b) => a.cast("long") * b.cast("long")),
-            lit(0L), (acc, x) => acc + x)
+            // null PRODUCTS (a malformed null element) are skipped, the
+            // same rule as the cell sums and DuckDB's list_sum — only a
+            // wholly-null vector null-propagates (qv itself is null)
+            lit(0L), (acc, x) => acc + coalesce(x, lit(0L)))
         struct(dot.as("d"),
-          lit(-sid.asInstanceOf[Number].longValue).as("ns"),
+          // negateExact: Long.MinValue would wrap and invert the
+          // ties-to-lowest rule silently
+          lit(math.negateExact(sid.asInstanceOf[Number].longValue)).as("ns"),
           lit(sid).as("s"))
       }
       element_at(array_sort(array(cand: _*)), -1)("s")
@@ -1377,7 +1382,10 @@ object Similarity {
       .select(col(idCol), col(cellCol),
         aggregate(
           zip_with(col("__qv"), col("__sv"), (a, b) => a.cast("long") * b),
-          lit(0L), (acc, x) => acc + x).as("proto"))
+          // null-element products skip (the cell-sum aggregate and the
+          // DuckDB list_sum replay both skip them); a null VECTOR still
+          // scores null because __qv itself is null
+          lit(0L), (acc, x) => acc + coalesce(x, lit(0L))).as("proto"))
   }
 
   /** One map-side-combining (cell, pos) aggregate reassembled into the
@@ -1435,7 +1443,7 @@ object Similarity {
     aggregate(
       zip_with(int8Codes(vec), element_at(m, cell.cast("string")),
         (a, b) => a.cast("long") * b),
-      lit(0L), (acc, x) => acc + x)
+      lit(0L), (acc, x) => acc + coalesce(x, lit(0L)))
   }
 
   /** Cluster-based corpus pruning (SSL prototypes / D4): drop the
@@ -1447,7 +1455,10 @@ object Similarity {
     * [[Sampling.takeTopFraction]] over [[prototypeScores]] (per-cell
     * exact `(proto DESC, md5(id), id)` order, two-phase take — no
     * per-cell global sort), subtracted with one id-keyed anti join.
-    * Null-vector rows score null, rank last, and always survive.
+    * Null-vector rows score null and ALWAYS survive: they are excluded
+    * from the drop set and from the fraction's denominator (a cell of 1
+    * scored + 3 null rows at dropFraction 0.5 drops at most
+    * round(0.5·1) scored rows, never a null one).
     */
   def prototypePrune(
       df: DataFrame,
@@ -1455,16 +1466,32 @@ object Similarity {
       vecCol: String,
       idCol: String,
       dropFraction: Double): DataFrame = {
-    require(dropFraction > 0.0 && dropFraction < 1.0,
-      s"dropFraction must be in (0, 1), got $dropFraction")
     // the take evaluates its input once per phase — materialize the
     // (id, cell, proto) ledger (narrow rows) so the quantize + cell-sum
     // pipeline runs once (reliable checkpoint on a cluster, local here)
-    val dropped = Sampling.takeTopFraction(
+    val dropped = prototypeDropIds(
       Materialize.eager(prototypeScores(df, cellCol, vecCol, idCol)),
+      cellCol, idCol, dropFraction)
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
+  /** The drop set of [[prototypePrune]] from an ALREADY-SCORED ledger —
+    * for callers that also need the scores themselves (compute
+    * [[prototypeScores]] once, materialize, derive both): the ids of the
+    * `dropFraction` highest-`proto` rows of every cell, null scores
+    * excluded from set and denominator alike.
+    */
+  def prototypeDropIds(
+      scores: DataFrame,
+      cellCol: String,
+      idCol: String,
+      dropFraction: Double): DataFrame = {
+    require(dropFraction > 0.0 && dropFraction < 1.0,
+      s"dropFraction must be in (0, 1), got $dropFraction")
+    Sampling.takeTopFraction(
+      scores.where(col("proto").isNotNull),
       cellCol, idCol, "proto", dropFraction)
       .select(col(idCol))
-    df.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** All neighbors with cosine ≥ `floor` from a persisted ANN index — the

@@ -321,18 +321,32 @@ object TextOps {
       phrases: Seq[String],
       minSentences: Int = 3): org.apache.spark.sql.DataFrame = {
     val t = col(textCol)
-    val g = gopherPass(t)
-    val c = c4PagePass(t, minSentences)
-    val b = !blockedByPhrase(t, phrases)
+    funnelAgg(df, stratumCol, t, Seq(
+      "n_after_gopher" -> gopherPass(t),
+      "n_after_c4" -> c4PagePass(t, minSentences),
+      "n_after_all" -> !blockedByPhrase(t, phrases)))
+  }
+
+  /** Shared funnel aggregate: each stage's survival count conjoins every
+    * stage before it, all from ONE pass (the verdicts are pure codegen
+    * Columns; the only shuffle is the K-strata aggregate).
+    */
+  private def funnelAgg(
+      df: org.apache.spark.sql.DataFrame,
+      stratumCol: String,
+      t: Column,
+      stages: Seq[(String, Column)]): org.apache.spark.sql.DataFrame = {
     def n(cond: Column) =
       sum(when(coalesce(cond, lit(false)), 1L).otherwise(0L))
+    val cumulative = stages
+      .scanLeft(lit(true): Column) { case (acc, (_, c)) => acc && c }.tail
     df.groupBy(col(stratumCol))
       .agg(
         count(lit(1)).as("n_docs"),
-        n(t.isNull).as("n_null"),
-        n(g).as("n_after_gopher"),
-        n(g && c).as("n_after_c4"),
-        n(g && c && b).as("n_after_all"))
+        (n(t.isNull).as("n_null") +:
+          stages.zip(cumulative).map { case ((name, _), cc) =>
+            n(cc).as(name)
+          }): _*)
   }
 
   /** [[curationFunnel]] with the row-local repetition screen as a second
@@ -351,20 +365,11 @@ object TextOps {
       phrases: Seq[String],
       minSentences: Int = 3): org.apache.spark.sql.DataFrame = {
     val t = col(textCol)
-    val g = gopherPass(t)
-    val r = repetitionQuickPass(t)
-    val c = c4PagePass(t, minSentences)
-    val b = !blockedByPhrase(t, phrases)
-    def n(cond: Column) =
-      sum(when(coalesce(cond, lit(false)), 1L).otherwise(0L))
-    df.groupBy(col(stratumCol))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        n(t.isNull).as("n_null"),
-        n(g).as("n_after_gopher"),
-        n(g && r).as("n_after_repetition"),
-        n(g && r && c).as("n_after_c4"),
-        n(g && r && c && b).as("n_after_all"))
+    funnelAgg(df, stratumCol, t, Seq(
+      "n_after_gopher" -> gopherPass(t),
+      "n_after_repetition" -> repetitionQuickPass(t),
+      "n_after_c4" -> c4PagePass(t, minSentences),
+      "n_after_all" -> !blockedByPhrase(t, phrases)))
   }
 
   /** Per-language marker words for the rule-based language ID. */

@@ -702,13 +702,18 @@ object StreamingOps {
       newStream: DataFrame,
       vecCol: String,
       seeds: Seq[(Any, Seq[Byte])],
-      sums: Seq[(Any, Seq[Long])]): DataFrame =
+      sums: Seq[(Any, Seq[Long])]): DataFrame = {
+    require(!newStream.columns.contains("cell") &&
+      !newStream.columns.contains("proto"),
+      "prototypeScoreStream adds 'cell' and 'proto' columns — rename the " +
+        "existing ones first (the integerCellAssign contract)")
     newStream
       .withColumn("cell",
         graft.ops.Similarity.integerCellColumn(col(vecCol), seeds))
       .withColumn("proto",
         graft.ops.Similarity.prototypeScoreColumn(
           col(vecCol), col("cell"), sums))
+  }
 
   /** The end-to-end curation composition as a stream — the streaming
     * twin of the batch screen→waterfill chain (q160): each micro-batch

@@ -281,12 +281,13 @@ class OpsSpec extends SparkSpec {
       1L -> Some(48894L), 2L -> Some(49401L), 6L -> Some(48387L),
       3L -> Some(48387L), 4L -> Some(48894L), 5L -> Some(49401L),
       8L -> None))
-    // drop 0.4: cell 6 (3 rows) drops its top-1 (id 2); cell 4 (4 rows,
-    // null last) drops its top-2 (ids 5, 4); the null-vec row survives
+    // drop 0.4: null scores are excluded from set AND denominator, so
+    // cell 4 counts 3 scored rows (round(0.4·3) = 1 → drops id 5) and
+    // cell 6 drops its top-1 (id 2); the null-vec row survives
     val kept = Similarity.prototypePrune(
       withCell, "cell", "embedding", "vec_id", 0.4)
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    assert(kept == Set(1L, 3L, 6L, 8L))
+    assert(kept == Set(1L, 3L, 4L, 6L, 8L))
   }
 
   test("prototypeScoreColumn: frozen literal table ≡ the batch join path") {
