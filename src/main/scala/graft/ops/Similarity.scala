@@ -1380,13 +1380,19 @@ object Similarity {
       .select(col(idCol), col(cellCol), col(s"${vecCol}_q").as("__qv"))
     q.join(broadcast(cellSumFrame(q, cellCol)), Seq(cellCol))
       .select(col(idCol), col(cellCol),
-        aggregate(
-          zip_with(col("__qv"), col("__sv"), (a, b) => a.cast("long") * b),
-          // null-element products skip (the cell-sum aggregate and the
-          // DuckDB list_sum replay both skip them); a null VECTOR still
-          // scores null because __qv itself is null
-          lit(0L), (acc, x) => acc + coalesce(x, lit(0L))).as("proto"))
+        protoDot(col("__qv"), col("__sv")).as("proto"))
   }
+
+  /** Exact integer prototypicality dot: int8 codes × code-sum vector,
+    * null-element products skipped (the cell-sum aggregate's and DuckDB
+    * `list_sum`'s rule), wholly-null arrays null-propagating. ONE
+    * definition shared by the batch join path, the frozen-table Column,
+    * and the index-corpus pass.
+    */
+  private def protoDot(qv: Column, sv: Column): Column =
+    aggregate(
+      zip_with(qv, sv, (a, b) => a.cast("long") * b),
+      lit(0L), (acc, x) => acc + coalesce(x, lit(0L)))
 
   /** One map-side-combining (cell, pos) aggregate reassembled into the
     * per-cell element-wise code-sum arrays — the shared sums subplan of
@@ -1440,11 +1446,46 @@ object Similarity {
       sums: Seq[(Any, Seq[Long])]): Column = {
     require(sums.nonEmpty, "prototypeScoreColumn needs at least one cell sum")
     val m = typedlit(sums.map { case (c, s) => c.toString -> s }.toMap)
-    aggregate(
-      zip_with(int8Codes(vec), element_at(m, cell.cast("string")),
-        (a, b) => a.cast("long") * b),
-      lit(0L), (acc, x) => acc + coalesce(x, lit(0L)))
+    protoDot(int8Codes(vec), element_at(m, cell.cast("string")))
   }
+
+  /** [[prototypeScores]] over a persisted ANN index's OWN corpus — the
+    * D4 pruning pass run against the standing vector store without
+    * re-reading the source corpus (the [[compactAnnIndex]] philosophy:
+    * maintenance from the index's own vectors). Quantized indexes score
+    * their STORED int8 codes directly; float indexes quantize on read
+    * with the same [[int8Codes]] rule, so both storage forms of the same
+    * vectors score identically. Cells are the index's IVF cells — the
+    * scale-path assignment — and the score is the usual exact integer
+    * code-sum dot. Returns `(id, cell, proto)`.
+    */
+  def prototypeScoresFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val (dir, meta) = resolveAnnIndex(spark, path)
+    val t = EpochStore.readTable(spark, dir, "assigned")
+    val q =
+      if (annMetaQuantized(meta))
+        t.select(col("cell"), col("id"), col("qvec").as("__qv"))
+      else t.select(col("cell"), col("id"), int8Codes(col("vec")).as("__qv"))
+    q.join(broadcast(cellSumFrame(q, "cell")), Seq("cell"))
+      .select(col("id"), col("cell"), protoDot(col("__qv"), col("__sv")).as("proto"))
+  }
+
+  /** The ids a D4 pass would drop from the index's corpus: the
+    * `dropFraction` most prototypical of every IVF cell, from ONE
+    * materialized pass over the index's stored codes ([[prototypeDropIds]]
+    * semantics — null scores excluded from set and denominator). Feed to
+    * the caller's corpus delete/filter, or drop the rows and rebuild via
+    * [[compactAnnIndex]]-style maintenance.
+    */
+  def prototypePruneIndexIds(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      dropFraction: Double): DataFrame =
+    prototypeDropIds(
+      Materialize.eager(prototypeScoresFromIndex(spark, path)),
+      "cell", "id", dropFraction)
 
   /** Cluster-based corpus pruning (SSL prototypes / D4): drop the
     * `dropFraction` MOST PROTOTYPICAL rows of every cell — the

@@ -320,6 +320,42 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("maxCells"))
   }
 
+  test("prototype scores from a persisted index ≡ the direct pass; both storages agree") {
+    def md5TestHex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val vecs = frame(
+      struct("vec_id" -> LongType, "embedding" -> ArrayType(FloatType)),
+      Row(1L, Seq(-127.0f, 13.0f)), Row(2L, Seq(-127.0f, 26.0f)),
+      Row(3L, Seq(0.0f, 127.0f)), Row(4L, Seq(13.0f, 127.0f)),
+      Row(5L, Seq(26.0f, 127.0f)), Row(6L, Seq(-127.0f, 0.0f)))
+    val base = java.nio.file.Files.createTempDirectory("graft_protoidx").toString
+    Similarity.writeAnnIndex(vecs, "embedding", "vec_id", s"$base/q",
+      nlist = 2, quantize = true)
+    Similarity.writeAnnIndex(vecs, "embedding", "vec_id", s"$base/f",
+      nlist = 2, quantize = false)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val fromQ = rows(Similarity.prototypeScoresFromIndex(spark, s"$base/q"))
+    // stored int8 codes and quantize-on-read over float storage agree
+    assert(fromQ == rows(Similarity.prototypeScoresFromIndex(spark, s"$base/f")))
+    // ≡ the direct batch pass on the index's own cell assignment
+    val cellsDf = frame(struct("vec_id" -> LongType, "cell" -> IntegerType),
+      fromQ.toSeq.map { case (id, (c, _)) => Row(id, c) }: _*)
+    val direct = Similarity.prototypeScores(
+      vecs.join(cellsDf, Seq("vec_id")), "cell", "embedding", "vec_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(fromQ.view.mapValues(_._2).toMap == direct)
+    // the prune ids are exactly the per-cell round(f·n) top scores
+    val dropped = Similarity.prototypePruneIndexIds(spark, s"$base/q", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val expected = fromQ.groupBy(_._2._1).flatMap { case (_, ms) =>
+      val sorted = ms.toSeq.sortBy { case (id, (_, p)) =>
+        (-p, md5TestHex(id.toString), id) }
+      sorted.take(math.round(0.5 * ms.size).toInt).map(_._1)
+    }.toSet
+    assert(dropped == expected && dropped.nonEmpty)
+  }
+
   test("labelVote: majority, closest-neighbor split ties, null labels ignored") {
     val nbrSt = struct(
       "query_id" -> LongType, "rank" -> IntegerType, "neighbor_id" -> LongType)
