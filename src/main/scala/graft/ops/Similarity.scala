@@ -1482,10 +1482,13 @@ object Similarity {
   def prototypePruneIndexIds(
       spark: org.apache.spark.sql.SparkSession,
       path: String,
-      dropFraction: Double): DataFrame =
+      dropFraction: Double): DataFrame = {
+    require(dropFraction > 0.0 && dropFraction < 1.0,
+      s"dropFraction must be in (0, 1), got $dropFraction")
     prototypeDropIds(
       Materialize.eager(prototypeScoresFromIndex(spark, path)),
       "cell", "id", dropFraction)
+  }
 
   /** Cluster-based corpus pruning (SSL prototypes / D4): drop the
     * `dropFraction` MOST PROTOTYPICAL rows of every cell — the
@@ -1507,6 +1510,10 @@ object Similarity {
       vecCol: String,
       idCol: String,
       dropFraction: Double): DataFrame = {
+    // validate BEFORE the scoring pipeline materializes — a bad fraction
+    // must fail with zero Spark jobs, not after the eager checkpoint
+    require(dropFraction > 0.0 && dropFraction < 1.0,
+      s"dropFraction must be in (0, 1), got $dropFraction")
     // the take evaluates its input once per phase — materialize the
     // (id, cell, proto) ledger (narrow rows) so the quantize + cell-sum
     // pipeline runs once (reliable checkpoint on a cluster, local here)
@@ -1526,12 +1533,13 @@ object Similarity {
       scores: DataFrame,
       cellCol: String,
       idCol: String,
-      dropFraction: Double): DataFrame = {
+      dropFraction: Double,
+      scoreCol: String = "proto"): DataFrame = {
     require(dropFraction > 0.0 && dropFraction < 1.0,
       s"dropFraction must be in (0, 1), got $dropFraction")
     Sampling.takeTopFraction(
-      scores.where(col("proto").isNotNull),
-      cellCol, idCol, "proto", dropFraction)
+      scores.where(col(scoreCol).isNotNull),
+      cellCol, idCol, scoreCol, dropFraction)
       .select(col(idCol))
   }
 

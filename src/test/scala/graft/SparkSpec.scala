@@ -47,4 +47,11 @@ trait SparkSpec extends AnyFunSuite {
 
   def collectSorted(df: DataFrame, by: String*): Seq[Row] =
     df.orderBy(by.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
+
+  /** The md5-content-order recompute used by every take/split assertion —
+    * ONE definition of the hashing contract across the suites.
+    */
+  def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }

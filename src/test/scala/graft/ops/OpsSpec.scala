@@ -321,8 +321,6 @@ class OpsSpec extends SparkSpec {
   }
 
   test("prototype scores from a persisted index ≡ the direct pass; both storages agree") {
-    def md5TestHex(s: String) = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val vecs = frame(
       struct("vec_id" -> LongType, "embedding" -> ArrayType(FloatType)),
       Row(1L, Seq(-127.0f, 13.0f)), Row(2L, Seq(-127.0f, 26.0f)),
@@ -350,7 +348,7 @@ class OpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     val expected = fromQ.groupBy(_._2._1).flatMap { case (_, ms) =>
       val sorted = ms.toSeq.sortBy { case (id, (_, p)) =>
-        (-p, md5TestHex(id.toString), id) }
+        (-p, md5hex(id.toString), id) }
       sorted.take(math.round(0.5 * ms.size).toInt).map(_._1)
     }.toSet
     assert(dropped == expected && dropped.nonEmpty)
@@ -1935,8 +1933,6 @@ class OpsSpec extends SparkSpec {
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3))))
       .toMap
-    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val byText = texts.toMap
     val order = (1L to 40L).sortBy(id => (md5hex(s"5#$id"), id))
     val expect = scala.collection.mutable.Map.empty[(Int, Long), (String, Long)]
@@ -2007,8 +2003,6 @@ class OpsSpec extends SparkSpec {
   }
 
   test("takeUniMax: uniform budget with epoch cap, saturation cascade, repeats") {
-    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val st = struct("doc_id" -> LongType, "source" -> StringType)
     val df = frame(st,
       (1L to 6L).map(i => Row(i, "A")) ++
