@@ -1693,6 +1693,22 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // token-space UniMax (the budget unit the paper states the algorithm
+    // in): 30k-token uniform budget over the skewed domains at a 2-epoch
+    // cap — at sf0.01 the nine ~1.3k-token domains saturate at exactly
+    // two full copies while src1 takes a ~6.6k-token md5-order partial
+    // with the crossing row kept
+    "q181_unimax_tokens" -> ((s, d) => {
+      val docs = docsParallel(s, d)
+        .withColumn("n_tok",
+          graft.ops.TextOps.tokenCount(col("text")).cast("long"))
+        .withColumn("domain", substring(col("source"), 1, 4))
+      graft.ops.Sampling.takeUniMaxTokens(docs, "domain", "doc_id", "n_tok",
+        budget = 30000L, maxEpochs = 2L)
+        .select(col("doc_id"), col("domain"), col("n_tok"), col("copy"))
+        .orderBy(col("doc_id"), col("copy"))
+    }),
+
     // corpus MAP (the "what is in my corpus" report every curation run
     // opens with — Atlas-style cluster cards): embedding-space cells from
     // the integer-exact k-center assign, each cell summarized by its doc
@@ -4674,6 +4690,62 @@ object SparkEntry {
         |SELECT vec_id, cell, proto,
         |  rn > cast(round(0.25 * coalesce(c, 0)) AS BIGINT) AS kept
         |FROM rk LEFT JOIN cnt USING (cell) ORDER BY vec_id""".stripMargin,
+
+    // q178's equal-weight closure over 2·token-sum availabilities +
+    // q128's copy split with q130's token cum-window partial rule
+    "q181_unimax_tokens" ->
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id, substr(source, 1, 4) AS domain,
+        |    cast(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |),
+        |base AS (
+        |  SELECT domain, cast(sum(coalesce(n_tok, 0)) AS BIGINT) AS t,
+        |    cast(2 * sum(coalesce(n_tok, 0)) AS BIGINT) AS avail
+        |  FROM d WHERE domain IS NOT NULL GROUP BY domain
+        |),
+        |it AS (
+        |  SELECT 0 AS iter, domain, t, avail, false AS sat FROM base
+        |  UNION ALL
+        |  SELECT iter + 1, domain, t, avail,
+        |    sat OR (avail * (sum(CASE WHEN NOT sat THEN 1 ELSE 0 END) OVER ())
+        |        <= 30000 - sum(CASE WHEN sat THEN avail ELSE 0 END) OVER ()
+        |      AND sum(CASE WHEN NOT sat THEN 1 ELSE 0 END) OVER () > 0) AS sat
+        |  FROM it WHERE iter < 24
+        |),
+        |fin AS (SELECT * FROM it WHERE iter = 24),
+        |q AS (
+        |  SELECT domain, t,
+        |    CASE WHEN sat THEN avail
+        |      WHEN sum(CASE WHEN NOT sat THEN 1 ELSE 0 END) OVER () = 0 THEN 0
+        |      ELSE (30000 - sum(CASE WHEN sat THEN avail ELSE 0 END) OVER ())
+        |        // (sum(CASE WHEN NOT sat THEN 1 ELSE 0 END) OVER ()) END AS quota
+        |  FROM fin
+        |),
+        |k AS (SELECT domain, t, cast(quota // t AS BIGINT) AS kf,
+        |      cast(quota % t AS BIGINT) AS rem FROM q WHERE t > 0),
+        |fullc AS (
+        |  SELECT d.doc_id, d.domain, d.n_tok, unnest(range(k.kf)) AS copy
+        |  FROM d JOIN k USING (domain)
+        |),
+        |r AS (
+        |  SELECT doc_id, domain, n_tok,
+        |    sum(coalesce(n_tok, 0)) OVER (PARTITION BY domain
+        |      ORDER BY md5(cast(doc_id AS VARCHAR)) ASC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d
+        |),
+        |part AS (
+        |  SELECT r.doc_id, r.domain, r.n_tok, k.kf AS copy
+        |  FROM r JOIN k USING (domain)
+        |  WHERE k.rem > 0 AND r.cum - coalesce(r.n_tok, 0) < k.rem
+        |)
+        |SELECT doc_id, domain, n_tok, cast(copy AS BIGINT) AS copy FROM fullc
+        |UNION ALL
+        |SELECT doc_id, domain, n_tok, cast(copy AS BIGINT) AS copy FROM part
+        |ORDER BY doc_id, copy""".stripMargin,
 
     // q177's quantize → seed → argmax cells at k=6 + q169's tf/df
     // signature rank at cell granularity + the per-cell doc count

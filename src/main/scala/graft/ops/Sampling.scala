@@ -539,7 +539,8 @@ object Sampling {
       sourceCol: String,
       keyCol: String,
       split: Seq[(Option[Any], Long, Long)],
-      bucketHexLen: Int): DataFrame = {
+      bucketHexLen: Int,
+      weight: Column = lit(1L)): DataFrame = {
     val spark = df.sparkSession
     // per-source copy factor via a tiny BROADCAST lookup (a per-source
     // when-chain would deepen the expression tree linearly in source
@@ -561,8 +562,10 @@ object Sampling {
       explode(when(col("__kf") > 0L, sequence(lit(0L), col("__kf") - 1L))
         .otherwise(array().cast("array<bigint>"))))
       .drop("__ks", "__kf")
-    // the partial copy: md5-content-order prefix of quota mod c rows
-    val partial = withK(takeBudgets(df, sourceCol, keyCol, lit(1L),
+    // the partial copy: md5-content-order prefix of the remainder quota
+    // (row count at weight 1, token budget with the crossing row kept
+    // when a weight column is passed — takeBudgets' rule either way)
+    val partial = withK(takeBudgets(df, sourceCol, keyCol, weight,
       rems.getOrElse(_, 0L), bucketHexLen))
       .withColumn("copy", coalesce(col("__kf"), lit(0L)))
       .drop("__ks", "__kf")
@@ -612,6 +615,41 @@ object Sampling {
       (s, q / c, q % c)
     }
     repeatedTake(df, sourceCol, keyCol, split, bucketHexLen)
+  }
+
+  /** [[takeUniMax]] in TOKEN space — the budget unit the paper states
+    * the algorithm in: availabilities are `maxEpochs · tok_s` (per-source
+    * token sums, nulls 0), the equal-weight fixpoint allocates token
+    * quotas, and each source emits `quota div tok_s` full copies plus a
+    * partial copy taken in md5 content order until `quota mod tok_s`
+    * tokens with the crossing row KEPT ([[takeTokenBudget]]'s rule, so a
+    * positive remainder always yields rows). A source whose token sum is
+    * zero contributes nothing (its availability is 0); the floor-share
+    * remainder note on [[takeUniMax]] applies unchanged.
+    */
+  def takeUniMaxTokens(
+      df: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      tokenCol: String,
+      budget: Long,
+      maxEpochs: Long,
+      bucketHexLen: Int = 3): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
+    require(!df.columns.contains("copy"),
+      "takeUniMaxTokens adds a 'copy' column — rename the existing one first")
+    val toks = sourceSizes(df, sourceCol,
+      sum(coalesce(col(tokenCol).cast("long"), lit(0L))))
+    val quotas = waterfillQuotas(
+      toks.map { case (s, t) => (s, maxEpochs * t) },
+      s => if (s.isEmpty) 0L else 1L, budget)
+    val split = toks.map { case (s, t) =>
+      val q = quotas.getOrElse(s, 0L)
+      if (t <= 0L) (s, 0L, 0L) else (s, q / t, q % t)
+    }
+    repeatedTake(df, sourceCol, keyCol, split, bucketHexLen,
+      weight = col(tokenCol))
   }
 
   /** [[temperatureMix]] in TOKEN space — the form the mT5/XLM-R recipe is

@@ -2033,6 +2033,28 @@ class OpsSpec extends SparkSpec {
     assert(capped.groupBy(_._1).forall(_._2.length == 2))
   }
 
+  test("takeUniMaxTokens: token quotas, crossing row kept, full copies") {
+    val st = struct("doc_id" -> LongType, "src" -> StringType,
+      "n_tok" -> LongType)
+    val df = frame(st,
+      Row(1L, "A", 5L), Row(2L, "A", 3L), Row(3L, "A", 2L), // t=10
+      Row(11L, "B", 4L),                                     // t=4
+      Row(21L, "C", 2L), Row(22L, "C", 2L))                  // t=4
+    // avail at 2 epochs: A 20, B 8, C 8; budget 20 → nobody saturates
+    // (8·3 > 20), quotas floor(20/3) = 6 each
+    val out = Sampling.takeUniMaxTokens(df, "src", "doc_id", "n_tok",
+      budget = 20L, maxEpochs = 2L)
+      .select("doc_id", "src", "copy").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // A (t=10 > 6): no full copy, md5-order prefix to 6 tokens — ids 1
+    // (cum 5) and 2 (crossing at 8); B (6 = 1·4 + 2): one full copy +
+    // the crossing first row again; C: full copy of both + 2-token prefix
+    assert(out.sorted == Seq(
+      (1L, "A", 0L), (2L, "A", 0L),
+      (11L, "B", 0L), (11L, "B", 1L),
+      (21L, "C", 0L), (21L, "C", 1L), (22L, "C", 0L)).sorted)
+  }
+
   test("temperatureMix: alpha=1 proportional, alpha=0.5 flattens, quotas capped") {
     // skewed two-source corpus: 'a' 8 rows, 'b' 2 rows; target 5
     val df = docs((1L to 10L).map(i => i -> s"mix doc body $i"): _*)
