@@ -601,20 +601,39 @@ object Sampling {
       keyCol: String,
       budget: Long,
       maxEpochs: Long,
-      bucketHexLen: Int = 3): DataFrame = {
+      bucketHexLen: Int = 3): DataFrame =
+    uniMaxCore(df, sourceCol, keyCol, count(lit(1)), lit(1L),
+      budget, maxEpochs, bucketHexLen, "takeUniMax")
+
+  /** The shared UniMax allocation + selection behind [[takeUniMax]] (row
+    * space: size = count, weight 1) and [[takeUniMaxTokens]] (token
+    * space: size = token sum, weight = tokens) — one definition of the
+    * equal-weight fixpoint, the null-source exclusion, and the quota
+    * div/mod split, so the two budget units cannot drift.
+    */
+  private def uniMaxCore(
+      df: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      sizeAgg: Column,
+      weight: Column,
+      budget: Long,
+      maxEpochs: Long,
+      bucketHexLen: Int,
+      op: String): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
     require(!df.columns.contains("copy"),
-      "takeUniMax adds a 'copy' column — rename the existing one first")
-    val counts = sourceSizes(df, sourceCol, count(lit(1)))
-    val avail = counts.map { case (s, c) => (s, maxEpochs * c) }
+      s"$op adds a 'copy' column — rename the existing one first")
+    val sizes = sourceSizes(df, sourceCol, sizeAgg)
     val quotas = waterfillQuotas(
-      avail, s => if (s.isEmpty) 0L else 1L, budget)
-    val split = counts.map { case (s, c) =>
+      sizes.map { case (s, c) => (s, maxEpochs * c) },
+      s => if (s.isEmpty) 0L else 1L, budget)
+    val split = sizes.map { case (s, c) =>
       val q = quotas.getOrElse(s, 0L)
-      (s, q / c, q % c)
+      if (c <= 0L) (s, 0L, 0L) else (s, q / c, q % c)
     }
-    repeatedTake(df, sourceCol, keyCol, split, bucketHexLen)
+    repeatedTake(df, sourceCol, keyCol, split, bucketHexLen, weight)
   }
 
   /** [[takeUniMax]] in TOKEN space — the budget unit the paper states
@@ -634,23 +653,10 @@ object Sampling {
       tokenCol: String,
       budget: Long,
       maxEpochs: Long,
-      bucketHexLen: Int = 3): DataFrame = {
-    require(budget >= 1, s"budget must be >= 1, got $budget")
-    require(maxEpochs >= 1, s"maxEpochs must be >= 1, got $maxEpochs")
-    require(!df.columns.contains("copy"),
-      "takeUniMaxTokens adds a 'copy' column — rename the existing one first")
-    val toks = sourceSizes(df, sourceCol,
-      sum(coalesce(col(tokenCol).cast("long"), lit(0L))))
-    val quotas = waterfillQuotas(
-      toks.map { case (s, t) => (s, maxEpochs * t) },
-      s => if (s.isEmpty) 0L else 1L, budget)
-    val split = toks.map { case (s, t) =>
-      val q = quotas.getOrElse(s, 0L)
-      if (t <= 0L) (s, 0L, 0L) else (s, q / t, q % t)
-    }
-    repeatedTake(df, sourceCol, keyCol, split, bucketHexLen,
-      weight = col(tokenCol))
-  }
+      bucketHexLen: Int = 3): DataFrame =
+    uniMaxCore(df, sourceCol, keyCol,
+      sum(coalesce(col(tokenCol).cast("long"), lit(0L))), col(tokenCol),
+      budget, maxEpochs, bucketHexLen, "takeUniMaxTokens")
 
   /** [[temperatureMix]] in TOKEN space — the form the mT5/XLM-R recipe is
     * actually stated in ("sample so each language contributes share^alpha

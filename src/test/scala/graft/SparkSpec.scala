@@ -19,6 +19,11 @@ object SparkSpec {
     s.sparkContext.setLogLevel("ERROR")
     s
   }
+
+  /** The md5-content-order recompute used by take/split assertions. */
+  def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }
 
 trait SparkSpec extends AnyFunSuite {
@@ -48,10 +53,9 @@ trait SparkSpec extends AnyFunSuite {
   def collectSorted(df: DataFrame, by: String*): Seq[Row] =
     df.orderBy(by.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
 
-  /** The md5-content-order recompute used by every take/split assertion —
-    * ONE definition of the hashing contract across the suites.
+  /** The md5-content-order recompute used by take/split assertions —
+    * delegates to the companion so non-SparkSpec suites (ScalaCheck
+    * Properties objects) share the same definition.
     */
-  def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  def md5hex(s: String): String = SparkSpec.md5hex(s)
 }

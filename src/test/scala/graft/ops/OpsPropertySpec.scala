@@ -55,9 +55,7 @@ object OpsPropertySpec extends Properties("graft.ops") {
       viaKernel == naive
     }
 
-  private def md5hex(s: String): String =
-    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+  private def md5hex(s: String): String = SparkSpec.md5hex(s)
 
   /** Spark's `trim` strips ASCII spaces only — replicate that, not
     * Scala's all-control-chars `.trim`.
