@@ -1449,6 +1449,33 @@ object Similarity {
     protoDot(int8Codes(vec), element_at(m, cell.cast("string")))
   }
 
+  /** The complement policy of [[prototypeDropIds]] — drop the FARTHEST
+    * rows of every cell instead (the other regime Sorscher et al. 2022
+    * discuss: prototypical pruning wins when data is abundant, but
+    * mislabeled or mis-embedded points sit far from every prototype, so
+    * noise-dominated corpora prune OUTLIERS): the ids of the
+    * `dropFraction` lowest-`proto` rows per cell, exact
+    * `(proto ASC, md5(id), id)` order through the same two-phase take
+    * over the negated score. Null scores still survive (excluded from
+    * set and denominator).
+    */
+  def outlierDropIds(
+      scores: DataFrame,
+      cellCol: String,
+      idCol: String,
+      dropFraction: Double,
+      scoreCol: String = "proto"): DataFrame = {
+    require(dropFraction > 0.0 && dropFraction < 1.0,
+      s"dropFraction must be in (0, 1), got $dropFraction")
+    require(!scores.columns.contains("__neg"),
+      "outlierDropIds uses a '__neg' scratch column — rename the existing one")
+    Sampling.takeTopFraction(
+      scores.where(col(scoreCol).isNotNull)
+        .withColumn("__neg", -col(scoreCol)),
+      cellCol, idCol, "__neg", dropFraction)
+      .select(col(idCol))
+  }
+
   /** [[prototypeScores]] over a persisted ANN index's OWN corpus — the
     * D4 pruning pass run against the standing vector store without
     * re-reading the source corpus (the [[compactAnnIndex]] philosophy:

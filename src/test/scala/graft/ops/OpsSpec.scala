@@ -288,6 +288,13 @@ class OpsSpec extends SparkSpec {
       withCell, "cell", "embedding", "vec_id", 0.4)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L, 4L, 6L, 8L))
+    // the outlier direction drops the LOWEST score per cell instead
+    // (ids 6 and 3 at 48387); the null-vec row still survives
+    val outliers = Similarity.outlierDropIds(
+      Similarity.prototypeScores(withCell, "cell", "embedding", "vec_id"),
+      "cell", "vec_id", 0.4)
+      .collect().map(_.getLong(0)).toSet
+    assert(outliers == Set(3L, 6L))
   }
 
   test("prototypeScoreColumn: frozen literal table ≡ the batch join path") {
