@@ -3696,9 +3696,12 @@ object SparkEntry {
     // the waterfill fixpoint as a bounded recursive closure: each round
     // re-derives remaining budget and unsaturated weight mass from the
     // previous round's saturation flags (window sums over the iteration),
-    // a stratum saturates iff avail·W_unsat <= wt·remaining; 24 rounds
-    // overshoots the ≤ #strata convergence bound and the flags are stable
-    // at the fixpoint. Kept rows = per-source md5-order prefix of quota.
+    // a stratum saturates iff avail·W_unsat <= wt·remaining; the round
+    // count is DERIVED from the stratum count (nd) — each round saturates
+    // at least one new stratum or the flags are already stable, so #strata
+    // rounds provably reach the fixpoint for ANY corpus (this and every
+    // sibling closure below: q157/q160/q178/q181). Kept rows = per-source
+    // md5-order prefix of quota.
     "q156_waterfill_mix" ->
       """WITH RECURSIVE
         |w AS (
@@ -3711,6 +3714,7 @@ object SparkEntry {
         |  SELECT d.source, cast(count(*) AS BIGINT) AS avail, max(w.wt) AS wt
         |  FROM documents d JOIN w USING (source) GROUP BY d.source
         |),
+        |nd AS (SELECT cast(count(*) AS BIGINT) AS k FROM base),
         |it AS (
         |  SELECT 0 AS iter, source, avail, wt, false AS sat FROM base
         |  UNION ALL
@@ -3718,9 +3722,9 @@ object SparkEntry {
         |    sat OR (avail * (sum(CASE WHEN NOT sat THEN wt ELSE 0 END) OVER ())
         |        <= wt * (300 - sum(CASE WHEN sat THEN avail ELSE 0 END) OVER ())
         |      AND sum(CASE WHEN NOT sat THEN wt ELSE 0 END) OVER () > 0) AS sat
-        |  FROM it WHERE iter < 24
+        |  FROM it WHERE iter < (SELECT k FROM nd)
         |),
-        |fin AS (SELECT * FROM it WHERE iter = 24),
+        |fin AS (SELECT * FROM it WHERE iter = (SELECT k FROM nd)),
         |q AS (
         |  SELECT source,
         |    CASE WHEN sat THEN avail
@@ -3758,6 +3762,7 @@ object SparkEntry {
         |    max(w.wt) AS wt
         |  FROM t JOIN w USING (source) GROUP BY t.source
         |),
+        |nd AS (SELECT cast(count(*) AS BIGINT) AS k FROM base),
         |it AS (
         |  SELECT 0 AS iter, source, avail, wt, false AS sat FROM base
         |  UNION ALL
@@ -3765,9 +3770,9 @@ object SparkEntry {
         |    sat OR (avail * (sum(CASE WHEN NOT sat THEN wt ELSE 0 END) OVER ())
         |        <= wt * (3000 - sum(CASE WHEN sat THEN avail ELSE 0 END) OVER ())
         |      AND sum(CASE WHEN NOT sat THEN wt ELSE 0 END) OVER () > 0) AS sat
-        |  FROM it WHERE iter < 24
+        |  FROM it WHERE iter < (SELECT k FROM nd)
         |),
-        |fin AS (SELECT * FROM it WHERE iter = 24),
+        |fin AS (SELECT * FROM it WHERE iter = (SELECT k FROM nd)),
         |q AS (
         |  SELECT source,
         |    CASE WHEN sat THEN avail
@@ -3852,6 +3857,7 @@ object SparkEntry {
         |  SELECT s.source, cast(count(*) AS BIGINT) AS avail, max(w.wt) AS wt
         |  FROM surv s JOIN w USING (source) GROUP BY s.source
         |),
+        |nd AS (SELECT cast(count(*) AS BIGINT) AS k FROM base),
         |it AS (
         |  SELECT 0 AS iter, source, avail, wt, false AS sat FROM base
         |  UNION ALL
@@ -3859,9 +3865,9 @@ object SparkEntry {
         |    sat OR (avail * (sum(CASE WHEN NOT sat THEN wt ELSE 0 END) OVER ())
         |        <= wt * (80 - sum(CASE WHEN sat THEN avail ELSE 0 END) OVER ())
         |      AND sum(CASE WHEN NOT sat THEN wt ELSE 0 END) OVER () > 0) AS sat
-        |  FROM it WHERE iter < 24
+        |  FROM it WHERE iter < (SELECT k FROM nd)
         |),
-        |fin AS (SELECT * FROM it WHERE iter = 24),
+        |fin AS (SELECT * FROM it WHERE iter = (SELECT k FROM nd)),
         |q AS (
         |  SELECT source,
         |    CASE WHEN sat THEN avail
@@ -4706,6 +4712,7 @@ object SparkEntry {
         |    cast(2 * sum(coalesce(n_tok, 0)) AS BIGINT) AS avail
         |  FROM d WHERE domain IS NOT NULL GROUP BY domain
         |),
+        |nd AS (SELECT cast(count(*) AS BIGINT) AS k FROM base),
         |it AS (
         |  SELECT 0 AS iter, domain, t, avail, false AS sat FROM base
         |  UNION ALL
@@ -4713,9 +4720,9 @@ object SparkEntry {
         |    sat OR (avail * (sum(CASE WHEN NOT sat THEN 1 ELSE 0 END) OVER ())
         |        <= 30000 - sum(CASE WHEN sat THEN avail ELSE 0 END) OVER ()
         |      AND sum(CASE WHEN NOT sat THEN 1 ELSE 0 END) OVER () > 0) AS sat
-        |  FROM it WHERE iter < 24
+        |  FROM it WHERE iter < (SELECT k FROM nd)
         |),
-        |fin AS (SELECT * FROM it WHERE iter = 24),
+        |fin AS (SELECT * FROM it WHERE iter = (SELECT k FROM nd)),
         |q AS (
         |  SELECT domain, t,
         |    CASE WHEN sat THEN avail
@@ -4814,6 +4821,7 @@ object SparkEntry {
         |    cast(2 * count(*) AS BIGINT) AS avail
         |  FROM d WHERE domain IS NOT NULL GROUP BY domain
         |),
+        |nd AS (SELECT cast(count(*) AS BIGINT) AS k FROM base),
         |it AS (
         |  SELECT 0 AS iter, domain, c, avail, false AS sat FROM base
         |  UNION ALL
@@ -4821,9 +4829,9 @@ object SparkEntry {
         |    sat OR (avail * (sum(CASE WHEN NOT sat THEN 1 ELSE 0 END) OVER ())
         |        <= 600 - sum(CASE WHEN sat THEN avail ELSE 0 END) OVER ()
         |      AND sum(CASE WHEN NOT sat THEN 1 ELSE 0 END) OVER () > 0) AS sat
-        |  FROM it WHERE iter < 24
+        |  FROM it WHERE iter < (SELECT k FROM nd)
         |),
-        |fin AS (SELECT * FROM it WHERE iter = 24),
+        |fin AS (SELECT * FROM it WHERE iter = (SELECT k FROM nd)),
         |q AS (
         |  SELECT domain, c,
         |    CASE WHEN sat THEN avail

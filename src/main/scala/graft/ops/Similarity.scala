@@ -1317,6 +1317,13 @@ object Similarity {
         if (r.isNullAt(1)) null else r.getSeq[Byte](1))).toSeq
   }
 
+  /** Plan-literal cap for [[integerCellColumn]]'s frozen seed table:
+    * total int8 code bytes allowed to ride the plan (1 MiB — generous for
+    * the documented small-k usage, loud for the k·dim regimes that belong
+    * on the IVF join path).
+    */
+  val MaxSeedLiteralBytes: Long = 1L << 20
+
   /** [[integerCellAssign]]'s decision as a pure Column over literal
     * seeds — zero shuffle, zero state, so it runs unchanged on a
     * Structured Streaming frame (in-flight cell routing for arrivals
@@ -1324,6 +1331,19 @@ object Similarity {
     */
   def integerCellColumn(vec: Column, seeds: Seq[(Any, Seq[Byte])]): Column = {
     require(seeds.nonEmpty, "integerCellColumn needs at least one seed")
+    // loud plan-literal cap (the collectCellSums / MaxBlocklistEntries
+    // discipline): k seeds × dim int8 codes ride EVERY task binary as
+    // typedlit literals — k = 4096 at dim 1024 would silently ship ~4 MB
+    // into each serialized task. Large-k assignment belongs to the IVF
+    // index path ([[ivfBuild]] / [[writeAnnIndex]]), whose centroids are
+    // joined, not inlined.
+    val literalBytes = seeds.iterator
+      .map { case (_, c) => if (c == null) 0L else c.length.toLong }.sum
+    require(literalBytes <= MaxSeedLiteralBytes,
+      s"integerCellColumn: ${seeds.length} seeds carry $literalBytes " +
+        s"literal code bytes, over $MaxSeedLiteralBytes — a seed table " +
+        "this large bloats every task binary; assign cells through the " +
+        "IVF index join path (ivfBuild/writeAnnIndex) or shrink k·dim")
     // linear-size argmax: sort (dot, -seed, seed) structs ascending and
     // take the last — highest dot wins, ties to the LOWEST seed id, and
     // all-null dots (null vector) fall through to the lowest seed. A
@@ -1456,8 +1476,12 @@ object Similarity {
     * noise-dominated corpora prune OUTLIERS): the ids of the
     * `dropFraction` lowest-`proto` rows per cell, exact
     * `(proto ASC, md5(id), id)` order through the same two-phase take
-    * over the negated score. Null scores still survive (excluded from
-    * set and denominator).
+    * over the negated score. The negation happens AFTER a cast to
+    * double — the take compares scores as doubles anyway (its documented
+    * 2^53 exactness bound), and double negation is exact at every
+    * magnitude, so a pathological `Long.MinValue` score cannot wrap and
+    * silently invert the order the way a long negation would. Null
+    * scores still survive (excluded from set and denominator).
     */
   def outlierDropIds(
       scores: DataFrame,
@@ -1471,7 +1495,7 @@ object Similarity {
       "outlierDropIds uses a '__neg' scratch column — rename the existing one")
     Sampling.takeTopFraction(
       scores.where(col(scoreCol).isNotNull)
-        .withColumn("__neg", -col(scoreCol)),
+        .withColumn("__neg", -col(scoreCol).cast("double")),
       cellCol, idCol, "__neg", dropFraction)
       .select(col(idCol))
   }

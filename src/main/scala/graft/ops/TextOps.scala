@@ -711,19 +711,21 @@ object TextOps {
     val text = col(textCol)
     val toks = wsTokens(text)
 
-    // exact integer counts behind the four line/paragraph fractions
-    def dupCounts(items: Column, p: String): Seq[(String, Column)] = {
-      val d = array_distinct(items)
-      def chars(arr: Column): Column =
-        aggregate(arr, lit(0L), (acc, l) => acc + length(l).cast("long"))
-      Seq(s"__${p}_n" -> size(items).cast("long"),
-        s"__${p}_nd" -> size(d).cast("long"),
-        s"__${p}_c" -> chars(items),
-        s"__${p}_cd" -> chars(d))
-    }
+    // exact integer counts behind the four line/paragraph fractions, as
+    // ONE let-bound struct per array (the repetitionQuickPass binding):
+    // size, distinct size, and the two char sums as four independent
+    // top-level columns would each re-run the split+filter of the text
+    def dupCounts(items: Column): Column =
+      Dedup.bind(items) { it =>
+        Dedup.bind(array_distinct(it)) { d =>
+          def chars(arr: Column): Column =
+            aggregate(arr, lit(0L), (acc, l) => acc + length(l).cast("long"))
+          struct(size(it).cast("long").as("n"), size(d).cast("long").as("nd"),
+            chars(it).as("c"), chars(d).as("cd"))
+        }
+      }
     val lines = filter(split(text, "\n"), l => trim(l) =!= "")
     val paras = filter(split(text, "\\n{2,}"), p => trim(p) =!= "")
-    val intCols = dupCounts(lines, "ln") ++ dupCounts(paras, "pa")
 
     val lens = transform(toks, t => length(t).cast("long"))
     // non-whitespace chars = Σ token lengths (tokens are the non-ws runs)
@@ -747,11 +749,19 @@ object TextOps {
       }: _*))
     }
 
-    val base = df.select(
-      (Seq(col(idCol).as("doc_id"), text.isNull.as("__nul"),
-        lens.as("__lens"), coalesce(nc, lit(0L)).as("__nc"),
-        gramArr.as("__grams")) ++
-        intCols.map { case (n, c) => c.as(n) }): _*)
+    // the count structs stay their own aliases in a FIRST projection and
+    // expand to flat columns in a SECOND: CollapseProject refuses to
+    // inline an expensive alias referenced four times, so each array
+    // pipeline evaluates once per row
+    val base0 = df.select(
+      col(idCol).as("doc_id"), text.isNull.as("__nul"),
+      lens.as("__lens"), coalesce(nc, lit(0L)).as("__nc"),
+      gramArr.as("__grams"),
+      dupCounts(lines).as("__ln"), dupCounts(paras).as("__pa"))
+    val base = base0.select(
+      (Seq("doc_id", "__nul", "__lens", "__nc", "__grams").map(col) ++
+        (for (p <- Seq("ln", "pa"); f <- Seq("n", "nd", "c", "cd"))
+          yield col(s"__$p")(f).as(s"__${p}_$f"))): _*)
 
     val ex = base
       .select(col("doc_id"), explode(col("__grams")).as("g"))

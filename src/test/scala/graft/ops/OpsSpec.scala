@@ -325,6 +325,17 @@ class OpsSpec extends SparkSpec {
       Similarity.collectCellSums(withCell, "cell", "embedding", maxCells = 1)
     }
     assert(e.getMessage.contains("maxCells"))
+    // the SEED literal path has the same loud cap: a k·dim table over
+    // MaxSeedLiteralBytes must fail at construction, not ship megabytes
+    // into every task binary
+    val fatSeeds = (0L until 2048L).map(i =>
+      (i: Any, Seq.fill(1024)(1.toByte)))
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.integerCellColumn(col("embedding"), fatSeeds)
+    }
+    assert(e2.getMessage.contains("literal code bytes"))
+    // small-k usage stays unchanged under the cap
+    assert(Similarity.MaxSeedLiteralBytes == (1L << 20))
   }
 
   test("prototype scores from a persisted index ≡ the direct pass; both storages agree") {
