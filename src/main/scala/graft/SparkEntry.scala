@@ -406,6 +406,48 @@ object SparkEntry {
         embParallel(s, d).where(col("vec_id") % 10 === 0), "embedding", "vec_id",
         q125IndexDir(d), minCosine = 0.35, nprobe = 8).count()
       ()
+    }),
+    // Learned-filter family train/score split: the parent queries bundle
+    // training + model-table writes with scoring, so a probe regression
+    // in the hot path — the SCORE a production pipeline re-runs on every
+    // batch — could hide inside the train/write floor (the q97
+    // build/probe discipline). The score phases re-read the model tables
+    // the train phase materialized under the query's own /tmp dir.
+    ("q143_nb_quality_classifier", "q143_train", (s: SparkSession, d: String) => {
+      binaryNbMaterialized(s, d, q143ModelDir(d))
+      ()
+    }),
+    ("q143_nb_quality_classifier", "q143_score", (s: SparkSession, d: String) => {
+      val meta = s.read.parquet(s"${q143ModelDir(d)}/meta").head()
+      graft.ops.LangModel.scoreTokenWeights(
+        Tables(s, d, "documents"), "doc_id", "text",
+        s.read.parquet(s"${q143ModelDir(d)}/weights"),
+        meta.getAs[Long]("oov_weight"), meta.getAs[Long]("prior")).count()
+      ()
+    }),
+    ("q144_bigram_lm_score", "q144_train", (s: SparkSession, d: String) => {
+      bigramLmMaterialized(s, d, q144LmDir(d))
+      ()
+    }),
+    ("q144_bigram_lm_score", "q144_score", (s: SparkSession, d: String) => {
+      graft.ops.LangModel.scoreBigramTables(
+        Tables(s, d, "documents"), "doc_id", "text",
+        s.read.parquet(s"${q144LmDir(d)}/bigrams"),
+        s.read.parquet(s"${q144LmDir(d)}/fallback"),
+        s.read.parquet(s"${q144LmDir(d)}/meta").head()
+          .getAs[Long]("floor_lp")).count()
+      ()
+    }),
+    ("q172_charngram_langid", "q172_train", (s: SparkSession, d: String) => {
+      charNgramMaterialized(s, d, q172ModelDir(d))
+      ()
+    }),
+    ("q172_charngram_langid", "q172_score", (s: SparkSession, d: String) => {
+      graft.ops.LangModel.predictClassCharsTables(
+        scriptAugDocs(s, d), "doc_id", "t", 3,
+        s.read.parquet(s"${q172ModelDir(d)}/weights"),
+        s.read.parquet(s"${q172ModelDir(d)}/class_meta")).count()
+      ()
     }))
 
   /** documents with the cluster's parallelism. The test parquet is ONE small
