@@ -274,6 +274,120 @@ object SparkEntry {
         lit("<p>Short bit</p><footer><a href=\"/legal\">Legal notice terms " +
           "page</a> fine print</footer></body></html>")).as("html"))
 
+  /** Deterministically synthesized raw CRAWL for the end-to-end pipeline
+    * flagship (q182): every document becomes a page with a URL and a
+    * q170-style HTML wrapper, with per-stage casualties planted by
+    * doc_id arithmetic so EVERY pipeline stage has real drops:
+    *
+    *   - url: host `site{canon % 37}.example.com`, path `/a/{canon}`,
+    *     where canon = doc_id − 3 on %10==3 pages (those also carry a
+    *     `utm_campaign` param and a fragment) — their CANONICAL url
+    *     collides with the %10==0 page three ids below (url_dup bait),
+    *     and blocklisting site5/site11 drops ~1/18 of pages at the
+    *     domain screen before a byte of HTML is read;
+    *   - inner text: %9==4 pages swap the document body for one FIXED
+    *     page body (exact text_dup bait); %17==2 pages append two
+    *     #-riddled paragraphs — 40 hashes against a ≤380-word page —
+    *     (trips Gopher's symbol-ratio rule over the extracted text);
+    *     %6==1 pages append FIVE copies of one stop-dense line (trips
+    *     the repetition screen's dup_line rule);
+    *     %13==0 pages append the eval-set leak sentence (decontam
+    *     bait); %7==0 pages carry the wrapper's lorem paragraph (C4
+    *     bait); the phrase blocklist catches natural document bodies.
+    *
+    * Every planted paragraph is stop-dense against [[graft.ops.TextOps
+    * .HtmlStopwords]] so its block SURVIVES extraction — a casualty must
+    * die at its own stage, not at the block classifier.
+    */
+  private def crawlDocs(s: SparkSession, d: String) = {
+    val canon = col("doc_id") -
+      when(col("doc_id") % 10 === 3, lit(3L)).otherwise(lit(0L))
+    val inner =
+      when(col("doc_id") % 9 === 4,
+        lit("It is the standard document of the training corpus and " +
+          "the shared body of the page that the editors kept in the " +
+          "collection for the reader of it."))
+        .otherwise(col("text"))
+    // stopword GLUE around the document body: the corpus vocabulary is
+    // ~6% stop-dense, so a bare body block would die at the jusText
+    // stopword rule and never reach the downstream screens (blocklist
+    // phrases live in the body). ~60 near-pure-stop glue words lift even
+    // a stopword-free 100-word body above 0.3 density; the body itself
+    // rides verbatim between prefix and suffix.
+    val body = concat(
+      lit("It is the body of the page that it is in for the set of it " +
+        "and it is of the day that it is in it for the set of it and " +
+        "the crawl saved it to the store for a reader to read it: "),
+      inner,
+      lit(" and that is the end of it in the set of the page for the " +
+        "day of it and it is all of it."))
+    val hashes = "# it is # the tag # of # the day # in # the set # of " +
+      "# it # in # the end # of # the day # it is # the one # of # all " +
+      "# of # it # okay #."
+    docsParallel(s, d).select(
+      col("doc_id"), col("source"),
+      concat(
+        lit("https://www.site"), (canon % 37).cast("string"),
+        lit(".example.com/a/"), canon.cast("string"),
+        when(col("doc_id") % 10 === 3,
+          concat(lit("?utm_campaign="), col("doc_id").cast("string"),
+            lit("#f"))).otherwise(lit(""))).as("url"),
+      concat(
+        lit("<html><!-- crawl --><head><style>body { color: red }" +
+          "</style><script>if (x < 2) { y = 3; }</script><title>Page" +
+          "</title></head><body><h1>Page "),
+        col("doc_id").cast("string"),
+        lit("</h1><div class=\"nav\"><a href=\"/\">Home</a> " +
+          "<a href=\"/about\">About</a></div><p>"),
+        body,
+        lit("</p><p>It is a pleasant morning for the people of the " +
+          "village and the weather is a gentle presence in all of the " +
+          "streets.</p><p>The point of it is that the work of the day " +
+          "sits in the middle of it for all of the people involved." +
+          "</p><p>The point of the note is that it is written for the " +
+          "reader and it is kept in the set.</p>"),
+        when(col("doc_id") % 6 === 1, lit(
+          "<p>It is the same line of it in the day of the set.</p>" +
+            "<p>It is the same line of it in the day of the set.</p>" +
+            "<p>It is the same line of it in the day of the set.</p>" +
+            "<p>It is the same line of it in the day of the set.</p>" +
+            "<p>It is the same line of it in the day of the set.</p>"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(
+          "<p>It is the case that the answer to the benchmark question " +
+            "is in the set.</p>")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 2,
+          concat(lit("<p>"), lit(hashes), lit("</p><p>"), lit(hashes),
+            lit("</p>"))).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(
+          "<p>lorem ipsum dolor sit amet the words go on in the line " +
+            "of it okay.</p>")).otherwise(lit("")),
+        lit("<p>Short bit</p><footer><a href=\"/legal\">Legal notice " +
+          "terms page</a> fine print</footer></body></html>")).as("html"))
+  }
+
+  /** q182's leaked eval set: one sentence planted verbatim into the
+    * %13==0 pages' HTML (and nothing else), so decontamination has exact
+    * 8-gram casualties.
+    */
+  private def q182EvalRows = Seq(
+    "It is the case that the answer to the benchmark question is in the set.")
+
+  /** q182's pipeline knobs: two blocked host families, a two-phrase
+    * blocklist, src3 weighted 8× so it saturates while the rest take
+    * md5-order partial quotas, and ~8 output shards.
+    */
+  private def q182Config = graft.ops.Pipeline.CurationConfig(
+    blockedDomains = Seq("site5.example.com", "site11.example.com"),
+    // NOT q154Blocklist: 'vector' alone hits ~76% of the synthetic
+    // bodies and would starve every stage downstream of the screens —
+    // two rarer phrases keep the blocklist a screen, not a guillotine
+    phrases = Seq("customer query", "window merge"),
+    weights = (0 until 20).map(i => s"src$i" ->
+      (if (i == 3) 8L else 1L)).toMap,
+    budgetTokens = 12000L,
+    shardTokens = 1500L)
+
   /** Bench-only phase breakdown of the index-lifecycle queries (q97, q99):
     * each lifecycle stage timed on its own, so the per-job scheduling
     * floor of the build/append writes (11 sequential parquet writes +
@@ -1812,6 +1926,24 @@ object SparkEntry {
           graft.ops.TextOps.urlHost(col("url")).as("host"),
           graft.ops.TextOps.urlDomainBlocked(col("url"), blockedDomains)
             .as("blocked"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // THE pipeline flagship: raw synthesized crawl -> domain blocklist ->
+    // HTML extraction -> gopher/repetition/C4/blocklist screens ->
+    // URL-canonical + exact-text dedup -> 8-gram decontamination ->
+    // waterfill token mix -> sized-shard assignment, composed by ONE
+    // operator (graft.ops.Pipeline.curate) around ONE materialized
+    // post-extraction ledger. Output: per-page first-fail diagnosis +
+    // token count + final shard — the whole chain hashes under a single
+    // DuckDB replay built from the q171/q179/q167/q30/q71/q157/q159
+    // oracle fragments.
+    "q182_pipeline_e2e" -> ((s, d) => {
+      import s.implicits._
+      val eval = q182EvalRows.toDF("text")
+      graft.ops.Pipeline.curate(
+        crawlDocs(s, d), "doc_id", "url", "source", "html",
+        eval, "text", q182Config)
         .orderBy(col("doc_id"))
     }),
 
@@ -4932,6 +5064,255 @@ object SparkEntry {
         |    OR host = 'ads.example.org' OR ends_with(host, '.ads.example.org'))
         |    AS blocked
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // the full-chain replay: q171 extraction -> q179 screens ->
+    // min-id dedup elections at canonical-url and text classes ->
+    // q71-style 8-gram decontamination -> the q157 waterfill closure
+    // (derived round bound) -> the q159 shard cumsum, one stage CASE
+    // per page at the end
+    "q182_pipeline_e2e" ->
+      """WITH RECURSIVE
+        |h AS (
+        |  SELECT doc_id, source,
+        |    doc_id - CASE WHEN doc_id % 10 = 3 THEN 3 ELSE 0 END AS canon,
+        |    '<html><!-- crawl --><head><style>body { color: red }</style>'
+        |    || '<script>if (x < 2) { y = 3; }</script><title>Page</title>'
+        |    || '</head><body><h1>Page ' || cast(doc_id AS VARCHAR)
+        |    || '</h1><div class="nav"><a href="/">Home</a> '
+        |    || '<a href="/about">About</a></div><p>'
+        |    || 'It is the body of the page that it is in for the set of it '
+        |    || 'and it is of the day that it is in it for the set of it and '
+        |    || 'the crawl saved it to the store for a reader to read it: '
+        |    || CASE WHEN doc_id % 9 = 4
+        |         THEN 'It is the standard document of the training corpus and '
+        |           || 'the shared body of the page that the editors kept in the '
+        |           || 'collection for the reader of it.'
+        |         ELSE text END
+        |    || ' and that is the end of it in the set of the page for the day '
+        |    || 'of it and it is all of it.'
+        |    || '</p><p>It is a pleasant morning for the people of the village '
+        |    || 'and the weather is a gentle presence in all of the streets.'
+        |    || '</p><p>The point of it is that the work of the day sits in the '
+        |    || 'middle of it for all of the people involved.'
+        |    || '</p><p>The point of the note is that it is written for the '
+        |    || 'reader and it is kept in the set.</p>'
+        |    || CASE WHEN doc_id % 6 = 1 THEN repeat(
+        |         '<p>It is the same line of it in the day of the set.</p>', 5)
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0
+        |         THEN '<p>It is the case that the answer to the benchmark '
+        |           || 'question is in the set.</p>' ELSE '' END
+        |    || CASE WHEN doc_id % 17 = 2 THEN repeat(
+        |         '<p># it is # the tag # of # the day # in # the set # of # it '
+        |           || '# in # the end # of # the day # it is # the one # of # '
+        |           || 'all # of # it # okay #.</p>', 2)
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN '<p>lorem ipsum dolor sit amet the words go on in the '
+        |           || 'line of it okay.</p>' ELSE '' END
+        |    || '<p>Short bit</p><footer><a href="/legal">Legal notice terms '
+        |    || 'page</a> fine print</footer></body></html>' AS html
+        |  FROM documents
+        |), pre AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(html,
+        |      '(?s)<!--.*?-->', ' ', 'g'),
+        |      '(?is)<script(\s[^>]*)?>.*?</script>', ' ', 'g'),
+        |      '(?is)<style(\s[^>]*)?>.*?</style>', ' ', 'g'),
+        |      '(?is)<title(\s[^>]*)?>.*?</title>', ' ', 'g') AS pre
+        |  FROM h
+        |), two AS (
+        |  SELECT doc_id, pre AS pa,
+        |    regexp_replace(pre, '(?is)<a(\s[^>]*)?>.*?</a>', '', 'g') AS pb
+        |  FROM pre
+        |), strip AS (
+        |  SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(pa,
+        |        '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|td|th|blockquote|section|article|header|footer|nav)(\s[^>]*)?/?>',
+        |        chr(10), 'g'), '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&') AS sa,
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(pb,
+        |        '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|td|th|blockquote|section|article|header|footer|nav)(\s[^>]*)?/?>',
+        |        chr(10), 'g'), '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&') AS sb
+        |  FROM two
+        |), z AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(sa, chr(10))) AS a,
+        |    unnest(string_split(sb, chr(10))) AS b,
+        |    unnest(generate_series(1, len(string_split(sa, chr(10))))) AS block_id
+        |  FROM strip
+        |), bm AS (
+        |  SELECT doc_id, block_id,
+        |    trim(regexp_replace(a, '\s+', ' ', 'g')) AS block_text,
+        |    length(regexp_replace(a, '\s+', '', 'g')) AS n_chars,
+        |    greatest(length(regexp_replace(a, '\s+', '', 'g'))
+        |      - length(regexp_replace(b, '\s+', '', 'g')), 0) AS anchor_chars,
+        |    len(list_filter(
+        |      string_split(trim(regexp_replace(a, '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '')) AS n_words,
+        |    len(list_filter(
+        |      string_split(trim(regexp_replace(a, '\s+', ' ', 'g')), ' '),
+        |      x -> list_contains(
+        |        ['the','of','and','a','to','in','is','it','that','for'],
+        |        regexp_replace(lower(x), '[^a-z]', '', 'g')))) AS stop_hits
+        |  FROM z
+        |), g AS (
+        |  SELECT doc_id,
+        |    array_to_string(list(block_text ORDER BY block_id), chr(10)) AS ext
+        |  FROM bm
+        |  WHERE n_chars > 0 AND n_chars >= 20 AND anchor_chars * 5 <= n_chars
+        |    AND stop_hits * 10 >= n_words * 3
+        |  GROUP BY doc_id
+        |), e AS (
+        |  SELECT h.doc_id, h.source, h.canon,
+        |    CASE WHEN h.html IS NULL THEN NULL ELSE coalesce(g.ext, '') END AS t
+        |  FROM h LEFT JOIN g ON g.doc_id = h.doc_id
+        |), s1 AS (
+        |  SELECT doc_id, source, canon, t,
+        |    list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS w,
+        |    list_filter(string_split(t, chr(10)), x -> trim(x) <> '') AS l,
+        |    list_filter(string_split_regex(t, '\n{2,}'), x -> trim(x) <> '') AS ps
+        |  FROM e
+        |), mm AS (
+        |  SELECT doc_id, source, canon, t,
+        |    cast(len(w) AS BIGINT) AS nw,
+        |    cast(coalesce(list_sum(list_transform(w, x -> len(x))), 0) AS BIGINT) AS sumlen,
+        |    cast(len(regexp_extract_all(t, '#|…|\.\.\.')) AS BIGINT) AS nsym,
+        |    cast(len(l) AS BIGINT) AS nl,
+        |    cast(len(list_filter(l, x -> regexp_matches(trim(x), '^[•\-\*]'))) AS BIGINT) AS nbul,
+        |    cast(len(list_filter(l, x -> regexp_matches(trim(x), '(…|\.\.\.)$'))) AS BIGINT) AS nell,
+        |    cast(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS nalpha,
+        |    cast(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(w, s))) AS BIGINT) AS nstop,
+        |    cast(len(list_distinct(l)) AS BIGINT) AS lnd,
+        |    cast(coalesce(list_sum(list_transform(l, x -> len(x))), 0) AS BIGINT) AS lc,
+        |    cast(coalesce(list_sum(list_transform(list_distinct(l), x -> len(x))), 0) AS BIGINT) AS lcd,
+        |    cast(len(ps) AS BIGINT) AS pan,
+        |    cast(len(list_distinct(ps)) AS BIGINT) AS pad,
+        |    cast(coalesce(list_sum(list_transform(ps, x -> len(x))), 0) AS BIGINT) AS pc,
+        |    cast(coalesce(list_sum(list_transform(list_distinct(ps), x -> len(x))), 0) AS BIGINT) AS pcd,
+        |    len(list_filter(string_split(t, chr(10)), x ->
+        |      len(list_filter(string_split_regex(x, '\s+'), y -> y <> '')) >= 5
+        |      AND regexp_matches(trim(x), '[.!?]["”]?$'))) AS nkept,
+        |    contains(lower(t), 'lorem ipsum') AS lorem,
+        |    contains(t, '{') AS brace,
+        |    ' ' || array_to_string(list_filter(
+        |      string_split_regex(lower(t), '\s+'), x -> x <> ''), ' ')
+        |      || ' ' AS norm
+        |  FROM s1
+        |), lab AS (
+        |  SELECT doc_id, source, canon, t, nw AS ntok,
+        |    CASE WHEN canon % 37 IN (5, 11) THEN 'domain'
+        |         WHEN t IS NULL THEN 'null_html'
+        |         WHEN NOT (nw >= 50 AND nw <= 100000
+        |           AND nw > 0 AND sumlen >= nw * 3 AND sumlen <= nw * 10
+        |           AND nsym * 10 <= nw AND nbul * 10 <= nl * 9
+        |           AND nell * 10 <= nl * 3 AND nalpha * 5 >= nw * 4
+        |           AND nstop >= 2) THEN 'gopher'
+        |         WHEN NOT ((nl - lnd) * 10 <= nl * 3 AND (lc - lcd) * 5 <= lc
+        |           AND (pan - pad) * 10 <= pan * 3 AND (pc - pcd) * 5 <= pc)
+        |           THEN 'repetition'
+        |         WHEN NOT (NOT lorem AND NOT brace AND nkept >= 3) THEN 'c4'
+        |         WHEN contains(norm, ' customer query ')
+        |           OR contains(norm, ' window merge ') THEN 'blocklist'
+        |         ELSE 'pass' END AS scr
+        |  FROM mm
+        |), u AS (
+        |  SELECT doc_id,
+        |    'site' || cast(canon % 37 AS VARCHAR) || '.example.com/a/'
+        |      || cast(canon AS VARCHAR) AS cu
+        |  FROM lab WHERE scr = 'pass'
+        |), uw AS (SELECT cu, min(doc_id) AS w FROM u GROUP BY cu),
+        |s2 AS (SELECT u.doc_id FROM u JOIN uw USING (cu) WHERE u.doc_id = uw.w),
+        |tw AS (
+        |  SELECT l.t, min(l.doc_id) AS w
+        |  FROM lab l JOIN s2 USING (doc_id) GROUP BY l.t
+        |), s3 AS (
+        |  SELECT l.doc_id FROM lab l JOIN s2 USING (doc_id)
+        |  JOIN tw ON tw.t = l.t AND tw.w = l.doc_id
+        |), ev AS (
+        |  SELECT list_filter(string_split_regex(
+        |    'It is the case that the answer to the benchmark question is in the set.',
+        |    '\s+'), x -> x <> '') AS ewd
+        |), evg AS (
+        |  SELECT DISTINCT array_to_string(ewd[i:i+7], ' ') AS g8
+        |  FROM ev, unnest(range(1, len(ewd)-8+2)) AS t(i)
+        |), dt AS (
+        |  SELECT l.doc_id,
+        |    list_filter(string_split_regex(l.t, '\s+'), x -> x <> '') AS dw
+        |  FROM lab l JOIN s3 USING (doc_id)
+        |), cg AS (
+        |  SELECT doc_id, array_to_string(dw[i:i+7], ' ') AS g8
+        |  FROM dt, unnest(range(1, len(dw)-8+2)) AS t2(i)
+        |  WHERE len(dw) >= 8
+        |), cont AS (SELECT DISTINCT doc_id FROM cg JOIN evg USING (g8)),
+        |s4 AS (
+        |  SELECT dt.doc_id FROM dt
+        |  WHERE dt.doc_id NOT IN (SELECT doc_id FROM cont)
+        |), tk AS (
+        |  SELECT l.doc_id, l.source, l.ntok FROM lab l JOIN s4 USING (doc_id)
+        |), wv AS (
+        |  SELECT 'src' || cast(i AS VARCHAR) AS source,
+        |    cast(CASE WHEN i = 3 THEN 8 ELSE 1 END AS BIGINT) AS wt
+        |  FROM range(20) t(i)
+        |), base AS (
+        |  SELECT tk.source, cast(sum(coalesce(tk.ntok, 0)) AS BIGINT) AS avail,
+        |    max(wv.wt) AS wt
+        |  FROM tk JOIN wv USING (source) GROUP BY tk.source
+        |), nd AS (SELECT cast(count(*) AS BIGINT) AS k FROM base),
+        |it AS (
+        |  SELECT 0 AS iter, source, avail, wt, false AS sat FROM base
+        |  UNION ALL
+        |  SELECT iter + 1, source, avail, wt,
+        |    sat OR (avail * (sum(CASE WHEN NOT sat THEN wt ELSE 0 END) OVER ())
+        |        <= wt * (12000 - sum(CASE WHEN sat THEN avail ELSE 0 END) OVER ())
+        |      AND sum(CASE WHEN NOT sat THEN wt ELSE 0 END) OVER () > 0) AS sat
+        |  FROM it WHERE iter < (SELECT k FROM nd)
+        |),
+        |fin AS (SELECT * FROM it WHERE iter = (SELECT k FROM nd)),
+        |q AS (
+        |  SELECT source,
+        |    CASE WHEN sat THEN avail
+        |      WHEN sum(CASE WHEN NOT sat THEN wt ELSE 0 END) OVER () = 0 THEN 0
+        |      ELSE wt * (12000 - sum(CASE WHEN sat THEN avail ELSE 0 END) OVER ())
+        |        // (sum(CASE WHEN NOT sat THEN wt ELSE 0 END) OVER ()) END AS quota
+        |  FROM fin
+        |), r AS (
+        |  SELECT doc_id, source, ntok,
+        |    sum(coalesce(ntok, 0)) OVER (PARTITION BY source
+        |      ORDER BY md5(cast(doc_id AS VARCHAR)) ASC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM tk
+        |), keep AS (
+        |  SELECT r.doc_id, r.ntok FROM r JOIN q USING (source)
+        |  WHERE cum - coalesce(ntok, 0) < quota
+        |), sh AS (
+        |  SELECT doc_id,
+        |    cast((sum(coalesce(ntok, 0)) OVER (
+        |      ORDER BY md5(cast(doc_id AS VARCHAR)) ASC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) - coalesce(ntok, 0)) // 1500 AS BIGINT)
+        |      AS shard
+        |  FROM keep
+        |)
+        |SELECT l.doc_id, l.source,
+        |  CASE WHEN l.scr <> 'pass' THEN l.scr
+        |       WHEN s2.doc_id IS NULL THEN 'url_dup'
+        |       WHEN s3.doc_id IS NULL THEN 'text_dup'
+        |       WHEN s4.doc_id IS NULL THEN 'decontam'
+        |       WHEN sh.doc_id IS NULL THEN 'mix'
+        |       ELSE 'kept' END AS stage,
+        |  CASE WHEN l.scr IN ('domain', 'null_html') THEN NULL
+        |       ELSE l.ntok END AS n_tok,
+        |  sh.shard
+        |FROM lab l
+        |LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+        |LEFT JOIN s4 USING (doc_id) LEFT JOIN sh USING (doc_id)
+        |ORDER BY l.doc_id""".stripMargin,
 
     "q138_bpe_word_histogram" ->
       """WITH w AS (

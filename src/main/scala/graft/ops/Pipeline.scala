@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end web-curation pipeline as ONE composed operator: raw
+  * crawl pages → domain blocklist → HTML main-text extraction → the
+  * published screen chain (Gopher → repetition → C4 → phrase blocklist)
+  * → URL-canonical dedup → exact text dedup → decontamination → exact
+  * waterfill token mix → sized-shard assignment. Every stage is an
+  * existing, individually-oracled op from this package; this operator
+  * pins their COMPOSITION — the thing a production corpus build actually
+  * runs — plus the inter-stage materialization policy that makes the
+  * chain one pipeline instead of nine corpus scans.
+  *
+  * Materialization policy (the 100 TB design artifact): stage A — the
+  * only regex-heavy work, i.e. the domain verdict, URL canonicalization,
+  * HTML extraction, screen verdicts, and token count — runs as ONE pass
+  * over the raw pages and materializes a NARROW ledger
+  * `(id, source, domain-blocked, canonical url, extracted text, first
+  * failing screen, token count)`. Raw HTML is never read again. Every
+  * later stage (two dedup elections, the decontamination gram probe, the
+  * waterfill take, the shard cumsum) derives from the ledger: their
+  * shuffles carry ids, 16-byte hashes, and counts — never pages. Without
+  * the materialization, Spark's multi-consumer subtrees would re-run the
+  * extraction regex chain once per downstream branch (the measured
+  * containmentPairs pathology).
+  */
+object Pipeline {
+
+  /** Knobs of [[curate]]. `weights` must carry an explicit entry for
+    * every non-null source (the waterfill contract — use 0 to exclude a
+    * source deliberately).
+    */
+  final case class CurationConfig(
+      blockedDomains: Seq[String],
+      phrases: Seq[String],
+      weights: Map[String, Long],
+      budgetTokens: Long,
+      shardTokens: Long,
+      minSentences: Int = 3,
+      decontamN: Int = 8)
+
+  /** Run the full curation chain and return the per-page DIAGNOSIS — one
+    * row per input page, `(idCol, sourceCol, stage, n_tok, shard)`:
+    *
+    *   - `stage` — the first stage that dropped the page, in pipeline
+    *     order: 'domain' (blocklisted host), 'null_html' (nothing to
+    *     extract), 'gopher' / 'repetition' / 'c4' / 'blocklist' (the
+    *     screen chain's first failing rule over the EXTRACTED text),
+    *     'url_dup' / 'text_dup' (lost a min-id dedup election),
+    *     'decontam' (shares an n-gram with the eval set), 'mix' (outside
+    *     its source's waterfill token quota), or 'kept';
+    *   - `n_tok` — whitespace tokens of the extracted text (null before
+    *     extraction, i.e. for 'domain'/'null_html' pages — a blocked
+    *     page is never fetched);
+    *   - `shard` — the sized-shard id for 'kept' pages (≈ `shardTokens`
+    *     tokens per shard in md5 content order), null otherwise.
+    *
+    * The kept corpus is `where(stage = 'kept')`; the funnel report is one
+    * `groupBy(stage).count()` away; shard layout matches
+    * [[Sink.writeSizedShards]]' assignment rule exactly, so writing the
+    * survivors is one `partitionBy("shard")` append.
+    *
+    * Dedup elections are engine-portable min-id per equivalence class:
+    * URL classes are [[TextOps.normalizeUrl]] values (null-url pages
+    * skip the election — an unknown address is not a duplicate), text
+    * classes are md5 of the extracted text. Decontamination is
+    * [[Decontam.decontaminate]]'s exact n-gram containment; the mix is
+    * [[Sampling.takeWaterfillTokens]]' exact fixpoint quotas with the
+    * crossing row kept. Every verdict is deterministic, so the whole
+    * diagnosis hashes bit-exact against a SQL replay.
+    *
+    * Plan shape for 100 TB: one scan of the raw pages feeds the
+    * materialized ledger (stage A above); the screen chain is pure
+    * codegen over the extracted attribute; both dedup elections shuffle
+    * (key-hash, id) pairs only; the gram probe broadcasts the eval side;
+    * the waterfill and shard cumsums run the bucketed no-global-sort
+    * machinery (per-bucket windows + broadcast driver prefix sums); the
+    * final assembly is id-keyed left joins AQE broadcasts when the late
+    * stages' survivor sets are small. No stage sorts the corpus in one
+    * task, collects it, or shuffles page text (the attach join of the
+    * diagnosis carries the ledger's narrow rows, not HTML).
+    */
+  def curate(
+      crawl: DataFrame,
+      idCol: String,
+      urlCol: String,
+      sourceCol: String,
+      htmlCol: String,
+      evalSet: DataFrame,
+      evalTextCol: String,
+      cfg: CurationConfig): DataFrame = {
+    val id = col(idCol)
+    // stage A, projection 1: the regex-heavy columns. Projection 2 (the
+    // screen verdicts) reads the extracted text as an ATTRIBUTE —
+    // CollapseProject refuses to inline the expensive multiply-referenced
+    // extraction alias into the four verdicts, so the strip chain runs
+    // once per page.
+    val extracted = crawl.select(
+      id.as("__id"),
+      col(sourceCol).as("__src"),
+      TextOps.urlDomainBlocked(col(urlCol), cfg.blockedDomains).as("__dom"),
+      TextOps.normalizeUrl(col(urlCol)).as("__url"),
+      TextOps.htmlExtractText(col(htmlCol)).as("__text"))
+    val ledger = Materialize.eager(extracted.select(
+      col("__id"), col("__src"), col("__dom"), col("__url"), col("__text"),
+      TextOps.curationFirstFailFull(
+        col("__text"), cfg.phrases, cfg.minSentences).as("__screen"),
+      TextOps.tokenCount(col("__text")).cast("long").as("__n_tok")))
+
+    val surv1 = ledger.where(!col("__dom") && col("__text").isNotNull &&
+      col("__screen") === "pass")
+    // URL-canonical dedup: min-id election per canonical url; only the
+    // url string and the id ride the shuffle. Null-url pages skip.
+    val urlWinners = surv1.where(col("__url").isNotNull)
+      .groupBy(col("__url")).agg(min(col("__id")).as("__w"))
+    val surv2 = surv1.join(urlWinners, Seq("__url"), "left")
+      .where(col("__w").isNull || col("__id") === col("__w")).drop("__w")
+    // exact text dedup: the exactKeepMin election — 16-byte hash + id
+    val txtWinners = surv2
+      .groupBy(md5(col("__text").cast("binary")).as("__h"))
+      .agg(min(col("__id")).as("__w"))
+    val surv3 = surv2.withColumn("__h", md5(col("__text").cast("binary")))
+      .join(txtWinners, Seq("__h"))
+      .where(col("__id") === col("__w")).drop("__h", "__w")
+    val surv4 = Decontam.decontaminate(
+      surv3, evalSet.select(col(evalTextCol).as("__text")),
+      "__id", "__text", cfg.decontamN)
+    val kept = Sampling.takeWaterfillTokens(
+      surv4, "__src", "__id", "__n_tok", cfg.weights, cfg.budgetTokens)
+    val sharded = Sink.sizedShardAssignment(
+      kept.select(col("__id"), col("__n_tok")),
+      "__id", "__n_tok", cfg.shardTokens)
+
+    def mark(ids: DataFrame, flag: String) =
+      ids.select(col("__id"), lit(true).as(flag))
+    ledger
+      .join(mark(surv2.select(col("__id")), "__s2"), Seq("__id"), "left")
+      .join(mark(surv3.select(col("__id")), "__s3"), Seq("__id"), "left")
+      .join(mark(surv4.select(col("__id")), "__s4"), Seq("__id"), "left")
+      .join(sharded.select(col("__id"), col("shard")), Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        col("__src").as(sourceCol),
+        when(col("__dom"), "domain")
+          .when(col("__text").isNull, "null_html")
+          .when(col("__screen") =!= "pass", col("__screen"))
+          .when(col("__s2").isNull, "url_dup")
+          .when(col("__s3").isNull, "text_dup")
+          .when(col("__s4").isNull, "decontam")
+          .when(col("shard").isNull, "mix")
+          .otherwise("kept").as("stage"),
+        when(col("__dom") || col("__text").isNull, lit(null).cast("long"))
+          .otherwise(col("__n_tok")).as("n_tok"),
+        col("shard"))
+  }
+}

@@ -304,6 +304,20 @@ object TextOps {
       .when(blockedByPhrase(text, phrases), "blocklist")
       .otherwise("pass")
 
+  /** [[curationFirstFail]] with the row-local repetition screen wired in
+    * at its published position — 'gopher' → 'repetition' → 'c4' →
+    * 'blocklist', 'pass' when all four hold, null on null text: the
+    * per-document diagnosis form of [[curationFunnelFull]].
+    */
+  def curationFirstFailFull(
+      text: Column, phrases: Seq[String], minSentences: Int = 3): Column =
+    when(text.isNull, lit(null).cast("string"))
+      .when(!gopherPass(text), "gopher")
+      .when(!repetitionQuickPass(text), "repetition")
+      .when(!c4PagePass(text, minSentences), "c4")
+      .when(blockedByPhrase(text, phrases), "blocklist")
+      .otherwise("pass")
+
   /** Per-stratum SEQUENTIAL screen funnel — the drop-accounting table
     * every curation paper publishes (C4's Table 1 shape: how much does
     * each successive filter remove): `n_docs`, `n_null`, then the

@@ -651,4 +651,51 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("rangepartitioning"),
       s"no global sort allowed:\n$p")
   }
+
+  test("pipeline flagship: no stage collapses to one partition or a global sort") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val spark0 = spark
+    import spark0.implicits._
+    val para = "It is a pleasant morning for the people of the village " +
+      "and the weather is a gentle presence in all of the streets."
+    val crawl = spark.range(0, 60).select(
+      col("id").as("doc_id"),
+      concat(lit("s"), (col("id") % 3).cast("string")).as("source"),
+      concat(lit("https://www.h"), (col("id") % 7).cast("string"),
+        lit(".example.com/a/"), col("id").cast("string")).as("url"),
+      concat(lit("<html><body><p>"), lit(para), lit(" Page "),
+        col("id").cast("string"),
+        lit(" of the set of it in the day of it for all of the people " +
+          "of it and the rest of the day of it in the set.</p><p>"),
+        lit(para), lit("</p><p>"), lit(para),
+        lit("</p></body></html>")).as("html"))
+    val eval = Seq("the benchmark answer is in the set of it").toDF("text")
+    val cfg = graft.ops.Pipeline.CurationConfig(
+      blockedDomains = Seq("h3.example.com"),
+      phrases = Seq("banned topic"),
+      weights = Map("s0" -> 1L, "s1" -> 1L, "s2" -> 1L),
+      budgetTokens = 500L,
+      shardTokens = 200L)
+    val out = graft.ops.Pipeline.curate(
+      crawl, "doc_id", "url", "source", "html", eval, "text", cfg)
+    val exec = out.queryExecution.executedPlan
+    val p = exec.toString
+    // the diagnosis assembly, both dedup elections, the decontamination
+    // probe, the waterfill take, and the shard cumsum must all stay
+    // parallel: a global row_number/sort anywhere would plan Exchange
+    // SinglePartition and funnel the corpus into one task
+    assert(!p.contains("SinglePartition"),
+      s"pipeline stage collapsed to one partition:\n$p")
+    assert(!p.toLowerCase.contains("rangepartitioning"),
+      s"no global sort allowed:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian stage:\n$p")
+    // page HTML must never ride a shuffle — the ledger materialization
+    // exists precisely so later stages move narrow rows only
+    val shuffles = exec.collect { case e: ShuffleExchangeExec => e }
+    shuffles.foreach { e =>
+      assert(e.output.forall(a => a.name != "html" && a.name != "__html"),
+        s"html column in a shuffle row: ${e.output.map(_.name)}")
+    }
+    assert(out.count() == 60L)
+  }
 }

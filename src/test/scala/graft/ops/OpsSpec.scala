@@ -3856,4 +3856,77 @@ class OpsSpec extends SparkSpec {
       .select(size(TextOps.htmlBlockMetrics(col("text")))).collect()(0).getInt(0)
     assert(p == 1)
   }
+
+  test("Pipeline.curate: per-page first-fail diagnosis across all ten stages") {
+    val spark0 = spark
+    import spark0.implicits._
+    val p1 = "It is a pleasant morning for the people of the village " +
+      "and the weather is a gentle presence in all of the streets."
+    val p2 = "The point of it is that the work of the day sits in the " +
+      "middle of it for all of the people involved."
+    val p3 = "The point of the note is that it is written for the " +
+      "reader and it is kept in the set."
+    def page(extra: String*): String =
+      "<html><body>" + (Seq(p1, p2, p3) ++ extra)
+        .map(s => s"<p>$s</p>").mkString + "</body></html>"
+    val leak = "It is the case that the answer to the benchmark " +
+      "question is in the set."
+    val crawl = Seq(
+      (1L, "s0", "https://www.bad.example.com/x", page()),
+      (2L, "s0", "https://ok.example.com/2", null),
+      (3L, "s0", "https://ok.example.com/3",
+        "<html><body><p>" + p3 + "</p></body></html>"),
+      (4L, "s0", "https://ok.example.com/4", page(p1, p1, p1)),
+      (5L, "s0", "https://ok.example.com/5",
+        page("lorem ipsum dolor sit amet the words go on in the line " +
+          "of it okay.")),
+      (6L, "s0", "https://ok.example.com/6",
+        page("It is the day of the banned topic of it in the set of it.")),
+      (7L, "s0", "https://ok.example.com/7?utm_source=x#f",
+        page("It is the seventh page of the set for the day of it.")),
+      (8L, "s0", "https://ok.example.com/7",
+        page("It is the eighth page of the set for the day of it.")),
+      (9L, "s0", "https://ok.example.com/9",
+        page("It is the seventh page of the set for the day of it.")),
+      (10L, "s0", "https://ok.example.com/10", page(leak)),
+      (11L, "s1", "https://ok.example.com/11",
+        page("It is the eleventh page of it for the day of it in the set.")),
+      (12L, "s1", "https://ok.example.com/12",
+        page("It is the twelfth page of it for the day of it in the set.")))
+      .toDF("doc_id", "source", "url", "html")
+    val eval = Seq(leak).toDF("text")
+    val cfg = Pipeline.CurationConfig(
+      blockedDomains = Seq("bad.example.com"),
+      phrases = Seq("banned topic"),
+      weights = Map("s0" -> 1L, "s1" -> 1L),
+      budgetTokens = 100000L,
+      shardTokens = 70L)
+    val out = Pipeline.curate(
+      crawl, "doc_id", "url", "source", "html", eval, "text", cfg)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    val stages = out.map { case (k, (s, _, _)) => k -> s }
+    assert(stages == Map(
+      1L -> "domain", 2L -> "null_html", 3L -> "gopher",
+      4L -> "repetition", 5L -> "c4", 6L -> "blocklist",
+      7L -> "kept", 8L -> "url_dup", 9L -> "text_dup",
+      10L -> "decontam", 11L -> "kept", 12L -> "kept"), stages.toString)
+    // n_tok: null before extraction, counted after; shard: kept only
+    assert(out(1L)._2 == -1L && out(2L)._2 == -1L)
+    assert(out(7L)._2 > 0L && out(3L)._2 > 0L)
+    assert(out(7L)._3 >= 0L && out(11L)._3 >= 0L && out(12L)._3 >= 0L)
+    assert(out(8L)._3 == -1L && out(4L)._3 == -1L)
+
+    // a budget below the per-source token mass forces 'mix' drops: each
+    // source keeps its md5-order prefix with the crossing row kept
+    val tight = Pipeline.curate(
+      crawl, "doc_id", "url", "source", "html", eval, "text",
+      cfg.copy(budgetTokens = 80L))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(tight(7L) == "kept") // only s0 survivor: cum-before 0 < quota
+    assert(Seq(tight(11L), tight(12L)).sorted == Seq("kept", "mix"),
+      tight.toString)
+  }
 }
+
