@@ -1947,6 +1947,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // char-window exact-substring dedup (Lee et al. 2022 ExactSubstr at
+    // character granularity): %8==2 docs share a planted CJK passage —
+    // ONE opaque token to the word-gram path, deduped here via its char
+    // windows; the tiny English vocabulary's natural 15-char collisions
+    // dedup identically in both engines (interval-union covered chars)
+    "q183_char_span_dedup" -> ((s, d) => {
+      val aug = docsParallel(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 8 === 2,
+            lit(" 深度学习模型的训练数据需要去重处理流程"))
+            .otherwise(lit(""))).as("text"))
+      graft.ops.Decontam.dedupRepeatedCharSpans(aug, "doc_id", "text", n = 15)
+        .select(col("doc_id"), col("cleaned"), col("n_removed_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q138_bpe_word_histogram" -> ((s, d) => {
       graft.ops.TextOps.preTokenHistogram(Tables(s, d, "documents"), "text")
         .select(col("word"), col("n"))
@@ -5313,6 +5329,43 @@ object SparkEntry {
         |LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
         |LEFT JOIN s4 USING (doc_id) LEFT JOIN sh USING (doc_id)
         |ORDER BY l.doc_id""".stripMargin,
+
+    // per-char window ledger: winner = min doc_id per shared 15-char
+    // gram, losers drop the interval-UNION of covered positions, kept
+    // chars rebuilt in order
+    "q183_char_span_dedup" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 8 = 2
+        |      THEN ' 深度学习模型的训练数据需要去重处理流程' ELSE '' END AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, i - 1 AS pos, substr(t, i, 15) AS gr
+        |  FROM a, unnest(range(1, len(t) - 15 + 2)) AS u(i)
+        |  WHERE len(t) >= 15
+        |), w AS (
+        |  SELECT gr, min(doc_id) AS wid FROM g
+        |  GROUP BY gr HAVING count(DISTINCT doc_id) >= 2
+        |), st AS (
+        |  SELECT g.doc_id, g.pos FROM g JOIN w ON w.gr = g.gr AND g.doc_id <> w.wid
+        |), cov AS (
+        |  SELECT DISTINCT doc_id, pos + d AS idx
+        |  FROM st, unnest(range(0, 15)) AS v(d)
+        |), ch AS (
+        |  SELECT doc_id, i - 1 AS idx, substr(t, i, 1) AS c
+        |  FROM a, unnest(range(1, len(t) + 1)) AS u(i)
+        |), res AS (
+        |  SELECT ch.doc_id,
+        |    coalesce(string_agg(CASE WHEN cov.idx IS NULL THEN ch.c END, ''
+        |      ORDER BY ch.idx), '') AS cleaned,
+        |    cast(count(cov.idx) AS BIGINT) AS n_removed_chars
+        |  FROM ch LEFT JOIN cov ON cov.doc_id = ch.doc_id AND cov.idx = ch.idx
+        |  GROUP BY ch.doc_id
+        |)
+        |SELECT a.doc_id,
+        |  CASE WHEN a.t IS NULL THEN NULL ELSE coalesce(res.cleaned, '') END AS cleaned,
+        |  coalesce(res.n_removed_chars, 0) AS n_removed_chars
+        |FROM a LEFT JOIN res USING (doc_id) ORDER BY a.doc_id""".stripMargin,
 
     "q138_bpe_word_histogram" ->
       """WITH w AS (

@@ -801,4 +801,65 @@ object Decontam {
       .agg(collect_list(col("__pos")).as("__starts"))
     redactByStarts(corpus, starts, idCol, textCol, n)
   }
+
+  /** [[dedupRepeatedSpans]] at CHARACTER granularity — the ExactSubstr
+    * variant of Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022 — public paper) for
+    * whitespace-free scripts: a duplicated CJK run is ONE opaque token to
+    * the word-gram path (a 60-character repeated passage is invisible to
+    * it), but its character n-gram windows are shared. For every char
+    * `n`-gram occurring in two or more documents, the smallest-`idCol`
+    * document keeps its text and every OTHER document removes the covered
+    * CHARACTER positions (interval union — overlapping duplicate windows
+    * never double-count). Returns every corpus row plus `cleaned` (kept
+    * characters rejoined; null text stays null) and `n_removed_chars`.
+    *
+    * Windows come from the native code-point kernel
+    * ([[graft.functions.native.charNgrams]]) over the RAW text — no
+    * normalization, positions are exact offsets into the original string
+    * (DuckDB's `substr` convention, so the whole report hashes
+    * cross-engine).
+    *
+    * Plan shape for 100 TB: this is the expensive dedup granularity — the
+    * gram ledger carries ONE row per character, (id, pos, 64-bit key),
+    * which is the suffix-array price paid in shuffle form; run it on the
+    * already word-deduped survivors, not the raw corpus. Text itself
+    * never shuffles except the final per-doc starts→corpus attach join
+    * (AQE broadcasts the start arrays when they fit), and the winner
+    * aggregate is keyed on the 16-hex gram hash with map-side partials.
+    */
+  def dedupRepeatedCharSpans(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 20): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n (n = 1 would dedup every " +
+      "character the corpus shares)")
+    val occ = corpus
+      .select(col(idCol), posexplode(
+        graft.functions.native.charNgrams(col(textCol), n))
+        .as(Seq("__pos", "__gram")))
+      .select(col(idCol), col("__pos"), gramKey(col("__gram")).as("__g"))
+    val winners = occ.groupBy(col("__g"))
+      .agg(min(col(idCol)).as("__w"), countDistinct(col(idCol)).as("__nd"))
+      .where(col("__nd") >= 2)
+      .select(col("__g"), col("__w"))
+    val starts = occ.join(winners, Seq("__g"))
+      .where(col(idCol) =!= col("__w"))
+      .groupBy(col(idCol))
+      .agg(collect_list(col("__pos")).as("__starts"))
+    corpus.join(starts, Seq(idCol), "left")
+      .withColumn("__starts", coalesce(col("__starts"), array().cast("array<int>")))
+      .withColumn("__chars",
+        graft.functions.native.charNgrams(col(textCol), 1))
+      .withColumn("__kept", filter(col("__chars"), (_, j) =>
+        !exists(col("__starts"), s => s <= j && j < s + n)))
+      .withColumn("cleaned",
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .otherwise(concat_ws("", col("__kept"))))
+      .withColumn("n_removed_chars",
+        coalesce((size(col("__chars")) - size(col("__kept"))).cast("bigint"),
+          lit(0L)))
+      .drop("__starts", "__chars", "__kept")
+  }
 }

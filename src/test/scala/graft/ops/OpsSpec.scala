@@ -3928,5 +3928,37 @@ class OpsSpec extends SparkSpec {
     assert(Seq(tight(11L), tight(12L)).sorted == Seq("kept", "mix"),
       tight.toString)
   }
+
+  test("dedupRepeatedCharSpans: CJK runs invisible to word grams dedup at char level") {
+    val run = "深度学习模型的训练数据需要去重"
+    val df = docs(
+      1L -> ("alpha beta " + run + " gamma"),
+      2L -> ("delta epsilon " + run + " zeta"),
+      3L -> "unrelated text here entirely",
+      4L -> null)
+    // the duplicated run is ONE whitespace token — the word path sees no
+    // shared 3-gram at all
+    val word = Decontam.dedupRepeatedSpans(df, "doc_id", "text", n = 3)
+      .where(col("doc_id") === 2L).head()
+    assert(word.getAs[Long]("n_removed_tokens") == 0L)
+    val out = Decontam.dedupRepeatedCharSpans(df, "doc_id", "text", n = 15)
+      .orderBy("doc_id").collect()
+    // min-id winner keeps its text; the loser loses the run PLUS both
+    // flanking spaces — the windows straddling (space, run-prefix) and
+    // (run-suffix, space) are shared too, the interval union covering 17
+    // chars
+    assert(out(0).getAs[String]("cleaned") == "alpha beta " + run + " gamma")
+    assert(out(0).getAs[Long]("n_removed_chars") == 0L)
+    assert(out(1).getAs[String]("cleaned") == "delta epsilonzeta")
+    assert(out(1).getAs[Long]("n_removed_chars") == 17L)
+    assert(out(2).getAs[Long]("n_removed_chars") == 0L)
+    assert(out(3).isNullAt(out(3).fieldIndex("cleaned")))
+    assert(out(3).getAs[Long]("n_removed_chars") == 0L)
+    val e = intercept[IllegalArgumentException] {
+      Decontam.dedupRepeatedCharSpans(df, "doc_id", "text", n = 1)
+    }
+    assert(e.getMessage.contains("n must be >= 2"))
+  }
 }
+
 
