@@ -772,6 +772,96 @@ object StreamingOps {
     }
   }
 
+  /** Periodic FUNNEL snapshots over everything that has arrived — the
+    * streaming form of the q175/q179 reporting surface
+    * ([[graft.ops.TextOps.curationFunnelFull]]): each micro-batch appends
+    * its raw (stratum, text) rows to a staging corpus VERBATIM (verdicts
+    * are recomputed per snapshot, so a post-hoc rule change can never
+    * strand stale verdicts inside the report), and every `snapshotEvery`
+    * batches the standing arrivals re-aggregate into a fresh per-stratum
+    * funnel at `reportPath` (overwrite). Deliberately a snapshot
+    * recompute, not incremental state — the [[curationMixStream]]
+    * discipline: the funnel is ONE scan-pass of pure codegen verdicts
+    * into a K-strata aggregate, so the recompute costs exactly the
+    * report it produces and the stream provably equals the batch funnel
+    * over the same arrivals.
+    */
+  def curationFunnelStream(
+      newStream: DataFrame,
+      stratumCol: String,
+      textCol: String,
+      phrases: Seq[String],
+      stagingPath: String,
+      reportPath: String,
+      snapshotEvery: Int = 1,
+      minSentences: Int = 3): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(snapshotEvery >= 1, s"snapshotEvery must be >= 1, got $snapshotEvery")
+    newStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          batch.toDF().write.mode("append").parquet(stagingPath)
+        if (batchId % snapshotEvery == 0) {
+          val spark = batch.sparkSession
+          val fs = graft.ops.EpochStore.hadoopFs(spark, stagingPath)
+          if (fs.exists(new org.apache.hadoop.fs.Path(stagingPath)))
+            graft.ops.TextOps.curationFunnelFull(
+              spark.read.parquet(stagingPath), stratumCol, textCol,
+              phrases, minSentences)
+              .write.mode("overwrite").parquet(reportPath)
+        }
+    }
+  }
+
+  /** Periodic CORPUS-MAP snapshots (q180's cluster cards) over a stream
+    * of (embedding, text) arrivals: each row routes to its integer cell
+    * ON ARRIVAL through the FROZEN seed quantizer
+    * ([[graft.ops.Similarity.integerCellColumn]] — pure codegen, no
+    * join/watermark/state, so arrivals never re-cluster), only the
+    * narrow routed (cell, text) rows stage, and every `snapshotEvery`
+    * batches the standing staging re-ranks each cell's `k` signature
+    * terms + doc counts into `reportPath` (overwrite; columns
+    * cell/n_docs/rank/token/score — the q180 card schema). The tf/df
+    * term rank is the snapshot recompute: a corpus-wide rational rank
+    * with no incremental form worth the state.
+    */
+  def corpusMapStream(
+      newStream: DataFrame,
+      vecCol: String,
+      textCol: String,
+      seeds: Seq[(Any, Seq[Byte])],
+      stagingPath: String,
+      reportPath: String,
+      snapshotEvery: Int = 1,
+      k: Int = 5): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(snapshotEvery >= 1, s"snapshotEvery must be >= 1, got $snapshotEvery")
+    val routed = newStream
+      .withColumn("cell",
+        graft.ops.Similarity.integerCellColumn(col(vecCol), seeds))
+      .select(col("cell"), col(textCol).as("__text"))
+    routed.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          batch.toDF().write.mode("append").parquet(stagingPath)
+        if (batchId % snapshotEvery == 0) {
+          val spark = batch.sparkSession
+          val fs = graft.ops.EpochStore.hadoopFs(spark, stagingPath)
+          if (fs.exists(new org.apache.hadoop.fs.Path(stagingPath))) {
+            val standing = spark.read.parquet(stagingPath)
+            val terms = graft.ops.TextOps.topTermsPerDoc(
+              standing, "cell", "__text", k)
+              .select(col("doc_id").as("cell"), col("rank"), col("token"),
+                col("score"))
+            val sizes = standing.groupBy(col("cell"))
+              .agg(count(lit(1)).as("n_docs"))
+            terms.join(sizes, Seq("cell"))
+              .select(col("cell"), col("n_docs"), col("rank"), col("token"),
+                col("score"))
+              .write.mode("overwrite").parquet(reportPath)
+          }
+        }
+    }
+  }
+
   /** Fold each micro-batch of newly LABELED documents into the standing
     * classifier index ([[graft.ops.LangModel.writeClassifierIndex]]) —
     * the seventh lifecycle's streaming form: the quality model keeps

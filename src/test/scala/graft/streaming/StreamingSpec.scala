@@ -1218,4 +1218,97 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.contains(31L))
     assert(streamed == exactClean)
   }
+
+  test("streaming funnel snapshots: drained report ≡ batch funnel on the same arrivals") {
+    val st = struct("doc_id" -> LongType, "text" -> StringType,
+      "source" -> StringType)
+    val sent = "It is a pleasant morning for the people of the village " +
+      "and the weather is a gentle presence in all of the streets. " +
+      "The point of it is that the work of the day sits in the middle " +
+      "of it for all of the people involved. The point of the note is " +
+      "that it is written for the reader and it is kept in the set."
+    def rowsOf(ids: Range) = ids.map { i =>
+      val t =
+        if (i % 5 == 0) sent + " lorem ipsum here"
+        else if (i % 4 == 0) "tiny doc"
+        else if (i % 7 == 0) sent + " banned topic words"
+        else sent + s" page $i of the set."
+      Row(i.toLong, t, s"src${i % 3}")
+    }
+    val all = rowsOf(1 to 30)
+    val inDir = Files.createTempDirectory("graft-fun-in").toString
+    Seq(all.slice(0, 10), all.slice(10, 20), all.slice(20, 30)).foreach { rs =>
+      frame(st, rs: _*).coalesce(1).write.mode("append").parquet(inDir)
+      Thread.sleep(5)
+    }
+    val staging = Files.createTempDirectory("graft-fun-st").toString + "/s"
+    val report = Files.createTempDirectory("graft-fun-rp").toString + "/r"
+    val q = StreamingOps.curationFunnelStream(
+      spark.readStream.schema(st).option("maxFilesPerTrigger", "1").parquet(inDir),
+      "source", "text", Seq("banned topic"), staging, report)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-fun-ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    val streamed = rows(spark.read.parquet(report))
+    val batch = rows(graft.ops.TextOps.curationFunnelFull(
+      frame(st, all: _*), "source", "text", Seq("banned topic")))
+    assert(streamed == batch)
+    // every stage has real casualties in the fixture
+    val agg = spark.read.parquet(report)
+      .agg(sum("n_docs"), sum("n_after_gopher"), sum("n_after_all")).head()
+    assert(agg.getLong(0) == 30L && agg.getLong(1) < 30L
+      && agg.getLong(2) < agg.getLong(1))
+  }
+
+  test("streaming corpus map: frozen-cell routing + drained cards ≡ the batch composition") {
+    val st = struct("vec_id" -> LongType,
+      "embedding" -> ArrayType(FloatType), "text" -> StringType)
+    def rowsOf(ids: Range) = ids.map { i =>
+      val v = if (i % 2 == 0) Seq(127.0f, 0.0f) else Seq(0.0f, 127.0f)
+      val t = if (i % 2 == 0) s"alpha alpha beta doc $i"
+        else s"gamma gamma delta doc $i"
+      Row(i.toLong, v, t)
+    }
+    val all = rowsOf(1 to 20)
+    val full = frame(st, all: _*)
+    // the frozen quantizer: seeds elected once over a reference corpus
+    val seeds = graft.ops.Similarity.collectCellSeeds(
+      full, "embedding", "vec_id", k = 2)
+    val inDir = Files.createTempDirectory("graft-map-in").toString
+    Seq(all.slice(0, 10), all.slice(10, 20)).foreach { rs =>
+      frame(st, rs: _*).coalesce(1).write.mode("append").parquet(inDir)
+      Thread.sleep(5)
+    }
+    val staging = Files.createTempDirectory("graft-map-st").toString + "/s"
+    val report = Files.createTempDirectory("graft-map-rp").toString + "/r"
+    val q = StreamingOps.corpusMapStream(
+      spark.readStream.schema(st).option("maxFilesPerTrigger", "1").parquet(inDir),
+      "embedding", "text", seeds, staging, report, k = 2)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-map-ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getString(3),
+        r.getDouble(4))).toSet
+    val streamed = rows(spark.read.parquet(report))
+    // batch twin: same frozen seeds, same rank
+    val routed = full.withColumn("cell",
+      graft.ops.Similarity.integerCellColumn(col("embedding"), seeds))
+      .select(col("cell"), col("text").as("__text"))
+    val terms = graft.ops.TextOps.topTermsPerDoc(routed, "cell", "__text", 2)
+      .select(col("doc_id").as("cell"), col("rank"), col("token"), col("score"))
+    val sizes = routed.groupBy(col("cell")).agg(count(lit(1)).as("n_docs"))
+    val batch = rows(terms.join(sizes, Seq("cell"))
+      .select(col("cell"), col("n_docs"), col("rank"), col("token"), col("score")))
+    assert(streamed == batch)
+    // two cells of 10 docs each, signature terms distinct per cell
+    assert(streamed.map(_._1).size == 2)
+    assert(streamed.groupBy(_._1).forall(_._2.head._2 == 10L))
+  }
 }
+
