@@ -971,11 +971,19 @@ object SparkEntry {
     // embedding near-dup pairs via multi-band hyperplane LSH (rows-only:
     // ~94% recall at this deliberately low threshold; see q57 for the
     // exhaustive oracle-checked twin)
-    "q39_embedding_neardup" -> ((s, d) =>
+    // planes/bands SIZED FROM THE CORPUS (the embeddingNearDup scaladoc
+    // rule, as the sizedPlanes helper): a fixture constant that is right
+    // at 2k vectors is bucket-quadratic at 20k — the 10x scale rehearsal
+    // measured planes=4 at 160 s where the sized call stays linear-ish
+    "q39_embedding_neardup" -> ((s, d) => {
+      val emb = Tables(s, d, "embeddings")
+      val planes = graft.ops.Dedup.sizedPlanes(emb.count())
       graft.ops.Dedup.embeddingNearDup(
-        Tables(s, d, "embeddings"), "embedding", "vec_id",
-        planes = 4, bands = 8, threshold = 0.4)
-        .orderBy(col("id_a"), col("id_b"))),
+        emb, "embedding", "vec_id",
+        planes = planes, bands = graft.ops.Dedup.sizedBands(planes),
+        threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // multimodal: synthetic-but-REAL PNG payloads (deterministic pixels
     // seeded from text) decoded with partition-batched ImageIO — the

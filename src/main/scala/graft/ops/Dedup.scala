@@ -1109,6 +1109,34 @@ object Dedup {
     * adversarial key distribution costs a counted-and-skipped bucket, not
     * memory.
     */
+  /** The "SIZE `planes` TO THE CORPUS" rule above as code: the smallest
+    * `planes` whose 2^planes per-band buckets keep the AVERAGE bucket at
+    * or below `targetBucket` vectors. Pair work per bucket is quadratic
+    * in its population, so a fixture-tuned constant that is perfect at
+    * 2 k vectors is 100× the work at 20 k (measured: the 10× scale
+    * rehearsal took a planes=4 call from 1.5 s to 160 s — the average
+    * bucket grew 10×, the pairs 100×). Floors at 1, caps at 30 (a
+    * billion buckets per band is past any practical corpus). Hold recall
+    * while raising planes by raising `bands` with it (the scaladoc
+    * rule) — [[sizedBands]] gives the matching default.
+    */
+  def sizedPlanes(n: Long, targetBucket: Int = 64): Int = {
+    require(n >= 0, s"n must be >= 0, got $n")
+    require(targetBucket >= 1, s"targetBucket must be >= 1, got $targetBucket")
+    var p = 1
+    while (p < 30 && (n >> p) > targetBucket) p += 1
+    p
+  }
+
+  /** Companion of [[sizedPlanes]]: bands that hold banding recall as
+    * planes grow — per-band survival for a cosine-c pair is
+    * (1 − θ/π)^planes, so doubling planes squares the per-band miss and
+    * bands must scale ~linearly with planes to compensate. `2 · planes`
+    * keeps a 0.95-cosine pair above ~99.9% recall for any planes ≤ 20.
+    */
+  def sizedBands(planes: Int, min: Int = 8): Int =
+    math.max(min, 2 * planes)
+
   def embeddingNearDup(
       df: DataFrame,
       vecCol: String,

@@ -3857,6 +3857,20 @@ class OpsSpec extends SparkSpec {
     assert(p == 1)
   }
 
+  test("sizedPlanes/sizedBands: bucket-quadratic guard sizes with the corpus") {
+    // avg bucket ≤ target: 2k vectors fit 5 planes (2^5 = 32 buckets,
+    // ~62/bucket); 20k need 9; tiny corpora floor at 1; cap at 30
+    assert(Dedup.sizedPlanes(2000) == 5)
+    assert(Dedup.sizedPlanes(20000) == 9)
+    assert(Dedup.sizedPlanes(0) == 1 && Dedup.sizedPlanes(10) == 1)
+    assert(Dedup.sizedPlanes(Long.MaxValue) == 30)
+    // monotone: more data never means fewer buckets
+    assert(Dedup.sizedPlanes(200000) >= Dedup.sizedPlanes(20000))
+    assert(Dedup.sizedBands(5) == 10 && Dedup.sizedBands(2) == 8)
+    intercept[IllegalArgumentException] { Dedup.sizedPlanes(-1) }
+    intercept[IllegalArgumentException] { Dedup.sizedPlanes(5, 0) }
+  }
+
   test("Pipeline.curate: per-page first-fail diagnosis across all ten stages") {
     val spark0 = spark
     import spark0.implicits._
