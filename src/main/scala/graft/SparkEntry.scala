@@ -388,6 +388,105 @@ object SparkEntry {
     budgetTokens = 12000L,
     shardTokens = 1500L)
 
+  /** Shared q184/q185 oracle prologue: the synthesized DoReMi loss log
+    * (proxy = n_chars·1000 micro-nats, ref a flat 290000) and the
+    * Group-DRO recursion in DuckDB HUGEINT at the library defaults
+    * (η = 1 ⇒ 10^6 micro, c = 10^-3 ⇒ 10^9 on the 10^12 scale), ending
+    * at `wavg(domain, weight)`. Every division is `//` on non-negative
+    * integers, so it floors exactly like the BigInt driver recursion in
+    * [[graft.ops.Sampling.doremiWeights]].
+    */
+  private def DoremiOracleCte: String =
+    """WITH RECURSIVE
+      |d0 AS (SELECT doc_id % 6 AS step, lang AS domain,
+      |         cast(n_chars * 1000 AS BIGINT) AS proxy,
+      |         cast(290000 AS BIGINT) AS ref
+      |       FROM documents WHERE lang IS NOT NULL),
+      |l AS (SELECT step, domain,
+      |        CASE WHEN sum(proxy - ref) > 0
+      |          THEN sum(proxy - ref) // count(*) ELSE 0 END AS lam
+      |      FROM d0 GROUP BY step, domain),
+      |doms AS (SELECT DISTINCT domain FROM d0),
+      |kk AS (SELECT cast(count(*) AS HUGEINT) AS k FROM doms),
+      |tt AS (SELECT cast(count(DISTINCT step) AS BIGINT) AS t FROM d0),
+      |it AS (
+      |  SELECT -1 AS i, domain,
+      |    cast(1000000000000 AS HUGEINT) // (SELECT k FROM kk) AS w
+      |  FROM doms
+      |  UNION ALL
+      |  SELECT i + 1, it.domain,
+      |    (1000000000000 - 1000000000) *
+      |      ((it.w * (1000000000000 + 1000000 * coalesce(l.lam, 0))
+      |          // 1000000000000) * 1000000000000
+      |        // (sum(it.w * (1000000000000 + 1000000 * coalesce(l.lam, 0))
+      |            // 1000000000000) OVER ()))
+      |      // 1000000000000
+      |      + cast(1000000000 AS HUGEINT) // (SELECT k FROM kk) AS w
+      |  FROM it LEFT JOIN l ON l.domain = it.domain AND l.step = it.i + 1
+      |  WHERE it.i + 1 < (SELECT t FROM tt)
+      |),
+      |wavg AS (SELECT domain,
+      |           cast(sum(w) // (SELECT t FROM tt) AS BIGINT) AS weight
+      |         FROM it WHERE i >= 0 GROUP BY domain)""".stripMargin
+
+  /** q186's oracle, generated for any (k, rounds): the q177 int8
+    * quantization recipe, seeds = first k non-null codes in md5 order,
+    * then `rounds` UNROLLED Lloyd iterations (squared-L2 argmin with
+    * ties to the lowest cell, floor-mean centroids on the shifted
+    * codes — all non-negative integers, so `//` here and BigInt/`div`
+    * in [[graft.ops.Similarity.integerKMeans]] floor identically) and a
+    * final assignment.
+    */
+  private def kmeansOracleSql(k: Int, rounds: Int): String = {
+    def assign(name: String, cents: String) =
+      s"""${name}0 AS (
+         |  SELECT u.vec_id, c.cell,
+         |    list_sum(list_transform(range(1, len(u.uv) + 1),
+         |      i -> (u.uv[i] - c.cv[i]) * (u.uv[i] - c.cv[i]))) AS d
+         |  FROM u CROSS JOIN $cents c
+         |), ${name} AS (
+         |  SELECT vec_id, cell, d,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d ASC, cell ASC) AS rn
+         |  FROM ${name}0
+         |)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      assign(s"a$r", s"c${r - 1}") + s""",
+         |m$r AS (
+         |  SELECT a.cell, tp.p, cast(sum(u.uv[tp.p]) // count(*) AS BIGINT) AS m
+         |  FROM u JOIN (SELECT vec_id, cell FROM a$r WHERE rn = 1) a
+         |    USING (vec_id),
+         |    unnest(range(1, len(u.uv) + 1)) AS tp(p)
+         |  GROUP BY a.cell, tp.p
+         |), c$r AS (SELECT cell, list(m ORDER BY p) AS cv FROM m$r GROUP BY cell)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    list_max(list_transform(embedding, x -> abs(x))) AS ma
+       |  FROM embeddings
+       |), q AS (
+       |  SELECT vec_id,
+       |    CASE WHEN ma = 0 THEN list_transform(embedding, x -> cast(0 AS BIGINT))
+       |      ELSE list_transform(embedding, x ->
+       |        cast(round(cast(x AS DOUBLE) * 127.0 / cast(ma AS DOUBLE)) AS BIGINT))
+       |    END AS qv
+       |  FROM e
+       |), u AS (
+       |  SELECT vec_id, list_transform(qv, x -> x + 127) AS uv FROM q
+       |  WHERE qv IS NOT NULL
+       |), c0 AS (
+       |  SELECT vec_id AS cell, uv AS cv FROM u WHERE vec_id IS NOT NULL
+       |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT $k
+       |),
+       |$roundCtes,
+       |${assign("fin", s"c$rounds")}
+       |SELECT emb.vec_id, f.cell, cast(f.d AS BIGINT) AS dist
+       |FROM embeddings emb
+       |LEFT JOIN (SELECT vec_id, cell, d FROM fin WHERE rn = 1) f
+       |  ON f.vec_id = emb.vec_id
+       |ORDER BY emb.vec_id""".stripMargin
+  }
+
   /** Bench-only phase breakdown of the index-lifecycle queries (q97, q99):
     * each lifecycle stage timed on its own, so the per-job scheduling
     * floor of the build/append writes (11 sequential parquet writes +
@@ -1968,6 +2067,83 @@ object SparkEntry {
             .otherwise(lit(""))).as("text"))
       graft.ops.Decontam.dedupRepeatedCharSpans(aug, "doc_id", "text", n = 15)
         .select(col("doc_id"), col("cleaned"), col("n_removed_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DoReMi domain reweighting (Xie et al. 2023): a synthesized
+    // per-(step, domain) loss log (proxy = n_chars micro-nats, ref a
+    // flat 290k floor — domains with longer docs accrue excess loss and
+    // get upweighted), run through the exact-integer multiplicative-
+    // weights recursion; output the time-averaged scale-S weight and the
+    // budget-400 resampling quota per domain — every division floors on
+    // non-negative integers, so the whole recursion replays bit-exact in
+    // the DuckDB HUGEINT CTE
+    "q184_doremi_weights" -> ((s, d) => {
+      import s.implicits._
+      val docs = Tables(s, d, "documents")
+      val losses = docs.where(col("lang").isNotNull).select(
+        (col("doc_id") % 6).as("step"), col("lang").as("domain"),
+        (col("n_chars") * 1000L).as("proxy_micro"),
+        lit(290000L).as("ref_micro"))
+      val w = graft.ops.Sampling.doremiWeights(
+        losses, "step", "domain", "proxy_micro", "ref_micro")
+      val counts = docs.where(col("lang").isNotNull)
+        .groupBy(col("lang").as("domain")).agg(count(lit(1)).as("nc"))
+      w.toDF("domain", "weight").join(counts, "domain")
+        .select(col("domain"), col("weight"),
+          least(col("nc"), expr("(400 * weight) div 1000000000000"))
+            .as("quota"))
+        .orderBy(col("domain"))
+    }),
+
+    // checksum-verified PII screen: planted valid/invalid card numbers
+    // (incl. a separator-grouped form) and IBANs over the natural text —
+    // candidates by surface regex, then EXACT Luhn / mod-97 arithmetic
+    // as array-HOF folds, so the verified counts hash against the same
+    // fold in DuckDB list lambdas
+    "q187_checksum_pii" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val aug = docs.select(col("doc_id"), concat(
+        when(col("doc_id") % 7 === 0, lit("pay 4532015112830366 now "))
+          .when(col("doc_id") % 7 === 1, lit("ref 4532015112830367 xx "))
+          .when(col("doc_id") % 7 === 2, lit("card 4532-0151-1283-0366 ok "))
+          .when(col("doc_id") % 7 === 3, lit("iban DE89370400440532013000 eur "))
+          .when(col("doc_id") % 7 === 4, lit("iban DE89370400440532013001 bad "))
+          .when(col("doc_id") % 7 === 5,
+            lit("acct GB82WEST12345698765432 and 4532015112830366 "))
+          .otherwise(lit("")),
+        col("text")).as("text"))
+      val pii = graft.ops.TextOps.checksumPiiColumns(col("text"))
+      aug.select(col("doc_id") +: pii.map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // full multi-round Lloyd k-means over int8 codes (the corpus-map
+    // upgrade from one-shot seed buckets to real clusters): 3 exact
+    // integer mean→reassign rounds on the shifted codes, every centroid
+    // element a floor mean and every distance an integer squared-L2 —
+    // the whole iteration replays in the DuckDB unrolled-round CTE
+    "q186_kmeans" -> ((s, d) => {
+      graft.ops.Similarity.integerKMeans(
+        embParallel(s, d), "embedding", "vec_id", k = 8, rounds = 3)
+        .orderBy(col("vec_id"))
+    }),
+
+    // the learned weights fed back into sampling (the paper's round
+    // trip): resample the same corpus to the q184 weights at budget 400 —
+    // each domain keeps its ⌊budget·w/S⌋-row md5-content-order prefix
+    "q185_doremi_mix" -> ((s, d) => {
+      val docs = Tables(s, d, "documents")
+      val losses = docs.where(col("lang").isNotNull).select(
+        (col("doc_id") % 6).as("step"), col("lang").as("domain"),
+        (col("n_chars") * 1000L).as("proxy_micro"),
+        lit(290000L).as("ref_micro"))
+      val w = graft.ops.Sampling.doremiWeights(
+        losses, "step", "domain", "proxy_micro", "ref_micro")
+      graft.ops.Sampling.takeDoremiMix(
+        docs.select(col("doc_id"), col("lang").as("domain")),
+        "domain", "doc_id", w, budget = 400L)
+        .select(col("doc_id"), col("domain"))
         .orderBy(col("doc_id"))
     }),
 
@@ -5374,6 +5550,86 @@ object SparkEntry {
         |  CASE WHEN a.t IS NULL THEN NULL ELSE coalesce(res.cleaned, '') END AS cleaned,
         |  coalesce(res.n_removed_chars, 0) AS n_removed_chars
         |FROM a LEFT JOIN res USING (doc_id) ORDER BY a.doc_id""".stripMargin,
+
+    // the Group-DRO recursion replayed in HUGEINT: per-(step, domain)
+    // clamped mean excess loss, then T iterations of
+    // update (1 + η·λ) → normalize → smooth, every division a floor on
+    // non-negative integers — identical to the BigInt driver fixpoint
+    "q184_doremi_weights" ->
+      (DoremiOracleCte +
+      """,
+        |cnt AS (SELECT lang AS domain, cast(count(*) AS BIGINT) AS nc
+        |        FROM documents WHERE lang IS NOT NULL GROUP BY lang)
+        |SELECT wavg.domain, wavg.weight,
+        |  least(cnt.nc,
+        |    cast((400 * wavg.weight) // 1000000000000 AS BIGINT)) AS quota
+        |FROM wavg JOIN cnt USING (domain)
+        |ORDER BY domain""".stripMargin),
+
+    // same recursion, then each domain's ⌊400·w/S⌋-row md5-order prefix
+    "q185_doremi_mix" ->
+      (DoremiOracleCte +
+      """,
+        |q AS (SELECT domain,
+        |        cast((400 * weight) // 1000000000000 AS BIGINT) AS quota
+        |      FROM wavg),
+        |r AS (SELECT doc_id, lang AS domain,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY md5(cast(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rn
+        |      FROM documents WHERE lang IS NOT NULL)
+        |SELECT r.doc_id, r.domain
+        |FROM r JOIN q USING (domain) WHERE r.rn <= q.quota
+        |ORDER BY doc_id""".stripMargin),
+
+    // three unrolled Lloyd rounds + final assignment, all exact integers
+    "q186_kmeans" -> kmeansOracleSql(8, 3),
+
+    // same candidate regexes, Luhn as a doubled-digit list fold, mod-97
+    // as letter expansion + a list_reduce over the digit string
+    "q187_checksum_pii" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CASE cast(doc_id % 7 AS INT)
+        |      WHEN 0 THEN 'pay 4532015112830366 now '
+        |      WHEN 1 THEN 'ref 4532015112830367 xx '
+        |      WHEN 2 THEN 'card 4532-0151-1283-0366 ok '
+        |      WHEN 3 THEN 'iban DE89370400440532013000 eur '
+        |      WHEN 4 THEN 'iban DE89370400440532013001 bad '
+        |      WHEN 5 THEN 'acct GB82WEST12345698765432 and 4532015112830366 '
+        |      ELSE '' END || text AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(t, '\b\d(?:[ -]?\d){12,18}\b') AS cards,
+        |    regexp_extract_all(t, '\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b') AS ibans
+        |  FROM a
+        |)
+        |SELECT doc_id,
+        |  cast(len(cards) AS BIGINT) AS n_card_candidates,
+        |  cast(len(list_filter(
+        |    list_transform(cards,
+        |      m -> reverse(replace(replace(m, ' ', ''), '-', ''))),
+        |    r -> list_sum(list_transform(range(1, len(r) + 1), i ->
+        |      CASE WHEN i % 2 = 0 THEN
+        |        CASE WHEN cast(substr(r, i, 1) AS INT) * 2 > 9
+        |          THEN cast(substr(r, i, 1) AS INT) * 2 - 9
+        |          ELSE cast(substr(r, i, 1) AS INT) * 2 END
+        |        ELSE cast(substr(r, i, 1) AS INT) END)) % 10 = 0))
+        |    AS BIGINT) AS n_cards_valid,
+        |  cast(len(list_filter(
+        |    list_transform(
+        |      list_transform(ibans, m -> substr(m, 5) || substr(m, 1, 4)),
+        |      re -> array_to_string(list_transform(range(1, len(re) + 1), i ->
+        |        CASE WHEN substr(re, i, 1) BETWEEN '0' AND '9'
+        |          THEN substr(re, i, 1)
+        |          ELSE cast(ascii(substr(re, i, 1)) - 55 AS VARCHAR) END), '')),
+        |    digs -> list_reduce(
+        |      list_prepend(cast(0 AS BIGINT),
+        |        list_transform(range(1, len(digs) + 1),
+        |          i -> cast(substr(digs, i, 1) AS BIGINT))),
+        |      (acc, d) -> (acc * 10 + d) % 97) = 1))
+        |    AS BIGINT) AS n_ibans_valid
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q138_bpe_word_histogram" ->
       """WITH w AS (

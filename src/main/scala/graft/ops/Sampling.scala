@@ -857,6 +857,161 @@ object Sampling {
       quotas.getOrElse(_, 0L), bucketHexLen)
   }
 
+  /** Fixed-point scale for [[doremiWeights]]: weights live on the integer
+    * lattice `[0, 10^12]` (a scale-S weight of `10^12` is probability 1),
+    * losses and the step size in integer MICRO-nats — the learned-filter
+    * micro-nat discipline applied to the mixture-weight recursion, so the
+    * whole optimization is exact integer arithmetic and hashes bit-exact
+    * cross-engine.
+    */
+  val DoremiScale: Long = 1000000000000L
+
+  /** Caps on the driver-side loss table behind [[doremiWeights]] — the
+    * collect is (steps × domains) rows, so both axes fail loudly past
+    * mixing grade (the [[takeBudgets]] classification-table discipline).
+    */
+  val MaxDoremiDomains: Int = 4096
+  val MaxDoremiSteps: Int = 65536
+
+  /** DoReMi domain reweighting (Xie et al. 2023, "DoReMi: Optimizing Data
+    * Mixtures Speeds Up Language Model Pretraining"), the DATA-ENGINE
+    * half: given per-(step, domain) proxy- and reference-model losses,
+    * run the Group-DRO mixture-weight recursion and return the
+    * time-averaged domain weights the paper feeds back into sampling.
+    * The multiplicative update uses the CLASSIC multiplicative-weights
+    * factor `(1 + η·λ)` (Arora, Hazan & Kale 2012, "The Multiplicative
+    * Weights Update Method") in place of the paper's `exp(η·λ)` — its
+    * first-order form — because `1 + η·λ` is exact on the integer
+    * lattice, so the recursion is reproducible bit-for-bit on any engine
+    * (libm `exp` is not correctly rounded, and one ulp at a `floor`
+    * boundary would fork the hash). The recursion, all divisions FLOOR
+    * on non-negative integers (S = [[DoremiScale]], K = domain count,
+    * T = step count, steps iterated in ascending order):
+    *
+    *   λ_t[s]  = max(0, ⌊Σ_rows(proxy − ref) / n_rows⌋)   (per step t, domain s; absent → 0)
+    *   u_t[s]  = ⌊w_{t-1}[s] · (S + η_micro · λ_t[s]) / S⌋         (update)
+    *   n_t[s]  = ⌊u_t[s] · S / Σ_s u_t[s]⌋                         (normalize)
+    *   w_t[s]  = ⌊(S − c) · n_t[s] / S⌋ + ⌊c / K⌋                  (smooth, c = smoothMicro·10^6)
+    *   w_{-1}[s] = ⌊S / K⌋
+    *   weight[s] = ⌊Σ_{t=0}^{T-1} w_t[s] / T⌋                      (the paper's time average)
+    *
+    * Defaults are the paper's: η = 1 (`etaMicro` 10^6), smoothing
+    * c = 10^-3 (`smoothMicro` 1000). Per-(step, domain) excess loss is
+    * the clamped mean of the per-row difference — one floor, and the
+    * clamp-before-divide keeps every division non-negative, where BigInt
+    * truncation and SQL floor division agree. Null domains are excluded
+    * (they are not a mixable stratum); losses are integer micro-nats
+    * (`round(loss · 10^6)` at the caller).
+    *
+    * Plan shape for 100 TB: ONE map-side-combining (step, domain)
+    * aggregate over the loss log — (T × K) rows to the driver, capped
+    * loudly — then the whole recursion is driver-side BigInt over that
+    * tiny table (the [[waterfillQuotas]] fixpoint discipline). The loss
+    * log itself never shuffles anything wider than (step, domain, diff).
+    *
+    * Returns (domain string form, scale-S weight) sorted by domain name —
+    * feed into [[takeDoremiMix]] or persist as the mixture config.
+    */
+  def doremiWeights(
+      losses: DataFrame,
+      stepCol: String,
+      domainCol: String,
+      proxyCol: String,
+      refCol: String,
+      etaMicro: Long = 1000000L,
+      smoothMicro: Long = 1000L): Seq[(String, Long)] = {
+    require(etaMicro >= 0, s"etaMicro must be >= 0, got $etaMicro")
+    require(smoothMicro >= 0 && smoothMicro <= 1000000L,
+      s"smoothMicro must be in [0, 10^6], got $smoothMicro")
+    val rows = losses
+      .filter(col(domainCol).isNotNull)
+      .groupBy(col(stepCol).as("__t"), col(domainCol).cast("string").as("__d"))
+      .agg(
+        sum(col(proxyCol).cast("long") - col(refCol).cast("long")).as("__s"),
+        count(lit(1)).as("__n"))
+      .limit(MaxClassificationRows + 1)
+      .collect()
+    require(rows.length <= MaxClassificationRows,
+      "doremiWeights: loss table exceeds the driver-side cap of " +
+        s"$MaxClassificationRows (steps × domains) rows — aggregate to " +
+        "coarser steps/domains first")
+    val lam: Map[(Any, String), BigInt] = rows.map { r =>
+      // an all-null (proxy − ref) group sums to SQL null — no measured
+      // excess, same as absent: λ = 0
+      val s = if (r.isNullAt(2)) BigInt(0) else BigInt(r.getLong(2))
+      val n = BigInt(r.getLong(3))
+      (r.get(0), r.getString(1)) -> (if (s > 0) s / n else BigInt(0))
+    }.toMap
+    val domains = rows.map(_.getString(1)).distinct.sorted.toSeq
+    // ascending step order, numeric when the step is numeric (a string
+    // sort would put step "10" before "2" and silently permute the
+    // recursion) — matching the SQL engines' native ORDER BY
+    val steps = rows.map(r => r.get(0)).distinct.sortBy {
+      case n: java.lang.Number => (0, BigDecimal(n.toString), "")
+      case s: String => (1, BigDecimal(0), s)
+      case other => (2, BigDecimal(0), String.valueOf(other))
+    }.toSeq
+    require(domains.nonEmpty, "doremiWeights: no non-null domains in the loss table")
+    require(domains.length <= MaxDoremiDomains,
+      s"doremiWeights: ${domains.length} domains exceed $MaxDoremiDomains")
+    require(steps.length <= MaxDoremiSteps,
+      s"doremiWeights: ${steps.length} steps exceed $MaxDoremiSteps")
+    val bigS = BigInt(DoremiScale)
+    val k = BigInt(domains.length)
+    val c = BigInt(smoothMicro) * BigInt(1000000L)
+    var w: Map[String, BigInt] = domains.map(_ -> bigS / k).toMap
+    var acc: Map[String, BigInt] = domains.map(_ -> BigInt(0)).toMap
+    steps.foreach { t =>
+      val u = domains.map { d =>
+        d -> w(d) * (bigS + BigInt(etaMicro) *
+          lam.getOrElse((t, d), BigInt(0))) / bigS
+      }.toMap
+      val z = u.values.sum
+      val wt = domains.map { d =>
+        d -> ((bigS - c) * (u(d) * bigS / z) / bigS + c / k)
+      }.toMap
+      w = wt
+      acc = domains.map(d => d -> (acc(d) + wt(d))).toMap
+    }
+    val bigT = BigInt(steps.length.max(1))
+    domains.map(d => d -> (acc(d) / bigT).toLong)
+  }
+
+  /** Resample a corpus to learned DoReMi weights: each domain keeps
+    * `quota_s = min(c_s, ⌊budget · weight_s / S⌋)` rows (S =
+    * [[DoremiScale]] — the paper resamples to the averaged weights with
+    * no replacement and no redistribution, unlike the waterfill family)
+    * in the engine-portable md5(key) content order. A domain absent from
+    * `weights`, or a null domain, keeps nothing.
+    *
+    * Plan shape: quota arithmetic on the driver over the [[sourceSizes]]
+    * count table, then the [[takeBudgets]] two-phase bucket-prefix take —
+    * the corpus never globally sorts and no domain funnels through a
+    * single window task.
+    */
+  def takeDoremiMix(
+      df: DataFrame,
+      sourceCol: String,
+      keyCol: String,
+      weights: Seq[(String, Long)],
+      budget: Long,
+      bucketHexLen: Int = 3): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    weights.foreach { case (d, ws) =>
+      require(ws >= 0 && ws <= DoremiScale,
+        s"takeDoremiMix: weight $ws for domain '$d' outside [0, $DoremiScale]")
+    }
+    val wMap = weights.toMap
+    require(wMap.size == weights.length, "takeDoremiMix: duplicate domains in weights")
+    val quota: Option[Any] => Long = {
+      case None => 0L
+      case Some(v) =>
+        val w = BigInt(wMap.getOrElse(v.toString, 0L))
+        (BigInt(budget) * w / BigInt(DoremiScale)).toLong
+    }
+    takeBudgets(df, sourceCol, keyCol, lit(1L), quota, bucketHexLen)
+  }
+
   /** EXACT top-fraction quality filter per stratum — "keep the best 25%
     * of each source by score", the percentile form of quality filtering
     * (Gopher/CCNet-style): each stratum keeps its `round(fraction · c_s)`

@@ -1370,6 +1370,125 @@ object Similarity {
     }
   }
 
+  /** Loud bound on [[integerKMeans]]' driver loop — each round is one
+    * aggregate job over the corpus, so a runaway round count is a cost
+    * bug, not a convergence strategy (Lloyd at small k settles in a
+    * handful of rounds).
+    */
+  val MaxKMeansRounds: Int = 64
+
+  /** Full multi-round Lloyd k-means (Lloyd 1982, "Least squares
+    * quantization in PCM") over int8-quantized embeddings, EXACT in
+    * integer arithmetic end to end — the multi-round refinement of
+    * [[integerCellAssign]]'s one-shot seeding, for corpus maps and
+    * prototype cells that should be real clusters rather than raw seed
+    * buckets. All geometry runs on the SHIFTED codes `u = q + 127 ∈
+    * [0, 254]`: assignment is exact integer squared-L2 `Σ(u_i − m_i)²`
+    * (shift-invariant), ties to the LOWEST cell id; centroid update is
+    * the element-wise FLOOR mean `⌊Σu_i / n⌋` — non-negative by
+    * construction, so BigInt/Spark truncation and SQL floor division
+    * agree and every round replays bit-exact cross-engine (the
+    * [[prototypeScores]] discipline extended from scoring to the full
+    * iteration).
+    *
+    * Cells are named by their seed row's numeric id (the first k
+    * non-null-vector rows in `(md5(id), id)` content order —
+    * [[collectCellSeeds]]' rule restricted to rows a centroid can be
+    * built from). `rounds` Lloyd iterations (mean → reassign) follow the
+    * seed assignment; `rounds = 0` is the plain seed Voronoi. A cell
+    * that loses every member simply drops out of later rounds (the
+    * classic empty-cell rule); null vectors take no part and come back
+    * with null cell/dist.
+    *
+    * Returns `(idCol, cell, dist)` — dist the final exact integer
+    * squared distance (`≤ dim · 254²`, far inside 2⁵³).
+    *
+    * Plan shape for 100 TB: per round, ONE map-side-combining
+    * (cell, pos) aggregate collapses to k·dim rows, the k mean vectors
+    * come back as plan literals (capped by [[MaxSeedLiteralBytes]] at 8
+    * bytes per element — large k·dim belongs on the IVF join path), and
+    * assignment is pure per-row codegen arithmetic — embeddings never
+    * shuffle, and the quantized frame is persisted once across rounds.
+    */
+  def integerKMeans(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 0 && rounds <= MaxKMeansRounds,
+      s"rounds must be in [0, $MaxKMeansRounds], got $rounds")
+    require(!df.columns.contains("cell") && !df.columns.contains("dist"),
+      "integerKMeans adds 'cell' and 'dist' columns — rename existing ones first")
+    val u = quantizeInt8(df.select(col(idCol), col(vecCol)), vecCol)
+      .select(col(idCol),
+        transform(col(s"${vecCol}_q"), x => x.cast("long") + 127L).as("__uv"))
+      .persist()
+    try {
+      val seeds = u.where(col("__uv").isNotNull && col(idCol).isNotNull)
+        .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+        .limit(k).collect()
+        .map(r => (r.get(0).asInstanceOf[Number].longValue, r.getSeq[Long](1)))
+        .toSeq
+      if (seeds.isEmpty)
+        return df.select(col(idCol), lit(null).cast("bigint").as("cell"),
+          lit(null).cast("bigint").as("dist"))
+      var cents: Seq[(Long, Seq[Long])] = seeds
+      var r = 0
+      while (r < rounds) {
+        val asg = u.where(col("__uv").isNotNull)
+          .withColumn("__cell", kMeansAssignStruct(col("__uv"), cents)("s"))
+        val rows = asg
+          .select(col("__cell"), posexplode(col("__uv")).as(Seq("__p", "__x")))
+          .groupBy(col("__cell"), col("__p"))
+          .agg(expr("sum(__x) div count(1)").as("__m"))
+          .groupBy(col("__cell"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("__p"), col("__m")))),
+            e => e("__m")).as("__mv"))
+          .collect()
+        cents = rows.map(row => (row.getLong(0), row.getSeq[Long](1)))
+          .sortBy(_._1).toSeq
+        r += 1
+      }
+      // the argmin struct lands once in its own projection — splitting
+      // its fields in the same select would duplicate the whole k-way
+      // array_sort per output column
+      u.select(col(idCol),
+          when(col("__uv").isNotNull,
+            kMeansAssignStruct(col("__uv"), cents)).as("__a"))
+        .select(col(idCol),
+          col("__a")("s").as("cell"), col("__a")("d").as("dist"))
+    } finally u.unpersist()
+  }
+
+  /** [[integerKMeans]]' assignment decision as a pure Column over the
+    * literal centroid table: `struct(d = min squared distance, s = its
+    * cell id)`, argmin via the same linear array_sort
+    * [[integerCellColumn]] uses (ascending (d, s) structs, first wins —
+    * lowest distance, ties to the lowest cell). Null vectors produce
+    * null fields — callers guard. The literal cap counts 8 bytes per
+    * centroid element.
+    */
+  private def kMeansAssignStruct(
+      uv: Column, cents: Seq[(Long, Seq[Long])]): Column = {
+    require(cents.nonEmpty, "kMeansAssignStruct needs at least one centroid")
+    val literalBytes = cents.iterator.map(_._2.length.toLong * 8L).sum
+    require(literalBytes <= MaxSeedLiteralBytes,
+      s"integerKMeans: ${cents.length} centroids carry $literalBytes " +
+        s"literal bytes, over $MaxSeedLiteralBytes — route large k·dim " +
+        "through the IVF index join path instead")
+    val cand = cents.map { case (cid, m) =>
+      val dist = aggregate(
+        zip_with(uv, typedlit(m), (a, b) =>
+          Dedup.bind(a - b)(dd => dd * dd)),
+        lit(0L), (acc, x) => acc + coalesce(x, lit(0L)))
+      struct(dist.as("d"), lit(cid).as("s"))
+    }
+    element_at(array_sort(array(cand: _*)), 1)
+  }
+
   /** Per-row prototypicality score for cluster-based data pruning
     * (Sorscher et al. 2022 "Beyond neural scaling laws" SSL prototypes;
     * Tirumala et al. 2023 D4): how close a vector sits to its cluster's

@@ -437,6 +437,83 @@ object TextOps {
     "n_phones" -> size(regexp_extract_all(text, lit(PhonePattern), lit(0))).cast("bigint"),
     "n_ipv4" -> size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0))).cast("bigint"))
 
+  /** Payment-card CANDIDATE surface: 13–19 digits with at most one space
+    * or dash between neighbours (the common grouped renderings). Java ∩
+    * RE2 like every pattern here. A candidate is only PII once its Luhn
+    * checksum verifies — digit runs of card-like length are everywhere
+    * (ids, timestamps), which is why the count and the verified count are
+    * separate signals.
+    */
+  val CardCandidatePattern = "\\b\\d(?:[ -]?\\d){12,18}\\b"
+
+  /** IBAN candidate surface: country code + 2 check digits + 11–30
+    * alphanumerics (ISO 13616 length band), validated by the mod-97
+    * checksum before it counts.
+    */
+  val IbanCandidatePattern = "\\b[A-Z]{2}\\d{2}[A-Z0-9]{11,30}\\b"
+
+  /** Luhn checksum (ISO/IEC 7812-1) over a PURE DIGIT string as a codegen
+    * Column: double every second digit from the right, subtract 9 past 9,
+    * valid iff the sum is ≡ 0 (mod 10). Null or empty input is not valid
+    * (never null — this is a screen verdict). Strip separators first
+    * ([[CardCandidatePattern]] admits one space/dash between digits).
+    */
+  def luhnValid(digits: Column): Column =
+    Dedup.bind(reverse(digits)) { rev =>
+      when(coalesce(length(rev), lit(0)) === 0, lit(false)).otherwise(
+        aggregate(
+          transform(sequence(lit(1), length(rev)), i =>
+            Dedup.bind(rev.substr(i, lit(1)).cast("int")) { d =>
+              when(i % 2 === 0,
+                when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+            }),
+          lit(0), (acc, x) => acc + x) % 10 === 0)
+    }
+
+  /** IBAN mod-97 checksum (ISO 13616 / ISO 7064) as a codegen Column over
+    * an uppercase candidate: move the first four chars to the end, expand
+    * letters to their two-digit values (A = 10 … Z = 35), then fold the
+    * digit string through `acc ← (acc·10 + d) mod 97`; valid iff the
+    * residue is 1. The uniform digit-by-digit fold (rather than a
+    * letter-aware two-step) is deliberate: it is the one shape every
+    * engine's list fold can replay exactly. Null/empty → false.
+    */
+  def ibanValid(iban: Column): Column =
+    Dedup.bind(concat(
+      iban.substr(lit(5), length(iban) - 4), iban.substr(lit(1), lit(4)))) { re =>
+      when(coalesce(length(re), lit(0)) === 0, lit(false)).otherwise(
+        Dedup.bind(concat_ws("",
+          transform(sequence(lit(1), length(re)), i =>
+            Dedup.bind(re.substr(i, lit(1))) { ch =>
+              Dedup.bind(ascii(ch)) { o =>
+                when(o >= 48 && o <= 57, ch)
+                  .otherwise((o - 55).cast("string"))
+              }
+            }))) { digs =>
+          aggregate(sequence(lit(1), length(digs)), lit(0L),
+            (acc, i) =>
+              (acc * 10L + digs.substr(i, lit(1)).cast("long")) % 97L) === 1L
+        })
+    }
+
+  /** Checksum-verified PII counts — the screen a card-number or IBAN leak
+    * actually warrants, as opposed to raw digit-run counts: candidates by
+    * surface pattern, then the EXACT Luhn / mod-97 verification as pure
+    * array-HOF arithmetic fused into the scan. Zero shuffle, zero UDF;
+    * null text null-propagates (regexp_extract_all of null is null in
+    * Spark and DuckDB alike — coalesce at the caller if a 0 is wanted).
+    */
+  def checksumPiiColumns(text: Column): Seq[(String, Column)] = Seq(
+    "n_card_candidates" ->
+      size(regexp_extract_all(text, lit(CardCandidatePattern), lit(0)))
+        .cast("bigint"),
+    "n_cards_valid" ->
+      size(filter(regexp_extract_all(text, lit(CardCandidatePattern), lit(0)),
+        m => luhnValid(regexp_replace(m, "[ -]", "")))).cast("bigint"),
+    "n_ibans_valid" ->
+      size(filter(regexp_extract_all(text, lit(IbanCandidatePattern), lit(0)),
+        m => ibanValid(m))).cast("bigint"))
+
   /** Replace every PII match with a typed placeholder. Order is load-
     * bearing: emails first (their local part may contain digit runs a later
     * pattern would bite into), then phones (3-3-4 digit groups), then IPv4

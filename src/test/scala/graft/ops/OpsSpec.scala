@@ -1504,6 +1504,177 @@ class OpsSpec extends SparkSpec {
     assert(got.count(_._2 == "b") == 8, "80-token quota = 8 ten-token rows")
   }
 
+  test("doremiWeights: exact one-step recursion, clamp, and absent ≡ zero excess") {
+    val st = struct("step" -> LongType, "domain" -> StringType,
+      "proxy" -> LongType, "ref" -> LongType)
+    // hand-computed single step, S = 10^12, K = 2, η = 10^6, c = 10^9:
+    // λ_a = mean(1e6, 1e6) = 1e6; λ_b clamps to 0 (proxy < ref).
+    //   u_a = 5e11·2 = 1e12, u_b = 5e11, Z = 1.5e12
+    //   n_a = ⌊1e24/1.5e12⌋ = 666666666666, n_b = 333333333333
+    //   w_a = ⌊999e9·n_a/1e12⌋ + 5e8 = 665999999999 + 500000000
+    val one = frame(st,
+      Row(0L, "a", 2500000L, 1500000L), Row(0L, "a", 3500000L, 2500000L),
+      Row(0L, "b", 100L, 200L))
+    assert(Sampling.doremiWeights(one, "step", "domain", "proxy", "ref") ==
+      Seq("a" -> 666499999999L, "b" -> 333499999999L))
+    // a (step, domain) pair ABSENT from the loss log is the same as one
+    // present with no positive excess — λ = 0 either way
+    val absent = frame(st,
+      Row(0L, "a", 2000000L, 1000000L), Row(0L, "b", 3000000L, 1000000L),
+      Row(1L, "b", 3000000L, 1000000L))
+    val zeroed = frame(st,
+      Row(0L, "a", 2000000L, 1000000L), Row(0L, "b", 3000000L, 1000000L),
+      Row(1L, "b", 3000000L, 1000000L), Row(1L, "a", 5L, 9L))
+    val wAbsent = Sampling.doremiWeights(absent, "step", "domain", "proxy", "ref")
+    assert(wAbsent ==
+      Sampling.doremiWeights(zeroed, "step", "domain", "proxy", "ref"))
+    // b's excess dominates at both steps → ends above a; total stays ≤ S
+    val m = wAbsent.toMap
+    assert(m("b") > m("a"))
+    assert(wAbsent.map(_._2).sum <= Sampling.DoremiScale)
+    // η = 0 freezes the recursion at smoothed-uniform regardless of loss
+    val flat = Sampling.doremiWeights(one, "step", "domain", "proxy", "ref",
+      etaMicro = 0L)
+    assert(flat.map(_._2).distinct.length == 1)
+    // null domains are not a stratum; all-null fails loudly
+    val withNull = frame(st, Row(0L, "a", 2L, 1L), Row(0L, null, 9L, 1L))
+    assert(Sampling.doremiWeights(withNull, "step", "domain", "proxy", "ref")
+      .map(_._1) == Seq("a"))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.doremiWeights(frame(st, Row(0L, null, 2L, 1L)),
+        "step", "domain", "proxy", "ref")
+    }
+    assert(e.getMessage.contains("no non-null domains"))
+    // numeric steps iterate in NUMERIC order: steps 2 and 10 — the
+    // string order would run 10 first and land on different weights
+    // than the same λs relabeled to dense 0/1
+    val sparse = frame(st,
+      Row(2L, "a", 2000000L, 1000000L), Row(2L, "b", 1L, 1L),
+      Row(10L, "b", 3000000L, 1000000L), Row(10L, "a", 1L, 1L))
+    val dense = frame(st,
+      Row(0L, "a", 2000000L, 1000000L), Row(0L, "b", 1L, 1L),
+      Row(1L, "b", 3000000L, 1000000L), Row(1L, "a", 1L, 1L))
+    assert(Sampling.doremiWeights(sparse, "step", "domain", "proxy", "ref") ==
+      Sampling.doremiWeights(dense, "step", "domain", "proxy", "ref"))
+  }
+
+  test("takeDoremiMix: floor quotas, availability cap, md5-prefix membership") {
+    val st = struct("id" -> LongType, "src" -> StringType)
+    val df = frame(st,
+      ((1L to 3L).map(i => Row(i, "a")) ++
+       (11L to 20L).map(i => Row(i, "b")) ++
+       (41L to 42L).map(i => Row(i, null))): _*)
+    val s = Sampling.DoremiScale
+    // budget 8: a's ⌊8·0.5⌋ = 4 > 3 rows → keeps all 3; b ⌊8·0.25⌋ = 2;
+    // an unlisted/null domain keeps nothing
+    val got = Sampling.takeDoremiMix(df, "src", "id",
+      Seq("a" -> s / 2, "b" -> s / 4), budget = 8L)
+      .select("id", "src").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.count(_._2 == "a") == 3)
+    assert(got.count(_._2 == "b") == 2)
+    assert(!got.exists(_._2 == null))
+    import org.apache.spark.sql.expressions.Window
+    val expectB = df.where(col("src") === "b")
+      .withColumn("rn", row_number().over(Window.partitionBy(col("src"))
+        .orderBy(md5(col("id").cast("string").cast("binary")).asc, col("id").asc)))
+      .where(col("rn") <= 2).select("id").collect().map(_.getLong(0)).toSet
+    assert(got.filter(_._2 == "b").map(_._1).toSet == expectB)
+    // weight outside [0, S] and duplicate domains fail loudly
+    assert(intercept[IllegalArgumentException] {
+      Sampling.takeDoremiMix(df, "src", "id", Seq("a" -> (s + 1)), 8L)
+    }.getMessage.contains("outside"))
+    assert(intercept[IllegalArgumentException] {
+      Sampling.takeDoremiMix(df, "src", "id", Seq("a" -> 1L, "a" -> 2L), 8L)
+    }.getMessage.contains("duplicate"))
+  }
+
+  test("luhnValid / ibanValid: checksum verdicts on known fixtures") {
+    val st = struct("s" -> StringType)
+    def verdicts(c: org.apache.spark.sql.Column, rows: (String, Boolean)*)
+        : Unit = {
+      val df = frame(st, rows.map(r => Row(r._1)): _*)
+      val got = df.select(col("s"), c.as("v")).collect()
+        .map(r => Option(r.getString(0)) -> r.getBoolean(1)).toMap
+      rows.foreach { case (s, expect) =>
+        assert(got(Option(s)) == expect, s"input '$s'") }
+    }
+    verdicts(TextOps.luhnValid(col("s")),
+      "4532015112830366" -> true,   // valid Visa test number
+      "79927398713" -> true,        // the canonical Luhn example
+      "4532015112830367" -> false,  // check digit off by one
+      "" -> false, null.asInstanceOf[String] -> false)
+    verdicts(TextOps.ibanValid(col("s")),
+      "DE89370400440532013000" -> true,   // canonical ISO 13616 example
+      "GB82WEST12345698765432" -> true,   // letters in the BBAN
+      "DE89370400440532013001" -> false,
+      "" -> false, null.asInstanceOf[String] -> false)
+    // the grouped candidate form verifies after separator stripping
+    val sep = frame(st, Row("4532-0151-1283-0366 and 4111 1111 1111 1111"))
+      .select(TextOps.checksumPiiColumns(col("s")).map {
+        case (n, c) => c.as(n) }: _*).collect()(0)
+    assert(sep.getLong(0) == 2L && sep.getLong(1) == 2L)
+  }
+
+  test("integerKMeans ≡ a driver-side naive Lloyd recomputation; null/contract rules") {
+    val st = struct("id" -> LongType, "v" -> ArrayType(FloatType))
+    val rows = (1L to 10L).map(i => Row(i, Seq(
+      (i % 7).toFloat / 7f, ((i * 3) % 5).toFloat / 5f,
+      ((i * 5) % 11).toFloat / 11f))) :+ Row(99L, null)
+    val df = frame(st, rows: _*)
+    val got = Similarity.integerKMeans(df, "v", "id", k = 3, rounds = 3)
+      .collect().map(r => r.getLong(0) -> (
+        (if (r.isNullAt(1)) None else Some(r.getLong(1))),
+        (if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    // independent driver recomputation of the full iteration from the
+    // library's own quantized codes (the iteration is under test here;
+    // the quantizer itself is oracled via q177/q186)
+    val codes: Seq[(Long, Seq[Long])] =
+      Similarity.quantizeInt8(df.select(col("id"), col("v")), "v")
+        .select(col("id"), col("v_q")).collect()
+        .flatMap(r => if (r.isNullAt(1)) None
+          else Some(r.getLong(0) -> r.getSeq[Byte](1).map(_.toLong + 127L)))
+        .toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hex(i: Long) =
+      md.digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def assignNaive(cs: Seq[(Long, Seq[Long])]): Map[Long, (Long, Long)] =
+      codes.map { case (i, u) =>
+        val (d, cell) = cs.map { case (cid, m) =>
+          (u.zip(m).map { case (a, b) => val x = a - b; x * x }.sum, cid)
+        }.min
+        i -> (cell, d)
+      }.toMap
+    var cents = codes.sortBy { case (i, _) => (hex(i), i) }.take(3)
+    (1 to 3).foreach { _ =>
+      val a = assignNaive(cents)
+      cents = codes.groupBy { case (i, _) => a(i)._1 }.toSeq
+        .map { case (cell, mem) =>
+          cell -> mem.head._2.indices
+            .map(p => mem.map(_._2(p)).sum / mem.length).map(_.toLong)
+        }.sortBy(_._1)
+    }
+    val fin = assignNaive(cents)
+    codes.foreach { case (i, _) =>
+      assert(got(i) == (Some(fin(i)._1), Some(fin(i)._2)), s"id $i")
+    }
+    assert(got(99L) == (None, None), "null vector gets null cell/dist")
+    // rounds = 0 is the plain seed Voronoi
+    val seeds0 = codes.sortBy { case (i, _) => (hex(i), i) }.take(3)
+    val fin0 = assignNaive(seeds0)
+    val got0 = Similarity.integerKMeans(df, "v", "id", k = 3, rounds = 0)
+      .where(col("cell").isNotNull).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got0 == fin0)
+    // contract errors: clashing columns, runaway rounds
+    assert(intercept[IllegalArgumentException] {
+      Similarity.integerKMeans(df.withColumn("cell", lit(1)), "v", "id", 2, 1)
+    }.getMessage.contains("cell"))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.integerKMeans(df, "v", "id", 2, rounds = 65)
+    }.getMessage.contains("rounds"))
+  }
+
   test("crossSourceDupMatrix: unordered cells, diagonal, null labels surface first") {
     val pst = struct("id_a" -> LongType, "id_b" -> LongType)
     val pairs = frame(pst,
