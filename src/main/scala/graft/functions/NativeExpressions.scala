@@ -84,6 +84,21 @@ object native {
     */
   def elementCounts(arr: Column): Column =
     GraftBridge.column(ElementCounts(GraftBridge.expression(arr)))
+
+  /** Exact integer k-means assignment against a frozen centroid table:
+    * array<bigint> shifted codes → `struct(d, s)` = (min squared-L2
+    * distance, its cell id; ties to the LOWEST cell id). One tight JVM
+    * loop per row instead of k × dim interpreted lambda evaluations —
+    * the hot kernel of [[graft.ops.Similarity.integerKMeans]]' rounds.
+    * A null CENTROID element is encoded as any negative value (legit
+    * components live in [0, 254]) and skipped, matching the zip_with
+    * null-product skip of the expression form; null input elements skip
+    * the same way; a wholly-null input null-propagates.
+    */
+  def intKMeansAssign(
+      uv: Column, cells: Seq[Long], cents: Seq[Seq[Long]]): Column =
+    GraftBridge.column(IntKMeansAssign(GraftBridge.expression(uv),
+      cells.toIndexedSeq, cents.map(_.toIndexedSeq).toIndexedSeq))
 }
 
 /** Fused shingle→minhash→band kernel. One pass over the shingles; for each
@@ -392,6 +407,48 @@ case class ElementCounts(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.GramUtil.elementCounts($c)")
 
   override protected def withNewChildInternal(newChild: Expression): ElementCounts =
+    copy(child = newChild)
+}
+
+/** Frozen-centroid integer k-means assignment (one tight loop per row —
+  * see [[native.intKMeansAssign]]). The centroid matrix rides the plan as
+  * expression state (reference objects in the task binary, like every
+  * literal table); callers cap its size. Null centroid components are
+  * pre-encoded as -1 by the caller (components live in [0, 254]).
+  */
+case class IntKMeansAssign(
+    child: Expression,
+    cells: IndexedSeq[Long],
+    cents: IndexedSeq[IndexedSeq[Long]]) extends UnaryExpression {
+  require(cells.nonEmpty && cells.length == cents.length,
+    s"$prettyName needs aligned non-empty cells/centroids, got " +
+      s"${cells.length}/${cents.length}")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.sql}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", LongType, nullable = false),
+    StructField("s", LongType, nullable = false)))
+  override def prettyName: String = "int_kmeans_assign"
+
+  @transient private lazy val cellsArr: Array[Long] = cells.toArray
+  @transient private lazy val centsArr: Array[Array[Long]] =
+    cents.map(_.toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorMath.kmeansAssign(input.asInstanceOf[ArrayData], cellsArr, centsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cellsRef = ctx.addReferenceObj("kmCells", cellsArr, "long[]")
+    val centsRef = ctx.addReferenceObj("kmCents", centsArr, "long[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorMath.kmeansAssign($c, $cellsRef, $centsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IntKMeansAssign =
     copy(child = newChild)
 }
 
@@ -712,6 +769,38 @@ object VectorMath {
       i += 1
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def kmeansAssign(
+      uv: ArrayData,
+      cells: Array[Long],
+      cents: Array[Array[Long]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = uv.numElements()
+    var bestD = Long.MaxValue
+    var bestS = Long.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val m = cents(c)
+      val lim = math.min(n, m.length)
+      var d = 0L
+      var i = 0
+      while (i < lim) {
+        // negative centroid component = the null sentinel; null input
+        // elements skip too (the zip_with null-product rule)
+        if (!uv.isNullAt(i) && m(i) >= 0L) {
+          val x = uv.getLong(i) - m(i)
+          d += x * x
+        }
+        i += 1
+      }
+      if (d < bestD || (d == bestD && cells(c) < bestS)) {
+        bestD = d
+        bestS = cells(c)
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestD, bestS))
   }
 
   def hyperplaneBucket(v: ArrayData, planes: Int, offset: Int): Int = {

@@ -1416,42 +1416,14 @@ object Similarity {
       idCol: String,
       k: Int,
       rounds: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(rounds >= 0 && rounds <= MaxKMeansRounds,
-      s"rounds must be in [0, $MaxKMeansRounds], got $rounds")
     require(!df.columns.contains("cell") && !df.columns.contains("dist"),
       "integerKMeans adds 'cell' and 'dist' columns — rename existing ones first")
-    val u = quantizeInt8(df.select(col(idCol), col(vecCol)), vecCol)
-      .select(col(idCol),
-        transform(col(s"${vecCol}_q"), x => x.cast("long") + 127L).as("__uv"))
-      .persist()
+    val u = kMeansCodes(df, vecCol, idCol).persist()
     try {
-      val seeds = u.where(col("__uv").isNotNull && col(idCol).isNotNull)
-        .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
-        .limit(k).collect()
-        .map(r => (r.get(0).asInstanceOf[Number].longValue, r.getSeq[Long](1)))
-        .toSeq
-      if (seeds.isEmpty)
+      val cents = kMeansIterate(u, idCol, k, rounds)
+      if (cents.isEmpty)
         return df.select(col(idCol), lit(null).cast("bigint").as("cell"),
           lit(null).cast("bigint").as("dist"))
-      var cents: Seq[(Long, Seq[Long])] = seeds
-      var r = 0
-      while (r < rounds) {
-        val asg = u.where(col("__uv").isNotNull)
-          .withColumn("__cell", kMeansAssignStruct(col("__uv"), cents)("s"))
-        val rows = asg
-          .select(col("__cell"), posexplode(col("__uv")).as(Seq("__p", "__x")))
-          .groupBy(col("__cell"), col("__p"))
-          .agg(expr("sum(__x) div count(1)").as("__m"))
-          .groupBy(col("__cell"))
-          .agg(transform(
-            array_sort(collect_list(struct(col("__p"), col("__m")))),
-            e => e("__m")).as("__mv"))
-          .collect()
-        cents = rows.map(row => (row.getLong(0), row.getSeq[Long](1)))
-          .sortBy(_._1).toSeq
-        r += 1
-      }
       // the argmin struct lands once in its own projection — splitting
       // its fields in the same select would duplicate the whole k-way
       // array_sort per output column
@@ -1463,13 +1435,99 @@ object Similarity {
     } finally u.unpersist()
   }
 
+  /** [[integerKMeans]]' trained centroid table alone — the FROZEN
+    * quantizer for in-flight assignment (the [[collectCellSeeds]] /
+    * [[collectCellSums]] literal-table discipline): run the same seed +
+    * Lloyd iteration and return the final `(cell id, shifted-code mean
+    * vector)` rows, to feed [[kMeansAssignColumn]] on a stream or a later
+    * batch. Possibly fewer than k entries (empty cells drop); empty when
+    * the corpus has no usable vector.
+    */
+  def integerKMeansCentroids(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      k: Int,
+      rounds: Int): Seq[(Long, Seq[Long])] = {
+    val u = kMeansCodes(df, vecCol, idCol).persist()
+    try kMeansIterate(u, idCol, k, rounds)
+    finally u.unpersist()
+  }
+
+  /** [[integerKMeans]]' assignment as a pure Column over a frozen
+    * [[integerKMeansCentroids]] table: quantize the raw vector with the
+    * same int8 rule, shift, and take the exact integer squared-L2 argmin
+    * — `struct(cell, dist)`, null for a null vector. No join, no
+    * shuffle, no state: a Structured Streaming frame routes arrivals to
+    * their cluster row-by-row exactly like [[integerCellColumn]] routes
+    * to seed cells.
+    */
+  def kMeansAssignColumn(vec: Column, cents: Seq[(Long, Seq[Long])]): Column =
+    Dedup.bind(transform(int8Codes(vec), x => x.cast("long") + 127L)) { uv =>
+      when(uv.isNotNull,
+        Dedup.bind(kMeansAssignStruct(uv, cents)) { a =>
+          struct(a("s").as("cell"), a("d").as("dist"))
+        })
+    }
+
+  /** The shared quantize-and-shift projection behind the k-means entry
+    * points: `(idCol, __uv)` with `__uv = int8 codes + 127 ∈ [0, 254]`.
+    */
+  private def kMeansCodes(
+      df: DataFrame, vecCol: String, idCol: String): DataFrame =
+    quantizeInt8(df.select(col(idCol), col(vecCol)), vecCol)
+      .select(col(idCol),
+        transform(col(s"${vecCol}_q"), x => x.cast("long") + 127L).as("__uv"))
+
+  /** Seed selection + the Lloyd rounds over a (persisted) codes frame —
+    * one definition shared by [[integerKMeans]] and
+    * [[integerKMeansCentroids]] so the batch labels and the frozen table
+    * cannot drift.
+    */
+  private def kMeansIterate(
+      u: DataFrame, idCol: String, k: Int, rounds: Int): Seq[(Long, Seq[Long])] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 0 && rounds <= MaxKMeansRounds,
+      s"rounds must be in [0, $MaxKMeansRounds], got $rounds")
+    val seeds = u.where(col("__uv").isNotNull && col(idCol).isNotNull)
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .limit(k).collect()
+      .map(r => (r.get(0).asInstanceOf[Number].longValue, r.getSeq[Long](1)))
+      .toSeq
+    var cents: Seq[(Long, Seq[Long])] = seeds
+    var r = 0
+    while (cents.nonEmpty && r < rounds) {
+      val asg = u.where(col("__uv").isNotNull)
+        .withColumn("__cell", kMeansAssignStruct(col("__uv"), cents)("s"))
+      val rows = asg
+        .select(col("__cell"), posexplode(col("__uv")).as(Seq("__p", "__x")))
+        .groupBy(col("__cell"), col("__p"))
+        .agg(expr("sum(__x) div count(1)").as("__m"))
+        .groupBy(col("__cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("__p"), col("__m")))),
+          e => e("__m")).as("__mv"))
+        .collect()
+      cents = rows.map(row => (row.getLong(0), row.getSeq[Long](1)))
+        .sortBy(_._1).toSeq
+      r += 1
+    }
+    cents
+  }
+
   /** [[integerKMeans]]' assignment decision as a pure Column over the
-    * literal centroid table: `struct(d = min squared distance, s = its
-    * cell id)`, argmin via the same linear array_sort
-    * [[integerCellColumn]] uses (ascending (d, s) structs, first wins —
-    * lowest distance, ties to the lowest cell). Null vectors produce
-    * null fields — callers guard. The literal cap counts 8 bytes per
-    * centroid element.
+    * frozen centroid table: `struct(d = min squared distance, s = its
+    * cell id)`, ties to the LOWEST cell id, via the NATIVE
+    * [[graft.functions.native.intKMeansAssign]] kernel — one tight JVM
+    * loop per row where the expression form would run k × dim
+    * interpreted lambda evaluations per row (measured 3–4× on the q186
+    * train rounds; the gap widens with k·dim). A null centroid
+    * component (a cell whose every member lacked that position) encodes
+    * as the kernel's -1 skip sentinel — components live in [0, 254] —
+    * matching the zip_with null-product skip of the expression form it
+    * replaces. Null vectors produce a null struct — callers guard. The
+    * size cap counts 8 bytes per centroid element (the table rides every
+    * task binary as expression state).
     */
   private def kMeansAssignStruct(
       uv: Column, cents: Seq[(Long, Seq[Long])]): Column = {
@@ -1479,14 +1537,10 @@ object Similarity {
       s"integerKMeans: ${cents.length} centroids carry $literalBytes " +
         s"literal bytes, over $MaxSeedLiteralBytes — route large k·dim " +
         "through the IVF index join path instead")
-    val cand = cents.map { case (cid, m) =>
-      val dist = aggregate(
-        zip_with(uv, typedlit(m), (a, b) =>
-          Dedup.bind(a - b)(dd => dd * dd)),
-        lit(0L), (acc, x) => acc + coalesce(x, lit(0L)))
-      struct(dist.as("d"), lit(cid).as("s"))
-    }
-    element_at(array_sort(array(cand: _*)), 1)
+    graft.functions.native.intKMeansAssign(uv,
+      cents.map(_._1),
+      cents.map(_._2.map(x =>
+        if (x.asInstanceOf[Any] == null) -1L else x)))
   }
 
   /** Per-row prototypicality score for cluster-based data pruning

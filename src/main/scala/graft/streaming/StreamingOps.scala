@@ -786,6 +786,52 @@ object StreamingOps {
     * report it produces and the stream provably equals the batch funnel
     * over the same arrivals.
     */
+  /** Periodic DoReMi weight snapshots over a STREAMING loss log (the
+    * q184 batch op's duality): arriving per-row proxy/reference losses
+    * stage verbatim, and every `snapshotEvery` batches the standing log
+    * reruns the exact [[graft.ops.Sampling.doremiWeights]] recursion into
+    * `reportPath` (overwrite; columns `domainCol`/weight). Deliberately a
+    * snapshot RECOMPUTE, not incremental state: the recursion is
+    * driver-side BigInt over ONE tiny (step, domain) aggregate, so the
+    * recompute costs exactly the report it produces (the
+    * [[curationMixStream]] discipline), the weights always reflect every
+    * step seen so far in the paper's time-average, and a mid-run η/c
+    * change can never strand stale state. A log with no non-null domain
+    * yet skips the snapshot rather than failing the stream.
+    */
+  def doremiWeightsStream(
+      newStream: DataFrame,
+      stepCol: String,
+      domainCol: String,
+      proxyCol: String,
+      refCol: String,
+      stagingPath: String,
+      reportPath: String,
+      snapshotEvery: Int = 1,
+      etaMicro: Long = 1000000L,
+      smoothMicro: Long = 1000L): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(snapshotEvery >= 1, s"snapshotEvery must be >= 1, got $snapshotEvery")
+    newStream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          batch.toDF().write.mode("append").parquet(stagingPath)
+        if (batchId % snapshotEvery == 0) {
+          val spark = batch.sparkSession
+          val fs = graft.ops.EpochStore.hadoopFs(spark, stagingPath)
+          if (fs.exists(new org.apache.hadoop.fs.Path(stagingPath))) {
+            val standing = spark.read.parquet(stagingPath)
+            if (!standing.where(col(domainCol).isNotNull).isEmpty) {
+              val w = graft.ops.Sampling.doremiWeights(standing,
+                stepCol, domainCol, proxyCol, refCol, etaMicro, smoothMicro)
+              import spark.implicits._
+              w.toDF(domainCol, "weight")
+                .write.mode("overwrite").parquet(reportPath)
+            }
+          }
+        }
+    }
+  }
+
   def curationFunnelStream(
       newStream: DataFrame,
       stratumCol: String,

@@ -698,4 +698,33 @@ class PlanSpec extends SparkSpec {
     }
     assert(out.count() == 60L)
   }
+
+  test("k-means final assignment is pure projection — embeddings never shuffle") {
+    // the Lloyd rounds run their (cell, pos) aggregates eagerly inside
+    // the call; the RETURNED frame — the plan a caller executes at
+    // corpus scale — must be scan → quantize → literal-argmin, nothing
+    // else: no exchange, no join, no corpus-wide window
+    val out = graft.ops.Similarity.integerKMeans(
+      Tables(spark, dir, "embeddings"), "embedding", "vec_id",
+      k = 4, rounds = 1)
+    val p = plan(out)
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+  }
+
+  test("checksum PII verdicts fuse into one scan projection — no shuffle, no UDF") {
+    val out = Tables(spark, dir, "documents").select(
+      col("doc_id") +: graft.ops.TextOps.checksumPiiColumns(col("text"))
+        .map { case (n, c) => c.as(n) }: _*)
+    val p = plan(out)
+    assert(!p.contains("Exchange"), s"unexpected shuffle:\n$p")
+    // native Catalyst expressions only (array-HOF lambdas evaluate inside
+    // the Project — outside WholeStageCodegen spans, but still a single
+    // scan pass with no row broker): no Scala/Python UDF anywhere
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"),
+      s"checksum folds must be native expressions:\n$p")
+    assert(p.contains("FileScan parquet") &&
+      p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"columns not pruned at the scan:\n$p")
+  }
 }

@@ -1310,5 +1310,83 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._1).size == 2)
     assert(streamed.groupBy(_._1).forall(_._2.head._2 == 10L))
   }
+
+  test("streaming DoReMi snapshots: drained weights ≡ the batch recursion on all arrivals") {
+    val st = struct("step" -> LongType, "domain" -> StringType,
+      "proxy" -> LongType, "ref" -> LongType)
+    val b1 = Seq(
+      Row(0L, "a", 2500000L, 1500000L), Row(0L, "a", 3500000L, 2500000L),
+      Row(0L, "b", 100L, 200L))
+    val b2 = Seq(
+      Row(1L, "b", 3000000L, 1000000L), Row(1L, "a", 5L, 9L),
+      Row(2L, null, 99L, 1L))
+    val inDir = Files.createTempDirectory("graft-drm-in").toString
+    Seq(b1, b2).foreach { rs =>
+      frame(st, rs: _*).coalesce(1).write.mode("append").parquet(inDir)
+      Thread.sleep(5)
+    }
+    val staging = Files.createTempDirectory("graft-drm-st").toString + "/s"
+    val report = Files.createTempDirectory("graft-drm-rp").toString + "/r"
+    val q = StreamingOps.doremiWeightsStream(
+      spark.readStream.schema(st).option("maxFilesPerTrigger", "1")
+        .parquet(inDir),
+      "step", "domain", "proxy", "ref", staging, report)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-drm-ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(report).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = graft.ops.Sampling.doremiWeights(
+      frame(st, (b1 ++ b2): _*), "step", "domain", "proxy", "ref").toMap
+    assert(streamed == batch)
+  }
+
+  test("streaming k-means routing: frozen centroids assign arrivals ≡ batch labels") {
+    val st = struct("vec_id" -> LongType, "embedding" -> ArrayType(FloatType))
+    def rowsOf(ids: Range) = ids.map { i =>
+      val v = (i % 3: @unchecked) match {
+        case 0 => Seq(127.0f, 3.0f, 1.0f)
+        case 1 => Seq(2.0f, 127.0f, 0.0f)
+        case 2 => Seq(1.0f, 2.0f, 127.0f)
+      }
+      Row(i.toLong, v)
+    }
+    val all = rowsOf(1 to 18)
+    val full = frame(st, all: _*)
+    // centroids trained once on the standing corpus, then FROZEN: the
+    // stream routes arrivals through the pure assignment column — no
+    // join, no state, no re-clustering
+    val cents = graft.ops.Similarity.integerKMeansCentroids(
+      full, "embedding", "vec_id", k = 3, rounds = 2)
+    val inDir = Files.createTempDirectory("graft-km-in").toString
+    Seq(all.slice(0, 9), all.slice(9, 18)).foreach { rs =>
+      frame(st, rs: _*).coalesce(1).write.mode("append").parquet(inDir)
+      Thread.sleep(5)
+    }
+    val q = spark.readStream.schema(st).option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .select(col("vec_id"),
+        graft.ops.Similarity.kMeansAssignColumn(col("embedding"), cents)
+          .as("a"))
+      .select(col("vec_id"),
+        col("a")("cell").as("cell"), col("a")("dist").as("dist"))
+      .writeStream.format("memory").queryName("kmroute").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("kmroute").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the batch twin's final labels ARE assignment against the same
+    // final centroid table, so stream ≡ batch exactly
+    val batch = graft.ops.Similarity.integerKMeans(
+      full, "embedding", "vec_id", k = 3, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    // identical vectors must land in the same cell (how many seed cells
+    // survive the rounds is the algorithm's business — empty cells drop)
+    streamed.groupBy(_._1 % 3).values.foreach { g =>
+      assert(g.map(_._2).size == 1, "a geometric group split across cells")
+    }
+  }
 }
 
