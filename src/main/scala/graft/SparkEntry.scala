@@ -88,6 +88,12 @@ object SparkEntry {
   private def q143ModelDir(sfDir: String) =
     s"/tmp/graft_q143_nb_${new java.io.File(sfDir).getName}"
 
+  private def q189ModelDir(sfDir: String) =
+    s"/tmp/graft_q189_nb_${new java.io.File(sfDir).getName}"
+
+  private def q190ModelDir(sfDir: String) =
+    s"/tmp/graft_q190_nb_${new java.io.File(sfDir).getName}"
+
   private def q144LmDir(sfDir: String) =
     s"/tmp/graft_q144_lm_${new java.io.File(sfDir).getName}"
 
@@ -428,6 +434,57 @@ object SparkEntry {
       |wavg AS (SELECT domain,
       |           cast(sum(w) // (SELECT t FROM tt) AS BIGINT) AS weight
       |         FROM it WHERE i >= 0 GROUP BY domain)""".stripMargin
+
+  /** Shared q189/q190 oracle prologue (parameterized by the query's own
+    * model dir): q143's integer NB scoring, the exact min + i·span // 8
+    * threshold ladder, per-threshold CASE confusion sums, and the ppm
+    * floor divisions — ending at `sw(threshold, tp, fp, fn, tn,
+    * precision_ppm, recall_ppm, f1_ppm)` with `s(doc_id, score)` still
+    * in scope for the q190 filter tail.
+    */
+  private def sweepOracleCte(q: String): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS token
+       |  FROM documents
+       |),
+       |w AS (SELECT * FROM read_parquet('/tmp/graft_${q}_nb_sf0.01/weights/*.parquet')),
+       |m AS (SELECT * FROM read_parquet('/tmp/graft_${q}_nb_sf0.01/meta/*.parquet')),
+       |s AS (
+       |  SELECT doc_id,
+       |    (sum(coalesce(w.weight, (SELECT oov_weight FROM m)))
+       |      + (SELECT prior FROM m))::BIGINT AS score
+       |  FROM t LEFT JOIN w USING (token)
+       |  GROUP BY doc_id
+       |),
+       |mm AS (SELECT min(score) AS mn, max(score) AS mx FROM s),
+       |l AS (
+       |  SELECT s.score, (d.lang = 'en') AS pos
+       |  FROM s JOIN documents d USING (doc_id) WHERE d.lang IS NOT NULL
+       |),
+       |th AS (
+       |  SELECT (SELECT mn FROM mm)
+       |    + ((SELECT mx FROM mm) - (SELECT mn FROM mm)) * i // 8 AS threshold
+       |  FROM unnest(range(1, 8)) u(i)
+       |),
+       |c AS (
+       |  SELECT th.threshold,
+       |    sum(CASE WHEN l.score >= th.threshold AND l.pos THEN 1 ELSE 0 END)::BIGINT AS tp,
+       |    sum(CASE WHEN l.score >= th.threshold AND NOT l.pos THEN 1 ELSE 0 END)::BIGINT AS fp,
+       |    sum(CASE WHEN (l.score IS NULL OR l.score < th.threshold) AND l.pos THEN 1 ELSE 0 END)::BIGINT AS fn,
+       |    sum(CASE WHEN (l.score IS NULL OR l.score < th.threshold) AND NOT l.pos THEN 1 ELSE 0 END)::BIGINT AS tn
+       |  FROM th CROSS JOIN l GROUP BY th.threshold
+       |),
+       |sw AS (
+       |  SELECT threshold, tp, fp, fn, tn,
+       |    CASE WHEN tp + fp = 0 THEN NULL
+       |      ELSE tp * 1000000 // (tp + fp) END AS precision_ppm,
+       |    CASE WHEN tp + fn = 0 THEN NULL
+       |      ELSE tp * 1000000 // (tp + fn) END AS recall_ppm,
+       |    CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+       |      ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f1_ppm
+       |  FROM c
+       |)""".stripMargin
 
   /** q186's oracle, generated for any (k, rounds): the q177 int8
     * quantization recipe, seeds = first k non-null codes in md5 order,
@@ -2119,6 +2176,46 @@ object SparkEntry {
           least(col("nc"), expr("(400 * weight) div 1000000000000"))
             .as("quota"))
         .orderBy(col("domain"))
+    }),
+
+    // calibration sweep for the learned quality screen (the step that
+    // turns a scored corpus into a deployable filter): q143's integer NB
+    // scores with the training signal as ground truth, 7 candidate
+    // thresholds derived EXACTLY from the score range (min + i·span div
+    // 8 — integer arithmetic both engines reproduce), confusion counts +
+    // ppm precision/recall/f1 from ONE 4·K-sum aggregate pass
+    "q189_threshold_sweep" -> ((s, d) => {
+      val (w, oov, prior) = binaryNbMaterialized(s, d, q189ModelDir(d))
+      val docs = Tables(s, d, "documents")
+      val scored = graft.ops.LangModel.scoreTokenWeights(
+        docs, "doc_id", "text", w, oov, prior)
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("pos")),
+          "doc_id")
+      val r = scored.agg(min(col("score")), max(col("score"))).head()
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val ths = (1 to 7).map(i => mn + (mx - mn) * i / 8)
+      graft.ops.LangModel.thresholdSweep(scored, "score", "pos", ths)
+        .orderBy(col("threshold"))
+    }),
+
+    // the calibration round trip DEPLOYED (q189 → a live filter): sweep
+    // the same ladder, pick the smallest threshold reaching 55% measured
+    // precision (max recall subject to the floor), keep score ≥ t — the
+    // whole train→score→calibrate→filter chain under one hash
+    "q190_calibrated_screen" -> ((s, d) => {
+      val (w, oov, prior) = binaryNbMaterialized(s, d, q190ModelDir(d))
+      val docs = Tables(s, d, "documents")
+      val scored = graft.ops.LangModel.scoreTokenWeights(
+        docs, "doc_id", "text", w, oov, prior)
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("pos")),
+          "doc_id")
+      val r = scored.agg(min(col("score")), max(col("score"))).head()
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val ths = (1 to 7).map(i => mn + (mx - mn) * i / 8)
+      val sweep = graft.ops.LangModel.thresholdSweep(scored, "score", "pos", ths)
+      val t = graft.ops.LangModel.pickThreshold(sweep, minPrecisionPpm = 550000L)
+      scored.where(col("score") >= t)
+        .select(col("doc_id"), col("score")).orderBy(col("doc_id"))
     }),
 
     // checksum-verified PII screen: planted valid/invalid card numbers
@@ -5632,6 +5729,27 @@ object SparkEntry {
         |)
         |SELECT vec_id, cell FROM kept WHERE krn <= 20
         |ORDER BY vec_id""".stripMargin),
+
+    // q143's scoring CTE against q189's own materialized model, ground
+    // truth re-derived from lang, thresholds the same min + i·span // 8
+    // integers, then per-threshold CASE sums and ppm floor divisions
+    "q189_threshold_sweep" ->
+      (sweepOracleCte("q189") +
+      """
+        |SELECT threshold, tp, fp, fn, tn, precision_ppm, recall_ppm, f1_ppm
+        |FROM sw ORDER BY threshold""".stripMargin),
+
+    // same sweep against q190's model, then the deployment pick (min
+    // qualifying threshold at the 55% ppm floor) and the kept rows
+    "q190_calibrated_screen" ->
+      (sweepOracleCte("q190") +
+      """,
+        |pick AS (
+        |  SELECT min(threshold) AS t FROM sw
+        |  WHERE precision_ppm IS NOT NULL AND precision_ppm >= 550000
+        |)
+        |SELECT doc_id, score FROM s
+        |WHERE score >= (SELECT t FROM pick) ORDER BY doc_id""".stripMargin),
 
     // same candidate regexes, Luhn as a doubled-digit list fold, mod-97
     // as letter expansion + a list_reduce over the digit string

@@ -857,4 +857,84 @@ object LangModel {
       microNats: Long = 1000000L): DataFrame =
     scoreTokenClassifier(docs, idCol, textCol,
       indexClassifier(docs.sparkSession, path, microNats))
+
+  /** Bound on [[thresholdSweep]]'s candidate ladder: each threshold adds
+    * four conditional sums to the single aggregate pass, all riding the
+    * plan — a thousand candidates is already far past calibration grade.
+    */
+  val MaxSweepThresholds: Int = 1024
+
+  /** CALIBRATION sweep for a learned screen — the step that turns a
+    * scored corpus into a deployable filter: a classifier ships AT a
+    * threshold (the fastText-style quality screens keep `score ≥ t`),
+    * and this reports exactly what each candidate `t` costs. For every
+    * threshold: predicted-positive iff `scoreCol ≥ t` (null scores
+    * predict negative), confusion counts against the boolean `labelCol`
+    * (null labels are not evaluable and are excluded), and the exact
+    * parts-per-million rationals `precision = tp·10⁶ div (tp+fp)`,
+    * `recall = tp·10⁶ div (tp+fn)`, `f1 = 2·tp·10⁶ div (2·tp+fp+fn)` —
+    * null where the denominator is 0 (no predicted / no actual
+    * positives). All integers, so the whole report hashes cross-engine;
+    * the ppm numerators stay inside Long up to ~9·10¹² labeled rows.
+    *
+    * Plan shape for 100 TB: ONE aggregate pass with 4·K conditional
+    * map-side-combining sums (K capped loudly) — the corpus is scanned
+    * once no matter how many candidate thresholds ride the sweep, and
+    * the K-row report assembles on the driver.
+    */
+  def thresholdSweep(
+      scored: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdSweep needs at least one threshold")
+    require(thresholds.length <= MaxSweepThresholds,
+      s"thresholdSweep: ${thresholds.length} thresholds exceed " +
+        s"$MaxSweepThresholds — not a calibration-grade ladder")
+    require(thresholds.distinct.length == thresholds.length,
+      "thresholdSweep: duplicate thresholds")
+    val base = scored.where(col(labelCol).isNotNull).select(
+      col(scoreCol).cast("long").as("__s"),
+      col(labelCol).cast("boolean").as("__l"))
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      val pred = col("__s").isNotNull && col("__s") >= t
+      Seq(
+        sum(when(pred && col("__l"), 1L).otherwise(0L)).as(s"__tp$i"),
+        sum(when(pred && !col("__l"), 1L).otherwise(0L)).as(s"__fp$i"),
+        sum(when(!pred && col("__l"), 1L).otherwise(0L)).as(s"__fn$i"),
+        sum(when(!pred && !col("__l"), 1L).otherwise(0L)).as(s"__tn$i"))
+    }
+    val row = base.agg(aggs.head, aggs.tail: _*).head()
+    // a zero-labeled-row corpus sums to SQL null — every count is 0
+    def g(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
+    def ppm(num: Long, den: Long): Option[Long] =
+      if (den == 0L) None else Some(num * 1000000L / den)
+    val out = thresholds.zipWithIndex.map { case (t, i) =>
+      val (tp, fp, fn, tn) = (g(4 * i), g(4 * i + 1), g(4 * i + 2), g(4 * i + 3))
+      (t, tp, fp, fn, tn,
+        ppm(tp, tp + fp), ppm(tp, tp + fn), ppm(2 * tp, 2 * tp + fp + fn))
+    }
+    val spark = scored.sparkSession
+    import spark.implicits._
+    out.toDF("threshold", "tp", "fp", "fn", "tn",
+      "precision_ppm", "recall_ppm", "f1_ppm")
+  }
+
+  /** Deployment rule over a [[thresholdSweep]] report: the SMALLEST
+    * threshold whose measured precision reaches `minPrecisionPpm` —
+    * i.e. maximize recall subject to the precision floor (score ≥ t is
+    * monotone, so among qualifying thresholds the smallest keeps the
+    * most). Loud when no candidate qualifies — deploying an
+    * uncalibratable screen is a decision for the caller, not a silent
+    * fallback. K-row driver-side pick.
+    */
+  def pickThreshold(sweep: DataFrame, minPrecisionPpm: Long): Long = {
+    val rows = sweep.select(col("threshold"), col("precision_ppm")).collect()
+    val ok = rows.filter(r => !r.isNullAt(1) && r.getLong(1) >= minPrecisionPpm)
+      .map(_.getLong(0))
+    require(ok.nonEmpty,
+      s"pickThreshold: no candidate threshold reaches $minPrecisionPpm ppm " +
+        "precision — widen the ladder or lower the floor")
+    ok.min
+  }
 }

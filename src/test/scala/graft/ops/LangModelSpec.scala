@@ -358,4 +358,38 @@ class LangModelSpec extends SparkSpec {
     assert(enAvg > otherAvg,
       s"en mean lp/bigram $enAvg not above non-en $otherAvg")
   }
+
+  test("thresholdSweep: exact confusion counts, ppm floors, null score/label rules") {
+    val st = struct("s" -> LongType, "l" -> BooleanType)
+    val df = frame(st,
+      Row(10L, true), Row(8L, false), Row(6L, true),
+      Row(null, true),          // null score predicts negative → fn
+      Row(4L, false),
+      Row(99L, null))           // null label: not evaluable, excluded
+    val out = LangModel.thresholdSweep(df, "s", "l", Seq(5L, 11L))
+      .orderBy(col("threshold")).collect()
+    def opt(r: Row, i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+    // t = 5: pred {10,8,6} → tp 2, fp 1; {null, 4} negative → fn 1, tn 1
+    //   precision = 2e6 div 3 = 666666, recall same, f1 = 4e6 div 6
+    assert((out(0).getLong(0), out(0).getLong(1), out(0).getLong(2),
+      out(0).getLong(3), out(0).getLong(4)) == ((5L, 2L, 1L, 1L, 1L)))
+    assert((opt(out(0), 5), opt(out(0), 6), opt(out(0), 7)) ==
+      ((Some(666666L), Some(666666L), Some(666666L))))
+    // t = 11: nothing predicted → precision undefined (null), recall 0
+    assert((out(1).getLong(1), out(1).getLong(2), out(1).getLong(3),
+      out(1).getLong(4)) == ((0L, 0L, 3L, 2L)))
+    assert((opt(out(1), 5), opt(out(1), 6), opt(out(1), 7)) ==
+      ((None, Some(0L), Some(0L))))
+    // contract errors
+    assert(intercept[IllegalArgumentException] {
+      LangModel.thresholdSweep(df, "s", "l", Seq.empty)
+    }.getMessage.contains("at least one"))
+    assert(intercept[IllegalArgumentException] {
+      LangModel.thresholdSweep(df, "s", "l", Seq(1L, 1L))
+    }.getMessage.contains("duplicate"))
+    // an all-null-label corpus yields all-zero counts, not a crash
+    val zeros = LangModel.thresholdSweep(
+      frame(st, Row(5L, null)), "s", "l", Seq(1L)).collect()(0)
+    assert((zeros.getLong(1), zeros.getLong(4)) == ((0L, 0L)))
+  }
 }
