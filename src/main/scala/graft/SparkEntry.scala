@@ -94,6 +94,9 @@ object SparkEntry {
   private def q190ModelDir(sfDir: String) =
     s"/tmp/graft_q190_nb_${new java.io.File(sfDir).getName}"
 
+  private def q191ModelDir(sfDir: String) =
+    s"/tmp/graft_q191_nb_${new java.io.File(sfDir).getName}"
+
   private def q144LmDir(sfDir: String) =
     s"/tmp/graft_q144_lm_${new java.io.File(sfDir).getName}"
 
@@ -442,7 +445,9 @@ object SparkEntry {
     * precision_ppm, recall_ppm, f1_ppm)` with `s(doc_id, score)` still
     * in scope for the q190 filter tail.
     */
-  private def sweepOracleCte(q: String): String =
+  private def sweepOracleCte(q: String): String = sweepOracleCte(q, "1")
+
+  private def sweepOracleCte(q: String, wExpr: String): String =
     s"""WITH t AS (
        |  SELECT doc_id,
        |    unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS token
@@ -453,13 +458,14 @@ object SparkEntry {
        |s AS (
        |  SELECT doc_id,
        |    (sum(coalesce(w.weight, (SELECT oov_weight FROM m)))
-       |      + (SELECT prior FROM m))::BIGINT AS score
+       |      + (SELECT prior FROM m))::BIGINT AS score,
+       |    count(*)::BIGINT AS n_toks
        |  FROM t LEFT JOIN w USING (token)
        |  GROUP BY doc_id
        |),
        |mm AS (SELECT min(score) AS mn, max(score) AS mx FROM s),
        |l AS (
-       |  SELECT s.score, (d.lang = 'en') AS pos
+       |  SELECT s.score, s.n_toks AS w, (d.lang = 'en') AS pos
        |  FROM s JOIN documents d USING (doc_id) WHERE d.lang IS NOT NULL
        |),
        |th AS (
@@ -469,10 +475,10 @@ object SparkEntry {
        |),
        |c AS (
        |  SELECT th.threshold,
-       |    sum(CASE WHEN l.score >= th.threshold AND l.pos THEN 1 ELSE 0 END)::BIGINT AS tp,
-       |    sum(CASE WHEN l.score >= th.threshold AND NOT l.pos THEN 1 ELSE 0 END)::BIGINT AS fp,
-       |    sum(CASE WHEN (l.score IS NULL OR l.score < th.threshold) AND l.pos THEN 1 ELSE 0 END)::BIGINT AS fn,
-       |    sum(CASE WHEN (l.score IS NULL OR l.score < th.threshold) AND NOT l.pos THEN 1 ELSE 0 END)::BIGINT AS tn
+       |    sum(CASE WHEN l.score >= th.threshold AND l.pos THEN $wExpr ELSE 0 END)::BIGINT AS tp,
+       |    sum(CASE WHEN l.score >= th.threshold AND NOT l.pos THEN $wExpr ELSE 0 END)::BIGINT AS fp,
+       |    sum(CASE WHEN (l.score IS NULL OR l.score < th.threshold) AND l.pos THEN $wExpr ELSE 0 END)::BIGINT AS fn,
+       |    sum(CASE WHEN (l.score IS NULL OR l.score < th.threshold) AND NOT l.pos THEN $wExpr ELSE 0 END)::BIGINT AS tn
        |  FROM th CROSS JOIN l GROUP BY th.threshold
        |),
        |sw AS (
@@ -2195,6 +2201,24 @@ object SparkEntry {
       val (mn, mx) = (r.getLong(0), r.getLong(1))
       val ths = (1 to 7).map(i => mn + (mx - mn) * i / 8)
       graft.ops.LangModel.thresholdSweep(scored, "score", "pos", ths)
+        .orderBy(col("threshold"))
+    }),
+
+    // q189 in TOKEN space (the unit screen ablations report — "this
+    // threshold keeps N tokens at such precision"): same ladder, every
+    // confusion cell sums the doc's token count instead of 1
+    "q191_token_sweep" -> ((s, d) => {
+      val (w, oov, prior) = binaryNbMaterialized(s, d, q191ModelDir(d))
+      val docs = Tables(s, d, "documents")
+      val scored = graft.ops.LangModel.scoreTokenWeights(
+        docs, "doc_id", "text", w, oov, prior)
+        .join(docs.select(col("doc_id"), (col("lang") === "en").as("pos")),
+          "doc_id")
+      val r = scored.agg(min(col("score")), max(col("score"))).head()
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val ths = (1 to 7).map(i => mn + (mx - mn) * i / 8)
+      graft.ops.LangModel.thresholdSweepTokens(
+        scored, "score", "pos", "n_toks", ths)
         .orderBy(col("threshold"))
     }),
 
@@ -5735,6 +5759,13 @@ object SparkEntry {
     // integers, then per-threshold CASE sums and ppm floor divisions
     "q189_threshold_sweep" ->
       (sweepOracleCte("q189") +
+      """
+        |SELECT threshold, tp, fp, fn, tn, precision_ppm, recall_ppm, f1_ppm
+        |FROM sw ORDER BY threshold""".stripMargin),
+
+    // the token-weighted CASE sums over the same ladder
+    "q191_token_sweep" ->
+      (sweepOracleCte("q191", "l.w") +
       """
         |SELECT threshold, tp, fp, fn, tn, precision_ppm, recall_ppm, f1_ppm
         |FROM sw ORDER BY threshold""".stripMargin),

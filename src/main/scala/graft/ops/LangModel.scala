@@ -886,6 +886,35 @@ object LangModel {
       scored: DataFrame,
       scoreCol: String,
       labelCol: String,
+      thresholds: Seq[Long]): DataFrame =
+    sweepCore(scored, scoreCol, labelCol, lit(1L), thresholds)
+
+  /** [[thresholdSweep]] in TOKEN space — the unit screen ablations are
+    * actually reported in ("this threshold keeps N billion tokens at
+    * such precision"): every confusion cell sums the row's token weight
+    * instead of 1, so tp is true-positive TOKENS and the ppm rationals
+    * are token-weighted precision/recall/F1. Null/negative-proof: null
+    * token counts weigh 0. Same single-pass plan, same exactness
+    * (numerators inside Long to ~9·10¹² labeled tokens).
+    */
+  def thresholdSweepTokens(
+      scored: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      tokensCol: String,
+      thresholds: Seq[Long]): DataFrame =
+    sweepCore(scored, scoreCol, labelCol,
+      coalesce(col(tokensCol).cast("long"), lit(0L)), thresholds)
+
+  /** The shared one-pass confusion sweep behind the row and token forms
+    * — one definition of the prediction rule, the null exclusions, and
+    * the ppm floors, so the two budget units cannot drift.
+    */
+  private def sweepCore(
+      scored: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      weight: Column,
       thresholds: Seq[Long]): DataFrame = {
     require(thresholds.nonEmpty, "thresholdSweep needs at least one threshold")
     require(thresholds.length <= MaxSweepThresholds,
@@ -895,14 +924,15 @@ object LangModel {
       "thresholdSweep: duplicate thresholds")
     val base = scored.where(col(labelCol).isNotNull).select(
       col(scoreCol).cast("long").as("__s"),
-      col(labelCol).cast("boolean").as("__l"))
+      col(labelCol).cast("boolean").as("__l"),
+      weight.as("__w"))
     val aggs = thresholds.zipWithIndex.flatMap { case (t, i) =>
       val pred = col("__s").isNotNull && col("__s") >= t
       Seq(
-        sum(when(pred && col("__l"), 1L).otherwise(0L)).as(s"__tp$i"),
-        sum(when(pred && !col("__l"), 1L).otherwise(0L)).as(s"__fp$i"),
-        sum(when(!pred && col("__l"), 1L).otherwise(0L)).as(s"__fn$i"),
-        sum(when(!pred && !col("__l"), 1L).otherwise(0L)).as(s"__tn$i"))
+        sum(when(pred && col("__l"), col("__w")).otherwise(0L)).as(s"__tp$i"),
+        sum(when(pred && !col("__l"), col("__w")).otherwise(0L)).as(s"__fp$i"),
+        sum(when(!pred && col("__l"), col("__w")).otherwise(0L)).as(s"__fn$i"),
+        sum(when(!pred && !col("__l"), col("__w")).otherwise(0L)).as(s"__tn$i"))
     }
     val row = base.agg(aggs.head, aggs.tail: _*).head()
     // a zero-labeled-row corpus sums to SQL null — every count is 0

@@ -391,5 +391,17 @@ class LangModelSpec extends SparkSpec {
     val zeros = LangModel.thresholdSweep(
       frame(st, Row(5L, null)), "s", "l", Seq(1L)).collect()(0)
     assert((zeros.getLong(1), zeros.getLong(4)) == ((0L, 0L)))
+    // token space: cells sum token weights (null tokens weigh 0)
+    val tst = struct("s" -> LongType, "l" -> BooleanType, "n" -> LongType)
+    val tdf = frame(tst,
+      Row(10L, true, 5L), Row(8L, false, 3L), Row(6L, true, null))
+    val tok = LangModel.thresholdSweepTokens(tdf, "s", "l", "n", Seq(5L))
+      .collect()(0)
+    // tp = 5 + 0, fp = 3; precision 5e6 div 8, recall 5e6 div 5,
+    // f1 = 10e6 div 13
+    assert((tok.getLong(1), tok.getLong(2), tok.getLong(3), tok.getLong(4)) ==
+      ((5L, 3L, 0L, 0L)))
+    assert((opt(tok, 5), opt(tok, 6), opt(tok, 7)) ==
+      ((Some(625000L), Some(1000000L), Some(769230L))))
   }
 }
