@@ -97,6 +97,58 @@ object SparkEntry {
   private def q191ModelDir(sfDir: String) =
     s"/tmp/graft_q191_nb_${new java.io.File(sfDir).getName}"
 
+  /** Shared q189/q190/q191 scored frame: q143's integer NB scores against
+    * the query's own materialized model, plus the lang-derived truth —
+    * ONE definition so a ladder-rule fix cannot drift across the three.
+    */
+  private def sweepScored(s: SparkSession, d: String, dir: String): DataFrame = {
+    val (w, oov, prior) = binaryNbMaterialized(s, d, dir)
+    val docs = Tables(s, d, "documents")
+    graft.ops.LangModel.scoreTokenWeights(docs, "doc_id", "text", w, oov, prior)
+      .join(docs.select(col("doc_id"), (col("lang") === "en").as("pos")),
+        "doc_id")
+  }
+
+  /** The exact `min + i·span div 8` candidate ladder, DEDUPED — a
+    * degenerate one-score corpus collapses all seven candidates to one
+    * threshold (exactly what the oracle's GROUP BY does) instead of
+    * tripping thresholdSweep's duplicate guard; empty when nothing
+    * scored (the oracle's empty-`th` case).
+    */
+  private def sweepLadder(scored: DataFrame): Seq[Long] = {
+    val r = scored.agg(min(col("score")), max(col("score"))).head()
+    if (r.isNullAt(0)) Seq.empty
+    else {
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      (1 to 7).map(i => mn + (mx - mn) * i / 8).distinct
+    }
+  }
+
+  /** The 0-row sweep report (schema-matched to thresholdSweep) for a
+    * corpus with nothing scored — the oracle replay's own answer.
+    */
+  private def emptySweepFrame(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(Long, Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .toDF("threshold", "tp", "fp", "fn", "tn",
+        "precision_ppm", "recall_ppm", "f1_ppm")
+  }
+
+  /** Shared q184/q185 learned weights: the synthesized loss log (proxy =
+    * n_chars micro-nats, flat 290k reference) through the exact DoReMi
+    * recursion.
+    */
+  private def doremiLearnedWeights(
+      s: SparkSession, d: String): Seq[(String, Long)] = {
+    val docs = Tables(s, d, "documents")
+    val losses = docs.where(col("lang").isNotNull).select(
+      (col("doc_id") % 6).as("step"), col("lang").as("domain"),
+      (col("n_chars") * 1000L).as("proxy_micro"),
+      lit(290000L).as("ref_micro"))
+    graft.ops.Sampling.doremiWeights(
+      losses, "step", "domain", "proxy_micro", "ref_micro")
+  }
+
   private def q144LmDir(sfDir: String) =
     s"/tmp/graft_q144_lm_${new java.io.File(sfDir).getName}"
 
@@ -479,7 +531,7 @@ object SparkEntry {
        |    sum(CASE WHEN l.score >= th.threshold AND NOT l.pos THEN $wExpr ELSE 0 END)::BIGINT AS fp,
        |    sum(CASE WHEN (l.score IS NULL OR l.score < th.threshold) AND l.pos THEN $wExpr ELSE 0 END)::BIGINT AS fn,
        |    sum(CASE WHEN (l.score IS NULL OR l.score < th.threshold) AND NOT l.pos THEN $wExpr ELSE 0 END)::BIGINT AS tn
-       |  FROM th CROSS JOIN l GROUP BY th.threshold
+       |  FROM th LEFT JOIN l ON true GROUP BY th.threshold
        |),
        |sw AS (
        |  SELECT threshold, tp, fp, fn, tn,
@@ -512,8 +564,8 @@ object SparkEntry {
     def assign(name: String, cents: String) =
       s"""${name}0 AS (
          |  SELECT u.vec_id, c.cell,
-         |    list_sum(list_transform(range(1, len(u.uv) + 1),
-         |      i -> (u.uv[i] - c.cv[i]) * (u.uv[i] - c.cv[i]))) AS d
+         |    coalesce(list_sum(list_transform(range(1, len(u.uv) + 1),
+         |      i -> (u.uv[i] - c.cv[i]) * (u.uv[i] - c.cv[i]))), 0) AS d
          |  FROM u CROSS JOIN $cents c
          |), ${name} AS (
          |  SELECT vec_id, cell, d,
@@ -531,6 +583,7 @@ object SparkEntry {
          |  GROUP BY a.cell, tp.p
          |), c$r AS (SELECT cell, list(m ORDER BY p) AS cv FROM m$r GROUP BY cell)""".stripMargin
     }.mkString(",\n")
+    val roundSec = if (roundCtes.isEmpty) "" else roundCtes + ","
     s"""WITH e AS (
        |  SELECT vec_id, embedding,
        |    list_max(list_transform(embedding, x -> abs(x))) AS ma
@@ -549,7 +602,7 @@ object SparkEntry {
        |  SELECT vec_id AS cell, uv AS cv FROM u WHERE vec_id IS NOT NULL
        |  ORDER BY md5(cast(vec_id AS VARCHAR)), vec_id LIMIT $k
        |),
-       |$roundCtes,
+       |$roundSec
        |${assign("fin", s"c$rounds")}
        |$tail""".stripMargin
   }
@@ -2169,12 +2222,7 @@ object SparkEntry {
     "q184_doremi_weights" -> ((s, d) => {
       import s.implicits._
       val docs = Tables(s, d, "documents")
-      val losses = docs.where(col("lang").isNotNull).select(
-        (col("doc_id") % 6).as("step"), col("lang").as("domain"),
-        (col("n_chars") * 1000L).as("proxy_micro"),
-        lit(290000L).as("ref_micro"))
-      val w = graft.ops.Sampling.doremiWeights(
-        losses, "step", "domain", "proxy_micro", "ref_micro")
+      val w = doremiLearnedWeights(s, d)
       val counts = docs.where(col("lang").isNotNull)
         .groupBy(col("lang").as("domain")).agg(count(lit(1)).as("nc"))
       w.toDF("domain", "weight").join(counts, "domain")
@@ -2191,35 +2239,27 @@ object SparkEntry {
     // 8 — integer arithmetic both engines reproduce), confusion counts +
     // ppm precision/recall/f1 from ONE 4·K-sum aggregate pass
     "q189_threshold_sweep" -> ((s, d) => {
-      val (w, oov, prior) = binaryNbMaterialized(s, d, q189ModelDir(d))
-      val docs = Tables(s, d, "documents")
-      val scored = graft.ops.LangModel.scoreTokenWeights(
-        docs, "doc_id", "text", w, oov, prior)
-        .join(docs.select(col("doc_id"), (col("lang") === "en").as("pos")),
-          "doc_id")
-      val r = scored.agg(min(col("score")), max(col("score"))).head()
-      val (mn, mx) = (r.getLong(0), r.getLong(1))
-      val ths = (1 to 7).map(i => mn + (mx - mn) * i / 8)
-      graft.ops.LangModel.thresholdSweep(scored, "score", "pos", ths)
-        .orderBy(col("threshold"))
+      val scored = sweepScored(s, d, q189ModelDir(d)).persist()
+      try {
+        val ths = sweepLadder(scored)
+        if (ths.isEmpty) emptySweepFrame(s)
+        else graft.ops.LangModel.thresholdSweep(scored, "score", "pos", ths)
+          .orderBy(col("threshold"))
+      } finally scored.unpersist()
     }),
 
     // q189 in TOKEN space (the unit screen ablations report — "this
     // threshold keeps N tokens at such precision"): same ladder, every
     // confusion cell sums the doc's token count instead of 1
     "q191_token_sweep" -> ((s, d) => {
-      val (w, oov, prior) = binaryNbMaterialized(s, d, q191ModelDir(d))
-      val docs = Tables(s, d, "documents")
-      val scored = graft.ops.LangModel.scoreTokenWeights(
-        docs, "doc_id", "text", w, oov, prior)
-        .join(docs.select(col("doc_id"), (col("lang") === "en").as("pos")),
-          "doc_id")
-      val r = scored.agg(min(col("score")), max(col("score"))).head()
-      val (mn, mx) = (r.getLong(0), r.getLong(1))
-      val ths = (1 to 7).map(i => mn + (mx - mn) * i / 8)
-      graft.ops.LangModel.thresholdSweepTokens(
-        scored, "score", "pos", "n_toks", ths)
-        .orderBy(col("threshold"))
+      val scored = sweepScored(s, d, q191ModelDir(d)).persist()
+      try {
+        val ths = sweepLadder(scored)
+        if (ths.isEmpty) emptySweepFrame(s)
+        else graft.ops.LangModel.thresholdSweepTokens(
+          scored, "score", "pos", "n_toks", ths)
+          .orderBy(col("threshold"))
+      } finally scored.unpersist()
     }),
 
     // the calibration round trip DEPLOYED (q189 → a live filter): sweep
@@ -2227,17 +2267,15 @@ object SparkEntry {
     // precision (max recall subject to the floor), keep score ≥ t — the
     // whole train→score→calibrate→filter chain under one hash
     "q190_calibrated_screen" -> ((s, d) => {
-      val (w, oov, prior) = binaryNbMaterialized(s, d, q190ModelDir(d))
-      val docs = Tables(s, d, "documents")
-      val scored = graft.ops.LangModel.scoreTokenWeights(
-        docs, "doc_id", "text", w, oov, prior)
-        .join(docs.select(col("doc_id"), (col("lang") === "en").as("pos")),
-          "doc_id")
-      val r = scored.agg(min(col("score")), max(col("score"))).head()
-      val (mn, mx) = (r.getLong(0), r.getLong(1))
-      val ths = (1 to 7).map(i => mn + (mx - mn) * i / 8)
-      val sweep = graft.ops.LangModel.thresholdSweep(scored, "score", "pos", ths)
-      val t = graft.ops.LangModel.pickThreshold(sweep, minPrecisionPpm = 550000L)
+      val scored = sweepScored(s, d, q190ModelDir(d))
+      val cached = scored.persist()
+      // deploying on a corpus with nothing to calibrate is LOUD (empty
+      // ladder fails thresholdSweep's guard), unlike the report queries
+      val t = try {
+        val sweep = graft.ops.LangModel.thresholdSweep(
+          cached, "score", "pos", sweepLadder(cached))
+        graft.ops.LangModel.pickThreshold(sweep, minPrecisionPpm = 550000L)
+      } finally cached.unpersist()
       scored.where(col("score") >= t)
         .select(col("doc_id"), col("score")).orderBy(col("doc_id"))
     }),
@@ -2283,8 +2321,11 @@ object SparkEntry {
     "q188_cluster_balanced" -> ((s, d) => {
       val lab = graft.ops.Similarity.integerKMeans(
         embParallel(s, d), "embedding", "vec_id", k = 8, rounds = 2)
+      // unclusterable (null-vector) docs are not a cluster — drop them,
+      // exactly like the oracle builds kept from assigned rows only
       graft.ops.Sampling.takePerStratum(
-        lab.select(col("vec_id"), col("cell")), "cell", "vec_id", n = 20)
+        lab.where(col("cell").isNotNull).select(col("vec_id"), col("cell")),
+        "cell", "vec_id", n = 20)
         .orderBy(col("vec_id"))
     }),
 
@@ -2293,12 +2334,7 @@ object SparkEntry {
     // each domain keeps its ⌊budget·w/S⌋-row md5-content-order prefix
     "q185_doremi_mix" -> ((s, d) => {
       val docs = Tables(s, d, "documents")
-      val losses = docs.where(col("lang").isNotNull).select(
-        (col("doc_id") % 6).as("step"), col("lang").as("domain"),
-        (col("n_chars") * 1000L).as("proxy_micro"),
-        lit(290000L).as("ref_micro"))
-      val w = graft.ops.Sampling.doremiWeights(
-        losses, "step", "domain", "proxy_micro", "ref_micro")
+      val w = doremiLearnedWeights(s, d)
       graft.ops.Sampling.takeDoremiMix(
         docs.select(col("doc_id"), col("lang").as("domain")),
         "domain", "doc_id", w, budget = 400L)

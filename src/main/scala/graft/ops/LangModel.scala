@@ -893,9 +893,11 @@ object LangModel {
     * actually reported in ("this threshold keeps N billion tokens at
     * such precision"): every confusion cell sums the row's token weight
     * instead of 1, so tp is true-positive TOKENS and the ppm rationals
-    * are token-weighted precision/recall/F1. Null/negative-proof: null
-    * token counts weigh 0. Same single-pass plan, same exactness
-    * (numerators inside Long to ~9·10¹² labeled tokens).
+    * are token-weighted precision/recall/F1. Null token counts weigh 0;
+    * NEGATIVE counts are a caller contract violation (like every token
+    * budget in [[graft.ops.Sampling]]) — they would silently invert the
+    * ppm rationals. Same single-pass plan, same exactness (numerators
+    * inside Long to ~9·10¹² labeled tokens).
     */
   def thresholdSweepTokens(
       scored: DataFrame,

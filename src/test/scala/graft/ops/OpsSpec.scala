@@ -1620,7 +1620,11 @@ class OpsSpec extends SparkSpec {
     val st = struct("id" -> LongType, "v" -> ArrayType(FloatType))
     val rows = (1L to 10L).map(i => Row(i, Seq(
       (i % 7).toFloat / 7f, ((i * 3) % 5).toFloat / 5f,
-      ((i * 5) % 11).toFloat / 11f))) :+ Row(99L, null)
+      ((i * 5) % 11).toFloat / 11f))) :+ Row(99L, null) :+
+      // an EMPTY vector is non-null: no comparable component, so every
+      // candidate distance is the fold-over-empty 0 and the lowest cell
+      // wins (the oracle coalesces its empty list_sum to the same 0)
+      Row(98L, Seq.empty[Float])
     val df = frame(st, rows: _*)
     val got = Similarity.integerKMeans(df, "v", "id", k = 3, rounds = 3)
       .collect().map(r => r.getLong(0) -> (
@@ -1648,11 +1652,17 @@ class OpsSpec extends SparkSpec {
     var cents = codes.sortBy { case (i, _) => (hex(i), i) }.take(3)
     (1 to 3).foreach { _ =>
       val a = assignNaive(cents)
+      // per-POSITION member counts (a shorter vector simply lacks the
+      // position — the posexplode aggregate's rule), and a cell whose
+      // members contribute no position at all drops
       cents = codes.groupBy { case (i, _) => a(i)._1 }.toSeq
         .map { case (cell, mem) =>
-          cell -> mem.head._2.indices
-            .map(p => mem.map(_._2(p)).sum / mem.length).map(_.toLong)
-        }.sortBy(_._1)
+          val dim = mem.map(_._2.length).max
+          cell -> (0 until dim).map { p =>
+            val vals = mem.flatMap(_._2.lift(p))
+            vals.sum / vals.length
+          }
+        }.filter(_._2.nonEmpty).sortBy(_._1)
     }
     val fin = assignNaive(cents)
     codes.foreach { case (i, _) =>
