@@ -111,9 +111,15 @@ object SparkEntry {
 
   /** The exact `min + i·span div 8` candidate ladder, DEDUPED — a
     * degenerate one-score corpus collapses all seven candidates to one
-    * threshold (exactly what the oracle's GROUP BY does) instead of
-    * tripping thresholdSweep's duplicate guard; empty when nothing
-    * scored (the oracle's empty-`th` case).
+    * threshold (mirrored by the oracle's `SELECT DISTINCT` th CTE —
+    * the dedup must happen BEFORE the th×labels join: duplicate th rows
+    * of the same value land in ONE confusion group but contribute each
+    * labeled row once PER duplicate, multiplying tp/fp/fn/tn by the
+    * duplicate count — ppm columns cancel under that scaling, the raw
+    * counts do not) instead of tripping thresholdSweep's duplicate
+    * guard; empty when nothing scored (the oracle th's
+    * `WHERE mn IS NOT NULL` case — zero rows, matching
+    * emptySweepFrame, not one NULL-threshold row).
     */
   private def sweepLadder(scored: DataFrame): Seq[Long] = {
     val r = scored.agg(min(col("score")), max(col("score"))).head()
@@ -456,6 +462,14 @@ object SparkEntry {
     * at `wavg(domain, weight)`. Every division is `//` on non-negative
     * integers, so it floors exactly like the BigInt driver recursion in
     * [[graft.ops.Sampling.doremiWeights]].
+    *
+    * DENSE-0-BASED STEP ASSUMPTION: the recursive CTE iterates by
+    * POSITION (`l.step = it.i + 1`, i ∈ 0..T-1), which equals
+    * `doremiWeights`' iteration over the actual distinct step values in
+    * numeric order only because q184's `doc_id % 6` steps are exactly
+    * {0..5}. A sparse or non-zero-based step log reusing this prologue
+    * must first rank its steps (`dense_rank() OVER (ORDER BY step) - 1`)
+    * or the two recursions silently walk different step sequences.
     */
   private def DoremiOracleCte: String =
     """WITH RECURSIVE
@@ -521,9 +535,15 @@ object SparkEntry {
        |  FROM s JOIN documents d USING (doc_id) WHERE d.lang IS NOT NULL
        |),
        |th AS (
-       |  SELECT (SELECT mn FROM mm)
+       |  -- DISTINCT + the mn guard mirror sweepLadder exactly: a
+       |  -- one-score corpus collapses the ladder to one threshold
+       |  -- (duplicate rows would multiply the raw confusion counts,
+       |  -- not just the scale-invariant ppm columns), and an unscored
+       |  -- corpus yields ZERO candidate rows, not one NULL threshold
+       |  SELECT DISTINCT (SELECT mn FROM mm)
        |    + ((SELECT mx FROM mm) - (SELECT mn FROM mm)) * i // 8 AS threshold
        |  FROM unnest(range(1, 8)) u(i)
+       |  WHERE (SELECT mn FROM mm) IS NOT NULL
        |),
        |c AS (
        |  SELECT th.threshold,

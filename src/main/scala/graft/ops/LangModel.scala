@@ -875,7 +875,9 @@ object LangModel {
     * `recall = tp·10⁶ div (tp+fn)`, `f1 = 2·tp·10⁶ div (2·tp+fp+fn)` —
     * null where the denominator is 0 (no predicted / no actual
     * positives). All integers, so the whole report hashes cross-engine;
-    * the ppm numerators stay inside Long up to ~9·10¹² labeled rows.
+    * the binding ppm numerator is f1's `2·tp·10⁶`, inside Long up to
+    * ~4.6·10¹² labeled rows (precision/recall's `tp·10⁶` would allow
+    * 2× more, but the envelope is the smallest headroom).
     *
     * Plan shape for 100 TB: ONE aggregate pass with 4·K conditional
     * map-side-combining sums (K capped loudly) — the corpus is scanned
@@ -896,8 +898,9 @@ object LangModel {
     * are token-weighted precision/recall/F1. Null token counts weigh 0;
     * NEGATIVE counts are a caller contract violation (like every token
     * budget in [[graft.ops.Sampling]]) — they would silently invert the
-    * ppm rationals. Same single-pass plan, same exactness (numerators
-    * inside Long to ~9·10¹² labeled tokens).
+    * ppm rationals. Same single-pass plan, same exactness (f1's
+    * `2·tp·10⁶` numerator binds: inside Long to ~4.6·10¹² labeled
+    * tokens).
     */
   def thresholdSweepTokens(
       scored: DataFrame,

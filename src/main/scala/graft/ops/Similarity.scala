@@ -1492,9 +1492,11 @@ object Similarity {
     val seeds = u.where(col("__uv").isNotNull && col(idCol).isNotNull)
       .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
       .limit(k).collect()
-      .map(r => (r.get(0).asInstanceOf[Number].longValue, r.getSeq[Long](1)))
+      .map(r => (r.get(0).asInstanceOf[Number].longValue, sentinelSeq(r, 1)))
       .toSeq
     var cents: Seq[(Long, Seq[Long])] = seeds
+    // (seeds and round means both flow through sentinelSeq — null
+    // components arrive here already encoded as -1)
     var r = 0
     while (cents.nonEmpty && r < rounds) {
       val asg = u.where(col("__uv").isNotNull)
@@ -1508,7 +1510,7 @@ object Similarity {
           array_sort(collect_list(struct(col("__p"), col("__m")))),
           e => e("__m")).as("__mv"))
         .collect()
-      cents = rows.map(row => (row.getLong(0), row.getSeq[Long](1)))
+      cents = rows.map(row => (row.getLong(0), sentinelSeq(row, 1)))
         .sortBy(_._1).toSeq
       r += 1
     }
@@ -1522,12 +1524,14 @@ object Similarity {
     * loop per row where the expression form would run k × dim
     * interpreted lambda evaluations per row (measured 3–4× on the q186
     * train rounds; the gap widens with k·dim). A null centroid
-    * component (a cell whose every member lacked that position) encodes
-    * as the kernel's -1 skip sentinel — components live in [0, 254] —
-    * matching the zip_with null-product skip of the expression form it
-    * replaces. Null vectors produce a null struct — callers guard. The
-    * size cap counts 8 bytes per centroid element (the table rides every
-    * task binary as expression state).
+    * component (a cell whose every member lacked that position) is the
+    * kernel's -1 skip sentinel, matching the zip_with null-product skip
+    * of the expression form this replaces; [[sentinelSeq]] encodes it at
+    * collect time, so components arriving here live in {-1} ∪ [0, 254]
+    * (enforced below — a value outside that range means a caller
+    * bypassed the encoding). Null vectors produce a null struct —
+    * callers guard. The size cap counts 8 bytes per centroid element
+    * (the table rides every task binary as expression state).
     */
   private def kMeansAssignStruct(
       uv: Column, cents: Seq[(Long, Seq[Long])]): Column = {
@@ -1537,11 +1541,24 @@ object Similarity {
       s"integerKMeans: ${cents.length} centroids carry $literalBytes " +
         s"literal bytes, over $MaxSeedLiteralBytes — route large k·dim " +
         "through the IVF index join path instead")
+    require(cents.forall(_._2.forall(x => x == -1L || (x >= 0L && x <= 254L))),
+      "kMeansAssignStruct: centroid component outside {-1} ∪ [0, 254] — " +
+        "null components must be pre-encoded as -1 (sentinelSeq)")
     graft.functions.native.intKMeansAssign(uv,
-      cents.map(_._1),
-      cents.map(_._2.map(x =>
-        if (x.asInstanceOf[Any] == null) -1L else x)))
+      cents.map(_._1), cents.map(_._2))
   }
+
+  /** Collect an `array<bigint>` row column with null components encoded
+    * as the assignment kernel's -1 skip sentinel. The boxed read is
+    * LOAD-BEARING: `getSeq[Long]` unboxes a boxed null to 0L before any
+    * null check can run, and a 0 centroid component adds uv_i² to every
+    * distance instead of being skipped — silently diverging from the
+    * zip_with null-skip and the DuckDB oracle whenever a cell's members
+    * are all null at a position.
+    */
+  private def sentinelSeq(row: org.apache.spark.sql.Row, i: Int): Seq[Long] =
+    row.getSeq[java.lang.Long](i)
+      .map(v => if (v == null) -1L else v.longValue)
 
   /** Per-row prototypicality score for cluster-based data pruning
     * (Sorscher et al. 2022 "Beyond neural scaling laws" SSL prototypes;

@@ -1624,54 +1624,87 @@ class OpsSpec extends SparkSpec {
       // an EMPTY vector is non-null: no comparable component, so every
       // candidate distance is the fold-over-empty 0 and the lowest cell
       // wins (the oracle coalesces its empty list_sum to the same 0)
-      Row(98L, Seq.empty[Float])
+      Row(98L, Seq.empty[Float]) :+
+      // NULL COMPONENTS: quantize to null codes, so as seeds they carry
+      // the -1 skip sentinel and as cell members they null the mean at
+      // any all-null position — the unboxing regression (getSeq[Long]
+      // turning boxed nulls into 0 before the sentinel check) made these
+      // score as real zero components
+      Row(97L, Seq[java.lang.Float](0.9f, null, 0.1f)) :+
+      Row(96L, Seq[java.lang.Float](null, null, 0.8f))
     val df = frame(st, rows: _*)
-    val got = Similarity.integerKMeans(df, "v", "id", k = 3, rounds = 3)
-      .collect().map(r => r.getLong(0) -> (
-        (if (r.isNullAt(1)) None else Some(r.getLong(1))),
-        (if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
     // independent driver recomputation of the full iteration from the
     // library's own quantized codes (the iteration is under test here;
-    // the quantizer itself is oracled via q177/q186)
-    val codes: Seq[(Long, Seq[Long])] =
+    // the quantizer itself is oracled via q177/q186). None = a null
+    // component (the kernel's skip sentinel).
+    val codes: Seq[(Long, Seq[Option[Long]])] =
       Similarity.quantizeInt8(df.select(col("id"), col("v")), "v")
         .select(col("id"), col("v_q")).collect()
         .flatMap(r => if (r.isNullAt(1)) None
-          else Some(r.getLong(0) -> r.getSeq[Byte](1).map(_.toLong + 127L)))
+          else Some(r.getLong(0) -> r.getSeq[java.lang.Byte](1)
+            .map(b => Option(b).map(_.toLong + 127L)).toSeq))
         .toSeq
+    assert(codes.find(_._1 == 97L).get._2(1).isEmpty,
+      "fixture sanity: id 97 must carry a null code component")
     val md = java.security.MessageDigest.getInstance("MD5")
     def hex(i: Long) =
       md.digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    def assignNaive(cs: Seq[(Long, Seq[Long])]): Map[Long, (Long, Long)] =
+    def assignNaive(cs: Seq[(Long, Seq[Option[Long]])]): Map[Long, (Long, Long)] =
       codes.map { case (i, u) =>
         val (d, cell) = cs.map { case (cid, m) =>
-          (u.zip(m).map { case (a, b) => val x = a - b; x * x }.sum, cid)
+          (u.zip(m).map {
+            // either side null → the position is skipped (zip_with
+            // null-product rule / the kernel's -1 sentinel)
+            case (Some(a), Some(b)) => val x = a - b; x * x
+            case _ => 0L
+          }.sum, cid)
         }.min
         i -> (cell, d)
       }.toMap
-    var cents = codes.sortBy { case (i, _) => (hex(i), i) }.take(3)
-    (1 to 3).foreach { _ =>
-      val a = assignNaive(cents)
-      // per-POSITION member counts (a shorter vector simply lacks the
-      // position — the posexplode aggregate's rule), and a cell whose
-      // members contribute no position at all drops
-      cents = codes.groupBy { case (i, _) => a(i)._1 }.toSeq
-        .map { case (cell, mem) =>
-          val dim = mem.map(_._2.length).max
-          cell -> (0 until dim).map { p =>
-            val vals = mem.flatMap(_._2.lift(p))
-            vals.sum / vals.length
-          }
-        }.filter(_._2.nonEmpty).sortBy(_._1)
+    def lloydNaive(k: Int, rounds: Int): Map[Long, (Long, Long)] = {
+      var cents = codes.sortBy { case (i, _) => (hex(i), i) }.take(k)
+      (1 to rounds).foreach { _ =>
+        val a = assignNaive(cents)
+        // per-POSITION member counts (a shorter vector simply lacks the
+        // position — the posexplode aggregate's rule; a null component
+        // still COUNTS as a member but adds nothing to the sum, the
+        // `sum(__x) div count(1)` rule), an all-null position nulls the
+        // mean, and a cell whose members contribute no position drops
+        cents = codes.groupBy { case (i, _) => a(i)._1 }.toSeq
+          .map { case (cell, mem) =>
+            val dim = mem.map(_._2.length).max
+            cell -> (0 until dim).map { p =>
+              val present = mem.flatMap(_._2.lift(p))
+              val vals = present.flatten
+              if (vals.isEmpty) None else Some(vals.sum / present.length)
+            }
+          }.filter(_._2.nonEmpty).sortBy(_._1)
+      }
+      assignNaive(cents)
     }
-    val fin = assignNaive(cents)
+    def gotFor(k: Int, rounds: Int): Map[Long, (Option[Long], Option[Long])] =
+      Similarity.integerKMeans(df, "v", "id", k = k, rounds = rounds)
+        .collect().map(r => r.getLong(0) -> (
+          (if (r.isNullAt(1)) None else Some(r.getLong(1))),
+          (if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    val got = gotFor(3, 3)
+    val fin = lloydNaive(3, 3)
     codes.foreach { case (i, _) =>
       assert(got(i) == (Some(fin(i)._1), Some(fin(i)._2)), s"id $i")
     }
     assert(got(99L) == (None, None), "null vector gets null cell/dist")
+    // every vector a seed: 96/97's null components ride the centroid
+    // table as sentinels from round 0, and their singleton cells keep
+    // all-null mean positions through the rounds — the exact shape the
+    // unboxing regression corrupted
+    val gotAll = gotFor(codes.length, 2)
+    val finAll = lloydNaive(codes.length, 2)
+    codes.foreach { case (i, _) =>
+      assert(gotAll(i) == (Some(finAll(i)._1), Some(finAll(i)._2)),
+        s"all-seeds id $i")
+    }
     // rounds = 0 is the plain seed Voronoi
-    val seeds0 = codes.sortBy { case (i, _) => (hex(i), i) }.take(3)
-    val fin0 = assignNaive(seeds0)
+    val fin0 = assignNaive(codes.sortBy { case (i, _) => (hex(i), i) }.take(3))
     val got0 = Similarity.integerKMeans(df, "v", "id", k = 3, rounds = 0)
       .where(col("cell").isNotNull).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
