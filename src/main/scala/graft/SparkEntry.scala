@@ -645,6 +645,15 @@ object SparkEntry {
     */
   @volatile private var q186Cents: Seq[(Long, Seq[Long])] = Nil
 
+  /** q182's stage frames, carried from the ledger phase to the later
+    * breakdown phases (the q186Cents discipline): the ledger phase pays
+    * the one regex-heavy materialization; the later phases derive from
+    * it, so their rows are CUMULATIVE from the ledger — a stage's own
+    * cost is the delta to the previous row (see
+    * [[graft.ops.Pipeline.curateStages]]).
+    */
+  @volatile private var q182Stages: Option[graft.ops.Pipeline.CurateStages] = None
+
   def benchBreakdown: Seq[(String, String, (SparkSession, String) => Unit)] = Seq(
     ("q97_dedup_index_append", "q97_build", (s: SparkSession, d: String) =>
       graft.ops.Dedup.writeDedupIndex(
@@ -679,6 +688,30 @@ object SparkEntry {
       q186Cents = graft.ops.Similarity.integerKMeansCentroids(
         embParallel(s, d), "embedding", "vec_id", k = 8, rounds = 3)
       ()
+    }),
+    ("q182_pipeline_e2e", "q182_ledger", (s: SparkSession, d: String) => {
+      // the stage-A materialization: domain verdict + URL canon + HTML
+      // extraction + screen chain + token count, ONE regex pass
+      import s.implicits._
+      q182Stages = Some(graft.ops.Pipeline.curateStages(
+        crawlDocs(s, d), "doc_id", "url", "source", "html",
+        q182EvalRows.toDF("text"), "text", q182Config))
+      ()
+    }),
+    ("q182_pipeline_e2e", "q182_dedup", (s: SparkSession, d: String) => {
+      q182Stages.get.postDedup.count(); ()
+    }),
+    ("q182_pipeline_e2e", "q182_decontam", (s: SparkSession, d: String) => {
+      q182Stages.get.postDecontam.count(); ()
+    }),
+    ("q182_pipeline_e2e", "q182_mix", (s: SparkSession, d: String) => {
+      q182Stages.get.kept.count(); ()
+    }),
+    ("q182_pipeline_e2e", "q182_shard", (s: SparkSession, d: String) => {
+      q182Stages.get.sharded.count(); ()
+    }),
+    ("q182_pipeline_e2e", "q182_attach", (s: SparkSession, d: String) => {
+      q182Stages.get.diagnosis.count(); ()
     }),
     ("q186_kmeans", "q186_assign", (s: SparkSession, d: String) => {
       // the daily phase: route the corpus through the FROZEN centroid

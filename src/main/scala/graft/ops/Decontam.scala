@@ -141,8 +141,8 @@ object Decontam {
     corpus.join(starts, Seq(idCol), "left")
       .withColumn("__starts", coalesce(col("__starts"), array().cast("array<int>")))
       .withColumn("__toks", TextOps.wsTokens(col(textCol)))
-      .withColumn("__kept", filter(col("__toks"), (_, j) =>
-        !exists(col("__starts"), s => s <= j && j < s + n)))
+      .withColumn("__kept",
+        keptOutsideWindows(col("__toks"), col("__starts"), n))
       .withColumn("cleaned",
         when(col(textCol).isNull, lit(null).cast("string"))
           .otherwise(concat_ws(" ", col("__kept"))))
@@ -852,8 +852,8 @@ object Decontam {
       .withColumn("__starts", coalesce(col("__starts"), array().cast("array<int>")))
       .withColumn("__chars",
         graft.functions.native.charNgrams(col(textCol), 1))
-      .withColumn("__kept", filter(col("__chars"), (_, j) =>
-        !exists(col("__starts"), s => s <= j && j < s + n)))
+      .withColumn("__kept",
+        keptOutsideWindows(col("__chars"), col("__starts"), n))
       .withColumn("cleaned",
         when(col(textCol).isNull, lit(null).cast("string"))
           .otherwise(concat_ws("", col("__kept"))))
@@ -862,4 +862,62 @@ object Decontam {
           lit(0L)))
       .drop("__starts", "__chars", "__kept")
   }
+
+  /** The elements of `elems` NOT covered by any window `[s, s+n)` for
+    * `s ∈ starts` — the shared coverage kernel of [[redactByStarts]] and
+    * [[dedupRepeatedCharSpans]]. Round-15 shape: the round-14 form
+    * tested every position against the raw start list
+    * (`O(len · |starts|)` interpreted lambda steps per row — toward
+    * `O(len²)` on a document where most positions start a duplicated
+    * window), so the starts now pre-merge into DISJOINT intervals and
+    * the kept array assembles from the uncovered slices:
+    *
+    *   - every window has the same width `n`, so merged intervals follow
+    *     from one gap rule over the SORTED starts: a start opens a new
+    *     interval iff it sits ≥ n past its predecessor, and closes its
+    *     chain iff the next start opens one — two linear indexed
+    *     `filter`s over the sorted array, no quadratic accumulator
+    *     rebuilding;
+    *   - kept = the ≤ m+1 inter-interval `slice`s concatenated by one
+    *     `aggregate` over the m merged intervals (slices are native and
+    *     copy each element once).
+    *
+    * Total per row: O(s log s) for the sort + O(s) interpreted lambda
+    * steps + O(len) native element copies. Null `elems` (null text)
+    * propagates null exactly like the filter form; empty starts return
+    * `elems` whole. Same removal rule bit-for-bit: position j is covered
+    * iff some start s has s ≤ j < s+n (OpsPropertySpec pins the
+    * equivalence against the naive per-position scan).
+    */
+  private[ops] def keptOutsideWindows(
+      elems: Column, starts: Column, n: Int): Column =
+    Dedup.bind(array_sort(starts)) { ss =>
+      Dedup.bind(zip_with(
+        // interval los: starts opening a chain…
+        filter(ss, (s, i) => when(i === 0, lit(true))
+          .otherwise(s - element_at(ss, i) >= n)),
+        // …paired 1:1 with the chain-closing starts (+n below): the gap
+        // rule makes opens and closes alternate, so the k-th open pairs
+        // with the k-th close
+        filter(ss, (s, i) => when(i === size(ss) - 1, lit(true))
+          .otherwise(element_at(ss, i + 2) - s >= n)),
+        (lo, last) => struct(lo.as("lo"), (last + n).as("hi")))) { ivs =>
+        Dedup.bind(aggregate(
+          ivs,
+          struct(slice(elems, 1, 0).as("acc"), lit(0).as("pos")),
+          (st, iv) => struct(
+            concat(st("acc"),
+              slice(elems, st("pos") + 1,
+                greatest(iv("lo") - st("pos"), lit(0)))).as("acc"),
+            iv("hi").as("pos")),
+          st => concat(st("acc"),
+            slice(elems, st("pos") + 1,
+              greatest(size(elems) - st("pos"), lit(0)))))) { kept =>
+          // a null element array must stay null (the filter form's
+          // behavior): the aggregate above would fold it through concat
+          // as null anyway, but state it once, loudly
+          when(elems.isNull, lit(null).cast("array<string>")).otherwise(kept)
+        }
+      }
+    }
 }

@@ -90,7 +90,38 @@ object Pipeline {
       htmlCol: String,
       evalSet: DataFrame,
       evalTextCol: String,
-      cfg: CurationConfig): DataFrame = {
+      cfg: CurationConfig): DataFrame =
+    curateStages(crawl, idCol, urlCol, sourceCol, htmlCol,
+      evalSet, evalTextCol, cfg).diagnosis
+
+  /** [[curate]]'s intermediate frames, for the bench's per-stage
+    * breakdown rows: constructing the struct PAYS the stage-A ledger
+    * materialization (the one regex-heavy corpus pass); every later
+    * frame derives lazily from the materialized ledger. Because the
+    * derivations share the ledger but not each other's work, their
+    * evaluation costs are CUMULATIVE from the ledger (dedup ⊆ decontam ⊆
+    * mix ⊆ shard ⊆ diagnosis) — a stage's own cost is the delta to the
+    * previous stage's row, which is exactly how Bench records them.
+    * `diagnosis` is bit-identical to what [[curate]] returns (it IS what
+    * curate returns).
+    */
+  final case class CurateStages private[ops] (
+      ledger: DataFrame,
+      postDedup: DataFrame,
+      postDecontam: DataFrame,
+      kept: DataFrame,
+      sharded: DataFrame,
+      diagnosis: DataFrame)
+
+  private[graft] def curateStages(
+      crawl: DataFrame,
+      idCol: String,
+      urlCol: String,
+      sourceCol: String,
+      htmlCol: String,
+      evalSet: DataFrame,
+      evalTextCol: String,
+      cfg: CurationConfig): CurateStages = {
     val id = col(idCol)
     // stage A, projection 1: the regex-heavy columns. Projection 2 (the
     // screen verdicts) reads the extracted text as an ATTRIBUTE —
@@ -135,7 +166,7 @@ object Pipeline {
 
     def mark(ids: DataFrame, flag: String) =
       ids.select(col("__id"), lit(true).as(flag))
-    ledger
+    val diagnosis = ledger
       .join(mark(surv2.select(col("__id")), "__s2"), Seq("__id"), "left")
       .join(mark(surv3.select(col("__id")), "__s3"), Seq("__id"), "left")
       .join(mark(surv4.select(col("__id")), "__s4"), Seq("__id"), "left")
@@ -154,5 +185,6 @@ object Pipeline {
         when(col("__dom") || col("__text").isNull, lit(null).cast("long"))
           .otherwise(col("__n_tok")).as("n_tok"),
         col("shard"))
+    CurateStages(ledger, surv3, surv4, kept, sharded, diagnosis)
   }
 }

@@ -1868,6 +1868,13 @@ object Sampling {
     * a larger `n` contains every smaller one (the md5-order prefix
     * property every take here shares), so growing a sample never
     * re-selects. Smaller corpora return whole.
+    *
+    * Expect a `WindowExec: No Partition Defined` warning from the
+    * constant-stratum plans of this whole `takeGlobal*` family: the
+    * literal stratum constant-folds to an empty partition spec, but the
+    * window's INPUT is the one straddling bucket alone (bounded by the
+    * classification machinery; PlanSpec pins the executed row count) —
+    * it is not a global sort.
     */
   def takeGlobal(
       df: DataFrame,
@@ -1959,16 +1966,41 @@ object Sampling {
     * with its exact global quantile bucket in `(score DESC nulls last,
     * md5(key), key)` order — bucket 0 holds the best `round(f₁·n)` rows,
     * bucket i the rows between cutoffs i and i+1, bucket
-    * `fractions.size` the tail. Buckets are DEFINED by the nested global
-    * takes ([[takeGlobalTopFraction]] at each cutoff — kept sets nest,
-    * so membership is well-formed), which is also the plan: NO global
-    * sort anywhere, boundary-bucket-only windows per cutoff, then one
-    * narrow keys-only marker join per cutoff back onto the input.
+    * `fractions.size` the tail. The label of a row at global rank r is
+    * `min { i : r ≤ round(fᵢ·n) }` (else the tail) — identical to
+    * membership in the nested [[takeGlobalTopFraction]] kept sets, but
+    * computed in ONE shared pass instead of one full two-phase take per
+    * cutoff (round-15: the K-cutoff form re-scanned the scored ledger
+    * per cutoff; phase-0 stats and phase-1 bucket counts are
+    * cutoff-independent, so all K boundaries now resolve against the
+    * same classification):
     *
-    * The takes evaluate `df` once per phase AND per cutoff — pass a
-    * materialized narrow `(key, score, …)` frame when the scores are
-    * expensive to derive (the [[takeTopFraction]] determinism note
-    * applies with more force here).
+    *   1. ONE stats aggregate (count + self-sized approximate score
+    *      quantiles — [[takeTopFraction]] step 1 at a single global
+    *      stratum) and ONE per-bucket count aggregate;
+    *   2. the driver prefix-sums the ≤ 4096-row bucket table once in
+    *      descending score order and labels every bucket not straddled
+    *      by any cutoff — those rows get their label from a broadcast
+    *      literal array, join-free per cutoff;
+    *   3. the ≤ K straddled buckets resolve per row: a bucket within
+    *      `maxBoundaryTaskRows` windows directly (ALL straddled buckets
+    *      in one window pass, partitioned by bucket); an oversized one —
+    *      the tie-dense degeneracy — classifies per exact-score RUN
+    *      (uniform runs label join-free), and only the ≤ K straddled
+    *      TIE runs route through the md5 sub-bucket machinery, where
+    *      uniform sub-buckets label join-free and the ≤ K sub-boundary
+    *      sub-buckets (~1/16³ of their tie run) take the only ledger
+    *      windows on the path;
+    *   4. labels attach back through broadcast lookups only — the
+    *      caller's rows never shuffle, and the number of input scans is
+    *      CONSTANT in the cutoff count (PlanSpec-pinned).
+    *
+    * Exactness, determinism, self-sizing, and the tie-order contract are
+    * [[takeTopFraction]]'s verbatim (the per-level uniform/straddled
+    * split is decided on exact counts; quantile-sketch error only moves
+    * rows between the join-free and windowed paths). The input is
+    * evaluated once per phase — pass a materialized narrow
+    * `(key, score, …)` frame when the scores are expensive to derive.
     */
   def qualityPartition(
       df: DataFrame,
@@ -1976,26 +2008,211 @@ object Sampling {
       scoreCol: String,
       fractions: Seq[Double],
       nBuckets: Int = 64,
-      bucketCol: String = "bucket"): DataFrame = {
+      bucketCol: String = "bucket",
+      maxBoundaryTaskRows: Long = MaxBoundaryTaskRows): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
     require(fractions.nonEmpty, "qualityPartition needs at least one cutoff")
     require(fractions.forall(f => f > 0.0 && f < 1.0) &&
       fractions.sliding(2).forall(s => s.size < 2 || s(0) < s(1)),
       s"cutoff fractions must be strictly increasing within (0, 1): $fractions")
     require(!df.columns.contains(bucketCol),
       s"qualityPartition: input already has a '$bucketCol' column")
-    val marks = fractions.indices.map { i =>
-      takeGlobalTopFraction(df, keyCol, scoreCol, fractions(i), nBuckets)
-        .select(col(keyCol), lit(true).as(s"__in$i"))
+    require(nBuckets >= 2 && nBuckets <= 4096,
+      s"nBuckets must be in [2, 4096], got $nBuckets")
+    require(maxBoundaryTaskRows >= 1,
+      s"maxBoundaryTaskRows must be >= 1, got $maxBoundaryTaskRows")
+    val spark = df.sparkSession
+    val tail = fractions.size
+
+    // phase 0: ONE count + quantile aggregate, self-sized exactly like
+    // takeTopCore (a single global stratum, so the stats row is one row)
+    def phase0(n: Int): (Long, Seq[Double]) = {
+      val probs = (1 until n).map(_.toDouble / n)
+      val r = df.agg(
+        count(lit(1)).as("__c"),
+        percentile_approx(col(scoreCol).cast("double"),
+          lit(probs.toArray), lit(1000)).as("__bounds")).head()
+      (r.getLong(0), if (r.isNullAt(1)) Seq.empty[Double] else r.getSeq[Double](1).toSeq)
     }
-    val joined = marks.foldLeft(df)((acc, mk) =>
-      acc.join(mk, Seq(keyCol), "left"))
-    // nested kept sets: the first cutoff containing the key is its bucket
-    val bucket = fractions.indices.foldRight(lit(fractions.size): Column) {
-      (i, tail) => when(col(s"__in$i"), lit(i)) otherwise tail
+    var nEff = nBuckets
+    var (total, bounds) = phase0(nEff)
+    if (total == 0L)
+      return df.withColumn(bucketCol, lit(tail).cast("int"))
+    if (nEff < 4096 && total / nEff > maxBoundaryTaskRows) {
+      nEff = math.min(4096L,
+        math.max(nEff.toLong, 2L * (total / maxBoundaryTaskRows + 1L))).toInt
+      val p = phase0(nEff); total = p._1; bounds = p._2
     }
-    joined
-      .withColumn(bucketCol, bucket.cast("int"))
-      .drop(fractions.indices.map(i => s"__in$i"): _*)
+    val budgets: Seq[Long] = fractions.map(f => math.round(f * total))
+    // label of global rank r; rows of a range (start, end] share it iff
+    // no budget falls strictly inside (start, end)
+    def labelAt(rank: Long): Int = {
+      val i = budgets.indexWhere(rank <= _)
+      if (i < 0) tail else i
+    }
+    def isStraddled(start: Long, end: Long): Boolean =
+      budgets.exists(b => b > start && b < end)
+    def labelOfRank(rank: Column): Column =
+      budgets.zipWithIndex.foldRight(lit(tail): Column) {
+        case ((b, i), rest) => when(rank <= b, lit(i)).otherwise(rest)
+      }
+
+    // bounds ride the plan as ONE literal array (a single global stratum
+    // needs no boundary join); ≤ 4095 doubles
+    def bucketOf(score: Column): Column =
+      when(score.isNull, lit(-1)).otherwise(
+        aggregate(typedLit(bounds), lit(0),
+          (acc, b) => acc + when(score >= b, 1).otherwise(0)))
+    val mdKey: Column => Column = k => md5(k.cast("string").cast("binary"))
+    val slim = df.select(col(keyCol).as("__k"),
+        col(scoreCol).cast("double").as("__v"))
+      .withColumn("__b", bucketOf(col("__v")))
+
+    // phase 1: ONE per-bucket count aggregate (≤ nEff+1 rows), then the
+    // single driver prefix that classifies every bucket for ALL cutoffs
+    val bucketCounts: Seq[(Int, Long)] = slim.groupBy("__b")
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+    final case class BucketCls(
+        bucket: Int, start: Long, count: Long,
+        uniform: Option[Int], direct: Boolean)
+    var before = 0L
+    val cls = bucketCounts.sortBy(-_._1).map { case (b, n) =>
+      val start = before
+      before += n
+      if (!isStraddled(start, start + n))
+        BucketCls(b, start, n, Some(labelAt(start + n)), direct = false)
+      else BucketCls(b, start, n, None, direct = n <= maxBoundaryTaskRows)
+    }
+    val byBucket: Map[Int, BucketCls] = cls.map(c => c.bucket -> c).toMap
+    // literal lookup tables indexed by bucket id (-1 .. nEff-1 → 1-based
+    // element_at at id+2): uniform label (null = resolve finer) + start
+    val labelArr: Seq[Option[Int]] =
+      (-1 until nEff).map(id => byBucket.get(id).flatMap(_.uniform))
+    val startArr: Seq[Long] =
+      (-1 until nEff).map(id => byBucket.get(id).map(_.start).getOrElse(0L))
+    def bucketStart(b: Column): Column =
+      element_at(typedLit(startArr), b + lit(2))
+
+    val joins = scala.collection.mutable.ArrayBuffer.empty[(DataFrame, Column => Column, String)]
+    // straddled buckets that fit one task: ONE window pass over all of
+    // them (partitioned per bucket), exact global rank = bucket start +
+    // within-bucket cumcount in the full (score DESC nulls last, md5,
+    // key) order
+    val directBuckets = cls.filter(c => c.uniform.isEmpty && c.direct).map(_.bucket)
+    if (directBuckets.nonEmpty) {
+      val wD = Window.partitionBy(col("__b"))
+        .orderBy(col("__v").desc_nulls_last, mdKey(col("__k")).asc, col("__k").asc)
+      val labeled = slim.where(col("__b").isin(directBuckets: _*))
+        .withColumn("__r",
+          bucketStart(col("__b")) + row_number().over(wD).cast("long"))
+        .select(col("__k").as("__dk"), labelOfRank(col("__r")).as("__dl"))
+      joins += ((labeled, k => k <=> col("__dk"), "__dl"))
+    }
+    // oversized straddled buckets — the tie-dense path: classify per
+    // exact-score run; uniform runs label join-free by score value (a
+    // score maps to exactly one bucket, so the value alone is the key)
+    val runBuckets = cls.filter(c => c.uniform.isEmpty && !c.direct).map(_.bucket)
+    if (runBuckets.nonEmpty) {
+      val runLedger = slim.where(col("__b").isin(runBuckets: _*))
+      val wR = Window.partitionBy(col("__b")).orderBy(col("__v").desc_nulls_last)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val runCls = runLedger.groupBy(col("__b"), col("__v"))
+        .agg(count(lit(1)).as("__n"))
+        .withColumn("__end", bucketStart(col("__b")) + sum(col("__n")).over(wR))
+        .withColumn("__start", col("__end") - col("__n"))
+      val runStraddled = budgets
+        .map(b => lit(b) > col("__start") && lit(b) < col("__end"))
+        .reduce(_ || _)
+      joins += ((
+        runCls.where(!runStraddled)
+          .select(col("__v").as("__uv"), labelOfRank(col("__end")).as("__ul")),
+        (_: Column) => col(scoreCol).cast("double") <=> col("__uv"), "__ul"))
+      // the ≤ K straddled TIE runs: within a tied score the rank order
+      // is the (md5, key) content order, so takeBudgets' md5 sub-bucket
+      // machinery applies — classify sub-buckets on the driver, window
+      // only the ≤ K sub-boundary sub-buckets
+      val tieRuns = runCls.where(runStraddled)
+        .select(col("__v"), col("__start")).collect()
+      if (tieRuns.nonEmpty) {
+        val tieDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(tieRuns.toSeq.map(r =>
+            org.apache.spark.sql.Row(r.get(0), r.getLong(1))), 1),
+          StructType(Seq(
+            StructField("__zv", DoubleType, nullable = true),
+            StructField("__zs", LongType, nullable = false))))
+        val tieHexLen = 3
+        val tieLedger = runLedger
+          .join(broadcast(tieDf), col("__v") <=> col("__zv"))
+          .withColumn("__b2", substring(mdKey(col("__k")), 1, tieHexLen))
+        val subCounts = tieLedger
+          .groupBy(col("__zv"), col("__zs"), col("__b2"))
+          .agg(count(lit(1)).as("__n")).collect()
+        final case class SubCls(
+            v: Any, b2: String, start: Long, uniform: Option[Int])
+        val subCls: Seq[SubCls] = subCounts
+          .groupBy(r => Option(r.get(0))).iterator.flatMap { case (_, rows) =>
+            var at = rows.head.getLong(1)
+            // null sub-bucket (null key) first, then hex asc — the
+            // leading prefix of the (md5, key) order
+            rows.sortBy(r => Option(r.getString(2)).getOrElse(""))
+              .map { r =>
+                val n = r.getLong(3)
+                val s = at
+                at += n
+                SubCls(r.get(0), r.getString(2), s,
+                  if (!isStraddled(s, s + n)) Some(labelAt(s + n)) else None)
+              }
+          }.toSeq
+        val subSchema = StructType(Seq(
+          StructField("__c2v", DoubleType, nullable = true),
+          StructField("__c2b", StringType, nullable = true),
+          StructField("__c2s", LongType, nullable = false),
+          StructField("__c2l", IntegerType, nullable = true)))
+        def subFrame(rows: Seq[SubCls]) = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows.map(c =>
+            org.apache.spark.sql.Row(c.v, c.b2, c.start,
+              c.uniform.map(Integer.valueOf).orNull)), 1), subSchema)
+        val uniformSubs = subCls.filter(_.uniform.nonEmpty)
+        if (uniformSubs.nonEmpty) {
+          val sb2 = substring(mdKey(col(keyCol)), 1, tieHexLen)
+          joins += ((
+            subFrame(uniformSubs).select(col("__c2v"), col("__c2b"),
+              col("__c2l").as("__sl")),
+            (_: Column) => col(scoreCol).cast("double") <=> col("__c2v") &&
+              sb2 <=> col("__c2b"), "__sl"))
+        }
+        val boundarySubs = subCls.filter(_.uniform.isEmpty)
+        if (boundarySubs.nonEmpty) {
+          val w2 = Window.partitionBy(col("__zv"), col("__b2"))
+            .orderBy(mdKey(col("__k")).asc, col("__k").asc)
+          val labeled = tieLedger.join(
+              broadcast(subFrame(boundarySubs)),
+              col("__zv") <=> col("__c2v") && col("__b2") <=> col("__c2b"))
+            .withColumn("__r",
+              col("__c2s") + row_number().over(w2).cast("long"))
+            .select(col("__k").as("__wk"), labelOfRank(col("__r")).as("__wl"))
+          joins += ((labeled, k => k <=> col("__wk"), "__wl"))
+        }
+      }
+    }
+
+    // attach: the uniform-bucket label is a literal array lookup; every
+    // finer level is a broadcast join. Levels are mutually exclusive by
+    // construction, so coalesce order is immaterial.
+    val base = df
+      .withColumn("__db", bucketOf(col(scoreCol).cast("double")))
+      .withColumn("__base", element_at(typedLit(labelArr), col("__db") + lit(2)))
+    val attached = joins.foldLeft(base) { case (acc, (tbl, cond, _)) =>
+      acc.join(broadcast(tbl), cond(acc(keyCol)), "left")
+    }
+    val label = coalesce(
+      (joins.toSeq.map { case (_, _, c) => col(c) } :+ col("__base")): _*)
+    attached
+      .withColumn(bucketCol, label.cast("int"))
+      .drop("__db", "__base", "__dk", "__dl", "__uv", "__ul",
+        "__c2v", "__c2b", "__sl", "__wk", "__wl")
   }
 
   /** Weighted corpus mix: union of sources, each downsampled to its weight

@@ -727,4 +727,69 @@ class PlanSpec extends SparkSpec {
       p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       s"columns not pruned at the scan:\n$p")
   }
+
+  test("qualityPartition scans the scored ledger a constant number of times across cutoffs") {
+    // round-15 single-pass rewrite: phase-0 stats + phase-1 bucket counts
+    // are cutoff-independent and all K boundaries resolve against ONE
+    // classification, so the RETURNED plan's input-scan count must not
+    // grow with the cutoff count (the K-marker-join form scanned the
+    // ledger once per cutoff)
+    def scans(k: Seq[Double]): Int = {
+      val out = graft.ops.Sampling.qualityPartition(
+        Tables(spark, dir, "documents")
+          .select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k, nBuckets = 8)
+      "FileScan parquet".r
+        .findAllIn(out.queryExecution.sparkPlan.toString).size
+    }
+    val one = scans(Seq(0.5))
+    val three = scans(Seq(0.2, 0.5, 0.9))
+    assert(three == one,
+      s"input scans grew with the cutoff count: 1 cutoff -> $one, " +
+        s"3 cutoffs -> $three")
+    // base attach + (at most) the one shared straddled-bucket window pass
+    assert(one <= 2, s"expected at most 2 ledger scans, got $one")
+  }
+
+  test("constant-stratum global takes window ONLY the boundary bucket (q136's shape)") {
+    // the `WindowExec: No Partition Defined` warning these plans emit is
+    // EXPECTED and benign: takeGlobal passes a literal stratum, so after
+    // constant folding the boundary window plans with an empty partition
+    // spec — but its input is the ONE straddling md5-prefix bucket
+    // (~1/16^hexLen of the corpus), never the corpus. Pinned here via the
+    // executed metrics: the classification join feeding the window must
+    // pass a small fraction of the input rows.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    val docs = Tables(spark, dir, "documents")
+    val total = docs.count()
+    val out = graft.ops.Sampling.takeGlobal(docs, "doc_id", 137L)
+    // collect() executes THIS frame's own QueryExecution — count() would
+    // run a separate aggregate plan and leave these metrics untouched
+    assert(out.collect().length == 137)
+    val windows = allNodes(out.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    assert(windows.nonEmpty, "expected the boundary-bucket window")
+    windows.foreach { w =>
+      assert(w.partitionSpec.isEmpty,
+        "constant stratum folds to an empty partition spec by design")
+      val feed = allNodes(w.child)
+        .collectFirst { case j: BroadcastHashJoinExec => j }
+      assert(feed.isDefined,
+        s"window must consume broadcast-classified boundary rows:\n${w.child}")
+      val rows = feed.get.metrics("numOutputRows").value
+      assert(rows > 0 && rows <= math.max(64L, total / 16L),
+        s"boundary window saw $rows of $total rows — not bucket-bounded")
+    }
+  }
 }

@@ -532,6 +532,39 @@ object OpsPropertySpec extends Properties("graft.ops") {
       got == expect
     }
 
+  property("keptOutsideWindows ≡ the naive per-position coverage scan") =
+    forAll(
+      Gen.choose(0, 24).flatMap(len => Gen.listOfN(len, Gen.alphaChar.map(_.toString))),
+      Gen.listOf(Gen.choose(0, 20)),
+      Gen.choose(1, 6)) { (elems, rawStarts, n) =>
+      // starts clamped to valid window positions (gram starts always
+      // leave room for a full window); duplicates and dense overlap kept
+      // deliberately — the merged-interval rewrite must agree with the
+      // old per-position exists scan on exactly these shapes
+      val starts = rawStarts.filter(_ + n <= elems.length)
+      val st = StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("e", ArrayType(StringType), nullable = true),
+        StructField("s", ArrayType(IntegerType), nullable = true)))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          Row(1L, elems, starts),
+          Row(2L, null, starts),          // null elements propagate null
+          Row(3L, elems, List.empty[Int]) // empty starts keep everything
+        ), 1), st)
+      import org.apache.spark.sql.functions.col
+      val got = df.select(col("id"),
+          Decontam.keptOutsideWindows(col("e"), col("s"), n).as("k"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getSeq[String](1).toList)).toMap
+      val covered = starts.flatMap(s => s until s + n).toSet
+      val naive = elems.zipWithIndex.collect {
+        case (e, j) if !covered(j) => e
+      }
+      got(1L) == naive && got(2L) == null && got(3L) == elems
+    }
+
   private val paraPool = Vector(
     "alpha one", "beta two", "gamma three", "delta four", "epsilon five")
 
@@ -947,6 +980,14 @@ object OpsPropertySpec extends Properties("graft.ops") {
           df, "id", "score", fractions, nBuckets)
           .collect().map(r => r.getLong(0) -> r.getInt(r.fieldIndex("bucket")))
           .toMap
+        // maxBoundaryTaskRows = 1 forces EVERY straddled bucket down the
+        // oversized run/tie path (runs, md5 sub-buckets, sub-boundary
+        // windows) — the tie-dense machinery the direct window skips on
+        // small fixtures
+        val gotTie = Sampling.qualityPartition(
+          df, "id", "score", fractions, nBuckets, maxBoundaryTaskRows = 1L)
+          .collect().map(r => r.getLong(0) -> r.getInt(r.fieldIndex("bucket")))
+          .toMap
         val w = Window.orderBy(col("score").desc_nulls_last,
           md5(col("id").cast("string").cast("binary")).asc, col("id").asc)
         val n = rows.size
@@ -956,7 +997,7 @@ object OpsPropertySpec extends Properties("graft.ops") {
             r.getLong(0) -> fractions.indexWhere(f => rn <= math.round(f * n))
           }.map { case (id, b) => id -> (if (b < 0) fractions.size else b) }
           .toMap
-        got == expected
+        got == expected && gotTie == expected
     }
 
   property("semanticDedupAgainstIndex ≡ cross-restricted union closure on random geometry") =
