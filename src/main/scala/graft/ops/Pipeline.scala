@@ -121,25 +121,61 @@ object Pipeline {
       htmlCol: String,
       evalSet: DataFrame,
       evalTextCol: String,
-      cfg: CurationConfig): CurateStages = {
-    val id = col(idCol)
-    // stage A, projection 1: the regex-heavy columns. Projection 2 (the
-    // screen verdicts) reads the extracted text as an ATTRIBUTE —
+      cfg: CurationConfig): CurateStages =
+    curateFromLedger(
+      Materialize.eager(ledgerProjection(
+        crawl, idCol, urlCol, sourceCol, htmlCol, cfg)),
+      evalSet, evalTextCol, cfg, idCol, sourceCol)
+
+  /** Stage A as a pure per-row projection — the regex-heavy columns
+    * `(__id, __src, __dom, __url, __text, __screen, __n_tok)` with NO
+    * materialization: the batch path wraps it in [[Materialize.eager]];
+    * the streaming path ([[graft.streaming.StreamingOps.curateStream]])
+    * computes it per micro-batch ON ARRIVAL and appends the narrow rows
+    * to a staging corpus, which plays the materialized ledger's role
+    * (HTML is read exactly once either way).
+    */
+  private[graft] def ledgerProjection(
+      crawl: DataFrame,
+      idCol: String,
+      urlCol: String,
+      sourceCol: String,
+      htmlCol: String,
+      cfg: CurationConfig): DataFrame = {
+    // projection 1: the regex-heavy columns. Projection 2 (the screen
+    // verdicts) reads the extracted text as an ATTRIBUTE —
     // CollapseProject refuses to inline the expensive multiply-referenced
     // extraction alias into the four verdicts, so the strip chain runs
     // once per page.
     val extracted = crawl.select(
-      id.as("__id"),
+      col(idCol).as("__id"),
       col(sourceCol).as("__src"),
       TextOps.urlDomainBlocked(col(urlCol), cfg.blockedDomains).as("__dom"),
       TextOps.normalizeUrl(col(urlCol)).as("__url"),
       TextOps.htmlExtractText(col(htmlCol)).as("__text"))
-    val ledger = Materialize.eager(extracted.select(
+    extracted.select(
       col("__id"), col("__src"), col("__dom"), col("__url"), col("__text"),
       TextOps.curationFirstFailFull(
         col("__text"), cfg.phrases, cfg.minSentences).as("__screen"),
-      TextOps.tokenCount(col("__text")).cast("long").as("__n_tok")))
+      TextOps.tokenCount(col("__text")).cast("long").as("__n_tok"))
+  }
 
+  /** Everything downstream of the ledger — the GLOBAL stages (dedup
+    * elections, decontamination, waterfill mix, shard cumsum, diagnosis
+    * assembly), a pure function of the ledger ROW SET: no verdict
+    * depends on arrival order or partitioning, which is what lets the
+    * streaming form snapshot-recompute these stages over accumulated
+    * arrivals and provably equal the batch chain. `ledger` must be
+    * materialized or file-backed (the multi-consumer derivation below
+    * re-reads it once per phase).
+    */
+  private[graft] def curateFromLedger(
+      ledger: DataFrame,
+      evalSet: DataFrame,
+      evalTextCol: String,
+      cfg: CurationConfig,
+      idCol: String,
+      sourceCol: String): CurateStages = {
     val surv1 = ledger.where(!col("__dom") && col("__text").isNotNull &&
       col("__screen") === "pass")
     // URL-canonical dedup: min-id election per canonical url; only the

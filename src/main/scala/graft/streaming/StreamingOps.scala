@@ -772,6 +772,74 @@ object StreamingOps {
     }
   }
 
+  /** The FULL [[graft.ops.Pipeline.curate]] chain as a stream — the
+    * round-15 flagship sibling. Per micro-batch, ON ARRIVAL: stage A
+    * (domain verdict, URL canonicalization, HTML extraction, the
+    * Gopher/repetition/C4/blocklist screen chain, token count) runs as
+    * the same one regex pass the batch ledger pays — each page's HTML is
+    * read exactly once, ever — and the NARROW ledger rows append to
+    * `stagingPath` (the staging corpus IS the materialized ledger).
+    * Every `snapshotEvery` batches, the GLOBAL stages — both min-id
+    * dedup elections, the decontamination gram probe, the exact
+    * waterfill token mix, the sized-shard cumsum, and the diagnosis
+    * assembly — recompute over the standing ledger into a fresh
+    * `reportPath` snapshot (overwrite, the batch diagnosis schema:
+    * idCol, sourceCol, stage, n_tok, shard).
+    *
+    * Deliberately a snapshot RECOMPUTE of the global stages, not
+    * incremental election state (the [[curationMixStream]] discipline,
+    * and here it is a matter of CORRECTNESS, not just simplicity): a
+    * min-id election is retroactive — a later arrival with a smaller id
+    * flips an earlier winner to 'url_dup'/'text_dup', and a waterfill
+    * re-mix can move every page's 'mix'/'kept'/shard verdict — so no
+    * per-arrival incremental form can equal the batch chain. The
+    * snapshot is a pure function of the accumulated ledger row set
+    * (every global verdict is arrival-order-independent), so after the
+    * stream drains the report EQUALS the batch [[graft.ops.Pipeline
+    * .curate]] over the same arrivals (StreamingSpec pins it). The
+    * recompute reads only the narrow ledger — ids, hashes, urls,
+    * extracted text for the gram probe, counts — never raw HTML; at
+    * 100 TB the periodic pass costs the elections' id-hash shuffles,
+    * not the crawl.
+    *
+    * At-least-once caveat (the [[curationMixStream]] note): a replayed
+    * batch would re-append its ledger rows; min-id elections absorb
+    * exact replays (same id wins against itself), but the funnel counts
+    * would double — pair with an upstream id guard when the source can
+    * replay.
+    */
+  def curateStream(
+      newStream: DataFrame,
+      idCol: String,
+      urlCol: String,
+      sourceCol: String,
+      htmlCol: String,
+      evalSet: DataFrame,
+      evalTextCol: String,
+      cfg: graft.ops.Pipeline.CurationConfig,
+      stagingPath: String,
+      reportPath: String,
+      snapshotEvery: Int = 1): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(snapshotEvery >= 1, s"snapshotEvery must be >= 1, got $snapshotEvery")
+    val ledger = graft.ops.Pipeline.ledgerProjection(
+      newStream, idCol, urlCol, sourceCol, htmlCol, cfg)
+    ledger.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          batch.toDF().write.mode("append").parquet(stagingPath)
+        if (batchId % snapshotEvery == 0) {
+          val spark = batch.sparkSession
+          val fs = graft.ops.EpochStore.hadoopFs(spark, stagingPath)
+          if (fs.exists(new org.apache.hadoop.fs.Path(stagingPath)))
+            graft.ops.Pipeline.curateFromLedger(
+              spark.read.parquet(stagingPath),
+              evalSet, evalTextCol, cfg, idCol, sourceCol)
+              .diagnosis
+              .write.mode("overwrite").parquet(reportPath)
+        }
+    }
+  }
+
   /** Periodic FUNNEL snapshots over everything that has arrived — the
     * streaming form of the q175/q179 reporting surface
     * ([[graft.ops.TextOps.curationFunnelFull]]): each micro-batch appends

@@ -1219,6 +1219,94 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == exactClean)
   }
 
+  test("streaming pipeline flagship: drained diagnosis ≡ batch curate on the same arrivals") {
+    val st = struct("doc_id" -> LongType, "source" -> StringType,
+      "url" -> StringType, "html" -> StringType)
+    val p1 = "It is a pleasant morning for the people of the village " +
+      "and the weather is a gentle presence in all of the streets."
+    val p2 = "The point of it is that the work of the day sits in the " +
+      "middle of it for all of the people involved."
+    val p3 = "The point of the note is that it is written for the " +
+      "reader and it is kept in the set."
+    def page(extra: String*): String =
+      "<html><body>" + (Seq(p1, p2, p3) ++ extra)
+        .map(s => s"<p>$s</p>").mkString + "</body></html>"
+    val leak = "It is the case that the answer to the benchmark " +
+      "question is in the set."
+    val all = Seq(
+      Row(1L, "s0", "https://www.bad.example.com/x", page()),
+      Row(2L, "s0", "https://ok.example.com/2", null),
+      Row(3L, "s0", "https://ok.example.com/3",
+        "<html><body><p>" + p3 + "</p></body></html>"),
+      Row(4L, "s0", "https://ok.example.com/4", page(p1, p1, p1)),
+      Row(5L, "s0", "https://ok.example.com/5",
+        page("lorem ipsum dolor sit amet the words go on in the line " +
+          "of it okay.")),
+      Row(6L, "s0", "https://ok.example.com/6",
+        page("It is the day of the banned topic of it in the set of it.")),
+      Row(7L, "s0", "https://ok.example.com/7?utm_source=x#f",
+        page("It is the seventh page of the set for the day of it.")),
+      Row(8L, "s0", "https://ok.example.com/7",
+        page("It is the eighth page of the set for the day of it.")),
+      Row(9L, "s0", "https://ok.example.com/9",
+        page("It is the seventh page of the set for the day of it.")),
+      Row(10L, "s0", "https://ok.example.com/10", page(leak)),
+      Row(11L, "s1", "https://ok.example.com/11",
+        page("It is the eleventh page of it for the day of it in the set.")),
+      Row(12L, "s1", "https://ok.example.com/12",
+        page("It is the twelfth page of it for the day of it in the set.")))
+    val cfg = graft.ops.Pipeline.CurationConfig(
+      blockedDomains = Seq("bad.example.com"),
+      phrases = Seq("banned topic"),
+      weights = Map("s0" -> 1L, "s1" -> 1L),
+      budgetTokens = 100000L,
+      shardTokens = 70L)
+    val spark0 = spark
+    import spark0.implicits._
+    val eval = Seq(leak).toDF("text")
+    // RETROACTIVE elections are the point of the snapshot discipline:
+    // the dup LOSERS (8: url_dup to 7; 9: text_dup to 7) arrive two
+    // batches BEFORE their winner — an incremental first-arrival-wins
+    // election would keep them; the snapshot must flip them
+    val byId = all.map(r => r.getLong(0) -> r).toMap
+    val batches = Seq(
+      Seq(2L, 8L, 9L, 12L), Seq(1L, 3L, 4L, 5L, 6L), Seq(7L, 10L, 11L))
+      .map(_.map(byId))
+    val inDir = Files.createTempDirectory("graft-cur15-in").toString
+    batches.foreach { rs =>
+      frame(st, rs: _*).coalesce(1).write.mode("append").parquet(inDir)
+      Thread.sleep(5)
+    }
+    val staging = Files.createTempDirectory("graft-cur15-st").toString + "/s"
+    val report = Files.createTempDirectory("graft-cur15-rp").toString + "/r"
+    val q = StreamingOps.curateStream(
+      spark.readStream.schema(st).option("maxFilesPerTrigger", "1").parquet(inDir),
+      "doc_id", "url", "source", "html", eval, "text", cfg,
+      staging, report)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cur15-ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    def rows(df: DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    val streamed = rows(spark.read.parquet(report))
+    val batch = rows(graft.ops.Pipeline.curate(
+      frame(st, all: _*), "doc_id", "url", "source", "html",
+      eval, "text", cfg))
+    assert(streamed == batch)
+    // the retroactive flips landed: early arrivals 8/9 lost to the
+    // later-arriving 7
+    val stages = streamed.map(t => t._1 -> t._3).toMap
+    assert(stages(7L) == "kept" && stages(8L) == "url_dup" &&
+      stages(9L) == "text_dup", stages.toString)
+    // staging holds the narrow ledger, one row per arrival, never HTML
+    val staged = spark.read.parquet(staging)
+    assert(staged.count() == 12L)
+    assert(!staged.columns.contains("html"))
+  }
+
   test("streaming funnel snapshots: drained report ≡ batch funnel on the same arrivals") {
     val st = struct("doc_id" -> LongType, "text" -> StringType,
       "source" -> StringType)
