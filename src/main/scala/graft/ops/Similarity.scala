@@ -1638,6 +1638,13 @@ object Similarity {
       s"collectCellSums: more than $maxCells distinct cells — a literal " +
         "prototype table at that cardinality would bloat the plan; use " +
         "the prototypeScores join path or raise maxCells deliberately")
+    // getSeq[Long] unboxes a boxed-null sum component (a position where
+    // every member is null) to 0L — here that is CORRECT, not the
+    // k-means sentinel bug: the consumer is a dot product whose null
+    // rule is "skip the position", and multiplying by 0 contributes the
+    // same 0 the skip does (the batch path's zip_with null product is
+    // coalesced to 0 identically). Distance arithmetic has no such
+    // neutral element — that is why kMeansIterate must sentinelSeq.
     rows.map(r => (r.get(0), r.getSeq[Long](1))).toSeq
   }
 
