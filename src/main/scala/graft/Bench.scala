@@ -49,8 +49,8 @@ object Bench {
     // even at best-of-three are listed under "loaded" — a regression and
     // a noisy box are distinguishable from the record alone.
     def loadavg(): Double =
-      try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
-        .split(" ")(0).toDouble
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val loadBefore = loadavg()
     // The wires are BASELINE.md's settled sf0.1 envelopes — at any other

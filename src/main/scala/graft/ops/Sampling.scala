@@ -1233,6 +1233,42 @@ object Sampling {
     * max(maxBoundaryTaskRows, distinct-scores-in-one-bucket,
     * tie-region/16^3) ledger rows.
     */
+  /** The SELF-SIZING bucket rule shared by [[takeTopCore]] and
+    * [[qualityPartition]]: run `phase0` at the requested bucket count;
+    * if the largest stratum would average more than
+    * `maxBoundaryTaskRows` rows per bucket, re-run ONCE at a finer
+    * width (2× margin for sketch error, capped at 4096) so a
+    * CONTINUOUS score's boundary bucket fits the direct one-task
+    * window. Returns (effective bucket count, phase-0 result).
+    */
+  private def selfSizedPhase0[T](
+      phase0: Int => T,
+      maxStratumCount: T => Long,
+      nBuckets: Int,
+      maxBoundaryTaskRows: Long): (Int, T) = {
+    var nEff = nBuckets
+    var r = phase0(nEff)
+    val maxCnt = maxStratumCount(r)
+    if (nEff < 4096 && maxCnt / nEff > maxBoundaryTaskRows) {
+      nEff = math.min(4096L,
+        math.max(nEff.toLong, 2L * (maxCnt / maxBoundaryTaskRows + 1L))).toInt
+      r = phase0(nEff)
+    }
+    (nEff, r)
+  }
+
+  /** bucket(score) = number of quantile boundaries <= score
+    * (0 .. nBuckets-1); null scores sit below every bucket (-1); a null
+    * bounds array (empty stratum sketch) buckets everything to 0.
+    * Order-consistent with (score DESC): higher score ⇒ same-or-higher
+    * bucket. Shared by [[takeTopCore]] (bounds joined per stratum) and
+    * [[qualityPartition]] (bounds as one literal array).
+    */
+  private def bucketOfBounds(score: Column, bounds: Column): Column =
+    when(score.isNull, lit(-1)).otherwise(
+      aggregate(coalesce(bounds, array().cast("array<double>")),
+        lit(0), (acc, b) => acc + when(score >= b, 1).otherwise(0)))
+
   private def takeTopCore(
       df: DataFrame,
       stratumCol: String,
@@ -1272,29 +1308,18 @@ object Sampling {
         "— aggregate to a coarser stratum first")
       rows
     }
-    // SELF-SIZING bucket count: if phase 0 shows the largest stratum
-    // would average more than maxBoundaryTaskRows per bucket, re-quantile
-    // once at a finer width (2× margin for sketch error, capped at 4096)
-    // so a CONTINUOUS score's boundary bucket fits the direct one-task
-    // window. Paid only by giant strata — one extra aggregate against a
-    // corpus that large is noise, and it buys boundary buckets of
-    // ~maxBoundaryTaskRows up to 4096 × 2M ≈ 8B rows per stratum. Beyond
-    // that, a continuous-score stratum's boundary still resolves exactly
-    // via the run path, with the documented ~bucket-sized narrow-row
-    // distinct-score window as the residual cost. Tie-dense strata are
-    // unaffected: their runs collapse regardless of bucket width.
-    var nEff = nBuckets
-    var statRows = phase0(nEff)
-    val maxCnt =
-      if (statRows.isEmpty) 0L else statRows.iterator.map(_.getLong(1)).max
-    if (nEff < 4096 && maxCnt / nEff > maxBoundaryTaskRows) {
-      nEff = math.min(4096L,
-        math.max(nEff.toLong, 2L * (maxCnt / maxBoundaryTaskRows + 1L))).toInt
-      statRows = phase0(nEff)
-    }
-    // bucket(score) = number of boundaries <= score (0 .. nBuckets-1);
-    // null scores sit below every bucket (-1). Order-consistent with
-    // (score DESC): higher score ⇒ same-or-higher bucket.
+    // SELF-SIZING bucket count ([[selfSizedPhase0]]): paid only by giant
+    // strata — one extra aggregate against a corpus that large is noise,
+    // and it buys boundary buckets of ~maxBoundaryTaskRows up to
+    // 4096 × 2M ≈ 8B rows per stratum. Beyond that, a continuous-score
+    // stratum's boundary still resolves exactly via the run path, with
+    // the documented ~bucket-sized narrow-row distinct-score window as
+    // the residual cost. Tie-dense strata are unaffected: their runs
+    // collapse regardless of bucket width.
+    val (nEff, statRows) = selfSizedPhase0(phase0,
+      (rows: Array[org.apache.spark.sql.Row]) =>
+        if (rows.isEmpty) 0L else rows.iterator.map(_.getLong(1)).max,
+      nBuckets, maxBoundaryTaskRows)
     val bSchema = StructType(Seq(
       StructField("__bs", statRows.headOption.map(_.schema("__s").dataType)
         .getOrElse(StringType), nullable = true),
@@ -1302,10 +1327,7 @@ object Sampling {
     val boundsDf = spark.createDataFrame(
       spark.sparkContext.parallelize(statRows.toSeq.map(r =>
         org.apache.spark.sql.Row(r.get(0), r.getSeq[Double](2))), 1), bSchema)
-    def bucketOf(score: Column): Column =
-      when(score.isNull, lit(-1)).otherwise(
-        aggregate(coalesce(col("__bounds"), array().cast("array<double>")),
-          lit(0), (acc, b) => acc + when(score >= b, 1).otherwise(0)))
+    def bucketOf(score: Column): Column = bucketOfBounds(score, col("__bounds"))
 
     // phase 1: per-(stratum, bucket) weights AND row counts — strata ×
     // nBuckets at most (the row count picks the boundary strategy below)
@@ -2018,6 +2040,16 @@ object Sampling {
       s"cutoff fractions must be strictly increasing within (0, 1): $fractions")
     require(!df.columns.contains(bucketCol),
       s"qualityPartition: input already has a '$bucketCol' column")
+    // every internal column materialized on or joined against the
+    // CALLER's frame in the attach phase — a caller column with one of
+    // these names would be silently clobbered by withColumn or dropped
+    // at the end
+    val reserved = Seq("__db", "__base", "__dk", "__dl", "__uv", "__ul",
+      "__c2v", "__c2b", "__sl", "__wk", "__wl")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"qualityPartition: input columns ${clash.mkString(", ")} collide " +
+      "with reserved internal names — rename them first")
     require(nBuckets >= 2 && nBuckets <= 4096,
       s"nBuckets must be in [2, 4096], got $nBuckets")
     require(maxBoundaryTaskRows >= 1,
@@ -2035,15 +2067,10 @@ object Sampling {
           lit(probs.toArray), lit(1000)).as("__bounds")).head()
       (r.getLong(0), if (r.isNullAt(1)) Seq.empty[Double] else r.getSeq[Double](1).toSeq)
     }
-    var nEff = nBuckets
-    var (total, bounds) = phase0(nEff)
+    val (nEff, (total, bounds)) = selfSizedPhase0(phase0,
+      (t: (Long, Seq[Double])) => t._1, nBuckets, maxBoundaryTaskRows)
     if (total == 0L)
       return df.withColumn(bucketCol, lit(tail).cast("int"))
-    if (nEff < 4096 && total / nEff > maxBoundaryTaskRows) {
-      nEff = math.min(4096L,
-        math.max(nEff.toLong, 2L * (total / maxBoundaryTaskRows + 1L))).toInt
-      val p = phase0(nEff); total = p._1; bounds = p._2
-    }
     val budgets: Seq[Long] = fractions.map(f => math.round(f * total))
     // label of global rank r; rows of a range (start, end] share it iff
     // no budget falls strictly inside (start, end)
@@ -2061,9 +2088,7 @@ object Sampling {
     // bounds ride the plan as ONE literal array (a single global stratum
     // needs no boundary join); ≤ 4095 doubles
     def bucketOf(score: Column): Column =
-      when(score.isNull, lit(-1)).otherwise(
-        aggregate(typedLit(bounds), lit(0),
-          (acc, b) => acc + when(score >= b, 1).otherwise(0)))
+      bucketOfBounds(score, typedLit(bounds))
     val mdKey: Column => Column = k => md5(k.cast("string").cast("binary"))
     val slim = df.select(col(keyCol).as("__k"),
         col(scoreCol).cast("double").as("__v"))
@@ -2075,15 +2100,14 @@ object Sampling {
       .agg(count(lit(1)).as("__n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
     final case class BucketCls(
-        bucket: Int, start: Long, count: Long,
-        uniform: Option[Int], direct: Boolean)
+        bucket: Int, start: Long, uniform: Option[Int], direct: Boolean)
     var before = 0L
     val cls = bucketCounts.sortBy(-_._1).map { case (b, n) =>
       val start = before
       before += n
       if (!isStraddled(start, start + n))
-        BucketCls(b, start, n, Some(labelAt(start + n)), direct = false)
-      else BucketCls(b, start, n, None, direct = n <= maxBoundaryTaskRows)
+        BucketCls(b, start, Some(labelAt(start + n)), direct = false)
+      else BucketCls(b, start, None, direct = n <= maxBoundaryTaskRows)
     }
     val byBucket: Map[Int, BucketCls] = cls.map(c => c.bucket -> c).toMap
     // literal lookup tables indexed by bucket id (-1 .. nEff-1 → 1-based

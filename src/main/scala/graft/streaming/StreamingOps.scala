@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -794,9 +794,17 @@ object StreamingOps {
     * re-mix can move every page's 'mix'/'kept'/shard verdict — so no
     * per-arrival incremental form can equal the batch chain. The
     * snapshot is a pure function of the accumulated ledger row set
-    * (every global verdict is arrival-order-independent), so after the
-    * stream drains the report EQUALS the batch [[graft.ops.Pipeline
-    * .curate]] over the same arrivals (StreamingSpec pins it). The
+    * (every global verdict is arrival-order-independent), so at the
+    * default `snapshotEvery = 1` the report after the stream drains
+    * EQUALS the batch [[graft.ops.Pipeline.curate]] over the same
+    * arrivals (StreamingSpec pins it). With `snapshotEvery > 1` the
+    * drained report reflects arrivals only through the LAST SNAPSHOT
+    * batch (a trailing batch whose id is not a multiple of
+    * `snapshotEvery` stages its ledger rows but does not re-snapshot,
+    * and a stale snapshot can even hold winners a later arrival's
+    * retroactive election should have flipped) — run [[curateSnapshot]]
+    * once after the drain to finalize; StreamingSpec pins both the
+    * staleness and the finalize. The
     * recompute reads only the narrow ledger — ids, hashes, urls,
     * extracted text for the gram probe, counts — never raw HTML; at
     * 100 TB the periodic pass costs the elections' id-hash shuffles,
@@ -827,17 +835,33 @@ object StreamingOps {
       (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
           batch.toDF().write.mode("append").parquet(stagingPath)
-        if (batchId % snapshotEvery == 0) {
-          val spark = batch.sparkSession
-          val fs = graft.ops.EpochStore.hadoopFs(spark, stagingPath)
-          if (fs.exists(new org.apache.hadoop.fs.Path(stagingPath)))
-            graft.ops.Pipeline.curateFromLedger(
-              spark.read.parquet(stagingPath),
-              evalSet, evalTextCol, cfg, idCol, sourceCol)
-              .diagnosis
-              .write.mode("overwrite").parquet(reportPath)
-        }
+        if (batchId % snapshotEvery == 0)
+          curateSnapshot(batch.sparkSession, stagingPath, evalSet,
+            evalTextCol, cfg, idCol, sourceCol, reportPath)
     }
+  }
+
+  /** Re-run [[curateStream]]'s global-stage snapshot once, from the
+    * standing ledger at `stagingPath` into `reportPath` — the finalize
+    * step after a `snapshotEvery > 1` stream drains (the periodic
+    * snapshot is exactly this call). A no-op if nothing has staged yet.
+    */
+  def curateSnapshot(
+      spark: SparkSession,
+      stagingPath: String,
+      evalSet: DataFrame,
+      evalTextCol: String,
+      cfg: graft.ops.Pipeline.CurationConfig,
+      idCol: String,
+      sourceCol: String,
+      reportPath: String): Unit = {
+    val fs = graft.ops.EpochStore.hadoopFs(spark, stagingPath)
+    if (fs.exists(new org.apache.hadoop.fs.Path(stagingPath)))
+      graft.ops.Pipeline.curateFromLedger(
+        spark.read.parquet(stagingPath),
+        evalSet, evalTextCol, cfg, idCol, sourceCol)
+        .diagnosis
+        .write.mode("overwrite").parquet(reportPath)
   }
 
   /** Periodic FUNNEL snapshots over everything that has arrived — the

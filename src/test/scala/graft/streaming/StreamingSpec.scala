@@ -1307,6 +1307,83 @@ class StreamingSpec extends SparkSpec {
     assert(!staged.columns.contains("html"))
   }
 
+  test("streaming pipeline flagship: snapshotEvery > 1 drains STALE; curateSnapshot finalizes") {
+    // Two micro-batches with snapshotEvery = 2: only batch 0 snapshots,
+    // so the drained report equals batch curate over batch 0's arrivals
+    // ALONE — including winners the trailing batch's retroactive
+    // elections should have flipped — and one curateSnapshot call after
+    // the drain restores full equality (the scaladoc contract).
+    val st = struct("doc_id" -> LongType, "source" -> StringType,
+      "url" -> StringType, "html" -> StringType)
+    val p1 = "It is a pleasant morning for the people of the village " +
+      "and the weather is a gentle presence in all of the streets."
+    val p2 = "The point of it is that the work of the day sits in the " +
+      "middle of it for all of the people involved."
+    val p3 = "The point of the note is that it is written for the " +
+      "reader and it is kept in the set."
+    def page(extra: String*): String =
+      "<html><body>" + (Seq(p1, p2, p3) ++ extra)
+        .map(s => s"<p>$s</p>").mkString + "</body></html>"
+    val dupText = "It is the seventh page of the set for the day of it."
+    val batch0 = Seq(
+      Row(8L, "s0", "https://ok.example.com/7?utm_source=x#f",
+        page("It is the eighth page of the set for the day of it.")),
+      Row(9L, "s0", "https://ok.example.com/9", page(dupText)),
+      Row(12L, "s0", "https://ok.example.com/12",
+        page("It is the twelfth page of it for the day of it in the set.")))
+    // the later-arriving WINNER: smaller id, canonical url of 8, text of 9
+    val batch1 = Seq(Row(7L, "s0", "https://ok.example.com/7", page(dupText)))
+    val cfg = graft.ops.Pipeline.CurationConfig(
+      blockedDomains = Seq("bad.example.com"),
+      phrases = Seq("banned topic"),
+      weights = Map("s0" -> 1L),
+      budgetTokens = 100000L,
+      shardTokens = 70L)
+    val spark0 = spark
+    import spark0.implicits._
+    val eval = Seq("no such benchmark phrase appears in any page").toDF("text")
+    val inDir = Files.createTempDirectory("graft-cur15b-in").toString
+    Seq(batch0, batch1).foreach { rs =>
+      frame(st, rs: _*).coalesce(1).write.mode("append").parquet(inDir)
+      Thread.sleep(5)
+    }
+    val staging = Files.createTempDirectory("graft-cur15b-st").toString + "/s"
+    val report = Files.createTempDirectory("graft-cur15b-rp").toString + "/r"
+    val q = StreamingOps.curateStream(
+      spark.readStream.schema(st).option("maxFilesPerTrigger", "1").parquet(inDir),
+      "doc_id", "url", "source", "html", eval, "text", cfg,
+      staging, report, snapshotEvery = 2)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cur15b-ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    def rows(df: DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+    def curateOn(rs: Seq[Row]) = rows(graft.ops.Pipeline.curate(
+      frame(st, rs: _*), "doc_id", "url", "source", "html",
+      eval, "text", cfg))
+    // ALL arrivals staged (batch 1's ledger rows are not lost) …
+    assert(spark.read.parquet(staging).count() == 4L)
+    // … but the drained report is the batch-0 snapshot: 8 and 9 still
+    // stand as winners because their dup winner arrived after the last
+    // snapshot batch
+    val stale = rows(spark.read.parquet(report))
+    assert(stale == curateOn(batch0))
+    val staleStages = stale.map(t => t._1 -> t._3).toMap
+    assert(staleStages(8L) == "kept" && staleStages(9L) == "kept" &&
+      !staleStages.contains(7L), staleStages.toString)
+    // ONE finalize call replays the global stages over the full ledger
+    StreamingOps.curateSnapshot(
+      spark, staging, eval, "text", cfg, "doc_id", "source", report)
+    val fin = rows(spark.read.parquet(report))
+    assert(fin == curateOn(batch0 ++ batch1))
+    val finStages = fin.map(t => t._1 -> t._3).toMap
+    assert(finStages(7L) == "kept" && finStages(8L) == "url_dup" &&
+      finStages(9L) == "text_dup", finStages.toString)
+  }
+
   test("streaming funnel snapshots: drained report ≡ batch funnel on the same arrivals") {
     val st = struct("doc_id" -> LongType, "text" -> StringType,
       "source" -> StringType)
