@@ -722,10 +722,14 @@ object StreamingOps {
     * survivors appended to the `stagingPath` parquet corpus, and (3)
     * every `remixEvery` batches the standing survivors are RE-MIXED with
     * the exact waterfill allocation into a fresh `mixPath` snapshot.
-    * After the stream drains, the snapshot equals the batch chain run
-    * over everything that arrived — the mix is a pure function of the
-    * accumulated survivor set (exact BigInt quotas + md5-order per-source
-    * prefixes, no arrival-order dependence).
+    * At the default `remixEvery = 1`, after the stream drains the
+    * snapshot equals the batch chain run over everything that arrived —
+    * the mix is a pure function of the accumulated survivor set (exact
+    * BigInt quotas + md5-order per-source prefixes, no arrival-order
+    * dependence). With `remixEvery > 1` the drained snapshot reflects
+    * survivors only through the last re-mix batch — run
+    * [[graft.ops.Sampling.takeWaterfillMix]] once over `stagingPath`
+    * to finalize (the periodic re-mix is exactly that call).
     *
     * The re-mix is deliberately a SNAPSHOT recompute, not an incremental
     * fold: a waterfill is a global allocation (one source's surplus
@@ -864,20 +868,6 @@ object StreamingOps {
         .write.mode("overwrite").parquet(reportPath)
   }
 
-  /** Periodic FUNNEL snapshots over everything that has arrived — the
-    * streaming form of the q175/q179 reporting surface
-    * ([[graft.ops.TextOps.curationFunnelFull]]): each micro-batch appends
-    * its raw (stratum, text) rows to a staging corpus VERBATIM (verdicts
-    * are recomputed per snapshot, so a post-hoc rule change can never
-    * strand stale verdicts inside the report), and every `snapshotEvery`
-    * batches the standing arrivals re-aggregate into a fresh per-stratum
-    * funnel at `reportPath` (overwrite). Deliberately a snapshot
-    * recompute, not incremental state — the [[curationMixStream]]
-    * discipline: the funnel is ONE scan-pass of pure codegen verdicts
-    * into a K-strata aggregate, so the recompute costs exactly the
-    * report it produces and the stream provably equals the batch funnel
-    * over the same arrivals.
-    */
   /** Periodic DoReMi weight snapshots over a STREAMING loss log (the
     * q184 batch op's duality): arriving per-row proxy/reference losses
     * stage verbatim, and every `snapshotEvery` batches the standing log
@@ -924,6 +914,27 @@ object StreamingOps {
     }
   }
 
+  /** Periodic FUNNEL snapshots over everything that has arrived — the
+    * streaming form of the q175/q179 reporting surface
+    * ([[graft.ops.TextOps.curationFunnelFull]]): each micro-batch appends
+    * its raw (stratum, text) rows to a staging corpus VERBATIM (verdicts
+    * are recomputed per snapshot, so a post-hoc rule change can never
+    * strand stale verdicts inside the report), and every `snapshotEvery`
+    * batches the standing arrivals re-aggregate into a fresh per-stratum
+    * funnel at `reportPath` (overwrite). Deliberately a snapshot
+    * recompute, not incremental state — the [[curationMixStream]]
+    * discipline: the funnel is ONE scan-pass of pure codegen verdicts
+    * into a K-strata aggregate, so the recompute costs exactly the
+    * report it produces and, at the default `snapshotEvery = 1`, the
+    * drained stream provably equals the batch funnel over the same
+    * arrivals. With `snapshotEvery > 1` the drained report reflects
+    * arrivals only through the last snapshot batch — run
+    * [[graft.ops.TextOps.curationFunnelFull]] once over `stagingPath`
+    * to finalize (the periodic snapshot is exactly that call); the same
+    * cadence note applies to [[doremiWeightsStream]] and
+    * [[corpusMapStream]] below, whose snapshots are likewise one
+    * re-runnable call over their staging corpus.
+    */
   def curationFunnelStream(
       newStream: DataFrame,
       stratumCol: String,
