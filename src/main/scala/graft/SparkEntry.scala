@@ -85,6 +85,12 @@ object SparkEntry {
   private def q162ShardDir(sfDir: String) =
     s"/tmp/graft_q162_sizedshards_${new java.io.File(sfDir).getName}"
 
+  private def q192ShardDir(sfDir: String) =
+    s"/tmp/graft_q192_logverify_${new java.io.File(sfDir).getName}"
+
+  private def q193ShardDir(sfDir: String) =
+    s"/tmp/graft_q193_logcompact_${new java.io.File(sfDir).getName}"
+
   private def q143ModelDir(sfDir: String) =
     s"/tmp/graft_q143_nb_${new java.io.File(sfDir).getName}"
 
@@ -2313,6 +2319,61 @@ object SparkEntry {
           scored, "score", "pos", "n_toks", ths)
           .orderBy(col("threshold"))
       } finally scored.unpersist()
+    }),
+
+    // sized-shard log FSCK: build on %2=0, append %2=1, then plant the
+    // one corruption reachable through the API — re-appending the %10
+    // docs with the id guard off — and audit. The report derives every
+    // number from the standing data + meta (dup ids and surplus rows =
+    // the planted slice; data total ≡ meta total because appends commit
+    // meta first and every write completed), so DuckDB replays it from
+    // the same batch arithmetic. The bloom check is Spark-binary-only
+    // and is pinned in OpsSpec instead (bloomCheck = false here).
+    "q192_log_verify" -> ((s, d) => {
+      val out = q192ShardDir(d)
+      val docs = Tables(s, d, "documents")
+        .withColumn("n_tok",
+          graft.ops.TextOps.tokenCount(col("text")).cast("long"))
+        .select("doc_id", "n_tok")
+      graft.ops.Sink.writeSizedShards(
+        docs.where(col("doc_id") % 2 === 0), out, "doc_id", "n_tok",
+        targetWeight = 3000L, overwrite = true)
+      graft.ops.Sink.appendSizedShards(
+        docs.where(col("doc_id") % 2 === 1), out, "doc_id", "n_tok",
+        targetWeight = 3000L)
+      graft.ops.Sink.appendSizedShards(
+        docs.where(col("doc_id") % 10 === 0), out, "doc_id", "n_tok",
+        targetWeight = 3000L, checkIds = false)
+      graft.ops.Sink.verifySizedLog(s, out, "doc_id", "n_tok",
+        bloomCheck = false)
+        .orderBy(col("check"))
+    }),
+
+    // sized-shard log COMPACTION under the q162 single-hash discipline:
+    // three appends leave the touched shards multi-file; compaction
+    // rewrites ONLY those down to one id-sorted file each and must
+    // bit-preserve the content — the read-back hashes against the pure
+    // three-arm cumsum replay (file counts are physical and live in
+    // OpsSpec, where crash-replay and untouched-shard pins also live)
+    "q193_log_compact" -> ((s, d) => {
+      val out = q193ShardDir(d)
+      val docs = Tables(s, d, "documents")
+        .withColumn("n_tok",
+          graft.ops.TextOps.tokenCount(col("text")).cast("long"))
+        .select("doc_id", "n_tok")
+      graft.ops.Sink.writeSizedShards(
+        docs.where(col("doc_id") % 3 === 0), out, "doc_id", "n_tok",
+        targetWeight = 3000L, overwrite = true)
+      graft.ops.Sink.appendSizedShards(
+        docs.where(col("doc_id") % 3 === 1), out, "doc_id", "n_tok",
+        targetWeight = 3000L)
+      graft.ops.Sink.appendSizedShards(
+        docs.where(col("doc_id") % 3 === 2), out, "doc_id", "n_tok",
+        targetWeight = 3000L)
+      graft.ops.Sink.compactSizedShards(s, out, "doc_id")
+      s.read.parquet(out)
+        .select(col("doc_id"), col("shard").cast("long").as("shard"))
+        .orderBy(col("doc_id"))
     }),
 
     // the calibration round trip DEPLOYED (q189 → a live filter): sweep
@@ -5858,6 +5919,98 @@ object SparkEntry {
       """
         |SELECT threshold, tp, fp, fn, tn, precision_ppm, recall_ppm, f1_ppm
         |FROM sw ORDER BY threshold""".stripMargin),
+
+    // the audit report replayed from the batch arithmetic: the log is
+    // every doc once (evens ∪ odds) plus the %10 slice again, so dup
+    // ids = that slice, surplus = one row each; the meta total is the
+    // sum of the three committed batch totals ≡ the data total, so the
+    // meta_total violation derives to 0; null/negative counts derive
+    // from the same standing rows
+    "q192_log_verify" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    cast(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), lg AS (
+        |  SELECT doc_id, n_tok FROM t
+        |  UNION ALL
+        |  SELECT doc_id, n_tok FROM t WHERE doc_id % 10 = 0
+        |), dup AS (
+        |  SELECT doc_id, cast(count(*) AS BIGINT) AS c
+        |  FROM lg GROUP BY doc_id HAVING count(*) > 1
+        |), dd AS (
+        |  SELECT cast(count(*) AS BIGINT) AS dups,
+        |    cast(coalesce(sum(c - 1), 0) AS BIGINT) AS surplus
+        |  FROM dup
+        |), agg AS (
+        |  SELECT
+        |    cast(coalesce(sum(coalesce(n_tok, 0)), 0) AS BIGINT) AS data_total,
+        |    cast(coalesce(sum(coalesce(n_tok, 0)), 0) AS BIGINT) AS meta_total,
+        |    cast(count(*) FILTER (WHERE doc_id IS NULL) AS BIGINT) AS null_ids,
+        |    cast(count(*) FILTER (WHERE n_tok < 0) AS BIGINT) AS neg_w
+        |  FROM lg
+        |)
+        |SELECT * FROM (
+        |  SELECT 'dup_ids' AS "check", dups AS violations, surplus AS measured
+        |  FROM dd
+        |  UNION ALL
+        |  SELECT 'meta_missing', cast(0 AS BIGINT), cast(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'meta_total', greatest(data_total - meta_total, 0), data_total
+        |  FROM agg
+        |  UNION ALL
+        |  SELECT 'negative_weights', neg_w, neg_w FROM agg
+        |  UNION ALL
+        |  SELECT 'null_ids', null_ids, null_ids FROM agg
+        |) ORDER BY "check"""".stripMargin,
+
+    // compaction must bit-preserve the three-append layout: the same
+    // cumsum replay as q162, third arm offset by both standing totals
+    "q193_log_compact" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    cast(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), a0 AS (
+        |  SELECT doc_id, n_tok,
+        |    sum(coalesce(n_tok, 0)) OVER (
+        |      ORDER BY md5(cast(doc_id AS VARCHAR)) ASC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t WHERE doc_id % 3 = 0
+        |), t0 AS (
+        |  SELECT cast(coalesce(sum(coalesce(n_tok, 0)), 0) AS BIGINT) AS tot
+        |  FROM t WHERE doc_id % 3 = 0
+        |), a1 AS (
+        |  SELECT doc_id, n_tok,
+        |    sum(coalesce(n_tok, 0)) OVER (
+        |      ORDER BY md5(cast(doc_id AS VARCHAR)) ASC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t WHERE doc_id % 3 = 1
+        |), t1 AS (
+        |  SELECT cast(coalesce(sum(coalesce(n_tok, 0)), 0) AS BIGINT) AS tot
+        |  FROM t WHERE doc_id % 3 = 1
+        |), a2 AS (
+        |  SELECT doc_id, n_tok,
+        |    sum(coalesce(n_tok, 0)) OVER (
+        |      ORDER BY md5(cast(doc_id AS VARCHAR)) ASC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t WHERE doc_id % 3 = 2
+        |)
+        |SELECT doc_id,
+        |  cast((cum - coalesce(n_tok, 0)) // 3000 AS BIGINT) AS shard
+        |FROM a0
+        |UNION ALL
+        |SELECT doc_id,
+        |  cast((t0.tot + cum - coalesce(n_tok, 0)) // 3000 AS BIGINT) AS shard
+        |FROM a1, t0
+        |UNION ALL
+        |SELECT doc_id,
+        |  cast((t0.tot + t1.tot + cum - coalesce(n_tok, 0)) // 3000 AS BIGINT)
+        |    AS shard
+        |FROM a2, t0, t1
+        |ORDER BY doc_id""".stripMargin,
 
     // same sweep against q190's model, then the deployment pick (min
     // qualifying threshold at the 55% ppm floor) and the kept rows

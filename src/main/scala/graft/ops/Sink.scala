@@ -363,6 +363,245 @@ object Sink {
     }
   }
 
+  /** Integrity AUDIT of a [[writeSizedShards]]/[[appendSizedShards]] log:
+    * recompute what the standing data actually holds and reconcile it
+    * against the `_log_meta` sidecar and the log's own invariants. At
+    * 100 TB a corpus store accretes through many appends, streams, and
+    * the occasional crash — this is the "fsck" that tells a training
+    * job the store is still sound before an epoch reads it. One narrow
+    * scan (ids + weights only) plus one id-keyed aggregate for the
+    * duplicate check; the report is a handful of driver rows.
+    *
+    * Checks, one `(check, violations, measured)` row each, sorted by
+    * name:
+    *  - `dup_ids` — ids with more than one standing row (an id appended
+    *    twice silently duplicates training data; only reachable by
+    *    `checkIds = false` misuse or a behind-the-back write). violations
+    *    = distinct duplicated ids; measured = surplus rows.
+    *  - `null_ids` / `negative_weights` — rows the assignment would have
+    *    rejected; their presence means files were written around the log.
+    *  - `meta_missing` — 1 when the `_log_meta` sidecar is absent (a
+    *    pre-meta corpus or a crashed meta write; the next append upgrades
+    *    it — informational, not corruption).
+    *  - `meta_total` — violations = max(0, data total − meta total).
+    *    The commit order is meta FIRST, so the meta total may exceed the
+    *    data total (a crash gap, allowed and not counted); DATA exceeding
+    *    META is impossible through the API and means a behind-the-back
+    *    write. measured = the data total.
+    *  - `bloom_misses` (`bloomCheck = true` and meta present) — standing
+    *    ids the meta id-bloom says were NEVER committed. The bloom has no
+    *    false negatives over ids committed through the API, so every miss
+    *    proves a file written around the log. Not SQL-expressible (the
+    *    bloom is a Spark binary), so the oracled query q192 audits with
+    *    `bloomCheck = false` and OpsSpec pins this row by planting a
+    *    foreign file.
+    *
+    * A clean log reports all-zero violations. The audit takes no lease —
+    * it only reads — so it can run concurrently with appends; a racing
+    * append can transiently show as a `meta_total` crash gap (meta
+    * committed, data still writing), never as a violation.
+    */
+  def verifySizedLog(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      weightCol: String,
+      bloomCheck: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.types._
+    val meta = readLogMeta(spark, path)
+    val standing = spark.read.parquet(path)
+      .select(col(idCol).as("__id"),
+        coalesce(col(weightCol).cast("long"), lit(0L)).as("__w"),
+        col(weightCol).cast("long").as("__wraw"))
+    val bloomMiss: Option[Column] = meta.collect {
+      case (_, _, _, _, bloom) if bloomCheck =>
+        coalesce(sum(when(col("__id").isNotNull &&
+          !Decontam.bloomMightContainKey(bloom, col("__id").cast("string")),
+          1L).otherwise(0L)), lit(0L))
+    }
+    val baseAggs = Seq(
+      count(lit(1)).as("rows"),
+      coalesce(sum(col("__w")), lit(0L)).as("data_total"),
+      coalesce(sum(when(col("__id").isNull, 1L).otherwise(0L)), lit(0L))
+        .as("null_ids"),
+      coalesce(sum(when(col("__wraw") < 0L, 1L).otherwise(0L)), lit(0L))
+        .as("neg_w")) ++
+      bloomMiss.map(_.as("bloom_misses"))
+    val a = standing.agg(baseAggs.head, baseAggs.tail: _*).head()
+    val rows = a.getLong(0)
+    val dataTotal = if (a.isNullAt(1)) 0L else a.getLong(1)
+    val d = standing.where(col("__id").isNotNull)
+      .groupBy(col("__id")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1L)
+      .agg(count(lit(1)).as("dups"), sum(col("__c") - 1L).as("surplus"))
+      .head()
+    val report = Seq(
+      ("dup_ids", d.getLong(0), if (d.isNullAt(1)) 0L else d.getLong(1)),
+      ("meta_missing", if (meta.isEmpty) 1L else 0L, 0L),
+      ("negative_weights", a.getLong(3), a.getLong(3)),
+      ("null_ids", a.getLong(2), a.getLong(2))) ++
+      meta.map { case (total, _, _, _, _) =>
+        ("meta_total", math.max(0L, dataTotal - total), dataTotal)
+      } ++
+      bloomMiss.map(_ => ("bloom_misses", a.getLong(4), rows))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        report.sortBy(_._1).map(t =>
+          org.apache.spark.sql.Row(t._1, t._2, t._3)), 1),
+      StructType(Seq(
+        StructField("check", StringType, nullable = false),
+        StructField("violations", LongType, nullable = false),
+        StructField("measured", LongType, nullable = false))))
+  }
+
+  // ---- sized-shard log compaction ----
+  //
+  // A log accretes one parquet file per append per touched shard — a
+  // streaming appender turns the tail shards into classic small-file
+  // sprawl. Compaction rewrites ONLY the shards over the file bound
+  // (clean shards and their files are never touched, so a daily pass
+  // over a 100 TB store costs the dirty tail, not the corpus) and
+  // commits through a journal so a crash at any point converges on
+  // re-run without ever losing a row.
+
+  private def compactDir(path: String): String = s"$path/_log_meta/compact"
+  private def compactJournalFile(path: String): String =
+    s"${compactDir(path)}/journal"
+
+  private def listDataFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && {
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .map(_.getPath)
+
+  /** Replay the compaction journal: move every staged file in, THEN
+    * delete every replaced file. Move-first means no instant at which a
+    * shard is missing rows — a crash mid-apply leaves transient
+    * DUPLICATES (both the compacted file and some originals), which the
+    * next [[compactSizedShards]] run replays to convergence (every step
+    * is an exists-guarded rename/delete, so replay is idempotent).
+    */
+  private def applyCompactionJournal(
+      spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = EpochStore.hadoopFs(spark, path)
+    val journal = new HPath(compactJournalFile(path))
+    if (!fs.exists(journal)) return
+    val in = fs.open(journal)
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val entries = lines.filter(_.nonEmpty).map(_.split("\t"))
+    entries.collect { case Array("mv", src, dst) =>
+      val s = new HPath(src)
+      if (fs.exists(s)) fs.rename(s, new HPath(dst))
+    }
+    entries.collect { case Array("del", f) =>
+      val p = new HPath(f)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+    fs.delete(journal, false)
+    EpochStore.deleteDir(spark, compactDir(path))
+  }
+
+  /** Compact every shard directory holding more than `maxFilesPerShard`
+    * data files down to one id-sorted file, leaving clean shards — and
+    * every file in them — physically untouched. The dirty shards are
+    * read in ONE multi-path scan, rewritten id-sorted into a staging dir
+    * under `_log_meta` (invisible to readers), and swapped in through a
+    * journal: stage → journal (written whole, then atomically renamed
+    * into place) → move staged files in → delete replaced files. A crash
+    * before the journal rename changes nothing a reader can see; a crash
+    * after it leaves at worst transient duplicates that the journal
+    * replay at the next run (or the next call, which replays any pending
+    * journal FIRST) converges. Content is bit-preserved — the oracled
+    * q193 hash-checks the post-compaction read-back against the pure
+    * assignment replay.
+    *
+    * Runs under the single-writer lease shared with [[appendSizedShards]]
+    * (the swap is a physical rewrite, so writer exclusivity is required);
+    * concurrent READERS of the log may transiently observe duplicated
+    * rows during the swap window — schedule compaction off the epoch
+    * read path, or read through a dedup-by-id view when in doubt.
+    *
+    * Returns the per-shard report `(shard, files_before, files_after)`,
+    * every shard one row, sorted — untouched shards report
+    * `files_before = files_after`.
+    */
+  def compactSizedShards(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      maxFilesPerShard: Int = 1): DataFrame = {
+    require(maxFilesPerShard >= 1,
+      s"maxFilesPerShard must be >= 1, got $maxFilesPerShard")
+    import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
+    import org.apache.spark.sql.types._
+    EpochStore.withLease(spark, s"$path/_log_meta") {
+      // converge any crashed earlier compaction before measuring
+      applyCompactionJournal(spark, path)
+      val fs = EpochStore.hadoopFs(spark, path)
+      val shardDirs = fs.listStatus(new HPath(path)).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+        .map(_.getPath)
+        .sortBy(p => p.getName.stripPrefix("shard=").toLong)
+      val before: Seq[(Long, Int)] = shardDirs.map(p =>
+        (p.getName.stripPrefix("shard=").toLong,
+          listDataFiles(fs, p).size))
+      val dirty = shardDirs.zip(before).collect {
+        case (p, (_, n)) if n > maxFilesPerShard => p
+      }
+      if (dirty.nonEmpty) {
+        val stagingData = s"${compactDir(path)}/data"
+        EpochStore.deleteDir(spark, stagingData)
+        spark.read.option("basePath", path)
+          .parquet(dirty.map(_.toString): _*)
+          .repartition(col("shard"))
+          .sortWithinPartitions(col("shard"), col(idCol))
+          .write.mode("overwrite").partitionBy("shard").parquet(stagingData)
+        // journal: staged files move into their shard dir, replaced
+        // files delete — written whole to a tmp name, then renamed into
+        // place, so a half-written journal can never be replayed
+        val entries = dirty.flatMap { shardDir =>
+          val staged = listDataFiles(fs,
+            new HPath(s"$stagingData/${shardDir.getName}"))
+          require(staged.nonEmpty,
+            s"compactSizedShards: staging wrote no files for " +
+              s"${shardDir.getName} — aborting before any swap")
+          staged.map(s => s"mv\t$s\t$shardDir/${s.getName}") ++
+            listDataFiles(fs, shardDir).map(f => s"del\t$f")
+        }
+        val tmp = new HPath(s"${compactDir(path)}/journal_tmp")
+        val out = fs.create(tmp, true)
+        try out.write((entries.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+        FileContext.getFileContext(
+          fs.makeQualified(new HPath(path)).toUri,
+          spark.sparkContext.hadoopConfiguration)
+          .rename(fs.makeQualified(tmp),
+            fs.makeQualified(new HPath(compactJournalFile(path))),
+            Options.Rename.OVERWRITE)
+        applyCompactionJournal(spark, path)
+      }
+      val report = before.map { case (shard, n) =>
+        (shard, n,
+          listDataFiles(fs, new HPath(s"$path/shard=$shard")).size)
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(report.map(t =>
+          org.apache.spark.sql.Row(t._1, t._2, t._3)), 1),
+        StructType(Seq(
+          StructField("shard", LongType, nullable = false),
+          StructField("files_before", IntegerType, nullable = false),
+          StructField("files_after", IntegerType, nullable = false))))
+    }
+  }
+
   /** Per-shard manifest of a [[writeShards]] output, recomputed FROM the
     * written files (a read-back, not a side channel — what you see is what
     * a consumer gets): `(shard, n_rows)` plus one `sum_<c>` column per

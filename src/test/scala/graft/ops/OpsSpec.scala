@@ -1956,6 +1956,159 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("re-appends"))
   }
 
+  test("verifySizedLog: clean log zeroes; planted dup and behind-the-back write caught") {
+    val st = struct("id" -> LongType, "w" -> LongType)
+    val a = frame(st, (1L to 20L).map(i => Row(i, 7L)): _*)       // 140 total
+    val b = frame(st, (21L to 30L).map(i => Row(i, 9L)): _*)      // +90
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_logfsck").toString + "/corpus"
+    Sink.writeSizedShards(a, dir, "id", "w", targetWeight = 50L)
+    Sink.appendSizedShards(b, dir, "id", "w", targetWeight = 50L)
+    def audit(bloom: Boolean = true) =
+      Sink.verifySizedLog(spark, dir, "id", "w", bloomCheck = bloom)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    val clean = audit()
+    assert(clean("dup_ids") == (0L, 0L) && clean("null_ids") == (0L, 0L) &&
+      clean("negative_weights") == (0L, 0L) &&
+      clean("meta_missing") == (0L, 0L) &&
+      clean("meta_total") == (0L, 230L) &&
+      clean("bloom_misses") == (0L, 30L), clean.toString)
+    // the one API-reachable corruption: replaying committed ids with the
+    // guard off — the audit's id-keyed aggregate catches it; meta stays
+    // consistent because the append still records its total
+    Sink.appendSizedShards(frame(st, Row(21L, 9L), Row(22L, 9L)),
+      dir, "id", "w", targetWeight = 50L, checkIds = false)
+    val dup = audit()
+    assert(dup("dup_ids") == (2L, 2L) && dup("meta_total") == (0L, 248L),
+      dup.toString)
+    // behind-the-back write: a foreign parquet file dropped straight
+    // into a shard dir — its ids never passed through the bloom and its
+    // weight never reached the meta, so BOTH tripwires fire
+    val spark0 = spark
+    import spark0.implicits._
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_foreign").toString + "/f"
+    Seq((101L, 5L), (102L, 5L), (103L, 5L)).toDF("id", "w")
+      .coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .head
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(s"$dir/shard=0", part.getName).toPath)
+    val dirty = audit()
+    assert(dirty("bloom_misses") == (3L, 35L), dirty.toString)
+    assert(dirty("meta_total") == (15L, 263L), dirty.toString)
+    // bloomCheck = false (the oracle-portable mode) drops only that row
+    val noBloom = audit(bloom = false)
+    assert(!noBloom.contains("bloom_misses") &&
+      noBloom("dup_ids") == (2L, 2L) && noBloom("meta_total") == (15L, 263L))
+  }
+
+  test("compactSizedShards: dirty shards to one file, clean shards untouched, idempotent") {
+    val st = struct("id" -> LongType, "w" -> LongType)
+    val a = frame(st, (1L to 20L).map(i => Row(i, 7L)): _*)       // 140 total
+    val b = frame(st, (21L to 30L).map(i => Row(i, 9L)): _*)      // +90
+    val c = frame(st, (31L to 40L).map(i => Row(i, 3L)): _*)      // +30
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_compact").toString + "/corpus"
+    Sink.writeSizedShards(a, dir, "id", "w", targetWeight = 50L)
+    Sink.appendSizedShards(b, dir, "id", "w", targetWeight = 50L)
+    Sink.appendSizedShards(c, dir, "id", "w", targetWeight = 50L)
+    def fileSets(): Map[Long, Set[String]] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard=")).map { d =>
+          d.getName.stripPrefix("shard=").toLong ->
+            d.listFiles().map(_.getName)
+              .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSet
+        }.toMap
+    def content(): Map[Long, Long] = spark.read.parquet(dir)
+      .select(col("id"), col("shard").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val filesBefore = fileSets()
+    val contentBefore = content()
+    assert(filesBefore.values.exists(_.size > 1)) // the appends left sprawl
+    val report = Sink.compactSizedShards(spark, dir, "id")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val filesAfter = fileSets()
+    filesBefore.foreach { case (shard, fs) =>
+      assert(report(shard)._1 == fs.size)
+      if (fs.size > 1) {
+        // dirty: exactly one id-sorted file now
+        assert(report(shard)._2 == 1 && filesAfter(shard).size == 1)
+      } else {
+        // clean: the very same file, by name — physically untouched
+        assert(report(shard)._2 == fs.size && filesAfter(shard) == fs)
+      }
+    }
+    // content bit-preserved, and the id sort within the compacted files
+    // keeps the read-back identical
+    assert(content() == contentBefore)
+    // staging and journal fully cleaned up
+    assert(!new java.io.File(s"$dir/_log_meta/compact").exists())
+    // idempotent: a second run rewrites nothing
+    Sink.compactSizedShards(spark, dir, "id")
+    assert(fileSets() == filesAfter)
+    // and the log still appends cleanly after compaction
+    Sink.appendSizedShards(frame(st, Row(41L, 2L)), dir, "id", "w", 50L)
+    assert(content().contains(41L))
+  }
+
+  test("compactSizedShards: journal replay converges a crashed swap, no loss or dup") {
+    val st = struct("id" -> LongType, "w" -> LongType)
+    val a = frame(st, (1L to 20L).map(i => Row(i, 7L)): _*)
+    val b = frame(st, (21L to 30L).map(i => Row(i, 9L)): _*)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_crash").toString + "/corpus"
+    Sink.writeSizedShards(a, dir, "id", "w", targetWeight = 50L)
+    Sink.appendSizedShards(b, dir, "id", "w", targetWeight = 50L)
+    val contentBefore = spark.read.parquet(dir)
+      .select(col("id"), col("shard").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pick a multi-file shard and hand-build the exact crash state a
+    // real compaction leaves between the journal rename and the swap:
+    // staged merged file + a journal of (mv staged in, del originals)
+    val root = new java.io.File(dir)
+    val dirtyDir = root.listFiles().filter(_.getName.startsWith("shard="))
+      .find(_.listFiles().count(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet")) > 1)
+      .get
+    val olds = dirtyDir.listFiles().filter(f =>
+      f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val stageDir = new java.io.File(
+      s"$dir/_log_meta/compact/data/${dirtyDir.getName}")
+    assert(stageDir.mkdirs())
+    val mergedTmp = java.nio.file.Files
+      .createTempDirectory("graft_merged").toString + "/m"
+    spark.read.parquet(dirtyDir.toString).orderBy(col("id"))
+      .coalesce(1).write.parquet(mergedTmp)
+    val mergedPart = new java.io.File(mergedTmp).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .head
+    val staged = new java.io.File(stageDir, mergedPart.getName)
+    java.nio.file.Files.move(mergedPart.toPath, staged.toPath)
+    val journal = Seq(s"mv\t$staged\t$dirtyDir/${staged.getName}") ++
+      olds.map(f => s"del\t$f")
+    java.nio.file.Files.write(
+      new java.io.File(s"$dir/_log_meta/compact/journal").toPath,
+      (journal.mkString("\n") + "\n").getBytes("UTF-8"))
+    // crash flavor 2: the mv already applied (copy, journal intact) —
+    // readers transiently see the shard's rows DOUBLED, the documented
+    // move-first window
+    java.nio.file.Files.copy(staged.toPath,
+      new java.io.File(dirtyDir, staged.getName).toPath)
+    val racing = spark.read.parquet(dir).groupBy(col("id"))
+      .agg(count(lit(1)).as("c")).where(col("c") > 1L).count()
+    assert(racing > 0L)
+    // the next compaction call replays the journal FIRST and converges
+    Sink.compactSizedShards(spark, dir, "id")
+    val after = spark.read.parquet(dir)
+      .select(col("id"), col("shard").cast("long")).collect()
+    assert(after.length == contentBefore.size) // no dup survived
+    assert(after.map(r => r.getLong(0) -> r.getLong(1)).toMap == contentBefore)
+    assert(!new java.io.File(s"$dir/_log_meta/compact").exists())
+  }
+
   test("takeGlobal: the md5-order corpus prefix, nested across sizes") {
     val df = docs((1L to 60L).map(i => i -> s"doc $i"): _*)
     def take(n: Long) = Sampling.takeGlobal(df, "doc_id", n)
