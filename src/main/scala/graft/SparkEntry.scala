@@ -2321,14 +2321,17 @@ object SparkEntry {
       } finally scored.unpersist()
     }),
 
-    // sized-shard log FSCK: build on %2=0, append %2=1, then plant the
-    // one corruption reachable through the API — re-appending the %10
-    // docs with the id guard off — and audit. The report derives every
-    // number from the standing data + meta (dup ids and surplus rows =
-    // the planted slice; data total ≡ meta total because appends commit
-    // meta first and every write completed), so DuckDB replays it from
-    // the same batch arithmetic. The bloom check is Spark-binary-only
-    // and is pinned in OpsSpec instead (bloomCheck = false here).
+    // sized-shard log FSCK: build on the even docs, then plant the one
+    // corruption reachable through the API — re-appending the %10 docs
+    // (all of them committed evens) with the id guard off — and audit.
+    // The report derives every number from the standing data + meta
+    // (dup ids and surplus rows = the planted slice; data total ≡ meta
+    // total because appends commit meta first and every write
+    // completed), so DuckDB replays it from the same batch arithmetic.
+    // The bloom check is Spark-binary-only and is pinned in OpsSpec
+    // instead (bloomCheck = false here); the clean id-guard append path
+    // is q162's surface. targetWeight 6000 keeps the per-dir write
+    // floor — the query's real cost — at ~25 dirs.
     "q192_log_verify" -> ((s, d) => {
       val out = q192ShardDir(d)
       val docs = Tables(s, d, "documents")
@@ -2337,13 +2340,10 @@ object SparkEntry {
         .select("doc_id", "n_tok")
       graft.ops.Sink.writeSizedShards(
         docs.where(col("doc_id") % 2 === 0), out, "doc_id", "n_tok",
-        targetWeight = 3000L, overwrite = true)
-      graft.ops.Sink.appendSizedShards(
-        docs.where(col("doc_id") % 2 === 1), out, "doc_id", "n_tok",
-        targetWeight = 3000L)
+        targetWeight = 6000L, overwrite = true)
       graft.ops.Sink.appendSizedShards(
         docs.where(col("doc_id") % 10 === 0), out, "doc_id", "n_tok",
-        targetWeight = 3000L, checkIds = false)
+        targetWeight = 6000L, checkIds = false)
       graft.ops.Sink.verifySizedLog(s, out, "doc_id", "n_tok",
         bloomCheck = false)
         .orderBy(col("check"))
@@ -2363,13 +2363,13 @@ object SparkEntry {
         .select("doc_id", "n_tok")
       graft.ops.Sink.writeSizedShards(
         docs.where(col("doc_id") % 3 === 0), out, "doc_id", "n_tok",
-        targetWeight = 3000L, overwrite = true)
+        targetWeight = 6000L, overwrite = true)
       graft.ops.Sink.appendSizedShards(
         docs.where(col("doc_id") % 3 === 1), out, "doc_id", "n_tok",
-        targetWeight = 3000L)
+        targetWeight = 6000L)
       graft.ops.Sink.appendSizedShards(
         docs.where(col("doc_id") % 3 === 2), out, "doc_id", "n_tok",
-        targetWeight = 3000L)
+        targetWeight = 6000L)
       graft.ops.Sink.compactSizedShards(s, out, "doc_id")
       s.read.parquet(out)
         .select(col("doc_id"), col("shard").cast("long").as("shard"))
@@ -5933,7 +5933,7 @@ object SparkEntry {
         |      x -> x <> '')) AS BIGINT) AS n_tok
         |  FROM documents
         |), lg AS (
-        |  SELECT doc_id, n_tok FROM t
+        |  SELECT doc_id, n_tok FROM t WHERE doc_id % 2 = 0
         |  UNION ALL
         |  SELECT doc_id, n_tok FROM t WHERE doc_id % 10 = 0
         |), dup AS (
@@ -5999,15 +5999,15 @@ object SparkEntry {
         |  FROM t WHERE doc_id % 3 = 2
         |)
         |SELECT doc_id,
-        |  cast((cum - coalesce(n_tok, 0)) // 3000 AS BIGINT) AS shard
+        |  cast((cum - coalesce(n_tok, 0)) // 6000 AS BIGINT) AS shard
         |FROM a0
         |UNION ALL
         |SELECT doc_id,
-        |  cast((t0.tot + cum - coalesce(n_tok, 0)) // 3000 AS BIGINT) AS shard
+        |  cast((t0.tot + cum - coalesce(n_tok, 0)) // 6000 AS BIGINT) AS shard
         |FROM a1, t0
         |UNION ALL
         |SELECT doc_id,
-        |  cast((t0.tot + t1.tot + cum - coalesce(n_tok, 0)) // 3000 AS BIGINT)
+        |  cast((t0.tot + t1.tot + cum - coalesce(n_tok, 0)) // 6000 AS BIGINT)
         |    AS shard
         |FROM a2, t0, t1
         |ORDER BY doc_id""".stripMargin,
