@@ -61,7 +61,7 @@ object Bench {
       else Map(
         "q97" -> 16.0, "q35" -> 4.5, "q105" -> 3.5, "q119" -> 7.0,
         "q182" -> 20.0, "q162" -> 12.0, "q101" -> 8.0, "q102" -> 8.0,
-        "q192" -> 16.0, "q193" -> 20.0)
+        "q192" -> 16.0, "q193" -> 20.0, "q194" -> 20.0)
     val firstPass = queryMap.map { case (name, fn) => name -> timeOne(name, fn) }
     val secondPass = firstPass.map { case (name, t1) =>
       name -> (if (t1 > 1.0) math.min(t1, timeOne(name, queryMap(name))) else t1)

@@ -91,6 +91,9 @@ object SparkEntry {
   private def q193ShardDir(sfDir: String) =
     s"/tmp/graft_q193_logcompact_${new java.io.File(sfDir).getName}"
 
+  private def q194ShardDir(sfDir: String) =
+    s"/tmp/graft_q194_logdelete_${new java.io.File(sfDir).getName}"
+
   private def q143ModelDir(sfDir: String) =
     s"/tmp/graft_q143_nb_${new java.io.File(sfDir).getName}"
 
@@ -2371,6 +2374,36 @@ object SparkEntry {
         docs.where(col("doc_id") % 3 === 2), out, "doc_id", "n_tok",
         targetWeight = 6000L)
       graft.ops.Sink.compactSizedShards(s, out, "doc_id")
+      s.read.parquet(out)
+        .select(col("doc_id"), col("shard").cast("long").as("shard"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // targeted deletion from the sized-shard log (takedowns / erasure
+    // requests): build on evens, append odds, then delete the %449 docs
+    // (a takedown batch is RARE relative to the corpus — the point of
+    // the operator is that only the shards holding doomed ids are
+    // rewritten, journal-swapped, at a cost scaling with the hit set,
+    // not the corpus), the rest stay byte-untouched, and the read-back
+    // must equal the full two-arm assignment minus the doomed rows.
+    // Meta total and bloom
+    // deliberately keep their append-time values (the documented
+    // tail-only / superset invariants), so the oracle is pure batch
+    // arithmetic; report counts and physical pins live in OpsSpec.
+    "q194_log_delete" -> ((s, d) => {
+      val out = q194ShardDir(d)
+      val docs = Tables(s, d, "documents")
+        .withColumn("n_tok",
+          graft.ops.TextOps.tokenCount(col("text")).cast("long"))
+        .select("doc_id", "n_tok")
+      graft.ops.Sink.writeSizedShards(
+        docs.where(col("doc_id") % 2 === 0), out, "doc_id", "n_tok",
+        targetWeight = 6000L, overwrite = true)
+      graft.ops.Sink.appendSizedShards(
+        docs.where(col("doc_id") % 2 === 1), out, "doc_id", "n_tok",
+        targetWeight = 6000L)
+      graft.ops.Sink.deleteFromSizedShards(
+        s, out, "doc_id", docs.where(col("doc_id") % 449 === 0))
       s.read.parquet(out)
         .select(col("doc_id"), col("shard").cast("long").as("shard"))
         .orderBy(col("doc_id"))
@@ -6011,6 +6044,42 @@ object SparkEntry {
         |    AS shard
         |FROM a2, t0, t1
         |ORDER BY doc_id""".stripMargin,
+
+    // the q162 two-arm cumsum replay with the doomed rows filtered
+    // AFTER assignment — deletion never moves a survivor's shard
+    "q194_log_delete" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    cast(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), ev AS (
+        |  SELECT doc_id, n_tok,
+        |    sum(coalesce(n_tok, 0)) OVER (
+        |      ORDER BY md5(cast(doc_id AS VARCHAR)) ASC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t WHERE doc_id % 2 = 0
+        |), tot AS (
+        |  SELECT cast(coalesce(sum(coalesce(n_tok, 0)), 0) AS BIGINT) AS tot
+        |  FROM t WHERE doc_id % 2 = 0
+        |), od AS (
+        |  SELECT doc_id, n_tok,
+        |    sum(coalesce(n_tok, 0)) OVER (
+        |      ORDER BY md5(cast(doc_id AS VARCHAR)) ASC, doc_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t WHERE doc_id % 2 = 1
+        |), lay AS (
+        |  SELECT doc_id,
+        |    cast((cum - coalesce(n_tok, 0)) // 6000 AS BIGINT) AS shard
+        |  FROM ev
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    cast((tot.tot + cum - coalesce(n_tok, 0)) // 6000 AS BIGINT)
+        |      AS shard
+        |  FROM od, tot
+        |)
+        |SELECT doc_id, shard FROM lay
+        |WHERE doc_id % 449 <> 0 ORDER BY doc_id""".stripMargin,
 
     // same sweep against q190's model, then the deployment pick (min
     // qualifying threshold at the 55% ppm floor) and the kept rows

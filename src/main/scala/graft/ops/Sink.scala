@@ -602,6 +602,113 @@ object Sink {
     }
   }
 
+  /** Targeted DELETION from a sized-shard log — the data-removal path a
+    * 100 TB store must have (takedowns, retroactive decontamination,
+    * per-id erasure requests): rewrite ONLY the shards that hold doomed
+    * ids, leaving every other shard — and every file in it — physically
+    * untouched. Detection is ONE narrow (id, shard) scan semi-joined
+    * against the doomed set; the rewrite reads just the affected dirs,
+    * filters with an anti join, and swaps through the same journal as
+    * [[compactSizedShards]] (staged under `_log_meta`, whole-then-
+    * atomically-renamed journal, move-first-then-delete replay — a
+    * crash at any point converges on the next maintenance call). A
+    * shard losing its last row keeps an empty directory, which readers
+    * skip.
+    *
+    * Deliberately NOT touched, both documented invariants of the log:
+    *  - the META TOTAL: reducing it would let a later append's cumsum
+    *    offset land inside standing shard numbers, breaking the
+    *    tail-only log discipline and the batch-weight replay oracles.
+    *    The deficit reads as [[verifySizedLog]]'s allowed meta ≥ data
+    *    gap — the same signature a crash gap leaves.
+    *  - the id BLOOM: a bloom cannot unlearn. It stays a SUPERSET of
+    *    the standing ids, which is exactly its contract — a re-append
+    *    of a deleted id hits the bloom, pays the exact standing-id
+    *    join, finds nothing, and correctly succeeds.
+    *
+    * Runs under the single-writer lease. Returns the per-affected-shard
+    * report `(shard, rows_before, rows_deleted)`, sorted; an empty
+    * report means no doomed id was present.
+    */
+  def deleteFromSizedShards(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      ids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val reportSchema = StructType(Seq(
+      StructField("shard", LongType, nullable = false),
+      StructField("rows_before", LongType, nullable = false),
+      StructField("rows_deleted", LongType, nullable = false)))
+    def report(rows: Seq[(Long, Long, Long)]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(t =>
+          org.apache.spark.sql.Row(t._1, t._2, t._3)), 1), reportSchema)
+    EpochStore.withLease(spark, s"$path/_log_meta") {
+      applyCompactionJournal(spark, path)
+      val doomed = ids.select(col(idCol)).where(col(idCol).isNotNull)
+        .distinct()
+      // ONE narrow (id, shard) detection scan marks doomed rows and
+      // counts both totals per shard (the doomed set is a maintenance
+      // batch — AQE broadcasts it when small)
+      val standing = spark.read.parquet(path)
+      require(standing.columns.contains(idCol),
+        s"deleteFromSizedShards: standing corpus at $path lacks '$idCol'")
+      val counts = standing.select(col(idCol), col("shard").cast("long"))
+        .join(doomed.withColumn("__doom", lit(1L)), Seq(idCol), "left")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("__n"),
+          coalesce(sum(col("__doom")), lit(0L)).as("__d"))
+        .where(col("__d") > 0L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      if (counts.isEmpty) report(Seq.empty)
+      else deleteAffected(spark, path, idCol, doomed, counts, report)
+    }
+  }
+
+  private def deleteAffected(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      doomed: DataFrame,
+      counts: Array[(Long, Long, Long)],
+      report: Seq[(Long, Long, Long)] => DataFrame): DataFrame = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
+    val fs = EpochStore.hadoopFs(spark, path)
+    val affected = counts.map(_._1).toSeq.sorted
+    val dirs = affected.map(sh => s"$path/shard=$sh")
+    val stagingData = s"${compactDir(path)}/data"
+      EpochStore.deleteDir(spark, stagingData)
+      val survivors = spark.read.option("basePath", path)
+        .parquet(dirs: _*)
+        .join(doomed, Seq(idCol), "left_anti")
+      // a delete can empty every affected shard — then there is nothing
+      // to stage and the journal is pure deletion
+      if (!survivors.isEmpty)
+        survivors
+          .repartition(col("shard"))
+          .sortWithinPartitions(col("shard"), col(idCol))
+          .write.mode("overwrite").partitionBy("shard").parquet(stagingData)
+      val entries = affected.flatMap { sh =>
+        val shardDir = new HPath(s"$path/shard=$sh")
+        val staged = listDataFiles(fs, new HPath(s"$stagingData/shard=$sh"))
+        staged.map(s => s"mv\t$s\t$shardDir/${s.getName}") ++
+          listDataFiles(fs, shardDir).map(f => s"del\t$f")
+      }
+      val tmp = new HPath(s"${compactDir(path)}/journal_tmp")
+      val out = fs.create(tmp, true)
+      try out.write((entries.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      FileContext.getFileContext(
+        fs.makeQualified(new HPath(path)).toUri,
+        spark.sparkContext.hadoopConfiguration)
+        .rename(fs.makeQualified(tmp),
+          fs.makeQualified(new HPath(compactJournalFile(path))),
+          Options.Rename.OVERWRITE)
+      applyCompactionJournal(spark, path)
+      report(counts.sortBy(_._1).toSeq)
+  }
+
   /** Per-shard manifest of a [[writeShards]] output, recomputed FROM the
     * written files (a read-back, not a side channel — what you see is what
     * a consumer gets): `(shard, n_rows)` plus one `sum_<c>` column per

@@ -2054,6 +2054,70 @@ class OpsSpec extends SparkSpec {
     assert(content().contains(41L))
   }
 
+  test("deleteFromSizedShards: only hit shards rewrite; invariants hold; deleted ids re-appendable") {
+    val st = struct("id" -> LongType, "w" -> LongType)
+    val a = frame(st, (1L to 20L).map(i => Row(i, 7L)): _*)       // 140 total
+    val b = frame(st, (21L to 30L).map(i => Row(i, 9L)): _*)      // +90
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_logdel").toString + "/corpus"
+    Sink.writeSizedShards(a, dir, "id", "w", targetWeight = 50L)
+    Sink.appendSizedShards(b, dir, "id", "w", targetWeight = 50L)
+    def content(): Map[Long, Long] = spark.read.parquet(dir)
+      .select(col("id"), col("shard").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def fileSets(): Map[Long, Set[String]] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("shard=")).map { d =>
+          d.getName.stripPrefix("shard=").toLong ->
+            d.listFiles().map(_.getName)
+              .filter(n => !n.startsWith("_") && !n.startsWith(".")).toSet
+        }.toMap
+    val before = content()
+    val filesBefore = fileSets()
+    // delete two present ids (+ one absent, + a null) — report counts
+    // exactly the hit shards, rows_before = the shard's standing rows
+    val doomed = frame(st, Row(3L, 0L), Row(25L, 0L), Row(999L, 0L),
+      Row(null, 0L)).select(col("id"))
+    val rep = Sink.deleteFromSizedShards(spark, dir, "id", doomed)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val hitShards = Set(before(3L), before(25L))
+    assert(rep.keySet == hitShards)
+    hitShards.foreach { sh =>
+      val shardRows = before.count { case (_, s) => s == sh }
+      val doomedRows = Seq(3L, 25L).count(before(_) == sh)
+      assert(rep(sh) == (shardRows.toLong, doomedRows.toLong))
+    }
+    // survivors keep their shards bit-for-bit; untouched shards keep
+    // their very FILES
+    val after = content()
+    assert(after == before - 3L - 25L)
+    fileSets().foreach { case (sh, fs) =>
+      if (!hitShards.contains(sh)) assert(filesBefore(sh) == fs)
+    }
+    assert(!new java.io.File(s"$dir/_log_meta/compact").exists())
+    // the fsck reads the deficit as the ALLOWED meta >= data gap (no
+    // violation), the bloom stays a clean superset, no dup appears
+    val audit = Sink.verifySizedLog(spark, dir, "id", "w")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(audit("meta_total") == (0L, 230L - 7L - 9L))
+    assert(audit("bloom_misses")._1 == 0L && audit("dup_ids") == (0L, 0L))
+    // deleting the same ids again is a no-op with an empty report
+    assert(Sink.deleteFromSizedShards(spark, dir, "id", doomed).count() == 0L)
+    // a deleted id re-appends cleanly: the bloom hit falls back to the
+    // exact standing join, which finds nothing
+    Sink.appendSizedShards(frame(st, Row(3L, 5L)), dir, "id", "w", 50L)
+    assert(content().contains(3L))
+    // deleting EVERY id of one shard leaves an empty dir readers skip
+    val sh0Ids = content().collect { case (i, s) if s == 0L => i }.toSeq
+    assert(sh0Ids.nonEmpty)
+    Sink.deleteFromSizedShards(spark, dir, "id",
+      frame(st, sh0Ids.map(i => Row(i, 0L)): _*).select(col("id")))
+    val post = content()
+    assert(sh0Ids.forall(!post.contains(_)))
+    assert(post.values.forall(_ != 0L) && post.nonEmpty)
+  }
+
   test("compactSizedShards: journal replay converges a crashed swap, no loss or dup") {
     val st = struct("id" -> LongType, "w" -> LongType)
     val a = frame(st, (1L to 20L).map(i => Row(i, 7L)): _*)
