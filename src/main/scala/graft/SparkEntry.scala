@@ -5988,6 +5988,8 @@ object SparkEntry {
         |  SELECT 'dup_ids' AS "check", dups AS violations, surplus AS measured
         |  FROM dd
         |  UNION ALL
+        |  SELECT 'journal_pending', cast(0 AS BIGINT), cast(0 AS BIGINT)
+        |  UNION ALL
         |  SELECT 'meta_missing', cast(0 AS BIGINT), cast(0 AS BIGINT)
         |  UNION ALL
         |  SELECT 'meta_total', greatest(data_total - meta_total, 0), data_total

@@ -318,6 +318,15 @@ object Sink {
           require(cols.contains(idCol) && cols.contains(weightCol),
             s"appendSizedShards: standing corpus at $path lacks " +
               s"'$idCol'/'$weightCol' — was it written by writeSizedShards?")
+          // the batch must carry EXACTLY the standing payload columns: a
+          // narrower batch would leave files with divergent schemas in
+          // one shard dir, and a later compaction/deletion rewrite (or
+          // any single-footer reader) would silently drop the columns
+          // its sampled file lacks
+          require(df.columns.toSet == cols.toSet - "shard",
+            s"appendSizedShards: batch columns ${df.columns.sorted.mkString(", ")} " +
+              s"differ from the standing log's ${(cols.toSet - "shard").toSeq.sorted.mkString(", ")} " +
+              "— a sized-shard log carries ONE schema; align the batch first")
           if (checkIds) {
             val hit = !df.where(Decontam.bloomMightContainKey(
               bloom, col(idCol).cast("string"))).isEmpty
@@ -333,6 +342,11 @@ object Sink {
             standing.columns.contains(weightCol),
             s"appendSizedShards: standing corpus at $path lacks " +
               s"'$idCol'/'$weightCol' — was it written by writeSizedShards?")
+          require(df.columns.toSet == standing.columns.toSet - "shard",
+            s"appendSizedShards: batch columns ${df.columns.sorted.mkString(", ")} " +
+              s"differ from the standing log's " +
+              s"${(standing.columns.toSet - "shard").toSeq.sorted.mkString(", ")} " +
+              "— a sized-shard log carries ONE schema; align the batch first")
           if (checkIds && exactClash(standing)) failDup()
           val ids = standing.select(col(idCol))
           val items = EpochStore.idBloomItems(ids.count())
@@ -396,6 +410,15 @@ object Sink {
     *    `bloomCheck = false` and OpsSpec pins this row by planting a
     *    foreign file.
     *
+    *  - `journal_pending` — 1 when a maintenance journal sits
+    *    unapplied under `_log_meta/compact` (compaction or deletion
+    *    crashed mid-swap). The standing data is then LEGAL but
+    *    mid-transition: `dup_ids` and `meta_total` can reflect the
+    *    documented transient-duplicate window, so treat their
+    *    violations as unconfirmed until one [[compactSizedShards]]
+    *    call replays the journal to convergence and the audit re-runs
+    *    clean.
+    *
     * A clean log reports all-zero violations. The audit takes no lease —
     * it only reads — so it can run concurrently with appends; a racing
     * append can transiently show as a `meta_total` crash gap (meta
@@ -435,8 +458,11 @@ object Sink {
       .where(col("__c") > 1L)
       .agg(count(lit(1)).as("dups"), sum(col("__c") - 1L).as("surplus"))
       .head()
+    val journalPending = EpochStore.hadoopFs(spark, path).exists(
+      new org.apache.hadoop.fs.Path(compactJournalFile(path)))
     val report = Seq(
       ("dup_ids", d.getLong(0), if (d.isNullAt(1)) 0L else d.getLong(1)),
+      ("journal_pending", if (journalPending) 1L else 0L, 0L),
       ("meta_missing", if (meta.isEmpty) 1L else 0L, 0L),
       ("negative_weights", a.getLong(3), a.getLong(3)),
       ("null_ids", a.getLong(2), a.getLong(2))) ++
@@ -485,6 +511,17 @@ object Sink {
     * DUPLICATES (both the compacted file and some originals), which the
     * next [[compactSizedShards]] run replays to convergence (every step
     * is an exists-guarded rename/delete, so replay is idempotent).
+    *
+    * Failure discipline, in order of the damage it prevents: (a) an
+    * unparseable journal line ABORTS the replay — a silently skipped
+    * `del` would leave originals beside the compacted file and the next
+    * compaction would merge the duplicates permanently; (b) Hadoop's
+    * `rename` signals many failures by RETURNING FALSE rather than
+    * throwing (dst exists, object-store hiccups), so every `mv` is
+    * verified by `exists(dst)` and the replay aborts BEFORE the delete
+    * phase if any staged file failed to land — the journal and staging
+    * stay intact for a retry, and no original is ever deleted while its
+    * replacement is missing.
     */
   private def applyCompactionJournal(
       spark: SparkSession, path: String): Unit = {
@@ -496,18 +533,85 @@ object Sink {
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       finally in.close()
-    val entries = lines.filter(_.nonEmpty).map(_.split("\t"))
-    entries.collect { case Array("mv", src, dst) =>
-      val s = new HPath(src)
-      if (fs.exists(s)) fs.rename(s, new HPath(dst))
+    val entries = lines.filter(_.nonEmpty).map { line =>
+      line.split("\t") match {
+        case Array("mv", src, dst) => ("mv", src, dst)
+        case Array("del", f) => ("del", f, "")
+        case _ => throw new IllegalStateException(
+          s"corrupt compaction journal at ${compactJournalFile(path)}: " +
+            s"unparseable line '$line' — refusing to replay (a skipped " +
+            "entry could strand or duplicate rows); inspect the journal " +
+            "and staging under _log_meta/compact manually")
+      }
     }
-    entries.collect { case Array("del", f) =>
-      val p = new HPath(f)
-      if (fs.exists(p)) fs.delete(p, false)
+    entries.foreach {
+      case ("mv", src, dst) =>
+        val s = new HPath(src)
+        val d = new HPath(dst)
+        if (fs.exists(s)) fs.rename(s, d)
+        require(fs.exists(d),
+          s"compaction journal replay: staged file $src failed to land " +
+            s"at $dst — aborting before ANY delete; journal and staging " +
+            "are left intact, re-run the maintenance call to retry")
+      case _ =>
+    }
+    entries.foreach {
+      case ("del", f, _) =>
+        val p = new HPath(f)
+        if (fs.exists(p)) fs.delete(p, false)
+      case _ =>
     }
     fs.delete(journal, false)
     EpochStore.deleteDir(spark, compactDir(path))
   }
+
+  /** The stage→journal→swap commit shared by [[compactSizedShards]] and
+    * [[deleteFromSizedShards]]: for each named shard dir, journal every
+    * staged file under `_log_meta/compact/data/<dir>` as a move into the
+    * live dir plus every current live data file as a delete, write the
+    * journal WHOLE to a tmp name, atomically rename it into place (a
+    * half-written journal can never be replayed), then replay it. The
+    * caller stages first; `requireStaged` guards the compaction case
+    * where an affected dir with nothing staged would mean a lost write.
+    */
+  private def swapStagedShards(
+      spark: SparkSession,
+      path: String,
+      shardDirNames: Seq[String],
+      requireStaged: Boolean): Unit = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
+    val fs = EpochStore.hadoopFs(spark, path)
+    val stagingData = s"${compactDir(path)}/data"
+    val entries = shardDirNames.flatMap { dn =>
+      val shardDir = new HPath(s"$path/$dn")
+      val staged = listDataFiles(fs, new HPath(s"$stagingData/$dn"))
+      require(staged.nonEmpty || !requireStaged,
+        s"swapStagedShards: staging wrote no files for $dn — aborting " +
+          "before any swap")
+      staged.map(s => s"mv\t$s\t$shardDir/${s.getName}") ++
+        listDataFiles(fs, shardDir).map(f => s"del\t$f")
+    }
+    val tmp = new HPath(s"${compactDir(path)}/journal_tmp")
+    val out = fs.create(tmp, true)
+    try out.write((entries.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    FileContext.getFileContext(
+      fs.makeQualified(new HPath(path)).toUri,
+      spark.sparkContext.hadoopConfiguration)
+      .rename(fs.makeQualified(tmp),
+        fs.makeQualified(new HPath(compactJournalFile(path))),
+        Options.Rename.OVERWRITE)
+    applyCompactionJournal(spark, path)
+  }
+
+  /** The maintenance journal encodes one path per tab-separated field —
+    * a store path containing a tab or newline would corrupt it. Rejected
+    * loudly at every journal-writing entry point.
+    */
+  private def requireJournalSafePath(path: String): Unit =
+    require(!path.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"store path '$path' contains a tab/newline — the maintenance " +
+        "journal is a tab-separated file-path log and cannot encode it")
 
   /** Compact every shard directory holding more than `maxFilesPerShard`
     * data files down to one id-sorted file, leaving clean shards — and
@@ -524,10 +628,13 @@ object Sink {
     * assignment replay.
     *
     * Runs under the single-writer lease shared with [[appendSizedShards]]
-    * (the swap is a physical rewrite, so writer exclusivity is required);
-    * concurrent READERS of the log may transiently observe duplicated
-    * rows during the swap window — schedule compaction off the epoch
-    * read path, or read through a dedup-by-id view when in doubt.
+    * (the swap is a physical rewrite, so writer exclusivity is required).
+    * Concurrent READERS are NOT safe through the swap window: a reader
+    * that lists a shard's files during the move phase sees transient
+    * duplicates, and one that listed before the delete phase can FAIL
+    * with FileNotFoundException when its task opens a replaced file —
+    * schedule maintenance off the read path entirely, or make readers
+    * retry on missing files.
     *
     * Returns the per-shard report `(shard, files_before, files_after)`,
     * every shard one row, sorted — untouched shards report
@@ -540,7 +647,8 @@ object Sink {
       maxFilesPerShard: Int = 1): DataFrame = {
     require(maxFilesPerShard >= 1,
       s"maxFilesPerShard must be >= 1, got $maxFilesPerShard")
-    import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
+    requireJournalSafePath(path)
+    import org.apache.hadoop.fs.{Path => HPath}
     import org.apache.spark.sql.types._
     EpochStore.withLease(spark, s"$path/_log_meta") {
       // converge any crashed earlier compaction before measuring
@@ -559,34 +667,18 @@ object Sink {
       if (dirty.nonEmpty) {
         val stagingData = s"${compactDir(path)}/data"
         EpochStore.deleteDir(spark, stagingData)
-        spark.read.option("basePath", path)
+        // mergeSchema: files within a shard can carry different payload
+        // columns across appends — a single-footer read would silently
+        // drop the columns the sampled file lacks from every rewritten
+        // row (appendSizedShards also guards this at write time; the
+        // merge covers logs written before that guard)
+        spark.read.option("basePath", path).option("mergeSchema", "true")
           .parquet(dirty.map(_.toString): _*)
           .repartition(col("shard"))
           .sortWithinPartitions(col("shard"), col(idCol))
           .write.mode("overwrite").partitionBy("shard").parquet(stagingData)
-        // journal: staged files move into their shard dir, replaced
-        // files delete — written whole to a tmp name, then renamed into
-        // place, so a half-written journal can never be replayed
-        val entries = dirty.flatMap { shardDir =>
-          val staged = listDataFiles(fs,
-            new HPath(s"$stagingData/${shardDir.getName}"))
-          require(staged.nonEmpty,
-            s"compactSizedShards: staging wrote no files for " +
-              s"${shardDir.getName} — aborting before any swap")
-          staged.map(s => s"mv\t$s\t$shardDir/${s.getName}") ++
-            listDataFiles(fs, shardDir).map(f => s"del\t$f")
-        }
-        val tmp = new HPath(s"${compactDir(path)}/journal_tmp")
-        val out = fs.create(tmp, true)
-        try out.write((entries.mkString("\n") + "\n").getBytes("UTF-8"))
-        finally out.close()
-        FileContext.getFileContext(
-          fs.makeQualified(new HPath(path)).toUri,
-          spark.sparkContext.hadoopConfiguration)
-          .rename(fs.makeQualified(tmp),
-            fs.makeQualified(new HPath(compactJournalFile(path))),
-            Options.Rename.OVERWRITE)
-        applyCompactionJournal(spark, path)
+        swapStagedShards(spark, path, dirty.map(_.getName),
+          requireStaged = true)
       }
       val report = before.map { case (shard, n) =>
         (shard, n,
@@ -626,15 +718,24 @@ object Sink {
     *    of a deleted id hits the bloom, pays the exact standing-id
     *    join, finds nothing, and correctly succeeds.
     *
-    * Runs under the single-writer lease. Returns the per-affected-shard
-    * report `(shard, rows_before, rows_deleted)`, sorted; an empty
-    * report means no doomed id was present.
+    * Runs under the single-writer lease. Concurrent READERS are not
+    * safe through the swap window (the [[compactSizedShards]] caveat:
+    * transient duplicates during the move phase, and a possible
+    * FileNotFoundException for a reader that listed a replaced file
+    * before the delete phase) — schedule maintenance off the read path.
+    * Deleting EVERY standing id is legal: the log stays readable at
+    * zero rows (one empty schema-bearing file is seeded back).
+    *
+    * Returns the per-affected-shard report
+    * `(shard, rows_before, rows_deleted)`, sorted; an empty report
+    * means no doomed id was present.
     */
   def deleteFromSizedShards(
       spark: SparkSession,
       path: String,
       idCol: String,
       ids: DataFrame): DataFrame = {
+    requireJournalSafePath(path)
     import org.apache.spark.sql.types._
     val reportSchema = StructType(Seq(
       StructField("shard", LongType, nullable = false),
@@ -673,40 +774,47 @@ object Sink {
       doomed: DataFrame,
       counts: Array[(Long, Long, Long)],
       report: Seq[(Long, Long, Long)] => DataFrame): DataFrame = {
-    import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
+    import org.apache.hadoop.fs.{Path => HPath}
     val fs = EpochStore.hadoopFs(spark, path)
     val affected = counts.map(_._1).toSeq.sorted
     val dirs = affected.map(sh => s"$path/shard=$sh")
     val stagingData = s"${compactDir(path)}/data"
-      EpochStore.deleteDir(spark, stagingData)
-      val survivors = spark.read.option("basePath", path)
-        .parquet(dirs: _*)
-        .join(doomed, Seq(idCol), "left_anti")
-      // a delete can empty every affected shard — then there is nothing
-      // to stage and the journal is pure deletion
-      if (!survivors.isEmpty)
-        survivors
-          .repartition(col("shard"))
-          .sortWithinPartitions(col("shard"), col(idCol))
-          .write.mode("overwrite").partitionBy("shard").parquet(stagingData)
-      val entries = affected.flatMap { sh =>
-        val shardDir = new HPath(s"$path/shard=$sh")
-        val staged = listDataFiles(fs, new HPath(s"$stagingData/shard=$sh"))
-        staged.map(s => s"mv\t$s\t$shardDir/${s.getName}") ++
-          listDataFiles(fs, shardDir).map(f => s"del\t$f")
+    EpochStore.deleteDir(spark, stagingData)
+    // mergeSchema: same cross-append column-drift guard as compaction
+    val survivors = spark.read.option("basePath", path)
+      .option("mergeSchema", "true")
+      .parquet(dirs: _*)
+      .join(doomed, Seq(idCol), "left_anti")
+    // a delete can empty every affected shard — then there is nothing
+    // to stage and the journal is pure deletion
+    if (!survivors.isEmpty)
+      survivors
+        .repartition(col("shard"))
+        .sortWithinPartitions(col("shard"), col(idCol))
+        .write.mode("overwrite").partitionBy("shard").parquet(stagingData)
+    swapStagedShards(spark, path, affected.map(sh => s"shard=$sh"),
+      requireStaged = false)
+    // TOTAL takedown: if no data file remains in ANY shard, the log
+    // would become schema-less (spark.read could no longer infer it and
+    // every consumer — including the fsck — would fail). Seed ONE empty
+    // file carrying the payload schema into the first affected dir so a
+    // legal-but-empty log stays readable.
+    val anyData = fs.listStatus(new HPath(path)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("shard="))
+      .exists(d => listDataFiles(fs, d.getPath).nonEmpty)
+    if (!anyData) {
+      val seedTmp = s"$path/_log_meta/seed_tmp"
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          survivors.schema.filterNot(_.name == "shard")))
+        .coalesce(1).write.mode("overwrite").parquet(seedTmp)
+      listDataFiles(fs, new HPath(seedTmp)).headOption.foreach { f =>
+        fs.rename(f, new HPath(s"$path/shard=${affected.head}/${f.getName}"))
       }
-      val tmp = new HPath(s"${compactDir(path)}/journal_tmp")
-      val out = fs.create(tmp, true)
-      try out.write((entries.mkString("\n") + "\n").getBytes("UTF-8"))
-      finally out.close()
-      FileContext.getFileContext(
-        fs.makeQualified(new HPath(path)).toUri,
-        spark.sparkContext.hadoopConfiguration)
-        .rename(fs.makeQualified(tmp),
-          fs.makeQualified(new HPath(compactJournalFile(path))),
-          Options.Rename.OVERWRITE)
-      applyCompactionJournal(spark, path)
-      report(counts.sortBy(_._1).toSeq)
+      EpochStore.deleteDir(spark, seedTmp)
+    }
+    report(counts.sortBy(_._1).toSeq)
   }
 
   /** Per-shard manifest of a [[writeShards]] output, recomputed FROM the

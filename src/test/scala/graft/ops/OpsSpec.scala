@@ -1972,6 +1972,7 @@ class OpsSpec extends SparkSpec {
     assert(clean("dup_ids") == (0L, 0L) && clean("null_ids") == (0L, 0L) &&
       clean("negative_weights") == (0L, 0L) &&
       clean("meta_missing") == (0L, 0L) &&
+      clean("journal_pending") == (0L, 0L) &&
       clean("meta_total") == (0L, 230L) &&
       clean("bloom_misses") == (0L, 30L), clean.toString)
     // the one API-reachable corruption: replaying committed ids with the
@@ -2116,6 +2117,78 @@ class OpsSpec extends SparkSpec {
     val post = content()
     assert(sh0Ids.forall(!post.contains(_)))
     assert(post.values.forall(_ != 0L) && post.nonEmpty)
+  }
+
+  test("journal replay: unparseable line and failed move both abort BEFORE any delete") {
+    val st = struct("id" -> LongType, "w" -> LongType)
+    val a = frame(st, (1L to 20L).map(i => Row(i, 7L)): _*)
+    val b = frame(st, (21L to 30L).map(i => Row(i, 9L)): _*)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_badjournal").toString + "/corpus"
+    Sink.writeSizedShards(a, dir, "id", "w", targetWeight = 50L)
+    Sink.appendSizedShards(b, dir, "id", "w", targetWeight = 50L)
+    val before = spark.read.parquet(dir).count()
+    val compact = new java.io.File(s"$dir/_log_meta/compact")
+    assert(compact.mkdirs())
+    val journal = new java.io.File(compact, "journal").toPath
+    // an unparseable line must abort loudly — a silently skipped del
+    // would make the NEXT compaction merge duplicates permanently
+    java.nio.file.Files.write(journal,
+      s"bogus entry with no tabs\ndel\t$dir/shard=0/whatever.parquet\n"
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      Sink.compactSizedShards(spark, dir, "id")
+    }
+    assert(e.getMessage.contains("unparseable"))
+    assert(java.nio.file.Files.exists(journal)) // intact for inspection
+    assert(spark.read.parquet(dir).count() == before) // nothing deleted
+    // a journaled move whose staged file cannot land (src AND dst gone —
+    // the rename-returned-false shape) must abort before the del phase
+    val victim = new java.io.File(s"$dir/shard=0").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .head
+    java.nio.file.Files.write(journal,
+      (s"mv\t$dir/_log_meta/compact/data/shard=0/ghost.parquet\t" +
+        s"$dir/shard=0/ghost.parquet\ndel\t$victim\n").getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sink.compactSizedShards(spark, dir, "id")
+    }
+    assert(e2.getMessage.contains("failed to land"))
+    assert(victim.exists()) // the delete phase never ran
+    assert(spark.read.parquet(dir).count() == before)
+    // clearing the journal unblocks maintenance
+    java.nio.file.Files.delete(journal)
+    Sink.compactSizedShards(spark, dir, "id")
+    assert(spark.read.parquet(dir).count() == before)
+    // a store path that cannot be journaled is rejected at entry
+    val e3 = intercept[IllegalArgumentException] {
+      Sink.compactSizedShards(spark, "/tmp/bad\tpath", "id")
+    }
+    assert(e3.getMessage.contains("tab/newline"))
+  }
+
+  test("deleteFromSizedShards: TOTAL takedown leaves a readable zero-row log") {
+    val st = struct("id" -> LongType, "w" -> LongType)
+    val a = frame(st, (1L to 20L).map(i => Row(i, 7L)): _*)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_totaldel").toString + "/corpus"
+    Sink.writeSizedShards(a, dir, "id", "w", targetWeight = 50L)
+    Sink.deleteFromSizedShards(spark, dir, "id",
+      frame(st, (1L to 20L).map(i => Row(i, 0L)): _*).select(col("id")))
+    // still readable: zero rows, payload schema intact (the seeded file)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 0L)
+    assert(back.columns.toSet == Set("id", "w", "shard"))
+    // the fsck still runs and reads the full deficit as the allowed gap
+    val audit = Sink.verifySizedLog(spark, dir, "id", "w")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(audit("meta_total") == (0L, 0L) && audit("dup_ids") == (0L, 0L),
+      audit.toString)
+    // and the log is still appendable (tail-only: offset = the unchanged
+    // meta total)
+    Sink.appendSizedShards(frame(st, Row(21L, 9L)), dir, "id", "w", 50L)
+    assert(spark.read.parquet(dir).count() == 1L)
   }
 
   test("compactSizedShards: journal replay converges a crashed swap, no loss or dup") {
