@@ -647,19 +647,41 @@ object StreamingOps {
     * fails loudly instead of silently duplicating rows (this sink is a
     * log, not an idempotent fold; pair it with an upstream dedup screen
     * when at-least-once delivery is possible).
+    *
+    * `compactEvery` (0 = never, the default) runs [[graft.ops.Sink
+    * .compactSizedShards]] after every Nth batch: a per-batch append
+    * adds one file per touched shard, so a long-running stream is
+    * exactly the small-file producer compaction exists for, and folding
+    * the pass into the same foreachBatch keeps it under the stream's
+    * own single-writer cadence (compaction takes the same lease the
+    * append just held — never concurrent with it). The pass costs the
+    * dirty tail only: untouched shards are never read or rewritten, so
+    * at a daily cadence over 100 TB the rewrite tracks the day's
+    * arrivals, not the corpus.
     */
   def appendSizedShardsStream(
       newStream: DataFrame,
       path: String,
       idCol: String,
       weightCol: String,
-      targetWeight: Long): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      targetWeight: Long,
+      compactEvery: Int = 0,
+      maxFilesPerShard: Int = 1): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(compactEvery >= 0, s"compactEvery must be >= 0, got $compactEvery")
     newStream.writeStream.foreachBatch {
-      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
           graft.ops.Sink.appendSizedShards(
             batch.toDF(), path, idCol, weightCol, targetWeight)
+        if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1 &&
+            graft.ops.EpochStore.hadoopFs(batch.sparkSession, path)
+              .exists(new org.apache.hadoop.fs.Path(path))) {
+          graft.ops.Sink.compactSizedShards(
+            batch.sparkSession, path, idCol, maxFilesPerShard)
+          ()
+        }
     }
+  }
 
   /** Stateless C4-style phrase-blocklist screen over a stream: drops every
     * arrival containing a blocklist phrase as a consecutive token sequence

@@ -818,6 +818,51 @@ class StreamingSpec extends SparkSpec {
     assert(messages(err).contains("re-appends"))
   }
 
+  test("streaming sized-shard append with compactEvery: content ≡ batch twin, files stay bounded") {
+    val st = struct("id" -> LongType, "w" -> LongType)
+    val base = frame(st, (1L to 12L).map(i => Row(i, 5L)): _*)
+    val batches = Seq(
+      (13L to 18L).map(i => Row(i, 4L)),
+      (19L to 24L).map(i => Row(i, 6L)),
+      (25L to 30L).map(i => Row(i, 3L)),
+      (31L to 36L).map(i => Row(i, 5L)))
+    val sDir = Files.createTempDirectory("graft-szc-s").toString + "/c"
+    graft.ops.Sink.writeSizedShards(base, sDir, "id", "w", 20L)
+    val inDir = Files.createTempDirectory("graft-szc-in").toString
+    batches.foreach { rows =>
+      frame(st, rows: _*).coalesce(1).write.mode("append").parquet(inDir)
+      Thread.sleep(5)
+    }
+    // compact after every 2nd batch (ids 1 and 3) — the final batch is
+    // a compacting one, so the drained log ends fully compacted
+    val q = graft.streaming.StreamingOps.appendSizedShardsStream(
+      spark.readStream.schema(st).option("maxFilesPerTrigger", "1").parquet(inDir),
+      sDir, "id", "w", targetWeight = 20L, compactEvery = 2)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-szc-ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    // compaction bit-preserves: the layout equals the pure batch twin
+    val bDir = Files.createTempDirectory("graft-szc-b").toString + "/c"
+    graft.ops.Sink.writeSizedShards(base, bDir, "id", "w", 20L)
+    batches.foreach(rows =>
+      graft.ops.Sink.appendSizedShards(frame(st, rows: _*), bDir, "id", "w", 20L))
+    def layout(p: String) = spark.read.parquet(p)
+      .select(col("id"), col("shard").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(layout(sDir) == layout(bDir))
+    // every shard dir of the drained stream log is at the 1-file bound
+    // (the uncompacted twin has multi-file tail shards — that is the
+    // sprawl the cadence exists to cut)
+    def maxFiles(p: String) = new java.io.File(p).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(
+        _.listFiles().count { f =>
+          val n = f.getName; !n.startsWith("_") && !n.startsWith(".")
+        }).max
+    assert(maxFiles(sDir) == 1)
+    assert(maxFiles(bDir) > 1)
+  }
+
   test("streaming classification is stateless — stream ≡ batch per-row argmax") {
     import graft.ops.LangModel
     val mSt = struct(
