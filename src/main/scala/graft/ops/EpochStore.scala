@@ -174,6 +174,32 @@ private[graft] object EpochStore {
     df.select(org.apache.spark.sql.functions.col(idCol)
       .cast("string").as("id")).distinct()
 
+  /** The counter-fold replay guard's two numbers — the batch's
+    * distinct-id count and its overlap with the standing `ids` table —
+    * in the fewest jobs. A bloom-cleared batch pays ONE count job
+    * (overlap is exactly 0: the bloom has no false negatives); a bloom
+    * hit pays ONE left-join aggregate returning both numbers, instead of
+    * the prior separate semi-join count + total count. Standing `ids`
+    * rows are globally unique (disjoint appends are the store's commit
+    * invariant), so the left join cannot multiply batch rows. Callers
+    * should pass a persisted `batchIds` — the guard, the ids delta write
+    * and the bloom merge all re-read it.
+    */
+  def counterGuardCounts(
+      spark: SparkSession, epochDir: String,
+      batchIds: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.functions._
+    if (!idGuardNeedsExact(spark, epochDir, batchIds, "id"))
+      (0L, batchIds.count())
+    else {
+      val standing = readTable(spark, epochDir, "ids")
+        .select(col("id"), lit(1L).as("__hit"))
+      val r = batchIds.join(standing, Seq("id"), "left")
+        .agg(count(lit(1)).as("__t"), count(col("__hit")).as("__o")).head()
+      (r.getLong(1), r.getLong(0))
+    }
+  }
+
   /** Counter folds are replay-guarded BY id — a null id can never match
     * the committed `ids` table, so a replayed null-id batch would pass
     * the overlap check and double-count silently. Reject it loudly (one

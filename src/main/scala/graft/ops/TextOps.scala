@@ -1219,13 +1219,13 @@ object TextOps {
     EpochStore.withLease(spark, path) {
     val curDir = resolveTokenFrequencyIndex(spark, path)
     val curEpoch = new HPath(curDir).getName
+    // persisted once: guard + ids delta write + bloom merge re-read it
+    // (see appendClassifierIndex — same counter-lifecycle shape)
     val batchIds = tfBatchIds(newDocs, idCol)
-    val overlap: Long =
-      if (!EpochStore.idGuardNeedsExact(spark, curDir, batchIds, "id")) 0L
-      else batchIds
-        .join(EpochStore.readTable(spark, curDir, "ids"), Seq("id"), "left_semi")
-        .count()
-    val total = batchIds.count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    val (overlap, total) =
+      EpochStore.counterGuardCounts(spark, curDir, batchIds)
     if (total > 0L && overlap < total) {
       require(overlap == 0L,
         s"appendTokenFrequencyIndex: $overlap of $total batch ids are " +
@@ -1252,6 +1252,7 @@ object TextOps {
       EpochStore.commitEpoch(spark, path, epoch, Some(curEpoch))
       EpochStore.gc(spark, path, epoch, retainEpochs)
     } // else: empty batch or full replay — live epoch untouched
+    } finally batchIds.unpersist(blocking = false)
     }
   }
 

@@ -298,6 +298,33 @@ class LangModelSpec extends SparkSpec {
     assert(testAcc == 1.0, s"held-out accuracy $testAcc below floor")
   }
 
+  test("counterGuardCounts: fused guard returns (overlap, total) on every batch shape") {
+    // the round-15 append-path fusion: the replay guard's two numbers come
+    // from ONE job (bloom-cleared: a count; bloom hit: a left-join
+    // aggregate) instead of the prior semi-join count + total count pair —
+    // this pins the numbers the guard feeds to the loud-overlap require
+    import java.nio.file.Files
+    val a = frame(labeledSt,
+      Row(1L, "a a b", true), Row(2L, "a c", false))
+    val idx = Files.createTempDirectory("graft-guardcnt").toString + "/idx"
+    LangModel.writeClassifierIndex(a, "doc_id", "text", "pos", idx)
+    val epochDir = s"$idx/${EpochStore.currentEpoch(spark, idx).get}"
+    def batch(xs: Long*) = EpochStore.counterBatchIds(
+      frame(struct("doc_id" -> LongType), xs.map(Row(_)): _*), "doc_id")
+    // disjoint ids: overlap exactly 0 whether the bloom clears or not
+    assert(EpochStore.counterGuardCounts(spark, epochDir, batch(7L, 8L))
+      == ((0L, 2L)))
+    // full replay: every id already committed
+    assert(EpochStore.counterGuardCounts(spark, epochDir, batch(1L, 2L))
+      == ((2L, 2L)))
+    // partial overlap, with a duplicated raw row — total counts DISTINCT ids
+    assert(EpochStore.counterGuardCounts(spark, epochDir, batch(2L, 9L, 9L))
+      == ((1L, 2L)))
+    // empty batch: no work, (0, 0)
+    assert(EpochStore.counterGuardCounts(spark, epochDir, batch())
+      == ((0L, 0L)))
+  }
+
   test("classifier index: append ≡ retrain, replay no-op, overlap loud, compact exact") {
     import java.nio.file.Files
     val a = frame(labeledSt,
