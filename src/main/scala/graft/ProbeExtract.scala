@@ -9,7 +9,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 object ProbeExtract {
-  private def crawl(s: SparkSession, d: String): DataFrame = {
+  private[graft] def crawl(s: SparkSession, d: String): DataFrame = {
     val docs = s.read.parquet(s"$d/documents.parquet")
       .repartition(32, col("doc_id"))
     val canon = col("doc_id") -

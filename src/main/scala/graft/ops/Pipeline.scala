@@ -166,8 +166,16 @@ object Pipeline {
     * depends on arrival order or partitioning, which is what lets the
     * streaming form snapshot-recompute these stages over accumulated
     * arrivals and provably equal the batch chain. `ledger` must be
-    * materialized or file-backed (the multi-consumer derivation below
-    * re-reads it once per phase).
+    * materialized or file-backed (the stage frames re-read it per phase).
+    *
+    * The election + decontamination chain itself runs ONCE: its outcome
+    * is a narrow per-id verdict table (id + three survival booleans),
+    * eagerly materialized, that the waterfill take, the shard plan, the
+    * diagnosis assembly and the exposed stage frames all join against.
+    * Before round 15 each of those consumers re-derived the chain from
+    * the ledger independently — the elections and the gram probe ran
+    * once PER consumer (~4.4 s of constructor-eager work at sf0.1,
+    * measured via `graft.ProbeStageA`; OPTIMIZATION_r15.md §10).
     */
   private[graft] def curateFromLedger(
       ledger: DataFrame,
@@ -182,30 +190,47 @@ object Pipeline {
     // url string and the id ride the shuffle. Null-url pages skip.
     val urlWinners = surv1.where(col("__url").isNotNull)
       .groupBy(col("__url")).agg(min(col("__id")).as("__w"))
-    val surv2 = surv1.join(urlWinners, Seq("__url"), "left")
-      .where(col("__w").isNull || col("__id") === col("__w")).drop("__w")
-    // exact text dedup: the exactKeepMin election — 16-byte hash + id
-    val txtWinners = surv2
+    val v2 = surv1.join(urlWinners, Seq("__url"), "left")
+      .withColumn("__s2", col("__w").isNull || col("__id") === col("__w"))
+      .drop("__w")
+    // exact text dedup: the exactKeepMin election — 16-byte hash + id.
+    // The election runs among the url-dedup WINNERS (v2 rows with __s2),
+    // exactly the old surv2 set; a loser keeps a false flag instead of
+    // being filtered away, so one pass labels every row.
+    val txtWinners = v2.where(col("__s2"))
       .groupBy(md5(col("__text").cast("binary")).as("__h"))
       .agg(min(col("__id")).as("__w"))
-    val surv3 = surv2.withColumn("__h", md5(col("__text").cast("binary")))
-      .join(txtWinners, Seq("__h"))
-      .where(col("__id") === col("__w")).drop("__h", "__w")
-    val surv4 = Decontam.decontaminate(
-      surv3, evalSet.select(col(evalTextCol).as("__text")),
-      "__id", "__text", cfg.decontamN)
+    val v3 = v2.withColumn("__h", md5(col("__text").cast("binary")))
+      .join(txtWinners, Seq("__h"), "left")
+      // an __s2 winner's hash group always contains itself, so its __w is
+      // never null; the coalesce only normalizes losers' three-valued nulls
+      .withColumn("__s3",
+        coalesce(col("__s2") && col("__id") === col("__w"), lit(false)))
+      .drop("__h", "__w")
+    val s4Ids = Decontam.decontaminate(
+      v3.where(col("__s3")), evalSet.select(col(evalTextCol).as("__text")),
+      "__id", "__text", cfg.decontamN).select(col("__id"))
+    // id + three booleans, broadcast-sized at any corpus scale that fits
+    // an election output
+    val verdicts = Materialize.eager(
+      v3.select(col("__id"), col("__s2"), col("__s3"))
+        .join(s4Ids.withColumn("__s4", lit(true)), Seq("__id"), "left")
+        .withColumn("__s4", coalesce(col("__s4"), lit(false))))
+    def stageFrame(flag: String) = surv1.join(
+      verdicts.where(col(flag)).select(col("__id")), Seq("__id"), "left_semi")
+    val surv3 = stageFrame("__s3")
+    val surv4 = stageFrame("__s4")
     val kept = Sampling.takeWaterfillTokens(
       surv4, "__src", "__id", "__n_tok", cfg.weights, cfg.budgetTokens)
     val sharded = Sink.sizedShardAssignment(
       kept.select(col("__id"), col("__n_tok")),
       "__id", "__n_tok", cfg.shardTokens)
 
-    def mark(ids: DataFrame, flag: String) =
-      ids.select(col("__id"), lit(true).as(flag))
+    // every screen-passing row has a verdicts row, so the flags are only
+    // null for rows the first three whens already claimed — the coalesce
+    // is belt-and-braces, not a semantic branch
     val diagnosis = ledger
-      .join(mark(surv2.select(col("__id")), "__s2"), Seq("__id"), "left")
-      .join(mark(surv3.select(col("__id")), "__s3"), Seq("__id"), "left")
-      .join(mark(surv4.select(col("__id")), "__s4"), Seq("__id"), "left")
+      .join(verdicts, Seq("__id"), "left")
       .join(sharded.select(col("__id"), col("shard")), Seq("__id"), "left")
       .select(
         col("__id").as(idCol),
@@ -213,9 +238,9 @@ object Pipeline {
         when(col("__dom"), "domain")
           .when(col("__text").isNull, "null_html")
           .when(col("__screen") =!= "pass", col("__screen"))
-          .when(col("__s2").isNull, "url_dup")
-          .when(col("__s3").isNull, "text_dup")
-          .when(col("__s4").isNull, "decontam")
+          .when(!coalesce(col("__s2"), lit(false)), "url_dup")
+          .when(!coalesce(col("__s3"), lit(false)), "text_dup")
+          .when(!coalesce(col("__s4"), lit(false)), "decontam")
           .when(col("shard").isNull, "mix")
           .otherwise("kept").as("stage"),
         when(col("__dom") || col("__text").isNull, lit(null).cast("long"))
