@@ -695,18 +695,25 @@ object LangModel {
     val dCls = EpochStore.dataDirName("cls", n)
     val dDocs = EpochStore.dataDirName("docs", n)
     val dIds = EpochStore.dataDirName("ids", n)
-    EpochStore.inParallel(
+    // persisted once so the ids write and the bloom arm share one
+    // evaluation of the scan + distinct (see appendClassifierIndex);
+    // the bloom joins the parallel group — it is independent of the
+    // sibling writes and only the commit below observes any of them
+    val batchIds = clsBatchIds(labeled, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try EpochStore.inParallel(
       () => labeledTokenCounts(labeled, textCol, labelCol)
         .write.mode("overwrite").parquet(s"$path/data/$dCls"),
       () => labeledDocCounts(labeled, labelCol)
         .coalesce(1).write.mode("overwrite").parquet(s"$path/data/$dDocs"),
-      () => clsBatchIds(labeled, idCol)
-        .write.mode("overwrite").parquet(s"$path/data/$dIds"))
-    val idsDf = spark.read.parquet(s"$path/data/$dIds")
-    val items = EpochStore.idBloomItems(idsDf.count())
-    EpochStore.writeIdBloom(spark, dir,
-      EpochStore.buildIdBloom(idsDf, "id", items, EpochStore.IdBloomFpp),
-      items, EpochStore.IdBloomFpp)
+      () => batchIds.write.mode("overwrite").parquet(s"$path/data/$dIds"),
+      () => {
+        val items = EpochStore.idBloomItems(batchIds.count())
+        EpochStore.writeIdBloom(spark, dir,
+          EpochStore.buildIdBloom(batchIds, "id", items, EpochStore.IdBloomFpp),
+          items, EpochStore.IdBloomFpp)
+      })
+    finally batchIds.unpersist(blocking = false)
     writeClsMeta(spark, dir)
     EpochStore.writeManifest(spark, dir,
       Seq("cls" -> dCls, "docs" -> dDocs, "ids" -> dIds))
@@ -759,16 +766,20 @@ object LangModel {
       val dCls = EpochStore.dataDirName("cls", n)
       val dDocs = EpochStore.dataDirName("docs", n)
       val dIds = EpochStore.dataDirName("ids", n)
+      // the bloom merge is independent of the sibling delta writes (only
+      // the commit observes any of them), so it overlaps as a 4th arm
       EpochStore.inParallel(
         () => labeledTokenCounts(newLabeled, textCol, labelCol)
           .write.mode("overwrite").parquet(s"$path/data/$dCls"),
         () => labeledDocCounts(newLabeled, labelCol)
           .coalesce(1).write.mode("overwrite").parquet(s"$path/data/$dDocs"),
-        () => batchIds.write.mode("overwrite").parquet(s"$path/data/$dIds"))
-      val (items, fpp, bloom) = EpochStore.appendedIdBloom(
-        spark, curDir, batchIds,
-        EpochStore.readTable(spark, curDir, "ids"), "id")
-      EpochStore.writeIdBloom(spark, dir, bloom, items, fpp)
+        () => batchIds.write.mode("overwrite").parquet(s"$path/data/$dIds"),
+        () => {
+          val (items, fpp, bloom) = EpochStore.appendedIdBloom(
+            spark, curDir, batchIds,
+            EpochStore.readTable(spark, curDir, "ids"), "id")
+          EpochStore.writeIdBloom(spark, dir, bloom, items, fpp)
+        })
       writeClsMeta(spark, dir)
       EpochStore.writeManifest(spark, dir,
         EpochStore.readManifest(spark, curDir) ++

@@ -1179,16 +1179,22 @@ object TextOps {
     EpochStore.deleteDir(spark, dir)
     val dTf = EpochStore.dataDirName("tf", n)
     val dIds = EpochStore.dataDirName("ids", n)
-    EpochStore.inParallel(
+    // persisted once so the ids write and the bloom arm share one
+    // evaluation; the bloom overlaps the sibling writes (only the commit
+    // below observes any of them) — see writeClassifierIndex
+    val batchIds = tfBatchIds(corpus, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try EpochStore.inParallel(
       () => termFrequencies(corpus, textCol)
         .write.mode("overwrite").parquet(s"$path/data/$dTf"),
-      () => tfBatchIds(corpus, idCol)
-        .write.mode("overwrite").parquet(s"$path/data/$dIds"))
-    val idsDf = spark.read.parquet(s"$path/data/$dIds")
-    val items = EpochStore.idBloomItems(idsDf.count())
-    EpochStore.writeIdBloom(spark, dir,
-      EpochStore.buildIdBloom(idsDf, "id", items, EpochStore.IdBloomFpp),
-      items, EpochStore.IdBloomFpp)
+      () => batchIds.write.mode("overwrite").parquet(s"$path/data/$dIds"),
+      () => {
+        val items = EpochStore.idBloomItems(batchIds.count())
+        EpochStore.writeIdBloom(spark, dir,
+          EpochStore.buildIdBloom(batchIds, "id", items, EpochStore.IdBloomFpp),
+          items, EpochStore.IdBloomFpp)
+      })
+    finally batchIds.unpersist(blocking = false)
     writeTfMeta(spark, dir)
     EpochStore.writeManifest(spark, dir, Seq("tf" -> dTf, "ids" -> dIds))
     EpochStore.commitEpoch(spark, path, epoch, cur)
@@ -1238,14 +1244,18 @@ object TextOps {
       EpochStore.deleteDir(spark, dir)
       val dTf = EpochStore.dataDirName("tf", n)
       val dIds = EpochStore.dataDirName("ids", n)
+      // the bloom merge is independent of the sibling delta writes (only
+      // the commit observes any of them), so it overlaps as a 3rd arm
       EpochStore.inParallel(
         () => termFrequencies(newDocs, textCol)
           .write.mode("overwrite").parquet(s"$path/data/$dTf"),
-        () => batchIds.write.mode("overwrite").parquet(s"$path/data/$dIds"))
-      val (items, fpp, bloom) = EpochStore.appendedIdBloom(
-        spark, curDir, batchIds,
-        EpochStore.readTable(spark, curDir, "ids"), "id")
-      EpochStore.writeIdBloom(spark, dir, bloom, items, fpp)
+        () => batchIds.write.mode("overwrite").parquet(s"$path/data/$dIds"),
+        () => {
+          val (items, fpp, bloom) = EpochStore.appendedIdBloom(
+            spark, curDir, batchIds,
+            EpochStore.readTable(spark, curDir, "ids"), "id")
+          EpochStore.writeIdBloom(spark, dir, bloom, items, fpp)
+        })
       writeTfMeta(spark, dir)
       EpochStore.writeManifest(spark, dir,
         EpochStore.readManifest(spark, curDir) ++ Seq("tf" -> dTf, "ids" -> dIds))
