@@ -71,6 +71,13 @@ object Bench {
       name -> (if (wire.exists(t2 > _)) math.min(t2, timeOne(name, queryMap(name)))
                else t2)
     }
+    // every query whose best-of-two tripped the wire got a THIRD run above
+    // — record the list so a best-of-3 number is distinguishable from a
+    // best-of-2 one in every capture (round-15 verdict "Next round #8")
+    val rerunNames = secondPass.collect {
+      case (name, t2) if tripwires.get(name.split("_")(0)).exists(t2 > _) =>
+        name
+    }.toSeq
     val loadedNames = results.collect {
       case (name, t) if tripwires.get(name.split("_")(0)).exists(t > _) =>
         name
@@ -149,6 +156,9 @@ object Bench {
     val gateFull = gate64.map(g => s""""gate64":$g,""").getOrElse("")
     val loadJson =
       s""","load":{"before":$loadBefore,"after":$loadAfter}""" +
+        (if (rerunNames.isEmpty) ""
+         else rerunNames.map("\"" + _ + "\"")
+           .mkString(""","reruns":[""", ",", "]")) +
         (if (loadedNames.isEmpty) ""
          else loadedNames.map("\"" + _ + "\"")
            .mkString(""","loaded":[""", ",", "]"))
@@ -185,13 +195,31 @@ object Bench {
     val toptakeCompact = toptake.map { case (_, tie, bnd) =>
       s""","tie_share":${fmt(tie)},"bnd_share":${fmt(bnd)}"""
     }.getOrElse("")
-    // load stamp + still-over-tripwire flags, compacted like the failures
+    // load stamp + third-run + still-over-tripwire flags, compacted like
+    // the failures
     val loadCompact =
       s""","load":"${fmt(loadBefore)}/${fmt(loadAfter)}"""" +
+        (if (rerunNames.isEmpty) ""
+         else rerunNames.map(n => "\"" + short(n) + "\"").distinct
+           .mkString(""","reruns":[""", ",", "]")) +
         (if (loadedNames.isEmpty) ""
          else loadedNames.map(n => "\"" + short(n) + "\"").distinct
            .mkString(""","loaded":[""", ",", "]"))
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$gateCompact"queries":$qsCompact$failedCompact$toptakeCompact$loadCompact,"sf":"${new java.io.File(sfDir).getName}"}""")
+    // Per-query seconds as a VALUES-ONLY array in ascending-qNN order —
+    // the only per-query encoding that fits a 194-query sweep inside the
+    // consumer's 2000-char stdout tail (a keyed map costs ~12 chars per
+    // query ≈ 2.3 kB and clips its own head, which is exactly why the
+    // round-14/15 per-query PERF comparison came back empty). ~5 chars
+    // per query ≈ 1.1 kB leaves this line AND the final summary line
+    // complete inside the window; position i pairs with the i-th query
+    // number in ascending order (names are stable across rounds, and the
+    // full keyed map is two lines up plus in the /tmp full-precision
+    // record).
+    val byNumber = results.toSeq.sortBy { case (k, _) =>
+      k.split("_")(0).drop(1).toIntOption.getOrElse(Int.MaxValue)
+    }
+    println(s"""{"metric":"queries_by_number","unit":"sec","order":"ascending qNN","n":${byNumber.size},"t":[${byNumber.map(p => fmt(p._2)).mkString(",")}]}""")
     // The consumer keeps only the last 2000 chars of stdout and parses a
     // complete JSON line out of that window. At 169 queries even the
     // compact per-query line passes 2000 chars and loses its HEAD

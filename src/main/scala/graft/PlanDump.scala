@@ -16,6 +16,11 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println(
+        "usage: runMain graft.PlanDump <outDir> <tag> <sfDir> <q1,q2,...>")
+      sys.exit(2)
+    }
     val Array(outDir, tag, sfDir, nameCsv) = args.take(4)
     val builder = SparkSession.builder()
       .master("local[4]")

@@ -2,75 +2,16 @@ package graft
 
 // Measurement probe for the q182 stage-A ledger pass (guide §1.4: noop
 // sink, component isolation) — reproduces the stage-A cost decomposition
-// recorded in OPTIMIZATION_r15.md. Not part of the library surface; the
-// crawl synthesis is a verbatim copy of SparkEntry.crawlDocs (private
-// there) and must be kept in sync if that fixture ever changes.
+// recorded in OPTIMIZATION_r15.md / OPTIMIZATION_r16.md. Not part of the
+// library surface; the corpus IS the benched fixture
+// (SparkEntry.crawlDocs), so probe numbers can never measure a diverged
+// synthesis.
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 object ProbeExtract {
-  private[graft] def crawl(s: SparkSession, d: String): DataFrame = {
-    val docs = s.read.parquet(s"$d/documents.parquet")
-      .repartition(32, col("doc_id"))
-    val canon = col("doc_id") -
-      when(col("doc_id") % 10 === 3, lit(3L)).otherwise(lit(0L))
-    val inner =
-      when(col("doc_id") % 9 === 4,
-        lit("It is the standard document of the training corpus and " +
-          "the shared body of the page that the editors kept in the " +
-          "collection for the reader of it."))
-        .otherwise(col("text"))
-    val body = concat(
-      lit("It is the body of the page that it is in for the set of it " +
-        "and it is of the day that it is in it for the set of it and " +
-        "the crawl saved it to the store for a reader to read it: "),
-      inner,
-      lit(" and that is the end of it in the set of the page for the " +
-        "day of it and it is all of it."))
-    val hashes = "# it is # the tag # of # the day # in # the set # of " +
-      "# it # in # the end # of # the day # it is # the one # of # all " +
-      "# of # it # okay #."
-    docs.select(
-      col("doc_id"), col("source"),
-      concat(
-        lit("https://www.site"), (canon % 37).cast("string"),
-        lit(".example.com/a/"), canon.cast("string"),
-        when(col("doc_id") % 10 === 3,
-          concat(lit("?utm_campaign="), col("doc_id").cast("string"),
-            lit("#f"))).otherwise(lit(""))).as("url"),
-      concat(
-        lit("<html><!-- crawl --><head><style>body { color: red }" +
-          "</style><script>if (x < 2) { y = 3; }</script><title>Page" +
-          "</title></head><body><h1>Page "),
-        col("doc_id").cast("string"),
-        lit("</h1><div class=\"nav\"><a href=\"/\">Home</a> " +
-          "<a href=\"/about\">About</a></div><p>"),
-        body,
-        lit("</p><p>It is a pleasant morning for the people of the " +
-          "village and the weather is a gentle presence in all of the " +
-          "streets.</p><p>The point of it is that the work of the day " +
-          "sits in the middle of it for all of the people involved." +
-          "</p><p>The point of the note is that it is written for the " +
-          "reader and it is kept in the set.</p>"),
-        when(col("doc_id") % 6 === 1, lit(
-          "<p>It is the same line of it in the day of the set.</p>" +
-            "<p>It is the same line of it in the day of the set.</p>" +
-            "<p>It is the same line of it in the day of the set.</p>" +
-            "<p>It is the same line of it in the day of the set.</p>" +
-            "<p>It is the same line of it in the day of the set.</p>"))
-          .otherwise(lit("")),
-        when(col("doc_id") % 13 === 0, lit(
-          "<p>It is the case that the answer to the benchmark question " +
-            "is in the set.</p>")).otherwise(lit("")),
-        when(col("doc_id") % 17 === 2,
-          concat(lit("<p>"), lit(hashes), lit("</p><p>"), lit(hashes),
-            lit("</p>"))).otherwise(lit("")),
-        when(col("doc_id") % 7 === 0, lit(
-          "<p>lorem ipsum dolor sit amet the words go on in the line " +
-            "of it okay.</p>")).otherwise(lit("")),
-        lit("<p>Short bit</p><footer><a href=\"/legal\">Legal notice " +
-          "terms page</a> fine print</footer></body></html>")).as("html"))
-  }
+  private[graft] def crawl(s: SparkSession, d: String): DataFrame =
+    SparkEntry.crawlDocs(s, d)
 
   // component replicas of TextOps' private strip chain (same regexes)
   private def preStrip(html: Column): Column =

@@ -194,8 +194,16 @@ private[graft] object EpochStore {
     else {
       val standing = readTable(spark, epochDir, "ids")
         .select(col("id"), lit(1L).as("__hit"))
+      // total counts DISTINCT batch ids, not post-join rows: standing ids
+      // are globally unique by the disjoint-append invariant, but if that
+      // is ever violated (a corrupted or partially-compacted epoch) the
+      // left join multiplies batch rows — a row-count total would inflate
+      // in lockstep with overlap and the replay guard could mis-drive
+      // silently. Distinct-counting pins total to the batch alone, so a
+      // broken ids table can only inflate overlap, which fails LOUD.
       val r = batchIds.join(standing, Seq("id"), "left")
-        .agg(count(lit(1)).as("__t"), count(col("__hit")).as("__o")).head()
+        .agg(countDistinct(col("id")).as("__t"), count(col("__hit")).as("__o"))
+        .head()
       (r.getLong(1), r.getLong(0))
     }
   }

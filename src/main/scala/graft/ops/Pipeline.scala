@@ -210,8 +210,9 @@ object Pipeline {
     val s4Ids = Decontam.decontaminate(
       v3.where(col("__s3")), evalSet.select(col(evalTextCol).as("__text")),
       "__id", "__text", cfg.decontamN).select(col("__id"))
-    // id + three booleans, broadcast-sized at any corpus scale that fits
-    // an election output
+    // a narrow per-id table (id + three booleans) — one row per
+    // screen-survivor, i.e. O(corpus), so it rides plain hash joins
+    // (AQE may broadcast it only when the survivor set is small)
     val verdicts = Materialize.eager(
       v3.select(col("__id"), col("__s2"), col("__s3"))
         .join(s4Ids.withColumn("__s4", lit(true)), Seq("__id"), "left")

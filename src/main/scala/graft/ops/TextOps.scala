@@ -1581,6 +1581,16 @@ object TextOps {
     * propagates a null array.
     */
   def htmlBlockMetrics(html: Column): Column =
+    graft.functions.htmlNative.htmlBlockMetrics(html)
+
+  /** The pre-kernel expression form of [[htmlBlockMetrics]] — ~13
+    * sequential regexp_replace passes plus a per-word stopword-normalize
+    * regex inside the metrics lambda. Kept as the executable
+    * SPECIFICATION the native kernel is property-tested against
+    * (HtmlKernelSpec: kernel ≡ this chain on the crawl fixture and on
+    * adversarial generated HTML); never on a query path.
+    */
+  private[graft] def htmlBlockMetricsExpr(html: Column): Column =
     // let-bind the stripped variants (Dedup.bind): HOF lambdas re-evaluate
     // captured subexpressions PER ELEMENT, so without the binds every
     // block would re-run the whole regex-strip chain over the full page
@@ -1631,9 +1641,16 @@ object TextOps {
     * drops it). Null html stays null.
     */
   def htmlExtractText(html: Column): Column =
+    graft.functions.htmlNative.htmlExtractText(html)
+
+  /** The pre-kernel expression form of [[htmlExtractText]] — see
+    * [[htmlBlockMetricsExpr]]; the HtmlKernelSpec property pins
+    * kernel ≡ chain, never on a query path.
+    */
+  private[graft] def htmlExtractTextExpr(html: Column): Column =
     when(html.isNull, lit(null).cast("string"))
       .otherwise(concat_ws("\n",
-        transform(filter(htmlBlockMetrics(html), m => m.getField("good")),
+        transform(filter(htmlBlockMetricsExpr(html), m => m.getField("good")),
           m => m.getField("text"))))
 
   /** The crawl pipeline's first two stages in ONE evaluation: extraction
